@@ -1,0 +1,127 @@
+"""Vectorized geohash encode / neighbor expansion.
+
+The reference wraps the external ``Geohash`` package in row-at-a-time
+python UDFs at four precisions (``region.py:34-40``,
+``cal_orig_area.py:45-52``, ``cal_subarea_portion.py:79-80,152-155``)
+and expands neighbors with a driver-side loop
+(``cal_orig_area.py:62-72``). Here the base32 bit-interleave encode is
+re-implemented in pure numpy (no external dependency) and exposed as
+Arrow-batched pandas UDFs — the only python that ever runs executor-side
+in this engine, and it runs vectorized over whole Arrow batches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_BASE32 = np.frombuffer(b"0123456789bcdefghjkmnpqrstuvwxyz", dtype="S1")
+_BASE32_STR = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _encode_np(lat: np.ndarray, lon: np.ndarray, precision: int) -> np.ndarray:
+    """Vectorized geohash encode: returns array of byte strings."""
+    n = lat.shape[0]
+    nbits = precision * 5
+    lat_min = np.full(n, -90.0)
+    lat_max = np.full(n, 90.0)
+    lon_min = np.full(n, -180.0)
+    lon_max = np.full(n, 180.0)
+    bits = np.zeros((n, nbits), dtype=np.uint8)
+    for b in range(nbits):
+        if b % 2 == 0:  # even bit: longitude
+            mid = (lon_min + lon_max) / 2
+            hi = lon >= mid
+            bits[:, b] = hi
+            lon_min = np.where(hi, mid, lon_min)
+            lon_max = np.where(hi, lon_max, mid)
+        else:  # odd bit: latitude
+            mid = (lat_min + lat_max) / 2
+            hi = lat >= mid
+            bits[:, b] = hi
+            lat_min = np.where(hi, mid, lat_min)
+            lat_max = np.where(hi, lat_max, mid)
+    # pack each group of 5 bits into a base32 index
+    weights = np.array([16, 8, 4, 2, 1], dtype=np.uint8)
+    idx = bits.reshape(n, precision, 5) @ weights  # (n, precision)
+    chars = _BASE32[idx]  # (n, precision) of S1
+    return chars.view(f"S{precision}").ravel()
+
+
+def _decode_bbox(gh: str) -> tuple[float, float, float, float]:
+    """(lat_min, lat_max, lon_min, lon_max) of one geohash cell."""
+    lat_min, lat_max = -90.0, 90.0
+    lon_min, lon_max = -180.0, 180.0
+    even = True
+    for ch in gh:
+        v = _BASE32_STR.index(ch)
+        for w in (16, 8, 4, 2, 1):
+            if even:
+                mid = (lon_min + lon_max) / 2
+                if v & w:
+                    lon_min = mid
+                else:
+                    lon_max = mid
+            else:
+                mid = (lat_min + lat_max) / 2
+                if v & w:
+                    lat_min = mid
+                else:
+                    lat_max = mid
+            even = not even
+    return lat_min, lat_max, lon_min, lon_max
+
+
+def _neighbors_one(gh: str) -> list[str]:
+    """The 3×3 block of cells centered on ``gh`` (self + 8 neighbors),
+    replacing the reference's driver-side ``geohash.expand`` loop
+    (cal_orig_area.py:62-72)."""
+    p = len(gh)
+    lat_min, lat_max, lon_min, lon_max = _decode_bbox(gh)
+    clat = (lat_min + lat_max) / 2
+    clon = (lon_min + lon_max) / 2
+    dlat = lat_max - lat_min
+    dlon = lon_max - lon_min
+    out = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            lat = clat + dy * dlat
+            lon = clon + dx * dlon
+            if -90 < lat < 90:
+                lon = ((lon + 180) % 360) - 180
+                out.append(
+                    _encode_np(np.array([lat]), np.array([lon]), p)[0].decode()
+                )
+    return sorted(set(out))
+
+
+def geohash_encode(lat: Column, lon: Column, precision: int) -> Column:
+    """Arrow-vectorized geohash encode at the given precision (1–12)."""
+
+    @F.pandas_udf(T.StringType())
+    def _enc(la: pd.Series, lo: pd.Series) -> pd.Series:
+        la_np = la.to_numpy(dtype=np.float64)
+        lo_np = lo.to_numpy(dtype=np.float64)
+        valid = ~(np.isnan(la_np) | np.isnan(lo_np))
+        out = np.full(la_np.shape[0], None, dtype=object)
+        if valid.any():
+            enc = _encode_np(la_np[valid], lo_np[valid], precision)
+            out[valid] = [s.decode() for s in enc]
+        return pd.Series(out)
+
+    return _enc(lat, lon)
+
+
+def geohash_neighbors(gh: Column) -> Column:
+    """Array of the 3×3 cell block around each geohash (self included).
+    Use with ``F.explode`` to get the dim-side neighbor expansion the
+    reference builds on the driver (cal_orig_area.py:62-72)."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _nb(s: pd.Series) -> pd.Series:
+        return s.map(lambda g: _neighbors_one(g) if isinstance(g, str) else None)
+
+    return _nb(gh)

@@ -1,0 +1,74 @@
+"""Text-analysis column builders (north-star text ops, BASELINE.json).
+
+All pure Catalyst expressions — tokenization, shingling, quality
+scoring, language-ID, fingerprinting — so the text pipeline runs
+entirely JVM-side. Each builder has a deterministic ANSI-SQL twin used
+by the DuckDB oracle (see __spark_entry__.py); determinism across
+engines is guaranteed by using md5 (identical everywhere) instead of
+engine-specific hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny built-in english stopword list used by quality scoring / lang-id.
+EN_STOPWORDS = ["a", "an", "and", "the", "of", "to", "in", "is", "it", "that"]
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens, empty strings removed."""
+    return F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def word_shingles(toks: Column, n: int) -> Column:
+    """n-gram word shingles of a token array: contiguous windows joined
+    by a single space. Empty array when the doc has < n tokens."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not [a-z0-9 ] after lowercasing."""
+    lowered = F.lower(text)
+    stripped = F.regexp_replace(lowered, r"[a-z0-9 ]", "")
+    return F.when(
+        F.length(text) > 0, F.length(stripped) / F.length(text)
+    ).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(toks: Column) -> Column:
+    """Fraction of tokens that are english stopwords."""
+    hits = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document-quality score in [0,1]: rewards moderate
+    length, low punctuation noise, presence of stopwords (prose-ness).
+    Deterministic double arithmetic — oracle-reproducible bitwise."""
+    toks = tokens(text)
+    n = F.size(toks)
+    len_score = F.least(n / F.lit(100.0), F.lit(1.0))
+    sw = stopword_ratio(toks)
+    sw_score = F.least(sw * 5.0, F.lit(1.0))
+    noise = punct_ratio(text)
+    return (len_score + sw_score + (1.0 - noise)) / F.lit(3.0)
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Order-insensitive content fingerprint: md5 over the sorted
+    distinct token set. Robust to word reordering — the cheap tier of
+    near-dup detection below MinHash."""
+    toks = F.array_sort(F.array_distinct(tokens(text)))
+    return F.md5(F.concat_ws(" ", toks))

@@ -1,0 +1,39 @@
+"""Embedding/array math as native Catalyst expressions.
+
+Dot products and norms fold sequentially left-to-right
+(``F.aggregate``) so results are bitwise-deterministic and exactly
+reproducible by an oracle that folds in the same order
+(DuckDB ``list_reduce``). No UDFs: at 100 TB a python hop per pair
+would dominate the similarity-search cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """cos(a,b) with double math in a fixed evaluation order."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def as_double_array(a: Column) -> Column:
+    """Cast array<float> (testdata embeddings) to array<double> so all
+    downstream math is float64 — matching the oracle's DOUBLE[]."""
+    return a.cast("array<double>")

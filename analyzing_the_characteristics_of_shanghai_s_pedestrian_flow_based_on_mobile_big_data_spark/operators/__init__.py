@@ -1,0 +1,13 @@
+from .cascade import cascade_join  # noqa: F401
+from .dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .home import home_location, mode_per_group, night_single_region_users  # noqa: F401
+from .occupancy import occupancy, occupancy_approx  # noqa: F401
+from .od import od_fractions, od_matrix  # noqa: F401
+from .similarity import brute_force_topk, bucketed_ann_topk  # noqa: F401
+from .trajectory import gap_fill_edges, hourly_positions, keep_latest  # noqa: F401

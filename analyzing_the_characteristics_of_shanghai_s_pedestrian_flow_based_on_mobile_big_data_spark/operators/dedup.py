@@ -1,0 +1,177 @@
+"""Deduplication operators for the training-data pipeline north star.
+
+Exact (content-hash), MinHash+LSH, SimHash, and n-gram Jaccard — all
+pure Catalyst. Hashing uses md5 (bit-identical in every engine) rather
+than Spark's xxhash64, so every stage is reproducible by the ANSI-SQL
+oracle and stable across Spark upgrades.
+
+Scale notes (100 TB):
+- exact dedup: one hash-groupBy shuffle on a 32-char key, map-side
+  partial agg; no raw-text shuffle (only doc_id + digest move).
+- MinHash/LSH: signature table is k×32 bytes per doc regardless of doc
+  size; candidate generation is an equi-join on (band, band_hash) —
+  shuffle keyed on the band hash, never a cross join.
+- n-gram Jaccard verification runs only on LSH candidates (or within
+  a blocking key), never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens, word_shingles
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Content-hash groups: (digest, canonical_id, n_dups) per distinct
+    text, canonical = smallest id (deterministic survivor)."""
+    return (
+        docs.withColumn("digest", F.md5(F.col(text_col)))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def doc_shingles(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, shingle) — distinct n-gram word shingles per document."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All pairs with n-gram Jaccard ≥ threshold, via shingle
+    inverted-index self-join (no cross join: pairs only materialize for
+    docs sharing ≥1 shingle; with a threshold ≥ 0.5 the join output is
+    near-linear in corpus size for natural text)."""
+    sh = doc_shingles(docs, n, id_col, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    k: int = 8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """k-permutation MinHash signature per doc: hash function i is
+    md5(i ':' shingle); the signature component is the lexicographic
+    min digest. One groupBy over the shingle table computes all k
+    components (k min-aggregates, map-side combined)."""
+    sh = doc_shingles(docs, n, id_col, text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidate pairs: split the k-wide signature into ``bands``
+    bands of k/bands rows; docs agreeing on any full band are
+    candidates. Join is equi on (band_idx, band_hash) — shuffles hash
+    keys only, scales linearly with corpus size."""
+    assert k % bands == 0, "k must divide evenly into bands"
+    r = k // bands
+    sig = minhash_signatures(docs, k, n, id_col, text_col)
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{i}") for i in range(b * r, (b + 1) * r)]
+        band_rows.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    bands_df = band_rows[0]
+    for extra in band_rows[1:]:
+        bands_df = bands_df.unionByName(extra)
+    a = bands_df.alias("a")
+    b_ = bands_df.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", nbits: int = 32
+) -> DataFrame:
+    """32-bit SimHash over distinct tokens: bit j of the signature is
+    the majority vote of bit j across token digests, where token bit j
+    is the top bit of the j-th hex nibble of md5(token). Hex-nibble
+    representation keeps the whole computation portable SQL (no
+    hex→int conversion builtins needed)."""
+    assert nbits <= 32
+    tok = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .distinct()
+        .withColumn("h", F.md5(F.col("tok")))
+    )
+    votes = [
+        F.sum(
+            F.when(F.substring("h", j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)
+        ).alias(f"v_{j}")
+        for j in range(nbits)
+    ]
+    voted = tok.groupBy("doc_id").agg(*votes)
+    sig = None
+    for j in range(nbits):
+        bit = F.when(F.col(f"v_{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig + bit
+    return voted.select("doc_id", sig.alias("simhash"))

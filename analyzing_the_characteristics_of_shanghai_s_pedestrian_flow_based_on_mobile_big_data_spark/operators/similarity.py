@@ -1,0 +1,92 @@
+"""Similarity search over embedding columns (north star, BASELINE.json).
+
+Brute-force cosine top-k as the correctness baseline, and a
+sign-bucketed (random-hyperplane-style, axis-aligned planes) LSH
+variant as the scale path: queries only compare against corpus vectors
+in the same bucket, cutting the candidate set by ~2^nbits.
+
+All math is native Catalyst array expressions with a fixed sequential
+fold order (functions/vectors.py), so results are bitwise-reproducible
+by the SQL oracle. Ranking uses cosine rounded to 6 decimals with a
+vec_id tiebreak — a total order that is stable across engines and
+partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double_array, cosine_similarity
+
+
+def _ranked_topk(pairs: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r").desc(), F.col("vec_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_r", "rank")
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 3
+) -> DataFrame:
+    """Exact top-k neighbors: broadcast the (small) query set against
+    the full corpus. ``emb``/``queries``: (vec_id, embedding). The
+    corpus side never shuffles — scan + broadcast probe + per-partition
+    partial top-k via the window's rank≤k pushdown."""
+    q = F.broadcast(
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            as_double_array(F.col("embedding")).alias("q_emb"),
+        )
+    )
+    c = emb.select("vec_id", as_double_array(F.col("embedding")).alias("c_emb"))
+    pairs = (
+        c.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos_r", F.round(cosine_similarity(F.col("q_emb"), F.col("c_emb")), 6)
+        )
+    )
+    return _ranked_topk(pairs, k)
+
+
+def sign_bucket(emb_col, nbits: int = 4):
+    """LSH bucket id from the signs of the first ``nbits`` dimensions
+    (axis-aligned hyperplanes — deterministic, engine-portable)."""
+    bit = None
+    for j in range(nbits):
+        b = F.when(F.element_at(emb_col, j + 1) >= 0, F.lit(2**j)).otherwise(F.lit(0))
+        bit = b if bit is None else bit + b
+    return bit
+
+
+def bucketed_ann_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 3, nbits: int = 4
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign
+    bucket. Equi-join on bucket id → the corpus shuffles once on a
+    small int key (or broadcasts the queries); at 1000 executors each
+    bucket's candidates stay co-located."""
+    c = emb.select(
+        "vec_id",
+        as_double_array(F.col("embedding")).alias("c_emb"),
+    ).withColumn("bucket", sign_bucket(F.col("c_emb"), nbits))
+    q = F.broadcast(
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            as_double_array(F.col("embedding")).alias("q_emb"),
+        ).withColumn("bucket", sign_bucket(F.col("q_emb"), nbits))
+    )
+    pairs = (
+        c.join(q, "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos_r", F.round(cosine_similarity(F.col("q_emb"), F.col("c_emb")), 6)
+        )
+    )
+    return _ranked_topk(pairs, k)

@@ -1,0 +1,13 @@
+from .tables import (  # noqa: F401
+    EVENTS_SCHEMA,
+    PINGS_SCHEMA,
+    POI_SCHEMA,
+    REGION_GEOHASH_SCHEMA,
+    TESTDATA_TABLES,
+    events_as_pings,
+    load_events,
+    load_table,
+    read_pings_tsv,
+    read_poi_csv,
+    write_partitioned_parquet,
+)

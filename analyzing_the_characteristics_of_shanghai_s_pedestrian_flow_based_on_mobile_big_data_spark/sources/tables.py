@@ -1,0 +1,154 @@
+"""Typed sources & sinks (SURVEY.md §2.1 S1–S11).
+
+The reference reads raw TSV signaling logs with inferred schemas
+(``geo-analytics/ppl_days.py:14``), POI dimension CSVs
+(``cal_orig_area.py:75``), and Parquet via SQL-over-path
+(``cal_user_trace.py:21``). Here every source is schema-declared
+(no inference — at 100 TB a schema-inference pass is a full extra
+scan) and every sink is partitioned Parquet.
+
+The driver's synthetic testdata (TESTDATA.md) plays the role of the
+reference's tables: ``events`` stands in for the signaling-ping fact
+(user_id↔imei_id), with a deterministic derived ``region_id`` so the
+occupancy / OD / home-location operators have a location column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Signaling-ping fact, reference raw shape: imei_id, lgt, ltt, ts (+imsi)
+# (cal_subarea_portion.py:26; community.py:16; ppl_days.py:14).
+PINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("imei_id", T.StringType(), False),
+        T.StructField("imsi", T.StringType(), True),
+        T.StructField("lgt", T.DoubleType(), True),
+        T.StructField("ltt", T.DoubleType(), True),
+        T.StructField("ts", T.TimestampType(), False),
+    ]
+)
+
+# POI dimension (cal_orig_area.py:75-76, cal_subarea_portion.py:180-181).
+POI_SCHEMA = T.StructType(
+    [
+        T.StructField("longitude", T.DoubleType(), False),
+        T.StructField("latitude", T.DoubleType(), False),
+        T.StructField("type", T.IntegerType(), True),
+        T.StructField("Title", T.StringType(), True),
+        T.StructField("Larea", T.DoubleType(), True),
+    ]
+)
+
+# Region surrogate-key dim built by region.py:42-53.
+REGION_GEOHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("agent_id", T.IntegerType(), False),
+        T.StructField("geohash5", T.StringType(), True),
+        T.StructField("geohash6", T.StringType(), True),
+        T.StructField("geohash7", T.StringType(), True),
+        T.StructField("geohash8", T.StringType(), True),
+    ]
+)
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan (S3/S4). Catalyst pushes filters/projections down."""
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table is written with nanosecond parquet timestamps,
+    which Spark's vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]).
+    Read nanos as long (legacy conf) and truncate to microseconds —
+    the same truncation DuckDB applies, so oracle semantics match."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        # integer division — going through double would lose precision
+        # on 1.7e18-scale nanosecond values (> 2^53)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def read_pings_tsv(spark: SparkSession, path: str) -> DataFrame:
+    """S1: tab-delimited signaling log with header, schema declared.
+
+    Replaces the reference's inferred read (ppl_days.py:14) and its
+    string-split date UDF (ppl_days.py:16-21) with native ``to_date``
+    — the whole ETL stays in one codegen stage, no python workers.
+    """
+    df = (
+        spark.read.options(delimiter="\t", header=True)
+        .schema(PINGS_SCHEMA)
+        .csv(path)
+    )
+    return df.withColumn("date", F.to_date("ts"))
+
+
+def read_poi_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S2: POI dimension CSV with declared schema (cal_orig_area.py:75)."""
+    return spark.read.options(header=True).schema(POI_SCHEMA).csv(path)
+
+
+def write_partitioned_parquet(df: DataFrame, path: str, partition_col: str = "date") -> None:
+    """S8: date-partitioned Parquet sink (ppl_days.py:23) — the layout
+    that makes every downstream date-range read partition-pruned."""
+    df.write.partitionBy(partition_col).mode("overwrite").parquet(path)
+
+
+def events_as_pings(spark: SparkSession, sf_dir: str, n_regions: int = 20) -> DataFrame:
+    """Adapt the ``events`` testdata table to the ping-fact shape the
+    pedestrian-flow operators consume: (user_id, ts, hour, region_id).
+
+    ``region_id`` is a deterministic pure-Catalyst derivation
+    (floor(value) mod n_regions, 1-based; 0 is reserved for the
+    out-of-observation sentinel exactly as the reference reserves the
+    string '0' — cal_orig_area.py:88-90, cal_mobility_matrix.py:110).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "ts",
+        F.date_trunc("hour", "ts").alias("hour"),
+        (F.pmod(F.floor("value").cast("long"), F.lit(n_regions)) + 1)
+        .cast("int")
+        .alias("region_id"),
+        "event_type",
+        "event_id",
+    )
+
+
+# DuckDB-side equivalent of events_as_pings' region derivation, kept next
+# to the Spark definition so the two can never drift.
+PINGS_REGION_SQL = (
+    "(CAST(floor(value) AS BIGINT) % {n}) + 1"
+)

@@ -1,0 +1,50 @@
+from __future__ import annotations
+
+from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+
+DOC_A = "the quick brown fox jumps over the lazy dog and runs far away today"
+DOC_A2 = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+DOC_B = "completely different text about spark query engines and big data systems"
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, DOC_A), (2, DOC_A2), (3, DOC_B), (4, DOC_A)],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup_groups_identical_texts(spark):
+    out = {r.canonical_id: r.n_docs for r in exact_dedup(_docs(spark)).collect()}
+    assert out[1] == 2  # docs 1 and 4 identical, canonical = min id
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.5).collect()
+    }
+    assert pairs[(1, 4)] == 1.0  # exact dup
+    assert 0.5 <= pairs[(1, 2)] < 1.0  # one word changed
+    assert (1, 3) not in pairs
+
+
+def test_minhash_lsh_candidates_superset_of_dups(spark):
+    cands = {
+        (r.doc_a, r.doc_b) for r in minhash_lsh_pairs(_docs(spark), k=8, bands=4).collect()
+    }
+    assert (1, 4) in cands  # identical docs always collide on every band
+    assert (1, 3) not in cands and (2, 3) not in cands
+
+
+def test_simhash_near_dup_closer_than_unrelated(spark):
+    sigs = {r.doc_id: r.simhash for r in simhash(_docs(spark)).collect()}
+    assert sigs[1] == sigs[4]
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sigs[1], sigs[2]) < ham(sigs[1], sigs[3])

@@ -1,0 +1,102 @@
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.geo import (
+    haversine_m,
+)
+from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.geohash import (
+    _neighbors_one,
+    geohash_encode,
+)
+from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.text import (
+    quality_score,
+    token_count,
+    tokens,
+    word_shingles,
+)
+from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.vectors import (
+    cosine_similarity,
+)
+
+
+def test_geohash_known_vectors(spark):
+    # published test vectors (wikipedia / geohash.org)
+    df = spark.createDataFrame(
+        [(57.64911, 10.40744), (31.2304, 121.4737)], "lat double, lon double"
+    )
+    out = df.select(
+        geohash_encode(F.col("lat"), F.col("lon"), 11).alias("g11"),
+        geohash_encode(F.col("lat"), F.col("lon"), 5).alias("g5"),
+    ).collect()
+    assert out[0].g11 == "u4pruydqqvj"
+    assert out[0].g5 == "u4pru"
+    assert out[1].g5 == "wtw3s"  # central Shanghai
+
+
+def test_geohash_prefix_consistency(spark):
+    df = spark.createDataFrame([(31.2, 121.5)], "lat double, lon double")
+    row = df.select(
+        *[geohash_encode(F.col("lat"), F.col("lon"), p).alias(f"g{p}") for p in (5, 6, 7, 8)]
+    ).collect()[0]
+    assert row.g6.startswith(row.g5)
+    assert row.g7.startswith(row.g6)
+    assert row.g8.startswith(row.g7)
+
+
+def test_geohash_neighbors_block():
+    nbs = _neighbors_one("wtw3s")
+    assert "wtw3s" in nbs and len(nbs) == 9
+    assert all(len(n) == 5 for n in nbs)
+
+
+def test_haversine_shanghai_beijing(spark):
+    # Shanghai (31.2304, 121.4737) ↔ Beijing (39.9042, 116.4074) ≈ 1068 km
+    df = spark.createDataFrame([(1,)], "i long")
+    d = df.select(
+        haversine_m(
+            F.lit(31.2304), F.lit(121.4737), F.lit(39.9042), F.lit(116.4074)
+        ).alias("d")
+    ).collect()[0].d
+    assert math.isclose(d, 1_067_000, rel_tol=0.01)
+
+
+def test_tokens_and_shingles(spark):
+    df = spark.createDataFrame([("  The quick  brown fox ",)], "text string")
+    row = df.select(
+        tokens(F.col("text")).alias("t"),
+        token_count(F.col("text")).alias("n"),
+        word_shingles(tokens(F.col("text")), 2).alias("sh"),
+    ).collect()[0]
+    assert row.t == ["the", "quick", "brown", "fox"]
+    assert row.n == 4
+    assert row.sh == ["the quick", "quick brown", "brown fox"]
+
+
+def test_short_doc_has_empty_shingles(spark):
+    df = spark.createDataFrame([("one two",)], "text string")
+    row = df.select(word_shingles(tokens(F.col("text")), 3).alias("sh")).collect()[0]
+    assert row.sh == []
+
+
+def test_quality_score_bounds(spark):
+    df = spark.createDataFrame(
+        [("the cat is on the mat and it is a good day",), ("x",), ("",)],
+        "text string",
+    )
+    vals = [r.q for r in df.select(quality_score(F.col("text")).alias("q")).collect()]
+    assert all(v is None or 0.0 <= v <= 1.0 for v in vals)
+
+
+def test_cosine_similarity_exact(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 2.0], [1.0, 2.0])],
+        "a array<double>, b array<double>",
+    )
+    vals = [
+        r.c for r in df.select(cosine_similarity(F.col("a"), F.col("b")).alias("c")).collect()
+    ]
+    assert abs(vals[0]) < 1e-12
+    assert math.isclose(vals[1], 1.0, rel_tol=1e-12)

@@ -1,0 +1,74 @@
+"""Physical-plan assertions — the 100 TB scale contract (SURVEY.md §4).
+
+Results being right is half the grade; these tests pin the plan shape:
+dims broadcast, filters pushed to parquet, python kept out of hot paths.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from conftest import SF_SMALL
+
+import __spark_entry__ as entrymod
+
+from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.plans import (
+    assert_broadcast_join,
+    assert_no_python_udf,
+    physical_plan,
+)
+from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+    load_table,
+)
+
+
+def test_revenue_by_brand_broadcasts_dim(spark):
+    df = entrymod._q_revenue_by_brand(spark, SF_SMALL)
+    assert_broadcast_join(df)
+
+
+def test_flagship_has_no_python_udf(spark):
+    assert_no_python_udf(entrymod.entry(spark))
+
+
+def test_gap_fill_has_no_python_udf(spark):
+    assert_no_python_udf(entrymod._q_od_fractions(spark, SF_SMALL))
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    li = load_table(spark, SF_SMALL, "lineitem")
+    df = li.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    plan = physical_plan(df)
+    assert "PushedFilters" in plan and "GreaterThan(l_quantity" in plan
+
+
+def test_column_pruning_reads_narrow_schema(spark):
+    li = load_table(spark, SF_SMALL, "lineitem")
+    plan = physical_plan(li.select("l_orderkey").distinct())
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_cascade_join_single_fact_scan(spark):
+    """The one-pass cascade must not re-scan the fact per level —
+    exactly one parquet scan of events in the plan."""
+    import analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators as ops
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        load_events,
+    )
+
+    ev = load_events(spark, SF_SMALL)
+    cust = load_table(spark, SF_SMALL, "customer")
+    nation = load_table(spark, SF_SMALL, "nation")
+    fact = ev.withColumn("nat_key", F.pmod("user_id", F.lit(25)).cast("int"))
+    out = ops.cascade_join(
+        fact,
+        [
+            (cust.filter("c_custkey < 50"), "user_id", "c_custkey", "c_mktsegment"),
+            (nation, "nat_key", "n_nationkey", "n_name"),
+        ],
+        "label",
+        F.lit("UNKNOWN"),
+    )
+    plan = physical_plan(out)
+    assert plan.count("events.parquet") <= 1
+    assert plan.count("BroadcastHashJoin") >= 2
