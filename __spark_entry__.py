@@ -285,6 +285,322 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.brute_force_topk(emb, queries, k=3)
 
 
+# ---- batch 2: relational breadth -----------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("event_type") == "click")
+            & (F.col("value") >= 10.0)
+            & (F.col("value") <= 200.0)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            (F.col("value").cast("decimal(18,4)") * F.lit(2).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("value_x2"),
+        )
+    )
+
+
+def _q_case_in_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type").isin("click", "view"), 1)
+        .when(F.col("event_type") == "purchase", 2)
+        .when(F.col("event_type").isin("signup"), 3)
+        .otherwise(9)
+    )
+    return ev.groupBy(code.alias("type_code")).agg(F.count("*").alias("n"))
+
+
+def _q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def _q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+    )
+
+
+def _q_brand_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    w = Window.orderBy("p_brand")
+    return (
+        part.select("p_brand")
+        .distinct()
+        .withColumn("brand_id", F.dense_rank().over(w))
+    )
+
+
+def _q_rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+    )
+
+
+def _q_cube_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("l_quantity")).cast("double").alias("qty"),
+    )
+
+
+def _q_union_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING")
+    b = cust.filter(F.col("c_acctbal") > 9000)
+    return (
+        a.unionByName(b)
+        .distinct()
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def _q_click_and_purchase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+def _q_click_never_purchase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.subtract(buys)  # EXCEPT (distinct set semantics)
+
+
+def _q_pivot_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pv = (
+        ev.groupBy(F.hour("ts").alias("hod"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return pv.select(
+        "hod", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES]
+    )
+
+
+def _q_cascade_region_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").filter("c_custkey < 50")
+    nation = load_table(spark, sf_dir, "nation")
+    fact = ev.withColumn("nat_key", F.pmod("user_id", F.lit(25)).cast("int"))
+    out = ops.cascade_join(
+        fact,
+        [
+            (cust, "user_id", "c_custkey", "c_mktsegment"),
+            (nation, "nat_key", "n_nationkey", "n_name"),
+        ],
+        "label",
+        F.lit("UNKNOWN"),
+    )
+    return out.groupBy("label").agg(F.count("*").alias("n"))
+
+
+def _q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.sessions import (
+        session_stats,
+        sessionize,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_stats(sessionize(ev, gap_minutes=30))
+
+
+def _q_event_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pos = ops.hourly_positions(events_as_pings(spark, sf_dir, N_REGIONS))
+    w = Window.partitionBy("user_id").orderBy("hour")
+    gaps = pos.withColumn(
+        "gap_h", F.expr("timestampdiff(HOUR, lag(hour) OVER (PARTITION BY user_id ORDER BY hour), hour)")
+    ).filter(F.col("gap_h").isNotNull())
+    return gaps.groupBy("gap_h").agg(F.count("*").alias("n"))
+
+
+def _q_first_event_per_user_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.to_date("ts").alias("day"), "event_id", "event_type")
+    )
+
+
+def _q_dedup_keep_latest_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    latest = ops.keep_latest(
+        ev, ["user_id", "day"], [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    return latest.select("user_id", "day", "event_id", "event_type")
+
+
+def _q_haversine_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.geo import (
+        haversine_m,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.lit(30.6) + F.col("value") / 700.0).alias("lat"),
+        (F.lit(120.9) + F.col("value") / 560.0).alias("lon"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    hops = (
+        pts.withColumn("pre_lat", F.lag("lat").over(w))
+        .withColumn("pre_lon", F.lag("lon").over(w))
+        .filter(F.col("pre_lat").isNotNull())
+    )
+    d = haversine_m(F.col("pre_lat"), F.col("pre_lon"), F.col("lat"), F.col("lon"))
+    return hops.select(
+        "event_id",
+        F.round(d / 100.0, 0).cast("long").alias("dist_100m"),
+    )
+
+
+def _q_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.weekday("ts").alias("wd"), F.hour("ts").alias("hod")
+    ).agg(F.count("*").alias("n"))
+
+
+def _q_occupancy_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pings = events_as_pings(spark, sf_dir, N_REGIONS)
+    return ops.occupancy(pings, scale=24281400.0 / 3357267.0)
+
+
+def _q_occupancy_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pings = events_as_pings(spark, sf_dir, N_REGIONS)
+    return ops.occupancy_approx(pings)
+
+
+# ---- batch 2: text / similarity north star --------------------------------
+
+
+def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ops.minhash_lsh_pairs(docs, k=8, bands=4, n=3)
+
+
+def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ops.simhash(docs)
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ops.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+
+
+def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", tx.doc_fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_docs"))
+    )
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.langid import (
+        predict_lang,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = predict_lang(tx.tokens(F.col("text")))
+    return docs.groupBy(F.col("lang"), pred.alias("pred_lang")).agg(
+        F.count("*").alias("n")
+    )
+
+
+def _q_token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = tx.token_count(F.col("text"))
+    return docs.groupBy("source").agg(
+        F.sum(n_tok).alias("total_tokens"),
+        (F.sum(n_tok).cast("double") / F.count("*")).alias("avg_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def _q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.vectors import (
+        as_double_array,
+        l2_norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.round(l2_norm(as_double_array(F.col("embedding"))), 6).alias("norm_r"),
+        "label",
+    )
+
+
+def _q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return ops.bucketed_ann_topk(emb, queries_df, k=3, nbits=4)
+
+
+def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_media_meta,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_media_meta(attach_binary_payload(docs))
+
+
+def _q_streaming_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming import (
+        streaming_occupancy,
+    )
+
+    return streaming_occupancy(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "occupancy_by_region_hour": _q_occupancy,
@@ -305,6 +621,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_docs": _q_exact_dedup_docs,
         "text_stats": _q_text_stats,
         "cosine_topk": _q_cosine_topk,
+        # batch 2 — relational breadth
+        "filter_project": _q_filter_project,
+        "case_in_classify": _q_case_in_classify,
+        "revenue_by_region": _q_revenue_by_region,
+        "running_revenue": _q_running_revenue,
+        "brand_dense_rank": _q_brand_dense_rank,
+        "rollup_order_status": _q_rollup_order_status,
+        "cube_returnflag": _q_cube_returnflag,
+        "union_segments": _q_union_segments,
+        "click_and_purchase_users": _q_click_and_purchase_users,
+        "click_never_purchase_users": _q_click_never_purchase_users,
+        "pivot_hourly_event_counts": _q_pivot_hourly_event_counts,
+        "cascade_region_label": _q_cascade_region_label,
+        "sessionization": _q_sessionization,
+        "event_gap_histogram": _q_event_gap_histogram,
+        "first_event_per_user_day": _q_first_event_per_user_day,
+        "dedup_keep_latest_per_day": _q_dedup_keep_latest_per_day,
+        "haversine_hops": _q_haversine_hops,
+        "weekday_profile": _q_weekday_profile,
+        "occupancy_scaled": _q_occupancy_scaled,
+        "occupancy_approx": _q_occupancy_approx,
+        # batch 2 — text / similarity / multimodal / streaming
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "simhash_docs": _q_simhash_docs,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "lang_id": _q_lang_id,
+        "token_stats_by_source": _q_token_stats_by_source,
+        "embedding_norms": _q_embedding_norms,
+        "ann_bucketed": _q_ann_bucketed,
+        "multimodal_meta": _q_multimodal_meta,
+        "streaming_occupancy": _q_streaming_occupancy,
     }
 
 
@@ -319,6 +667,107 @@ _TOKENS_SQL = (
 )
 
 
+# Shared oracle text CTEs -----------------------------------------------
+
+# (doc_id, shingle) distinct 3-gram shingles — mirror of operators.dedup.doc_shingles
+_SHINGLES_CTE = f"""
+toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(t) - 2),
+                  i -> array_to_string(t[i:i+2], ' '))) AS shingle
+    FROM toks)
+)
+"""
+
+_DEC_TOTALPRICE = "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)"
+
+_HEXPOS = "(strpos('0123456789abcdef', substr(md5(text), {j}, 1)) - 1)"
+
+
+def _minhash_oracle(k: int = 8, bands: int = 4) -> str:
+    r = k // bands
+    mins = ",\n         ".join(
+        f"min(md5('{i}:' || shingle)) AS mh_{i}" for i in range(k)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5({expr}) AS band_hash FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(f"mh_{i}" for i in range(b * r, (b + 1) * r)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+        WITH {_SHINGLES_CTE},
+        sig AS (
+          SELECT doc_id, {mins}
+          FROM sh GROUP BY doc_id
+        ),
+        bands AS (
+        {band_selects}
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    """
+
+
+def _simhash_oracle(nbits: int = 32) -> str:
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN substr(h, {j + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v_{j}"
+        for j in range(nbits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(nbits)
+    )
+    return f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+        tok AS (
+          SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(t) AS tok FROM toks)
+        ),
+        h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+        v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+        SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM v
+    """
+
+
+def _langid_oracle() -> str:
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.langid import (
+        LANG_PROFILES,
+    )
+
+    score_cols = []
+    for lang, words in LANG_PROFILES.items():
+        lst = "['" + "', '".join(words) + "']"
+        score_cols.append(
+            f"CASE WHEN len(toks) > 0 THEN "
+            f"len(list_filter(toks, x -> list_contains({lst}, x))) / len(toks) "
+            f"ELSE 0.0 END AS s_{lang}"
+        )
+    longs = "\n          UNION ALL\n".join(
+        f"          SELECT doc_id, lang, '{lang}' AS cand, s_{lang} AS score FROM s"
+        for lang in sorted(LANG_PROFILES)
+    )
+    return f"""
+        WITH t AS (SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents),
+        s AS (SELECT doc_id, lang, {', '.join(score_cols)} FROM t),
+        long AS (
+{longs}
+        ),
+        pred AS (
+          SELECT doc_id, lang, cand AS pred_lang
+          FROM long
+          QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, cand ASC) = 1
+        )
+        SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     fold_sq = "list_reduce(list_transform({v}, x -> x * x), (a, b) -> a + b)"
     dot = (
@@ -328,6 +777,15 @@ def oracle_sql() -> dict[str, str]:
     cos = (
         f"round({dot} / (sqrt({fold_sq.format(v='q_emb')}) * "
         f"sqrt({fold_sq.format(v='c_emb')})), 6)"
+    )
+    sign_bucket = " + ".join(
+        f"(CASE WHEN c_emb[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END)" for j in range(4)
+    )
+    hav = (
+        "2 * 6372800.0 * asin(sqrt("
+        "pow(sin(radians(lat - pre_lat) / 2), 2) + "
+        "cos(radians(pre_lat)) * cos(radians(lat)) * "
+        "pow(sin(radians(lon - pre_lon) / 2), 2)))"
     )
     return {
         "occupancy_by_region_hour": f"""
@@ -481,5 +939,245 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY query_id
                      ORDER BY cos_r DESC, vec_id ASC) AS INTEGER) AS rank
             FROM pairs QUALIFY rank <= 3
+        """,
+        # ---- batch 2: relational breadth --------------------------------
+        "filter_project": """
+            SELECT event_id, user_id, value,
+                   CAST(CAST(value AS DECIMAL(18,4)) * CAST(2 AS DECIMAL(18,4)) AS DOUBLE) AS value_x2
+            FROM events
+            WHERE event_type = 'click' AND value >= 10.0 AND value <= 200.0
+        """,
+        "case_in_classify": """
+            SELECT CASE WHEN event_type IN ('click', 'view') THEN 1
+                        WHEN event_type = 'purchase' THEN 2
+                        WHEN event_type IN ('signup') THEN 3
+                        ELSE 9 END AS type_code,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "revenue_by_region": f"""
+            SELECT r_name, {_DEC_TOTALPRICE} AS revenue, count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "running_revenue": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   AS running_total
+            FROM orders
+        """,
+        "brand_dense_rank": """
+            SELECT p_brand,
+                   CAST(dense_rank() OVER (ORDER BY p_brand) AS INTEGER) AS brand_id
+            FROM (SELECT DISTINCT p_brand FROM part)
+        """,
+        "rollup_order_status": f"""
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   {_DEC_TOTALPRICE} AS total
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "cube_returnflag": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "union_segments": """
+            SELECT c_mktsegment, count(*) AS n_customers FROM (
+              SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'
+              UNION
+              SELECT * FROM customer WHERE c_acctbal > 9000
+            ) GROUP BY c_mktsegment
+        """,
+        "click_and_purchase_users": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "click_never_purchase_users": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "pivot_hourly_event_counts": """
+            SELECT CAST(hour(ts) AS INTEGER) AS hod,
+                   count(*) FILTER (event_type = 'click') AS click,
+                   count(*) FILTER (event_type = 'error') AS error,
+                   count(*) FILTER (event_type = 'purchase') AS purchase,
+                   count(*) FILTER (event_type = 'signup') AS signup,
+                   count(*) FILTER (event_type = 'view') AS view
+            FROM events GROUP BY 1
+        """,
+        "cascade_region_label": """
+            WITH fine AS (
+              SELECT c_custkey AS k, min(c_mktsegment) AS v
+              FROM customer WHERE c_custkey < 50 GROUP BY 1
+            ),
+            coarse AS (
+              SELECT n_nationkey AS k, min(n_name) AS v FROM nation GROUP BY 1
+            )
+            SELECT coalesce(f.v, c.v, 'UNKNOWN') AS label, count(*) AS n
+            FROM events e
+            LEFT JOIN fine f ON e.user_id = f.k
+            LEFT JOIN coarse c ON (e.user_id % 25) = c.k
+            GROUP BY 1
+        """,
+        "sessionization": """
+            WITH flags AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                          WHEN date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1
+                          ELSE 0 END AS is_new
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sess AS (
+              SELECT user_id, ts,
+                     CAST(sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER)
+                     AS session_id
+              FROM flags
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   date_diff('second', min(ts), max(ts)) AS span_s
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "event_gap_histogram": f"""
+            WITH {POSITIONS_CTE},
+            gaps AS (
+              SELECT date_diff('hour',
+                       lag(hour) OVER (PARTITION BY user_id ORDER BY hour),
+                       hour) AS gap_h
+              FROM pos
+            )
+            SELECT gap_h, count(*) AS n FROM gaps
+            WHERE gap_h IS NOT NULL GROUP BY gap_h
+        """,
+        "first_event_per_user_day": """
+            SELECT user_id, CAST(ts AS DATE) AS day, event_id, event_type
+            FROM events
+            QUALIFY row_number() OVER (
+              PARTITION BY user_id, CAST(ts AS DATE)
+              ORDER BY ts ASC, event_id ASC) = 1
+        """,
+        "dedup_keep_latest_per_day": """
+            SELECT user_id, CAST(ts AS DATE) AS day, event_id, event_type
+            FROM events
+            QUALIFY row_number() OVER (
+              PARTITION BY user_id, CAST(ts AS DATE)
+              ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "haversine_hops": f"""
+            WITH pts AS (
+              SELECT event_id, user_id, ts,
+                     30.6 + value / 700.0 AS lat,
+                     120.9 + value / 560.0 AS lon
+              FROM events
+            ),
+            hops AS (
+              SELECT event_id, lat, lon,
+                     lag(lat) OVER w AS pre_lat, lag(lon) OVER w AS pre_lon
+              FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            )
+            SELECT event_id,
+                   CAST(round({hav} / 100.0, 0) AS BIGINT) AS dist_100m
+            FROM hops WHERE pre_lat IS NOT NULL
+        """,
+        "weekday_profile": """
+            SELECT CAST(isodow(ts) - 1 AS INTEGER) AS wd,
+                   CAST(hour(ts) AS INTEGER) AS hod,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "occupancy_scaled": f"""
+            SELECT CAST({REGION_SQL} AS INTEGER) AS region_id,
+                   date_trunc('hour', ts) AS hour,
+                   count(DISTINCT user_id) AS n_users,
+                   count(DISTINCT user_id) * (24281400.0 / 3357267.0) AS n_scaled
+            FROM events GROUP BY 1, 2
+        """,
+        # ---- batch 2: text / similarity / multimodal / streaming --------
+        "minhash_lsh_pairs": _minhash_oracle(k=8, bands=4),
+        "simhash_docs": _simhash_oracle(nbits=32),
+        "ngram_jaccard_pairs": f"""
+            WITH {_SHINGLES_CTE},
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+        """,
+        "doc_fingerprint": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     md5(array_to_string(list_sort(list_distinct({_TOKENS_SQL})), ' ')) AS fp
+              FROM documents
+            )
+            SELECT fp, min(doc_id) AS canonical_id, count(*) AS n_docs
+            FROM t GROUP BY fp
+        """,
+        "lang_id": _langid_oracle(),
+        "token_stats_by_source": f"""
+            WITH t AS (
+              SELECT source, len({_TOKENS_SQL}) AS n_tok FROM documents
+            )
+            SELECT source,
+                   CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                   CAST(sum(n_tok) AS DOUBLE) / count(*) AS avg_tokens,
+                   count(*) AS n_docs
+            FROM t GROUP BY source
+        """,
+        "embedding_norms": f"""
+            SELECT vec_id,
+                   round(sqrt({fold_sq.format(v='CAST(embedding AS DOUBLE[])')}), 6) AS norm_r,
+                   label
+            FROM embeddings
+        """,
+        "ann_bucketed": f"""
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c_emb FROM embeddings
+            ),
+            eb AS (SELECT vec_id, c_emb, {sign_bucket} AS bucket FROM e),
+            q AS (
+              SELECT vec_id AS query_id, c_emb AS q_emb, bucket
+              FROM eb WHERE vec_id < 5
+            ),
+            pairs AS (
+              SELECT q.query_id, c.vec_id, {cos} AS cos_r
+              FROM eb c JOIN q USING (bucket)
+              WHERE c.vec_id <> q.query_id
+            )
+            SELECT query_id, vec_id, cos_r,
+                   CAST(row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY cos_r DESC, vec_id ASC) AS INTEGER) AS rank
+            FROM pairs QUALIFY rank <= 3
+        """,
+        "multimodal_meta": f"""
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+                   CAST({_HEXPOS.format(j=1)} * 16 + {_HEXPOS.format(j=2)} AS INTEGER) AS fake_width,
+                   CAST({_HEXPOS.format(j=3)} * 16 + {_HEXPOS.format(j=4)} AS INTEGER) AS fake_height,
+                   md5(text) AS digest
+            FROM documents
+        """,
+        "streaming_occupancy": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
         """,
     }

@@ -30,8 +30,12 @@ HEADLINE = [
     "revenue_by_brand",
     "top_orders_per_customer",
     "exact_dedup_docs",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "sessionization",
     "text_stats",
     "cosine_topk",
+    "ann_bucketed",
 ]
 
 
