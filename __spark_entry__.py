@@ -593,6 +593,28 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_meta(attach_binary_payload(docs))
 
 
+def _q_user_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (combineByKey→collect_list) re-expressed: per-user ordered
+    distinct event types, emitted as a join-stable string."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+            "types_csv"
+        ),
+        F.count("*").alias("n_events"),
+    )
+
+
+def _q_type_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type occupancy matrix, long form — the cal_subarea_portion
+    product (5081×8 hour-keyed matrices, :287-305) with event_type
+    standing in for POI type."""
+    pings = events_as_pings(spark, sf_dir, N_REGIONS)
+    return pings.groupBy("region_id", "event_type", "hour").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
 def _q_streaming_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming import (
         streaming_occupancy,
@@ -653,6 +675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bucketed": _q_ann_bucketed,
         "multimodal_meta": _q_multimodal_meta,
         "streaming_occupancy": _q_streaming_occupancy,
+        "user_event_type_profile": _q_user_event_type_profile,
+        "type_occupancy": _q_type_occupancy,
     }
 
 
@@ -1179,5 +1203,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        "user_event_type_profile": """
+            SELECT user_id,
+                   string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id
+        """,
+        "type_occupancy": f"""
+            SELECT CAST({REGION_SQL} AS INTEGER) AS region_id,
+                   event_type,
+                   date_trunc('hour', ts) AS hour,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2, 3
         """,
     }

@@ -63,15 +63,21 @@ def hourly_positions(
     """One (user, hour, region) per user-hour: the latest ping in the
     hour wins (cal_mobility_matrix.py:66-69 ``cal_full_records_max``),
     with an explicit id tiebreak for equal timestamps."""
-    order = [F.col(ts_col).desc()]
-    if tiebreak_col is not None:
-        order.append(F.col(tiebreak_col).desc())
-    hourly = pings.withColumn("hour", F.date_trunc("hour", F.col(ts_col)))
-    latest = keep_latest(hourly, [user_col, "hour"], order)
-    return latest.select(
-        F.col(user_col).alias("user_id"),
-        "hour",
-        F.col(region_col).alias("region_id"),
+    # max_by aggregate, not a row_number window: the groupBy gets
+    # map-side partial aggregation, so each executor pre-collapses its
+    # pings to one candidate per (user, hour) before the shuffle — at
+    # 100 TB that shuffles ~one row per user-hour instead of every
+    # ping. (Equivalent to row_number()=1 over ts DESC, id DESC, made
+    # deterministic by the (ts, id) struct ordering.)
+    order = (
+        F.struct(F.col(ts_col), F.col(tiebreak_col))
+        if tiebreak_col is not None
+        else F.col(ts_col)
+    )
+    return (
+        pings.withColumn("hour", F.date_trunc("hour", F.col(ts_col)))
+        .groupBy(F.col(user_col).alias("user_id"), F.col("hour"))
+        .agg(F.max_by(F.col(region_col), order).alias("region_id"))
     )
 
 

@@ -1,0 +1,56 @@
+"""Source/sink coverage: temp-view caching (S6), coalesced CSV sink
+(S9), partitioned parquet layout + partition pruning (S5/S8)."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from conftest import SF_SMALL
+
+from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.plans import (
+    physical_plan,
+)
+from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+    load_events,
+    load_table,
+)
+
+
+def test_cached_temp_view_roundtrip(spark):
+    """S6: registerTempTable + cacheTable (subarea_matrix.py:29-30)."""
+    df = load_table(spark, SF_SMALL, "nation")
+    df.createOrReplaceTempView("nation_v")
+    spark.catalog.cacheTable("nation_v")
+    try:
+        n = spark.sql("SELECT count(*) AS n FROM nation_v").collect()[0].n
+        assert n == 25
+        assert spark.catalog.isCached("nation_v")
+    finally:
+        spark.catalog.uncacheTable("nation_v")
+
+
+def test_coalesced_csv_sink(spark, tmp_path):
+    """S9: single-file CSV report sink, coalesce not repartition
+    (cal_mobility_matrix.py:92-93 — their repartition(1) shuffles)."""
+    out = str(tmp_path / "report_csv")
+    df = load_table(spark, SF_SMALL, "region")
+    df.coalesce(1).write.option("header", True).mode("overwrite").csv(out)
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(parts) == 1
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == df.count()
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """S5/S8: date-partition layout makes date predicates prune files."""
+    out = str(tmp_path / "events_by_day")
+    ev = load_events(spark, SF_SMALL).withColumn("day", F.to_date("ts"))
+    ev.write.partitionBy("day").mode("overwrite").parquet(out)
+    days = [d for d in os.listdir(out) if d.startswith("day=")]
+    assert len(days) > 1
+    pruned = spark.read.parquet(out).filter(F.col("day") == "2024-01-05")
+    plan = physical_plan(pruned)
+    assert "PartitionFilters: [" in plan
+    assert pruned.count() > 0
