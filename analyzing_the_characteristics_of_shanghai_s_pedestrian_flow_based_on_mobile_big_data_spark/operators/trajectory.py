@@ -93,83 +93,87 @@ def gap_fill_edges(
     Output: (user_id, region_id, hour, pre_hour, pre_region_id), one row
     per occupied hour plus sentinel rows, per the five branches above.
 
-    Implementation: two window columns (lag/lead), then one generator
-    expression per row — ``explode`` of a CASE-selected struct array
-    built with ``sequence``/``transform``. The only shuffle is the
-    window's hash partition by user; the expansion itself is pipelined.
-    At 100 TB the expansion factor is bounded by ``max_fill_hours``.
+    Implementation: two window columns (lag/lead), then ONE
+    ``explode(sequence)`` of the hours each input row is responsible
+    for, with the output fields derived by plain CASE expressions on
+    the exploded hour. No struct-array building, no higher-order
+    lambdas — Spark's lambda functions run interpreted, outside
+    whole-stage codegen; this formulation keeps the entire expansion
+    inside codegen. The only shuffle is the window's hash partition by
+    user; the expansion itself is pipelined. At 100 TB the expansion
+    factor is bounded by ``max_fill_hours``.
     """
     w = Window.partitionBy("user_id").orderBy("hour")
     ctx = (
         positions.withColumn("pre_hour", F.lag("hour").over(w))
         .withColumn("pre_region_id", F.lag("region_id").over(w))
         .withColumn("next_hour", F.lead("hour").over(w))
-        .withColumn(
-            "gap", F.expr("timestampdiff(HOUR, pre_hour, hour)")
-        )
+        .withColumn("gap", F.expr("timestampdiff(HOUR, pre_hour, hour)"))
     )
 
     sent = F.lit(sentinel_region)
-
-    def edge(region, hour, pre_hour, pre_region) -> Column:
-        return F.struct(
-            region.cast("int").alias("region_id"),
-            hour.alias("hour"),
-            pre_hour.alias("pre_hour"),
-            pre_region.cast("int").alias("pre_region_id"),
-        )
-
     hour = F.col("hour")
     pre_hour = F.col("pre_hour")
     region = F.col("region_id")
     pre_region = F.col("pre_region_id")
     one_h = F.expr("INTERVAL 1 HOUR")
+    gap = F.col("gap")
 
-    # Branch 1: first observation — entered-observation edge 0 → region.
-    first_rows = F.array(edge(region, hour, hour - one_h, sent))
-    # Branch 2: contiguous hours — plain edge.
-    plain_rows = F.array(edge(region, hour, pre_hour, pre_region))
-    # Branch 3: fillable gap — stay in pre_region for the interior
-    # hours, then move (cal_mobility_matrix.py:116-120).
-    filled_rows = F.concat(
-        F.transform(
-            F.sequence(F.lit(1), F.col("gap") - 1),
-            lambda i: edge(
-                pre_region,
-                pre_hour + F.make_interval(hours=i),
-                pre_hour + F.make_interval(hours=i - 1),
-                pre_region,
-            ),
-        ),
-        F.array(edge(region, hour, hour - one_h, pre_region)),
-    )
-    # Branch 4: gap too large — leave observation at pre_hour+1, re-enter
-    # at hour (cal_mobility_matrix.py:121-124).
-    out_rows = F.array(
-        edge(sent, pre_hour + one_h, pre_hour, pre_region),
-        edge(region, hour, hour - one_h, sent),
-    )
-    # Branch 5 suffix: last observation — closing edge region → 0 at
-    # hour+1 (cal_mobility_matrix.py:125-127).
-    rows = (
-        F.when(pre_hour.isNull(), first_rows)
-        .when(F.col("gap") <= 1, plain_rows)
-        .when(F.col("gap") <= max_fill_hours, filled_rows)
-        .otherwise(out_rows)
-    )
-    empty = F.slice(first_rows, 1, 0)  # typed empty array<struct>
-    closing = F.when(
-        F.col("next_hour").isNull(),
-        F.array(edge(sent, hour + one_h, hour, region)),
-    ).otherwise(empty)
-
-    return (
-        ctx.select("user_id", F.explode(F.concat(rows, closing)).alias("e"))
-        .select(
-            "user_id",
-            F.col("e.region_id").alias("region_id"),
-            F.col("e.hour").alias("hour"),
-            F.col("e.pre_hour").alias("pre_hour"),
-            F.col("e.pre_region_id").alias("pre_region_id"),
+    # Hours this input row must emit:
+    #  - first observation: just `hour`;
+    #  - fillable gap (incl. gap=1): every hour in (pre_hour, hour];
+    #  - oversized gap: the leave-observation hour and `hour`;
+    #  plus, for the user's last row, the closing hour+1.
+    base_hours = (
+        F.when(pre_hour.isNull(), F.array(hour))
+        .when(
+            gap <= max_fill_hours,
+            F.sequence(pre_hour + one_h, hour, one_h),
         )
+        .otherwise(F.array(pre_hour + one_h, hour))
+    )
+    all_hours = F.when(
+        F.col("next_hour").isNull(),
+        F.concat(base_hours, F.array(hour + one_h)),
+    ).otherwise(base_hours)
+
+    e = ctx.select(
+        "user_id",
+        region.alias("cur_region"),
+        pre_region.alias("prev_region"),
+        hour.alias("cur_hour"),
+        pre_hour.alias("prev_hour"),
+        gap.alias("gap"),
+        pre_hour.isNull().alias("is_first"),
+        F.explode(all_hours).alias("hour"),
+    )
+    h = F.col("hour")
+    cur_hour = F.col("cur_hour")
+    prev_hour = F.col("prev_hour")
+    cur_region = F.col("cur_region")
+    prev_region = F.col("prev_region")
+    g = F.col("gap")
+    oversized = (~F.col("is_first")) & (g > max_fill_hours)
+
+    region_out = (
+        F.when(h > cur_hour, sent)  # closing sentinel row
+        .when(oversized & (h < cur_hour), sent)  # left observation
+        .when(h < cur_hour, prev_region)  # interior fill
+        .otherwise(cur_region)  # the observed hour itself
+    )
+    pre_region_out = (
+        F.when(h > cur_hour, cur_region)  # closing: came from cur_region
+        .when((h == cur_hour) & (F.col("is_first") | oversized), sent)
+        .otherwise(prev_region)
+    )
+    pre_hour_out = F.when(oversized & (h < cur_hour), prev_hour).otherwise(
+        h - one_h
+    )
+
+    return e.select(
+        "user_id",
+        region_out.cast("int").alias("region_id"),
+        h.alias("hour"),
+        pre_hour_out.alias("pre_hour"),
+        pre_region_out.cast("int").alias("pre_region_id"),
     )
