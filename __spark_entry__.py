@@ -689,6 +689,58 @@ def _q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, sign-bucket blocked: candidate
+    pairs share the 4-bit sign bucket (hyperplane LSH), then the exact
+    cosine filter keeps pairs ≥ 0.9. Never materializes all-pairs."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.vectors import (
+        as_double_array,
+        cosine_similarity_fixed,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        sign_bucket,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", as_double_array(F.col("embedding")).alias("emb")
+    ).withColumn("bucket", sign_bucket(F.col("emb"), 4))
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = cosine_similarity_fixed(F.col("a.emb"), F.col("b.emb"), 64)
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cos_r", F.round(cos, 6))
+        .filter(F.col("cos_r") >= 0.9)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            "cos_r",
+        )
+    )
+
+
+def _q_od_weekly_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SIAR simulation's input contract: OD transition fractions on
+    a 168-hour weekly cycle (1108Fit_para_multi.py:247-248 consumes
+    keys[(k-71)%168]). Recomputed from counts, not averaged fractions,
+    so the result is exact."""
+    pos = ops.hourly_positions(events_as_pings(spark, sf_dir, N_REGIONS))
+    edges = ops.gap_fill_edges(pos)
+    how = (F.weekday("hour") * 24 + F.hour("hour")).alias("hour_of_week")
+    cyc = edges.groupBy(
+        how, F.col("pre_region_id").alias("orig"), F.col("region_id").alias("dest")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("hour_of_week", "orig")
+    return cyc.withColumn(
+        "frac", F.col("cnt").cast("double") / F.sum("cnt").over(w)
+    )
+
+
 def _q_streaming_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming import (
         streaming_occupancy,
@@ -756,6 +808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_docs_by_length": _q_top_docs_by_length,
         "occupancy_two_phase": _q_occupancy_two_phase,
         "value_percentiles": _q_value_percentiles,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "od_weekly_cycle": _q_od_weekly_cycle,
     }
 
 
@@ -787,6 +841,9 @@ sh AS (
 _DEC_TOTALPRICE = "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)"
 
 _HEXPOS = "(strpos('0123456789abcdef', substr(md5(text), {j}, 1)) - 1)"
+
+
+_ND_BUCKET = "(CASE WHEN CAST(embedding AS DOUBLE[])[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN CAST(embedding AS DOUBLE[])[2] >= 0 THEN 2 ELSE 0 END) + (CASE WHEN CAST(embedding AS DOUBLE[])[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN CAST(embedding AS DOUBLE[])[4] >= 0 THEN 8 ELSE 0 END)"
 
 
 def _minhash_oracle(k: int = 8, bands: int = 4) -> str:
@@ -1339,5 +1396,38 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.9), 6) AS p90,
                    round(quantile_cont(value, 0.99), 6) AS p99
             FROM events GROUP BY event_type
+        """,
+        "embedding_near_dup": f"""
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                     {_ND_BUCKET} AS bucket
+              FROM embeddings
+            ),
+            pairs AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     round(
+                       list_reduce(list_transform(generate_series(1, len(a.emb)),
+                                   i -> a.emb[i] * b.emb[i]), (x, y) -> x + y)
+                       / (sqrt(list_reduce(list_transform(a.emb, x -> x * x), (x, y) -> x + y))
+                          * sqrt(list_reduce(list_transform(b.emb, x -> x * x), (x, y) -> x + y))),
+                       6) AS cos_r
+              FROM e a JOIN e b
+                ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            )
+            SELECT vec_a, vec_b, cos_r FROM pairs WHERE cos_r >= 0.9
+        """,
+        "od_weekly_cycle": f"""
+            WITH {EDGES_CTE},
+            cyc AS (
+              SELECT CAST((isodow(hour) - 1) * 24 + hour(hour) AS INTEGER)
+                       AS hour_of_week,
+                     pre_region_id AS orig, region_id AS dest,
+                     count(*) AS cnt
+              FROM edges GROUP BY 1, 2, 3
+            )
+            SELECT hour_of_week, orig, dest, cnt,
+                   CAST(cnt AS DOUBLE) /
+                     sum(cnt) OVER (PARTITION BY hour_of_week, orig) AS frac
+            FROM cyc
         """,
     }
