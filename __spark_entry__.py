@@ -749,7 +749,42 @@ def _q_streaming_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_occupancy(spark, sf_dir)
 
 
+def _q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash spatial binning (D1) on synthetic coords — no SQL oracle
+    (DuckDB has no geohash); driver records the rows-only check, unit
+    tests pin published geohash vectors."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.geohash import (
+        geohash_encode,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        (F.lit(30.6) + F.col("value") / 700.0).alias("lat"),
+        (F.lit(120.9) + F.col("value") / 560.0).alias("lon"),
+    )
+    return (
+        pts.withColumn("cell", geohash_encode(F.col("lat"), F.col("lon"), 5))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
+    """Apply runtime session tuning (UTC, nanosAsLong, AQE) before each
+    query — the driver hands us its own SparkSession."""
+
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tune_for_session(spark)
+        return fn(spark, sf_dir)
+
+    return wrapper
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {k: _tuned(v) for k, v in _raw_queries().items()}
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "occupancy_by_region_hour": _q_occupancy,
         "hourly_positions_latest": _q_hourly_positions,
@@ -810,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": _q_value_percentiles,
         "embedding_near_dup": _q_embedding_near_dup,
         "od_weekly_cycle": _q_od_weekly_cycle,
+        "geohash_cells": _q_geohash_cells,
     }
 
 

@@ -9,5 +9,10 @@ from .dedup import (  # noqa: F401
 from .home import home_location, mode_per_group, night_single_region_users  # noqa: F401
 from .occupancy import occupancy, occupancy_approx  # noqa: F401
 from .od import od_fractions, od_matrix  # noqa: F401
+from .asof import asof_join  # noqa: F401
+from .region_build import assign_region, build_region_dim  # noqa: F401
+from .sessions import session_stats, sessionize  # noqa: F401
 from .similarity import brute_force_topk, bucketed_ann_topk  # noqa: F401
+from .skew import salted_count  # noqa: F401
 from .trajectory import gap_fill_edges, hourly_positions, keep_latest  # noqa: F401
+from .upsert import merge_upsert  # noqa: F401
