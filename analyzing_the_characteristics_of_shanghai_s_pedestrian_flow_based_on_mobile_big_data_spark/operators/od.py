@@ -41,6 +41,19 @@ def od_fractions(od: DataFrame) -> DataFrame:
     )
 
 
+def to_wide(od: DataFrame, dest_ids: list[int]) -> DataFrame:
+    """Pivot one long-form OD slice to a wide matrix (orig × dest
+    columns) — the export shape the reference pickles
+    (cal_mobility_matrix.py:177-185). Explicit dest id list keeps the
+    pivot single-pass (no value-discovery scan)."""
+    return (
+        od.groupBy("hour", "orig")
+        .pivot("dest", dest_ids)
+        .sum("cnt")
+        .na.fill(0)
+    )
+
+
 def to_scipy_csr(od_pdf, n_regions: int):
     """Edge adapter: one hour's long-form OD rows (pandas) → scipy CSR,
     the exact product the SIAR simulation consumes

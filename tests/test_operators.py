@@ -97,3 +97,22 @@ def test_night_window_wraps_past_midnight(spark):
     )
     got = night_single_region_users(pings).collect()
     assert len(got) == 1 and got[0].n_regions == 1
+
+
+def test_to_wide_pivot(spark):
+    from conftest import ts
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.od import (
+        to_wide,
+    )
+
+    od = spark.createDataFrame(
+        [
+            (ts("2024-01-01 10:00:00"), 1, 1, 5),
+            (ts("2024-01-01 10:00:00"), 1, 2, 3),
+            (ts("2024-01-01 10:00:00"), 2, 1, 7),
+        ],
+        "hour timestamp, orig int, dest int, cnt long",
+    )
+    wide = to_wide(od, [1, 2])
+    rows = {r.orig: (r["1"], r["2"]) for r in wide.collect()}
+    assert rows == {1: (5, 3), 2: (7, 0)}
