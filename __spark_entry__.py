@@ -749,6 +749,119 @@ def _q_streaming_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_occupancy(spark, sf_dir)
 
 
+def _q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with the customer-and-supplier
+    same-nation constraint, revenue per nation in one region."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    one = F.lit(1).cast("decimal(18,4)")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(region.r_name == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def _q_unshipped_orders_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment filter, revenue per pending order,
+    global top-10 with deterministic tiebreak."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(18,4)")
+    cutoff = "1997-01-01"
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def _q_order_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
+def _q_price_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    w = Window.orderBy(F.col("p_retailprice").asc(), F.col("p_partkey").asc())
+    return part.select(
+        "p_partkey",
+        "p_retailprice",
+        F.percent_rank().over(w).alias("pr"),
+    )
+
+
+def _q_like_filter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_name").like("%gear%"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+def _q_monthly_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
+def _q_above_nation_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate shape: customers above their nation's mean
+    balance (decorrelated into an explicit avg join)."""
+    cust = load_table(spark, sf_dir, "customer")
+    avgs = cust.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count("*")).alias("avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(avgs), cust.c_nationkey == F.col("nk"))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_above"))
+    )
+
+
 def _q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geohash spatial binning (D1) on synthetic coords — no SQL oracle
     (DuckDB has no geohash); driver records the rows-only check, unit
@@ -846,6 +959,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "od_weekly_cycle": _q_od_weekly_cycle,
         "geohash_cells": _q_geohash_cells,
+        "local_supplier_volume": _q_local_supplier_volume,
+        "unshipped_orders_top10": _q_unshipped_orders_top10,
+        "order_deciles": _q_order_deciles,
+        "price_percent_rank": _q_price_percent_rank,
+        "like_filter_parts": _q_like_filter_parts,
+        "monthly_order_volume": _q_monthly_order_volume,
+        "above_nation_avg_customers": _q_above_nation_avg_customers,
     }
 
 
@@ -1465,5 +1585,72 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cnt AS DOUBLE) /
                      sum(cnt) OVER (PARTITION BY hour_of_week, orig) AS frac
             FROM cyc
+        """,
+        "local_supplier_volume": """
+            SELECT n_name,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                            (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "unshipped_orders_top10": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                            (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "order_deciles": """
+            WITH d AS (
+              SELECT o_totalprice,
+                     ntile(10) OVER (
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS decile
+              FROM orders
+            )
+            SELECT decile, count(*) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+            FROM d GROUP BY decile
+        """,
+        "price_percent_rank": """
+            SELECT p_partkey, p_retailprice,
+                   percent_rank() OVER (
+                     ORDER BY p_retailprice ASC, p_partkey ASC) AS pr
+            FROM part
+        """,
+        "like_filter_parts": """
+            SELECT p_brand, count(*) AS n_parts
+            FROM part WHERE p_name LIKE '%gear%'
+            GROUP BY p_brand
+        """,
+        "monthly_order_volume": """
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+            FROM orders GROUP BY 1
+        """,
+        "above_nation_avg_customers": """
+            WITH avgs AS (
+              SELECT c_nationkey AS nk,
+                     CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_bal
+              FROM customer GROUP BY c_nationkey
+            )
+            SELECT c_nationkey, count(*) AS n_above
+            FROM customer JOIN avgs ON c_nationkey = nk
+            WHERE c_acctbal > avg_bal
+            GROUP BY c_nationkey
         """,
     }
