@@ -100,3 +100,24 @@ def test_cosine_similarity_exact(spark):
     ]
     assert abs(vals[0]) < 1e-12
     assert math.isclose(vals[1], 1.0, rel_tol=1e-12)
+
+
+def test_geohash_roundtrip_property(spark):
+    """Property: a point always falls inside its own geohash cell bbox
+    (encode→decode containment), across a grid of points."""
+    import numpy as np
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.geohash import (
+        _decode_bbox,
+        _encode_np,
+    )
+
+    rng = np.random.RandomState(7)
+    lats = rng.uniform(-89, 89, 200)
+    lons = rng.uniform(-179, 179, 200)
+    for p in (5, 7):
+        cells = _encode_np(lats, lons, p)
+        for lat, lon, cell in zip(lats, lons, cells):
+            lat_min, lat_max, lon_min, lon_max = _decode_bbox(cell.decode())
+            assert lat_min <= lat <= lat_max
+            assert lon_min <= lon <= lon_max
