@@ -51,11 +51,17 @@ def main() -> None:
     # warm the JVM/session once (tiny query, not timed)
     qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # two measured iterations per query, report the min (steady-state:
+    # first run pays codegen/plan compile; the repeat is what a resident
+    # engine would serve)
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

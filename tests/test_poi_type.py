@@ -76,3 +76,38 @@ def test_nearest_poi_tie_breaks_to_smallest_type(spark):
         [("p", 1, SPOT_A[1], SPOT_A[0])], "id string, agent_id int, lgt double, ltt double"
     )
     assert nearest_poi_type(pings, poi).collect()[0].nearest_type == 2
+
+
+def test_neighbor_expanded_region_match(spark):
+    """D7: a ping in a cell ADJACENT to a POI's cell still matches when
+    the dim is expanded with geohash_neighbors (cal_orig_area.py:62-72
+    driver loop, re-expressed as explode over the dim)."""
+    import pyspark.sql.functions as F
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.geohash import (
+        _decode_bbox,
+        geohash_encode,
+        geohash_neighbors,
+    )
+
+    dim = spark.createDataFrame([(1, SPOT_A[0], SPOT_A[1])], "agent_id int, lat double, lon double")
+    expanded = dim.select(
+        "agent_id",
+        F.explode(
+            geohash_neighbors(geohash_encode(F.col("lat"), F.col("lon"), 6))
+        ).alias("cell"),
+    )
+    # place a ping just across the cell's east edge (next cell over)
+    cell = expanded.collect()  # 9 cells incl. center
+    assert len(cell) == 9
+    lat_min, lat_max, lon_min, lon_max = _decode_bbox(
+        [r.cell for r in cell][4]
+    )
+    ping = spark.createDataFrame(
+        [("p", (lat_min + lat_max) / 2, lon_max + 0.0001)],
+        "id string, ltt double, lgt double",
+    )
+    joined = ping.withColumn(
+        "cell", geohash_encode(F.col("ltt"), F.col("lgt"), 6)
+    ).join(expanded, "cell", "inner")
+    assert joined.count() >= 1
