@@ -862,6 +862,36 @@ def _q_above_nation_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _q_rolling_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: per-customer rolling 7-day order revenue — the
+    explicit frame-spec capability the reference never uses (SURVEY
+    §2.5 note)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("rolling_7d"),
+    )
+
+
+def _q_grouping_sets_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
 def _q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geohash spatial binning (D1) on synthetic coords — no SQL oracle
     (DuckDB has no geohash); driver records the rows-only check, unit
@@ -966,6 +996,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "like_filter_parts": _q_like_filter_parts,
         "monthly_order_volume": _q_monthly_order_volume,
         "above_nation_avg_customers": _q_above_nation_avg_customers,
+        "rolling_weekly_revenue": _q_rolling_weekly_revenue,
+        "grouping_sets_status": _q_grouping_sets_status,
     }
 
 
@@ -1641,6 +1673,21 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders,
                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
             FROM orders GROUP BY 1
+        """,
+        "rolling_weekly_revenue": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+                     RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   AS rolling_7d
+            FROM orders
+        """,
+        "grouping_sets_status": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         """,
         "above_nation_avg_customers": """
             WITH avgs AS (

@@ -10,7 +10,12 @@ from .home import home_location, mode_per_group, night_single_region_users  # no
 from .occupancy import occupancy, occupancy_approx  # noqa: F401
 from .od import od_fractions, od_matrix  # noqa: F401
 from .asof import asof_join  # noqa: F401
-from .region_build import assign_region, build_region_dim  # noqa: F401
+from .region_build import (  # noqa: F401
+    assign_poi_type,
+    assign_region,
+    build_region_dim,
+    nearest_poi_type,
+)
 from .sessions import session_stats, sessionize  # noqa: F401
 from .similarity import brute_force_topk, bucketed_ann_topk  # noqa: F401
 from .skew import salted_count  # noqa: F401

@@ -1,0 +1,38 @@
+"""Meta-tests of the driver contract itself — guards against the
+failure modes that bite silently: key asymmetry between queries() and
+oracle_sql(), non-callable entries (dict-shadowing accidents),
+duplicate output columns (breaks the driver's column-sorted hash), and
+unstable schemas across invocations."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+from conftest import SF_SMALL
+
+
+def test_every_oracle_has_a_query():
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    assert set(o) <= set(q), sorted(set(o) - set(q))
+
+
+def test_all_query_entries_callable():
+    assert all(callable(f) for f in entrymod.queries().values())
+
+
+def test_rows_only_queries_are_intentional():
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    # Only these may lack an oracle (approx results / no SQL equivalent)
+    assert sorted(set(q) - set(o)) == ["geohash_cells", "occupancy_approx"]
+
+
+def test_schemas_stable_and_no_duplicate_columns(spark):
+    qs = entrymod.queries()
+    for name, fn in qs.items():
+        if name == "streaming_occupancy":
+            continue  # exercised in its own test; slow to run twice
+        df1 = fn(spark, SF_SMALL)
+        cols = df1.columns
+        assert len(cols) == len(set(cols)), f"{name}: duplicate columns {cols}"
+        df2 = fn(spark, SF_SMALL)
+        assert df1.schema == df2.schema, f"{name}: unstable schema"

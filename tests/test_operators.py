@@ -116,3 +116,33 @@ def test_to_wide_pivot(spark):
     wide = to_wide(od, [1, 2])
     rows = {r.orig: (r["1"], r["2"]) for r in wide.collect()}
     assert rows == {1: (5, 3), 2: (7, 0)}
+
+
+def test_session_window_agrees_with_sessionize(spark):
+    """Cross-validation: Spark's built-in session_window produces the
+    same per-user session count as our sessionize operator."""
+    import pyspark.sql.functions as F
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.sessions import (
+        sessionize,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        load_events,
+    )
+    from conftest import SF_SMALL
+
+    ev = load_events(spark, SF_SMALL).select("user_id", "ts")
+    ours = (
+        sessionize(ev, gap_minutes=30)
+        .groupBy("user_id")
+        .agg(F.max("session_id").alias("n_sessions"))
+    )
+    builtin = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"))
+    )
+    a = {r.user_id: r.n_sessions for r in ours.collect()}
+    b = {r.user_id: r.n_sessions for r in builtin.collect()}
+    assert a == b
