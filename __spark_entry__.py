@@ -912,6 +912,21 @@ def _q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style sketch) — the 100 TB path beside
+    the exact interpolated `value_percentiles`; sketch internals are
+    engine-specific, so the driver records the rows-only check."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.percentile_approx(
+        "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10_000
+    )
+    return ev.groupBy("event_type").agg(
+        F.element_at(pct, 1).alias("p50_approx"),
+        F.element_at(pct, 2).alias("p90_approx"),
+        F.element_at(pct, 3).alias("p99_approx"),
+    )
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
     """Apply runtime session tuning (UTC, nanosAsLong, AQE) before each
     query — the driver hands us its own SparkSession."""
@@ -998,6 +1013,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "above_nation_avg_customers": _q_above_nation_avg_customers,
         "rolling_weekly_revenue": _q_rolling_weekly_revenue,
         "grouping_sets_status": _q_grouping_sets_status,
+        "value_percentiles_approx": _q_value_percentiles_approx,
     }
 
 

@@ -23,7 +23,11 @@ def test_all_query_entries_callable():
 def test_rows_only_queries_are_intentional():
     q, o = entrymod.queries(), entrymod.oracle_sql()
     # Only these may lack an oracle (approx results / no SQL equivalent)
-    assert sorted(set(q) - set(o)) == ["geohash_cells", "occupancy_approx"]
+    assert sorted(set(q) - set(o)) == [
+        "geohash_cells",
+        "occupancy_approx",
+        "value_percentiles_approx",
+    ]
 
 
 def test_schemas_stable_and_no_duplicate_columns(spark):
