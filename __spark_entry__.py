@@ -202,14 +202,16 @@ def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
-            .cast("double")
-            .alias("sum_disc_price"),
-            (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias(
-                "avg_price"
-            ),
+            F.round(F.sum(_dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")).cast("double"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+                .cast("double"),
+                2,
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double") / F.count("*"), 2
+            ).alias("avg_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -223,9 +225,11 @@ def _q_revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
-            .cast("double")
-            .alias("revenue"),
+            F.round(
+                F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+                .cast("double"),
+                2,
+            ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -302,9 +306,13 @@ def _q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             "value",
-            (F.col("value").cast("decimal(18,4)") * F.lit(2).cast("decimal(18,4)"))
-            .cast("double")
-            .alias("value_x2"),
+            F.round(
+                (
+                    F.col("value").cast("decimal(18,4)")
+                    * F.lit(2).cast("decimal(18,4)")
+                ).cast("double"),
+                4,
+            ).alias("value_x2"),
         )
     )
 
@@ -331,7 +339,7 @@ def _q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
         .agg(
-            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+            F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias("revenue"),
             F.count("*").alias("n_orders"),
         )
     )
@@ -347,7 +355,7 @@ def _q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+        F.round(F.sum(_dec("o_totalprice")).over(w).cast("double"), 2).alias("running_total"),
     )
 
 
@@ -365,7 +373,7 @@ def _q_rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n"),
-        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias("total"),
     )
 
 
@@ -373,7 +381,7 @@ def _q_cube_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"),
-        F.sum(_dec("l_quantity")).cast("double").alias("qty"),
+        F.round(F.sum(_dec("l_quantity")).cast("double"), 2).alias("qty"),
     )
 
 
@@ -769,9 +777,11 @@ def _q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(region.r_name == "ASIA")
         .groupBy("n_name")
         .agg(
-            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
-            .cast("double")
-            .alias("revenue"),
+            F.round(
+                F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+                .cast("double"),
+                2,
+            ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -793,9 +803,11 @@ def _q_unshipped_orders_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > cutoff)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
-            .cast("double")
-            .alias("revenue")
+            F.round(
+                F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+                .cast("double"),
+                2,
+            ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
@@ -810,7 +822,7 @@ def _q_order_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decile")
         .agg(
             F.count("*").alias("n"),
-            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+            F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias("total"),
         )
     )
 
@@ -842,7 +854,7 @@ def _q_monthly_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+            F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias("total"),
         )
     )
 
@@ -851,12 +863,14 @@ def _q_above_nation_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame
     """Correlated-aggregate shape: customers above their nation's mean
     balance (decorrelated into an explicit avg join)."""
     cust = load_table(spark, sf_dir, "customer")
-    avgs = cust.groupBy(F.col("c_nationkey").alias("nk")).agg(
-        (F.sum(_dec("c_acctbal")).cast("double") / F.count("*")).alias("avg_bal")
+    # exact-decimal comparison (bal > sum/n  ⇔  bal*n > sum) so a
+    # balance exactly equal to the mean can't flip on float noise
+    stats = cust.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.sum(_dec("c_acctbal")).alias("total"), F.count("*").alias("n")
     )
     return (
-        cust.join(F.broadcast(avgs), cust.c_nationkey == F.col("nk"))
-        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        cust.join(F.broadcast(stats), cust.c_nationkey == F.col("nk"))
+        .filter(_dec("c_acctbal") * F.col("n") > F.col("total"))
         .groupBy("c_nationkey")
         .agg(F.count("*").alias("n_above"))
     )
@@ -875,7 +889,7 @@ def _q_rolling_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("rolling_7d"),
+        F.round(F.sum(_dec("o_totalprice")).over(w).cast("double"), 2).alias("rolling_7d"),
     )
 
 
@@ -885,7 +899,7 @@ def _q_grouping_sets_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total
         FROM orders_v
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         """
@@ -1042,7 +1056,7 @@ sh AS (
 )
 """
 
-_DEC_TOTALPRICE = "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)"
+_DEC_TOTALPRICE = "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)"
 
 _HEXPOS = "(strpos('0123456789abcdef', substr(md5(text), {j}, 1)) - 1)"
 
@@ -1224,11 +1238,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                            (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                            (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS sum_disc_price,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 2) AS avg_price,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -1236,8 +1250,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "revenue_by_brand": """
             SELECT p_brand,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                            (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                            (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue,
                    count(*) AS n_items
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand
@@ -1307,7 +1321,7 @@ def oracle_sql() -> dict[str, str]:
         # ---- batch 2: relational breadth --------------------------------
         "filter_project": """
             SELECT event_id, user_id, value,
-                   CAST(CAST(value AS DECIMAL(18,4)) * CAST(2 AS DECIMAL(18,4)) AS DOUBLE) AS value_x2
+                   round(CAST(CAST(value AS DECIMAL(18,4)) * CAST(2 AS DECIMAL(18,4)) AS DOUBLE), 4) AS value_x2
             FROM events
             WHERE event_type = 'click' AND value >= 10.0 AND value <= 200.0
         """,
@@ -1329,10 +1343,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "running_revenue": """
             SELECT o_custkey, o_orderkey,
-                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
                      PARTITION BY o_custkey
                      ORDER BY o_orderdate ASC, o_orderkey ASC
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
                    AS running_total
             FROM orders
         """,
@@ -1348,7 +1362,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cube_returnflag": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS qty
             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "union_segments": """
@@ -1636,8 +1650,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "local_supplier_volume": """
             SELECT n_name,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                            (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                            (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue,
                    count(*) AS n_items
             FROM customer
             JOIN orders ON c_custkey = o_custkey
@@ -1650,8 +1664,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "unshipped_orders_top10": """
             SELECT l_orderkey, o_orderdate, o_orderpriority,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                            (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                            (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue
             FROM customer
             JOIN orders ON c_custkey = o_custkey
             JOIN lineitem ON o_orderkey = l_orderkey
@@ -1670,7 +1684,7 @@ def oracle_sql() -> dict[str, str]:
               FROM orders
             )
             SELECT decile, count(*) AS n,
-                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total
             FROM d GROUP BY decile
         """,
         "price_percent_rank": """
@@ -1687,33 +1701,34 @@ def oracle_sql() -> dict[str, str]:
         "monthly_order_volume": """
             SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
                    count(*) AS n_orders,
-                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total
             FROM orders GROUP BY 1
         """,
         "rolling_weekly_revenue": """
             SELECT o_custkey, o_orderkey,
-                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
                      PARTITION BY o_custkey
                      ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
-                     RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                     RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
                    AS rolling_7d
             FROM orders
         """,
         "grouping_sets_status": """
             SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total
             FROM orders
             GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         """,
         "above_nation_avg_customers": """
-            WITH avgs AS (
+            WITH stats AS (
               SELECT c_nationkey AS nk,
-                     CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_bal
+                     sum(CAST(c_acctbal AS DECIMAL(18,4))) AS total,
+                     count(*) AS n
               FROM customer GROUP BY c_nationkey
             )
             SELECT c_nationkey, count(*) AS n_above
-            FROM customer JOIN avgs ON c_nationkey = nk
-            WHERE c_acctbal > avg_bal
+            FROM customer JOIN stats ON c_nationkey = nk
+            WHERE CAST(c_acctbal AS DECIMAL(18,4)) * n > total
             GROUP BY c_nationkey
         """,
     }
