@@ -8,12 +8,22 @@ implemented operator from SURVEY.md §2 + north-star extensions.
 Cross-engine determinism rules used throughout (so the driver's
 order-insensitive value hash matches bit-for-bit):
 - grouped SUMs of doubles go through DECIMAL (exact, association-order
-  independent) and are cast back to DOUBLE at the end;
+  independent), are cast back to DOUBLE at the end, and rounded to 2
+  decimals on BOTH engines — DuckDB's DECIMAL→DOUBLE cast can differ
+  from Java's correctly-rounded conversion by 1 ulp at 1e9+ magnitudes;
+- comparisons against aggregates (e.g. balance > nation mean) are
+  restated in exact decimal arithmetic (bal*n > sum), never via floats;
 - array math folds sequentially left-to-right on both sides
   (F.aggregate ↔ list_reduce);
 - ranking ties always broken by an explicit unique key;
 - trig-heavy outputs (haversine) are bucketed coarsely enough that a
   1-ulp libm divergence cannot flip a bucket.
+
+Environment constraint: collected Spark timestamps render in the
+*process* timezone (PySpark uses datetime.fromtimestamp), so the
+oracle comparison assumes a UTC host — true of this container; the
+harness was probed under TZ=Asia/Shanghai to confirm that is the only
+sensitivity.
 """
 
 from __future__ import annotations
