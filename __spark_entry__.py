@@ -936,6 +936,33 @@ def _q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_occupancy_fine_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occupancy at the reference's coarse-grain cardinality (356
+    regions, cal_mobility_matrix.py:162) — same plan as the 20-region
+    flagship, ~18× the group count."""
+    ev = load_table(spark, sf_dir, "events")
+    region = (
+        F.pmod(F.round(F.col("value") * 100, 0).cast("long"), F.lit(356)) + 1
+    ).cast("int")
+    return ev.groupBy(
+        region.alias("region_id"), F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.countDistinct("user_id").alias("n_users"))
+
+
+def _q_next_event_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead() (W4): per-event seconds until the user's next event,
+    averaged per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")
+    with_gap = ev.withColumn("gap_s", gap).filter(F.col("gap_s").isNotNull())
+    return with_gap.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (F.sum("gap_s").cast("double") / F.count("*")).alias("avg_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
+
+
 def _q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-style sketch) — the 100 TB path beside
     the exact interpolated `value_percentiles`; sketch internals are
@@ -1038,6 +1065,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_weekly_revenue": _q_rolling_weekly_revenue,
         "grouping_sets_status": _q_grouping_sets_status,
         "value_percentiles_approx": _q_value_percentiles_approx,
+        "occupancy_fine_grid": _q_occupancy_fine_grid,
+        "next_event_latency": _q_next_event_latency,
     }
 
 
@@ -1713,6 +1742,26 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders,
                    round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total
             FROM orders GROUP BY 1
+        """,
+        "occupancy_fine_grid": """
+            SELECT CAST((CAST(round(value * 100, 0) AS BIGINT) % 356) + 1 AS INTEGER) AS region_id,
+                   date_trunc('hour', ts) AS hour,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2
+        """,
+        "next_event_latency": """
+            WITH g AS (
+              SELECT event_type,
+                     date_diff('second', ts,
+                       lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts ASC, event_id ASC)) AS gap_s
+              FROM events
+            )
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(gap_s) AS DOUBLE) / count(*) AS avg_gap_s,
+                   max(gap_s) AS max_gap_s
+            FROM g WHERE gap_s IS NOT NULL
+            GROUP BY event_type
         """,
         "rolling_weekly_revenue": """
             SELECT o_custkey, o_orderkey,
