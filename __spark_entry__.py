@@ -936,6 +936,26 @@ def _q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stay_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands stay segmentation over hourly positions."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.stays import (
+        stay_segments,
+    )
+
+    pos = ops.hourly_positions(events_as_pings(spark, sf_dir, N_REGIONS))
+    return stay_segments(pos)
+
+
+def _q_dwell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.stays import (
+        dwell_stats,
+        stay_segments,
+    )
+
+    pos = ops.hourly_positions(events_as_pings(spark, sf_dir, N_REGIONS))
+    return dwell_stats(stay_segments(pos))
+
+
 def _q_occupancy_fine_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Occupancy at the reference's coarse-grain cardinality (356
     regions, cal_mobility_matrix.py:162) — same plan as the 20-region
@@ -1067,6 +1087,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles_approx": _q_value_percentiles_approx,
         "occupancy_fine_grid": _q_occupancy_fine_grid,
         "next_event_latency": _q_next_event_latency,
+        "stay_segments": _q_stay_segments,
+        "dwell_stats": _q_dwell_stats,
     }
 
 
@@ -1742,6 +1764,40 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders,
                    round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total
             FROM orders GROUP BY 1
+        """,
+        "stay_segments": f"""
+            WITH {POSITIONS_CTE},
+            isl AS (
+              SELECT user_id, region_id, hour,
+                     CAST(epoch(hour) AS BIGINT) // 3600
+                       - row_number() OVER (
+                           PARTITION BY user_id, region_id ORDER BY hour)
+                       AS island
+              FROM pos
+            )
+            SELECT user_id, region_id,
+                   min(hour) AS stay_start, max(hour) AS stay_end,
+                   count(*) AS n_hours
+            FROM isl GROUP BY user_id, region_id, island
+        """,
+        "dwell_stats": f"""
+            WITH {POSITIONS_CTE},
+            isl AS (
+              SELECT user_id, region_id, hour,
+                     CAST(epoch(hour) AS BIGINT) // 3600
+                       - row_number() OVER (
+                           PARTITION BY user_id, region_id ORDER BY hour)
+                       AS island
+              FROM pos
+            ),
+            stays AS (
+              SELECT user_id, region_id, count(*) AS n_hours
+              FROM isl GROUP BY user_id, region_id, island
+            )
+            SELECT region_id, count(*) AS n_stays,
+                   CAST(sum(n_hours) AS DOUBLE) / count(*) AS avg_stay_h,
+                   max(n_hours) AS max_stay_h
+            FROM stays GROUP BY region_id
         """,
         "occupancy_fine_grid": """
             SELECT CAST((CAST(round(value * 100, 0) AS BIGINT) % 356) + 1 AS INTEGER) AS region_id,
