@@ -936,6 +936,55 @@ def _q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of MinHash near-dup pairs → cluster ids
+    (iterative min-label propagation; oracle = recursive CTE)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ops.minhash_lsh_pairs(docs, k=8, bands=4, n=3)
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+def _q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword scoring: top-10 documents for a fixed query term
+    set, scored sum(tf * ln(N/df)) with deterministic math order."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["merge", "spark", "window"]  # fixed (sorted) fold order
+    toks = docs.select(
+        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok").isin(*terms))
+    n_docs = docs.agg(F.count("*").alias("n"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    w = F.col("tf").cast("double") * F.log(
+        F.col("n").cast("double") / F.col("df").cast("double")
+    )
+    # per-term weights pivoted to columns, added in a FIXED order — a
+    # plain sum(w) would fold in partition order and drift cross-engine
+    per_term = (
+        tf.join(F.broadcast(df_), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("tok") == t, w)).alias(f"w_{t}")
+                for t in terms
+            ]
+        )
+    )
+    score = None
+    for t in terms:
+        c = F.coalesce(F.col(f"w_{t}"), F.lit(0.0))
+        score = c if score is None else score + c
+    scored = per_term.select("doc_id", F.round(score, 6).alias("score"))
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
+
+
 def _q_stay_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands stay segmentation over hourly positions."""
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.stays import (
@@ -1089,6 +1138,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "next_event_latency": _q_next_event_latency,
         "stay_segments": _q_stay_segments,
         "dwell_stats": _q_dwell_stats,
+        "near_dup_clusters": _q_near_dup_clusters,
+        "tfidf_search": _q_tfidf_search,
     }
 
 
@@ -1150,6 +1201,35 @@ def _minhash_oracle(k: int = 8, bands: int = 4) -> str:
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.band_hash = b.band_hash
          AND a.doc_id < b.doc_id
+    """
+
+
+def _near_dup_clusters_oracle() -> str:
+    """Transitive closure of the MinHash pairs via recursive CTE —
+    min reachable id per node = the cluster id the iterative Spark
+    label propagation converges to."""
+    mh = _minhash_oracle(k=8, bands=4)
+    head, tail = mh.rsplit("SELECT DISTINCT", 1)
+    head = head.strip()
+    assert head.startswith("WITH ")
+    ctes = head[len("WITH "):].rstrip()
+    pairs_select = ("SELECT DISTINCT" + tail).strip()
+    return f"""
+        WITH RECURSIVE {ctes},
+        pairs AS ({pairs_select}),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(src, node) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+        )
+        SELECT src AS doc_id, min(node) AS cluster_id
+        FROM reach GROUP BY src
     """
 
 
@@ -1764,6 +1844,34 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders,
                    round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total
             FROM orders GROUP BY 1
+        """,
+        "near_dup_clusters": _near_dup_clusters_oracle(),
+        "tfidf_search": """
+            WITH toks AS (
+              SELECT doc_id, tok FROM (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                              t -> t <> '')) AS tok
+                FROM documents
+              ) WHERE tok IN ('merge', 'spark', 'window')
+            ),
+            nn AS (SELECT count(*) AS n FROM documents),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+            df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+            per_term AS (
+              SELECT doc_id,
+                     sum(CASE WHEN tok = 'merge' THEN CAST(tf AS DOUBLE) * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) END) AS w_merge,
+                     sum(CASE WHEN tok = 'spark' THEN CAST(tf AS DOUBLE) * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) END) AS w_spark,
+                     sum(CASE WHEN tok = 'window' THEN CAST(tf AS DOUBLE) * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) END) AS w_window
+              FROM tf JOIN df USING (tok) CROSS JOIN nn
+              GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   round(coalesce(w_merge, 0.0) + coalesce(w_spark, 0.0)
+                         + coalesce(w_window, 0.0), 6) AS score
+            FROM per_term
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 10
         """,
         "stay_segments": f"""
             WITH {POSITIONS_CTE},

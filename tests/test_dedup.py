@@ -48,3 +48,17 @@ def test_simhash_near_dup_closer_than_unrelated(spark):
     assert sigs[1] == sigs[4]
     ham = lambda a, b: bin(a ^ b).count("1")
     assert ham(sigs[1], sigs[2]) < ham(sigs[1], sigs[3])
+
+
+def test_connected_components_transitive(spark):
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.components import (
+        connected_components,
+    )
+
+    # chain 1-2-3, separate pair 10-11, chain 20-21-22-23 (path graph)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
