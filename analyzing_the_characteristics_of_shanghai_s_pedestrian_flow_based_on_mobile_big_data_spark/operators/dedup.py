@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens, word_shingles
+from ..functions.text import tokens
 
 
 def exact_dedup(
