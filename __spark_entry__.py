@@ -936,6 +936,21 @@ def _q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways (north star): whitespace tokens and a
+    BPE-ish regex segmentation (letter runs / digit runs / symbol runs
+    as separate tokens)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe_pat = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
+    return docs.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("ws_tokens"),
+        F.regexp_count(F.lower(F.col("text")), F.lit(bpe_pat)).alias(
+            "bpe_tokens"
+        ),
+    )
+
+
 def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of MinHash near-dup pairs → cluster ids
     (iterative min-label propagation; oracle = recursive CTE)."""
@@ -1140,6 +1155,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dwell_stats": _q_dwell_stats,
         "near_dup_clusters": _q_near_dup_clusters,
         "tfidf_search": _q_tfidf_search,
+        "bpe_token_count": _q_bpe_token_count,
     }
 
 
@@ -1846,6 +1862,13 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY 1
         """,
         "near_dup_clusters": _near_dup_clusters_oracle(),
+        "bpe_token_count": f"""
+            SELECT doc_id,
+                   CAST(len({_TOKENS_SQL}) AS INTEGER) AS ws_tokens,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '[a-z]+|[0-9]+|[^a-z0-9\\s]+')) AS INTEGER) AS bpe_tokens
+            FROM documents
+        """,
         "tfidf_search": """
             WITH toks AS (
               SELECT doc_id, tok FROM (
