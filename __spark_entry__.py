@@ -811,7 +811,13 @@ def _q_unshipped_orders_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderdate") < cutoff)
         .join(li, orders.o_orderkey == li.l_orderkey)
         .filter(F.col("l_shipdate") > cutoff)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .groupBy(
+            "l_orderkey",
+            # parquet ms-timestamps surface as TIMESTAMP_NTZ in Spark 4;
+            # normalize to TIMESTAMP (session UTC) to match the oracle
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            "o_orderpriority",
+        )
         .agg(
             F.round(
                 F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
@@ -1836,8 +1842,8 @@ def oracle_sql() -> dict[str, str]:
         "order_deciles": """
             WITH d AS (
               SELECT o_totalprice,
-                     ntile(10) OVER (
-                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS decile
+                     CAST(ntile(10) OVER (
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS decile
               FROM orders
             )
             SELECT decile, count(*) AS n,
