@@ -942,6 +942,17 @@ def _q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling-hash document fingerprint (north star:
+    'document fingerprinting (rolling hash)')."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", tx.rolling_hash(F.col("text")).alias("rh"))
+        .groupBy("rh")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_docs"))
+    )
+
+
 def _q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting both ways (north star): whitespace tokens and a
     BPE-ish regex segmentation (letter runs / digit runs / symbol runs
@@ -1162,6 +1173,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": _q_near_dup_clusters,
         "tfidf_search": _q_tfidf_search,
         "bpe_token_count": _q_bpe_token_count,
+        "rolling_hash_fingerprint": _q_rolling_hash_fingerprint,
     }
 
 
@@ -1868,6 +1880,19 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY 1
         """,
         "near_dup_clusters": _near_dup_clusters_oracle(),
+        "rolling_hash_fingerprint": """
+            WITH h AS (
+              SELECT doc_id,
+                     list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                         list_transform(generate_series(1, length(text)),
+                                        i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+                       (acc, c) -> (acc * 131 + c) % 1000000007) AS rh
+              FROM documents
+            )
+            SELECT rh, min(doc_id) AS canonical_id, count(*) AS n_docs
+            FROM h GROUP BY rh
+        """,
         "bpe_token_count": f"""
             SELECT doc_id,
                    CAST(len({_TOKENS_SQL}) AS INTEGER) AS ws_tokens,

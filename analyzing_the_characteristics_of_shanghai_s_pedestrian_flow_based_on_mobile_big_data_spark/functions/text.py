@@ -66,6 +66,27 @@ def quality_score(text: Column) -> Column:
     return (len_score + sw_score + (1.0 - noise)) / F.lit(3.0)
 
 
+ROLLING_BASE = 131
+ROLLING_MOD = 1_000_000_007
+
+
+def rolling_hash(text: Column) -> Column:
+    """Rabin-Karp polynomial rolling hash of the full text:
+    h = Σ code(cᵢ)·B^(n−i) mod M, folded left-to-right in exact int64
+    arithmetic — engine-portable (the oracle reproduces it with the
+    same fold). The content-defined-chunking building block for
+    shift-robust fingerprinting."""
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(text)),
+        lambda i: F.ascii(F.substring(text, i, 1)).cast("long"),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda h, c: F.pmod(h * ROLLING_BASE + c, F.lit(ROLLING_MOD)),
+    )
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Order-insensitive content fingerprint: md5 over the sorted
     distinct token set. Robust to word reordering — the cheap tier of

@@ -92,6 +92,28 @@ def main() -> int:
             problems.append(f"rowcount {len(srows)} vs {len(orows)}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols {sorted(scols)} vs {sorted(ocols)}")
+        # dtype parity (spark simpleString → duckdb type name)
+        type_map = {
+            "int": "INTEGER",
+            "bigint": "BIGINT",
+            "double": "DOUBLE",
+            "string": "VARCHAR",
+            "timestamp": "TIMESTAMP",
+            "date": "DATE",
+        }
+        sdt = dict(sdf.dtypes)
+        try:
+            odt = {
+                r[0]: r[1]
+                for r in con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+            }
+            for col, st in sdt.items():
+                if col in odt and str(odt[col]) != type_map.get(st, st):
+                    problems.append(
+                        f"dtype {col}: spark={st} duckdb={odt[col]}"
+                    )
+        except Exception:
+            pass
         if not problems:
             sn = norm_rows(scols, [tuple(r) for r in srows])
             on = norm_rows(ocols, orows)
