@@ -942,6 +942,27 @@ def _q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric binning: fixed-width value histogram per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.floor(F.col("value") / 50.0) * 50).cast("long")
+    return ev.groupBy("event_type", bucket.alias("bucket_lo")).agg(
+        F.count("*").alias("n")
+    )
+
+
+def _q_hourly_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report window: each event type's share of its hour."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("hour")
+    return hourly.withColumn(
+        "share", F.col("n").cast("double") / F.sum("n").over(w)
+    )
+
+
 def _q_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rabin-Karp rolling-hash document fingerprint (north star:
     'document fingerprinting (rolling hash)')."""
@@ -1174,6 +1195,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_search": _q_tfidf_search,
         "bpe_token_count": _q_bpe_token_count,
         "rolling_hash_fingerprint": _q_rolling_hash_fingerprint,
+        "value_histogram": _q_value_histogram,
+        "hourly_type_share": _q_hourly_type_share,
     }
 
 
@@ -1880,6 +1903,22 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY 1
         """,
         "near_dup_clusters": _near_dup_clusters_oracle(),
+        "value_histogram": """
+            SELECT event_type,
+                   CAST(floor(value / 50.0) * 50 AS BIGINT) AS bucket_lo,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "hourly_type_share": """
+            WITH hourly AS (
+              SELECT date_trunc('hour', ts) AS hour, event_type,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2
+            )
+            SELECT hour, event_type, n,
+                   CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY hour) AS share
+            FROM hourly
+        """,
         "rolling_hash_fingerprint": """
             WITH h AS (
               SELECT doc_id,
