@@ -1100,6 +1100,83 @@ def _q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate the fact, filter on the aggregate,
+    join the (now tiny) key set back to the dimensions. At scale the
+    HAVING filter collapses the join input from |orders| to a handful
+    of keys, so AQE converts the join-back to a broadcast at runtime —
+    the shape the reference never needed but any reporting layer does."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum(_dec("l_quantity")).cast("double"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+def _q_first_last_region_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value with an explicit full-partition frame
+    (SURVEY §2.5 notes the reference only ever uses default frames; W5
+    calls for the explicit unbounded..unbounded formulation). One row
+    per (user, day) with the day's entry and exit region."""
+    pings = events_as_pings(spark, sf_dir, N_REGIONS)
+    w = (
+        Window.partitionBy("user_id", F.to_date("ts"))
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        pings.select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.first("region_id").over(w).alias("first_region"),
+            F.last("region_id").over(w).alias("last_region"),
+        )
+        .distinct()
+        .withColumn("moved", F.col("first_region") != F.col("last_region"))
+    )
+
+
+def _q_dense_hourly_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: zero-fill the occupancy series so every
+    (region, hour) cell exists — sequence(min,max,1h) + explode for the
+    hour spine, crossJoin a broadcast region spine, left join, coalesce
+    0. The spine is O(regions x hours) regardless of fact size, so the
+    plan stays scan + 1 agg shuffle + broadcast joins at any SF."""
+    pings = events_as_pings(spark, sf_dir, N_REGIONS)
+    occ = ops.occupancy(pings)
+    span = pings.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    hours = span.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    regions = spark.range(1, N_REGIONS + 1).select(
+        F.col("id").cast("int").alias("region_id")
+    )
+    return (
+        hours.crossJoin(F.broadcast(regions))
+        .join(occ, ["region_id", "hour"], "left")
+        .select(
+            "region_id",
+            "hour",
+            F.coalesce("n_users", F.lit(0)).cast("long").alias("n_users"),
+        )
+    )
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
     """Apply runtime session tuning (UTC, nanosAsLong, AQE) before each
     query — the driver hands us its own SparkSession."""
@@ -1197,6 +1274,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_hash_fingerprint": _q_rolling_hash_fingerprint,
         "value_histogram": _q_value_histogram,
         "hourly_type_share": _q_hourly_type_share,
+        "large_volume_customers": _q_large_volume_customers,
+        "first_last_region_per_day": _q_first_last_region_per_day,
+        "dense_hourly_occupancy": _q_dense_hourly_occupancy,
     }
 
 
@@ -1918,6 +1998,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT hour, event_type, n,
                    CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY hour) AS share
             FROM hourly
+        """,
+        "large_volume_customers": """
+            WITH big AS (
+              SELECT l_orderkey,
+                     round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   o_totalprice, sum_qty
+            FROM big
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE sum_qty > 300
+        """,
+        "first_last_region_per_day": f"""
+            SELECT user_id, day, first_region, last_region,
+                   (first_region <> last_region) AS moved
+            FROM (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+                     first_value(CAST({REGION_SQL} AS INTEGER)) OVER w AS first_region,
+                     last_value(CAST({REGION_SQL} AS INTEGER)) OVER w AS last_region
+              FROM events
+              WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE)
+                           ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            ) t
+        """,
+        "dense_hourly_occupancy": f"""
+            WITH occ AS (
+              SELECT CAST({REGION_SQL} AS INTEGER) AS region_id,
+                     date_trunc('hour', ts) AS hour,
+                     count(DISTINCT user_id) AS n_users
+              FROM events GROUP BY 1, 2
+            ),
+            span AS (
+              SELECT min(date_trunc('hour', ts)) AS h0,
+                     max(date_trunc('hour', ts)) AS h1
+              FROM events
+            ),
+            hours AS (
+              SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+              FROM span
+            ),
+            regions AS (
+              SELECT CAST(unnest(generate_series(1, {N_REGIONS})) AS INTEGER) AS region_id
+            )
+            SELECT r.region_id, h.hour,
+                   CAST(coalesce(o.n_users, 0) AS BIGINT) AS n_users
+            FROM hours h
+            CROSS JOIN regions r
+            LEFT JOIN occ o ON o.region_id = r.region_id AND o.hour = h.hour
         """,
         "rolling_hash_fingerprint": """
             WITH h AS (

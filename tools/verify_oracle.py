@@ -94,6 +94,7 @@ def main() -> int:
             problems.append(f"cols {sorted(scols)} vs {sorted(ocols)}")
         # dtype parity (spark simpleString → duckdb type name)
         type_map = {
+            "boolean": "BOOLEAN",
             "int": "INTEGER",
             "bigint": "BIGINT",
             "double": "DOUBLE",
