@@ -1177,6 +1177,58 @@ def _q_dense_hourly_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) time window — 2 h duration, 1 h slide — via
+    F.window, the one window shape the tumbling date_trunc queries
+    don't cover. Each event lands in exactly duration/slide = 2
+    windows; the explode happens map-side before the count shuffle, so
+    shuffle volume is 2x a tumbling count, never quadratic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "2 hours", "1 hour")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM-training-data curation pipeline in one query:
+    language-ID filter (en) -> quality-score floor -> minimum length ->
+    exact dedup keeping the lowest doc_id per content digest. Single
+    scan of documents; the dedup groupBy keys on a 128-bit digest, so
+    the shuffle carries (digest, doc_id) pairs, not text."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.langid import (
+        predict_lang,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "text",
+        tx.token_count(F.col("text")).alias("n_tokens"),
+        tx.quality_score(F.col("text")).alias("quality"),
+        predict_lang(toks).alias("pred_lang"),
+    )
+    kept = scored.filter(
+        (F.col("pred_lang") == "en")
+        & (F.col("quality") >= 0.5)
+        & (F.col("n_tokens") >= 5)
+    )
+    canon = kept.groupBy(F.md5("text").alias("digest")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return kept.join(canon, "doc_id").select(
+        "doc_id", "digest", "n_tokens", "quality"
+    )
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
     """Apply runtime session tuning (UTC, nanosAsLong, AQE) before each
     query — the driver hands us its own SparkSession."""
@@ -1277,6 +1329,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_volume_customers": _q_large_volume_customers,
         "first_last_region_per_day": _q_first_last_region_per_day,
         "dense_hourly_occupancy": _q_dense_hourly_occupancy,
+        "sliding_window_counts": _q_sliding_window_counts,
+        "corpus_curation": _q_corpus_curation,
     }
 
 
@@ -1388,6 +1442,66 @@ def _simhash_oracle(nbits: int = 32) -> str:
         h AS (SELECT doc_id, md5(tok) AS h FROM tok),
         v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
         SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM v
+    """
+
+
+def _curation_oracle() -> str:
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.langid import (
+        LANG_PROFILES,
+    )
+
+    score_cols = []
+    for lang, words in LANG_PROFILES.items():
+        lst = "['" + "', '".join(words) + "']"
+        score_cols.append(
+            f"CASE WHEN len(toks) > 0 THEN "
+            f"len(list_filter(toks, x -> list_contains({lst}, x))) / len(toks) "
+            f"ELSE 0.0 END AS s_{lang}"
+        )
+    longs = "\n          UNION ALL\n".join(
+        f"          SELECT doc_id, '{lang}' AS cand, s_{lang} AS score FROM s"
+        for lang in sorted(LANG_PROFILES)
+    )
+    quality = f"""(least(len(toks) / 100.0, 1.0)
+                 + least((CASE WHEN len(toks) > 0
+                          THEN len(list_filter(toks, t -> list_contains({_STOPWORDS_SQL}, t))) / len(toks)
+                          ELSE 0.0 END) * 5.0, 1.0)
+                 + (1.0 - (CASE WHEN length(text) > 0
+                           THEN length(stripped) / length(text)
+                           ELSE 0.0 END))) / 3.0"""
+    return f"""
+        WITH t AS (
+          SELECT doc_id, text, {_TOKENS_SQL} AS toks,
+                 regexp_replace(lower(text), '[a-z0-9 ]', '', 'g') AS stripped
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, text,
+                 CAST(len(toks) AS INTEGER) AS n_tokens,
+                 {quality} AS quality,
+                 {', '.join(score_cols)}
+          FROM t
+        ),
+        long AS (
+{longs}
+        ),
+        pred AS (
+          SELECT doc_id, cand AS pred_lang
+          FROM long
+          QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, cand ASC) = 1
+        ),
+        kept AS (
+          SELECT s.doc_id, s.text, s.n_tokens, s.quality
+          FROM s JOIN pred p USING (doc_id)
+          WHERE p.pred_lang = 'en' AND s.quality >= 0.5 AND s.n_tokens >= 5
+        ),
+        canon AS (
+          SELECT md5(text) AS digest, min(doc_id) AS doc_id
+          FROM kept GROUP BY 1
+        )
+        SELECT k.doc_id, c.digest, k.n_tokens, k.quality
+        FROM kept k JOIN canon c ON k.doc_id = c.doc_id
     """
 
 
@@ -2050,6 +2164,18 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN regions r
             LEFT JOIN occ o ON o.region_id = r.region_id AND o.hour = h.hour
         """,
+        "sliding_window_counts": """
+            WITH w AS (
+              SELECT event_type,
+                     unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                             date_trunc('hour', ts)]) AS win_start
+              FROM events
+            )
+            SELECT win_start, win_start + INTERVAL 2 HOUR AS win_end,
+                   event_type, count(*) AS n
+            FROM w GROUP BY 1, 2, 3
+        """,
+        "corpus_curation": _curation_oracle(),
         "rolling_hash_fingerprint": """
             WITH h AS (
               SELECT doc_id,
