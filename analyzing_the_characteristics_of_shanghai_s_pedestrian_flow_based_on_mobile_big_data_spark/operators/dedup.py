@@ -80,26 +80,52 @@ def ngram_jaccard_pairs(
     """All pairs with n-gram Jaccard ≥ threshold, via shingle
     inverted-index self-join (no cross join: pairs only materialize for
     docs sharing ≥1 shingle; with a threshold ≥ 0.5 the join output is
-    near-linear in corpus size for natural text)."""
+    near-linear in corpus size for natural text).
+
+    Size-ratio prune: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs whose
+    shingle-set sizes differ by more than the threshold ratio are
+    discarded *inside the join*, before the pair-count shuffle — the
+    standard prefix-filter bound, exact (never drops a qualifying
+    pair). The per-doc size rides along as a window count over the
+    shingle table (reuses its doc_id partitioning), which also lets the
+    sizes be carried through the groupBy keys — no join-back."""
+    from pyspark.sql import Window
+
     # Materialize the shingle inverted index once: it feeds both sides
-    # of the self-join AND the size table — without persist Spark
-    # re-tokenizes the corpus 3× (at 100 TB: checkpoint this to
-    # parquet instead; it is the standard shingle-index table).
-    sh = doc_shingles(docs, n, id_col, text_col).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # of the self-join — without persist Spark re-tokenizes the corpus
+    # per branch (at 100 TB: checkpoint this to parquet instead; it is
+    # the standard shingle-index table).
+    sh = (
+        doc_shingles(docs, n, id_col, text_col)
+        .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
+        .persist()
+    )
     a = sh.alias("a")
     b = sh.alias("b")
+    # least/greatest division (not t*n multiplication) so the bound is
+    # computed exactly like the final jaccard filter's division —
+    # identical rounding, no float-edge false prunes at equality.
+    ratio_ok = (
+        F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+        / F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+    ) >= F.lit(threshold)
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & ratio_ok,
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
         .agg(F.count("*").alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             F.col("n_common")
             / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
