@@ -1229,6 +1229,20 @@ def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-free JSON -> MapType -> explode: parse props into
+    map<string,bigint> and aggregate per key, without declaring the key
+    set anywhere. The from_json + explode runs map-side (generator in
+    the scan stage); only (key, partial-sum) pairs shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        ev.select(F.explode(m).alias("key", "value"))
+        .groupBy("key")
+        .agg(F.sum("value").alias("v_sum"), F.count("*").alias("n"))
+    )
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
     """Apply runtime session tuning (UTC, nanosAsLong, AQE) before each
     query — the driver hands us its own SparkSession."""
@@ -1331,6 +1345,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dense_hourly_occupancy": _q_dense_hourly_occupancy,
         "sliding_window_counts": _q_sliding_window_counts,
         "corpus_curation": _q_corpus_curation,
+        "props_map_explode": _q_props_map_explode,
     }
 
 
@@ -2176,6 +2191,13 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY 1, 2, 3
         """,
         "corpus_curation": _curation_oracle(),
+        "props_map_explode": """
+            SELECT k.key AS key,
+                   CAST(sum(CAST(props->>k.key AS BIGINT)) AS BIGINT) AS v_sum,
+                   count(*) AS n
+            FROM events, unnest(json_keys(props)) AS k(key)
+            GROUP BY 1
+        """,
         "rolling_hash_fingerprint": """
             WITH h AS (
               SELECT doc_id,
