@@ -1,0 +1,92 @@
+"""Invariant tests for the late-round queries — laws the DuckDB oracle
+also enforces, checked here directly so a failure localizes to the
+Spark side without running the differential harness."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+import __spark_entry__ as entrymod
+
+from conftest import SF_SMALL
+
+
+def _run(spark, name):
+    return entrymod.queries()[name](spark, SF_SMALL)
+
+
+def test_dense_hourly_occupancy_is_complete_and_conserves(spark):
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        load_table,
+    )
+
+    dense = _run(spark, "dense_hourly_occupancy")
+    ev = load_table(spark, SF_SMALL, "events")
+    span = ev.select(
+        F.min(F.date_trunc("hour", "ts")).alias("h0"),
+        F.max(F.date_trunc("hour", "ts")).alias("h1"),
+    ).collect()[0]
+    n_hours = int((span.h1 - span.h0).total_seconds() // 3600) + 1
+    # spine completeness: exactly regions x hours cells, no nulls
+    assert dense.count() == entrymod.N_REGIONS * n_hours
+    assert dense.filter(F.col("n_users").isNull()).count() == 0
+    # zero-fill conserves mass: dense total == sparse occupancy total
+    sparse = _run(spark, "occupancy_by_region_hour")
+    assert (
+        dense.agg(F.sum("n_users")).collect()[0][0]
+        == sparse.agg(F.sum("n_users")).collect()[0][0]
+    )
+
+
+def test_sliding_window_counts_double_count_law(spark):
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        load_table,
+    )
+
+    out = _run(spark, "sliding_window_counts")
+    n_events = load_table(spark, SF_SMALL, "events").count()
+    # duration/slide = 2 -> every event lands in exactly two windows
+    assert out.agg(F.sum("n")).collect()[0][0] == 2 * n_events
+    # window geometry: end - start == 2h always
+    bad = out.filter(
+        F.col("win_end").cast("long") - F.col("win_start").cast("long") != 7200
+    )
+    assert bad.count() == 0
+
+
+def test_corpus_curation_is_deduped_and_thresholded(spark):
+    out = _run(spark, "corpus_curation")
+    rows = out.collect()
+    digests = [r.digest for r in rows]
+    assert len(digests) == len(set(digests))  # one canonical doc per digest
+    assert all(r.quality >= 0.5 and r.n_tokens >= 5 for r in rows)
+
+
+def test_large_volume_customers_threshold(spark):
+    rows = _run(spark, "large_volume_customers").collect()
+    assert all(r.sum_qty > 300 for r in rows)
+    # join-back preserves key uniqueness: one row per qualifying order
+    assert len({r.o_orderkey for r in rows}) == len(rows)
+
+
+def test_first_last_region_one_row_per_user_day(spark):
+    out = _run(spark, "first_last_region_per_day")
+    assert (
+        out.groupBy("user_id", "day").count().filter(F.col("count") > 1).count()
+        == 0
+    )
+    moved_mismatch = out.filter(
+        F.col("moved") != (F.col("first_region") != F.col("last_region"))
+    )
+    assert moved_mismatch.count() == 0
+
+
+def test_props_map_explode_covers_every_event(spark):
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        load_table,
+    )
+
+    out = _run(spark, "props_map_explode").collect()
+    n_events = load_table(spark, SF_SMALL, "events").count()
+    # testdata props is single-key JSON -> exploded rows == events
+    assert sum(r.n for r in out) == n_events
