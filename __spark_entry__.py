@@ -1220,12 +1220,16 @@ def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pred_lang") == "en")
         & (F.col("quality") >= 0.5)
         & (F.col("n_tokens") >= 5)
-    )
-    canon = kept.groupBy(F.md5("text").alias("digest")).agg(
-        F.min("doc_id").alias("doc_id")
-    )
-    return kept.join(canon, "doc_id").select(
-        "doc_id", "digest", "n_tokens", "quality"
+    ).select(F.md5("text").alias("digest"), "doc_id", "n_tokens", "quality")
+    # keep-min-per-digest as a window over the projected (text-free)
+    # rows: one documents scan, one exchange keyed on digest, and the
+    # shuffle carries 4 narrow columns — vs groupBy+join-back, which
+    # re-scans and re-scores the corpus for the join side.
+    min_id = F.min("doc_id").over(Window.partitionBy("digest"))
+    return (
+        kept.withColumn("min_id", min_id)
+        .filter(F.col("doc_id") == F.col("min_id"))
+        .select("doc_id", "digest", "n_tokens", "quality")
     )
 
 
