@@ -713,7 +713,7 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine filter keeps pairs ≥ 0.9. Never materializes all-pairs."""
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.vectors import (
         as_double_array,
-        cosine_similarity_fixed,
+        cosine_similarity,
     )
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
         sign_bucket,
@@ -725,7 +725,7 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("bucket", sign_bucket(F.col("emb"), 4))
     a = e.alias("a")
     b = e.alias("b")
-    cos = cosine_similarity_fixed(F.col("a.emb"), F.col("b.emb"), 64)
+    cos = cosine_similarity(F.col("a.emb"), F.col("b.emb"))
     return (
         a.join(
             b,
