@@ -596,9 +596,14 @@ def _q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bucket LSH top-k with size-adaptive bucket count
+    (nbits ≈ log2(N/16), so candidate sets stay ~constant as the corpus
+    grows) and Hamming-1 multi-probe for recall. The oracle derives the
+    same nbits from count(*), so both sides stay parameterized
+    identically at every sf."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
-    return ops.bucketed_ann_topk(emb, queries_df, k=3, nbits=4, dim=64)
+    return ops.bucketed_ann_topk(emb, queries_df, k=3, dim=64, multi_probe=1)
 
 
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -708,28 +713,36 @@ def _q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, sign-bucket blocked: candidate
-    pairs share the 4-bit sign bucket (hyperplane LSH), then the exact
-    cosine filter keeps pairs ≥ 0.9. Never materializes all-pairs."""
+    """Embedding-cosine near-dup pairs, sign-bucket blocked with a
+    size-adaptive bucket count (nbits ≈ log2(N/16) — a fixed nbits
+    makes the bucket self-join ~N²/2^nbits, quadratic at scale) and
+    Hamming-1 multi-probe on one join side (recovers pairs straddling
+    one hyperplane), then the exact cosine filter keeps pairs ≥ 0.9.
+    Never materializes all-pairs."""
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.vectors import (
         as_double_array,
         cosine_similarity,
     )
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        adaptive_nbits,
+        probe_buckets,
         sign_bucket,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    nbits = adaptive_nbits(emb.count())
     e = emb.select(
         "vec_id", as_double_array(F.col("embedding")).alias("emb")
-    ).withColumn("bucket", sign_bucket(F.col("emb"), 4))
-    a = e.alias("a")
+    ).withColumn("bucket", sign_bucket(F.col("emb"), nbits))
+    a = e.withColumn(
+        "probe", F.explode(probe_buckets(F.col("bucket"), nbits, 1))
+    ).alias("a")
     b = e.alias("b")
     cos = cosine_similarity(F.col("a.emb"), F.col("b.emb"))
     return (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.probe") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .withColumn("cos_r", F.round(cos, 6))
@@ -1383,9 +1396,6 @@ _DEC_TOTALPRICE = "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE
 _HEXPOS = "(strpos('0123456789abcdef', substr(md5(text), {j}, 1)) - 1)"
 
 
-_ND_BUCKET = "(CASE WHEN CAST(embedding AS DOUBLE[])[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN CAST(embedding AS DOUBLE[])[2] >= 0 THEN 2 ELSE 0 END) + (CASE WHEN CAST(embedding AS DOUBLE[])[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN CAST(embedding AS DOUBLE[])[4] >= 0 THEN 8 ELSE 0 END)"
-
-
 def _minhash_oracle(k: int = 8, bands: int = 4) -> str:
     r = k // bands
     mins = ",\n         ".join(
@@ -1567,8 +1577,19 @@ def oracle_sql() -> dict[str, str]:
         f"round({dot} / (sqrt({fold_sq.format(v='q_emb')}) * "
         f"sqrt({fold_sq.format(v='c_emb')})), 6)"
     )
-    sign_bucket = " + ".join(
-        f"(CASE WHEN c_emb[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END)" for j in range(4)
+    # Size-adaptive LSH parameters — the SQL twin of
+    # operators.similarity.adaptive_nbits / sign_bucket / probe_buckets:
+    # nbits from count(*), bucket from the first-nbits sign bits,
+    # probes = home bucket + one single-bit flip per sign bit.
+    nbits_sql = "GREATEST(4, LEAST(24, CAST(ceil(log2(count(*) / 16.0)) AS INTEGER)))"
+    dyn_bucket = (
+        "CAST(list_sum(list_transform(generate_series(1, (SELECT nbits FROM params)), "
+        "j -> CASE WHEN {v}[j] >= 0 THEN CAST(2**(j-1) AS BIGINT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+    )
+    probe_list = (
+        "list_prepend(bucket, "
+        "list_transform(generate_series(1, (SELECT nbits FROM params)), "
+        "j -> xor(bucket, CAST(2**(j-1) AS BIGINT))))"
     )
     hav = (
         "2 * 6372800.0 * asin(sqrt("
@@ -1940,15 +1961,19 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c_emb FROM embeddings
             ),
-            eb AS (SELECT vec_id, c_emb, {sign_bucket} AS bucket FROM e),
+            params AS (SELECT {nbits_sql} AS nbits FROM e),
+            eb AS (SELECT vec_id, c_emb, {dyn_bucket.format(v="c_emb")} AS bucket FROM e),
             q AS (
               SELECT vec_id AS query_id, c_emb AS q_emb, bucket
               FROM eb WHERE vec_id < 5
             ),
+            probes AS (
+              SELECT query_id, q_emb, unnest({probe_list}) AS bucket FROM q
+            ),
             pairs AS (
-              SELECT q.query_id, c.vec_id, {cos} AS cos_r
-              FROM eb c JOIN q USING (bucket)
-              WHERE c.vec_id <> q.query_id
+              SELECT p.query_id, c.vec_id, {cos} AS cos_r
+              FROM eb c JOIN probes p USING (bucket)
+              WHERE c.vec_id <> p.query_id
             )
             SELECT query_id, vec_id, cos_r,
                    CAST(row_number() OVER (
@@ -2027,10 +2052,13 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "embedding_near_dup": f"""
-            WITH e AS (
-              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-                     {_ND_BUCKET} AS bucket
-              FROM embeddings
+            WITH e0 AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+            ),
+            params AS (SELECT {nbits_sql} AS nbits FROM e0),
+            e AS (SELECT vec_id, emb, {dyn_bucket.format(v="emb")} AS bucket FROM e0),
+            ap AS (
+              SELECT vec_id, emb, unnest({probe_list}) AS probe FROM e
             ),
             pairs AS (
               SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -2040,8 +2068,8 @@ def oracle_sql() -> dict[str, str]:
                        / (sqrt(list_reduce(list_transform(a.emb, x -> x * x), (x, y) -> x + y))
                           * sqrt(list_reduce(list_transform(b.emb, x -> x * x), (x, y) -> x + y))),
                        6) AS cos_r
-              FROM e a JOIN e b
-                ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              FROM ap a JOIN e b
+                ON a.probe = b.bucket AND a.vec_id < b.vec_id
             )
             SELECT vec_a, vec_b, cos_r FROM pairs WHERE cos_r >= 0.9
         """,

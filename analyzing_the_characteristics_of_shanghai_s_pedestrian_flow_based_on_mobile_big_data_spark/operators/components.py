@@ -2,15 +2,27 @@
 
 Dedup pipelines need the transitive closure of the pairwise matches
 (exact, MinHash, SimHash): if a~b and b~c, all three share one
-canonical id. Implemented as iterative minimum-label propagation —
-each round, every node adopts the smallest label in its neighborhood;
-converges in O(diameter) rounds. Per round: one join + one aggregate,
-both on the node key — the standard large-graph Spark pattern (no
-GraphX dependency, no python).
+canonical id. Implemented as iterative minimum-label propagation with
+pointer jumping — each round every node adopts the smallest label in
+its neighborhood (one join + one agg on the node key), then labels are
+shortcut through one pointer-jump self-join (label := label of label).
+The jump halves the effective propagation distance per round, so a
+component of diameter d converges in O(log d) rounds, not O(d) — the
+difference between 7 and 63 rounds on a 64-node chain of near-dups.
+No GraphX dependency, no python.
 
-At 100 TB scale the round count stays small because near-dup clusters
-are shallow (most are pairs/triangles); checkpoint the label table
-every few rounds to truncate lineage.
+Scale hardening (100 TB):
+- superseded label generations are unpersisted as soon as the next
+  generation is materialized — the cache holds exactly one generation;
+- every ``checkpoint_interval`` rounds the label table is
+  ``localCheckpoint``-ed, truncating a plan tree that otherwise grows
+  by three joins per round;
+- convergence is detected from the label-sum delta (labels are
+  monotonically non-increasing integers, so an unchanged sum ⟺ no
+  change) — one aggregate job per round on the label table alone, no
+  extra join;
+- a loop that exits without converging raises (or returns flagged via
+  ``strict=False``) instead of silently returning truncated labels.
 """
 
 from __future__ import annotations
@@ -19,14 +31,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class ConvergenceError(RuntimeError):
+    """Label propagation exhausted max_iterations before converging."""
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
-    max_iterations: int = 20,
+    max_iterations: int = 25,
+    checkpoint_interval: int = 5,
+    strict: bool = True,
 ) -> DataFrame:
     """(node, component) for every node in the pair table; component =
-    smallest node id reachable. ``pairs`` is undirected input."""
+    smallest node id reachable. ``pairs`` is undirected input.
+
+    With pointer jumping, ``max_iterations`` bounds the *log* of the
+    component diameter — 25 rounds cover any graph that fits on disk.
+    ``strict=True`` raises :class:`ConvergenceError` if the loop exits
+    un-converged (silently truncated labels are wrong labels).
+    """
     edges = (
         pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
         .unionByName(
@@ -39,32 +63,61 @@ def connected_components(
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
+        .persist()
     )
-    for _ in range(max_iterations):
+    # Decimal sum: overflow-safe for arbitrary long ids at any count.
+    sum_expr = F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+    prev_sum = labels.agg(sum_expr).collect()[0]["s"]
+    converged = prev_sum is None  # empty input is trivially converged
+    for it in range(max_iterations):
+        if converged:
+            break
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("component").alias("nbr_component"))
         )
+        stepped = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"),
+                F.coalesce("nbr_component", F.col("component")),
+            ).alias("component"),
+        )
+        # Pointer jump: component := component's own label. The jump
+        # target table is `stepped` itself (freshest labels), keyed on
+        # node — one self-join, halves remaining distance.
+        jump = stepped.select(
+            F.col("node").alias("j_node"), F.col("component").alias("j_comp")
+        )
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
+            stepped.join(jump, stepped.component == jump.j_node, "left")
             .select(
                 "node",
                 F.least(
                     F.col("component"),
-                    F.coalesce("nbr_component", F.col("component")),
+                    F.coalesce("j_comp", F.col("component")),
                 ).alias("component"),
             )
-            .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        if (it + 1) % checkpoint_interval == 0:
+            # Truncate lineage: three joins per round would otherwise
+            # stack into an O(rounds)-deep plan tree.
+            new_labels = new_labels.localCheckpoint(eager=False)
+        else:
+            new_labels = new_labels.persist()
+        new_sum = new_labels.agg(sum_expr).collect()[0]["s"]
+        labels.unpersist()
         labels = new_labels
-        if changed == 0:
-            break
+        if new_sum == prev_sum:
+            converged = True
+        prev_sum = new_sum
+    edges.unpersist()
+    if not converged:
+        if strict:
+            raise ConvergenceError(
+                f"label propagation did not converge in {max_iterations} "
+                "rounds; raise max_iterations"
+            )
+        return labels.withColumn("converged", F.lit(False))
     return labels

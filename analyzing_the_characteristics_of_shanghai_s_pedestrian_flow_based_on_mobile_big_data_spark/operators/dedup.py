@@ -76,54 +76,129 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """All pairs with n-gram Jaccard ≥ threshold, via shingle
     inverted-index self-join (no cross join: pairs only materialize for
-    docs sharing ≥1 shingle; with a threshold ≥ 0.5 the join output is
-    near-linear in corpus size for natural text).
+    docs sharing ≥1 shingle).
 
-    Size-ratio prune: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs whose
-    shingle-set sizes differ by more than the threshold ratio are
-    discarded *inside the join*, before the pair-count shuffle — the
-    standard prefix-filter bound, exact (never drops a qualifying
-    pair). The per-doc size rides along as a window count over the
-    shingle table (reuses its doc_id partitioning), which also lets the
-    sizes be carried through the groupBy keys — no join-back."""
+    ``prefix_filter=True`` (default) is the 100 TB path: candidate
+    generation joins only on each doc's prefix — its ⌈(1−t)·|A|⌉+1
+    globally-rarest shingles (global order = document frequency asc,
+    shingle asc). Prefix-filter lemma (exact, never drops a qualifying
+    pair): J(A,B) ≥ t ⇒ |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, and two sets with
+    overlap ≥ α must share an element inside their (|X|−α+1)-prefixes
+    under any shared total order. Hot shingles ("of the and" trigrams,
+    power-law document frequency in natural corpora) have maximal df so
+    they sort to the *suffix* of every doc and never become join keys —
+    the m² reducer blowup on a shared-by-m-docs shingle is capped at
+    m = the number of docs rare-listing that shingle. Candidates are
+    then verified against the full shingle index (two equi-joins on
+    doc id + shingle) — exactness is preserved; measured candidate-row
+    reduction at sf0.1 is recorded in SCALE.md.
+
+    ``prefix_filter=False`` keeps the single-join formulation (counts
+    common shingles directly in the self-join): fewer stages, right for
+    small/skew-free corpora, quadratic on hot shingles.
+
+    Size-ratio prune in both paths: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
+    applied *inside* the candidate join via least/greatest division
+    (identical rounding to the final jaccard division — no float-edge
+    false prunes at equality)."""
     from pyspark.sql import Window
 
-    # Materialize the shingle inverted index once: it feeds both sides
-    # of the self-join — without persist Spark re-tokenizes the corpus
-    # per branch (at 100 TB: checkpoint this to parquet instead; it is
-    # the standard shingle-index table).
-    sh = (
-        doc_shingles(docs, n, id_col, text_col)
-        .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
-        .persist()
-    )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    # least/greatest division (not t*n multiplication) so the bound is
-    # computed exactly like the final jaccard filter's division —
-    # identical rounding, no float-edge false prunes at equality.
     ratio_ok = (
         F.least(F.col("a.n_sh"), F.col("b.n_sh"))
         / F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
     ) >= F.lit(threshold)
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & ratio_ok,
+    if prefix_filter:
+        # Augmented index in two exchanges: df via a window over the
+        # shingle partition, then n_sh and the rarity rank in one
+        # doc_id pass (both windows share the doc_id exchange).
+        # Persisted: it feeds both candidate-join sides and the per-doc
+        # set assembly (at 100 TB: checkpoint to parquet instead).
+        w_sh = Window.partitionBy("shingle")
+        w_doc = Window.partitionBy("doc_id")
+        w_rk = Window.partitionBy("doc_id").orderBy("df", "shingle")
+        aug = (
+            doc_shingles(docs, n, id_col, text_col)
+            .withColumn("df", F.count("*").over(w_sh))
+            .withColumn("n_sh", F.count("*").over(w_doc))
+            .withColumn("rk", F.row_number().over(w_rk))
+            .persist()
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
+        # ceil((1-t)·n)+1 ≥ the exact prefix length ⌊(1−t)n⌋+1 — the
+        # ceil absorbs float fuzz on the conservative side only.
+        plen = F.ceil(F.lit(1.0 - threshold) * F.col("n_sh")) + F.lit(1)
+        prefix = aug.filter(F.col("rk") <= plen).select(
+            "doc_id", "shingle", "n_sh"
         )
-        .agg(F.count("*").alias("n_common"))
-    )
+        cand = (
+            prefix.alias("a")
+            .join(
+                prefix.alias("b"),
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+                & ratio_ok,
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.n_sh").alias("n_a"),
+                F.col("b.n_sh").alias("n_b"),
+            )
+            .distinct()
+        )
+        # Verify: per-doc sorted shingle sets (groupBy reuses aug's
+        # doc_id partitioning — no exchange), then two equi-joins keyed
+        # on doc id and a per-row array_intersect. Candidate count is
+        # near-linear in corpus size, so the set join shuffles little;
+        # locally AQE broadcasts the candidate side.
+        doc_sets = aug.groupBy("doc_id").agg(
+            F.sort_array(F.collect_list("shingle")).alias("arr")
+        )
+        n_common = F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b")))
+        common = (
+            cand.join(
+                doc_sets.select(
+                    F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a")
+                ),
+                "doc_a",
+            )
+            .join(
+                doc_sets.select(
+                    F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b")
+                ),
+                "doc_b",
+            )
+            .select(
+                "doc_a", "doc_b", "n_a", "n_b", n_common.alias("n_common")
+            )
+        )
+    else:
+        # Single-join formulation: the inverted index feeds both sides
+        # of the self-join — persist so the corpus tokenizes once.
+        sh = (
+            doc_shingles(docs, n, id_col, text_col)
+            .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
+            .persist()
+        )
+        common = (
+            sh.alias("a")
+            .join(
+                sh.alias("b"),
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+                & ratio_ok,
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.n_sh").alias("n_a"),
+                F.col("b.n_sh").alias("n_b"),
+            )
+            .agg(F.count("*").alias("n_common"))
+        )
     return (
         common.withColumn(
             "jaccard",

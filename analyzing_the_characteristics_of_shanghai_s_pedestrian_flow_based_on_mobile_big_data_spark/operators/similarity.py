@@ -75,21 +75,68 @@ def brute_force_topk(
 
 def sign_bucket(emb_col, nbits: int = 4):
     """LSH bucket id from the signs of the first ``nbits`` dimensions
-    (axis-aligned hyperplanes — deterministic, engine-portable)."""
+    (axis-aligned hyperplanes — deterministic, engine-portable).
+    ``nbits`` must not exceed the embedding dimension."""
     bit = None
     for j in range(nbits):
-        b = F.when(F.element_at(emb_col, j + 1) >= 0, F.lit(2**j)).otherwise(F.lit(0))
+        b = F.when(
+            F.element_at(emb_col, j + 1) >= 0, F.lit(2**j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         bit = b if bit is None else bit + b
     return bit
 
 
+def adaptive_nbits(
+    n_rows: int,
+    target_bucket_size: int = 16,
+    min_bits: int = 4,
+    max_bits: int = 24,
+) -> int:
+    """Bucket-count policy: nbits ≈ log2(N / target_bucket_size), so the
+    expected in-bucket candidate set stays ~constant as the corpus
+    grows — a FIXED nbits makes the bucket self-join ~N²/2^nbits,
+    quadratic at scale. Clamped to [min_bits, max_bits] (max_bits must
+    stay ≤ embedding dim). At 100 TB pass the catalog row count instead
+    of running a count job."""
+    import math
+
+    if n_rows <= target_bucket_size:
+        return min_bits
+    return max(min_bits, min(max_bits, math.ceil(math.log2(n_rows / target_bucket_size))))
+
+
+def probe_buckets(bucket_col, nbits: int, multi_probe: int = 1):
+    """Array of buckets to probe: the home bucket plus, when
+    ``multi_probe >= 1``, every bucket at Hamming distance 1 (flip each
+    of the nbits sign bits). Single-bit probing recovers the neighbors
+    that straddle one hyperplane — the dominant recall loss mode; the
+    probe fan-out is nbits+1, so total candidates stay
+    ~(nbits+1)·N/2^nbits, still shrinking as N grows."""
+    probes = [bucket_col]
+    if multi_probe >= 1:
+        probes += [bucket_col.bitwiseXOR(F.lit(1 << j)) for j in range(nbits)]
+    return F.array(*probes)
+
+
 def bucketed_ann_topk(
-    emb: DataFrame, queries: DataFrame, k: int = 3, nbits: int = 4, dim: int | None = None
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    nbits: int | None = None,
+    dim: int | None = None,
+    multi_probe: int = 1,
+    target_bucket_size: int = 16,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign
-    bucket. Equi-join on bucket id → the corpus shuffles once on a
-    small int key (or broadcasts the queries); at 1000 executors each
-    bucket's candidates stay co-located."""
+    bucket plus its Hamming-1 probe buckets. Equi-join on bucket id →
+    the corpus shuffles once on a small int key (or broadcasts the
+    queries); at 1000 executors each bucket's candidates stay
+    co-located. ``nbits=None`` derives the bucket count from the corpus
+    size (``adaptive_nbits``), keeping candidate sets ~constant-size as
+    the corpus grows; the probe expansion happens on the (small,
+    broadcast) query side only."""
+    if nbits is None:
+        nbits = adaptive_nbits(emb.count(), target_bucket_size)
     c = emb.select(
         "vec_id",
         as_double_array(F.col("embedding")).alias("c_emb"),
@@ -98,7 +145,13 @@ def bucketed_ann_topk(
         queries.select(
             F.col("vec_id").alias("query_id"),
             as_double_array(F.col("embedding")).alias("q_emb"),
-        ).withColumn("bucket", sign_bucket(F.col("q_emb"), nbits))
+        )
+        .withColumn("__home", sign_bucket(F.col("q_emb"), nbits))
+        .withColumn(
+            "bucket",
+            F.explode(probe_buckets(F.col("__home"), nbits, multi_probe)),
+        )
+        .drop("__home")
     )
     pairs = (
         c.join(q, "bucket")

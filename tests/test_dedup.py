@@ -35,6 +35,58 @@ def test_ngram_jaccard_finds_near_dup(spark):
     assert (1, 3) not in pairs
 
 
+def test_ngram_jaccard_prefix_filter_exact(spark):
+    """Prefix-filtered candidate generation is exact: identical pair set
+    and jaccard values as the unfiltered inverted-index formulation, at
+    multiple thresholds, on a corpus with a deliberately hot shared
+    shingle ("the quick brown ..." prefix in most docs)."""
+    docs = spark.createDataFrame(
+        [
+            (1, DOC_A),
+            (2, DOC_A2),
+            (3, DOC_B),
+            (4, DOC_A),
+            (5, "the quick brown fox jumps over the lazy dog and runs far away"),
+            (6, "the quick brown fox sleeps under the lazy dog and runs far away today"),
+            (7, "spark query engines and big data systems are completely different"),
+        ],
+        "doc_id long, text string",
+    )
+    for t in (0.3, 0.5, 0.8):
+        fast = {
+            (r.doc_a, r.doc_b): round(r.jaccard, 9)
+            for r in ngram_jaccard_pairs(
+                docs, n=3, threshold=t, prefix_filter=True
+            ).collect()
+        }
+        slow = {
+            (r.doc_a, r.doc_b): round(r.jaccard, 9)
+            for r in ngram_jaccard_pairs(
+                docs, n=3, threshold=t, prefix_filter=False
+            ).collect()
+        }
+        assert fast == slow, f"threshold {t}: {fast} != {slow}"
+
+
+def test_ngram_jaccard_prefix_filter_exact_on_testdata(spark):
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    fast = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    slow = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in ngram_jaccard_pairs(
+            docs, n=3, threshold=0.5, prefix_filter=False
+        ).collect()
+    }
+    assert fast == slow
+
+
 def test_minhash_lsh_candidates_superset_of_dups(spark):
     cands = {
         (r.doc_a, r.doc_b) for r in minhash_lsh_pairs(_docs(spark), k=8, bands=4).collect()
@@ -62,3 +114,37 @@ def test_connected_components_transitive(spark):
     )
     got = {r.node: r.component for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_connected_components_deep_chain_converges(spark):
+    """64-node path graph (diameter 63): pointer jumping converges in
+    O(log d) rounds within the default budget, with per-round
+    checkpointing keeping lineage bounded — the plan must not stack 63
+    joins."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 64)], "doc_a long, doc_b long"
+    )
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got == {i: 1 for i in range(1, 65)}
+
+
+def test_connected_components_nonconvergence_flagged(spark):
+    import pytest
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.components import (
+        ConvergenceError,
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 64)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(ConvergenceError):
+        connected_components(pairs, max_iterations=1)
+    flagged = connected_components(pairs, max_iterations=1, strict=False)
+    assert "converged" in flagged.columns
+    assert flagged.filter("converged = false").count() == 64

@@ -28,7 +28,56 @@ def test_brute_force_topk_ranks_by_cosine(spark):
 def test_bucketed_ann_excludes_other_buckets(spark):
     emb = _emb(spark)
     q = emb.filter("vec_id = 0")
-    got = bucketed_ann_topk(emb, q, k=4, nbits=1).collect()
+    got = bucketed_ann_topk(emb, q, k=4, nbits=1, multi_probe=0).collect()
     ids = {r.vec_id for r in got}
     assert 3 not in ids  # negative first dim → different bucket
     assert 1 in ids
+
+
+def test_bucketed_ann_multi_probe_reaches_hamming1_bucket(spark):
+    emb = _emb(spark)
+    q = emb.filter("vec_id = 0")
+    got = bucketed_ann_topk(emb, q, k=4, nbits=1, multi_probe=1).collect()
+    ids = {r.vec_id for r in got}
+    assert 3 in ids  # one flipped sign bit away — probed
+
+
+def test_adaptive_nbits_grows_with_corpus():
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        adaptive_nbits,
+    )
+
+    assert adaptive_nbits(10) == 4  # floor
+    assert adaptive_nbits(500) == 5
+    assert adaptive_nbits(5000) == 9
+    assert adaptive_nbits(5_000_000) == 19
+    assert adaptive_nbits(10**12) == 24  # ceiling (≤ embedding dim)
+
+
+def test_ann_recall_vs_brute_force_sf001(spark):
+    """Recall gate at sf0.01 (500 isotropic random 64-dim vectors — the
+    hardest case for sign LSH: cosine-to-bucket correlation is weakest
+    on directionless data). Multi-probe must strictly lift recall, and
+    the probed recall floor is pinned so regressions in the bucket or
+    probe logic surface here."""
+    from pyspark.sql import functions as F
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    bf = {(r.query_id, r.vec_id) for r in brute_force_topk(emb, q, k=3, dim=64).collect()}
+    recalls = {}
+    for mp in (0, 1):
+        ann = {
+            (r.query_id, r.vec_id)
+            for r in bucketed_ann_topk(emb, q, k=3, multi_probe=mp).collect()
+        }
+        recalls[mp] = len(ann & bf) / len(bf)
+    assert recalls[1] > recalls[0]
+    assert recalls[1] >= 0.35
