@@ -379,6 +379,21 @@ def _q_brand_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_two_phase_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 at scale: surrogate keys via the two-phase mint (range
+    repartition → parallel local ranks → offset add → join back) —
+    no single-partition window anywhere in the plan (contrast:
+    brand_dense_rank is the small-dim global-window path)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.region_build import (
+        mint_dense_ids,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    return mint_dense_ids(
+        part.select("p_partkey", "p_type"), ["p_type"], "type_id", large=True
+    )
+
+
 def _q_rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
@@ -1301,6 +1316,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_region": _q_revenue_by_region,
         "running_revenue": _q_running_revenue,
         "brand_dense_rank": _q_brand_dense_rank,
+        "two_phase_dense_ids": _q_two_phase_dense_ids,
         "rollup_order_status": _q_rollup_order_status,
         "cube_returnflag": _q_cube_returnflag,
         "union_segments": _q_union_segments,
@@ -1786,6 +1802,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_brand,
                    CAST(dense_rank() OVER (ORDER BY p_brand) AS INTEGER) AS brand_id
             FROM (SELECT DISTINCT p_brand FROM part)
+        """,
+        "two_phase_dense_ids": """
+            SELECT p_partkey, p_type,
+                   CAST(dense_rank() OVER (ORDER BY p_type) AS INTEGER) AS type_id
+            FROM part
         """,
         "rollup_order_status": f"""
             SELECT o_orderstatus, o_orderpriority, count(*) AS n,

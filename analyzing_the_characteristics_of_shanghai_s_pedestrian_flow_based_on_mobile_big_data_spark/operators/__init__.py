@@ -14,6 +14,7 @@ from .region_build import (  # noqa: F401
     assign_poi_type,
     assign_region,
     build_region_dim,
+    mint_dense_ids,
     nearest_poi_type,
 )
 from .sessions import session_stats, sessionize  # noqa: F401

@@ -5,10 +5,14 @@ Re-expresses the reference's region pipeline:
 - ``region.py:42-53``: geohash-encode POIs at precisions 5–8 and mint a
   dense surrogate ``agent_id`` over geohash5. The reference forces a
   single-partition window with a constant-literal partition key
-  (``region.py:50`` — every row through one task). Here the dimension
-  is small by definition (regions, not pings), so a global dense_rank
-  is acceptable; for very large dims swap in the two-phase variant
-  below (distinct keys → sorted ids → broadcast join back).
+  (``region.py:50`` — every row through one task). Here
+  :func:`mint_dense_ids` picks the strategy: a global dense_rank for
+  small dims (hundreds of regions — the reference's 356), or the
+  two-phase variant for large dims (fine-grained 5081+ subareas, grid
+  cells): distinct anchor keys → range-repartition → parallel
+  per-partition local ranks → tiny per-partition-count collect →
+  local rank + cumulative offset, joined back — no single-partition
+  stage anywhere (plan-asserted in ``tests/test_plans.py``).
 - ``cal_orig_area.py:24-43,88-90``: cascading geohash broadcast joins
   (try fine precision, fall back to coarse, default 0) — built on the
   single-pass :func:`..operators.cascade.cascade_join`, so the ping
@@ -26,24 +30,94 @@ from ..functions.geohash import geohash_encode
 from .cascade import cascade_join
 
 
+def mint_dense_ids(
+    dim: DataFrame,
+    anchor_cols: Sequence[str],
+    id_col: str = "agent_id",
+    large: bool = False,
+    range_partitions: int | None = None,
+) -> DataFrame:
+    """Dense 1-based surrogate ids over the anchor-key order, attached
+    to every input row.
+
+    ``large=False``: global ``dense_rank`` — one single-partition
+    window, fine for dimension tables in the hundreds/thousands (the
+    reference's 356 regions; its constant-literal partition trick at
+    region.py:50-53 is the same bottleneck, kept only at small scale).
+
+    ``large=True`` (two-phase, no single-partition stage anywhere):
+
+    1. distinct anchor keys, ``repartitionByRange`` on the anchor
+       order — partition *i* holds keys strictly below partition
+       *i+1*'s;
+    2. parallel per-partition local ``row_number`` (window keyed on
+       ``spark_partition_id`` — distinct keys make row_number a dense
+       rank);
+    3. per-partition counts collected to the driver (one row per
+       partition — bounded by the partition count, not the data) and
+       turned into cumulative offsets;
+    4. global id = local rank + partition offset (literal map lookup),
+       then joined back to the input on the anchor keys (AQE picks
+       broadcast when the key table is small).
+
+    Global ids are identical between the two paths for any input
+    (pytest-pinned), so callers can flip ``large`` on table-size alone.
+    """
+    anchors = list(anchor_cols)
+    if not large:
+        w = Window.orderBy(*anchors)
+        return dim.withColumn(id_col, F.dense_rank().over(w))
+    spark = dim.sparkSession
+    nparts = range_partitions or spark.sparkContext.defaultParallelism
+    keyed = (
+        dim.select(*anchors)
+        .distinct()
+        .repartitionByRange(nparts, *[F.col(a) for a in anchors])
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*anchors)
+    local = keyed.withColumn("__lrk", F.row_number().over(w_local)).persist()
+    counts = {
+        r["__pid"]: r["n"]
+        for r in local.groupBy("__pid").agg(F.max("__lrk").alias("n")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_map = F.create_map(
+        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+    )
+    ids = local.select(
+        *anchors,
+        (F.col("__lrk") + F.element_at(offset_map, F.col("__pid")))
+        .cast("int")
+        .alias(id_col),
+    )
+    return dim.join(ids, anchors)
+
+
 def build_region_dim(
     poi: DataFrame,
     lat_col: str = "latitude",
     lon_col: str = "longitude",
     precisions: Sequence[int] = (5, 6, 7, 8),
     anchor_precision: int = 5,
+    large_dim: bool = False,
 ) -> DataFrame:
     """POI table → region dimension with geohash columns and a dense
     1-based ``agent_id`` keyed on the anchor-precision geohash
-    (region.py:42-53)."""
+    (region.py:42-53). ``large_dim=True`` routes id minting through the
+    two-phase path — use it for fine-grained dims (5081+ subareas, grid
+    cells) where a global window would bottleneck on one task."""
     out = poi
     for p in precisions:
         out = out.withColumn(
             f"geohash{p}", geohash_encode(F.col(lat_col), F.col(lon_col), p)
         )
     anchor = f"geohash{anchor_precision}"
-    w = Window.orderBy(anchor)
-    return out.withColumn("agent_id", F.dense_rank().over(w))
+    return mint_dense_ids(out, [anchor], "agent_id", large=large_dim)
 
 
 #: The reference's POI-type probe order: type 7 at geohash8, 6 and 5 at

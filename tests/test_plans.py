@@ -48,6 +48,47 @@ def test_column_pruning_reads_narrow_schema(spark):
     assert "l_extendedprice" not in plan.split("ReadSchema")[1][:200]
 
 
+def test_two_phase_surrogate_keys_avoid_single_partition_window(spark):
+    """The large-dim id mint must never funnel rows through one task:
+    no single-partition exchange anywhere in its plan (the small-dim
+    dense_rank path has exactly that — asserted as the contrast)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.region_build import (
+        mint_dense_ids,
+    )
+
+    dim = spark.range(0, 5000).select(
+        F.concat(F.lit("k"), F.lpad(F.col("id").cast("string"), 8, "0")).alias(
+            "anchor"
+        ),
+        (F.col("id") % 7).alias("payload"),
+    )
+    large = mint_dense_ids(dim, ["anchor"], "sk", large=True)
+    assert "SinglePartition" not in physical_plan(large)
+    small = mint_dense_ids(dim, ["anchor"], "sk", large=False)
+    assert "SinglePartition" in physical_plan(small)
+
+
+def test_two_phase_surrogate_keys_match_global_dense_rank(spark):
+    """Same dense 1-based ids from both paths, including duplicate
+    anchor keys (dense_rank semantics: dup keys share an id)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.region_build import (
+        mint_dense_ids,
+    )
+
+    rows = [(f"g{i % 211:04d}", i) for i in range(1000)]  # 211 distinct anchors
+    dim = spark.createDataFrame(rows, "anchor string, payload long")
+    small = {
+        (r.anchor, r.payload): r.sk
+        for r in mint_dense_ids(dim, ["anchor"], "sk", large=False).collect()
+    }
+    large = {
+        (r.anchor, r.payload): r.sk
+        for r in mint_dense_ids(dim, ["anchor"], "sk", large=True).collect()
+    }
+    assert small == large
+    assert set(small.values()) == set(range(1, 212))
+
+
 def test_cascade_join_single_fact_scan(spark):
     """The one-pass cascade must not re-scan the fact per level —
     exactly one parquet scan of events in the plan."""
