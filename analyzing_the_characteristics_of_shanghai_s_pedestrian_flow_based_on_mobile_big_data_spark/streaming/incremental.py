@@ -3,9 +3,20 @@
 The batch-incremental OD/occupancy story from SURVEY.md §2.10: each
 micro-batch's partial counts are merged (added) into a persistent
 long-form parquet table. No lakehouse format in this environment, so
-the merge is read-modify-write with a two-generation directory swap —
-the exactly-once contract comes from the streaming checkpoint (a batch
-re-run overwrites the same generation deterministically).
+the merge is a generation chain with an atomically-swapped pointer
+file; exactly-once holds even when an epoch replays after the pointer
+advanced but before the streaming checkpoint committed:
+
+- CURRENT records (generation, epoch, parent generation). A replay of
+  epoch E detects ``pointer.epoch == E`` and merges the delta into the
+  *parent* generation — the table state the first attempt saw — so the
+  delta is never double-applied.
+- Every attempt writes to a fresh uniquely-named directory and only
+  then swaps the pointer (``os.replace``, atomic). No directory that a
+  pending lazy DataFrame read may reference is ever deleted before the
+  merged output is fully materialized; superseded generations are
+  garbage-collected after the swap, always keeping the current
+  generation and its parent.
 
 At scale the swap becomes a MERGE INTO on Delta/Iceberg and the
 read-modify-write narrows to the touched partitions (counts are
@@ -14,52 +25,79 @@ partitioned by hour → only the watermark-recent partitions rewrite).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
 class IncrementalCountTable:
-    """Additive count table keyed by `keys`, maintained across batches."""
+    """Additive count table keyed by `keys`, maintained across batches.
+
+    Single-writer (the streaming query's foreachBatch); readers go
+    through :meth:`read`, which resolves the pointer at call time.
+    """
 
     def __init__(self, spark: SparkSession, path: str, keys: list[str]):
         self.spark = spark
         self.path = path
         self.keys = keys
 
-    def _current(self) -> str | None:
+    def _pointer(self) -> dict | None:
         ptr = os.path.join(self.path, "CURRENT")
-        if os.path.exists(ptr):
-            with open(ptr) as f:
-                return os.path.join(self.path, f.read().strip())
-        return None
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            raw = f.read().strip()
+        try:
+            return json.loads(raw)
+        except json.JSONDecodeError:
+            # pre-upgrade pointer: plain generation name
+            return {"gen": raw, "epoch": None, "parent": None}
 
     def read(self) -> DataFrame | None:
-        cur = self._current()
-        if cur is None:
+        ptr = self._pointer()
+        if ptr is None:
             return None
-        return self.spark.read.parquet(cur)
+        return self.spark.read.parquet(os.path.join(self.path, ptr["gen"]))
 
     def merge_batch(self, delta: DataFrame, epoch_id: int) -> None:
-        """Add a batch's (keys..., cnt) partial counts into the table."""
-        existing = self.read()
-        merged = (
-            existing.unionByName(delta) if existing is not None else delta
-        )
-        merged = merged.groupBy(*self.keys).agg(
-            F.sum("cnt").alias("cnt")
-        )
-        gen = f"gen_{epoch_id}"
-        out = os.path.join(self.path, gen)
-        if os.path.exists(out):
-            shutil.rmtree(out)  # re-run of the same epoch → idempotent
-        merged.write.mode("overwrite").parquet(out)
+        """Add a batch's (keys..., cnt) partial counts into the table.
+
+        Idempotent per epoch: replays (same ``epoch_id``) rebase onto
+        the generation the first attempt consumed, not onto its own
+        output.
+        """
+        ptr = self._pointer()
+        if ptr is not None and ptr["epoch"] == epoch_id:
+            base_gen = ptr["parent"]  # replay: pointer already advanced
+        else:
+            base_gen = ptr["gen"] if ptr is not None else None
+        if base_gen is not None:
+            existing = self.spark.read.parquet(
+                os.path.join(self.path, base_gen)
+            )
+            merged = existing.unionByName(delta)
+        else:
+            merged = delta
+        merged = merged.groupBy(*self.keys).agg(F.sum("cnt").alias("cnt"))
+        # Fresh directory per attempt: the lazy `existing` read above is
+        # materialized by this write while its input files still exist.
+        gen = f"gen_{epoch_id}_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(os.path.join(self.path, gen))
         tmp = os.path.join(self.path, "CURRENT.tmp")
         with open(tmp, "w") as f:
-            f.write(gen)
+            json.dump({"gen": gen, "epoch": epoch_id, "parent": base_gen}, f)
         os.replace(tmp, os.path.join(self.path, "CURRENT"))
+        # GC superseded generations — keep the new current and its
+        # parent (a replay of this epoch may still rebase onto it).
+        keep = {gen, base_gen}
+        for d in os.listdir(self.path):
+            if d.startswith("gen_") and d not in keep:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
 
 
 def incremental_occupancy_stream(

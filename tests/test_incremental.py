@@ -41,3 +41,29 @@ def test_foreachbatch_incremental_counts(spark, tmp_path):
         (6, ts("2024-01-01 11:00:00")): 1,
         (6, ts("2024-01-01 12:00:00")): 1,
     }
+
+
+def test_merge_batch_epoch_replay_is_idempotent(spark, tmp_path):
+    """An epoch that re-runs after the table pointer advanced (crash
+    between merge and streaming-checkpoint commit) must not
+    double-count its delta: the replay rebases onto the generation the
+    first attempt consumed."""
+    table = IncrementalCountTable(spark, str(tmp_path / "t"), ["k"])
+    d0 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, cnt long")
+    table.merge_batch(d0, 0)
+    d1 = spark.createDataFrame([("a", 10)], "k string, cnt long")
+    table.merge_batch(d1, 1)
+    table.merge_batch(d1, 1)  # replay of epoch 1
+    got = {r.k: r.cnt for r in table.read().collect()}
+    assert got == {"a": 11, "b": 2}
+
+
+def test_merge_batch_first_epoch_replay(spark, tmp_path):
+    """Replay of the very first epoch (no parent generation) resets to
+    the delta alone rather than doubling it."""
+    table = IncrementalCountTable(spark, str(tmp_path / "t"), ["k"])
+    d0 = spark.createDataFrame([("a", 3)], "k string, cnt long")
+    table.merge_batch(d0, 0)
+    table.merge_batch(d0, 0)
+    got = {r.k: r.cnt for r in table.read().collect()}
+    assert got == {"a": 3}
