@@ -53,7 +53,13 @@ from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile
 )
 
 N_REGIONS = 20
-REGION_SQL = f"(CAST(floor(value) AS BIGINT) % {N_REGIONS}) + 1"
+# pmod twin: Spark's F.pmod is always non-negative while DuckDB's % is
+# C-style remainder (negative for negative operands) — double-wrap so
+# both agree for any sign of `value`.
+REGION_SQL = (
+    f"(((CAST(floor(value) AS BIGINT) % {N_REGIONS}) + {N_REGIONS})"
+    f" % {N_REGIONS}) + 1"
+)
 
 # Shared oracle CTE: events → deterministic hourly positions (latest
 # event per user-hour) — mirror of sources.events_as_pings +

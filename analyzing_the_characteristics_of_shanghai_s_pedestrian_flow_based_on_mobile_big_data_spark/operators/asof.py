@@ -9,13 +9,21 @@ Implementation is the union-window trick — fully Catalyst-native, one
 shuffle on (key), no python, no per-group pandas merge_asof:
 
 1. tag both sides, union by name over (key, ts, side, right-payload);
-2. window per key ordered by (ts, side-priority): ``last_value`` of the
+2. window per key ordered by (ts, side-priority): ``last`` of the
    right payload with ignoreNulls over the running frame = latest
    right row seen so far;
 3. keep left rows.
 
 Right rows sort before left rows at equal ts (side priority), so an
 exactly-simultaneous right row IS matched (inclusive as-of).
+
+Atomicity: all payload columns ride in ONE struct and the window takes
+``last(ignorenulls)`` over that struct — every ``asof_*`` output column
+comes from the *same* matched right row, even when some payload values
+are legitimately NULL (per-column last() would backfill those from
+older rows, stitching a row that never existed). Ties among right rows
+at the same (key, ts) break on the payload struct itself (largest
+wins) — a total order on values, deterministic across partitionings.
 """
 
 from __future__ import annotations
@@ -38,36 +46,38 @@ def asof_join(
     right.ts ≤ left.ts per ``on`` key (null payload when no prior row).
     """
     lcols = left.columns
-    l = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
-    for c in payload_cols:
-        l = l.withColumn(f"__p_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
-    r = (
-        right.select(
-            F.col(on),
-            F.col(right_ts).alias("__ts"),
-            F.lit(0).alias("__side"),
-            *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
-        )
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("__p"),
     )
+    payload_type = r.schema["__p"].dataType
     for c in lcols:
         if c not in (on,):
             r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
-    u = l.select(
-        *lcols, "__ts", "__side", *[f"__p_{c}" for c in payload_cols]
-    ).unionByName(
-        r.select(*lcols, "__ts", "__side", *[f"__p_{c}" for c in payload_cols])
+    l = (
+        left.withColumn("__ts", F.col(left_ts))
+        .withColumn("__side", F.lit(1))
+        .withColumn("__p", F.lit(None).cast(payload_type))
+    )
+    u = l.select(*lcols, "__ts", "__side", "__p").unionByName(
+        r.select(*lcols, "__ts", "__side", "__p")
     )
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(
+            F.col("__ts").asc(),
+            F.col("__side").asc(),
+            # total tiebreak among same-(key, ts) right rows: the
+            # running-frame last() then deterministically picks the
+            # largest payload struct
+            F.col("__p").asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = u
-    for c in payload_cols:
-        out = out.withColumn(
-            f"asof_{c}", F.last(f"__p_{c}", ignorenulls=True).over(w)
-        )
-    return (
-        out.filter(F.col("__side") == 1)
-        .select(*lcols, *[f"asof_{c}" for c in payload_cols])
+    out = u.withColumn("__asof", F.last("__p", ignorenulls=True).over(w))
+    return out.filter(F.col("__side") == 1).select(
+        *lcols,
+        *[F.col(f"__asof.{c}").alias(f"asof_{c}") for c in payload_cols],
     )

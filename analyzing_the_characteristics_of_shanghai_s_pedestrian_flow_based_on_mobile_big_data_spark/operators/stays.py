@@ -20,7 +20,6 @@ def stay_segments(positions: DataFrame) -> DataFrame:
     A stay breaks when the region changes OR an hour is missing (use
     gap-filled positions for the reference's assume-stayed semantics).
     """
-    w_all = Window.partitionBy("user_id").orderBy("hour")
     w_reg = Window.partitionBy("user_id", "region_id").orderBy("hour")
     # hours-since-epoch makes the island key robust to missing hours
     hour_idx = (F.unix_timestamp("hour") / 3600).cast("long")

@@ -148,7 +148,10 @@ def events_as_pings(spark: SparkSession, sf_dir: str, n_regions: int = 20) -> Da
 
 
 # DuckDB-side equivalent of events_as_pings' region derivation, kept next
-# to the Spark definition so the two can never drift.
+# to the Spark definition so the two can never drift. Spark's F.pmod is
+# always non-negative; DuckDB's % is C-style remainder (sign follows the
+# dividend) — the double-wrap makes the twin agree for negative values
+# too, not just the value >= 0 range the testdata happens to cover.
 PINGS_REGION_SQL = (
-    "(CAST(floor(value) AS BIGINT) % {n}) + 1"
+    "(((CAST(floor(value) AS BIGINT) % {n}) + {n}) % {n}) + 1"
 )

@@ -31,3 +31,43 @@ def test_asof_attaches_latest_prior_row(spark):
     assert got[(1, ts("2024-01-01 10:00:30"))] == 100.9
     assert got[(2, ts("2024-01-01 10:00:10"))] is None
     assert out.count() == trades.count()
+
+
+def test_asof_matched_row_is_atomic(spark):
+    """All asof_* columns must come from the SAME right row: a NULL in
+    the latest right row stays NULL — per-column last(ignorenulls)
+    would backfill it from an older row, emitting a stitched row that
+    never existed."""
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:30"))], "k long, l_ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:00"), 1.0, "old"),
+            (1, ts("2024-01-01 10:00:20"), None, "new"),
+        ],
+        "k long, r_ts timestamp, px double, tag string",
+    )
+    row = asof_join(left, right, "k", "l_ts", "r_ts", ["px", "tag"]).collect()[0]
+    assert row.asof_tag == "new"
+    assert row.asof_px is None  # NOT backfilled to 1.0
+
+
+def test_asof_equal_ts_right_rows_deterministic(spark):
+    """Multiple right rows at the same (key, ts): the largest payload
+    struct wins — a data-determined tiebreak, stable across runs and
+    partitionings."""
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:30"))], "k long, l_ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:20"), 5.0),
+            (1, ts("2024-01-01 10:00:20"), 7.0),
+            (1, ts("2024-01-01 10:00:20"), 6.0),
+        ],
+        "k long, r_ts timestamp, px double",
+    )
+    for _ in range(3):
+        row = asof_join(left, right, "k", "l_ts", "r_ts", ["px"]).collect()[0]
+        assert row.asof_px == 7.0
