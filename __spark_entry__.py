@@ -536,6 +536,93 @@ def _q_haversine_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_nearest_poi_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3/F10 oracle-paired: nearest-POI type per ping via broadcast
+    join + native haversine + min_by argmin (replaces the reference's
+    closure-captured python-dict UDF, cal_subarea_portion.py:142-149).
+    Pings come from events, POIs from supplier — both with
+    deterministically derived coordinates; ties break to the smallest
+    type (the reference's np.argmin is load-order dependent)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.region_build import (
+        nearest_poi_type,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    pings = ev.select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(10)).cast("int").alias("agent_id"),
+        (F.lit(30.6) + F.col("value") / 700.0).alias("ltt"),
+        (F.lit(120.9) + F.col("value") / 560.0).alias("lgt"),
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    poi = sup.select(
+        F.pmod(F.col("s_suppkey"), F.lit(10)).cast("int").alias("agent_id"),
+        (F.lit(30.6) + F.col("s_acctbal") / 10000.0).alias("latitude"),
+        (F.lit(120.9) + F.col("s_suppkey") / 1000.0).alias("longitude"),
+        (F.pmod(F.col("s_suppkey"), F.lit(8)) + 1).cast("int").alias("type"),
+    )
+    return nearest_poi_type(pings, poi, key="agent_id").select(
+        "event_id", "nearest_type"
+    )
+
+
+def _q_grid_blocked_nearest_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7's neighbor-expansion morphology under a full oracle: bin
+    coordinates to a 0.02-degree grid, expand each ping to its 3x3
+    neighbor cells (explode — the same shape geohash_neighbors feeds at
+    scale), equi-join POIs on the cell key, exact haversine argmin.
+    Only candidates in the 9 cells are compared — the blocked spatial
+    join that replaces an all-pairs distance scan at 100 TB."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.geo import (
+        haversine_m,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    pings = ev.select(
+        "event_id",
+        (F.lit(30.6) + F.col("value") / 700.0).alias("ltt"),
+        (F.lit(120.9) + F.col("value") / 560.0).alias("lgt"),
+    )
+    off = F.array(*[F.lit(d) for d in (-1, 0, 1)])
+    pings_exp = (
+        pings.withColumn("cell_lat", F.floor(F.col("ltt") * 50).cast("long"))
+        .withColumn("cell_lon", F.floor(F.col("lgt") * 50).cast("long"))
+        .withColumn("di", F.explode(off))
+        .withColumn("dj", F.explode(off))
+        .select(
+            "event_id",
+            "ltt",
+            "lgt",
+            (F.col("cell_lat") + F.col("di")).alias("p_cell_lat"),
+            (F.col("cell_lon") + F.col("dj")).alias("p_cell_lon"),
+        )
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    poi = sup.select(
+        (F.lit(30.6) + F.col("s_acctbal") / 10000.0).alias("latitude"),
+        (F.lit(120.9) + F.col("s_suppkey") / 1000.0).alias("longitude"),
+        (F.pmod(F.col("s_suppkey"), F.lit(8)) + 1).cast("int").alias("type"),
+    ).select(
+        "latitude",
+        "longitude",
+        "type",
+        F.floor(F.col("latitude") * 50).cast("long").alias("p_cell_lat"),
+        F.floor(F.col("longitude") * 50).cast("long").alias("p_cell_lon"),
+    )
+    j = pings_exp.join(
+        F.broadcast(poi), ["p_cell_lat", "p_cell_lon"]
+    ).withColumn(
+        "__dist",
+        haversine_m(
+            F.col("ltt"), F.col("lgt"), F.col("latitude"), F.col("longitude")
+        ),
+    )
+    return j.groupBy("event_id").agg(
+        F.min_by("type", F.struct("__dist", "type")).alias("nearest_type"),
+        F.count("*").alias("n_candidates"),
+    )
+
+
 def _q_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(
@@ -1335,6 +1422,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_event_per_user_day": _q_first_event_per_user_day,
         "dedup_keep_latest_per_day": _q_dedup_keep_latest_per_day,
         "haversine_hops": _q_haversine_hops,
+        "nearest_poi_type": _q_nearest_poi_type,
+        "grid_blocked_nearest_poi": _q_grid_blocked_nearest_poi,
         "weekday_profile": _q_weekday_profile,
         "occupancy_scaled": _q_occupancy_scaled,
         "occupancy_approx": _q_occupancy_approx,
@@ -1925,6 +2014,75 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CAST(round({hav} / 100.0, 0) AS BIGINT) AS dist_100m
             FROM hops WHERE pre_lat IS NOT NULL
+        """,
+        "nearest_poi_type": """
+            WITH pings AS (
+              SELECT event_id,
+                     CAST(((user_id % 10) + 10) % 10 AS INTEGER) AS agent_id,
+                     30.6 + value / 700.0 AS ltt,
+                     120.9 + value / 560.0 AS lgt
+              FROM events
+            ),
+            poi AS (
+              SELECT CAST(((s_suppkey % 10) + 10) % 10 AS INTEGER) AS agent_id,
+                     30.6 + s_acctbal / 10000.0 AS latitude,
+                     120.9 + s_suppkey / 1000.0 AS longitude,
+                     CAST(((s_suppkey % 8) + 8) % 8 + 1 AS INTEGER) AS type
+              FROM supplier
+            ),
+            j AS (
+              SELECT p.event_id, poi.type,
+                     2 * 6372800.0 * asin(sqrt(
+                       pow(sin(radians(poi.latitude - p.ltt) / 2), 2) +
+                       cos(radians(p.ltt)) * cos(radians(poi.latitude)) *
+                       pow(sin(radians(poi.longitude - p.lgt) / 2), 2))) AS dist
+              FROM pings p JOIN poi USING (agent_id)
+            )
+            SELECT event_id, type AS nearest_type
+            FROM j
+            QUALIFY row_number() OVER (
+              PARTITION BY event_id ORDER BY dist ASC, type ASC) = 1
+        """,
+        "grid_blocked_nearest_poi": """
+            WITH pings AS (
+              SELECT event_id,
+                     30.6 + value / 700.0 AS ltt,
+                     120.9 + value / 560.0 AS lgt
+              FROM events
+            ),
+            pings_exp AS (
+              SELECT event_id, ltt, lgt,
+                     CAST(floor(ltt * 50) AS BIGINT) + di AS p_cell_lat,
+                     CAST(floor(lgt * 50) AS BIGINT) + dj AS p_cell_lon
+              FROM pings
+              CROSS JOIN (SELECT unnest([-1, 0, 1]) AS di)
+              CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dj)
+            ),
+            poi AS (
+              SELECT 30.6 + s_acctbal / 10000.0 AS latitude,
+                     120.9 + s_suppkey / 1000.0 AS longitude,
+                     CAST(((s_suppkey % 8) + 8) % 8 + 1 AS INTEGER) AS type
+              FROM supplier
+            ),
+            poi_cells AS (
+              SELECT latitude, longitude, type,
+                     CAST(floor(latitude * 50) AS BIGINT) AS p_cell_lat,
+                     CAST(floor(longitude * 50) AS BIGINT) AS p_cell_lon
+              FROM poi
+            ),
+            j AS (
+              SELECT p.event_id, c.type,
+                     2 * 6372800.0 * asin(sqrt(
+                       pow(sin(radians(c.latitude - p.ltt) / 2), 2) +
+                       cos(radians(p.ltt)) * cos(radians(c.latitude)) *
+                       pow(sin(radians(c.longitude - p.lgt) / 2), 2))) AS dist
+              FROM pings_exp p
+              JOIN poi_cells c USING (p_cell_lat, p_cell_lon)
+            )
+            SELECT event_id,
+                   first(type ORDER BY dist ASC, type ASC) AS nearest_type,
+                   count(*) AS n_candidates
+            FROM j GROUP BY event_id
         """,
         "weekday_profile": """
             SELECT CAST(isodow(ts) - 1 AS INTEGER) AS wd,

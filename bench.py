@@ -36,6 +36,11 @@ HEADLINE = [
     "text_stats",
     "cosine_topk",
     "ann_bucketed",
+    # iterative and composed pipelines — round-over-round perf tracking
+    # must cover more than single-pass queries
+    "near_dup_clusters",
+    "corpus_curation",
+    "od_weekly_cycle",
 ]
 
 
