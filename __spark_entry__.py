@@ -623,6 +623,59 @@ def _q_grid_blocked_nearest_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_active_shipments_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join (absent from the reference, SURVEY.md §2.3)
+    via the bucketed equi-join rewrite: for each month-start probe
+    date, count lineitems whose [shipdate, receiptdate] interval covers
+    it. The bucket key turns what Spark would plan as a
+    BroadcastNestedLoopJoin into a hash join (plan-asserted in
+    tests/test_ranges.py)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.ranges import (
+        bucketed_interval_join,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        # the testdata lineitem carries no receiptdate — derive a
+        # deterministic transit window from the quantity
+        F.date_add(
+            F.col("l_shipdate").cast("date"),
+            F.pmod(F.col("l_quantity").cast("int"), F.lit(30)),
+        ).alias("receipt_date"),
+    )
+    cal = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1992-01-01").cast("date"),
+                F.lit("1998-12-01").cast("date"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("probe_date")
+    )
+    j = bucketed_interval_join(cal, li, "probe_date", "ship_date", "receipt_date")
+    return j.groupBy("probe_date").agg(F.count("*").alias("n_active"))
+
+
+def _q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session-window aggregation (F.session_window) — the merge
+    operator Structured Streaming uses for stateful session aggs,
+    exercised here in batch under the oracle gate. Spark semantics: a
+    new session starts when the gap is >= 30 min (the window is
+    [ts, ts+gap)); the islands oracle mirrors that with epoch diffs."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
 def _q_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(
@@ -1424,6 +1477,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "haversine_hops": _q_haversine_hops,
         "nearest_poi_type": _q_nearest_poi_type,
         "grid_blocked_nearest_poi": _q_grid_blocked_nearest_poi,
+        "active_shipments_monthly": _q_active_shipments_monthly,
+        "session_window_stats": _q_session_window_stats,
         "weekday_profile": _q_weekday_profile,
         "occupancy_scaled": _q_occupancy_scaled,
         "occupancy_approx": _q_occupancy_approx,
@@ -2083,6 +2138,41 @@ def oracle_sql() -> dict[str, str]:
                    first(type ORDER BY dist ASC, type ASC) AS nearest_type,
                    count(*) AS n_candidates
             FROM j GROUP BY event_id
+        """,
+        "active_shipments_monthly": """
+            WITH cal AS (
+              SELECT CAST(unnest(generate_series(
+                       DATE '1992-01-01', DATE '1998-12-01',
+                       INTERVAL 1 MONTH)) AS DATE) AS probe_date
+            )
+            SELECT probe_date, count(*) AS n_active
+            FROM cal JOIN (
+              SELECT CAST(l_shipdate AS DATE) AS ship_date,
+                     CAST(l_shipdate AS DATE)
+                       + (((CAST(l_quantity AS INTEGER) % 30) + 30) % 30)
+                       AS receipt_date
+              FROM lineitem
+            ) li
+              ON ship_date <= probe_date AND probe_date <= receipt_date
+            GROUP BY probe_date
+        """,
+        "session_window_stats": """
+            WITH marked AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sess AS (
+              SELECT user_id, ts,
+                     sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked
+            )
+            SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+            FROM sess GROUP BY user_id, sid
         """,
         "weekday_profile": """
             SELECT CAST(isodow(ts) - 1 AS INTEGER) AS wd,
