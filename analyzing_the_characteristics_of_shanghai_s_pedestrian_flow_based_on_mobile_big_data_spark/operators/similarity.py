@@ -118,6 +118,77 @@ def probe_buckets(bucket_col, nbits: int, multi_probe: int = 1):
     return F.array(*probes)
 
 
+def banded_sign_bucket(emb_col, table: int, nbits: int):
+    """Sign bucket over dimension slice [table·nbits, (table+1)·nbits)
+    — each band/table hashes a disjoint group of hyperplanes."""
+    offset = table * nbits
+    bit = None
+    for j in range(nbits):
+        b = F.when(
+            F.element_at(emb_col, offset + j + 1) >= 0,
+            F.lit(2**j).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        bit = b if bit is None else bit + b
+    return bit
+
+
+def banded_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_tables: int = 4,
+    nbits: int | None = None,
+    dim: int | None = None,
+    target_bucket_size: int = 16,
+) -> DataFrame:
+    """OR-amplified LSH: ``n_tables`` independent hash tables, each a
+    sign bucket over a disjoint dimension slice; a corpus vector is a
+    candidate if it shares the query's bucket in ANY table. Recall
+    amplifies as 1-(1-p)^L while candidates stay ~L·N/2^nbits — the
+    classic AND-OR construction, complementary to Hamming multi-probe
+    (which probes near buckets of ONE table). Duplicate candidates
+    (pairs agreeing in several tables) are deduped by a (query, vec)
+    aggregate on scalar triples, never on array payloads."""
+    if nbits is None:
+        nbits = adaptive_nbits(emb.count(), target_bucket_size)
+    if dim is not None:
+        nbits = max(1, min(nbits, dim // n_tables))
+
+    def with_tables(df):
+        structs = [
+            F.struct(
+                F.lit(t).alias("tbl"),
+                banded_sign_bucket(F.col("__emb"), t, nbits).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+        return df.withColumn("__tb", F.explode(F.array(*structs))).select(
+            df.columns + [F.col("__tb.tbl").alias("tbl"), F.col("__tb.bucket").alias("bucket")]
+        )
+
+    c = with_tables(
+        emb.select("vec_id", as_double_array(F.col("embedding")).alias("__emb"))
+    ).withColumnRenamed("__emb", "c_emb")
+    q = F.broadcast(
+        with_tables(
+            queries.select(
+                F.col("vec_id").alias("query_id"),
+                as_double_array(F.col("embedding")).alias("__emb"),
+            )
+        ).withColumnRenamed("__emb", "q_emb")
+    )
+    pairs = (
+        c.join(q, ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos_r", F.round(_cos(dim)(F.col("q_emb"), F.col("c_emb")), 6)
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.max("cos_r").alias("cos_r"))
+    )
+    return _ranked_topk(pairs, k)
+
+
 def bucketed_ann_topk(
     emb: DataFrame,
     queries: DataFrame,

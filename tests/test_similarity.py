@@ -81,3 +81,15 @@ def test_ann_recall_vs_brute_force_sf001(spark):
         recalls[mp] = len(ann & bf) / len(bf)
     assert recalls[1] > recalls[0]
     assert recalls[1] >= 0.35
+    # OR-amplified banded tables beat single-table multi-probe
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        banded_ann_topk,
+    )
+
+    banded = {
+        (r.query_id, r.vec_id)
+        for r in banded_ann_topk(emb, q, k=3, n_tables=4, dim=64).collect()
+    }
+    banded_recall = len(banded & bf) / len(bf)
+    assert banded_recall > recalls[1]
+    assert banded_recall >= 0.5
