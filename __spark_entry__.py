@@ -783,6 +783,39 @@ def _q_ann_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return banded_ann_topk(emb, queries_df, k=3, n_tables=4, dim=64)
 
 
+def _q_doc_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% corpus sample: membership = md5-hash range of
+    the doc key, not an RNG — identical output on any engine, any
+    partitioning, any retry (df.sample() guarantees none of these).
+    Fully oracle-checked, unlike seed-based sampling."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.sampling import (
+        deterministic_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_sample(docs, "doc_id", 0.1).select(
+        "doc_id", "source", "lang"
+    )
+
+
+def _q_corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment by hash range (0.9/0.05/0.05): a doc's
+    split never changes as the corpus grows or repartitions — the
+    reproducibility property random splits lack. Output: per-split
+    per-source doc counts."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.sampling import (
+        split_assign,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = split_assign(
+        F.col("doc_id"), [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    )
+    return docs.groupBy(split.alias("split"), F.col("source")).agg(
+        F.count("*").alias("n_docs")
+    )
+
+
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.multimodal import (
         attach_binary_payload,
@@ -1508,6 +1541,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": _q_embedding_norms,
         "ann_bucketed": _q_ann_bucketed,
         "ann_banded": _q_ann_banded,
+        "doc_sample_10pct": _q_doc_sample_10pct,
+        "corpus_split_counts": _q_corpus_split_counts,
         "multimodal_meta": _q_multimodal_meta,
         "streaming_occupancy": _q_streaming_occupancy,
         "user_event_type_profile": _q_user_event_type_profile,
@@ -1577,6 +1612,14 @@ sh AS (
 _DEC_TOTALPRICE = "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)"
 
 _HEXPOS = "(strpos('0123456789abcdef', substr(md5(text), {j}, 1)) - 1)"
+
+# First-8-hex-digits-of-md5 → 32-bit integer, from a column named `hx`
+# (DuckDB has no hex→int cast; digit-by-digit strpos arithmetic yields
+# the same integer Spark's conv(substring(md5(..), 1, 8), 16, 10) does).
+_HEX8_SQL = " + ".join(
+    f"(strpos('0123456789abcdef', substr(hx, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+)
 
 
 def _minhash_oracle(k: int = 8, bands: int = 4) -> str:
@@ -2306,6 +2349,32 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY query_id
                      ORDER BY cos_r DESC, vec_id ASC) AS INTEGER) AS rank
             FROM pairs QUALIFY rank <= 3
+        """,
+        "doc_sample_10pct": f"""
+            WITH h AS (
+              SELECT doc_id, source, lang,
+                     md5('sample' || CAST(doc_id AS VARCHAR)) AS hx
+              FROM documents
+            )
+            SELECT doc_id, source, lang FROM h
+            WHERE ({_HEX8_SQL}) / 4294967296.0 < 0.1
+        """,
+        "corpus_split_counts": f"""
+            WITH h AS (
+              SELECT doc_id, source,
+                     md5('split' || CAST(doc_id AS VARCHAR)) AS hx
+              FROM documents
+            ),
+            assigned AS (
+              SELECT source,
+                     CASE WHEN ({_HEX8_SQL}) / 4294967296.0 < 0.9 THEN 'train'
+                          WHEN ({_HEX8_SQL}) / 4294967296.0 < 0.95 THEN 'val'
+                          WHEN ({_HEX8_SQL}) / 4294967296.0 < 1.0 THEN 'test'
+                          ELSE 'test' END AS split
+              FROM h
+            )
+            SELECT split, source, count(*) AS n_docs
+            FROM assigned GROUP BY 1, 2
         """,
         "multimodal_meta": f"""
             SELECT doc_id,

@@ -1,0 +1,74 @@
+"""Deterministic hash sampling: partition-invariance, rate accuracy,
+split completeness, and decorrelation between salted decisions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.sampling import (
+    deterministic_sample,
+    hash_fraction,
+    split_assign,
+)
+
+
+def _ids(spark, n=2000, parts=4):
+    return spark.range(0, n, 1, parts).withColumnRenamed("id", "key")
+
+
+def test_sample_invariant_under_repartition(spark):
+    df = _ids(spark)
+    a = {r.key for r in deterministic_sample(df, "key", 0.2).collect()}
+    b = {
+        r.key
+        for r in deterministic_sample(df.repartition(13), "key", 0.2).collect()
+    }
+    assert a == b  # membership is a property of the row, not the plan
+
+
+def test_sample_rate_within_tolerance(spark):
+    df = _ids(spark)
+    n = deterministic_sample(df, "key", 0.2).count()
+    assert abs(n / 2000 - 0.2) < 0.04  # ~3 sigma for Bernoulli(0.2)
+
+
+def test_sample_monotone_in_rate(spark):
+    df = _ids(spark)
+    small = {r.key for r in deterministic_sample(df, "key", 0.1).collect()}
+    big = {r.key for r in deterministic_sample(df, "key", 0.3).collect()}
+    assert small <= big  # growing the rate only adds rows
+
+
+def test_split_assign_partitions_everything(spark):
+    df = _ids(spark)
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    out = df.withColumn("split", split_assign(F.col("key"), splits))
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000  # total partition, no row lost
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+
+def test_salts_decorrelate_decisions(spark):
+    """The sample coin and the split coin must be independent: among
+    sampled rows, the train fraction stays ~the global train rate."""
+    df = _ids(spark, n=5000)
+    sampled = deterministic_sample(df, "key", 0.5)
+    frac_train = (
+        sampled.withColumn(
+            "split", split_assign(F.col("key"), [("train", 0.8), ("rest", 0.2)])
+        )
+        .filter("split = 'train'")
+        .count()
+        / sampled.count()
+    )
+    assert abs(frac_train - 0.8) < 0.05
+
+
+def test_hash_fraction_range(spark):
+    df = _ids(spark, n=500)
+    mm = df.select(
+        F.min(hash_fraction(F.col("key"))).alias("lo"),
+        F.max(hash_fraction(F.col("key"))).alias("hi"),
+    ).collect()[0]
+    assert 0.0 <= mm.lo and mm.hi < 1.0
