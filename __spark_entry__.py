@@ -783,6 +783,55 @@ def _q_ann_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return banded_ann_topk(emb, queries_df, k=3, n_tables=4, dim=64)
 
 
+def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document repetition/quality signals for corpus
+    filtering: duplicate-token ratio, most-frequent-bigram mass, and
+    mean token length. Token-table formulation (posexplode + lead) —
+    one doc-keyed exchange feeds the window, the bigram count, and the
+    token stats; everything stays in whole-stage codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tx.tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("doc_id", "tok", "nxt")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_bg"),
+            F.sum("c").alias("total_bg"),
+        )
+    )
+    stats = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct"),
+        F.sum(F.length("tok")).alias("total_len"),
+    )
+    return (
+        stats.join(bg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                1.0 - F.col("n_distinct") / F.col("n_tokens").cast("double"), 6
+            ).alias("dup_token_ratio"),
+            F.round(
+                F.coalesce(
+                    F.col("top_bg") / F.col("total_bg").cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("top_bigram_frac"),
+            F.round(
+                F.col("total_len") / F.col("n_tokens").cast("double"), 6
+            ).alias("mean_token_len"),
+        )
+    )
+
+
 def _q_doc_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% corpus sample: membership = md5-hash range of
     the doc key, not an RNG — identical output on any engine, any
@@ -1542,6 +1591,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bucketed": _q_ann_bucketed,
         "ann_banded": _q_ann_banded,
         "doc_sample_10pct": _q_doc_sample_10pct,
+        "repetition_signals": _q_repetition_signals,
         "corpus_split_counts": _q_corpus_split_counts,
         "multimodal_meta": _q_multimodal_meta,
         "streaming_occupancy": _q_streaming_occupancy,
@@ -2349,6 +2399,35 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY query_id
                      ORDER BY cos_r DESC, vec_id ASC) AS INTEGER) AS rank
             FROM pairs QUALIFY rank <= 3
+        """,
+        "repetition_signals": f"""
+            WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+            tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+            stats AS (
+              SELECT doc_id, count(*) AS n_tokens,
+                     count(DISTINCT tok) AS n_distinct,
+                     sum(len(tok)) AS total_len
+              FROM tok GROUP BY doc_id
+            ),
+            bg0 AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(t) - 1),
+                            i -> array_to_string(t[i:i+1], ' '))) AS bigram
+              FROM toks
+            ),
+            bgc AS (SELECT doc_id, bigram, count(*) AS c FROM bg0 GROUP BY 1, 2),
+            bg AS (
+              SELECT doc_id, max(c) AS top_bg, sum(c) AS total_bg
+              FROM bgc GROUP BY doc_id
+            )
+            SELECT s.doc_id, n_tokens,
+                   round(1.0 - n_distinct / CAST(n_tokens AS DOUBLE), 6)
+                     AS dup_token_ratio,
+                   round(coalesce(top_bg / CAST(total_bg AS DOUBLE), 0.0), 6)
+                     AS top_bigram_frac,
+                   round(total_len / CAST(n_tokens AS DOUBLE), 6)
+                     AS mean_token_len
+            FROM stats s LEFT JOIN bg USING (doc_id)
         """,
         "doc_sample_10pct": f"""
             WITH h AS (
