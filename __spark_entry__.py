@@ -832,6 +832,27 @@ def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: count and redact email-shaped strings and
+    long digit runs (the patterns are deliberately RE2-and-Java-common
+    so both engines compile them identically). The oracle compares the
+    md5 of the redacted text — the transformation is verified
+    byte-for-byte, not just the counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    email = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+"
+    digits = r"[0-9][0-9][0-9]+"
+    low = F.lower(F.col("text"))
+    red = F.regexp_replace(
+        F.regexp_replace(low, email, "<EMAIL>"), digits, "<NUM>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(low, F.lit(email)).alias("n_emails"),
+        F.regexp_count(low, F.lit(digits)).alias("n_digit_runs"),
+        F.md5(red).alias("redacted_digest"),
+    )
+
+
 def _q_doc_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% corpus sample: membership = md5-hash range of
     the doc key, not an RNG — identical output on any engine, any
@@ -1592,6 +1613,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_banded": _q_ann_banded,
         "doc_sample_10pct": _q_doc_sample_10pct,
         "repetition_signals": _q_repetition_signals,
+        "pii_scrub": _q_pii_scrub,
         "corpus_split_counts": _q_corpus_split_counts,
         "multimodal_meta": _q_multimodal_meta,
         "streaming_occupancy": _q_streaming_occupancy,
@@ -2399,6 +2421,21 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY query_id
                      ORDER BY cos_r DESC, vec_id ASC) AS INTEGER) AS rank
             FROM pairs QUALIFY rank <= 3
+        """,
+        "pii_scrub": r"""
+            WITH low AS (SELECT doc_id, lower(text) AS t FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t,
+                     '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+')) AS INTEGER)
+                     AS n_emails,
+                   CAST(len(regexp_extract_all(t, '[0-9][0-9][0-9]+'))
+                     AS INTEGER) AS n_digit_runs,
+                   md5(regexp_replace(
+                     regexp_replace(t,
+                       '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+',
+                       '<EMAIL>', 'g'),
+                     '[0-9][0-9][0-9]+', '<NUM>', 'g')) AS redacted_digest
+            FROM low
         """,
         "repetition_signals": f"""
             WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
