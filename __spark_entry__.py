@@ -832,6 +832,20 @@ def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: every 2nd complete 64-byte frame of
+    each payload, emitted 1→N through Arrow batches (mapInPandas).
+    Payloads are ASCII text bytes here, so the DuckDB oracle reproduces
+    the windows with substr — digests verify the frames byte-for-byte."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.multimodal import (
+        attach_binary_payload,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_binary_payload(docs))
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing pass: count and redact email-shaped strings and
     long digit runs (the patterns are deliberately RE2-and-Java-common
@@ -1614,6 +1628,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_10pct": _q_doc_sample_10pct,
         "repetition_signals": _q_repetition_signals,
         "pii_scrub": _q_pii_scrub,
+        "frame_samples": _q_frame_samples,
         "corpus_split_counts": _q_corpus_split_counts,
         "multimodal_meta": _q_multimodal_meta,
         "streaming_occupancy": _q_streaming_occupancy,
@@ -2421,6 +2436,18 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY query_id
                      ORDER BY cos_r DESC, vec_id ASC) AS INTEGER) AS rank
             FROM pairs QUALIFY rank <= 3
+        """,
+        "frame_samples": """
+            WITH idx AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(0, length(text) // 64 - 1, 2)) AS frame_idx
+              FROM documents
+              WHERE length(text) >= 64
+            )
+            SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+                   CAST(64 AS INTEGER) AS n_frame_bytes,
+                   md5(substr(text, frame_idx * 64 + 1, 64)) AS frame_digest
+            FROM idx
         """,
         "pii_scrub": r"""
             WITH low AS (SELECT doc_id, lower(text) AS t FROM documents)

@@ -72,3 +72,45 @@ def extract_media_meta(docs_with_payload: DataFrame) -> DataFrame:
     return docs_with_payload.select("doc_id", "payload").mapInPandas(
         _extract, MEDIA_META_SCHEMA
     )
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, n_frame_bytes int, frame_digest string"
+
+
+def sample_frames(
+    docs_with_payload: DataFrame, frame_bytes: int = 64, stride: int = 2
+) -> DataFrame:
+    """Frame sampling over binary payloads — the video-pipeline shape:
+    one input row fans out to every ``stride``-th fixed-size frame
+    window (only complete frames), emitted per Arrow batch via
+    mapInPandas (a real decoder samples encoded frames the same way;
+    the codec call is the only stub — windowing, 1→N batch expansion,
+    schema, and digests are the production plumbing). Payloads shorter
+    than one frame produce no rows."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids: list = []
+            idxs: list = []
+            sizes: list = []
+            digests: list = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for i in range(0, len(b) // frame_bytes, stride):
+                    fr = b[i * frame_bytes : (i + 1) * frame_bytes]
+                    doc_ids.append(doc_id)
+                    idxs.append(i)
+                    sizes.append(len(fr))
+                    digests.append(hashlib.md5(fr).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "n_frame_bytes": pd.Series(sizes, dtype="int32"),
+                    "frame_digest": pd.Series(digests, dtype="object"),
+                }
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        _sample, FRAME_SCHEMA
+    )
