@@ -846,6 +846,32 @@ def _q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(attach_binary_payload(docs))
 
 
+def _q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout key: bin synthetic coords to a 256x256 grid,
+    bit-interleave to a Morton key (native shiftleft/and/or — the sort
+    key lakehouse OPTIMIZE ZORDER clusters by), top-50 cells by count.
+    Deterministic limit: (count desc, key asc) is a total order."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.zorder import (
+        grid_cell,
+        morton_key,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    lat = F.lit(30.6) + F.col("value") / 700.0
+    lon = F.lit(120.9) + F.col("value") / 560.0
+    zkey = morton_key(
+        grid_cell(lon, 120.5, 123.0, 256),
+        grid_cell(lat, 30.5, 32.5, 256),
+        bits=8,
+    )
+    return (
+        ev.groupBy(zkey.alias("zkey"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("zkey").asc())
+        .limit(50)
+    )
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing pass: count and redact email-shaped strings and
     long digit runs (the patterns are deliberately RE2-and-Java-common
@@ -1629,6 +1655,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": _q_repetition_signals,
         "pii_scrub": _q_pii_scrub,
         "frame_samples": _q_frame_samples,
+        "zorder_cells": _q_zorder_cells,
         "corpus_split_counts": _q_corpus_split_counts,
         "multimodal_meta": _q_multimodal_meta,
         "streaming_occupancy": _q_streaming_occupancy,
@@ -2436,6 +2463,27 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY query_id
                      ORDER BY cos_r DESC, vec_id ASC) AS INTEGER) AS rank
             FROM pairs QUALIFY rank <= 3
+        """,
+        "zorder_cells": f"""
+            WITH cells AS (
+              SELECT CAST(greatest(0, least(255,
+                       floor((120.9 + value / 560.0 - 120.5) / 2.5 * 256)))
+                       AS BIGINT) AS cx,
+                     CAST(greatest(0, least(255,
+                       floor((30.6 + value / 700.0 - 30.5) / 2.0 * 256)))
+                       AS BIGINT) AS cy
+              FROM events
+            ),
+            keyed AS (
+              SELECT ({" | ".join(
+                  f"(((cx >> {i}) & 1) << {2 * i}) | (((cy >> {i}) & 1) << {2 * i + 1})"
+                  for i in range(8)
+              )}) AS zkey
+              FROM cells
+            )
+            SELECT zkey, count(*) AS n
+            FROM keyed GROUP BY zkey
+            ORDER BY n DESC, zkey ASC LIMIT 50
         """,
         "frame_samples": """
             WITH idx AS (
