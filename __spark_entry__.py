@@ -846,6 +846,44 @@ def _q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(attach_binary_payload(docs))
 
 
+def _q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT ALL as first-class operators (SURVEY §2.7
+    lists them absent from the reference; semi/anti joins covered the
+    semantics but not the operators). intersect = distinct users doing
+    both; exceptAll = the click multiset minus the purchase multiset
+    (dup user_ids survive — multiset semantics under the value hash)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    both = clicks.intersect(buys).select(
+        F.lit("intersect").alias("op"), "user_id"
+    )
+    diff = clicks.exceptAll(buys).select(
+        F.lit("except_all").alias("op"), "user_id"
+    )
+    return both.unionByName(diff)
+
+
+def _q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long via the native unpivot/melt operator (absent from the
+    reference; the inverse of pivot). Four lineitem measures melt to
+    (measure, value) rows, then a decimal-exact per-measure rollup
+    keeps the double sums engine-reproducible."""
+    li = load_table(spark, sf_dir, "lineitem")
+    melted = li.unpivot(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return melted.groupBy("measure").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("val").cast("decimal(18,4)")).cast("double"), 2
+        ).alias("total"),
+    )
+
+
 def _q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout key: bin synthetic coords to a 256x256 grid,
     bit-interleave to a Morton key (native shiftleft/and/or — the sort
@@ -1656,6 +1694,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "frame_samples": _q_frame_samples,
         "zorder_cells": _q_zorder_cells,
+        "user_set_ops": _q_user_set_ops,
+        "unpivot_lineitem_measures": _q_unpivot_lineitem_measures,
         "corpus_split_counts": _q_corpus_split_counts,
         "multimodal_meta": _q_multimodal_meta,
         "streaming_occupancy": _q_streaming_occupancy,
@@ -2463,6 +2503,32 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY query_id
                      ORDER BY cos_r DESC, vec_id ASC) AS INTEGER) AS rank
             FROM pairs QUALIFY rank <= 3
+        """,
+        "user_set_ops": """
+            SELECT 'intersect' AS op, user_id FROM (
+              SELECT user_id FROM events WHERE event_type = 'click'
+              INTERSECT
+              SELECT user_id FROM events WHERE event_type = 'purchase'
+            )
+            UNION ALL
+            SELECT 'except_all' AS op, user_id FROM (
+              SELECT user_id FROM events WHERE event_type = 'click'
+              EXCEPT ALL
+              SELECT user_id FROM events WHERE event_type = 'purchase'
+            )
+        """,
+        "unpivot_lineitem_measures": """
+            WITH melted AS (
+              SELECT measure, val FROM (
+                SELECT l_orderkey, l_quantity, l_extendedprice, l_discount, l_tax
+                FROM lineitem
+              ) UNPIVOT (val FOR measure IN
+                (l_quantity, l_extendedprice, l_discount, l_tax))
+            )
+            SELECT measure, count(*) AS n,
+                   round(CAST(sum(CAST(val AS DECIMAL(18,4))) AS DOUBLE), 2)
+                     AS total
+            FROM melted GROUP BY measure
         """,
         "zorder_cells": f"""
             WITH cells AS (
