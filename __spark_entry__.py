@@ -846,6 +846,24 @@ def _q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(attach_binary_payload(docs))
 
 
+def _q_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining ranking-function surface: cume_dist and nth_value
+    over per-nation customer balances (rank/ntile/percent_rank already
+    covered elsewhere). nth_value uses the full-partition frame so the
+    2nd-highest balance is visible from every row."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.nth_value("c_custkey", 2).over(w_full).alias("second_richest"),
+    )
+
+
 def _q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT ALL as first-class operators (SURVEY §2.7
     lists them absent from the reference; semi/anti joins covered the
@@ -1695,6 +1713,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_samples": _q_frame_samples,
         "zorder_cells": _q_zorder_cells,
         "user_set_ops": _q_user_set_ops,
+        "balance_distribution": _q_balance_distribution,
         "unpivot_lineitem_measures": _q_unpivot_lineitem_measures,
         "corpus_split_counts": _q_corpus_split_counts,
         "multimodal_meta": _q_multimodal_meta,
@@ -2503,6 +2522,19 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY query_id
                      ORDER BY cos_r DESC, vec_id ASC) AS INTEGER) AS rank
             FROM pairs QUALIFY rank <= 3
+        """,
+        "balance_distribution": """
+            SELECT c_custkey, c_nationkey,
+                   round(cume_dist() OVER w, 6) AS cd,
+                   nth_value(c_custkey, 2) OVER (
+                     PARTITION BY c_nationkey
+                     ORDER BY c_acctbal DESC, c_custkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                   ) AS second_richest
+            FROM customer
+            WINDOW w AS (
+              PARTITION BY c_nationkey
+              ORDER BY c_acctbal DESC, c_custkey ASC)
         """,
         "user_set_ops": """
             SELECT 'intersect' AS op, user_id FROM (
