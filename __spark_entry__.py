@@ -864,6 +864,24 @@ def _q_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_value_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/correlation/linear
+    regression) — one-pass co-moment aggregates not exercised
+    elsewhere. Both engines accumulate in doubles with
+    order-dependent rounding error, so outputs round to 4 decimals
+    (values are O(100): 4 decimals is far above the ~1e-10 relative
+    float noise, far below real signal)."""
+    ev = load_table(spark, sf_dir, "events")
+    hod = F.hour("ts").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.stddev_samp("value"), 4).alias("sd"),
+        F.round(F.var_samp("value"), 4).alias("var"),
+        F.round(F.corr(F.col("value"), hod), 4).alias("corr_hod"),
+        F.round(F.regr_slope(F.col("value"), hod), 4).alias("slope_hod"),
+    )
+
+
 def _q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT ALL as first-class operators (SURVEY §2.7
     lists them absent from the reference; semi/anti joins covered the
@@ -1714,6 +1732,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_cells": _q_zorder_cells,
         "user_set_ops": _q_user_set_ops,
         "balance_distribution": _q_balance_distribution,
+        "value_stats_by_type": _q_value_stats_by_type,
         "unpivot_lineitem_measures": _q_unpivot_lineitem_measures,
         "corpus_split_counts": _q_corpus_split_counts,
         "multimodal_meta": _q_multimodal_meta,
@@ -2522,6 +2541,15 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY query_id
                      ORDER BY cos_r DESC, vec_id ASC) AS INTEGER) AS rank
             FROM pairs QUALIFY rank <= 3
+        """,
+        "value_stats_by_type": """
+            SELECT event_type, count(*) AS n,
+                   round(stddev_samp(value), 4) AS sd,
+                   round(var_samp(value), 4) AS var,
+                   round(corr(value, CAST(hour(ts) AS DOUBLE)), 4) AS corr_hod,
+                   round(regr_slope(value, CAST(hour(ts) AS DOUBLE)), 4)
+                     AS slope_hod
+            FROM events GROUP BY event_type
         """,
         "balance_distribution": """
             SELECT c_custkey, c_nationkey,
