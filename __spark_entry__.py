@@ -1330,11 +1330,13 @@ def _q_grouping_sets_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Geohash spatial binning (D1) on synthetic coords — no SQL oracle
-    (DuckDB has no geohash); driver records the rows-only check, unit
-    tests pin published geohash vectors."""
+    """Geohash spatial binning (D1) on synthetic coords — JVM-native
+    bit-interleave encode (no Python, whole-stage codegen); the DuckDB
+    twin is generated from the same loop (functions.geohash.geohash_sql)
+    so the two cannot drift. Unit tests additionally pin published
+    geohash vectors and agreement with the Arrow bisection encoder."""
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.geohash import (
-        geohash_encode,
+        geohash_encode_native,
     )
 
     ev = load_table(spark, sf_dir, "events")
@@ -1343,10 +1345,20 @@ def _q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(120.9) + F.col("value") / 560.0).alias("lon"),
     )
     return (
-        pts.withColumn("cell", geohash_encode(F.col("lat"), F.col("lon"), 5))
+        pts.withColumn("cell", geohash_encode_native(F.col("lat"), F.col("lon"), 5))
         .groupBy("cell")
         .agg(F.count("*").alias("n"))
     )
+
+
+def _geohash_cells_sql() -> str:
+    """DuckDB twin of _q_geohash_cells — generated from the same bit
+    loop as the Spark expression (identical double-rounding order)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.geohash import (
+        geohash_sql,
+    )
+
+    return geohash_sql('(30.6 + ("value" / 700.0))', '(120.9 + ("value" / 560.0))', 5)
 
 
 def _q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2861,6 +2873,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(value / 50.0) * 50 AS BIGINT) AS bucket_lo,
                    count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "geohash_cells": f"""
+            SELECT {_geohash_cells_sql()} AS cell, count(*) AS n
+            FROM events GROUP BY 1
         """,
         "hourly_type_share": """
             WITH hourly AS (

@@ -98,6 +98,95 @@ def _neighbors_one(gh: str) -> list[str]:
     return sorted(set(out))
 
 
+def geohash_encode_native(lat: Column, lon: Column, precision: int) -> Column:
+    """JVM-native geohash encode — no Python anywhere.
+
+    The bisection in :func:`_encode_np` is mathematically the fixed-point
+    index ``floor((coord - lo) / (hi - lo) * 2**nbits)``; computing that
+    directly lets the whole encode stay in whole-stage codegen:
+    two floor-scales, one Morton-style bit interleave (shift/and/or),
+    then base-32 char lookup. This is the canonical encode for queries
+    (`geohash_cells`); its SQL twin :func:`geohash_sql` is generated from
+    the same loop so Spark and the DuckDB oracle can never drift.
+
+    Replaces the reference's row-at-a-time external-lib UDF
+    (``region.py:34-40``, ``cal_orig_area.py:45-52``).
+    """
+    nbits = precision * 5
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    xl = F.least(
+        F.greatest(
+            F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << nlon))),
+            F.lit(0),
+        ),
+        F.lit((1 << nlon) - 1),
+    ).cast("long")
+    yl = F.least(
+        F.greatest(
+            F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << nlat))),
+            F.lit(0),
+        ),
+        F.lit((1 << nlat) - 1),
+    ).cast("long")
+    # Interleave MSB-first: even stream bits from longitude, odd from latitude.
+    v = None
+    for i in range(nlon):
+        term = F.shiftleft(
+            F.shiftright(xl, nlon - 1 - i).bitwiseAND(F.lit(1)), nbits - 1 - 2 * i
+        )
+        v = term if v is None else v.bitwiseOR(term)
+    for i in range(nlat):
+        term = F.shiftleft(
+            F.shiftright(yl, nlat - 1 - i).bitwiseAND(F.lit(1)), nbits - 2 - 2 * i
+        )
+        v = v.bitwiseOR(term)
+    alphabet = F.lit(_BASE32_STR)
+    chars = [
+        F.substring(
+            alphabet,
+            (
+                F.shiftright(v, 5 * (precision - 1 - k)).bitwiseAND(F.lit(31)) + 1
+            ).cast("int"),
+            1,
+        )
+        for k in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_sql(lat_expr: str, lon_expr: str, precision: int) -> str:
+    """DuckDB SQL expression computing the SAME geohash as
+    :func:`geohash_encode_native` — identical operation order so the
+    IEEE-754 double roundings match bit-for-bit. Kept next to the Spark
+    builder so the two can never drift."""
+    nbits = precision * 5
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    xl = (
+        f"least(greatest(CAST(floor(({lon_expr} + 180.0) / 360.0 * "
+        f"{float(1 << nlon)}) AS BIGINT), 0), {(1 << nlon) - 1})"
+    )
+    yl = (
+        f"least(greatest(CAST(floor(({lat_expr} + 90.0) / 180.0 * "
+        f"{float(1 << nlat)}) AS BIGINT), 0), {(1 << nlat) - 1})"
+    )
+    terms = [
+        f"((({xl} >> {nlon - 1 - i}) & 1) << {nbits - 1 - 2 * i})"
+        for i in range(nlon)
+    ] + [
+        f"((({yl} >> {nlat - 1 - i}) & 1) << {nbits - 2 - 2 * i})"
+        for i in range(nlat)
+    ]
+    v = "(" + " | ".join(terms) + ")"
+    chars = [
+        f"substr('{_BASE32_STR}', CAST((({v} >> {5 * (precision - 1 - k)}) & 31) "
+        f"+ 1 AS INTEGER), 1)"
+        for k in range(precision)
+    ]
+    return "(" + " || ".join(chars) + ")"
+
+
 def geohash_encode(lat: Column, lon: Column, precision: int) -> Column:
     """Arrow-vectorized geohash encode at the given precision (1–12)."""
 

@@ -36,6 +36,62 @@ def test_geohash_known_vectors(spark):
     assert out[1].g5 == "wtw3s"  # central Shanghai
 
 
+def test_geohash_native_matches_arrow_and_vectors(spark):
+    """The JVM-native bit-interleave encode agrees with the Arrow
+    bisection encoder on random points, reproduces published vectors,
+    and keeps Python entirely out of the plan."""
+    import random
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.geohash import (
+        geohash_encode_native,
+        geohash_sql,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.plans import (
+        assert_no_python_udf,
+    )
+
+    vec = spark.createDataFrame(
+        [(57.64911, 10.40744), (31.2304, 121.4737)], "lat double, lon double"
+    )
+    out = vec.select(
+        geohash_encode_native(F.col("lat"), F.col("lon"), 11).alias("g11"),
+        geohash_encode_native(F.col("lat"), F.col("lon"), 5).alias("g5"),
+    )
+    assert_no_python_udf(out)
+    rows = out.collect()
+    assert rows[0].g11 == "u4pruydqqvj"
+    assert rows[1].g5 == "wtw3s"
+
+    random.seed(11)
+    pts = [(random.uniform(-90, 90), random.uniform(-180, 180)) for _ in range(2000)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    mism = (
+        df.select(
+            geohash_encode_native(F.col("lat"), F.col("lon"), 7).alias("a"),
+            geohash_encode(F.col("lat"), F.col("lon"), 7).alias("b"),
+        )
+        .filter("a <> b")
+        .count()
+    )
+    assert mism == 0
+
+    # the generated DuckDB twin reproduces the same strings bit-for-bit
+    import duckdb
+    import pandas as pd
+
+    pdf = pd.DataFrame(pts, columns=["lat", "lon"])
+    ddb = duckdb.sql(
+        f"SELECT {geohash_sql('lat', 'lon', 7)} AS g FROM pdf"
+    ).df()["g"].tolist()
+    sp = [
+        r.a
+        for r in df.select(
+            geohash_encode_native(F.col("lat"), F.col("lon"), 7).alias("a")
+        ).collect()
+    ]
+    assert sp == ddb
+
+
 def test_geohash_prefix_consistency(spark):
     df = spark.createDataFrame([(31.2, 121.5)], "lat double, lon double")
     row = df.select(
