@@ -1652,6 +1652,21 @@ def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 50th doc_id plays the held-out
+    benchmark; each remaining document reports how many of its distinct
+    8-word-grams appear in any benchmark doc, and is flagged when the
+    overlap reaches 10%. Benchmark gram set broadcasts (tiny vs the
+    corpus); the corpus side never shuffles for the join."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.decontam import (
+        decontaminate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = decontaminate(docs, F.pmod(F.col("doc_id"), F.lit(50)) == 0, n=8)
+    return out.select("doc_id", "n_grams", "n_hit", "hit_frac", "contaminated")
+
+
 def _q_props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-free JSON -> MapType -> explode: parse props into
     map<string,bigint> and aggregate per key, without declaring the key
@@ -1784,6 +1799,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dense_hourly_occupancy": _q_dense_hourly_occupancy,
         "sliding_window_counts": _q_sliding_window_counts,
         "corpus_curation": _q_corpus_curation,
+        "benchmark_decontam": _q_benchmark_decontam,
         "props_map_explode": _q_props_map_explode,
     }
 
@@ -2951,6 +2967,29 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY 1, 2, 3
         """,
         "corpus_curation": _curation_oracle(),
+        "benchmark_decontam": """
+            WITH words AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(generate_series(1, len(w) - 7),
+                                           i -> array_to_string(w[i:i+7], ' '))) AS gram
+              FROM words
+              WHERE len(w) >= 8
+            ),
+            bench AS (
+              SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0
+            )
+            SELECT c.doc_id,
+                   count(*) AS n_grams,
+                   count(b.gram) AS n_hit,
+                   round(CAST(count(b.gram) AS DOUBLE) / count(*), 6) AS hit_frac,
+                   (count(b.gram) * 10 >= count(*) * 1) AS contaminated
+            FROM grams c LEFT JOIN bench b USING (gram)
+            WHERE c.doc_id % 50 <> 0
+            GROUP BY 1
+        """,
         "props_map_explode": """
             SELECT k.key AS key,
                    CAST(sum(CAST(props->>k.key AS BIGINT)) AS BIGINT) AS v_sum,
