@@ -1667,6 +1667,65 @@ def _q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_grams", "n_hit", "hit_frac", "contaminated")
 
 
+# Domain-mixture recipe shared by the Spark query and its SQL twin so
+# the two can never drift: src0..src19 downsampled to 0.2..1.0.
+_MIX_RATES = {f"src{i}": ((i % 5) + 1) / 5 for i in range(20)}
+
+
+def _q_dup_passage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-passage removal signal: fraction of each document's
+    non-overlapping 10-word blocks that occur in >= 2 distinct docs
+    (RefinedWeb-style line dedup, adapted to unpunctuated text). All
+    shuffles carry md5 block digests, never text."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+        duplicated_block_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_block_stats(docs, block_words=10)
+
+
+def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-local sequence packing: hash-shard the corpus, prefix-sum
+    token counts inside each shard (parallel windows — no global
+    orderBy), bin = floor(tokens_before / 512). Output is the per-bin
+    fill report a packing pass is judged by."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.packing import (
+        pack_sequences,
+        pack_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_tok = docs.select(
+        "doc_id", tx.token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_stats(pack_sequences(with_tok, budget=512, shards=32))
+
+
+def _q_domain_mix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture realization: downsample each source to its target
+    rate with the stable hash coin, report kept/total/achieved-rate per
+    source. One scan, one agg exchange; the keep decision is a pure
+    Column predicate evaluated map-side."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.sampling import (
+        domain_mix_keep,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = domain_mix_keep(F.col("doc_id"), F.col("source"), _MIX_RATES)
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+        )
+        .withColumn(
+            "achieved_rate",
+            F.round(F.col("n_kept").cast("double") / F.col("n_docs"), 6),
+        )
+    )
+
+
 def _q_props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-free JSON -> MapType -> explode: parse props into
     map<string,bigint> and aggregate per key, without declaring the key
@@ -1800,6 +1859,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window_counts": _q_sliding_window_counts,
         "corpus_curation": _q_corpus_curation,
         "benchmark_decontam": _q_benchmark_decontam,
+        "dup_passage_stats": _q_dup_passage_stats,
+        "sequence_packing": _q_sequence_packing,
+        "domain_mix_counts": _q_domain_mix_counts,
         "props_map_explode": _q_props_map_explode,
     }
 
@@ -2989,6 +3051,66 @@ def oracle_sql() -> dict[str, str]:
             FROM grams c LEFT JOIN bench b USING (gram)
             WHERE c.doc_id % 50 <> 0
             GROUP BY 1
+        """,
+        "dup_passage_stats": """
+            WITH words AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            blocks AS (
+              SELECT doc_id, md5(gram) AS digest FROM (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(w) - 9, 10),
+                                             i -> array_to_string(w[i:i+9], ' '))) AS gram
+                FROM words WHERE len(w) >= 10
+              )
+            ),
+            dfreq AS (
+              SELECT digest, count(DISTINCT doc_id) AS doc_freq
+              FROM blocks GROUP BY 1
+            )
+            SELECT b.doc_id,
+                   count(*) AS n_blocks,
+                   CAST(sum(CASE WHEN f.doc_freq >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dup_blocks,
+                   round(CAST(sum(CASE WHEN f.doc_freq >= 2 THEN 1 ELSE 0 END)
+                              AS DOUBLE) / count(*), 6) AS dup_frac
+            FROM blocks b JOIN dfreq f USING (digest)
+            GROUP BY 1
+        """,
+        "sequence_packing": f"""
+            WITH t AS (
+              SELECT doc_id, len({_TOKENS_SQL}) AS n_tokens FROM documents
+            ),
+            packed AS (
+              SELECT CAST(doc_id % 32 AS INTEGER) AS shard, n_tokens,
+                     CAST(floor(coalesce(sum(n_tokens) OVER (
+                         PARTITION BY doc_id % 32 ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) / 512) AS INTEGER) AS bin
+              FROM t
+            )
+            SELECT shard, bin, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+            FROM packed GROUP BY 1, 2
+        """,
+        "domain_mix_counts": f"""
+            WITH h AS (
+              SELECT source,
+                     md5('mix' || CAST(doc_id AS VARCHAR)) AS hx
+              FROM documents
+            ),
+            decided AS (
+              SELECT source,
+                     CASE WHEN ({_HEX8_SQL}) / 4294967296.0 <
+                       (CASE {' '.join(f"WHEN source = '{k}' THEN {v!r}" for k, v in _MIX_RATES.items())}
+                             ELSE 0.0 END)
+                     THEN 1 ELSE 0 END AS kept
+              FROM h
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(kept) AS BIGINT) AS n_kept,
+                   round(CAST(sum(kept) AS DOUBLE) / count(*), 6) AS achieved_rate
+            FROM decided GROUP BY 1
         """,
         "props_map_explode": """
             SELECT k.key AS key,

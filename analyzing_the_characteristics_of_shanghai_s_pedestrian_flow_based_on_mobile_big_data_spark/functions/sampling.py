@@ -60,3 +60,24 @@ def split_assign(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     # float-sum slack: the last range absorbs hash values at the border
     return expr.otherwise(splits[-1][0])
+
+
+def domain_mix_keep(
+    key: Column,
+    domain: Column,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "mix",
+) -> Column:
+    """Boolean keep-decision implementing a domain-mixture recipe:
+    each domain (source, language, ...) is downsampled to its target
+    rate, decided per row by the stable hash coin — the standard way a
+    pretraining mix ("2 epochs of wiki, 0.3 of web crawl") is realized
+    without materializing per-domain tables. Deterministic across
+    engines and partitionings; unknown domains get ``default_rate``."""
+    rate = None
+    for name, r in rates.items():
+        cond = domain == F.lit(name)
+        rate = F.when(cond, F.lit(r)) if rate is None else rate.when(cond, F.lit(r))
+    rate = rate.otherwise(F.lit(default_rate))
+    return hash_fraction(key, salt) < rate

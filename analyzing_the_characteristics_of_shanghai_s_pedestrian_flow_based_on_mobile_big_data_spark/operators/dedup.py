@@ -306,3 +306,55 @@ def simhash(
         bit = F.when(F.col(f"v_{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = bit if sig is None else sig + bit
     return voted.select("doc_id", sig.alias("simhash"))
+
+
+def duplicated_block_stats(
+    docs: DataFrame,
+    block_words: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-passage fraction (RefinedWeb-style
+    "remove documents made of copied passages", adapted to unpunctuated
+    text: fixed non-overlapping ``block_words``-word blocks stand in
+    for lines/paragraphs).
+
+    A block is *duplicated* when it occurs in >= 2 distinct documents.
+    Output per doc: total blocks, duplicated blocks, dup_frac.
+
+    Scale shape: blocks are keyed by their md5 digest, so every shuffle
+    (the distinct, the document-frequency groupBy, the join back)
+    carries a fixed 32-char key, never text. The df table is re-derived
+    from the block table inside one plan — one scan of documents total.
+    """
+    words = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(1), F.size(words) - F.lit(block_words - 1), F.lit(block_words)
+    )
+    block = F.when(
+        F.size(words) >= block_words,
+        F.transform(
+            starts, lambda i: F.array_join(F.slice(words, i, block_words), " ")
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    blocks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(block).alias("block"),
+    ).select("doc_id", F.md5("block").alias("digest"))
+    block_df = (
+        blocks.distinct()
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    return (
+        blocks.join(block_df, "digest")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.when(F.col("doc_freq") >= 2, 1).otherwise(0)).alias("n_dup_blocks"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("n_dup_blocks").cast("double") / F.col("n_blocks"), 6),
+        )
+    )
