@@ -767,6 +767,19 @@ def _q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.bucketed_ann_topk(emb, queries_df, k=3, dim=64, multi_probe=1)
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: corpus inverted-listed under 16 deterministic
+    coarse centroids (smallest vec_ids — engine-portable where a
+    k-means codebook is not); queries probe their 4 nearest lists.
+    Assignment is a map-only expression over literal centroid vectors
+    (no shuffle to index the corpus); the probe join broadcasts the
+    query side. The data-adaptive complement to the sign-bucket LSH
+    family (`ann_bucketed`/`ann_banded`)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return ops.ivf_topk(emb, queries_df, k=3, n_centroids=16, nprobe=4, dim=64)
+
+
 def _q_ann_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OR-amplified LSH top-k: 4 independent sign-hash tables over
     disjoint dimension slices; candidates = bucket match in ANY table.
@@ -1811,6 +1824,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": _q_embedding_norms,
         "ann_bucketed": _q_ann_bucketed,
         "ann_banded": _q_ann_banded,
+        "ivf_topk": _q_ivf_topk,
         "doc_sample_10pct": _q_doc_sample_10pct,
         "repetition_signals": _q_repetition_signals,
         "pii_scrub": _q_pii_scrub,
@@ -2073,6 +2087,21 @@ def _langid_oracle() -> str:
         )
         SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2
     """
+
+
+def _cos_ab(a: str, b: str) -> str:
+    """Cosine between two named DOUBLE[] columns, rounded to 6 — the
+    same sequential fold order as functions/vectors.py (0.0-seeded
+    left fold == seedless left fold: 0.0 + x is exact)."""
+    fold_sq = "list_reduce(list_transform({v}, x -> x * x), (p, q) -> p + q)"
+    d = (
+        f"list_reduce(list_transform(generate_series(1, len({a})), "
+        f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
+    return (
+        f"round({d} / (sqrt({fold_sq.format(v=a)}) * "
+        f"sqrt({fold_sq.format(v=b)})), 6)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2625,6 +2654,38 @@ def oracle_sql() -> dict[str, str]:
               FROM eb c JOIN q USING (tbl, bucket)
               WHERE c.vec_id <> q.query_id
               GROUP BY 1, 2
+            )
+            SELECT query_id, vec_id, cos_r,
+                   CAST(row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY cos_r DESC, vec_id ASC) AS INTEGER) AS rank
+            FROM pairs QUALIFY rank <= 3
+        """,
+        "ivf_topk": f"""
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c_emb FROM embeddings
+            ),
+            cent AS (
+              SELECT vec_id AS centroid_id, c_emb AS cent_emb
+              FROM e ORDER BY vec_id LIMIT 16
+            ),
+            assign AS (
+              SELECT e.vec_id, cent.centroid_id, e.c_emb
+              FROM e CROSS JOIN cent
+              QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY {_cos_ab('cent_emb', 'c_emb')} DESC, centroid_id ASC) = 1
+            ),
+            probes AS (
+              SELECT e.vec_id AS query_id, e.c_emb AS q_emb, cent.centroid_id
+              FROM e CROSS JOIN cent
+              WHERE e.vec_id < 5
+              QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY {_cos_ab('cent_emb', 'c_emb')} DESC, centroid_id ASC) <= 4
+            ),
+            pairs AS (
+              SELECT p.query_id, a.vec_id, {_cos_ab('q_emb', 'c_emb')} AS cos_r
+              FROM assign a JOIN probes p USING (centroid_id)
+              WHERE a.vec_id <> p.query_id
             )
             SELECT query_id, vec_id, cos_r,
                    CAST(row_number() OVER (

@@ -18,7 +18,7 @@ from .region_build import (  # noqa: F401
     nearest_poi_type,
 )
 from .sessions import session_stats, sessionize  # noqa: F401
-from .similarity import brute_force_topk, bucketed_ann_topk  # noqa: F401
+from .similarity import brute_force_topk, bucketed_ann_topk, ivf_topk  # noqa: F401
 from .skew import salted_count  # noqa: F401
 from .trajectory import gap_fill_edges, hourly_positions, keep_latest  # noqa: F401
 from .upsert import merge_upsert  # noqa: F401

@@ -232,3 +232,88 @@ def bucketed_ann_topk(
         )
     )
     return _ranked_topk(pairs, k)
+
+
+def ivf_centroid_rows(emb: DataFrame, n_centroids: int) -> list:
+    """Deterministic coarse centroids: the ``n_centroids`` smallest
+    vec_ids (a fixed sample — engine-portable and oracle-reproducible,
+    where a trained k-means codebook would be seed/iteration-order
+    dependent). Returns [(centroid_id, [dims...])]; k·dim doubles —
+    dimension-table sized, safe to hold on the driver like any
+    broadcast dim."""
+    rows = (
+        emb.select("vec_id", as_double_array(F.col("embedding")).alias("e"))
+        .orderBy("vec_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [(int(r.vec_id), list(r.e)) for r in rows]
+
+
+def _centroid_sims(emb_col, centroids, dim):
+    """Array of (sim, -centroid_id) structs against literal centroid
+    vectors — a pure map-side expression: no join, no shuffle, the
+    centroid codebook lives inside the plan the way a broadcast var
+    would. Struct order makes array_max/array_sort break ties toward
+    the smaller centroid id."""
+    cos = _cos(dim)
+    return F.array(
+        *[
+            F.struct(
+                F.round(
+                    cos(F.array(*[F.lit(float(v)) for v in vec]), emb_col), 6
+                ).alias("sim"),
+                F.lit(-cid).cast("long").alias("negid"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF-flat approximate top-k: corpus vectors are inverted-listed
+    under their nearest coarse centroid; each query probes only its
+    ``nprobe`` nearest lists.
+
+    Scale shape (the property LSH bucketing lacks: data-adaptive
+    lists): centroid assignment is a map-only expression over literal
+    centroids — the corpus NEVER shuffles to be indexed. The probe
+    join broadcasts the (tiny) query×nprobe table keyed on
+    centroid_id, so candidate matching is also shuffle-free; the only
+    exchange is the final per-query top-k over ~nprobe·N/k_c candidate
+    rows. n_centroids should grow ~sqrt(N) to keep list sizes flat."""
+    centroids = ivf_centroid_rows(emb, n_centroids)
+    c = emb.select("vec_id", as_double_array(F.col("embedding")).alias("c_emb"))
+    assigned = c.withColumn(
+        "centroid_id",
+        (-F.array_max(_centroid_sims(F.col("c_emb"), centroids, dim)).getField("negid")).cast("long"),
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        as_double_array(F.col("embedding")).alias("q_emb"),
+    )
+    probes = (
+        q.withColumn(
+            "probe_list",
+            F.slice(
+                F.reverse(F.array_sort(_centroid_sims(F.col("q_emb"), centroids, dim))),
+                1,
+                nprobe,
+            ),
+        )
+        .withColumn("probe", F.explode("probe_list"))
+        .select("query_id", "q_emb", (-F.col("probe.negid")).cast("long").alias("centroid_id"))
+    )
+    pairs = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_r", F.round(_cos(dim)(F.col("q_emb"), F.col("c_emb")), 6))
+    )
+    return _ranked_topk(pairs, k)

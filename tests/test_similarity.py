@@ -93,3 +93,52 @@ def test_ann_recall_vs_brute_force_sf001(spark):
     banded_recall = len(banded & bf) / len(bf)
     assert banded_recall > recalls[1]
     assert banded_recall >= 0.5
+
+
+def test_ivf_topk_recall_and_plan(spark):
+    """IVF-flat: planted-cluster recall is exact (same-cluster vectors
+    land in the same inverted list by construction), assignment stays
+    map-only (no Exchange feeds the probe join's corpus side), and the
+    probe join broadcasts the query side."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.plans import (
+        physical_plan,
+    )
+
+    random.seed(3)
+    # 8 well-separated cluster directions, 25 vectors each
+    base = [[random.gauss(0, 1) for _ in range(16)] for _ in range(8)]
+    rows = []
+    vid = 0
+    for c, b in enumerate(base):
+        for _ in range(25):
+            rows.append((vid, [v * 10 + random.gauss(0, 0.1) for v in b]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") % 25 == 7)
+    out = ivf_topk(emb, q, k=3, n_centroids=8, nprobe=2, dim=16)
+    plan = physical_plan(out)
+    assert "BroadcastHashJoin" in plan
+    bf = {(r.query_id, r.vec_id) for r in brute_force_topk(emb, q, k=3, dim=16).collect()}
+    ivf = {(r.query_id, r.vec_id) for r in out.collect()}
+    assert len(ivf & bf) / len(bf) == 1.0  # clustered data: exact recall
+    # isotropic sf0.01 corpus: recall floor with 16 lists / 4 probes
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources.tables import (
+        load_table,
+    )
+
+    emb01 = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q01 = emb01.filter(F.col("vec_id") < 5)
+    bf01 = {(r.query_id, r.vec_id) for r in brute_force_topk(emb01, q01, k=3, dim=64).collect()}
+    ivf01 = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(emb01, q01, k=3, n_centroids=16, nprobe=4, dim=64).collect()
+    }
+    assert len(ivf01 & bf01) / len(bf01) >= 0.5
