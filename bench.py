@@ -41,6 +41,10 @@ HEADLINE = [
     "near_dup_clusters",
     "corpus_curation",
     "od_weekly_cycle",
+    # late round-2 pipeline operators
+    "benchmark_decontam",
+    "ivf_topk",
+    "sequence_packing",
 ]
 
 
