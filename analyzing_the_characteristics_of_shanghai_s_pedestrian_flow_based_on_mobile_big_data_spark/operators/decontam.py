@@ -12,8 +12,9 @@ shape of that check:
   relative to the corpus (benchmarks are MBs; the corpus is TBs), so
   the overlap join is a **broadcast** hash join — the 100-TB corpus
   side never shuffles for the join,
-- one exchange on ``(doc_id, gram)`` for the per-doc DISTINCT, one on
-  ``doc_id`` for the final count — both map-side combined.
+- per-doc gram dedup is ``array_distinct`` BEFORE the explode (grams
+  repeat only within one document), so the corpus side's only exchange
+  is the final map-side-combined count on ``doc_id``.
 
 If the benchmark set ever outgrew the broadcast threshold, AQE falls
 back to sort-merge without a code change.
@@ -58,14 +59,13 @@ def decontaminate(
     ``n_hit/n_grams >= flag_num/flag_den`` (integer cross-multiply —
     exact, no float threshold).
     """
-    grams = (
-        docs.withColumn("__bench", is_benchmark)
-        .select(
-            F.col(id_col),
-            F.col("__bench"),
-            F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
-        )
-        .distinct()
+    # per-doc DISTINCT happens map-side (array_distinct before the
+    # explode) — a gram repeats only within one document's array, so no
+    # corpus-wide exchange is needed to dedupe it
+    grams = docs.withColumn("__bench", is_benchmark).select(
+        F.col(id_col),
+        F.col("__bench"),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram"),
     )
     bench_grams = (
         grams.filter(F.col("__bench")).select("gram").distinct()
