@@ -155,3 +155,32 @@ def events_as_pings(spark: SparkSession, sf_dir: str, n_regions: int = 20) -> Da
 PINGS_REGION_SQL = (
     "(((CAST(floor(value) AS BIGINT) % {n}) + {n}) % {n}) + 1"
 )
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSON-lines sink (one object per row) — the interchange format
+    most text-corpus tooling consumes. Spark's json writer is already
+    line-delimited; gzip keeps the files splittable-enough for
+    re-ingestion at corpus scale (one file per partition)."""
+    df.write.mode("overwrite").option("compression", "gzip").json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines scan. Pass an explicit schema in production: without
+    one Spark runs a full inference pre-pass over the data (2× read at
+    100 TB)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink — columnar alternative when the downstream stack is
+    Hive/Trino-flavored; same predicate-pushdown + column-pruning
+    properties as parquet."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

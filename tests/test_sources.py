@@ -54,3 +54,31 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     plan = physical_plan(pruned)
     assert "PartitionFilters: [" in plan
     assert pruned.count() > 0
+
+
+def test_jsonl_and_orc_roundtrip(spark, tmp_path):
+    """JSON-lines and ORC sinks round-trip values and (for ORC) push
+    filters down to the scan like parquet does."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources.tables import (
+        read_jsonl,
+        read_orc,
+        write_jsonl,
+        write_orc,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", float(i) / 7) for i in range(100)],
+        "id long, text string, score double",
+    )
+    jp = str(tmp_path / "docs_jsonl")
+    write_jsonl(df, jp)
+    back = read_jsonl(spark, jp, schema="id long, text string, score double")
+    assert back.count() == 100
+    assert {r.id for r in back.filter("id < 3").collect()} == {0, 1, 2}
+
+    op = str(tmp_path / "docs_orc")
+    write_orc(df, op)
+    oback = read_orc(spark, op).filter("id >= 90").select("id", "score")
+    plan = oback._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(id), GreaterThanOrEqual(id,90)" in plan
+    assert oback.count() == 10
