@@ -22,9 +22,10 @@ def test_all_query_entries_callable():
 
 def test_rows_only_queries_are_intentional():
     q, o = entrymod.queries(), entrymod.oracle_sql()
-    # Only these may lack an oracle (approx results / no SQL equivalent)
+    # Only these may lack an oracle (approx results / no SQL equivalent);
+    # geohash_cells graduated to an oracle pair when the encode went
+    # JVM-native with a generated SQL twin.
     assert sorted(set(q) - set(o)) == [
-        "geohash_cells",
         "occupancy_approx",
         "value_percentiles_approx",
     ]
