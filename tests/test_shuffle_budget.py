@@ -1,0 +1,58 @@
+"""Shuffle-budget regression gate.
+
+Every Exchange is a cluster-wide shuffle; at 100 TB an accidental extra
+one (a lost broadcast, a dropped map-side combine, a re-analysis that
+splits an aggregate) is the difference between minutes and hours. This
+test pins a CEILING on the Exchange count of each headline plan, so a
+plan regression fails CI before it ever reaches a benchmark run.
+
+Counts come from `physical_plan` (formatted explain), which mentions
+each Exchange twice (tree + detail section) — ceilings are in those
+units. Ceilings are the CURRENT counts, not aspirations: lowering one
+is an improvement to bank deliberately, raising one needs a reason in
+the commit message.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entrymod
+from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.plans import (
+    physical_plan,
+)
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+EXCHANGE_CEILING = {
+    "occupancy_by_region_hour": 4,
+    "od_fractions": 8,
+    "home_location": 6,
+    "pricing_summary": 2,
+    "revenue_by_brand": 2,
+    "exact_dedup_docs": 2,
+    "minhash_lsh_pairs": 5,
+    "sessionization": 2,
+    "cosine_topk": 2,
+    "trajectory_gap_fill": 4,
+    "corpus_curation": 2,
+    "benchmark_decontam": 4,
+    "sequence_packing": 2,
+    "ivf_topk": 2,
+    "geohash_cells": 2,
+    "domain_mix_counts": 2,
+    "dup_passage_stats": 6,
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXCHANGE_CEILING))
+def test_exchange_count_within_budget(spark, name):
+    df = entrymod.queries()[name](spark, SF_SMALL)
+    plan = physical_plan(df)
+    n = len(re.findall(r"\bExchange\b", plan))
+    assert n <= EXCHANGE_CEILING[name], (
+        f"{name}: {n} Exchange mentions > budget {EXCHANGE_CEILING[name]} — "
+        f"a shuffle crept into the plan:\n{plan[:4000]}"
+    )
