@@ -64,6 +64,13 @@ def test_geohash_native_matches_arrow_and_vectors(spark):
 
     random.seed(11)
     pts = [(random.uniform(-90, 90), random.uniform(-180, 180)) for _ in range(2000)]
+    # adversarial boundary points: poles, antimeridian, origin, and
+    # exact cell-edge coordinates (multiples of 360/2^18 — where the
+    # direct fixed-point formula is most likely to disagree with a
+    # bisection encoder if any rounding order drifted)
+    edge = 360.0 / (1 << 18)
+    pts += [(90.0, 180.0), (-90.0, -180.0), (0.0, 0.0), (89.999999, 179.999999)]
+    pts += [(-90.0 + k * edge / 2, -180.0 + k * edge) for k in range(0, 200, 7)]
     df = spark.createDataFrame(pts, "lat double, lon double")
     mism = (
         df.select(
