@@ -78,6 +78,51 @@ def main() -> None:
     frac.write.format("noop").mode("overwrite").save()
     results["od_fractions_s"] = round(time.perf_counter() - t0, 2)
 
+    # documents chain: corpus-hygiene operators on an N×-replicated
+    # corpus (disjoint doc_id spaces, identical text — worst-case hit
+    # density for the decontamination join)
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.text import (
+        token_count,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.decontam import (
+        decontaminate,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.packing import (
+        pack_sequences,
+        pack_stats,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dcopies = docs.crossJoin(
+        spark.range(n).select(F.col("id").alias("rep"))
+    ).select(
+        (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    dout = os.path.join(tempfile.gettempdir(), f"documents_x{n}.parquet")
+    dcopies.write.mode("overwrite").parquet(dout)
+    sdocs = spark.read.parquet(dout)
+
+    t0 = time.perf_counter()
+    decontaminate(sdocs, F.pmod(F.col("doc_id"), F.lit(50)) == 0, n=8).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    results["decontam_s"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    pack_stats(
+        pack_sequences(
+            sdocs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+        )
+    ).write.format("noop").mode("overwrite").save()
+    results["packing_s"] = round(time.perf_counter() - t0, 2)
+
     print(json.dumps(results))
 
 
