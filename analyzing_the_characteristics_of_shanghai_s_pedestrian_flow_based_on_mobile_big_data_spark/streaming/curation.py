@@ -1,0 +1,104 @@
+"""Streaming corpus curation — the batch hygiene stack on a live feed.
+
+Documents arrive continuously (crawl output landing as files); each
+micro-batch must pass the SAME filters the batch pipeline applies:
+quality floor, token floor, and benchmark decontamination. A document's verdict depends only on the document itself and the
+STATIC benchmark gram set — no cross-batch context — so the right
+streaming shape is ``foreachBatch``: each micro-batch runs the exact
+batch plan (broadcast stream-static join + batch-local aggregation),
+touching no state store and needing no watermark. A naive
+``writeStream`` over the same groupBy would force a stateful
+aggregation keyed by doc_id — unbounded state for zero benefit.
+
+Reuses the batch operators verbatim (functions/text.py quality/tokens,
+operators/decontam.py word_ngrams) — one definition of "clean" for
+both latency regimes; batch/stream parity is the test contract
+(tests/test_streaming_curation.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import quality_score, token_count
+from ..operators.decontam import word_ngrams
+
+
+def benchmark_gram_set(bench_docs: DataFrame, n: int = 8, text_col: str = "text") -> DataFrame:
+    """Static side: DISTINCT word n-grams of the benchmark corpus.
+    Tiny (benchmarks are MBs) — broadcast into every micro-batch."""
+    return (
+        bench_docs.select(
+            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+
+
+def curate_stream(
+    doc_stream: DataFrame,
+    bench_grams: DataFrame,
+    n: int = 8,
+    min_quality: float = 0.5,
+    min_tokens: int = 5,
+    max_hit_frac_num: int = 1,
+    max_hit_frac_den: int = 10,
+) -> DataFrame:
+    """Filter a document stream to clean rows: quality and token floors
+    evaluate map-side; contamination is the distinct-gram hit fraction
+    against the broadcast benchmark set, flagged by integer
+    cross-multiply (no float threshold). Output: doc_id, n_tokens,
+    quality, n_grams, n_hit — only rows that pass every gate.
+
+    A pure batch transformation: apply it to each micro-batch via
+    :func:`run_curation_stream` (foreachBatch) or to a static corpus
+    directly — one definition of clean for both regimes. Per-call cost
+    is one broadcast hash join plus a batch-local aggregation."""
+    scored = doc_stream.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+        F.array_distinct(word_ngrams(F.col("text"), n)).alias("grams"),
+    ).filter(
+        (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+    )
+    grams = scored.select(
+        "doc_id", "n_tokens", "quality", F.explode("grams").alias("gram")
+    )
+    per_doc = (
+        grams.join(F.broadcast(bench_grams), "gram", "left")
+        .groupBy("doc_id", "n_tokens", "quality")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("__hit").alias("n_hit"),
+        )
+    )
+    return per_doc.filter(
+        (F.col("n_hit") * F.lit(max_hit_frac_den))
+        < (F.col("n_grams") * F.lit(max_hit_frac_num))
+    )
+
+
+def run_curation_stream(
+    doc_stream: DataFrame,
+    bench_grams: DataFrame,
+    sink,
+    checkpoint: str,
+    n: int = 8,
+    **gates,
+):
+    """Drive the curation gate over a document stream with foreachBatch:
+    ``sink(batch_df, epoch_id)`` receives each micro-batch's clean rows.
+    Returns the StreamingQuery (caller awaits/stops)."""
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        sink(curate_stream(batch_df, bench_grams, n=n, **gates), epoch_id)
+
+    return (
+        doc_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

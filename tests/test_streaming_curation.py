@@ -1,0 +1,53 @@
+"""Streaming corpus curation: foreachBatch + broadcast static benchmark
+set, with batch/stream parity as the contract."""
+
+from __future__ import annotations
+
+from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.curation import (
+    benchmark_gram_set,
+    curate_stream,
+    run_curation_stream,
+)
+
+SCHEMA = "doc_id long, text string"
+
+BENCH = [(100, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")]
+BATCH_1 = [
+    (1, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),   # verbatim benchmark -> dropped
+    (2, " ".join(f"a{i}" for i in range(20))),  # clean
+]
+BATCH_2 = [
+    (3, " ".join(f"b{i}" for i in range(20))),  # clean
+    (4, "tiny"),                                 # below token floor -> dropped
+]
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    bench = benchmark_gram_set(spark.createDataFrame(BENCH, SCHEMA))
+    src = str(tmp_path / "docs")
+    for rows in (BATCH_1, BATCH_2):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    batch_out = {
+        r.doc_id: r
+        for r in curate_stream(spark.read.parquet(src), bench, min_quality=0.0).collect()
+    }
+
+    got = {}
+
+    def sink(df, epoch_id):
+        for r in df.collect():
+            got[r.doc_id] = r
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = run_curation_stream(stream, bench, sink, str(tmp_path / "ckpt"), min_quality=0.0)
+    q.awaitTermination(120)
+
+    assert set(got) == set(batch_out) == {2, 3}
+    for k in got:
+        assert got[k].n_hit == batch_out[k].n_hit == 0
+        assert got[k].n_grams == batch_out[k].n_grams
