@@ -308,6 +308,17 @@ def ivf_topk(
     exchange is the final per-query top-k over ~nprobe·N/k_c candidate
     rows. n_centroids should grow ~sqrt(N) to keep list sizes flat."""
     centroids = ivf_centroid_rows(emb, n_centroids)
+    if not centroids:
+        # empty corpus -> empty result with the contract schema (an
+        # untyped array() of zero centroid structs cannot be analyzed)
+        return (
+            emb.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("vec_id"),
+                F.lit(0.0).alias("cos_r"),
+                F.lit(1).alias("rank"),
+            ).filter(F.lit(False))
+        )
     c = emb.select("vec_id", as_double_array(F.col("embedding")).alias("c_emb"))
     assigned = c.withColumn(
         "centroid_id",

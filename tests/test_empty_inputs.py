@@ -1,0 +1,47 @@
+"""Empty-input robustness: every query must run (and return zero rows)
+on zero-row tables.
+
+At 100 TB, empty slices are routine — a new date partition, a filtered
+source, a cold-start stream backfill. An operator that assumes rows
+exist (a collect()[0], an untyped empty literal, a head-based schema
+probe) fails precisely when the pipeline is first wired up. This gate
+runs the FULL query surface against empty copies of all ten tables.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources.tables import (
+    load_table,
+)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("empty_sf"))
+    for t in TABLES:
+        load_table(spark, "/root/testdata/sf0.001", t).limit(0).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/{t}.parquet")
+    return d
+
+
+def test_every_query_survives_empty_tables(spark, empty_sf_dir):
+    failures = []
+    for name, fn in entrymod.queries().items():
+        if name == "streaming_occupancy":
+            continue  # streaming query; covered by its own harness
+        try:
+            rows = fn(spark, empty_sf_dir).limit(5).collect()
+        except Exception as ex:  # noqa: BLE001 - collecting all failures
+            failures.append(f"{name}: {type(ex).__name__}: {str(ex)[:120]}")
+            continue
+        if rows:
+            failures.append(f"{name}: produced {len(rows)} rows from empty input")
+    assert not failures, "\n".join(failures)
