@@ -49,6 +49,9 @@ EXCHANGE_CEILING = {
 
 @pytest.mark.parametrize("name", sorted(EXCHANGE_CEILING))
 def test_exchange_count_within_budget(spark, name):
+    # hermetic plan: cached tables persisted by other tests swap parts
+    # of the tree for InMemoryTableScans and change the printed counts
+    spark.catalog.clearCache()
     df = entrymod.queries()[name](spark, SF_SMALL)
     plan = physical_plan(df)
     n = len(re.findall(r"\bExchange\b", plan))
