@@ -184,3 +184,21 @@ def write_orc(df: DataFrame, path: str) -> None:
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+TABLE_NAMES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> list[str]:
+    """Register every dataset table as a temp view so users can drive
+    the engine through pure ``spark.sql`` (the same names the DuckDB
+    oracle uses). Views are lazy — each query still gets full pushdown
+    and partition pruning through the view. Returns the view names."""
+    names = []
+    for t in TABLE_NAMES:
+        name = f"{prefix}{t}"
+        load_table(spark, sf_dir, t).createOrReplaceTempView(name)
+        names.append(name)
+    return names

@@ -82,3 +82,33 @@ def test_jsonl_and_orc_roundtrip(spark, tmp_path):
     plan = oback._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(id), GreaterThanOrEqual(id,90)" in plan
     assert oback.count() == 10
+
+
+def test_register_views_sql_api(spark):
+    """Pure-SQL usage: registered views answer spark.sql queries with
+    results identical to the DataFrame API, and predicate pushdown
+    survives the view indirection."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources.tables import (
+        load_table,
+        register_views,
+    )
+
+    names = register_views(spark, "/root/testdata/sf0.001")
+    assert "events" in names and len(names) == 10
+    sql_rows = spark.sql(
+        "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+    ).collect()
+    df_rows = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("event_type")
+        .agg(__import__("pyspark").sql.functions.count("*").alias("n"))
+        .collect()
+    )
+    assert sorted(map(tuple, sql_rows)) == sorted(map(tuple, df_rows))
+    plan = (
+        spark.sql("SELECT o_orderkey FROM orders WHERE o_orderkey = 42")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)" in plan
