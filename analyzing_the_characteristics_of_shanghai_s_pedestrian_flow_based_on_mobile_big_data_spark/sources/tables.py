@@ -202,3 +202,39 @@ def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> list[s
         load_table(spark, sf_dir, t).createOrReplaceTempView(name)
         names.append(name)
     return names
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_rows_per_file: int = 1 << 20,
+    sort_col: str | None = None,
+) -> int:
+    """Small-file compaction (the lakehouse OPTIMIZE maintenance pass).
+
+    Streaming sinks and incremental merges accrete many small files;
+    at scale that means open/seek overhead and useless row groups.
+    Rewrite to ~target_rows_per_file: one range exchange when a
+    ``sort_col`` is given (each output file then covers a tight key
+    interval, so min/max pruning works — pair with
+    functions/zorder.py keys for multi-column pruning), else a plain
+    round-robin repartition. Returns the number of output files
+    requested."""
+    import math
+
+    df = spark.read.parquet(in_path)
+    n = df.count()
+    files = max(1, math.ceil(n / target_rows_per_file))
+    if sort_col is not None:
+        df = df.repartitionByRange(files, F.col(sort_col)).sortWithinPartitions(
+            sort_col
+        )
+    else:
+        df = df.repartition(files)
+    (
+        df.write.mode("overwrite")
+        .option("maxRecordsPerFile", target_rows_per_file)
+        .parquet(out_path)
+    )
+    return files

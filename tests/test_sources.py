@@ -112,3 +112,25 @@ def test_register_views_sql_api(spark):
         .toString()
     )
     assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)" in plan
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    import glob
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources.tables import (
+        compact_parquet,
+    )
+
+    src = str(tmp_path / "frag")
+    spark.range(10_000).selectExpr("id", "id % 97 AS k").repartition(40).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*")) == 40
+
+    out = str(tmp_path / "compact")
+    compact_parquet(spark, src, out, target_rows_per_file=5_000, sort_col="id")
+    files = glob.glob(f"{out}/part-*")
+    assert len(files) <= 3  # 10k rows / 5k target (+1 range-skew slack)
+    back = spark.read.parquet(out)
+    assert back.count() == 10_000
+    # sorted layout: an id-range predicate prunes to a subset of files
+    pruned = back.filter("id < 100").count()
+    assert pruned == 100
