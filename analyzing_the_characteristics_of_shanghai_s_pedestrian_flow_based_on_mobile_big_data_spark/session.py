@@ -26,6 +26,10 @@ def get_spark(app_name: str = "shflow", cpus: int | None = None) -> SparkSession
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # scan-split sizing: 128 MiB splits keep a decompressed+decoded
+        # partition well under per-task memory at 100 TB (the setting
+        # that decides scan parallelism; raise only with fat executors)
+        .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SHFLOW_DRIVER_MEM", "8g"))
