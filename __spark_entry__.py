@@ -980,6 +980,67 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customers x date-bracketed
+    orders x late-shipping lineitems -> top-10 orders by revenue.
+    Customer dim broadcasts; the orders-lineitem fact join shuffles on
+    orderkey (AQE re-plans if one side collapses under the filters);
+    revenue is DECIMAL-exact then cast, tiebreak on l_orderkey."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("date")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("date")
+    )
+    one = F.lit(1).cast("decimal(18,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("o_orderdate"), "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def _q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer over a
+    one-year order window, top-20. Same broadcast/decimal discipline
+    as Q3; tiebreak on c_custkey."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    one = F.lit(1).cast("decimal(18,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
 def _q_doc_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% corpus sample: membership = md5-hash range of
     the doc key, not an RNG — identical output on any engine, any
@@ -1825,6 +1886,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bucketed": _q_ann_bucketed,
         "ann_banded": _q_ann_banded,
         "ivf_topk": _q_ivf_topk,
+        "q3_shipping_priority": _q_q3_shipping_priority,
+        "q10_returned_items": _q_q10_returned_items,
         "doc_sample_10pct": _q_doc_sample_10pct,
         "repetition_signals": _q_repetition_signals,
         "pii_scrub": _q_pii_scrub,
@@ -2224,6 +2287,37 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+                   o_orderpriority,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                        (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+                        AS DOUBLE), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < DATE '1998-01-01'
+              AND l_shipdate > DATE '1998-01-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, c_acctbal, c_nationkey,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                        (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+                        AS DOUBLE), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= DATE '1997-01-01'
+              AND o_orderdate < DATE '1998-01-01'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
         """,
         "customers_without_orders": """
             SELECT c_nationkey, count(*) AS n_customers
@@ -2965,7 +3059,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name
         """,
         "unshipped_orders_top10": """
-            SELECT l_orderkey, o_orderdate, o_orderpriority,
+            SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+                   o_orderpriority,
                    round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
                             (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue
             FROM customer
