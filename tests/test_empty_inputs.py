@@ -5,7 +5,7 @@ At 100 TB, empty slices are routine — a new date partition, a filtered
 source, a cold-start stream backfill. An operator that assumes rows
 exist (a collect()[0], an untyped empty literal, a head-based schema
 probe) fails precisely when the pipeline is first wired up. This gate
-runs the FULL query surface against empty copies of all ten tables.
+runs the FULL batch query surface against empty copies of all ten tables.
 """
 
 from __future__ import annotations
