@@ -884,10 +884,21 @@ def _q_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").desc(), F.col("c_custkey").asc()
     )
     w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    n_in_nation = F.count(F.lit(1)).over(
+        Window.partitionBy("c_nationkey")
+    )
+    # cume_dist * n is an exact integer (the cumulative peer count);
+    # emitting IT instead of the raw fraction sidesteps the one real
+    # cross-engine hazard: fractions like 333/640 land exactly on a
+    # .5 decimal boundary at any fixed rounding width, and HALF_UP vs
+    # round-on-binary-double then disagree (found by the sf0.1 probe).
     return cust.select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.cume_dist().over(w) * n_in_nation)
+        .cast("long")
+        .alias("cume_n"),
+        n_in_nation.alias("n_in_nation"),
         F.nth_value("c_custkey", 2).over(w_full).alias("second_richest"),
     )
 
@@ -1309,9 +1320,9 @@ def _q_unshipped_orders_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > cutoff)
         .groupBy(
             "l_orderkey",
-            # parquet ms-timestamps surface as TIMESTAMP_NTZ in Spark 4;
-            # normalize to TIMESTAMP (session UTC) to match the oracle
-            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            # order dates are calendar dates; normalize the parquet
+            # timestamp to DATE on both engines (oracle: CAST AS DATE)
+            F.to_date("o_orderdate").alias("o_orderdate"),
             "o_orderpriority",
         )
         .agg(
@@ -2813,7 +2824,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "balance_distribution": """
             SELECT c_custkey, c_nationkey,
-                   round(cume_dist() OVER w, 6) AS cd,
+                   CAST(round(cume_dist() OVER w *
+                        count(*) OVER (PARTITION BY c_nationkey)) AS BIGINT)
+                     AS cume_n,
+                   count(*) OVER (PARTITION BY c_nationkey) AS n_in_nation,
                    nth_value(c_custkey, 2) OVER (
                      PARTITION BY c_nationkey
                      ORDER BY c_acctbal DESC, c_custkey ASC
