@@ -3231,7 +3231,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.doc_id,
                    count(*) AS n_grams,
                    count(b.gram) AS n_hit,
-                   round(CAST(count(b.gram) AS DOUBLE) / count(*), 6) AS hit_frac,
+                   round(CAST(count(b.gram) AS DOUBLE) / count(*), 9) AS hit_frac,
                    (count(b.gram) * 10 >= count(*) * 1) AS contaminated
             FROM grams c LEFT JOIN bench b USING (gram)
             WHERE c.doc_id % 50 <> 0

@@ -81,7 +81,7 @@ def decontaminate(
         )
         .withColumn(
             "hit_frac",
-            F.round(F.col("n_hit").cast("double") / F.col("n_grams"), 6),
+            F.round(F.col("n_hit").cast("double") / F.col("n_grams"), 9),
         )
         .withColumn(
             "contaminated",
