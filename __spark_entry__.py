@@ -1006,6 +1006,48 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids (class prototypes — what real IVF
+    training averages). Long-form shape: posexplode to (label, pos,
+    val) rows so the mean parallelizes over label x dim cells instead
+    of buffering whole vectors; per-cell sums fold in vec_id order for
+    bit-exact oracle parity. At 100 TB-per-class scale, swap the
+    ordered fold for a plain double sum (tree-aggregated, 1-ulp
+    nondeterminism) — the shape stays the same."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.vectors import (
+        as_double_array,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "label",
+        "vec_id",
+        F.posexplode(as_double_array(F.col("embedding"))).alias("pos0", "val"),
+    ).select("label", "vec_id", (F.col("pos0") + 1).alias("pos"), "val")
+    per = (
+        x.groupBy("label", "pos")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("vec_id", "val"))).alias("sv"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            "pos",
+            F.round(
+                F.aggregate(F.col("sv"), F.lit(0.0), lambda a, s: a + s.val)
+                / F.col("n"),
+                6,
+            ).alias("m"),
+        )
+    )
+    return per.groupBy("label").agg(
+        F.size(F.collect_list("m")).alias("dim"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+        ).alias("centroid"),
+    )
+
+
 def _q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: segment-filtered customers x date-bracketed
     orders x late-shipping lineitems -> top-10 orders by revenue.
@@ -1912,6 +1954,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bucketed": _q_ann_bucketed,
         "ann_banded": _q_ann_banded,
         "ivf_topk": _q_ivf_topk,
+        "label_centroids": _q_label_centroids,
         "q3_shipping_priority": _q_q3_shipping_priority,
         "q10_returned_items": _q_q10_returned_items,
         "doc_sample_10pct": _q_doc_sample_10pct,
@@ -2313,6 +2356,26 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand
+        """,
+        "label_centroids": """
+            WITH x AS (
+              SELECT label, vec_id, u.pos AS pos, u.val AS val FROM (
+                SELECT label, vec_id,
+                       unnest(list_transform(generate_series(1, len(emb)),
+                              i -> {'pos': i, 'val': emb[i]})) AS u
+                FROM (SELECT label, vec_id,
+                             CAST(embedding AS DOUBLE[]) AS emb
+                      FROM embeddings))
+            ),
+            per AS (
+              SELECT label, pos,
+                     round(list_reduce(list(val ORDER BY vec_id),
+                                       (a, b) -> a + b) / count(*), 6) AS m
+              FROM x GROUP BY 1, 2
+            )
+            SELECT label, CAST(count(*) AS INTEGER) AS dim,
+                   list(m ORDER BY pos) AS centroid
+            FROM per GROUP BY label
         """,
         "q3_shipping_priority": """
             SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,

@@ -101,6 +101,9 @@ def main() -> int:
             "string": "VARCHAR",
             "timestamp": "TIMESTAMP",
             "date": "DATE",
+            "array<double>": "DOUBLE[]",
+            "array<bigint>": "BIGINT[]",
+            "array<string>": "VARCHAR[]",
         }
         sdt = dict(sdf.dtypes)
         try:
