@@ -1011,9 +1011,10 @@ def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     training averages). Long-form shape: posexplode to (label, pos,
     val) rows so the mean parallelizes over label x dim cells instead
     of buffering whole vectors; per-cell sums fold in vec_id order for
-    bit-exact oracle parity. At 100 TB-per-class scale, swap the
-    ordered fold for a plain double sum (tree-aggregated, 1-ulp
-    nondeterminism) — the shape stays the same."""
+    bit-exact oracle parity. Output stays long-form (label, pos, m) per
+    this repo's matrix philosophy — array assembly is an edge adapter.
+    At 100 TB-per-class scale, swap the ordered fold for a plain double
+    sum (tree-aggregated, 1-ulp nondeterminism) — the shape holds."""
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.vectors import (
         as_double_array,
     )
@@ -1023,8 +1024,13 @@ def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "vec_id",
         F.posexplode(as_double_array(F.col("embedding"))).alias("pos0", "val"),
-    ).select("label", "vec_id", (F.col("pos0") + 1).alias("pos"), "val")
-    per = (
+    ).select(
+        "label",
+        "vec_id",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        "val",
+    )
+    return (
         x.groupBy("label", "pos")
         .agg(
             F.sort_array(F.collect_list(F.struct("vec_id", "val"))).alias("sv"),
@@ -1039,12 +1045,6 @@ def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("m"),
         )
-    )
-    return per.groupBy("label").agg(
-        F.size(F.collect_list("m")).alias("dim"),
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
-        ).alias("centroid"),
     )
 
 
@@ -2366,16 +2366,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT label, vec_id,
                              CAST(embedding AS DOUBLE[]) AS emb
                       FROM embeddings))
-            ),
-            per AS (
-              SELECT label, pos,
-                     round(list_reduce(list(val ORDER BY vec_id),
-                                       (a, b) -> a + b) / count(*), 6) AS m
-              FROM x GROUP BY 1, 2
             )
-            SELECT label, CAST(count(*) AS INTEGER) AS dim,
-                   list(m ORDER BY pos) AS centroid
-            FROM per GROUP BY label
+            SELECT label, pos,
+                   round(list_reduce(list(val ORDER BY vec_id),
+                                     (a, b) -> a + b) / count(*), 6) AS m
+            FROM x GROUP BY 1, 2
         """,
         "q3_shipping_priority": """
             SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
