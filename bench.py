@@ -5,6 +5,14 @@ Prints ONE JSON line:
 
 Each query is forced through a full materialization (noop sink) so
 timings include every operator, not just the count path.
+
+Noise protocol (round 3): the host shows up to 2x wall-clock variance
+between identical runs under external load.  Each query therefore gets
+one untimed warm-up pass (plan compile + codegen + shuffle-file cache)
+followed by BENCH_ITERS (default 3) timed passes; the reported number
+is the per-query MEDIAN, and the JSON carries a per-query spread
+(max-min over the timed passes) so a reader can tell load noise from a
+real regression without re-running.
 """
 
 from __future__ import annotations
@@ -45,6 +53,29 @@ HEADLINE = [
     "benchmark_decontam",
     "ivf_topk",
     "sequence_packing",
+    # round-3 additions (VERDICT r2 #9): all round-2 surface perf-tracked
+    "ann_banded",
+    "label_centroids",
+    "dup_passage_stats",
+]
+
+# The 14 queries benched since round 1 — their median subtotal is the
+# round-over-round comparable number (bench breadth grew in r2/r3).
+COMMON14 = [
+    "occupancy_by_region_hour",
+    "trajectory_gap_fill",
+    "od_fractions",
+    "home_location",
+    "pricing_summary",
+    "revenue_by_brand",
+    "top_orders_per_customer",
+    "exact_dedup_docs",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "sessionization",
+    "text_stats",
+    "cosine_topk",
+    "ann_bucketed",
 ]
 
 
@@ -56,23 +87,26 @@ def main() -> None:
 
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
+    iters = int(os.environ.get("BENCH_ITERS", "3"))  # driver default: n=3
 
-    # warm the JVM/session once (tiny query, not timed)
-    qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    def run(name: str) -> None:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # two measured iterations per query, report the min (steady-state:
-    # first run pays codegen/plan compile; the repeat is what a resident
-    # engine would serve)
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in names:
-        best = float("inf")
-        for _ in range(2):
+        run(name)  # warm-up: plan compile + codegen, not timed
+        samples = []
+        for _ in range(iters):
             t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            run(name)
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
+        spread[name] = round(samples[-1] - samples[0], 3)
 
     total = round(sum(timings.values()), 3)
+    common14 = round(sum(timings[n] for n in COMMON14 if n in timings), 3)
     print(
         json.dumps(
             {
@@ -81,6 +115,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "protocol": {"iters": iters, "stat": "median", "warmup": 1},
+                "spread": spread,
+                "common14_total": common14,
             }
         )
     )
