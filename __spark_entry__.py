@@ -767,28 +767,50 @@ def _q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.bucketed_ann_topk(emb, queries_df, k=3, dim=64, multi_probe=1)
 
 
-_IVF_CODEBOOKS: dict[str, list] = {}
+_IVF_CODEBOOKS: dict[tuple, list] = {}
+
+
+def _dataset_fingerprint(sf_dir: str, table: str) -> tuple:
+    """Cheap invalidation key for per-dataset index artifacts: the
+    sorted (name, mtime_ns, size) of the table's parquet file(s). If
+    the dataset at a path is regenerated in-process (test fixtures,
+    re-runs), the fingerprint changes and cached artifacts rebuild."""
+    import os as _os
+
+    path = _os.path.join(sf_dir, f"{table}.parquet")
+    entries = []
+    if _os.path.isdir(path):
+        for name in sorted(_os.listdir(path)):
+            st = _os.stat(_os.path.join(path, name))
+            entries.append((name, st.st_mtime_ns, st.st_size))
+    elif _os.path.exists(path):
+        st = _os.stat(path)
+        entries.append((_os.path.basename(path), st.st_mtime_ns, st.st_size))
+    return (path, tuple(entries))
 
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: corpus inverted-listed under 16 deterministic
-    coarse centroids (smallest vec_ids — engine-portable where a
-    k-means codebook is not); queries probe their 4 nearest lists.
-    Assignment is a map-only expression over literal centroid vectors
-    (no shuffle to index the corpus); the probe join broadcasts the
-    query side. The data-adaptive complement to the sign-bucket LSH
-    family (`ann_bucketed`/`ann_banded`)."""
+    coarse centroids (hash-stratified: smallest md5(vec_id) —
+    engine-portable where a k-means codebook is not, and uncorrelated
+    with ingest order, unlike a lowest-id pick); queries probe their 4
+    nearest lists. Assignment is a map-only expression over literal
+    centroid vectors (no shuffle to index the corpus); the probe join
+    broadcasts the query side. The data-adaptive complement to the
+    sign-bucket LSH family (`ann_bucketed`/`ann_banded`)."""
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
         ivf_centroid_rows,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     # the codebook is an index artifact of the (static) dataset: build
-    # it once per sf_dir and reuse across invocations, the way any IVF
-    # index is built once and served many times
-    cent = _IVF_CODEBOOKS.get(sf_dir)
+    # it once per dataset STATE and reuse across invocations, the way
+    # any IVF index is built once and served many times; keyed on the
+    # parquet fingerprint so an in-process regeneration invalidates it
+    key = _dataset_fingerprint(sf_dir, "embeddings")
+    cent = _IVF_CODEBOOKS.get(key)
     if cent is None:
-        cent = _IVF_CODEBOOKS[sf_dir] = ivf_centroid_rows(emb, 16)
+        cent = _IVF_CODEBOOKS[key] = ivf_centroid_rows(emb, 16)
     queries_df = emb.filter(F.col("vec_id") < 5)
     return ops.ivf_topk(
         emb, queries_df, k=3, n_centroids=16, nprobe=4, dim=64, centroids=cent
@@ -1008,44 +1030,19 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-class embedding centroids (class prototypes — what real IVF
-    training averages). Long-form shape: posexplode to (label, pos,
-    val) rows so the mean parallelizes over label x dim cells instead
-    of buffering whole vectors; per-cell sums fold in vec_id order for
-    bit-exact oracle parity. Output stays long-form (label, pos, m) per
-    this repo's matrix philosophy — array assembly is an edge adapter.
-    At 100 TB-per-class scale, swap the ordered fold for a plain double
-    sum (tree-aggregated, 1-ulp nondeterminism) — the shape holds."""
-    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.vectors import (
-        as_double_array,
+    training averages), long-form (label, pos, m). Delegates to
+    operators.similarity.label_centroids with ``ordered=True`` so the
+    per-cell sum folds in vec_id order — bit-exact vs the DuckDB twin.
+    The operator's DEFAULT is ``ordered=False`` (tree-aggregated
+    F.sum, O(1) buffer per cell — the 100 TB path); the ordered fold
+    exists only for this engine-differential gate, and a pytest pins
+    the two paths to <=1e-9 agreement."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        label_centroids,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    x = e.select(
-        "label",
-        "vec_id",
-        F.posexplode(as_double_array(F.col("embedding"))).alias("pos0", "val"),
-    ).select(
-        "label",
-        "vec_id",
-        (F.col("pos0") + 1).cast("long").alias("pos"),
-        "val",
-    )
-    return (
-        x.groupBy("label", "pos")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("vec_id", "val"))).alias("sv"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .select(
-            "label",
-            "pos",
-            F.round(
-                F.aggregate(F.col("sv"), F.lit(0.0), lambda a, s: a + s.val)
-                / F.col("n"),
-                6,
-            ).alias("m"),
-        )
-    )
+    return label_centroids(e, ordered=True)
 
 
 def _q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1249,46 +1246,22 @@ def _q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, sign-bucket blocked with a
-    size-adaptive bucket count (nbits ≈ log2(N/16) — a fixed nbits
-    makes the bucket self-join ~N²/2^nbits, quadratic at scale) and
-    Hamming-1 multi-probe on one join side (recovers pairs straddling
-    one hyperplane), then the exact cosine filter keeps pairs ≥ 0.9.
-    Never materializes all-pairs."""
-    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.vectors import (
-        as_double_array,
-        cosine_similarity,
-    )
+    """Embedding-cosine near-dup pairs (operators.similarity.
+    embedding_near_dup_pairs): sign-bucket blocked, size-adaptive
+    nbits, Hamming-1 multi-probe, exact cosine verify. Threshold 0.44
+    for the oracle gate: the synthetic corpus is isotropic random
+    64-dim (max pairwise cosine ≈ 0.48-0.51 at every sf), so the
+    real-corpus 0.9 cut returns the empty set at test scale — which
+    would make Spark/DuckDB agreement vacuous. 0.44 forces both
+    engines to produce and hash-match non-empty pair sets at sf0.001,
+    sf0.01 and sf0.1; a planted-duplicate pytest separately pins
+    recall at the 0.9 production cut."""
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
-        adaptive_nbits,
-        probe_buckets,
-        sign_bucket,
+        embedding_near_dup_pairs,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    nbits = adaptive_nbits(emb.count())
-    e = emb.select(
-        "vec_id", as_double_array(F.col("embedding")).alias("emb")
-    ).withColumn("bucket", sign_bucket(F.col("emb"), nbits))
-    a = e.withColumn(
-        "probe", F.explode(probe_buckets(F.col("bucket"), nbits, 1))
-    ).alias("a")
-    b = e.alias("b")
-    cos = cosine_similarity(F.col("a.emb"), F.col("b.emb"))
-    return (
-        a.join(
-            b,
-            (F.col("a.probe") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .withColumn("cos_r", F.round(cos, 6))
-        .filter(F.col("cos_r") >= 0.9)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            "cos_r",
-        )
-    )
+    return embedding_near_dup_pairs(emb, threshold=0.44)
 
 
 def _q_od_weekly_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2845,7 +2818,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             cent AS (
               SELECT vec_id AS centroid_id, c_emb AS cent_emb
-              FROM e ORDER BY vec_id LIMIT 16
+              FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
             ),
             assign AS (
               SELECT e.vec_id, cent.centroid_id, e.c_emb
@@ -3115,7 +3088,7 @@ def oracle_sql() -> dict[str, str]:
               FROM ap a JOIN e b
                 ON a.probe = b.bucket AND a.vec_id < b.vec_id
             )
-            SELECT vec_a, vec_b, cos_r FROM pairs WHERE cos_r >= 0.9
+            SELECT vec_a, vec_b, cos_r FROM pairs WHERE cos_r >= 0.44
         """,
         "od_weekly_cycle": f"""
             WITH {EDGES_CTE},

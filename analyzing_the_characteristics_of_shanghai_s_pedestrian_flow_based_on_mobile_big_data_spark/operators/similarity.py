@@ -234,16 +234,110 @@ def bucketed_ann_topk(
     return _ranked_topk(pairs, k)
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    nbits: int | None = None,
+    target_bucket_size: int = 16,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, sign-bucket blocked with a
+    size-adaptive bucket count (a fixed nbits makes the bucket
+    self-join ~N²/2^nbits, quadratic at scale) and Hamming-1
+    multi-probe on one join side (recovers pairs straddling one
+    hyperplane), then the exact cosine filter keeps pairs whose
+    6-dp-rounded cosine is >= ``threshold``. Never materializes
+    all-pairs. ``threshold`` is corpus-dependent: ~0.9 for real
+    near-duplicate text embeddings; an isotropic random corpus (the
+    synthetic test data) tops out near sqrt(2·ln(n_pairs)/dim), so
+    tests use a lower cut to keep the gate non-vacuous."""
+    if nbits is None:
+        nbits = adaptive_nbits(emb.count(), target_bucket_size)
+    e = emb.select(
+        "vec_id", as_double_array(F.col("embedding")).alias("emb")
+    ).withColumn("bucket", sign_bucket(F.col("emb"), nbits))
+    a = e.withColumn(
+        "probe", F.explode(probe_buckets(F.col("bucket"), nbits, 1))
+    ).alias("a")
+    b = e.alias("b")
+    cos = cosine_similarity(F.col("a.emb"), F.col("b.emb"))
+    return (
+        a.join(
+            b,
+            (F.col("a.probe") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cos_r", F.round(cos, 6))
+        .filter(F.col("cos_r") >= threshold)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            "cos_r",
+        )
+    )
+
+
+def label_centroids(emb: DataFrame, ordered: bool = False) -> DataFrame:
+    """Per-class embedding centroids (class prototypes — what real IVF
+    training averages). Long-form shape: posexplode to (label, pos,
+    val) rows so the mean parallelizes over label x dim cells instead
+    of buffering whole vectors; output stays long-form (label, pos, m)
+    per this repo's matrix philosophy — array assembly is an edge
+    adapter.
+
+    ``ordered=False`` (the default, the 100 TB path) sums each cell
+    with the tree-aggregated ``F.sum`` — map-side partial aggregation,
+    O(1) buffer per cell, at most 1-ulp nondeterminism from addition
+    order. ``ordered=True`` folds each cell's values in vec_id order
+    (sort_array(collect_list(...))): bit-exact and reproducible by a
+    SQL oracle, but the aggregation buffer holds every class member's
+    value (~16 B x class size per cell) — a multi-GB reducer buffer at
+    10^9 vectors/class. Use it ONLY for engine-differential parity
+    checks at test scale."""
+    x = emb.select(
+        "label",
+        "vec_id",
+        F.posexplode(as_double_array(F.col("embedding"))).alias("pos0", "val"),
+    ).select(
+        "label",
+        "vec_id",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        "val",
+    )
+    if ordered:
+        return (
+            x.groupBy("label", "pos")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("vec_id", "val"))).alias("sv"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "label",
+                "pos",
+                F.round(
+                    F.aggregate(F.col("sv"), F.lit(0.0), lambda a, s: a + s.val)
+                    / F.col("n"),
+                    6,
+                ).alias("m"),
+            )
+        )
+    return x.groupBy("label", "pos").agg(
+        F.round(F.sum("val") / F.count(F.lit(1)), 6).alias("m")
+    )
+
+
 def ivf_centroid_rows(emb: DataFrame, n_centroids: int) -> list:
-    """Deterministic coarse centroids: the ``n_centroids`` smallest
-    vec_ids (a fixed sample — engine-portable and oracle-reproducible,
-    where a trained k-means codebook would be seed/iteration-order
-    dependent). Returns [(centroid_id, [dims...])]; k·dim doubles —
+    """Deterministic coarse centroids: the ``n_centroids`` rows with the
+    smallest ``md5(vec_id)`` (ties broken by vec_id) — a deterministic
+    hash-stratified sample, engine-portable and oracle-reproducible
+    (where a trained k-means codebook would be seed/iteration-order
+    dependent), and uncorrelated with ingest order (the lowest-id pick
+    this replaces inherits whatever domain/time skew id assignment
+    carries). Returns [(centroid_id, [dims...])]; k·dim doubles —
     dimension-table sized, safe to hold on the driver like any
     broadcast dim."""
     rows = (
         emb.select("vec_id", as_double_array(F.col("embedding")).alias("e"))
-        .orderBy("vec_id")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
         .limit(n_centroids)
         .collect()
     )

@@ -142,3 +142,107 @@ def test_ivf_topk_recall_and_plan(spark):
         for r in ivf_topk(emb01, q01, k=3, n_centroids=16, nprobe=4, dim=64).collect()
     }
     assert len(ivf01 & bf01) / len(bf01) >= 0.5
+
+def test_label_centroids_default_scales_ordered_matches(spark):
+    """VERDICT r2 #3: the default label_centroids path must be the
+    tree-aggregated F.sum (no per-cell collect_list buffer — the
+    ordered fold holds every class member's value in one aggregation
+    buffer, a multi-GB reducer at 10^9 vectors/class); the ordered
+    fold is retained only as the oracle-parity twin. The two paths
+    must agree to <=1e-9 on real data."""
+    from pyspark.sql import functions as F
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        label_centroids,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.plans import (
+        physical_plan,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    fast = label_centroids(emb)  # default: ordered=False
+    slow = label_centroids(emb, ordered=True)
+    assert "collect_list" not in physical_plan(fast)
+    assert "collect_list" in physical_plan(slow)
+    joined = (
+        fast.alias("f")
+        .join(slow.alias("s"), ["label", "pos"])
+        .select(F.max(F.abs(F.col("f.m") - F.col("s.m"))).alias("mx"))
+        .collect()[0]
+    )
+    assert joined.mx <= 1e-9
+    assert fast.count() == slow.count() == 640  # 10 labels x 64 dims
+
+
+def test_embedding_near_dup_planted_recall(spark):
+    """VERDICT r2 #4: the oracle row for embedding_near_dup used to be
+    vacuous (0.9 cut on isotropic data -> empty set on both engines).
+    This pins the pair logic itself: plant 3 near-identical vector
+    pairs (cos > 0.99) in 100 random vectors and require the blocked
+    pipeline to recover exactly those pairs at the production 0.9
+    threshold."""
+    import random
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    random.seed(7)
+    rows = []
+    for vid in range(100):
+        rows.append((vid, [random.gauss(0, 1) for _ in range(16)]))
+    planted = set()
+    for k in range(3):
+        orig_id, dup_id = k, 100 + k
+        orig = rows[orig_id][1]
+        rows.append((dup_id, [v + random.gauss(0, 0.01) for v in orig]))
+        planted.add((orig_id, dup_id))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dup_pairs(emb, threshold=0.9).collect()
+    }
+    assert planted <= got
+    # no random pair should clear 0.9: recovered set == planted set
+    assert got == planted
+
+
+def test_ivf_centroids_hash_stratified_not_id_correlated(spark):
+    """VERDICT r2 #5: on a corpus where vec_id order correlates with
+    cluster (ids 0-199 all cluster A, 200-399 all cluster B — the shape
+    real ingest produces), the old lowest-id pick put EVERY centroid in
+    cluster A; the md5-stratified pick must sample both id halves, and
+    inverted lists must not collapse onto a single centroid."""
+    import random
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        ivf_centroid_rows,
+        ivf_topk,
+    )
+
+    random.seed(11)
+    a = [random.gauss(0, 1) for _ in range(16)]
+    b = [-v for v in a]
+    rows = []
+    for vid in range(400):
+        base = a if vid < 200 else b
+        rows.append((vid, [v * 10 + random.gauss(0, 0.5) for v in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = ivf_centroid_rows(emb, 8)
+    ids = [cid for cid, _ in cent]
+    assert ids != sorted(ids)[:8] or max(ids) >= 200  # not the 8 lowest ids
+    assert any(cid < 200 for cid in ids) and any(cid >= 200 for cid in ids)
+    # every query must find same-cluster neighbors (lists span clusters)
+    q = emb.filter(F.col("vec_id").isin(0, 399))
+    got = ivf_topk(emb, q, k=3, n_centroids=8, nprobe=2, dim=16, centroids=cent).collect()
+    by_q = Counter(r.query_id for r in got)
+    assert by_q[0] == 3 and by_q[399] == 3
+    for r in got:
+        same = (r.query_id < 200) == (r.vec_id < 200)
+        assert same  # neighbors come from the query's own cluster
