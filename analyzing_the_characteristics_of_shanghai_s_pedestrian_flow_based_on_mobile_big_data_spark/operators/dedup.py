@@ -70,19 +70,75 @@ def doc_shingles(
     ).distinct()
 
 
+# Above this corpus size the adaptive probe itself would cost a full
+# tokenize pass worth caring about, and a natural corpus this big has
+# power-law shingle frequencies with statistical certainty — go
+# straight to the prefix-filtered path.
+LARGE_CORPUS_DOCS = 2_000_000
+
+
+def choose_jaccard_path(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_docs: int | None = None,
+) -> bool:
+    """Pick the ngram_jaccard_pairs candidate-generation strategy from
+    cheap corpus stats. Returns True for the prefix-filtered path,
+    False for the single-join path.
+
+    The single join's reducer work on one shingle shared by m docs is
+    ~m² candidate rows, so it degrades wherever a shingle's document
+    frequency is ≫ √N (SCALE.md records the measured crossover); the
+    prefix filter structurally caps that blowup but pays ~2 extra
+    stages — measured 1.6× slower locally on a *uniform* corpus where
+    no shingle is hot. Rule: prefix when the corpus is large
+    (≥ ``LARGE_CORPUS_DOCS`` — probing would cost a corpus pass, and
+    hot shingles are certain in natural text at that size), else probe
+    max document frequency over the shingle table and prefix only when
+    max_df > 4·√N. The probe is one agg job over the same shingle
+    table the chosen path rebuilds; only its scalar max reaches the
+    driver."""
+    import math
+
+    if n_docs is None:
+        n_docs = docs.count()
+    if n_docs >= LARGE_CORPUS_DOCS:
+        return True
+    if n_docs < 2:
+        return False
+    row = (
+        doc_shingles(docs, n, id_col, text_col)
+        .groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .agg(F.max("df").alias("m"))
+        .collect()[0]
+    )
+    max_df = row.m or 0
+    return max_df > 4.0 * math.sqrt(n_docs)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
-    prefix_filter: bool = True,
+    prefix_filter: bool | None = None,
 ) -> DataFrame:
     """All pairs with n-gram Jaccard ≥ threshold, via shingle
     inverted-index self-join (no cross join: pairs only materialize for
     docs sharing ≥1 shingle).
 
-    ``prefix_filter=True`` (default) is the 100 TB path: candidate
+    ``prefix_filter=None`` (default) selects the path adaptively via
+    ``choose_jaccard_path``: prefix-filtered when the corpus is large
+    or a shingle's document frequency exceeds 4·√N (the measured
+    single-join blowup regime), single-join otherwise. Both paths are
+    exact and produce identical pair sets (pytest-pinned), so the
+    choice is purely a physical-plan decision.
+
+    ``prefix_filter=True`` is the 100 TB path: candidate
     generation joins only on each doc's prefix — its ⌈(1−t)·|A|⌉+1
     globally-rarest shingles (global order = document frequency asc,
     shingle asc). Prefix-filter lemma (exact, never drops a qualifying
@@ -107,6 +163,8 @@ def ngram_jaccard_pairs(
     false prunes at equality)."""
     from pyspark.sql import Window
 
+    if prefix_filter is None:
+        prefix_filter = choose_jaccard_path(docs, n, id_col, text_col)
     ratio_ok = (
         F.least(F.col("a.n_sh"), F.col("b.n_sh"))
         / F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))

@@ -148,3 +148,46 @@ def test_connected_components_nonconvergence_flagged(spark):
     flagged = connected_components(pairs, max_iterations=1, strict=False)
     assert "converged" in flagged.columns
     assert flagged.filter("converged = false").count() == 64
+
+
+def test_choose_jaccard_path_skew_vs_uniform(spark):
+    """VERDICT r2 #2 (adaptive path): the candidate-generation strategy
+    must follow corpus shape — single join on a uniform corpus (no hot
+    shingle: prefix filter's 2 extra stages are pure overhead), prefix
+    filter on a skewed one (a shingle shared by m >> sqrt(N) docs makes
+    the single join's reducer ~m^2) — and the adaptive default must
+    produce the identical pair set either way."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+        choose_jaccard_path,
+        ngram_jaccard_pairs,
+    )
+
+    uniform = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(10))) for i in range(50)],
+        "doc_id long, text string",
+    )
+    assert choose_jaccard_path(uniform) is False
+
+    hot = "the quick brown fox jumps over"
+    skewed = spark.createDataFrame(
+        [(i, f"{hot} tail{i}a tail{i}b tail{i}c tail{i}d") for i in range(50)],
+        "doc_id long, text string",
+    )
+    assert choose_jaccard_path(skewed) is True
+
+    # beyond LARGE_CORPUS_DOCS the probe is skipped: prefix, always
+    assert choose_jaccard_path(uniform, n_docs=10_000_000) is True
+
+    for corpus in (uniform, skewed):
+        auto = {
+            (r.doc_a, r.doc_b, round(r.jaccard, 9))
+            for r in ngram_jaccard_pairs(corpus, n=3, threshold=0.5).collect()
+        }
+        for flag in (True, False):
+            explicit = {
+                (r.doc_a, r.doc_b, round(r.jaccard, 9))
+                for r in ngram_jaccard_pairs(
+                    corpus, n=3, threshold=0.5, prefix_filter=flag
+                ).collect()
+            }
+            assert auto == explicit
