@@ -1149,6 +1149,26 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_meta(attach_binary_payload(docs))
 
 
+def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode (round 3 — the stub is gone): synthesize
+    deterministic BMP/PPM/WAV payloads per doc_id (doc_id % 3 picks
+    the container; dims/rate/fill are fixed functions of doc_id), land
+    them as a binary column, then parse them back with the pure-python
+    codecs in operators.multimodal (struct.unpack header walks, RIFF
+    chunk scan, stride-aware pixel means). The oracle predicts the
+    decoder's REQUIRED output arithmetically from doc_id without
+    touching bytes — any encoder bug, mis-read offset, or padding
+    mishandling breaks the hash match. Both mapInPandas stages are
+    Arrow-batched; no per-row JVM↔Python calls."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.multimodal import (
+        decode_media_meta,
+        synth_media_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media_meta(synth_media_payloads(docs))
+
+
 def _q_user_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 (combineByKey→collect_list) re-expressed: per-user ordered
     distinct event types, emitted as a join-stable string."""
@@ -1941,6 +1961,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_lineitem_measures": _q_unpivot_lineitem_measures,
         "corpus_split_counts": _q_corpus_split_counts,
         "multimodal_meta": _q_multimodal_meta,
+        "multimodal_decode": _q_multimodal_decode,
         "streaming_occupancy": _q_streaming_occupancy,
         "user_event_type_profile": _q_user_event_type_profile,
         "type_occupancy": _q_type_occupancy,
@@ -3004,6 +3025,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST({_HEXPOS.format(j=1)} * 16 + {_HEXPOS.format(j=2)} AS INTEGER) AS fake_width,
                    CAST({_HEXPOS.format(j=3)} * 16 + {_HEXPOS.format(j=4)} AS INTEGER) AS fake_height,
                    md5(text) AS digest
+            FROM documents
+        """,
+        "multimodal_decode": """
+            SELECT doc_id,
+                   CASE CAST(doc_id % 3 AS INTEGER)
+                     WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'wav'
+                   END AS kind,
+                   CASE WHEN doc_id % 3 <> 2
+                        THEN CAST(1 + doc_id % 31 AS INTEGER) END AS width,
+                   CASE WHEN doc_id % 3 <> 2
+                        THEN CAST(1 + doc_id % 17 AS INTEGER) END AS height,
+                   CASE WHEN doc_id % 3 <> 2 THEN CAST(3 AS INTEGER)
+                        ELSE CAST(1 AS INTEGER) END AS n_channels,
+                   CASE WHEN doc_id % 3 = 2
+                        THEN CAST(8000 + (doc_id % 5) * 1000 AS INTEGER)
+                   END AS sample_rate,
+                   CASE WHEN doc_id % 3 = 2
+                        THEN CAST(100 + doc_id % 400 AS BIGINT) END AS n_samples,
+                   CASE WHEN doc_id % 3 = 2
+                        THEN CAST(100 + doc_id % 400 AS DOUBLE) * 1000.0
+                             / (8000 + (doc_id % 5) * 1000)
+                   END AS duration_ms,
+                   CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_byte
             FROM documents
         """,
         "streaming_occupancy": """

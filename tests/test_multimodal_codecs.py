@@ -1,0 +1,115 @@
+"""Pure-python media codec tests (round 3 — the decode stub is gone).
+
+The decoders are exercised three ways: golden hand-built byte strings
+(offsets checked against the published BMP/PPM/RIFF layouts), encoder
+round-trips with awkward widths (stride padding), and container
+variants the synth path never produces (top-down BMP, commented PPM,
+16-bit stereo WAV) — so the parsers are real parsers, not inverses of
+our own encoder.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.multimodal import (
+    decode_media,
+    encode_bmp,
+    encode_ppm,
+    encode_wav,
+)
+
+
+def test_bmp_round_trip_awkward_stride():
+    # width 3 -> 9 pixel bytes/row, stride 12: 3 padding bytes per row
+    # must be EXCLUDED from the mean
+    m = decode_media(encode_bmp(3, 5, 200))
+    assert (m["kind"], m["width"], m["height"], m["n_channels"]) == ("bmp", 3, 5, 3)
+    assert m["mean_byte"] == 200.0
+    assert m["sample_rate"] is None and m["duration_ms"] is None
+
+
+def test_bmp_mean_reads_pixels_not_padding():
+    # hand-build a 1x2 bottom-up BMP with distinct pixel bytes and
+    # nonzero padding: mean must cover exactly the 6 pixel bytes
+    pixels = bytes([10, 20, 30]) + b"\xff" + bytes([40, 50, 60]) + b"\xff"
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 1, 2, 1, 24, 0, len(pixels), 0, 0, 0, 0)
+    m = decode_media(header + info + pixels)
+    assert m["mean_byte"] == (10 + 20 + 30 + 40 + 50 + 60) / 6
+
+
+def test_bmp_top_down_negative_height():
+    b = bytearray(encode_bmp(4, 3, 7))
+    struct.pack_into("<i", b, 22, -3)  # biHeight < 0: top-down rows
+    m = decode_media(bytes(b))
+    assert m["height"] == 3 and m["mean_byte"] == 7.0
+
+
+def test_bmp_rejects_unsupported_depth():
+    b = bytearray(encode_bmp(2, 2, 0))
+    struct.pack_into("<H", b, 28, 8)  # 8-bit palette BMP
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_media(bytes(b))
+
+
+def test_ppm_round_trip_and_comments():
+    m = decode_media(encode_ppm(6, 4, 123))
+    assert (m["kind"], m["width"], m["height"], m["mean_byte"]) == ("ppm", 6, 4, 123.0)
+    commented = b"P6\n# a comment\n2 1\n# another\n255\n" + bytes([9] * 6)
+    m2 = decode_media(commented)
+    assert (m2["width"], m2["height"], m2["mean_byte"]) == (2, 1, 9.0)
+
+
+def test_wav_round_trip_duration():
+    m = decode_media(encode_wav(8000, 400, 64))
+    assert (m["kind"], m["n_channels"], m["sample_rate"], m["n_samples"]) == (
+        "wav", 1, 8000, 400,
+    )
+    assert m["duration_ms"] == 50.0 and m["mean_byte"] == 64.0
+    assert m["width"] is None and m["height"] is None
+
+
+def test_wav_16bit_stereo_chunk_walk():
+    # 16-bit stereo with a LIST chunk before data: the chunk walk must
+    # skip unknown chunks and divide by bytes-per-frame (4)
+    frames = 250
+    data = struct.pack("<" + "h" * (frames * 2), *([1000, -1000] * frames))
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 2, 44100, 44100 * 4, 4, 16)
+    lst = struct.pack("<4sI", b"LIST", 4) + b"INFO"
+    dch = struct.pack("<4sI", b"data", len(data)) + data
+    riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(lst) + len(dch), b"WAVE")
+    m = decode_media(riff + fmt + lst + dch)
+    assert (m["n_channels"], m["sample_rate"], m["n_samples"]) == (2, 44100, 250)
+    assert m["duration_ms"] == 250 * 1000.0 / 44100
+
+
+def test_unknown_container_raises():
+    with pytest.raises(ValueError, match="unknown media container"):
+        decode_media(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_synth_decode_spark_round_trip(spark):
+    """End-to-end through the two mapInPandas stages on a real session:
+    binary column in between, typed nullable metadata out."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.multimodal import (
+        decode_media_meta,
+        synth_media_payloads,
+    )
+
+    docs = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    out = decode_media_meta(synth_media_payloads(docs)).orderBy("doc_id").collect()
+    assert len(out) == 30
+    for r in out:
+        d = r.doc_id
+        if d % 3 == 2:
+            assert r.kind == "wav" and r.width is None
+            assert r.n_samples == 100 + d % 400
+            assert r.sample_rate == 8000 + (d % 5) * 1000
+        else:
+            assert r.kind == ("bmp" if d % 3 == 0 else "ppm")
+            assert (r.width, r.height) == (1 + d % 31, 1 + d % 17)
+            assert r.duration_ms is None
+        assert r.mean_byte == float((d * 7) % 256)
