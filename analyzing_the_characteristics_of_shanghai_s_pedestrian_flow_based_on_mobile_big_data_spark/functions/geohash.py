@@ -98,38 +98,13 @@ def _neighbors_one(gh: str) -> list[str]:
     return sorted(set(out))
 
 
-def geohash_encode_native(lat: Column, lon: Column, precision: int) -> Column:
-    """JVM-native geohash encode — no Python anywhere.
-
-    The bisection in :func:`_encode_np` is mathematically the fixed-point
-    index ``floor((coord - lo) / (hi - lo) * 2**nbits)``; computing that
-    directly lets the whole encode stay in whole-stage codegen:
-    two floor-scales, one Morton-style bit interleave (shift/and/or),
-    then base-32 char lookup. This is the canonical encode for queries
-    (`geohash_cells`); its SQL twin :func:`geohash_sql` is generated from
-    the same loop so Spark and the DuckDB oracle can never drift.
-
-    Replaces the reference's row-at-a-time external-lib UDF
-    (``region.py:34-40``, ``cal_orig_area.py:45-52``).
-    """
+def _interleave_to_chars(xl: Column, yl: Column, precision: int) -> Column:
+    """Morton-interleave integer cell coords (xl: nlon bits, yl: nlat
+    bits) MSB-first — even stream bits from longitude, odd from
+    latitude — then emit the base-32 string."""
     nbits = precision * 5
     nlon = (nbits + 1) // 2
     nlat = nbits // 2
-    xl = F.least(
-        F.greatest(
-            F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << nlon))),
-            F.lit(0),
-        ),
-        F.lit((1 << nlon) - 1),
-    ).cast("long")
-    yl = F.least(
-        F.greatest(
-            F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << nlat))),
-            F.lit(0),
-        ),
-        F.lit((1 << nlat) - 1),
-    ).cast("long")
-    # Interleave MSB-first: even stream bits from longitude, odd from latitude.
     v = None
     for i in range(nlon):
         term = F.shiftleft(
@@ -153,6 +128,47 @@ def geohash_encode_native(lat: Column, lon: Column, precision: int) -> Column:
         for k in range(precision)
     ]
     return F.concat(*chars)
+
+
+def geohash_encode_native(lat: Column, lon: Column, precision: int) -> Column:
+    """JVM-native geohash encode — no Python anywhere.
+
+    The bisection in :func:`_encode_np` is mathematically the fixed-point
+    index ``floor((coord - lo) / (hi - lo) * 2**nbits)``; computing that
+    directly lets the whole encode stay in whole-stage codegen:
+    two floor-scales, one Morton-style bit interleave (shift/and/or),
+    then base-32 char lookup. This is the canonical encode for queries
+    (`geohash_cells`); its SQL twin :func:`geohash_sql` is generated from
+    the same loop so Spark and the DuckDB oracle can never drift.
+
+    .. warning:: Do NOT mix this encoder with the Arrow bisection
+       encoder (:func:`geohash_encode`) as join keys in one query: for
+       coordinates within ~1 ulp of a cell boundary the two-rounding
+       fixed-point formula here can disagree with the bisection
+       (which compares against exact dyadic midpoints) by one cell.
+       Each is self-consistent; pick one per key domain.
+
+    Replaces the reference's row-at-a-time external-lib UDF
+    (``region.py:34-40``, ``cal_orig_area.py:45-52``).
+    """
+    nbits = precision * 5
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    xl = F.least(
+        F.greatest(
+            F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << nlon))),
+            F.lit(0),
+        ),
+        F.lit((1 << nlon) - 1),
+    ).cast("long")
+    yl = F.least(
+        F.greatest(
+            F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << nlat))),
+            F.lit(0),
+        ),
+        F.lit((1 << nlat) - 1),
+    ).cast("long")
+    return _interleave_to_chars(xl, yl, precision)
 
 
 def geohash_sql(lat_expr: str, lon_expr: str, precision: int) -> str:
@@ -204,10 +220,74 @@ def geohash_encode(lat: Column, lon: Column, precision: int) -> Column:
     return _enc(lat, lon)
 
 
+def geohash_neighbors_native(gh: Column, precision: int) -> Column:
+    """JVM-native 3×3 neighbor block (self included, sorted distinct) —
+    the geohash grid is just Morton-interleaved integer cell coords, so
+    neighbors are ±1 arithmetic on those coords, no float geometry:
+
+    1. decode the base-32 string back to the interleaved bit value
+       (``instr`` per char — the exact inverse of the encode's char
+       lookup),
+    2. de-interleave into the (x=lon, y=lat) cell integers,
+    3. for each of the 9 (dx, dy) offsets: wrap x modulo 2^nlon
+       (longitude is periodic), DROP cells with y outside [0, 2^nlat)
+       (no rows beyond the poles — same semantics as the Arrow
+       version's latitude bound check),
+    4. re-interleave and re-encode each surviving cell.
+
+    Pure shift/and/or/substr — whole-stage codegen, no
+    ``BatchEvalPython``. Output order/content matches
+    :func:`geohash_neighbors` exactly (pytest-pinned), but derived
+    from the NATIVE encoder's bit math; per the encoder-mixing warning
+    on :func:`geohash_encode_native`, don't join these cells against
+    keys produced by the Arrow encoder."""
+    nbits = precision * 5
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    v = None
+    for k in range(precision):
+        val = (
+            F.instr(F.lit(_BASE32_STR), F.substring(gh, k + 1, 1)) - F.lit(1)
+        ).cast("long")
+        term = F.shiftleft(val, 5 * (precision - 1 - k))
+        v = term if v is None else v.bitwiseOR(term)
+    x = None
+    for i in range(nlon):
+        term = F.shiftleft(
+            F.shiftright(v, nbits - 1 - 2 * i).bitwiseAND(F.lit(1)), nlon - 1 - i
+        )
+        x = term if x is None else x.bitwiseOR(term)
+    y = None
+    for i in range(nlat):
+        term = F.shiftleft(
+            F.shiftright(v, nbits - 2 - 2 * i).bitwiseAND(F.lit(1)), nlat - 1 - i
+        )
+        y = term if y is None else y.bitwiseOR(term)
+    cells = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            xn = F.pmod(x + F.lit(dx), F.lit(1 << nlon))
+            yn = y + F.lit(dy)
+            cells.append(
+                F.when(
+                    (yn >= 0) & (yn < (1 << nlat)),
+                    _interleave_to_chars(xn, yn, precision),
+                )
+            )
+    return F.array_sort(
+        F.array_distinct(F.filter(F.array(*cells), lambda c: c.isNotNull()))
+    )
+
+
 def geohash_neighbors(gh: Column) -> Column:
     """Array of the 3×3 cell block around each geohash (self included).
     Use with ``F.explode`` to get the dim-side neighbor expansion the
-    reference builds on the driver (cal_orig_area.py:62-72)."""
+    reference builds on the driver (cal_orig_area.py:62-72).
+
+    Arrow-batched pandas variant, kept for parity testing against the
+    bisection encoder; :func:`geohash_neighbors_native` is the
+    query-path version (no Python). Don't mix the two families as
+    join keys (see :func:`geohash_encode_native`)."""
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _nb(s: pd.Series) -> pd.Series:
