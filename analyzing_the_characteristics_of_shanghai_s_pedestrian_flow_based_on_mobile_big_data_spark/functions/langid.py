@@ -26,24 +26,55 @@ LANG_PROFILES: dict[str, list[str]] = {
 def _packed_hits(toks: Column) -> Column:
     """All four languages' stopword-hit counts in ONE fold: each token
     does a single map lookup whose value adds 1 into that language's
-    16-bit lane of a packed long (a token shared by two profiles adds
-    into both lanes). One interpreted-lambda pass instead of
-    |languages| filter scans with 10-way isin per token — measured 4×
-    on the curation pipeline; counts (and thus scores and argmax) are
-    bit-identical to the per-language formulation."""
+    32-bit lane, two lanes per long, accumulated in a struct of two
+    longs (a token shared by two profiles adds into both lanes). One
+    interpreted-lambda pass instead of |languages| filter scans with
+    10-way isin per token — measured 4× on the curation pipeline;
+    counts (and thus scores and argmax) are bit-identical to the
+    per-language formulation. 32-bit lanes cannot carry: a Spark array
+    holds < 2^31 elements, so no per-language count can reach 2^32
+    (the 16-bit-lane formulation overflowed at 65,536 hits — a ~300k
+    token document)."""
     lanes = {lang: i for i, lang in enumerate(sorted(LANG_PROFILES))}
-    add: dict[str, int] = {}
+    n_words = (len(LANG_PROFILES) + 1) // 2
+    adds: list[dict[str, int]] = [{} for _ in range(n_words)]
     for lang, words in LANG_PROFILES.items():
+        word_i, shift = divmod(lanes[lang], 2)
         for w in words:
-            add[w] = add.get(w, 0) + (1 << (16 * lanes[lang]))
+            adds[word_i][w] = adds[word_i].get(w, 0) + (1 << (32 * shift))
     pairs: list[Column] = []
-    for w, v in sorted(add.items()):
-        pairs += [F.lit(w), F.lit(v).cast("long")]
+    for w in sorted(set().union(*adds)):
+        pairs += [
+            F.lit(w),
+            F.array(*[F.lit(a.get(w, 0)).cast("long") for a in adds]),
+        ]
     m = F.create_map(*pairs)
-    return F.aggregate(
-        toks,
-        F.lit(0).cast("long"),
-        lambda acc, t: acc + F.coalesce(F.element_at(m, t), F.lit(0).cast("long")),
+    zero = F.struct(
+        *[F.lit(0).cast("long").alias(f"p{i}") for i in range(n_words)]
+    )
+
+    def _step(acc: Column, t: Column) -> Column:
+        v = F.element_at(m, t)
+        return F.struct(
+            *[
+                (
+                    acc[f"p{i}"]
+                    + F.coalesce(
+                        F.element_at(v, i + 1), F.lit(0).cast("long")
+                    )
+                ).alias(f"p{i}")
+                for i in range(n_words)
+            ]
+        )
+
+    return F.aggregate(toks, zero, _step)
+
+
+def _lane(packed: Column, lane_idx: int) -> Column:
+    """Extract one language's 32-bit count from the packed struct."""
+    word_i, shift = divmod(lane_idx, 2)
+    return F.shiftright(packed[f"p{word_i}"], 32 * shift).bitwiseAND(
+        F.lit(0xFFFFFFFF)
     )
 
 
