@@ -85,7 +85,7 @@ def lang_scores(toks: Column) -> dict[str, Column]:
     lanes = {lang: i for i, lang in enumerate(sorted(LANG_PROFILES))}
     out = {}
     for lang in LANG_PROFILES:
-        hits = F.shiftright(packed, 16 * lanes[lang]).bitwiseAND(F.lit(0xFFFF))
+        hits = _lane(packed, lanes[lang])
         out[lang] = F.when(n > 0, hits / n).otherwise(F.lit(0.0))
     return out
 
@@ -99,9 +99,6 @@ def predict_lang(toks: Column) -> Column:
     single-element transform lambda so the fold is evaluated exactly
     once per row, not once per language."""
     langs = sorted(LANG_PROFILES)  # lexicographic scan ⇒ ties keep first
-
-    def _lane(p: Column, i: int) -> Column:
-        return F.shiftright(p, 16 * i).bitwiseAND(F.lit(0xFFFF))
 
     def _argmax(p: Column) -> Column:
         pred, best = F.lit(langs[0]), _lane(p, 0)

@@ -86,16 +86,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table is written with nanosecond parquet timestamps,
-    which Spark's vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]).
-    Read nanos as long (legacy conf) and truncate to microseconds —
-    the same truncation DuckDB applies, so oracle semantics match."""
+    """Events-table reader, robust to the three timestamp physical
+    encodings the generator has produced across rounds:
+
+    - nanosecond INT64 (Spark's vectorized reader rejects it with
+      [PARQUET_TYPE_ILLEGAL] unless read as long): legacy nanosAsLong
+      + integer DIV 1000 to micros — the same truncation DuckDB
+      applies, so oracle semantics match;
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) → Spark reads
+      TIMESTAMP_NTZ: cast to session-tz TIMESTAMP (UTC session ⇒
+      identical values, and the schema the oracle compare expects);
+    - plain TIMESTAMP: pass through.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         # integer division — going through double would lose precision
         # on 1.7e18-scale nanosecond values (> 2^53)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

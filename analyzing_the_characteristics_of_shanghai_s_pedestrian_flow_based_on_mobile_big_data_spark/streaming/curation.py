@@ -55,7 +55,14 @@ def curate_stream(
     A pure batch transformation: apply it to each micro-batch via
     :func:`run_curation_stream` (foreachBatch) or to a static corpus
     directly — one definition of clean for both regimes. Per-call cost
-    is one broadcast hash join plus a batch-local aggregation."""
+    is one broadcast hash join plus a batch-local aggregation.
+
+    Documents shorter than the shingle width (fewer than ``n`` words,
+    so zero n-grams) that pass the quality/token gates are KEPT as
+    uncontaminated with ``n_grams = n_hit = 0`` — ``explode_outer``
+    carries them through the join as a single null-gram row that can
+    never match a benchmark gram. (The previous inner ``explode``
+    silently dropped 5–7-word docs that had cleared every gate.)"""
     scored = doc_stream.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
@@ -65,19 +72,22 @@ def curate_stream(
         (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
     )
     grams = scored.select(
-        "doc_id", "n_tokens", "quality", F.explode("grams").alias("gram")
+        "doc_id", "n_tokens", "quality", F.explode_outer("grams").alias("gram")
     )
     per_doc = (
         grams.join(F.broadcast(bench_grams), "gram", "left")
         .groupBy("doc_id", "n_tokens", "quality")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
+            F.count("gram").alias("n_grams"),
             F.count("__hit").alias("n_hit"),
         )
     )
     return per_doc.filter(
-        (F.col("n_hit") * F.lit(max_hit_frac_den))
-        < (F.col("n_grams") * F.lit(max_hit_frac_num))
+        (F.col("n_grams") == 0)
+        | (
+            (F.col("n_hit") * F.lit(max_hit_frac_den))
+            < (F.col("n_grams") * F.lit(max_hit_frac_num))
+        )
     )
 
 

@@ -41,10 +41,22 @@ class IncrementalCountTable:
     through :meth:`read`, which resolves the pointer at call time.
     """
 
-    def __init__(self, spark: SparkSession, path: str, keys: list[str]):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: list[str],
+        retain: int = 2,
+    ):
         self.spark = spark
         self.path = path
         self.keys = keys
+        # Superseded generations (beyond current + parent) kept before
+        # GC: a lazy DataFrame handed out by read() stays readable
+        # across up to `retain` subsequent merges. Readers that hold a
+        # result longer than that must materialize it (collect/write/
+        # persist+count) — generation dirs are eventually deleted.
+        self.retain = retain
 
     def _pointer(self) -> dict | None:
         ptr = os.path.join(self.path, "CURRENT")
@@ -59,6 +71,12 @@ class IncrementalCountTable:
             return {"gen": raw, "epoch": None, "parent": None}
 
     def read(self) -> DataFrame | None:
+        """Current table state as a lazy DataFrame.
+
+        The underlying generation directory survives at least
+        ``retain`` subsequent merges; consume (or materialize) the
+        result within that horizon — a handle held longer may
+        reference GC'd files."""
         ptr = self._pointer()
         if ptr is None:
             return None
@@ -92,12 +110,22 @@ class IncrementalCountTable:
         with open(tmp, "w") as f:
             json.dump({"gen": gen, "epoch": epoch_id, "parent": base_gen}, f)
         os.replace(tmp, os.path.join(self.path, "CURRENT"))
-        # GC superseded generations — keep the new current and its
-        # parent (a replay of this epoch may still rebase onto it).
+        # GC superseded generations — always keep the new current and
+        # its parent (a replay of this epoch may still rebase onto it),
+        # plus the `retain` most recent others so lazy read() handles
+        # from the last few merges stay consumable.
         keep = {gen, base_gen}
-        for d in os.listdir(self.path):
-            if d.startswith("gen_") and d not in keep:
-                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+        gens = [
+            d
+            for d in os.listdir(self.path)
+            if d.startswith("gen_") and d not in keep
+        ]
+        gens.sort(
+            key=lambda d: os.path.getmtime(os.path.join(self.path, d)),
+            reverse=True,
+        )
+        for d in gens[self.retain:]:
+            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
 
 
 def incremental_occupancy_stream(

@@ -15,21 +15,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyspark.sql import types as T
+# File streams need a declared schema (no inference). The generator's
+# timestamp encoding has varied across rounds (nanosecond INT64 vs
+# TIMESTAMP(MICROS) NTZ), so derive the stream schema from the batch
+# footer at call time instead of hardcoding one — see
+# _events_stream_source.
 
-# File-stream schema: the testdata's parquet stores nanosecond
-# timestamps, which Spark only reads as LONG (legacy nanosAsLong) —
-# declare LONG here and convert to a real timestamp in the stream.
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), False),
-        T.StructField("ts", T.LongType(), False),
-        T.StructField("user_id", T.LongType(), False),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+
+def _events_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the ts column
+    normalized to a session-tz TIMESTAMP, whatever the file's physical
+    encoding. One footer read (batch schema) decides the conversion —
+    the same three-way rule as sources.tables.load_events."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    dt = dict(src.dtypes).get("ts")
+    if dt == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif dt == "timestamp_ntz":
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    return src
 
 
 def streaming_occupancy(
@@ -44,13 +54,7 @@ def streaming_occupancy(
     Complete output mode so every window is present when the (finite)
     source drains — the batch-equivalent contract the oracle checks.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    src = _events_stream_source(spark, sf_dir)
     agg = (
         src.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")

@@ -184,3 +184,43 @@ def test_geohash_roundtrip_property(spark):
             lat_min, lat_max, lon_min, lon_max = _decode_bbox(cell.decode())
             assert lat_min <= lat <= lat_max
             assert lon_min <= lon <= lon_max
+
+
+def test_langid_packed_lanes_no_carry(spark):
+    """Regression: the 16-bit-lane packing carried into the adjacent
+    language's lane at 65,536 hits (a ~300k-token doc). The 32-bit
+    struct lanes must count a 70k-hit document exactly and keep the
+    neighboring lane at zero."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.langid import (
+        lang_scores,
+        predict_lang,
+    )
+
+    big = spark.range(1).select(F.array_repeat(F.lit("the"), 70000).alias("toks"))
+    scores = lang_scores(F.col("toks"))
+    row = big.select(
+        predict_lang(F.col("toks")).alias("pred"),
+        *[c.alias(f"s_{k}") for k, c in scores.items()],
+    ).collect()[0]
+    assert row.pred == "en"
+    assert row.s_en == 1.0
+    assert row.s_de == 0.0 and row.s_fr == 0.0 and row.s_es == 0.0
+
+
+def test_langid_shared_token_counts_both_lanes(spark):
+    """'la' is a stopword for both fr and es — one occurrence must add
+    into BOTH lanes; ties break lexicographically (es < fr)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.langid import (
+        lang_scores,
+        predict_lang,
+    )
+
+    df = spark.createDataFrame([(["la", "la", "xx", "yy"],)], "toks array<string>")
+    scores = lang_scores(F.col("toks"))
+    row = df.select(
+        predict_lang(F.col("toks")).alias("pred"),
+        *[c.alias(f"s_{k}") for k, c in scores.items()],
+    ).collect()[0]
+    assert row.s_fr == 0.5 and row.s_es == 0.5
+    assert row.s_en == 0.0 and row.s_de == 0.0
+    assert row.pred == "es"

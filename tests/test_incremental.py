@@ -67,3 +67,25 @@ def test_merge_batch_first_epoch_replay(spark, tmp_path):
     table.merge_batch(d0, 0)
     got = {r.k: r.cnt for r in table.read().collect()}
     assert got == {"a": 3}
+
+
+def test_lazy_read_survives_retain_merges(spark, tmp_path):
+    """A lazy read() handle must stay consumable across `retain`
+    subsequent merges (the GC keeps that many superseded generations
+    beyond current + parent)."""
+    schema = "region_id int, hour timestamp, cnt long"
+    table = IncrementalCountTable(
+        spark, str(tmp_path / "t"), ["region_id", "hour"], retain=2
+    )
+    h = ts("2024-01-01 10:00:00")
+
+    def delta(n):
+        return spark.createDataFrame([(5, h, n)], schema)
+
+    table.merge_batch(delta(1), 0)
+    snapshot = table.read()  # lazy handle onto generation 0
+    table.merge_batch(delta(10), 1)
+    table.merge_batch(delta(100), 2)
+    # two merges later the gen-0 directory is still retained
+    assert {r.cnt for r in snapshot.collect()} == {1}
+    assert {r.cnt for r in table.read().collect()} == {111}

@@ -19,6 +19,7 @@ BATCH_1 = [
 BATCH_2 = [
     (3, " ".join(f"b{i}" for i in range(20))),  # clean
     (4, "tiny"),                                 # below token floor -> dropped
+    (5, "c1 c2 c3 c4 c5 c6"),  # 6 words: zero 8-grams, passes gates -> KEPT
 ]
 
 
@@ -47,7 +48,9 @@ def test_stream_matches_batch(spark, tmp_path):
     q = run_curation_stream(stream, bench, sink, str(tmp_path / "ckpt"), min_quality=0.0)
     q.awaitTermination(120)
 
-    assert set(got) == set(batch_out) == {2, 3}
+    assert set(got) == set(batch_out) == {2, 3, 5}
     for k in got:
         assert got[k].n_hit == batch_out[k].n_hit == 0
         assert got[k].n_grams == batch_out[k].n_grams
+    # sub-shingle-width doc is kept as uncontaminated, not exploded away
+    assert got[5].n_grams == 0 and got[5].n_tokens == 6
