@@ -98,19 +98,34 @@ def mint_dense_ids(
     return dim.join(ids, anchors)
 
 
+#: Above this many input rows the id mint switches to the two-phase
+#: path automatically: a dimension that large can exceed one task's
+#: sort budget in the global-window path. (Row count bounds the
+#: distinct anchor count, so it is a safe, join-free proxy.)
+LARGE_DIM_THRESHOLD = 100_000
+
+
 def build_region_dim(
     poi: DataFrame,
     lat_col: str = "latitude",
     lon_col: str = "longitude",
     precisions: Sequence[int] = (5, 6, 7, 8),
     anchor_precision: int = 5,
-    large_dim: bool = False,
+    large_dim: bool | None = None,
 ) -> DataFrame:
     """POI table → region dimension with geohash columns and a dense
     1-based ``agent_id`` keyed on the anchor-precision geohash
-    (region.py:42-53). ``large_dim=True`` routes id minting through the
-    two-phase path — use it for fine-grained dims (5081+ subareas, grid
-    cells) where a global window would bottleneck on one task."""
+    (region.py:42-53).
+
+    ``large_dim`` routes id minting through the two-phase path (no
+    single-partition window anywhere — use for fine-grained dims:
+    5081+ subareas, grid cells). Default ``None`` picks automatically:
+    one ``count()`` on the POI input (a dimension-sized job, dwarfed
+    by the build itself) against :data:`LARGE_DIM_THRESHOLD`. The two
+    paths mint identical ids (pytest-pinned), so the switch is purely
+    a physical-plan decision."""
+    if large_dim is None:
+        large_dim = poi.count() > LARGE_DIM_THRESHOLD
     out = poi
     for p in precisions:
         out = out.withColumn(

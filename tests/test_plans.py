@@ -113,3 +113,27 @@ def test_cascade_join_single_fact_scan(spark):
     plan = physical_plan(out)
     assert plan.count("events.parquet") <= 1
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_build_region_dim_auto_selects_two_phase(spark, monkeypatch):
+    """build_region_dim(large_dim=None) must route inputs above
+    LARGE_DIM_THRESHOLD through the two-phase mint (no SinglePartition
+    exchange) and small inputs through the global window."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators import (
+        region_build,
+    )
+
+    poi = spark.range(0, 500).select(
+        (F.lit(31.0) + (F.col("id") % 100) * 0.001).alias("latitude"),
+        (F.lit(121.0) + (F.col("id") % 100) * 0.001).alias("longitude"),
+        F.col("id").alias("poi_id"),
+    )
+    # threshold lowered so the same 500-row input exercises both arms
+    monkeypatch.setattr(region_build, "LARGE_DIM_THRESHOLD", 100)
+    assert "SinglePartition" not in physical_plan(
+        region_build.build_region_dim(poi)
+    )
+    monkeypatch.setattr(region_build, "LARGE_DIM_THRESHOLD", 10_000)
+    assert "SinglePartition" in physical_plan(
+        region_build.build_region_dim(poi)
+    )
