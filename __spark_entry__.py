@@ -1875,6 +1875,65 @@ def _q_props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel (sequence analytics): per day, the fraction of
+    'click' events followed by the same user's 'purchase' within 1 h.
+    One per-user window (running min over descending time) — no
+    self-join, no theta predicate; exactly one shuffle on user_id."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.funnel import (
+        conversion_funnel,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return conversion_funnel(ev, "click", "purchase", horizon_s=3600)
+
+
+def _q_rare_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative rarity profile per document: distinct-token
+    count, hapax count (tokens appearing in exactly one document), and
+    mean document frequency. The rare-token ratio is a standard
+    pretraining quality signal (OOV-ish text scores high).
+
+    Two aggregations on the (doc, token) type table: df per token
+    (map-side combinable), then a token-keyed join back — the TF-IDF
+    shuffle shape. At 100 TB the df table is vocabulary-sized (Zipf:
+    ≪ corpus), so AQE picks a broadcast for the join-back; integer
+    sums + one final division keep the oracle exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    types = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tx.tokens(F.col("text")))).alias("tok"),
+    )
+    df_tab = types.groupBy("tok").agg(F.count("*").alias("df"))
+    return (
+        types.join(df_tab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_types"),
+            F.sum((F.col("df") == 1).cast("int")).alias("n_hapax"),
+            (F.sum("df").cast("double") / F.count("*")).alias("mean_df"),
+        )
+    )
+
+
+def _q_salted_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation on a deliberately skewed key (~75%
+    of rows collapse to key 0 — the sentinel-region shape from the
+    reference, cal_orig_area.py:88-90). salted_count spreads the hot
+    key over 16 sub-reducers before the final collapse; results are
+    identical to a plain groupBy count, which is exactly what the
+    oracle runs."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.skew import (
+        salted_count,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    region = F.pmod(F.floor("value").cast("long"), F.lit(N_REGIONS))
+    hot = F.when(region < 15, F.lit(0)).otherwise(region.cast("int"))
+    keyed = ev.select(hot.alias("hot_key"), "user_id")
+    return salted_count(keyed, ["hot_key"], "user_id", 16)
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
     """Apply runtime session tuning (UTC, nanosAsLong, AQE) before each
     query — the driver hands us its own SparkSession."""
@@ -2003,6 +2062,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": _q_sequence_packing,
         "domain_mix_counts": _q_domain_mix_counts,
         "props_map_explode": _q_props_map_explode,
+        # batch 3 — sequence analytics / corpus rarity / skew
+        "click_purchase_funnel": _q_click_purchase_funnel,
+        "rare_token_stats": _q_rare_token_stats,
+        "salted_type_counts": _q_salted_type_counts,
     }
 
 
@@ -3506,5 +3569,53 @@ def oracle_sql() -> dict[str, str]:
             FROM customer JOIN stats ON c_nationkey = nk
             WHERE CAST(c_acctbal AS DECIMAL(18,4)) * n > total
             GROUP BY c_nationkey
+        """,
+        # batch 3 — sequence analytics / corpus rarity / skew
+        "click_purchase_funnel": """
+            WITH nxt AS (
+              SELECT ts, event_type,
+                     min(CASE WHEN event_type = 'purchase' THEN ts END)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS next_purchase_ts
+              FROM events
+            )
+            SELECT CAST(ts AS DATE) AS day,
+                   count(*) AS n_from,
+                   CAST(sum(CASE WHEN next_purchase_ts IS NOT NULL
+                                  AND next_purchase_ts <= ts + INTERVAL 3600 SECOND
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+                   CAST(sum(CASE WHEN next_purchase_ts IS NOT NULL
+                                  AND next_purchase_ts <= ts + INTERVAL 3600 SECOND
+                             THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS conv_rate
+            FROM nxt
+            WHERE event_type = 'click'
+            GROUP BY 1
+        """,
+        "rare_token_stats": f"""
+            WITH types AS (
+              SELECT DISTINCT doc_id, unnest({_TOKENS_SQL}) AS tok
+              FROM documents
+            ),
+            df AS (SELECT tok, count(*) AS df FROM types GROUP BY tok)
+            SELECT doc_id,
+                   count(*) AS n_types,
+                   CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_hapax,
+                   CAST(sum(df) AS DOUBLE) / count(*) AS mean_df
+            FROM types JOIN df USING (tok)
+            GROUP BY doc_id
+        """,
+        "salted_type_counts": f"""
+            SELECT CASE WHEN (((CAST(floor(value) AS BIGINT) % {N_REGIONS})
+                               + {N_REGIONS}) % {N_REGIONS}) < 15
+                        THEN 0
+                        ELSE CAST((((CAST(floor(value) AS BIGINT) % {N_REGIONS})
+                                    + {N_REGIONS}) % {N_REGIONS}) AS INTEGER)
+                   END AS hot_key,
+                   count(*) AS cnt
+            FROM events
+            GROUP BY 1
         """,
     }
