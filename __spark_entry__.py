@@ -1934,6 +1934,30 @@ def _q_salted_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_count(keyed, ["hot_key"], "user_id", 16)
 
 
+def _q_region_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (10 fixed power-method rounds) over the OD
+    region graph — which regions anchor the city's movement. The
+    iterative-algorithm class beyond connected components, and unlike
+    components' data-dependent convergence loop this one is a static
+    plan chain, so it carries a full DuckDB twin (unrolled CTEs) under
+    the value-hash gate. Decimal-exact contribution sums + per-round
+    9-dp rounding keep both engines bit-identical (see
+    operators/pagerank.py)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.pagerank import (
+        normalized_edges,
+        pagerank,
+    )
+
+    pos = ops.hourly_positions(events_as_pings(spark, sf_dir, N_REGIONS))
+    od = ops.od_matrix(ops.gap_fill_edges(pos))
+    edges = normalized_edges(
+        od.select(
+            F.col("orig").alias("src"), F.col("dest").alias("dst"), "cnt"
+        )
+    )
+    return pagerank(edges, iterations=10)
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
     """Apply runtime session tuning (UTC, nanosAsLong, AQE) before each
     query — the driver hands us its own SparkSession."""
@@ -2066,6 +2090,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "click_purchase_funnel": _q_click_purchase_funnel,
         "rare_token_stats": _q_rare_token_stats,
         "salted_type_counts": _q_salted_type_counts,
+        "region_pagerank": _q_region_pagerank,
     }
 
 
@@ -2276,6 +2301,25 @@ def _langid_oracle() -> str:
         )
         SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2
     """
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled-CTE PageRank twin over the OD region graph — the graph
+    CTE reuses EDGES_CTE (the gap-filled trajectory mirror) exactly as
+    the Spark side reuses gap_fill_edges."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.pagerank import (
+        pagerank_oracle_sql,
+    )
+
+    graph_cte = (
+        EDGES_CTE
+        + """,
+        graph AS (
+          SELECT pre_region_id AS src, region_id AS dst, count(*) AS cnt
+          FROM edges GROUP BY 1, 2
+        )"""
+    )
+    return pagerank_oracle_sql(graph_cte, iterations=10)
 
 
 def _cos_ab(a: str, b: str) -> str:
@@ -3618,4 +3662,5 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1
         """,
+        "region_pagerank": _pagerank_oracle(),
     }
