@@ -57,6 +57,11 @@ HEADLINE = [
     "ann_banded",
     "label_centroids",
     "dup_passage_stats",
+    # round-5 additions: sequence analytics, corpus rarity, skew, PageRank
+    "click_purchase_funnel",
+    "rare_token_stats",
+    "salted_type_counts",
+    "region_pagerank",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the
