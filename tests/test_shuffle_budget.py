@@ -44,6 +44,9 @@ EXCHANGE_CEILING = {
     "geohash_cells": 2,
     "domain_mix_counts": 2,
     "dup_passage_stats": 6,
+    "click_purchase_funnel": 4,
+    "rare_token_stats": 4,
+    "salted_type_counts": 4,
 }
 
 
