@@ -1890,16 +1890,23 @@ def _q_click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_rare_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-relative rarity profile per document: distinct-token
-    count, hapax count (tokens appearing in exactly one document), and
-    mean document frequency. The rare-token ratio is a standard
-    pretraining quality signal (OOV-ish text scores high).
+    count, hapax count (tokens in exactly one document), rare-token
+    count (tokens in <10% of documents — integer cross-multiply, no
+    float threshold), and mean document frequency. The rare-token
+    ratio is a standard pretraining quality signal (OOV-ish text
+    scores high). The relative leg is the non-vacuous one on the
+    synthetic corpus (31 shared tokens, min df = 5% of docs ⇒ hapax
+    never fires there — planted-fixture pytest covers it instead), and
+    prevalence-relative is the scale-invariant definition anyway.
 
     Two aggregations on the (doc, token) type table: df per token
     (map-side combinable), then a token-keyed join back — the TF-IDF
     shuffle shape. At 100 TB the df table is vocabulary-sized (Zipf:
-    ≪ corpus), so AQE picks a broadcast for the join-back; integer
-    sums + one final division keep the oracle exact."""
+    ≪ corpus), so AQE picks a broadcast for the join-back; the doc
+    count rides a 1-row crossJoin; integer sums + one final division
+    keep the oracle exact."""
     docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count("*").alias("__nd"))
     types = docs.select(
         "doc_id",
         F.explode(F.array_distinct(tx.tokens(F.col("text")))).alias("tok"),
@@ -1907,10 +1914,14 @@ def _q_rare_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_tab = types.groupBy("tok").agg(F.count("*").alias("df"))
     return (
         types.join(df_tab, "tok")
+        .crossJoin(n_docs)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_types"),
             F.sum((F.col("df") == 1).cast("int")).alias("n_hapax"),
+            F.sum(
+                (F.col("df") * F.lit(10) < F.col("__nd")).cast("int")
+            ).alias("n_rare"),
             (F.sum("df").cast("double") / F.count("*")).alias("mean_df"),
         )
     )
@@ -3642,13 +3653,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT doc_id, unnest({_TOKENS_SQL}) AS tok
               FROM documents
             ),
-            df AS (SELECT tok, count(*) AS df FROM types GROUP BY tok)
+            df AS (SELECT tok, count(*) AS df FROM types GROUP BY tok),
+            nd AS (SELECT count(*) AS nd FROM documents)
             SELECT doc_id,
                    count(*) AS n_types,
                    CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
                      AS n_hapax,
+                   CAST(sum(CASE WHEN df * 10 < nd THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_rare,
                    CAST(sum(df) AS DOUBLE) / count(*) AS mean_df
-            FROM types JOIN df USING (tok)
+            FROM types JOIN df USING (tok) CROSS JOIN nd
             GROUP BY doc_id
         """,
         "salted_type_counts": f"""
