@@ -97,3 +97,56 @@ def test_state_purges_expired_clicks():
     # the 10:00 click expired (max seen 20:00 ≫ 11:00); the 20:00 one lives
     assert ids == [2]
     assert max_ts == int(pd.Timestamp("2024-01-01 20:00:00").value // 1000)
+
+
+def _run_late_fixture(spark, tmp_path, slack_s: int, qname: str):
+    """Same-user fixture where the slack setting decides the outcome:
+    batch 1 advances THIS user's max_ts to 13:00 (state and purge are
+    per user), so without slack the 10:00 click is purged before the
+    late 10:30 purchase arrives in batch 2."""
+    b1 = [
+        (1, ts("2024-01-01 10:00:00"), 1, "click"),
+        (2, ts("2024-01-01 13:00:00"), 1, "click"),
+    ]
+    b2 = [
+        (3, ts("2024-01-01 10:30:00"), 1, "purchase"),  # late, in-horizon
+    ]
+    src = str(tmp_path / f"ev_{qname}")
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_funnel_increments(
+            stream, "click", "purchase", 3600, late_slack_s=slack_s
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return {
+        str(r.day): (r.n_from, r.n_converted)
+        for r in funnel_from_increments(spark.table(qname)).collect()
+    }
+
+
+def test_late_purchase_within_slack_still_converts(spark, tmp_path):
+    """An out-of-order purchase (older than the user's max seen ts)
+    arriving in a later batch converts a pending click as long as the
+    click survived the slack-extended purge — the same graceful
+    late-data contract a watermark gives windowed aggs. Without slack
+    the click has already purged and the conversion is missed."""
+    with_slack = _run_late_fixture(spark, tmp_path, 4 * 3600, "funnel_late_s")
+    assert with_slack == {"2024-01-01": (2, 1)}
+    no_slack = _run_late_fixture(spark, tmp_path, 0, "funnel_late_ns")
+    assert no_slack == {"2024-01-01": (2, 0)}
