@@ -1945,6 +1945,43 @@ def _q_salted_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_count(keyed, ["hot_key"], "user_id", 16)
 
 
+def _q_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k over symmetric int8-quantized codes — the 4×
+    memory-bandwidth representation real ANN serving uses at 100 TB
+    (the per-vector scales cancel in cosine, so the similarity needs
+    only the integer codes: exact int dot/norms, one sqrt+division).
+    Integer ties are common by construction; vec_id breaks them.
+    Recall vs the float path is pinned in tests/test_similarity.py."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.vectors import (
+        as_double_array,
+        int8_cosine,
+        int8_quantize,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        int8_quantize(as_double_array(F.col("embedding"))).alias("q8"),
+    )
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("q8").alias("q8_q")
+    )
+    pairs = emb.crossJoin(F.broadcast(queries_df)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r").desc(), F.col("vec_id").asc()
+    )
+    return (
+        pairs.select(
+            "query_id",
+            "vec_id",
+            F.round(int8_cosine(F.col("q8_q"), F.col("q8")), 6).alias("cos_r"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
 def _q_region_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Damped PageRank (10 fixed power-method rounds) over the OD
     region graph — which regions anchor the city's movement. The
@@ -2102,6 +2139,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rare_token_stats": _q_rare_token_stats,
         "salted_type_counts": _q_salted_type_counts,
         "region_pagerank": _q_region_pagerank,
+        "quantized_cosine_topk": _q_quantized_cosine_topk,
     }
 
 
@@ -3677,4 +3715,52 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "region_pagerank": _pagerank_oracle(),
+        "quantized_cosine_topk": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+            ),
+            m AS (
+              SELECT vec_id, emb,
+                     list_reduce(list_transform(emb, x -> abs(x)),
+                                 (p, q) -> greatest(p, q)) AS amax
+              FROM e
+            ),
+            qz AS (
+              SELECT vec_id,
+                     CASE WHEN amax = 0
+                          THEN list_transform(emb, x -> CAST(0 AS BIGINT))
+                          ELSE list_transform(emb, x ->
+                                 greatest(CAST(-127 AS BIGINT),
+                                   least(CAST(127 AS BIGINT),
+                                     CAST(round(x / (amax / 127.0)) AS BIGINT))))
+                     END AS q8
+              FROM m
+            ),
+            q AS (
+              SELECT vec_id AS query_id, q8 AS q8_q FROM qz WHERE vec_id < 5
+            ),
+            pairs AS (
+              SELECT q.query_id, c.vec_id,
+                     round(
+                       CAST(list_reduce(
+                              list_transform(generate_series(1, len(q8_q)),
+                                             i -> q8_q[i] * c.q8[i]),
+                              (a, b) -> a + b) AS DOUBLE)
+                       / (sqrt(CAST(list_reduce(
+                                list_transform(generate_series(1, len(q8_q)),
+                                               i -> q8_q[i] * q8_q[i]),
+                                (a, b) -> a + b) AS DOUBLE))
+                          * sqrt(CAST(list_reduce(
+                                list_transform(generate_series(1, len(c.q8)),
+                                               i -> c.q8[i] * c.q8[i]),
+                                (a, b) -> a + b) AS DOUBLE))),
+                       6) AS cos_r
+              FROM qz c, q WHERE c.vec_id <> q.query_id
+            )
+            SELECT query_id, vec_id, cos_r,
+                   CAST(row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY cos_r DESC, vec_id ASC) AS INTEGER) AS rank
+            FROM pairs QUALIFY rank <= 3
+        """,
     }

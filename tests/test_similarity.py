@@ -246,3 +246,49 @@ def test_ivf_centroids_hash_stratified_not_id_correlated(spark):
     for r in got:
         same = (r.query_id < 200) == (r.vec_id < 200)
         assert same  # neighbors come from the query's own cluster
+
+
+def test_int8_quantization_error_bound(spark):
+    """Dequantized components must sit within scale/2 = max|x|/254 of
+    the original (the defining property of symmetric round-to-nearest
+    quantization), and codes must stay in [-127, 127]."""
+    import pyspark.sql.functions as F
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.vectors import (
+        as_double_array,
+        int8_quantize,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    v = as_double_array(F.col("embedding"))
+    amax = F.aggregate(v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
+    q = int8_quantize(v)
+    checked = emb.select(
+        amax.alias("amax"),
+        F.array_max(F.transform(q, F.abs)).alias("qmax"),
+        F.array_max(
+            F.zip_with(v, q, lambda x, c: F.abs(x - c * (amax / 127.0)))
+        ).alias("err"),
+    )
+    for r in checked.collect():
+        assert r.qmax <= 127
+        assert r.err <= r.amax / 254.0 + 1e-12
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """int8 codes must preserve the exact float top-3 almost entirely
+    (measured 0.93 recall@3 at sf0.001/sf0.01 on isotropic vectors —
+    floor pinned below that with margin)."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    sf = "/root/testdata/sf0.001"
+    exact = {(r.query_id, r.vec_id) for r in qs["cosine_topk"](spark, sf).collect()}
+    quant = {
+        (r.query_id, r.vec_id)
+        for r in qs["quantized_cosine_topk"](spark, sf).collect()
+    }
+    assert len(exact & quant) / len(exact) >= 0.8
