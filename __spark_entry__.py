@@ -1945,6 +1945,23 @@ def _q_salted_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_count(keyed, ["hot_key"], "user_id", 16)
 
 
+def _q_region_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region triangle participation in the (undirected) OD graph
+    — degree-ordered orientation bounds the wedge join at |E|^1.5
+    (operators/triangles.py), the scale-correct algorithm on power-law
+    graphs. Fully oracle-paired: integer degrees + a total (degree,
+    node) order make the orientation deterministic on both engines."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.triangles import (
+        triangle_counts,
+    )
+
+    pos = ops.hourly_positions(events_as_pings(spark, sf_dir, N_REGIONS))
+    od = ops.od_matrix(ops.gap_fill_edges(pos))
+    return triangle_counts(
+        od.select(F.col("orig").alias("src"), F.col("dest").alias("dst"))
+    )
+
+
 def _q_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force top-k over symmetric int8-quantized codes — the 4×
     memory-bandwidth representation real ANN serving uses at 100 TB
@@ -2140,6 +2157,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_type_counts": _q_salted_type_counts,
         "region_pagerank": _q_region_pagerank,
         "quantized_cosine_topk": _q_quantized_cosine_topk,
+        "region_triangles": _q_region_triangles,
     }
 
 
@@ -2350,6 +2368,22 @@ def _langid_oracle() -> str:
         )
         SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2
     """
+
+
+def _triangles_oracle() -> str:
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.triangles import (
+        TRIANGLE_ORACLE_TEMPLATE,
+    )
+
+    return (
+        "WITH "
+        + EDGES_CTE
+        + """,
+        graph AS (
+          SELECT pre_region_id AS src, region_id AS dst FROM edges
+        ),"""
+        + TRIANGLE_ORACLE_TEMPLATE
+    )
 
 
 def _pagerank_oracle() -> str:
@@ -3715,6 +3749,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "region_pagerank": _pagerank_oracle(),
+        "region_triangles": _triangles_oracle(),
         "quantized_cosine_topk": """
             WITH e AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
