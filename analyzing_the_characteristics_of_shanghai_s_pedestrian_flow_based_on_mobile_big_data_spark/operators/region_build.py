@@ -26,7 +26,12 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.geohash import geohash_encode
+# Native (JVM whole-stage-codegen) encoder: keeps every geohash join
+# key in this module on the single self-consistent encoder family and
+# leaves no executor-side Python in the build/assign plans. Per the
+# encoder-mixing warning in functions/geohash.py, the Arrow bisection
+# encoder must never feed the same join-key domain.
+from ..functions.geohash import geohash_encode_native as geohash_encode
 from .cascade import cascade_join
 
 

@@ -45,7 +45,12 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     simplification of ``edges`` (src, dst). Output: (node, n_tri) —
     nodes in no triangle are absent (join with the node set and
     zero-fill downstream if a dense vector is needed)."""
-    und = undirected_simple_edges(edges)
+    # Materialize the simplified edge set ONCE: it feeds the degree
+    # table twice and (via oriented) three join legs; without
+    # truncation every reference re-derives the full upstream pipeline
+    # that produced the edges (measured ~14 s → pagerank-ballpark at
+    # sf0.01 on the OD graph — same lesson as pagerank.py:88-94).
+    und = undirected_simple_edges(edges).localCheckpoint(eager=True)
     deg = (
         und.select(F.col("u").alias("node"))
         .unionByName(und.select(F.col("v").alias("node")))
@@ -74,6 +79,9 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             .alias("e")
         )
         .select(F.col("e.lo").alias("lo"), F.col("e.hi").alias("hi"))
+        # oriented feeds three join legs (e1, e2, closing) — checkpoint
+        # so the degree join + orientation compute once, not thrice
+        .localCheckpoint(eager=True)
     )
     # wedges from a shared low endpoint; close with the third edge
     e1 = oriented.select(

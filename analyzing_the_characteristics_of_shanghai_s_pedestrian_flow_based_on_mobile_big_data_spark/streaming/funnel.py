@@ -103,13 +103,25 @@ def make_funnel_fold(
                 for c_ts, c_id in pending
                 if c_ts + horizon_us + slack_us >= max_ts
             ]
-        state.update(
-            (
-                [c for c, _ in pending],
-                [i for _, i in pending],
-                max_ts,
+        if pending:
+            state.update(
+                (
+                    [c for c, _ in pending],
+                    [i for _, i in pending],
+                    max_ts,
+                )
             )
-        )
+        elif state.exists:
+            # No open clicks → no reason to hold a state-store entry:
+            # total state stays bounded by users-with-pending-clicks
+            # (horizon-windowed), not by every user ever seen on an
+            # unbounded stream. Trade-off: the user's max_ts is
+            # re-seeded from their next batch, so a beyond-horizon late
+            # click that the retained high-water mark would have purged
+            # immediately can briefly re-open — within the same
+            # best-effort contract the late_slack_s purge already
+            # defines for late data.
+            state.remove()
         yield pd.DataFrame(out, columns=["day", "from_inc", "conv_inc"])
 
     return fold

@@ -120,10 +120,21 @@ class IncrementalCountTable:
             for d in os.listdir(self.path)
             if d.startswith("gen_") and d not in keep
         ]
-        gens.sort(
-            key=lambda d: os.path.getmtime(os.path.join(self.path, d)),
-            reverse=True,
-        )
+        # Rank by the epoch embedded in the generation name — monotonic
+        # by construction — not filesystem mtime, which can tie or go
+        # backwards under clock adjustments and mis-order which
+        # generation gets deleted. mtime only tie-breaks same-epoch
+        # retry attempts, where relative order is inconsequential (at
+        # most one of them is the pointer's parent, and that's in
+        # `keep`).
+        def gen_rank(d: str) -> tuple[int, float]:
+            try:
+                epoch = int(d.split("_")[1])
+            except (IndexError, ValueError):
+                epoch = -1
+            return (epoch, os.path.getmtime(os.path.join(self.path, d)))
+
+        gens.sort(key=gen_rank, reverse=True)
         for d in gens[self.retain:]:
             shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
 

@@ -57,11 +57,16 @@ HEADLINE = [
     "ann_banded",
     "label_centroids",
     "dup_passage_stats",
-    # round-5 additions: sequence analytics, corpus rarity, skew, PageRank
+    # batch-3 additions (round 3): sequence analytics, corpus rarity,
+    # skew, PageRank — naming matches __spark_entry__.py's registry
     "click_purchase_funnel",
     "rare_token_stats",
     "salted_type_counts",
     "region_pagerank",
+    # round-4: the remaining round-3 surface enters the trend line
+    # (VERDICT r3 "What's missing" #1)
+    "region_triangles",
+    "quantized_cosine_topk",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

@@ -45,7 +45,7 @@ EXCHANGE_CEILING = {
     "domain_mix_counts": 2,
     "dup_passage_stats": 6,
     "click_purchase_funnel": 4,
-    "rare_token_stats": 4,
+    "rare_token_stats": 6,
     "salted_type_counts": 4,
 }
 
