@@ -2023,6 +2023,152 @@ def _q_region_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=10)
 
 
+def _q_data_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style single-pass table profile (batch 4): completeness,
+    exact distinct cardinalities, numeric min/max/mean over events,
+    long-form (col_name, metric, value). One zero-key aggregate — a
+    single combiner row per partition crosses the wire no matter the
+    table size (operators/quality.py)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.quality import (
+        profile_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return profile_table(
+        ev,
+        completeness_cols=[
+            "event_id",
+            "ts",
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        ],
+        distinct_cols=["user_id", "event_type"],
+        numeric_cols=["value"],
+    )
+
+
+def _q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted deterministic sampling (batch 4): keep each
+    document with probability proportional to its length (rate =
+    min(1, n_chars/400)) — the quality/length-weighted corpus
+    downsampling recipe, decided by the md5 hash coin so membership is
+    a pure function of the row (functions/sampling.py:weighted_keep).
+    No RNG anywhere: reproducible across engines, retries and
+    partitionings, unlike df.sample(weights=...)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.sampling import (
+        weighted_keep,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.least(
+        F.lit(1.0), F.col("n_chars").cast("double") / F.lit(400.0)
+    )
+    return docs.filter(weighted_keep(F.col("doc_id"), rate)).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle (batch 4): users bucketed by
+    first-active week, distinct-active counts per week offset,
+    retention ratio vs the cohort's offset-0 size
+    (operators/cohort.py). Two user-keyed shuffles total."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.cohort import (
+        cohort_retention,
+    )
+
+    return cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+def _q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences (batch 4): lag() per (user, ts, event_id) order →
+    (prev_type, next_type) counts → row-normalized share. One
+    user-keyed window shuffle + one tiny types² aggregate; the share
+    divides two exact BIGINTs. The sequence-mining shape (bigram
+    counting) that also underlies the n-gram LM statistics a text
+    pipeline computes at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    share_w = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(share_w).cast("double")
+        ).alias("share"),
+    )
+
+
+def _q_region_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous weighted label propagation on the OD region graph
+    (batch 4): mesoscale community structure beyond components /
+    PageRank / triangles. 4 fixed rounds, deterministic (score desc,
+    label asc) tie-break, per-round lineage truncation; full unrolled
+    DuckDB twin (operators/labelprop.py)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.labelprop import (
+        label_propagation,
+    )
+
+    pos = ops.hourly_positions(events_as_pings(spark, sf_dir, N_REGIONS))
+    od = ops.od_matrix(ops.gap_fill_edges(pos))
+    return label_propagation(
+        od.select(
+            F.col("orig").alias("src"),
+            F.col("dest").alias("dst"),
+            F.col("cnt").alias("w"),
+        ),
+        rounds=4,
+    )
+
+
+def _q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus (batch 4): k=8,
+    3 fixed rounds, deterministic smallest-vec_id init. Assignment is
+    a MAP-ONLY stage (centroids are k·dim literals — a bounded driver
+    fetch per round, the IVF-codebook budget class); the update is one
+    k·dim-cell decimal aggregate. Output: final centroids long-form
+    with cluster sizes, every coordinate decimal-exact + 9-dp rounded
+    on both engines (operators/kmeans.py)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.vectors import (
+        as_double_array,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.kmeans import (
+        kmeans_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("vec")
+    )
+    cents, assigned = kmeans_fit(emb, k=8, iterations=3)
+    sizes = assigned.groupBy("cluster").agg(F.count("*").alias("n_vecs"))
+    cent_rows = [
+        (c, i + 1, x)
+        for c, coords in sorted(cents.items())
+        for i, x in enumerate(coords)
+    ]
+    cent_df = spark.createDataFrame(
+        cent_rows, "cluster int, dim_idx int, coord double"
+    )
+    return sizes.join(cent_df, "cluster").select(
+        "cluster", "n_vecs", "dim_idx", "coord"
+    )
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
     """Apply runtime session tuning (UTC, nanosAsLong, AQE) before each
     query — the driver hands us its own SparkSession."""
@@ -2158,6 +2304,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_pagerank": _q_region_pagerank,
         "quantized_cosine_topk": _q_quantized_cosine_topk,
         "region_triangles": _q_region_triangles,
+        # batch 4 — quality / sampling / cohorts / sequences / graph / ML
+        "data_quality_profile": _q_data_quality_profile,
+        "weighted_doc_sample": _q_weighted_doc_sample,
+        "cohort_retention": _q_cohort_retention,
+        "event_transition_matrix": _q_event_transition_matrix,
+        "region_communities": _q_region_communities,
+        "kmeans_embeddings": _q_kmeans_embeddings,
     }
 
 
@@ -2403,6 +2556,39 @@ def _pagerank_oracle() -> str:
         )"""
     )
     return pagerank_oracle_sql(graph_cte, iterations=10)
+
+
+def _lpa_oracle() -> str:
+    """Unrolled label-propagation twin over the weighted OD graph —
+    graph CTE from EDGES_CTE exactly as the Spark side builds it from
+    od_matrix."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.labelprop import (
+        lpa_oracle_sql,
+    )
+
+    graph_cte = (
+        EDGES_CTE
+        + """,
+        graph AS (
+          SELECT pre_region_id AS src, region_id AS dst, count(*) AS w
+          FROM edges GROUP BY 1, 2
+        )"""
+    )
+    return lpa_oracle_sql(graph_cte, rounds=4)
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled Lloyd's twin over the embeddings table."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.kmeans import (
+        kmeans_oracle_sql,
+    )
+
+    emb_cte = """
+        e AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings
+        )"""
+    return kmeans_oracle_sql(emb_cte, k=8, iterations=3)
 
 
 def _cos_ab(a: str, b: str) -> str:
@@ -3798,4 +3984,102 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY cos_r DESC, vec_id ASC) AS INTEGER) AS rank
             FROM pairs QUALIFY rank <= 3
         """,
+        # ---- batch 4: quality / sampling / cohorts / sequences / graph / ML
+        "data_quality_profile": """
+            WITH w AS (
+              SELECT count(*) AS n,
+                     count(event_id) AS nn_event_id,
+                     count(ts) AS nn_ts,
+                     count(user_id) AS nn_user_id,
+                     count(event_type) AS nn_event_type,
+                     count(value) AS nn_value,
+                     count(props) AS nn_props,
+                     count(DISTINCT user_id) AS nd_user_id,
+                     count(DISTINCT event_type) AS nd_event_type,
+                     CAST(min(value) AS DOUBLE) AS min_value,
+                     CAST(max(value) AS DOUBLE) AS max_value,
+                     round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                           / CAST(count(value) AS DOUBLE), 6) AS mean_value
+              FROM events
+            )
+            SELECT '*' AS col_name, 'n_rows' AS metric,
+                   CAST(n AS DOUBLE) AS value FROM w
+            UNION ALL SELECT 'event_id', 'completeness',
+                   CAST(nn_event_id AS DOUBLE) / CAST(n AS DOUBLE) FROM w
+            UNION ALL SELECT 'ts', 'completeness',
+                   CAST(nn_ts AS DOUBLE) / CAST(n AS DOUBLE) FROM w
+            UNION ALL SELECT 'user_id', 'completeness',
+                   CAST(nn_user_id AS DOUBLE) / CAST(n AS DOUBLE) FROM w
+            UNION ALL SELECT 'event_type', 'completeness',
+                   CAST(nn_event_type AS DOUBLE) / CAST(n AS DOUBLE) FROM w
+            UNION ALL SELECT 'value', 'completeness',
+                   CAST(nn_value AS DOUBLE) / CAST(n AS DOUBLE) FROM w
+            UNION ALL SELECT 'props', 'completeness',
+                   CAST(nn_props AS DOUBLE) / CAST(n AS DOUBLE) FROM w
+            UNION ALL SELECT 'user_id', 'n_distinct',
+                   CAST(nd_user_id AS DOUBLE) FROM w
+            UNION ALL SELECT 'event_type', 'n_distinct',
+                   CAST(nd_event_type AS DOUBLE) FROM w
+            UNION ALL SELECT 'value', 'min', min_value FROM w
+            UNION ALL SELECT 'value', 'max', max_value FROM w
+            UNION ALL SELECT 'value', 'mean', mean_value FROM w
+        """,
+        "weighted_doc_sample": f"""
+            WITH h AS (
+              SELECT doc_id, source, n_chars,
+                     md5('wsample' || CAST(doc_id AS VARCHAR)) AS hx
+              FROM documents
+            )
+            SELECT doc_id, source, n_chars FROM h
+            WHERE ({_HEX8_SQL}) / 4294967296.0
+                  < least(1.0, CAST(n_chars AS DOUBLE) / 400.0)
+        """,
+        "cohort_retention": """
+            WITH aw AS (
+              SELECT DISTINCT user_id AS u,
+                     CAST(date_trunc('week', ts) AS DATE) AS act_week
+              FROM events
+            ),
+            fw AS (
+              SELECT u, min(act_week) AS cohort_week FROM aw GROUP BY u
+            ),
+            j AS (
+              SELECT a.u, f.cohort_week,
+                     CAST(date_diff('day', f.cohort_week, a.act_week) / 7
+                          AS INTEGER) AS week_offset
+              FROM aw a JOIN fw f USING (u)
+            ),
+            counts AS (
+              SELECT cohort_week, week_offset,
+                     count(DISTINCT u) AS n_active
+              FROM j GROUP BY 1, 2
+            )
+            SELECT c.cohort_week, c.week_offset, c.n_active,
+                   CAST(c.n_active AS DOUBLE) / CAST(b.n_active AS DOUBLE)
+                     AS retention
+            FROM counts c
+            JOIN (SELECT cohort_week, n_active FROM counts
+                  WHERE week_offset = 0) b USING (cohort_week)
+        """,
+        "event_transition_matrix": """
+            WITH seq AS (
+              SELECT user_id,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC) AS prev_type,
+                     event_type AS next_type
+              FROM events
+            ),
+            pairs AS (
+              SELECT prev_type, next_type, count(*) AS n
+              FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT prev_type, next_type, n,
+                   CAST(n AS DOUBLE)
+                   / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE)
+                     AS share
+            FROM pairs
+        """,
+        "region_communities": _lpa_oracle(),
+        "kmeans_embeddings": _kmeans_oracle(),
     }

@@ -62,6 +62,18 @@ def split_assign(
     return expr.otherwise(splits[-1][0])
 
 
+def weighted_keep(key: Column, rate: Column, salt: str = "wsample") -> Column:
+    """Per-row Bernoulli keep with a PER-ROW rate (importance /
+    quality-weighted sampling): keep iff hash_fraction(key) < rate.
+    The standard way a curation pipeline over-samples high-quality or
+    under-represented documents without an RNG — the decision is a
+    pure function of (key, rate), so it survives retries, repartitions
+    and engine swaps, and the oracle can restate it in plain SQL.
+    Clamp ``rate`` to [0, 1] upstream if it's derived from open-ended
+    signals (length, score)."""
+    return hash_fraction(key, salt) < rate
+
+
 def domain_mix_keep(
     key: Column,
     domain: Column,

@@ -1,0 +1,206 @@
+"""K-means over embedding columns — Lloyd's algorithm, Spark-first.
+
+The clustering operator a training-data pipeline uses for corpus
+stratification, diversity sampling, and IVF codebook training (the
+16-way codebook in operators/similarity.py is k-means' one-shot
+cousin; this is the iterated real thing).
+
+Physical design, per iteration:
+
+1. **Assignment is a map-only stage.** Centroids are k·dim doubles —
+   driver-collected once per iteration (a bounded dimension fetch,
+   same budget class as the IVF codebook collect in
+   similarity.py:338-343) and embedded as LITERAL arrays, so the
+   distance argmin runs inside whole-stage codegen with no join, no
+   broadcast exchange, no shuffle. At 100 TB this stage streams the
+   corpus exactly once.
+2. **The update is one k·dim-cell aggregate.** posexplode(vec) →
+   groupBy (cluster, dim) with a DECIMAL sum (association-order
+   independent ⇒ partitioning-independent) — map-side combinable,
+   shuffle payload k·dim rows per partition.
+3. The corpus is eager-localCheckpointed once up front: every
+   iteration re-scans it, and without truncation iteration i would
+   re-derive the upstream pipeline i times (pagerank.py:88-94).
+
+Determinism across engines (the pagerank playbook):
+- squared-distance = sequential left fold over zip(vec, centroid) —
+  bitwise-identical to DuckDB's ``list_reduce`` seedless fold (the
+  0.0 seed is exact: 0.0 + x == x for squares ≥ 0);
+- argmin tie-breaks on the smallest cluster id via lexicographic
+  (dist, cluster) struct min;
+- centroid mean = round(DECIMAL-sum → double / count, round_scale)
+  per dimension, every round — both engines embed identical binary64
+  centroids, so round r+1's distances match bit-for-bit;
+- empty clusters keep their previous centroid (both engines).
+
+Initialization: the vectors of the k smallest ``vec_id``s — fully
+deterministic (k-means++ trades determinism for quality; seed it with
+:mod:`..functions.sampling` hashes if needed).
+
+No counterpart in the reference — engine breadth for the curation
+stack (SURVEY.md §2 extensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(28,12)"
+
+
+def _sq_dist(vec: Column, cent: list[float]) -> Column:
+    """Squared euclidean distance to a literal centroid — sequential
+    left fold, matching the oracle's list_reduce order."""
+    lit = F.array(*[F.lit(float(c)) for c in cent])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def assign_clusters(
+    emb: DataFrame, cents: dict[int, list[float]], vec_col: str = "vec"
+) -> DataFrame:
+    """Add a ``cluster`` column: argmin over literal centroids, ties to
+    the smallest cluster id (lexicographic struct min) — map-only."""
+    pairs = [
+        F.struct(
+            _sq_dist(F.col(vec_col), cents[c]).alias("d"),
+            F.lit(c).alias("c"),
+        )
+        for c in sorted(cents)
+    ]
+    return emb.withColumn(
+        "cluster", F.array_min(F.array(*pairs))["c"].cast("int")
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    vec_col: str = "vec",
+    id_col: str = "vec_id",
+    round_scale: int = 9,
+) -> tuple[dict[int, list[float]], DataFrame]:
+    """Run ``iterations`` Lloyd rounds on ``emb`` (id_col, vec_col:
+    array<double>). Returns (final centroids {cluster: coords}, the
+    corpus with its final ``cluster`` assignment)."""
+    emb = emb.localCheckpoint(eager=True)
+    seeds = (
+        emb.filter(F.col(id_col) < k)
+        .select(F.col(id_col).cast("int").alias("c"), F.col(vec_col))
+        .collect()
+    )
+    cents = {int(r.c): [float(x) for x in r[vec_col]] for r in seeds}
+    for _ in range(iterations):
+        assigned = assign_clusters(emb, cents, vec_col)
+        mean_rows = (
+            assigned.select(
+                "cluster", F.posexplode(F.col(vec_col)).alias("dim0", "x")
+            )
+            .groupBy("cluster", "dim0")
+            .agg(
+                F.round(
+                    F.sum(F.col("x").cast(_DEC)).cast("double")
+                    / F.count("*").cast("double"),
+                    round_scale,
+                ).alias("coord")
+            )
+            .collect()  # bounded: k·dim cells
+        )
+        new: dict[int, list[float]] = {}
+        for r in mean_rows:
+            new.setdefault(int(r.cluster), [0.0] * len(next(iter(cents.values()))))[
+                int(r.dim0)
+            ] = float(r.coord)
+        # empty clusters keep their previous centroid
+        cents = {c: new.get(c, cents[c]) for c in cents}
+    return cents, assign_clusters(emb, cents, vec_col)
+
+
+def kmeans_oracle_sql(
+    emb_cte: str,
+    k: int = 8,
+    iterations: int = 3,
+    round_scale: int = 9,
+) -> str:
+    """Unrolled-CTE DuckDB twin of :func:`kmeans_fit` +
+    final-centroid/size output. ``emb_cte`` must define ``e(vec_id,
+    emb DOUBLE[])``. Shared tables are MATERIALIZED (the PageRank
+    lesson: DuckDB inlines single-reference CTE chains and would
+    re-evaluate each round once per downstream reference)."""
+    dist = (
+        "list_reduce(list_transform(generate_series(1, len(a.emb)), "
+        "i -> (a.emb[i] - c.c[i]) * (a.emb[i] - c.c[i])), (p, q) -> p + q)"
+    )
+    parts = [
+        emb_cte,
+        # DuckDB's table-function generate_series cannot take lateral
+        # column arguments (len(emb)), so dimension indices come from a
+        # materialized CTE built with the scalar list form + unnest
+        f"""
+        dims AS MATERIALIZED (
+          SELECT unnest(generate_series(
+            1, (SELECT max(len(emb)) FROM e))) AS i
+        ),
+        cent0 AS MATERIALIZED (
+          SELECT CAST(vec_id AS INTEGER) AS cluster, emb AS c
+          FROM e WHERE vec_id < {k}
+        )""",
+    ]
+    for r in range(1, iterations + 1):
+        parts.append(
+            f"""
+        asg{r} AS MATERIALIZED (
+          SELECT a.vec_id, a.emb, cluster FROM (
+            SELECT a.vec_id, a.emb, c.cluster,
+                   row_number() OVER (
+                     PARTITION BY a.vec_id
+                     ORDER BY {dist} ASC, c.cluster ASC) AS rn
+            FROM e a CROSS JOIN cent{r - 1} c
+          ) a WHERE rn = 1
+        ),
+        mean{r} AS MATERIALIZED (
+          SELECT cluster, g.i AS dim_idx,
+                 round(CAST(sum(CAST(emb[g.i] AS DECIMAL(28,12))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE), {round_scale}) AS coord
+          FROM asg{r} CROSS JOIN dims g
+          GROUP BY cluster, g.i
+        ),
+        cent{r} AS MATERIALIZED (
+          SELECT cluster, list(coord ORDER BY dim_idx) AS c FROM (
+            SELECT p.cluster, g.i AS dim_idx,
+                   coalesce(m.coord, p.c[g.i]) AS coord
+            FROM cent{r - 1} p
+            CROSS JOIN dims g
+            LEFT JOIN mean{r} m
+              ON m.cluster = p.cluster AND m.dim_idx = g.i
+          ) GROUP BY cluster
+        )"""
+        )
+    n = iterations
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+        , asg_final AS MATERIALIZED (
+          SELECT a.vec_id, cluster FROM (
+            SELECT a.vec_id, c.cluster,
+                   row_number() OVER (
+                     PARTITION BY a.vec_id
+                     ORDER BY {dist} ASC, c.cluster ASC) AS rn
+            FROM e a CROSS JOIN cent{n} c
+          ) a WHERE rn = 1
+        )
+        SELECT c.cluster, s.n_vecs,
+               CAST(g.i AS INTEGER) AS dim_idx, c.c[g.i] AS coord
+        FROM cent{n} c
+        JOIN (SELECT cluster, count(*) AS n_vecs
+              FROM asg_final GROUP BY 1) s
+          USING (cluster)
+        CROSS JOIN dims g
+        """
+    )

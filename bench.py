@@ -67,6 +67,11 @@ HEADLINE = [
     # (VERDICT r3 "What's missing" #1)
     "region_triangles",
     "quantized_cosine_topk",
+    # batch-4 additions (round 4): quality / cohorts / graph / ML
+    "data_quality_profile",
+    "cohort_retention",
+    "region_communities",
+    "kmeans_embeddings",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

@@ -47,6 +47,15 @@ EXCHANGE_CEILING = {
     "click_purchase_funnel": 4,
     "rare_token_stats": 6,
     "salted_type_counts": 4,
+    # batch 4 (round 4)
+    "data_quality_profile": 4,
+    "weighted_doc_sample": 0,
+    "cohort_retention": 8,
+    "event_transition_matrix": 6,
+    # final-stage plans only: the iterative upstreams are lineage-
+    # truncated behind localCheckpoint, which is the point
+    "region_communities": 0,
+    "kmeans_embeddings": 2,
 }
 
 
