@@ -2169,6 +2169,174 @@ def _q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_region_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node directed degree/strength profile of the OD region
+    graph (batch 5): out/in neighbor counts (self-loops excluded) and
+    total out-flow strength — the quantities the triangle/LPA cost
+    models key off (wedge bound, hot-key risk), and the non-vacuous
+    formulation on this near-complete 21-node graph (an undirected
+    degree HISTOGRAM collapses to one row here). Two aggregates past
+    the shared OD pipeline, both map-side combinable."""
+    pos = ops.hourly_positions(events_as_pings(spark, sf_dir, N_REGIONS))
+    od = ops.od_matrix(ops.gap_fill_edges(pos))
+    # e feeds both the out- and in-side aggregates: checkpoint so the
+    # OD pipeline derives once, not twice (the triangles.py lesson)
+    e = od.filter(F.col("orig") != F.col("dest")).localCheckpoint(
+        eager=True
+    )
+    outs = e.groupBy(F.col("orig").alias("node")).agg(
+        F.countDistinct("dest").alias("out_deg"),
+        F.sum("cnt").alias("out_strength"),
+    )
+    ins = e.groupBy(F.col("dest").alias("node")).agg(
+        F.countDistinct("orig").alias("in_deg")
+    )
+    return outs.join(ins, "node", "full").select(
+        "node",
+        F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+        F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        F.coalesce("out_strength", F.lit(0)).alias("out_strength"),
+    )
+
+
+def _q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's event
+    values, α=1/2, in (ts, event_id) order (batch 5). EWMA is a
+    sequential recurrence — inexpressible as a window frame — so it
+    runs as an ordered ARRAY FOLD: collect_list per user (bounded by
+    per-user event counts), sort once, left-fold s ← s/2 + x/2 with
+    s₀ = x₀. The DuckDB twin's seedless list_reduce has exactly the
+    s₀ = first-element semantics, and both engines evaluate the
+    identical `a/2 + x/2` IEEE expression, so the fold is
+    bit-reproducible (the label_centroids ordered-fold precedent).
+    At 100 TB the shuffle payload is (ts, id, value) triples — the
+    same volume a window-function formulation would move."""
+    ev = load_table(spark, sf_dir, "events")
+    lst = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("seq")
+        )
+        .select(
+            "user_id",
+            F.transform(F.col("seq"), lambda s: s["value"]).alias("vals"),
+        )
+    )
+    return lst.select(
+        "user_id",
+        F.round(
+            F.aggregate(
+                F.slice(F.col("vals"), 2, F.size("vals") - 1),
+                F.element_at(F.col("vals"), 1),
+                lambda acc, x: acc / F.lit(2.0) + x / F.lit(2.0),
+            ),
+            6,
+        ).alias("ewma"),
+    )
+
+
+def _q_value_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type 2σ outlier counts WITHOUT a sqrt (batch 5): the
+    anomaly-detection shape, made cross-engine-exact by comparing
+    squared deviation against 4·variance — (x−μ)² > 4σ² ⇔ |x−μ| > 2σ
+    — so no libm sqrt can diverge. μ and E[x²] come from DECIMAL sums
+    rounded to 6 dp (both engines embed the same doubles); variance
+    and the comparison are then identical IEEE arithmetic. Two passes
+    over events (stats, then the broadcast-joined filter) — the
+    standard profile→flag pipeline, types-sized dimension."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            / F.count("value").cast("double"),
+            6,
+        ).alias("mean_v"),
+        F.round(
+            F.sum(
+                (F.col("value") * F.col("value")).cast("decimal(28,6)")
+            ).cast("double")
+            / F.count("value").cast("double"),
+            6,
+        ).alias("mean_sq"),
+    )
+    j = ev.join(F.broadcast(stats), "event_type")
+    var = F.col("mean_sq") - F.col("mean_v") * F.col("mean_v")
+    dev = F.col("value") - F.col("mean_v")
+    return (
+        j.groupBy("event_type", "n", "mean_v", "mean_sq")
+        .agg(
+            F.sum((dev * dev > F.lit(4.0) * var).cast("int")).alias(
+                "n_outliers"
+            )
+        )
+        .select("event_type", "n", "mean_v", "n_outliers")
+    )
+
+
+def _q_embedding_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension min-max feature scaling of the embedding corpus
+    (batch 5): the normalization pass a training pipeline runs before
+    quantization or bucketing. Stats are exact double min/max per
+    dimension (one posexplode aggregate, 64 cells); the rescale is a
+    broadcast join + identical IEEE (x−min)/(max−min) on both engines
+    — no rounding needed anywhere. Output restricted to vec_id < 20
+    long-form to keep the driver collect bounded; the scaled column
+    itself stays distributed."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    cells = emb.select(
+        "vec_id", F.posexplode(F.col("vec")).alias("dim0", "x")
+    )
+    stats = cells.groupBy("dim0").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    return (
+        cells.filter(F.col("vec_id") < 20)
+        .join(F.broadcast(stats), "dim0")
+        .select(
+            "vec_id",
+            (F.col("dim0") + 1).cast("int").alias("dim_idx"),
+            (
+                (F.col("x") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+            ).alias("x_norm"),
+        )
+    )
+
+
+def _q_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-derived stopword candidates (batch 5): the 20 tokens
+    with the highest document frequency plus their prevalence share —
+    how a pipeline derives its own filter lists instead of shipping a
+    hard-coded one (the inverse leg of rare_token_stats' TF-IDF
+    shuffle shape; the df table is vocabulary-sized, the top-k is a
+    global sort of that Zipf-small table)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count("*").alias("__nd"))
+    types = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tx.tokens(F.col("text")))).alias("tok"),
+    )
+    df_tab = types.groupBy("tok").agg(F.count("*").alias("df"))
+    return (
+        df_tab.crossJoin(n_docs)
+        .select(
+            "tok",
+            "df",
+            (
+                F.col("df").cast("double") / F.col("__nd").cast("double")
+            ).alias("df_share"),
+        )
+        .orderBy(F.col("df").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
     """Apply runtime session tuning (UTC, nanosAsLong, AQE) before each
     query — the driver hands us its own SparkSession."""
@@ -2311,6 +2479,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transition_matrix": _q_event_transition_matrix,
         "region_communities": _q_region_communities,
         "kmeans_embeddings": _q_kmeans_embeddings,
+        # batch 5 — graph stats / time series / anomaly / scaling / corpus
+        "region_degree_stats": _q_region_degree_stats,
+        "ewma_user_value": _q_ewma_user_value,
+        "value_outliers_by_type": _q_value_outliers_by_type,
+        "embedding_minmax_norm": _q_embedding_minmax_norm,
+        "stopword_discovery": _q_stopword_discovery,
     }
 
 
@@ -4082,4 +4256,95 @@ def oracle_sql() -> dict[str, str]:
         """,
         "region_communities": _lpa_oracle(),
         "kmeans_embeddings": _kmeans_oracle(),
+        # ---- batch 5: graph stats / time series / anomaly / scaling ----
+        "region_degree_stats": (
+            "WITH "
+            + EDGES_CTE
+            + """,
+            od AS (
+              SELECT pre_region_id AS orig, region_id AS dest,
+                     count(*) AS cnt
+              FROM edges WHERE pre_region_id <> region_id
+              GROUP BY 1, 2
+            ),
+            outs AS (
+              SELECT orig AS node, count(DISTINCT dest) AS out_deg,
+                     CAST(sum(cnt) AS BIGINT) AS out_strength
+              FROM od GROUP BY 1
+            ),
+            ins AS (
+              SELECT dest AS node, count(DISTINCT orig) AS in_deg
+              FROM od GROUP BY 1
+            )
+            SELECT coalesce(o.node, i.node) AS node,
+                   coalesce(o.out_deg, 0) AS out_deg,
+                   coalesce(i.in_deg, 0) AS in_deg,
+                   coalesce(o.out_strength, 0) AS out_strength
+            FROM outs o FULL JOIN ins i ON o.node = i.node
+        """
+        ),
+        "ewma_user_value": """
+            WITH lst AS (
+              SELECT user_id,
+                     list(value ORDER BY ts ASC, event_id ASC) AS vals
+              FROM events GROUP BY user_id
+            )
+            SELECT user_id,
+                   round(list_reduce(vals,
+                         (a, x) -> a / 2.0 + x / 2.0), 6) AS ewma
+            FROM lst
+        """,
+        "value_outliers_by_type": """
+            WITH stats AS (
+              SELECT event_type, count(value) AS n,
+                     round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                           / CAST(count(value) AS DOUBLE), 6) AS mean_v,
+                     round(CAST(sum(CAST(value * value AS DECIMAL(28,6)))
+                                AS DOUBLE)
+                           / CAST(count(value) AS DOUBLE), 6) AS mean_sq
+              FROM events GROUP BY event_type
+            )
+            SELECT e.event_type, s.n, s.mean_v,
+                   CAST(sum(CAST((e.value - s.mean_v) * (e.value - s.mean_v)
+                                 > 4.0 * (s.mean_sq - s.mean_v * s.mean_v)
+                                 AS INTEGER)) AS BIGINT) AS n_outliers
+            FROM events e JOIN stats s USING (event_type)
+            GROUP BY e.event_type, s.n, s.mean_v
+        """,
+        "embedding_minmax_norm": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+              FROM embeddings
+            ),
+            dims AS (
+              SELECT unnest(generate_series(
+                1, (SELECT max(len(vec)) FROM e))) AS i
+            ),
+            cells AS (
+              SELECT vec_id, g.i AS i, vec[g.i] AS x
+              FROM e CROSS JOIN dims g
+            ),
+            stats AS (
+              SELECT i, min(x) AS mn, max(x) AS mx FROM cells GROUP BY i
+            )
+            SELECT c.vec_id, CAST(c.i AS INTEGER) AS dim_idx,
+                   (c.x - s.mn) / (s.mx - s.mn) AS x_norm
+            FROM cells c JOIN stats s USING (i)
+            WHERE c.vec_id < 20
+        """,
+        "stopword_discovery": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS tok
+              FROM documents
+            ),
+            df_tab AS (
+              SELECT tok, count(*) AS df FROM toks GROUP BY tok
+            )
+            SELECT tok, df,
+                   CAST(df AS DOUBLE)
+                   / CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                     AS df_share
+            FROM df_tab
+            ORDER BY df DESC, tok ASC LIMIT 20
+        """,
     }

@@ -65,6 +65,8 @@ def assign_clusters(
 ) -> DataFrame:
     """Add a ``cluster`` column: argmin over literal centroids, ties to
     the smallest cluster id (lexicographic struct min) — map-only."""
+    if not cents:  # empty corpus → no seeds; typed all-NULL column
+        return emb.withColumn("cluster", F.lit(None).cast("int"))
     pairs = [
         F.struct(
             _sq_dist(F.col(vec_col), cents[c]).alias("d"),

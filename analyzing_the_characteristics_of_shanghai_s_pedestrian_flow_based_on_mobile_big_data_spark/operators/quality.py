@@ -73,13 +73,15 @@ def profile_table(
     triples: list[tuple[str, str, F.Column]] = [
         ("*", "n_rows", F.col("__n").cast("double"))
     ]
+    # zero-row guard: an empty table profiles to NULL ratios, not a
+    # division error (ANSI mode raises on /0)
+    nz = F.when(F.col("__n") > 0, F.col("__n").cast("double"))
     for c in completeness_cols:
         triples.append(
             (
                 c,
                 "completeness",
-                F.col(f"__nn_{c}").cast("double")
-                / F.col("__n").cast("double"),
+                F.col(f"__nn_{c}").cast("double") / nz,
             )
         )
     for c in distinct_cols:
@@ -93,7 +95,10 @@ def profile_table(
                 "mean",
                 F.round(
                     F.col(f"__sum_{c}").cast("double")
-                    / F.col(f"__cnt_{c}").cast("double"),
+                    / F.when(
+                        F.col(f"__cnt_{c}") > 0,
+                        F.col(f"__cnt_{c}").cast("double"),
+                    ),
                     mean_round,
                 ),
             )

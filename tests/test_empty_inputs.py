@@ -42,6 +42,14 @@ def test_every_query_survives_empty_tables(spark, empty_sf_dir):
         except Exception as ex:  # noqa: BLE001 - collecting all failures
             failures.append(f"{name}: {type(ex).__name__}: {str(ex)[:120]}")
             continue
+        if name == "data_quality_profile":
+            # a profile of an empty table IS rows (n_rows=0, NULL
+            # ratios) — that's the operator's contract, like Deequ;
+            # assert the zero-row fact is reported, not hidden
+            vals = {(r.col_name, r.metric): r.value for r in rows}
+            if vals.get(("*", "n_rows")) != 0.0:
+                failures.append(f"{name}: empty table not profiled as 0 rows")
+            continue
         if rows:
             failures.append(f"{name}: produced {len(rows)} rows from empty input")
     assert not failures, "\n".join(failures)

@@ -56,6 +56,12 @@ EXCHANGE_CEILING = {
     # truncated behind localCheckpoint, which is the point
     "region_communities": 0,
     "kmeans_embeddings": 2,
+    # batch 5 (round 4)
+    "region_degree_stats": 8,
+    "ewma_user_value": 2,
+    "value_outliers_by_type": 4,
+    "embedding_minmax_norm": 2,
+    "stopword_discovery": 4,
 }
 
 
