@@ -137,3 +137,71 @@ def test_build_region_dim_auto_selects_two_phase(spark, monkeypatch):
     assert "SinglePartition" in physical_plan(
         region_build.build_region_dim(poi)
     )
+
+
+def test_region_build_plans_are_python_free(spark):
+    """Round 4: build_region_dim / assign_poi_type / assign_region /
+    nearest_poi_type route geohash encoding through the JVM-native
+    encoder — no ArrowEvalPython/BatchEvalPython anywhere in their
+    plans. The only executor-side Python left in the engine is the
+    justified multimodal mapInPandas."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.region_build import (
+        assign_poi_type,
+        assign_region,
+        build_region_dim,
+        nearest_poi_type,
+    )
+
+    poi = spark.createDataFrame(
+        [(31.2, 121.5, 1), (31.3, 121.6, 2)],
+        "latitude double, longitude double, type int",
+    )
+    dim = build_region_dim(poi, large_dim=False)
+    assert_no_python_udf(dim)
+
+    pings = spark.createDataFrame(
+        [("p1", 31.2, 121.5, 1), ("p2", 31.3, 121.6, 2)],
+        "id string, ltt double, lgt double, agent_id int",
+    )
+    assert_no_python_udf(assign_poi_type(pings, dim))
+    assert_no_python_udf(assign_region(pings, dim))
+    poi_k = dim.select(
+        "agent_id", "latitude", "longitude", "type"
+    )
+    assert_no_python_udf(nearest_poi_type(pings, poi_k))
+
+
+def test_runtime_bloom_filter_join_available(spark):
+    """Spark injects a bloom-filter runtime filter (bloom_filter_agg on
+    the selective build side, might_contain on the probe side) into
+    shuffle joins once the probe scan exceeds
+    `...bloomFilter.applicationSideScanSizeThreshold` (default 10 GB —
+    i.e. automatically at the 100 TB target; local test data never
+    crosses it, so the test pins the capability by lowering the
+    threshold). The filter prunes probe rows BEFORE the shuffle — the
+    single biggest wire saver on selective dim joins at scale."""
+    prev_thresh = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SF_SMALL, "lineitem")
+        part = load_table(spark, SF_SMALL, "part").filter(
+            F.col("p_brand") == "Brand#11"
+        )
+        j = li.join(part, li.l_partkey == part.p_partkey).groupBy(
+            "p_brand"
+        ).agg(F.sum("l_quantity"))
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_thresh,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
