@@ -2337,6 +2337,54 @@ def _q_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type paths per user-day (batch 5): the clickstream
+    path-mining shape — order each user-day's events, join the type
+    sequence into a path string, count identical paths, keep the top
+    10 (ties broken on the path string). One user-day window shuffle +
+    a paths-sized aggregate; the ordered array fold mirrors DuckDB's
+    ordered string_agg exactly (same (ts, event_id) total order)."""
+    ev = load_table(spark, sf_dir, "events")
+    paths = (
+        ev.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("seq")
+        )
+        .select(
+            F.array_join(
+                F.transform(F.col("seq"), lambda s: s["event_type"]), ">"
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(10)
+    )
+
+
+def _q_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio feature extraction (batch 5): deterministic
+    ramp-signal WAVs (sample i = (doc_id + i) % 256) synthesized and
+    landed as a binary column, then parsed back and split into
+    complete 50-sample frames with integer energy stats per frame.
+    The oracle predicts every (sum, peak) arithmetically from doc_id
+    without touching a byte — a mis-read chunk offset, off-by-one
+    window bound, or stride bug breaks the hash. Both stages are
+    Arrow-batched mapInPandas (binary containers are the one justified
+    executor-Python surface)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.multimodal import (
+        audio_window_energy,
+        synth_wav_ramp,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_window_energy(synth_wav_ramp(docs))
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
     """Apply runtime session tuning (UTC, nanosAsLong, AQE) before each
     query — the driver hands us its own SparkSession."""
@@ -2485,6 +2533,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_outliers_by_type": _q_value_outliers_by_type,
         "embedding_minmax_norm": _q_embedding_minmax_norm,
         "stopword_discovery": _q_stopword_discovery,
+        "audio_window_energy": _q_audio_window_energy,
+        "top_session_paths": _q_top_session_paths,
     }
 
 
@@ -4346,5 +4396,36 @@ def oracle_sql() -> dict[str, str]:
                      AS df_share
             FROM df_tab
             ORDER BY df DESC, tok ASC LIMIT 20
+        """,
+        "top_session_paths": """
+            WITH paths AS (
+              SELECT string_agg(event_type, '>'
+                       ORDER BY ts ASC, event_id ASC) AS path
+              FROM events
+              GROUP BY user_id, CAST(ts AS DATE)
+            )
+            SELECT path, count(*) AS n_sessions
+            FROM paths GROUP BY path
+            ORDER BY n_sessions DESC, path ASC LIMIT 10
+        """,
+        "audio_window_energy": """
+            WITH base AS (
+              SELECT doc_id, 100 + doc_id % 400 AS n FROM documents
+            ),
+            wins AS (
+              SELECT doc_id,
+                     unnest(generate_series(0, (n // 50) - 1)) AS w
+              FROM base WHERE n >= 50
+            ),
+            vals AS (
+              SELECT doc_id, w, unnest(generate_series(0, 49)) AS s
+              FROM wins
+            )
+            SELECT doc_id, CAST(w AS INTEGER) AS win_idx,
+                   CAST(sum((doc_id + 50 * w + s) % 256) AS BIGINT)
+                     AS sum_pcm,
+                   CAST(max((doc_id + 50 * w + s) % 256) AS INTEGER)
+                     AS peak
+            FROM vals GROUP BY doc_id, w
         """,
     }

@@ -319,3 +319,89 @@ def sample_frames(
     return docs_with_payload.select("doc_id", "payload").mapInPandas(
         _sample, FRAME_SCHEMA
     )
+
+
+def encode_wav_pcm(sample_rate: int, samples: bytes) -> bytes:
+    """Canonical RIFF/WAVE, 8-bit mono PCM, arbitrary sample bytes —
+    the varying-signal sibling of :func:`encode_wav`."""
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, sample_rate, 1, 8
+    )
+    data_chunk = struct.pack("<4sI", b"data", len(samples)) + samples
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data_chunk), b"WAVE")
+        + fmt
+        + data_chunk
+    )
+
+
+def _wav_pcm_data(b: bytes) -> bytes:
+    """Raw PCM bytes of the data chunk (8-bit mono path)."""
+    i = 12
+    while i + 8 <= len(b):
+        cid, size = struct.unpack_from("<4sI", b, i)
+        if cid == b"data":
+            return b[i + 8 : i + 8 + size]
+        i += 8 + size + (size & 1)
+    raise ValueError("WAV without data chunk")
+
+
+def synth_wav_ramp(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic varying-signal WAVs: n = 100 + doc_id % 400
+    samples, sample i = (doc_id + i) % 256 — a ramp, so windowed
+    energy downstream is non-trivial yet arithmetically predictable
+    by an engine-independent oracle (the synth→decode round-trip
+    discipline of :func:`synth_media_payloads`)."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 100 + d % 400
+                samples = bytes((d + i) % 256 for i in range(n))
+                payloads.append(
+                    encode_wav_pcm(8000 + (d % 5) * 1000, samples)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        _synth, "doc_id long, payload binary"
+    )
+
+
+AUDIO_WINDOW_SCHEMA = (
+    "doc_id long, win_idx int, sum_pcm bigint, peak int"
+)
+
+
+def audio_window_energy(
+    docs_with_payload: DataFrame, window: int = 50
+) -> DataFrame:
+    """Windowed audio feature extraction over the binary WAV column:
+    parse the RIFF data chunk, split the PCM stream into complete
+    ``window``-sample frames, and emit integer energy statistics
+    (sum, peak) per frame — the audio twin of image frame sampling,
+    and the shape a speech pipeline's VAD/segmentation pass has.
+
+    Integer outputs keep the operator fully oracle-checkable (no float
+    accumulation anywhere); 1→N rows via Arrow-batched mapInPandas —
+    Python is justified here because the payload is an opaque binary
+    container, the one place the engine allows executor-side Python
+    (SCALE.md)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = _wav_pcm_data(bytes(payload))
+                for w in range(len(data) // window):
+                    frame = data[w * window : (w + 1) * window]
+                    out.append(
+                        (int(doc_id), w, int(sum(frame)), int(max(frame)))
+                    )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "win_idx", "sum_pcm", "peak"]
+            )
+
+    return docs_with_payload.mapInPandas(_extract, AUDIO_WINDOW_SCHEMA)

@@ -113,3 +113,33 @@ def test_synth_decode_spark_round_trip(spark):
             assert (r.width, r.height) == (1 + d % 31, 1 + d % 17)
             assert r.duration_ms is None
         assert r.mean_byte == float((d * 7) % 256)
+
+
+def test_wav_ramp_window_energy_roundtrip(spark):
+    """Ramp WAV → windowed energy: hand-computed frames, partial
+    trailing window dropped."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.multimodal import (
+        audio_window_energy,
+        encode_wav_pcm,
+        synth_wav_ramp,
+    )
+
+    # direct codec check: 120 samples -> 2 complete 50-windows, 20 dropped
+    samples = bytes(i % 256 for i in range(120))
+    payload = encode_wav_pcm(8000, samples)
+    df = spark.createDataFrame(
+        [(7, bytearray(payload))], "doc_id long, payload binary"
+    )
+    rows = {r.win_idx: (r.sum_pcm, r.peak) for r in audio_window_energy(df).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0] == (sum(range(50)), 49)
+    assert rows[1] == (sum(range(50, 100)), 99)
+
+    # synth path: doc_id=300 -> samples (300+i)%256, n=100+300=400
+    sdf = synth_wav_ramp(
+        spark.createDataFrame([(300,)], "doc_id long")
+    )
+    out = {r.win_idx: (r.sum_pcm, r.peak) for r in audio_window_energy(sdf).collect()}
+    assert set(out) == set(range(8))
+    exp0 = sum((300 + i) % 256 for i in range(50))
+    assert out[0] == (exp0, max((300 + i) % 256 for i in range(50)))

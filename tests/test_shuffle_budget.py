@@ -62,6 +62,8 @@ EXCHANGE_CEILING = {
     "value_outliers_by_type": 4,
     "embedding_minmax_norm": 2,
     "stopword_discovery": 4,
+    "top_session_paths": 4,
+    "audio_window_energy": 0,
 }
 
 
