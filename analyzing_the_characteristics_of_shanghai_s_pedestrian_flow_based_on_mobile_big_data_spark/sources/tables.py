@@ -125,6 +125,28 @@ def read_pings_tsv(spark: SparkSession, path: str) -> DataFrame:
     return df.withColumn("date", F.to_date("ts"))
 
 
+def read_pings_tsv_permissive(spark: SparkSession, path: str) -> DataFrame:
+    """S1 under dirty input: PERMISSIVE parse with the malformed raw
+    line captured in ``_corrupt`` instead of failing the job — at
+    100 TB a single mangled log line must not kill a day's ETL, and
+    quarantining the raw text (filter ``_corrupt IS NOT NULL`` to a
+    reject sink) beats DROPMALFORMED's silent data loss."""
+    schema = T.StructType(
+        PINGS_SCHEMA.fields + [T.StructField("_corrupt", T.StringType())]
+    )
+    df = (
+        spark.read.options(
+            delimiter="\t",
+            header=True,
+            mode="PERMISSIVE",
+            columnNameOfCorruptRecord="_corrupt",
+        )
+        .schema(schema)
+        .csv(path)
+    )
+    return df.withColumn("date", F.to_date("ts"))
+
+
 def read_poi_csv(spark: SparkSession, path: str) -> DataFrame:
     """S2: POI dimension CSV with declared schema (cal_orig_area.py:75)."""
     return spark.read.options(header=True).schema(POI_SCHEMA).csv(path)

@@ -47,10 +47,18 @@ class IncrementalCountTable:
         path: str,
         keys: list[str],
         retain: int = 2,
+        measures: tuple[str, ...] = ("cnt",),
     ):
         self.spark = spark
         self.path = path
         self.keys = keys
+        # Any columns whose merge is an exact SUM qualify as measures:
+        # counts, decimal sums, decimal sums of squares... This is the
+        # mergeable-state requirement — additive partials make every
+        # merge associative/commutative, so replays, reordered batches
+        # and compaction all commute. (Non-additive stats — medians,
+        # distincts — need sketch columns instead; see occupancy HLL.)
+        self.measures = measures
         # Superseded generations (beyond current + parent) kept before
         # GC: a lazy DataFrame handed out by read() stays readable
         # across up to `retain` subsequent merges. Readers that hold a
@@ -83,7 +91,7 @@ class IncrementalCountTable:
         return self.spark.read.parquet(os.path.join(self.path, ptr["gen"]))
 
     def merge_batch(self, delta: DataFrame, epoch_id: int) -> None:
-        """Add a batch's (keys..., cnt) partial counts into the table.
+        """Add a batch's (keys..., measures...) partials into the table.
 
         Idempotent per epoch: replays (same ``epoch_id``) rebase onto
         the generation the first attempt consumed, not onto its own
@@ -101,7 +109,9 @@ class IncrementalCountTable:
             merged = existing.unionByName(delta)
         else:
             merged = delta
-        merged = merged.groupBy(*self.keys).agg(F.sum("cnt").alias("cnt"))
+        merged = merged.groupBy(*self.keys).agg(
+            *[F.sum(m).alias(m) for m in self.measures]
+        )
         # Fresh directory per attempt: the lazy `existing` read above is
         # materialized by this write while its input files still exist.
         gen = f"gen_{epoch_id}_{uuid.uuid4().hex[:8]}"
@@ -153,6 +163,50 @@ def incremental_occupancy_stream(
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
         delta = batch_df.groupBy("region_id", "hour").agg(
             F.count("*").alias("cnt")
+        )
+        table.merge_batch(delta, epoch_id)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(events_dir)
+    )
+    return (
+        src.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def incremental_value_stats_stream(
+    spark: SparkSession,
+    events_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    schema: str = "event_id long, ts timestamp, event_type string, value double",
+):
+    """Stream event files → additive per-type moment table (n, sum,
+    sumsq as DECIMALs) via foreachBatch — the streaming twin of
+    value_outliers_by_type's stats pass. Moments are exactly additive
+    (DECIMAL sums), so the incremental table equals the batch
+    aggregate after any prefix of batches, under any batch boundaries,
+    including epoch replays (the generation-chain guarantee). Derive
+    mean/variance/thresholds from the read() view; never store them —
+    ratios don't merge. Returns the StreamingQuery."""
+    table = IncrementalCountTable(
+        spark,
+        table_path,
+        ["event_type"],
+        measures=("n", "sum_v", "sum_sq"),
+    )
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        delta = batch_df.groupBy("event_type").agg(
+            F.count("value").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("sum_v"),
+            F.sum(
+                (F.col("value") * F.col("value")).cast("decimal(28,6)")
+            ).alias("sum_sq"),
         )
         table.merge_batch(delta, epoch_id)
 

@@ -89,3 +89,57 @@ def test_lazy_read_survives_retain_merges(spark, tmp_path):
     # two merges later the gen-0 directory is still retained
     assert {r.cnt for r in snapshot.collect()} == {1}
     assert {r.cnt for r in table.read().collect()} == {111}
+
+
+def test_incremental_moments_match_batch(spark, tmp_path):
+    """Streaming per-type moments (n, Σv, Σv²) equal the batch
+    aggregate after all files land — additive DECIMAL partials merge
+    exactly under any batch boundaries."""
+    import pyspark.sql.functions as F
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        IncrementalCountTable,
+        incremental_value_stats_stream,
+    )
+    from conftest import ts
+
+    rows = [
+        (i, ts("2024-01-01 10:00:00"), "a" if i % 2 else "b", float(i) / 7.0)
+        for i in range(60)
+    ]
+    src = str(tmp_path / "ev_files")
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    for part in range(3):  # three separate files → three micro-batches
+        df.filter(F.col("event_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    q = incremental_value_stats_stream(
+        spark, src, str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    table = IncrementalCountTable(
+        spark, str(tmp_path / "tbl"), ["event_type"],
+        measures=("n", "sum_v", "sum_sq"),
+    )
+    got = {
+        r.event_type: (r.n, float(r.sum_v), float(r.sum_sq))
+        for r in table.read().collect()
+    }
+    exp = {
+        r.event_type: (r.n, float(r.sum_v), float(r.sum_sq))
+        for r in df.groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("sum_v"),
+            F.sum((F.col("value") * F.col("value")).cast("decimal(28,6)")).alias(
+                "sum_sq"
+            ),
+        )
+        .collect()
+    }
+    assert got == exp

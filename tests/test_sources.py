@@ -134,3 +134,43 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     # sorted layout: an id-range predicate prunes to a subset of files
     pruned = back.filter("id < 100").count()
     assert pruned == 100
+
+
+def test_permissive_tsv_quarantines_corrupt_rows(spark, tmp_path):
+    """A malformed line lands in _corrupt with the raw text; clean
+    rows parse normally; the job never fails (100 TB ETL contract)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources.tables import (
+        read_pings_tsv_permissive,
+    )
+
+    p = tmp_path / "pings.tsv"
+    p.write_text(
+        "imei_id\timsi\tlgt\tltt\tts\n"
+        "1\ti1\t121.5\t31.2\t2024-01-01 10:00:00\n"
+        "2\ti2\tbad\tworse\tnot-a-timestamp\n"
+        "3\ti3\t121.6\t31.3\t2024-01-02 11:00:00\n"
+    )
+    df = read_pings_tsv_permissive(spark, str(p)).cache()
+    clean = df.filter(F.col("_corrupt").isNull())
+    bad = df.filter(F.col("_corrupt").isNotNull())
+    assert clean.count() == 2
+    assert bad.count() == 1
+    assert "not-a-timestamp" in bad.collect()[0]._corrupt
+    df.unpersist()
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """mergeSchema unions generations of a growing table: old files
+    backfill the new column with NULL — the append-only evolution
+    story a 100 TB lake needs (no rewrite of history)."""
+    d = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.mode(
+        "append"
+    ).parquet(d)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.mode("append").parquet(d)
+    df = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(df.columns) == {"id", "v", "score"}
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows[1] is None and rows[2] == 9.5
