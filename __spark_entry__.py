@@ -2385,6 +2385,34 @@ def _q_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_window_energy(synth_wav_ramp(docs))
 
 
+def _q_region_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round BFS hop distances from region 1 over the
+    deterministically sparsified OD graph (top-3 out-edges per node —
+    the k-NN-graph construction; the raw OD graph is near-complete and
+    every distance would be 0/1). 6 relax rounds, each one hash join +
+    one min() aggregate, dist lineage-truncated per round; full
+    unrolled DuckDB twin (operators/bfs.py)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.bfs import (
+        bfs_hops,
+        topk_out_edges,
+    )
+
+    pos = ops.hourly_positions(events_as_pings(spark, sf_dir, N_REGIONS))
+    od = ops.od_matrix(ops.gap_fill_edges(pos))
+    # od_matrix is hour-keyed — collapse to whole-period totals before
+    # ranking, else top-3 ranks per (hour, dest) fragment
+    tot = od.groupBy("orig", "dest").agg(F.sum("cnt").alias("w"))
+    g = topk_out_edges(
+        tot.select(
+            F.col("orig").alias("src"),
+            F.col("dest").alias("dst"),
+            "w",
+        ),
+        k=3,
+    )
+    return bfs_hops(g, source=1, max_hops=6)
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
     """Apply runtime session tuning (UTC, nanosAsLong, AQE) before each
     query — the driver hands us its own SparkSession."""
@@ -2535,6 +2563,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_discovery": _q_stopword_discovery,
         "audio_window_energy": _q_audio_window_energy,
         "top_session_paths": _q_top_session_paths,
+        "region_bfs_hops": _q_region_bfs_hops,
     }
 
 
@@ -2813,6 +2842,34 @@ def _kmeans_oracle() -> str:
           FROM embeddings
         )"""
     return kmeans_oracle_sql(emb_cte, k=8, iterations=3)
+
+
+def _bfs_oracle() -> str:
+    """Unrolled BFS twin over the top-3-sparsified OD graph."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.bfs import (
+        bfs_oracle_sql,
+    )
+
+    graph_cte = (
+        EDGES_CTE
+        + """,
+        od AS (
+          SELECT pre_region_id AS orig, region_id AS dest,
+                 count(*) AS cnt
+          FROM edges WHERE pre_region_id <> region_id
+          GROUP BY 1, 2
+        ),
+        graph AS (
+          SELECT src, dst FROM (
+            SELECT orig AS src, dest AS dst,
+                   row_number() OVER (
+                     PARTITION BY orig
+                     ORDER BY cnt DESC, dest ASC) AS rn
+            FROM od
+          ) WHERE rn <= 3
+        )"""
+    )
+    return bfs_oracle_sql(graph_cte, source=1, max_hops=6)
 
 
 def _cos_ab(a: str, b: str) -> str:
@@ -4305,6 +4362,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
         """,
         "region_communities": _lpa_oracle(),
+        "region_bfs_hops": _bfs_oracle(),
         "kmeans_embeddings": _kmeans_oracle(),
         # ---- batch 5: graph stats / time series / anomaly / scaling ----
         "region_degree_stats": (

@@ -253,3 +253,25 @@ def test_minmax_norm_bounds(spark):
     vals = {(r.vec_id, r.dim0): r.x_norm for r in out.collect()}
     assert vals[(0, 0)] == 0.0 and vals[(1, 0)] == 1.0 and vals[(2, 0)] == 0.5
     assert vals[(0, 1)] == 0.0 and vals[(1, 1)] == 1.0 and vals[(2, 1)] == 0.5
+
+
+def test_bfs_hops_chain_and_budget(spark):
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.bfs import (
+        bfs_hops,
+        topk_out_edges,
+    )
+
+    # chain 1->2->3->4->5 plus a shortcut 1->3; budget cuts at 2 hops
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3)], "src int, dst int"
+    )
+    out = {r.node: r.hops for r in bfs_hops(edges, 1, max_hops=2).collect()}
+    assert out == {1: 0, 2: 1, 3: 1, 4: 2}  # 5 is 3 hops: outside budget
+
+    # sparsifier: top-2 by weight, ties to smaller dst, self-loops gone
+    wedges = spark.createDataFrame(
+        [(1, 1, 99), (1, 2, 5), (1, 3, 5), (1, 4, 1)],
+        "src int, dst int, w long",
+    )
+    kept = sorted((r.src, r.dst) for r in topk_out_edges(wedges, k=2).collect())
+    assert kept == [(1, 2), (1, 3)]

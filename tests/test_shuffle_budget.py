@@ -64,6 +64,7 @@ EXCHANGE_CEILING = {
     "stopword_discovery": 4,
     "top_session_paths": 4,
     "audio_window_energy": 0,
+    "region_bfs_hops": 2,
 }
 
 
