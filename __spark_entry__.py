@@ -2413,6 +2413,91 @@ def _q_region_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_hops(g, source=1, max_hops=6)
 
 
+def _q_user_covisit_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity self-join on a second entity class (batch 5):
+    user pairs whose distinct visited-CELL sets (a fine 2000-cell
+    grid — the 20-region space is so coarse every user covers it and
+    all Jaccards hit 1.0) overlap with Jaccard ≥ 0.3, a threshold
+    that keeps ~22% of pairs at every tested sf. The threshold is
+    applied in cross-multiplied INTEGER form (10·|∩| ≥ 3·|∪|), so no
+    float boundary can flip a pair; the reported jacc is one exact
+    IEEE division. At 100 TB the cell-keyed candidate join hot-keys
+    on popular cells — route candidates through minhash_lsh_pairs or
+    the df-ranked prefix filter (dedup.py) exactly as for documents;
+    this query pins the exact semantics those approximations are
+    measured against."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = 2000
+    sets = ev.select(
+        "user_id",
+        F.pmod(F.floor(F.col("value")).cast("long"), F.lit(cells)).alias(
+            "cell"
+        ),
+    ).distinct()
+    sizes = sets.groupBy("user_id").agg(F.count("*").alias("sz"))
+    a = sets.select(F.col("user_id").alias("u1"), "cell")
+    b = sets.select(F.col("user_id").alias("u2"), "cell")
+    inter = (
+        a.join(b, "cell")
+        .filter(F.col("u1") < F.col("u2"))
+        .groupBy("u1", "u2")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    s1 = sizes.select(F.col("user_id").alias("u1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("user_id").alias("u2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(s1, "u1")
+        .join(s2, "u2")
+        .withColumn(
+            "union_sz", F.col("sz1") + F.col("sz2") - F.col("n_shared")
+        )
+        .filter(F.col("n_shared") * 10 >= F.col("union_sz") * 3)
+        .select(
+            "u1",
+            "u2",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / F.col("union_sz").cast("double")
+            ).alias("jacc"),
+        )
+    )
+
+
+def _q_round_trip_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal motif mining (batch 5): per day, how many users make
+    an A→B→A round trip (two consecutive region changes returning to
+    the origin) in their hourly position sequence. Double lag over
+    the (user) window — one shuffle — then a days-sized aggregate;
+    the region-change filter removes the stay-in-place ticks first so
+    consecutive means consecutive *moves*."""
+    pos = ops.hourly_positions(events_as_pings(spark, sf_dir, N_REGIONS))
+    w = Window.partitionBy("user_id").orderBy("hour")
+    moves = (
+        pos.withColumn("prev_r", F.lag("region_id").over(w))
+        .filter(
+            F.col("prev_r").isNull()
+            | (F.col("prev_r") != F.col("region_id"))
+        )
+        .drop("prev_r")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("hour")
+    pat = (
+        moves.withColumn("r1", F.lag("region_id", 2).over(w2))
+        .withColumn("r2", F.lag("region_id", 1).over(w2))
+        .filter(
+            (F.col("r1") == F.col("region_id"))
+            & (F.col("r2") != F.col("region_id"))
+        )
+        .select(
+            F.col("hour").cast("date").alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    return pat.groupBy("day").agg(F.count("*").alias("n_round_trip_users"))
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
     """Apply runtime session tuning (UTC, nanosAsLong, AQE) before each
     query — the driver hands us its own SparkSession."""
@@ -2564,6 +2649,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_window_energy": _q_audio_window_energy,
         "top_session_paths": _q_top_session_paths,
         "region_bfs_hops": _q_region_bfs_hops,
+        "user_covisit_jaccard": _q_user_covisit_jaccard,
+        "round_trip_users": _q_round_trip_users,
     }
 
 
@@ -4363,6 +4450,57 @@ def oracle_sql() -> dict[str, str]:
         """,
         "region_communities": _lpa_oracle(),
         "region_bfs_hops": _bfs_oracle(),
+        "user_covisit_jaccard": """
+            WITH sets AS (
+              SELECT DISTINCT user_id,
+                     (((CAST(floor(value) AS BIGINT) % 2000) + 2000)
+                      % 2000) AS cell
+              FROM events
+            ),
+            sizes AS (
+              SELECT user_id, count(*) AS sz FROM sets GROUP BY 1
+            ),
+            inter AS (
+              SELECT a.user_id AS u1, b.user_id AS u2,
+                     count(*) AS n_shared
+              FROM sets a
+              JOIN sets b ON a.cell = b.cell
+                         AND a.user_id < b.user_id
+              GROUP BY 1, 2
+            )
+            SELECT u1, u2, n_shared,
+                   CAST(n_shared AS DOUBLE)
+                   / CAST(s1.sz + s2.sz - n_shared AS DOUBLE) AS jacc
+            FROM inter
+            JOIN sizes s1 ON s1.user_id = u1
+            JOIN sizes s2 ON s2.user_id = u2
+            WHERE n_shared * 10 >= (s1.sz + s2.sz - n_shared) * 3
+        """,
+        "round_trip_users": (
+            "WITH "
+            + POSITIONS_CTE
+            + """,
+            mv AS (
+              SELECT user_id, hour, region_id FROM (
+                SELECT user_id, hour, region_id,
+                       lag(region_id) OVER (
+                         PARTITION BY user_id ORDER BY hour) AS prev_r
+                FROM pos
+              ) WHERE prev_r IS NULL OR prev_r <> region_id
+            ),
+            pat AS (
+              SELECT DISTINCT CAST(hour AS DATE) AS day, user_id FROM (
+                SELECT user_id, hour, region_id,
+                       lag(region_id, 2) OVER w AS r1,
+                       lag(region_id, 1) OVER w AS r2
+                FROM mv
+                WINDOW w AS (PARTITION BY user_id ORDER BY hour)
+              ) WHERE r1 = region_id AND r2 <> region_id
+            )
+            SELECT day, count(*) AS n_round_trip_users
+            FROM pat GROUP BY day
+        """
+        ),
         "kmeans_embeddings": _kmeans_oracle(),
         # ---- batch 5: graph stats / time series / anomaly / scaling ----
         "region_degree_stats": (

@@ -65,6 +65,8 @@ EXCHANGE_CEILING = {
     "top_session_paths": 4,
     "audio_window_energy": 0,
     "region_bfs_hops": 2,
+    "user_covisit_jaccard": 14,
+    "round_trip_users": 6,
 }
 
 
