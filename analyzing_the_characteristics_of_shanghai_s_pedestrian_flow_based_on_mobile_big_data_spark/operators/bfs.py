@@ -53,11 +53,18 @@ def bfs_hops(
 ) -> DataFrame:
     """Hop distance from ``source`` over the directed (src, dst)
     graph, relaxed for exactly ``max_hops`` rounds. Returns
-    (node, hops); nodes not reached within the budget are absent."""
+    (node, hops); nodes not reached within the budget are absent, and
+    a ``source`` absent from the graph's node set yields an empty
+    result (so an empty edge table stays empty — no phantom row)."""
     edges = edges.localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
     dist = (
-        edges.sparkSession.range(1)
-        .select(F.lit(source).cast("int").alias("node"))
+        nodes.filter(F.col("node") == source)
+        .select(F.col("node").cast("int").alias("node"))
         .withColumn("hops", F.lit(0))
     )
     for _ in range(max_hops):
@@ -84,7 +91,12 @@ def bfs_oracle_sql(graph_cte: str, source: int, max_hops: int = 6) -> str:
     parts = [
         graph_cte,
         f"""
-        d0 AS MATERIALIZED (SELECT {source} AS node, 0 AS hops)""",
+        d0 AS MATERIALIZED (
+          SELECT CAST(n AS INTEGER) AS node, 0 AS hops FROM (
+            SELECT DISTINCT src AS n FROM graph
+            UNION SELECT dst FROM graph
+          ) WHERE n = {source}
+        )""",
     ]
     for r in range(1, max_hops + 1):
         parts.append(
