@@ -275,3 +275,45 @@ def test_bfs_hops_chain_and_budget(spark):
     )
     kept = sorted((r.src, r.dst) for r in topk_out_edges(wedges, k=2).collect())
     assert kept == [(1, 2), (1, 3)]
+
+
+def test_iterative_ops_partition_invariant(spark):
+    """Core determinism contract: kmeans, LPA and BFS produce
+    IDENTICAL results under any input partitioning (decimal sums,
+    total-order tie-breaks, integer math — nothing depends on
+    partition boundaries or row order)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.bfs import (
+        bfs_hops,
+    )
+
+    pts = [
+        (i, [float((i * 37) % 11) / 3.0, float((i * 53) % 13) / 7.0])
+        for i in range(40)
+    ]
+    edges = [
+        (i % 9, (i * 7) % 9, 1 + i % 4) for i in range(40)
+    ]
+    base_k = base_l = base_b = None
+    for parts in (1, 7, 32):
+        emb = spark.createDataFrame(
+            pts, "vec_id long, vec array<double>"
+        ).repartition(parts)
+        cents, assigned = kmeans_fit(emb, k=3, iterations=2)
+        got_k = (cents, sorted((r.vec_id, r.cluster) for r in assigned.collect()))
+        e = spark.createDataFrame(
+            edges, "src int, dst int, w long"
+        ).repartition(parts)
+        got_l = sorted(
+            (r.node, r.community)
+            for r in label_propagation(e, rounds=3).collect()
+        )
+        got_b = sorted(
+            (r.node, r.hops)
+            for r in bfs_hops(e.select("src", "dst"), 0, 4).collect()
+        )
+        if base_k is None:
+            base_k, base_l, base_b = got_k, got_l, got_b
+        else:
+            assert got_k == base_k
+            assert got_l == base_l
+            assert got_b == base_b
