@@ -2498,6 +2498,53 @@ def _q_round_trip_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pat.groupBy("day").agg(F.count("*").alias("n_round_trip_users"))
 
 
+def _q_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation discovery (batch 5): top-20 adjacent token bigrams
+    by LIFT = n_xy·N / (n_x·n_y) — the PMI ranking without the log
+    (monotone transform, so the ranking is identical and the score
+    stays one exact IEEE division of exact BIGINT products; a log
+    would import libm 1-ulp divergence for nothing). Bigrams come
+    from arrays_zip over the in-order token array (no shuffle until
+    the count); unigram totals join back broadcast (vocabulary-sized,
+    Zipf ≪ corpus); min support 5 kills noise pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tx.tokens(F.col("text")).alias("t"))
+    bigrams = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("t"), 1, F.size("t") - 1).alias("w1"),
+                F.slice(F.col("t"), 2, F.size("t") - 1).alias("w2"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bg_counts = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("n_xy"))
+    uni = (
+        toks.select(F.explode(F.col("t")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n_w"))
+    )
+    n_total = bigrams.agg(F.count("*").alias("__n"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_x"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_y"))
+    return (
+        bg_counts.filter(F.col("n_xy") >= 5)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(n_total)
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            (
+                (F.col("n_xy") * F.col("__n")).cast("double")
+                / (F.col("n_x") * F.col("n_y")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(20)
+    )
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
     """Apply runtime session tuning (UTC, nanosAsLong, AQE) before each
     query — the driver hands us its own SparkSession."""
@@ -2651,6 +2698,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_bfs_hops": _q_region_bfs_hops,
         "user_covisit_jaccard": _q_user_covisit_jaccard,
         "round_trip_users": _q_round_trip_users,
+        "collocations_lift": _q_collocations_lift,
     }
 
 
@@ -4450,6 +4498,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "region_communities": _lpa_oracle(),
         "region_bfs_hops": _bfs_oracle(),
+        "collocations_lift": f"""
+            WITH toks AS (
+              SELECT {_TOKENS_SQL} AS t FROM documents
+            ),
+            bigrams AS (
+              SELECT t[i] AS w1, t[i + 1] AS w2
+              FROM (
+                SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+                FROM toks WHERE len(t) >= 2
+              )
+            ),
+            bg AS (
+              SELECT w1, w2, count(*) AS n_xy
+              FROM bigrams GROUP BY 1, 2
+            ),
+            uni AS (
+              SELECT w, count(*) AS n_w FROM (
+                SELECT unnest(t) AS w FROM toks
+              ) GROUP BY 1
+            ),
+            nt AS (SELECT count(*) AS n FROM bigrams)
+            SELECT b.w1, b.w2, b.n_xy,
+                   CAST(b.n_xy * nt.n AS DOUBLE)
+                   / CAST(u1.n_w * u2.n_w AS DOUBLE) AS lift
+            FROM bg b
+            JOIN uni u1 ON u1.w = b.w1
+            JOIN uni u2 ON u2.w = b.w2
+            CROSS JOIN nt
+            WHERE b.n_xy >= 5
+            ORDER BY lift DESC, b.w1 ASC, b.w2 ASC LIMIT 20
+        """,
         "user_covisit_jaccard": """
             WITH sets AS (
               SELECT DISTINCT user_id,

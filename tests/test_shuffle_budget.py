@@ -67,6 +67,7 @@ EXCHANGE_CEILING = {
     "region_bfs_hops": 2,
     "user_covisit_jaccard": 14,
     "round_trip_users": 6,
+    "collocations_lift": 8,
 }
 
 
