@@ -17,7 +17,14 @@ order-insensitive value hash matches bit-for-bit):
   (F.aggregate ↔ list_reduce);
 - ranking ties always broken by an explicit unique key;
 - trig-heavy outputs (haversine) are bucketed coarsely enough that a
-  1-ulp libm divergence cannot flip a bucket.
+  1-ulp libm divergence cannot flip a bucket;
+- rounding a DOUBLE quotient for output goes through the explicit
+  floor form floor(x·10^s + 0.5)/10^s when the result set is large or
+  the value feeds further iteration: library round() interprets the
+  double differently across engines near half boundaries (measured:
+  1 of 512 k-means centroid coords diverged in the 9th decimal at
+  sf0.1 before the switch); the floor form is the same IEEE
+  instruction sequence on both engines, so it cannot diverge.
 
 Environment constraint: collected Spark timestamps render in the
 *process* timezone (PySpark uses datetime.fromtimestamp), so the

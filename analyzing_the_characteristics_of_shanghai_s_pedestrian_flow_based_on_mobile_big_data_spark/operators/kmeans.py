@@ -28,9 +28,14 @@ Determinism across engines (the pagerank playbook):
   0.0 seed is exact: 0.0 + x == x for squares ≥ 0);
 - argmin tie-breaks on the smallest cluster id via lexicographic
   (dist, cluster) struct min;
-- centroid mean = round(DECIMAL-sum → double / count, round_scale)
-  per dimension, every round — both engines embed identical binary64
-  centroids, so round r+1's distances match bit-for-bit;
+- centroid mean = floor((DECIMAL-sum → double / count)·10^s + 0.5)
+  / 10^s per dimension, every round. NOT round(): library rounding
+  interprets the double through its decimal representation, and when
+  the mean lands within an ulp of a half boundary Spark and DuckDB
+  can disagree by one last-digit step (measured: 1 of 512 coords at
+  sf0.1). The floor form is multiply+add+floor+divide — pure IEEE
+  ops on identical inputs, so both engines produce the identical
+  binary64 and round r+1's distances match bit-for-bit;
 - empty clusters keep their previous centroid (both engines).
 
 Initialization: the vectors of the k smallest ``vec_id``s — fully
@@ -105,10 +110,14 @@ def kmeans_fit(
             )
             .groupBy("cluster", "dim0")
             .agg(
-                F.round(
-                    F.sum(F.col("x").cast(_DEC)).cast("double")
-                    / F.count("*").cast("double"),
-                    round_scale,
+                (
+                    F.floor(
+                        F.sum(F.col("x").cast(_DEC)).cast("double")
+                        / F.count("*").cast("double")
+                        * F.lit(float(10**round_scale))
+                        + F.lit(0.5)
+                    )
+                    / F.lit(float(10**round_scale))
                 ).alias("coord")
             )
             .collect()  # bounded: k·dim cells
@@ -167,8 +176,10 @@ def kmeans_oracle_sql(
         ),
         mean{r} AS MATERIALIZED (
           SELECT cluster, g.i AS dim_idx,
-                 round(CAST(sum(CAST(emb[g.i] AS DECIMAL(28,12))) AS DOUBLE)
-                       / CAST(count(*) AS DOUBLE), {round_scale}) AS coord
+                 floor(CAST(sum(CAST(emb[g.i] AS DECIMAL(28,12))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE)
+                       * {10**round_scale}.0 + 0.5)
+                 / {10**round_scale}.0 AS coord
           FROM asg{r} CROSS JOIN dims g
           GROUP BY cluster, g.i
         ),

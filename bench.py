@@ -76,6 +76,17 @@ HEADLINE = [
     "ewma_user_value",
     "value_outliers_by_type",
     "embedding_minmax_norm",
+    # remaining round-4 surface — every new operator perf-tracked
+    "weighted_doc_sample",
+    "event_transition_matrix",
+    "region_degree_stats",
+    "stopword_discovery",
+    "top_session_paths",
+    "audio_window_energy",
+    "region_bfs_hops",
+    "user_covisit_jaccard",
+    "round_trip_users",
+    "collocations_lift",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the
