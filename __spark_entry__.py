@@ -2231,16 +2231,17 @@ def _q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("seq"), lambda s: s["value"]).alias("vals"),
         )
     )
+    fold = F.aggregate(
+        F.slice(F.col("vals"), 2, F.size("vals") - 1),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: acc / F.lit(2.0) + x / F.lit(2.0),
+    )
+    # floor form, not F.round — cross-engine half-boundary hazard
     return lst.select(
         "user_id",
-        F.round(
-            F.aggregate(
-                F.slice(F.col("vals"), 2, F.size("vals") - 1),
-                F.element_at(F.col("vals"), 1),
-                lambda acc, x: acc / F.lit(2.0) + x / F.lit(2.0),
-            ),
-            6,
-        ).alias("ewma"),
+        (F.floor(fold * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "ewma"
+        ),
     )
 
 
@@ -2254,19 +2255,30 @@ def _q_value_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     over events (stats, then the broadcast-joined filter) — the
     standard profile→flag pipeline, types-sized dimension."""
     ev = load_table(spark, sf_dir, "events")
+    # floor-form rounding (not F.round): these stats feed the outlier
+    # COMPARISON, where a one-last-digit cross-engine divergence flips
+    # counts — see the module docstring rounding rule
     stats = ev.groupBy("event_type").agg(
         F.count("value").alias("n"),
-        F.round(
-            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
-            / F.count("value").cast("double"),
-            6,
+        (
+            F.floor(
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+                / F.count("value").cast("double")
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
         ).alias("mean_v"),
-        F.round(
-            F.sum(
-                (F.col("value") * F.col("value")).cast("decimal(28,6)")
-            ).cast("double")
-            / F.count("value").cast("double"),
-            6,
+        (
+            F.floor(
+                F.sum(
+                    (F.col("value") * F.col("value")).cast("decimal(28,6)")
+                ).cast("double")
+                / F.count("value").cast("double")
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
         ).alias("mean_sq"),
     )
     j = ev.join(F.broadcast(stats), "event_type")
@@ -4421,8 +4433,9 @@ def oracle_sql() -> dict[str, str]:
                      count(DISTINCT event_type) AS nd_event_type,
                      CAST(min(value) AS DOUBLE) AS min_value,
                      CAST(max(value) AS DOUBLE) AS max_value,
-                     round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
-                           / CAST(count(value) AS DOUBLE), 6) AS mean_value
+                     floor(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                           / CAST(count(value) AS DOUBLE)
+                           * 1000000.0 + 0.5) / 1000000.0 AS mean_value
               FROM events
             )
             SELECT '*' AS col_name, 'n_rows' AS metric,
@@ -4622,18 +4635,21 @@ def oracle_sql() -> dict[str, str]:
               FROM events GROUP BY user_id
             )
             SELECT user_id,
-                   round(list_reduce(vals,
-                         (a, x) -> a / 2.0 + x / 2.0), 6) AS ewma
+                   floor(list_reduce(vals,
+                         (a, x) -> a / 2.0 + x / 2.0)
+                         * 1000000.0 + 0.5) / 1000000.0 AS ewma
             FROM lst
         """,
         "value_outliers_by_type": """
             WITH stats AS (
               SELECT event_type, count(value) AS n,
-                     round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
-                           / CAST(count(value) AS DOUBLE), 6) AS mean_v,
-                     round(CAST(sum(CAST(value * value AS DECIMAL(28,6)))
+                     floor(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                           / CAST(count(value) AS DOUBLE)
+                           * 1000000.0 + 0.5) / 1000000.0 AS mean_v,
+                     floor(CAST(sum(CAST(value * value AS DECIMAL(28,6)))
                                 AS DOUBLE)
-                           / CAST(count(value) AS DOUBLE), 6) AS mean_sq
+                           / CAST(count(value) AS DOUBLE)
+                           * 1000000.0 + 0.5) / 1000000.0 AS mean_sq
               FROM events GROUP BY event_type
             )
             SELECT e.event_type, s.n, s.mean_v,

@@ -63,9 +63,17 @@ def normalized_edges(
         .select(
             F.col(src).alias("src"),
             F.col(dst).alias("dst"),
-            F.round(
-                F.col("__n").cast("double") / F.col("__tot").cast("double"),
-                12,
+            # floor form, not F.round: library double-rounding can
+            # diverge cross-engine within an ulp of a half boundary
+            # (measured on k-means centroids at sf0.1, round 4)
+            (
+                F.floor(
+                    F.col("__n").cast("double")
+                    / F.col("__tot").cast("double")
+                    * F.lit(1e12)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e12)
             ).alias("w"),
         )
     )
@@ -82,8 +90,8 @@ def pagerank(
     per-src weights sum to 1). Returns (node, rank) after exactly
     ``iterations`` damped power-method rounds.
 
-    rank⁰(v) = round(1/N, s);
-    rankⁱ⁺¹(v) = round((1-d)/N + d·Σ_{(u,v)∈E} w(u,v)·rankⁱ(u), s).
+    rank⁰(v) = floor((1/N)·10ˢ + ½)/10ˢ;
+    rankⁱ⁺¹(v) = floor(((1-d)/N + d·Σ_{(u,v)∈E} w(u,v)·rankⁱ(u))·10ˢ + ½)/10ˢ.
     """
     # Materialize the graph tables ONCE before iterating: every
     # iteration references nodes/aug/n_row, and without truncation each
@@ -117,7 +125,13 @@ def pagerank(
     tele = 1.0 - damping
     ranks = nodes.crossJoin(n_row).select(
         "node",
-        F.round(F.lit(1.0) / F.col("__n"), round_scale).alias("rank"),
+        (
+            F.floor(
+                F.lit(1.0) / F.col("__n") * F.lit(float(10**round_scale))
+                + F.lit(0.5)
+            )
+            / F.lit(float(10**round_scale))
+        ).alias("rank"),
     )
     for i in range(iterations):
         contrib = (
@@ -134,13 +148,19 @@ def pagerank(
             .crossJoin(n_row)
             .select(
                 "node",
-                F.round(
-                    F.lit(tele) / F.col("__n")
-                    + F.lit(damping)
-                    * F.coalesce(
-                        F.col("__acc").cast("double"), F.lit(0.0)
-                    ),
-                    round_scale,
+                (
+                    F.floor(
+                        (
+                            F.lit(tele) / F.col("__n")
+                            + F.lit(damping)
+                            * F.coalesce(
+                                F.col("__acc").cast("double"), F.lit(0.0)
+                            )
+                        )
+                        * F.lit(float(10**round_scale))
+                        + F.lit(0.5)
+                    )
+                    / F.lit(float(10**round_scale))
                 ).alias("rank"),
             )
         )
@@ -178,9 +198,10 @@ def pagerank_oracle_sql(
         ),
         w_edges AS MATERIALIZED (
           SELECT src, dst,
-                 round(CAST(n AS DOUBLE)
-                       / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE),
-                       12) AS w
+                 floor(CAST(n AS DOUBLE)
+                       / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE)
+                       * 1000000000000.0 + 0.5)
+                 / 1000000000000.0 AS w
           FROM by_edge
         ),
         nodes AS MATERIALIZED (
@@ -195,9 +216,11 @@ def pagerank_oracle_sql(
         ),
         nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
         r0 AS (
-          SELECT node, round(CAST(1.0 AS DOUBLE) / nn.n, {s}) AS rank
+          SELECT node,
+                 floor(CAST(1.0 AS DOUBLE) / nn.n * {m}.0 + 0.5) / {m}.0
+                   AS rank
           FROM nodes CROSS JOIN nn
-        )""".format(s=round_scale),
+        )""".format(m=10**round_scale),
     ]
     tele = 1.0 - damping
     for i in range(iterations):
@@ -212,14 +235,15 @@ def pagerank_oracle_sql(
         ),
         r{j} AS (
           SELECT n.node,
-                 round(CAST({t} AS DOUBLE) / nn.n
-                       + CAST({d} AS DOUBLE)
-                         * coalesce(CAST(c.acc AS DOUBLE), 0.0),
-                       {s}) AS rank
+                 floor((CAST({t} AS DOUBLE) / nn.n
+                        + CAST({d} AS DOUBLE)
+                          * coalesce(CAST(c.acc AS DOUBLE), 0.0))
+                       * {m}.0 + 0.5) / {m}.0 AS rank
           FROM nodes n LEFT JOIN c{j} c ON n.node = c.node
           CROSS JOIN nn
         )""".format(
-                i=i, j=i + 1, d=repr(damping), t=repr(tele), s=round_scale
+                i=i, j=i + 1, d=repr(damping), t=repr(tele),
+                m=10**round_scale,
             )
         )
     return (

@@ -93,14 +93,18 @@ def profile_table(
             (
                 c,
                 "mean",
-                F.round(
+                # floor form, not F.round — see the entry-module
+                # cross-engine rounding rule
+                F.floor(
                     F.col(f"__sum_{c}").cast("double")
                     / F.when(
                         F.col(f"__cnt_{c}") > 0,
                         F.col(f"__cnt_{c}").cast("double"),
-                    ),
-                    mean_round,
-                ),
+                    )
+                    * float(10**mean_round)
+                    + 0.5
+                )
+                / float(10**mean_round),
             )
         )
     exploded = wide.select(
