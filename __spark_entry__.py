@@ -2447,12 +2447,19 @@ def _q_user_covisit_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured against."""
     ev = load_table(spark, sf_dir, "events")
     cells = 2000
-    sets = ev.select(
-        "user_id",
-        F.pmod(F.floor(F.col("value")).cast("long"), F.lit(cells)).alias(
-            "cell"
-        ),
-    ).distinct()
+    # sets feeds three legs (sizes, both join sides) — checkpoint so
+    # the events scan + distinct run once, not thrice (triangles.py
+    # lesson)
+    sets = (
+        ev.select(
+            "user_id",
+            F.pmod(
+                F.floor(F.col("value")).cast("long"), F.lit(cells)
+            ).alias("cell"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     sizes = sets.groupBy("user_id").agg(F.count("*").alias("sz"))
     a = sets.select(F.col("user_id").alias("u1"), "cell")
     b = sets.select(F.col("user_id").alias("u2"), "cell")
