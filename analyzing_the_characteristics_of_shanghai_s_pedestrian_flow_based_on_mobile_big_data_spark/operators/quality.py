@@ -15,9 +15,10 @@ separate scan); at 100 TB swap any non-gating ones for
 ``approx_count_distinct`` — the wiring is identical, which is why the
 exact version is the oracle-paired default here.
 
-The wide single-row result is unpivoted driver-side-free via
-``stack`` — the unpivot runs on one row, so it costs nothing and keeps
-the operator fully declarative. Means go through DECIMAL sums
+The wide single-row result is unpivoted via an explode over a
+struct-array literal (stack()'s typed cousin) — the unpivot runs on
+one row, so it costs nothing and keeps the operator fully
+declarative. Means go through DECIMAL sums
 (association-order independent) per the repo's cross-engine rules.
 
 No counterpart in the reference (its scripts assume clean input); this
