@@ -2571,6 +2571,71 @@ def _q_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-shuffle order (batch 5): rank
+    every document by md5('epoch0' ‖ doc_id) — the reproducible
+    corpus shuffle a pretraining run needs (same order on any engine,
+    any partitioning, any retry). Ranking goes through
+    ``mint_dense_ids`` rather than a bare global window: the hash is
+    unique per doc so dense ids ARE the shuffle rank, and the
+    operator auto-switches to its two-phase path above 100k rows —
+    no SinglePartition stage at scale (the surrogate-key lesson,
+    region_build.py)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.region_build import (
+        LARGE_DIM_THRESHOLD,
+        mint_dense_ids,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("epoch0"), F.col("doc_id").cast("string")))
+    keyed = docs.select("doc_id", h.alias("__h"))
+    ranked = mint_dense_ids(
+        keyed,
+        ["__h"],
+        "shuffle_rank",
+        large=keyed.count() > LARGE_DIM_THRESHOLD,
+    )
+    return ranked.select(
+        "doc_id", F.col("shuffle_rank").cast("int").alias("shuffle_rank")
+    )
+
+
+def _q_split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval split-leakage audit (batch 5): MinHash-LSH near-dup
+    candidate pairs whose two members land in DIFFERENT hash-assigned
+    splits — exactly the contamination a leakage audit must surface
+    before an eval set is trusted (a near-duplicate of a training doc
+    sitting in val/test). Pure composition of the existing operators
+    (minhash_lsh_pairs ∘ split_assign), which is the point: the
+    engine's curation pieces compose relationally. Split sides are
+    broadcast-sized key→split maps; the pair table never widens."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.sampling import (
+        split_assign,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ops.minhash_lsh_pairs(docs, k=8, bands=4, n=3)
+    splits = docs.select(
+        "doc_id",
+        split_assign(
+            F.col("doc_id"),
+            [("train", 0.9), ("val", 0.05), ("test", 0.05)],
+        ).alias("split"),
+    )
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b")
+    )
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
     """Apply runtime session tuning (UTC, nanosAsLong, AQE) before each
     query — the driver hands us its own SparkSession."""
@@ -2725,6 +2790,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_covisit_jaccard": _q_user_covisit_jaccard,
         "round_trip_users": _q_round_trip_users,
         "collocations_lift": _q_collocations_lift,
+        "shuffle_order": _q_shuffle_order,
+        "split_leakage_pairs": _q_split_leakage_pairs,
     }
 
 
@@ -3031,6 +3098,36 @@ def _bfs_oracle() -> str:
         )"""
     )
     return bfs_oracle_sql(graph_cte, source=1, max_hops=6)
+
+
+def _split_leakage_oracle() -> str:
+    """MinHash pair CTEs composed with the hash-split assignment."""
+    mh = _minhash_oracle(k=8, bands=4)
+    head, tail = mh.rsplit("SELECT DISTINCT", 1)
+    head = head.strip()
+    assert head.startswith("WITH ")
+    ctes = head[len("WITH "):].rstrip()
+    pairs_select = ("SELECT DISTINCT" + tail).strip()
+    return f"""
+        WITH {ctes},
+        pairs AS ({pairs_select}),
+        spl AS (
+          SELECT doc_id,
+                 CASE WHEN ({_HEX8_SQL}) / 4294967296.0 < 0.9 THEN 'train'
+                      WHEN ({_HEX8_SQL}) / 4294967296.0 < 0.95 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (
+            SELECT doc_id,
+                   md5('split' || CAST(doc_id AS VARCHAR)) AS hx
+            FROM documents
+          )
+        )
+        SELECT p.doc_a, p.doc_b, s1.split AS split_a, s2.split AS split_b
+        FROM pairs p
+        JOIN spl s1 ON s1.doc_id = p.doc_a
+        JOIN spl s2 ON s2.doc_id = p.doc_b
+        WHERE s1.split <> s2.split
+    """
 
 
 def _cos_ab(a: str, b: str) -> str:
@@ -4525,6 +4622,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "region_communities": _lpa_oracle(),
         "region_bfs_hops": _bfs_oracle(),
+        "shuffle_order": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                     ORDER BY md5('epoch0' || CAST(doc_id AS VARCHAR)) ASC,
+                              doc_id ASC) AS INTEGER) AS shuffle_rank
+            FROM documents
+        """,
+        "split_leakage_pairs": _split_leakage_oracle(),
         "collocations_lift": f"""
             WITH toks AS (
               SELECT {_TOKENS_SQL} AS t FROM documents

@@ -87,6 +87,8 @@ HEADLINE = [
     "user_covisit_jaccard",
     "round_trip_users",
     "collocations_lift",
+    "shuffle_order",
+    "split_leakage_pairs",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

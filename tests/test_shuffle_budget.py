@@ -68,6 +68,8 @@ EXCHANGE_CEILING = {
     "user_covisit_jaccard": 14,
     "round_trip_users": 6,
     "collocations_lift": 8,
+    "shuffle_order": 2,
+    "split_leakage_pairs": 5,
 }
 
 
