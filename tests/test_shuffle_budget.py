@@ -65,7 +65,7 @@ EXCHANGE_CEILING = {
     "top_session_paths": 4,
     "audio_window_energy": 0,
     "region_bfs_hops": 2,
-    "user_covisit_jaccard": 14,
+    "user_covisit_jaccard": 2,  # bitmap path: repartition only (build behind checkpoint)
     "round_trip_users": 6,
     "collocations_lift": 8,
     "shuffle_order": 2,

@@ -292,3 +292,82 @@ def test_quantized_topk_recall_vs_exact(spark):
         for r in qs["quantized_cosine_topk"](spark, sf).collect()
     }
     assert len(exact & quant) / len(exact) >= 0.8
+
+
+def _pairs(df):
+    return sorted(
+        (r.key_a, r.key_b, r.n_shared, r.sz_a, r.sz_b) for r in df.collect()
+    )
+
+
+def _sets_fixture(spark):
+    """Adversarial set table: a hot item (0) shared by every key — the
+    single-join m² case and the prefix filter's reason to exist — a
+    NULL item on key 10 (counts toward sz, never intersects), and
+    size-spread keys the ratio prune must not mis-drop at equality."""
+    rows = []
+    for k in range(12):
+        items = {0} | {(k * 7 + j) % 64 for j in range(1, 5 + (k % 4))}
+        rows += [(k, i) for i in sorted(items)]
+    rows.append((10, None))
+    rows.append((11, 63))
+    return spark.createDataFrame(rows, "key long, item long")
+
+
+def test_set_similarity_join_three_paths_identical(spark):
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        set_similarity_join,
+    )
+
+    sets = _sets_fixture(spark)
+    got_prefix = _pairs(
+        set_similarity_join(sets, "key", "item", 3, 10, prefix_filter=True)
+    )
+    got_single = _pairs(
+        set_similarity_join(sets, "key", "item", 3, 10, prefix_filter=False)
+    )
+    got_bitmap = _pairs(
+        set_similarity_join(
+            sets, "key", "item", 3, 10, dense_bitmap_domain=64
+        )
+    )
+    assert got_prefix == got_single == got_bitmap
+    assert len(got_prefix) > 0
+
+    # ground truth by hand: NULL counts toward sz but never intersects
+    py_sets = {}
+    py_sz = {}
+    for r in sets.collect():
+        py_sz[r.key] = py_sz.get(r.key, 0) + 1
+        if r.item is not None:
+            py_sets.setdefault(r.key, set()).add(r.item)
+    expect = []
+    keys = sorted(py_sz)
+    for i, a in enumerate(keys):
+        for b in keys[i + 1:]:
+            inter = len(py_sets.get(a, set()) & py_sets.get(b, set()))
+            union = py_sz[a] + py_sz[b] - inter
+            if 10 * inter >= 3 * union:
+                expect.append((a, b, inter, py_sz[a], py_sz[b]))
+    assert got_prefix == sorted(expect)
+
+
+def test_set_similarity_join_threshold_boundary_exact(spark):
+    """Integer cross-multiplication must keep a pair at exactly
+    J = num/den (3/10 here: |∩|=3, |∪|=10) on every path — the float
+    boundary that motivates the integer form."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        set_similarity_join,
+    )
+
+    a = {i for i in range(7)}          # sz 7
+    b = {0, 1, 2} | {10, 11, 12}       # sz 6, inter 3, union 10
+    rows = [(0, i) for i in a] + [(1, i) for i in b]
+    sets = spark.createDataFrame(rows, "key long, item long")
+    for kw in (
+        {"prefix_filter": True},
+        {"prefix_filter": False},
+        {"dense_bitmap_domain": 16},
+    ):
+        got = _pairs(set_similarity_join(sets, "key", "item", 3, 10, **kw))
+        assert got == [(0, 1, 3, 7, 6)], kw
