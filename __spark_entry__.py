@@ -2216,11 +2216,37 @@ def _q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     s₀ = first-element semantics, and both engines evaluate the
     identical `a/2 + x/2` IEEE expression, so the fold is
     bit-reproducible (the label_centroids ordered-fold precedent).
-    At 100 TB the shuffle payload is (ts, id, value) triples — the
-    same volume a window-function formulation would move."""
+    The non-NULL contract is explicit and symmetric: both engines
+    filter value IS NOT NULL before folding (Spark's collect_list
+    silently drops NULLs while DuckDB's list() keeps them and
+    list_reduce poisons the fold to NULL — the filter makes the two
+    agree instead of diverging on NULL-bearing data; quality.py
+    treats value as a completeness column, so NULLs are an
+    anticipated shape). A user with no non-NULL values is absent
+    from both outputs, and the fold's slice sees size ≥ 1 — no
+    negative-length slice crash. At 100 TB the shuffle payload is
+    (ts, id, value) triples — the same volume a window-function
+    formulation would move — and the collect_list buffer (the one
+    row-sized object Spark cannot spill) is bounded by
+    ``cap_rows_per_key`` keeping each user's LATEST
+    ``MAX_SEQ_PER_KEY`` values: a value that many halvings back
+    contributes < 2^-65536 ≈ 0, so the truncation is numerically
+    inert, and under-cap keys are exactly unchanged (pytest-pinned in
+    test_new_query_invariants)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators import (
+        bounded,
+    )
+
     ev = load_table(spark, sf_dir, "events")
     lst = (
-        ev.groupBy("user_id")
+        bounded.cap_rows_per_key(
+            ev.filter(F.col("value").isNotNull()),
+            ["user_id"],
+            ["ts", "event_id"],
+            bounded.MAX_SEQ_PER_KEY,
+            keep="last",
+        )
+        .groupBy("user_id")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("ts", "event_id", "value"))
@@ -2362,10 +2388,27 @@ def _q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence into a path string, count identical paths, keep the top
     10 (ties broken on the path string). One user-day window shuffle +
     a paths-sized aggregate; the ordered array fold mirrors DuckDB's
-    ordered string_agg exactly (same (ts, event_id) total order)."""
-    ev = load_table(spark, sf_dir, "events")
+    ordered string_agg exactly (same (ts, event_id) total order). The
+    per-user-day collect_list buffer is bounded via
+    ``cap_rows_per_key`` (first ``MAX_SEQ_PER_KEY`` events of the
+    day — a documented path-prefix truncation for storm keys;
+    under-cap keys exactly unchanged, pytest-pinned)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators import (
+        bounded,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    ev = bounded.cap_rows_per_key(
+        ev,
+        ["user_id", "day"],
+        ["ts", "event_id"],
+        bounded.MAX_SEQ_PER_KEY,
+        keep="first",
+    )
     paths = (
-        ev.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        ev.groupBy("user_id", "day")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("ts", "event_id", "event_type"))
@@ -2529,14 +2572,23 @@ def _q_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zipf ≪ corpus); min support 5 kills noise pairs."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(tx.tokens(F.col("text")).alias("t"))
-    bigrams = toks.select(
-        F.explode(
-            F.arrays_zip(
-                F.slice(F.col("t"), 1, F.size("t") - 1).alias("w1"),
-                F.slice(F.col("t"), 2, F.size("t") - 1).alias("w2"),
-            )
-        ).alias("bg")
-    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    # guard size ≥ 2 BEFORE the slices (mirrors the oracle's
+    # WHERE len(t) >= 2): an empty/one-token doc would otherwise hand
+    # F.slice a negative length and raise INVALID_PARAMETER_VALUE —
+    # unigram counts below stay over the UNGUARDED toks, as in the
+    # oracle
+    bigrams = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("t"), 1, F.size("t") - 1).alias("w1"),
+                    F.slice(F.col("t"), 2, F.size("t") - 1).alias("w2"),
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
     bg_counts = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("n_xy"))
     uni = (
         toks.select(F.explode(F.col("t")).alias("w"))
@@ -2827,7 +2879,11 @@ _HEX8_SQL = " + ".join(
 )
 
 
-def _minhash_oracle(k: int = 8, bands: int = 4) -> str:
+def _minhash_oracle_parts(k: int = 8, bands: int = 4) -> tuple[str, str]:
+    """(CTE block without the WITH keyword, final pair-select) — kept
+    separate so downstream oracles (near-dup clusters, split leakage)
+    compose them structurally instead of re-parsing rendered SQL,
+    which silently miscomposed on any benign reformat."""
     r = k // bands
     mins = ",\n         ".join(
         f"min(md5('{i}:' || shingle)) AS mh_{i}" for i in range(k)
@@ -2839,19 +2895,26 @@ def _minhash_oracle(k: int = 8, bands: int = 4) -> str:
         )
         for b in range(bands)
     )
-    return f"""
-        WITH {_SHINGLES_CTE},
+    ctes = f"""{_SHINGLES_CTE},
         sig AS (
           SELECT doc_id, {mins}
           FROM sh GROUP BY doc_id
         ),
         bands AS (
         {band_selects}
-        )
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        )"""
+    pair_select = """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.band_hash = b.band_hash
-         AND a.doc_id < b.doc_id
+         AND a.doc_id < b.doc_id"""
+    return ctes, pair_select
+
+
+def _minhash_oracle(k: int = 8, bands: int = 4) -> str:
+    ctes, pair_select = _minhash_oracle_parts(k, bands)
+    return f"""
+        WITH {ctes}
+        {pair_select}
     """
 
 
@@ -2859,12 +2922,7 @@ def _near_dup_clusters_oracle() -> str:
     """Transitive closure of the MinHash pairs via recursive CTE —
     min reachable id per node = the cluster id the iterative Spark
     label propagation converges to."""
-    mh = _minhash_oracle(k=8, bands=4)
-    head, tail = mh.rsplit("SELECT DISTINCT", 1)
-    head = head.strip()
-    assert head.startswith("WITH ")
-    ctes = head[len("WITH "):].rstrip()
-    pairs_select = ("SELECT DISTINCT" + tail).strip()
+    ctes, pairs_select = _minhash_oracle_parts(k=8, bands=4)
     return f"""
         WITH RECURSIVE {ctes},
         pairs AS ({pairs_select}),
@@ -3096,12 +3154,7 @@ def _bfs_oracle() -> str:
 
 def _split_leakage_oracle() -> str:
     """MinHash pair CTEs composed with the hash-split assignment."""
-    mh = _minhash_oracle(k=8, bands=4)
-    head, tail = mh.rsplit("SELECT DISTINCT", 1)
-    head = head.strip()
-    assert head.startswith("WITH ")
-    ctes = head[len("WITH "):].rstrip()
-    pairs_select = ("SELECT DISTINCT" + tail).strip()
+    ctes, pairs_select = _minhash_oracle_parts(k=8, bands=4)
     return f"""
         WITH {ctes},
         pairs AS ({pairs_select}),
@@ -4738,7 +4791,7 @@ def oracle_sql() -> dict[str, str]:
             WITH lst AS (
               SELECT user_id,
                      list(value ORDER BY ts ASC, event_id ASC) AS vals
-              FROM events GROUP BY user_id
+              FROM events WHERE value IS NOT NULL GROUP BY user_id
             )
             SELECT user_id,
                    floor(list_reduce(vals,

@@ -96,8 +96,15 @@ def kmeans_fit(
     array<double>). Returns (final centroids {cluster: coords}, the
     corpus with its final ``cluster`` assignment)."""
     emb = emb.localCheckpoint(eager=True)
+    # seed from the k SMALLEST OBSERVED ids, not `id < k`: a sparse or
+    # offset id domain (plausible after a testdata regeneration) would
+    # silently fit fewer than k clusters under the literal filter —
+    # and the oracle, making the same assumption, would not catch the
+    # shrinkage. Cluster labels are the seed ids themselves (oracle
+    # mirrors with ORDER BY vec_id LIMIT k).
     seeds = (
-        emb.filter(F.col(id_col) < k)
+        emb.orderBy(F.col(id_col).asc())
+        .limit(k)
         .select(F.col(id_col).cast("int").alias("c"), F.col(vec_col))
         .collect()
     )
@@ -159,7 +166,7 @@ def kmeans_oracle_sql(
         ),
         cent0 AS MATERIALIZED (
           SELECT CAST(vec_id AS INTEGER) AS cluster, emb AS c
-          FROM e WHERE vec_id < {k}
+          FROM e ORDER BY vec_id ASC LIMIT {k}
         )""",
     ]
     for r in range(1, iterations + 1):

@@ -139,20 +139,30 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     common14 = round(sum(timings[n] for n in COMMON14 if n in timings), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "protocol": {"iters": iters, "stat": "median", "warmup": 1},
-                "spread": spread,
-                "common14_total": common14,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "protocol": {"iters": iters, "stat": "median", "warmup": 1},
+        "spread": spread,
+        "common14_total": common14,
+    }
+    # full detail goes to a file (committed per round); stdout carries
+    # the one-line contract LAST, after spark.stop(), so a tail-capture
+    # of stdout always ends at a complete, parseable JSON line
+    # (BENCH_r04.json was clipped mid-JSON by exactly this failure)
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_FULL.json"),
+        "w",
+    ) as fh:
+        json.dump(result, fh, indent=1)
+        fh.write("\n")
+    spark.stop()
+    print(json.dumps(result))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
