@@ -824,6 +824,45 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivf_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN with a TRAINED codebook: the 16-way coarse
+    quantizer comes from 3 Lloyd rounds (operators/kmeans.py — the
+    trainer built for exactly this) instead of the hash-stratified
+    sample `ivf_topk` uses. Data-adaptive centroids follow the
+    corpus's density, so inverted lists are balanced where the
+    sampled codebook inherits sampling variance — measured recall@3
+    at sf0.1 is reported in SCALE.md and gated ≥ the sampled-codebook
+    recall in tests/test_similarity.py. Same serving plan: literal
+    centroids in-plan, map-only assignment, broadcast probe join; the
+    training cost is 3 corpus scans, amortized across every query
+    against the (static) index, cached per dataset fingerprint like
+    any IVF index artifact. Oracle: the unrolled Lloyd CTE chain
+    (kmeans_oracle_ctes) feeding the same probe/rank SQL as
+    ivf_topk's twin."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.vectors import (
+        as_double_array,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.kmeans import (
+        kmeans_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = _dataset_fingerprint(sf_dir, "embeddings") + ("kmeans16x3",)
+    cent = _IVF_CODEBOOKS.get(key)
+    if cent is None:
+        vec = emb.select(
+            "vec_id", as_double_array(F.col("embedding")).alias("vec")
+        )
+        cents, _ = kmeans_fit(vec, k=16, iterations=3)
+        cent = _IVF_CODEBOOKS[key] = sorted(
+            (int(c), list(v)) for c, v in cents.items()
+        )
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return ops.ivf_topk(
+        emb, queries_df, k=3, n_centroids=16, nprobe=4, dim=64, centroids=cent
+    )
+
+
 def _q_ann_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OR-amplified LSH top-k: 4 independent sign-hash tables over
     disjoint dimension slices; candidates = bucket match in ANY table.
@@ -2754,6 +2793,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bucketed": _q_ann_bucketed,
         "ann_banded": _q_ann_banded,
         "ivf_topk": _q_ivf_topk,
+        "ivf_topk_kmeans": _q_ivf_topk_kmeans,
         "label_centroids": _q_label_centroids,
         "q3_shipping_priority": _q_q3_shipping_priority,
         "q10_returned_items": _q_q10_returned_items,
@@ -3122,6 +3162,51 @@ def _kmeans_oracle() -> str:
           FROM embeddings
         )"""
     return kmeans_oracle_sql(emb_cte, k=8, iterations=3)
+
+
+def _ivf_kmeans_oracle() -> str:
+    """ivf_topk's probe/rank SQL on top of the unrolled Lloyd CTE
+    chain — the trained-codebook twin, composed structurally."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.kmeans import (
+        kmeans_oracle_ctes,
+    )
+
+    emb_cte = """
+        e AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings
+        )"""
+    ctes = kmeans_oracle_ctes(emb_cte, k=16, iterations=3)
+    return f"""
+        WITH {ctes},
+        cent AS (
+          SELECT cluster AS centroid_id, c AS cent_emb FROM cent3
+        ),
+        corpus AS (SELECT vec_id, emb AS c_emb FROM e),
+        assign AS (
+          SELECT c2.vec_id, cent.centroid_id, c2.c_emb
+          FROM corpus c2 CROSS JOIN cent
+          QUALIFY row_number() OVER (PARTITION BY c2.vec_id
+            ORDER BY {_cos_ab('cent_emb', 'c_emb')} DESC, centroid_id ASC) = 1
+        ),
+        probes AS (
+          SELECT c2.vec_id AS query_id, c2.c_emb AS q_emb, cent.centroid_id
+          FROM corpus c2 CROSS JOIN cent
+          WHERE c2.vec_id < 5
+          QUALIFY row_number() OVER (PARTITION BY c2.vec_id
+            ORDER BY {_cos_ab('cent_emb', 'c_emb')} DESC, centroid_id ASC) <= 4
+        ),
+        pairs AS (
+          SELECT p.query_id, a.vec_id, {_cos_ab('q_emb', 'c_emb')} AS cos_r
+          FROM assign a JOIN probes p USING (centroid_id)
+          WHERE a.vec_id <> p.query_id
+        )
+        SELECT query_id, vec_id, cos_r,
+               CAST(row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cos_r DESC, vec_id ASC) AS INTEGER) AS rank
+        FROM pairs QUALIFY rank <= 3
+    """
 
 
 def _bfs_oracle() -> str:
@@ -4760,6 +4845,7 @@ def oracle_sql() -> dict[str, str]:
         """
         ),
         "kmeans_embeddings": _kmeans_oracle(),
+        "ivf_topk_kmeans": _ivf_kmeans_oracle(),
         # ---- batch 5: graph stats / time series / anomaly / scaling ----
         "region_degree_stats": (
             "WITH "

@@ -139,17 +139,21 @@ def kmeans_fit(
     return cents, assign_clusters(emb, cents, vec_col)
 
 
-def kmeans_oracle_sql(
+def kmeans_oracle_ctes(
     emb_cte: str,
     k: int = 8,
     iterations: int = 3,
     round_scale: int = 9,
 ) -> str:
-    """Unrolled-CTE DuckDB twin of :func:`kmeans_fit` +
-    final-centroid/size output. ``emb_cte`` must define ``e(vec_id,
-    emb DOUBLE[])``. Shared tables are MATERIALIZED (the PageRank
-    lesson: DuckDB inlines single-reference CTE chains and would
-    re-evaluate each round once per downstream reference)."""
+    """CTE block (without the WITH keyword) of the unrolled Lloyd
+    rounds, ending at ``cent{iterations}(cluster, c)`` — exposed
+    separately so composing oracles (kmeans_embeddings' final select,
+    ivf_topk_kmeans' probe stage) build on the structure instead of
+    re-parsing rendered SQL (the minhash-oracle composition lesson).
+    ``emb_cte`` must define ``e(vec_id, emb DOUBLE[])``. Shared tables
+    are MATERIALIZED (the PageRank lesson: DuckDB inlines
+    single-reference CTE chains and would re-evaluate each round once
+    per downstream reference)."""
     dist = (
         "list_reduce(list_transform(generate_series(1, len(a.emb)), "
         "i -> (a.emb[i] - c.c[i]) * (a.emb[i] - c.c[i])), (p, q) -> p + q)"
@@ -201,10 +205,25 @@ def kmeans_oracle_sql(
           ) GROUP BY cluster
         )"""
         )
+    return ",".join(parts)
+
+
+def kmeans_oracle_sql(
+    emb_cte: str,
+    k: int = 8,
+    iterations: int = 3,
+    round_scale: int = 9,
+) -> str:
+    """Full DuckDB twin of :func:`kmeans_fit`: the unrolled CTE chain
+    plus the final-centroid/size select."""
+    dist = (
+        "list_reduce(list_transform(generate_series(1, len(a.emb)), "
+        "i -> (a.emb[i] - c.c[i]) * (a.emb[i] - c.c[i])), (p, q) -> p + q)"
+    )
     n = iterations
     return (
         "WITH "
-        + ",".join(parts)
+        + kmeans_oracle_ctes(emb_cte, k, iterations, round_scale)
         + f"""
         , asg_final AS MATERIALIZED (
           SELECT a.vec_id, cluster FROM (

@@ -52,6 +52,7 @@ HEADLINE = [
     # late round-2 pipeline operators
     "benchmark_decontam",
     "ivf_topk",
+    "ivf_topk_kmeans",
     "sequence_packing",
     # round-3 additions (VERDICT r2 #9): all round-2 surface perf-tracked
     "ann_banded",

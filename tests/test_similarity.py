@@ -371,3 +371,52 @@ def test_set_similarity_join_threshold_boundary_exact(spark):
     ):
         got = _pairs(set_similarity_join(sets, "key", "item", 3, 10, **kw))
         assert got == [(0, 1, 3, 7, 6)], kw
+
+
+def test_ivf_kmeans_codebook_recall_beats_sampled(spark):
+    """VERDICT r4 #4: the trained (Lloyd) codebook must not regress
+    recall vs the hash-stratified sampled codebook it replaces.
+    Measured at sf0.01 (20 queries, k=3, nprobe=4): kmeans 0.90 vs
+    sampled 0.65; gate at >=, not the point estimate, to stay robust
+    to testdata regeneration."""
+    import pyspark.sql.functions as F
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.vectors import (
+        as_double_array,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.kmeans import (
+        kmeans_fit,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        ivf_centroid_rows,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(emb, q, k=3).collect()
+    }
+    cent_s = ivf_centroid_rows(emb, 16)
+    got_s = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(
+            emb, q, k=3, nprobe=4, dim=64, centroids=cent_s
+        ).collect()
+    }
+    vec = emb.select(
+        "vec_id", as_double_array(F.col("embedding")).alias("vec")
+    )
+    cents, _ = kmeans_fit(vec, k=16, iterations=3)
+    cent_k = sorted((int(c), list(v)) for c, v in cents.items())
+    got_k = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(
+            emb, q, k=3, nprobe=4, dim=64, centroids=cent_k
+        ).collect()
+    }
+    recall_s = len(truth & got_s) / len(truth)
+    recall_k = len(truth & got_k) / len(truth)
+    assert recall_k >= recall_s
+    assert recall_k >= 0.8  # absolute floor: trained codebook works
