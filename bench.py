@@ -120,6 +120,13 @@ def main() -> None:
 
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
+    # BENCH_ONLY=a,b,c — subset run in a fresh JVM, the instrument for
+    # separating session-load drift (GC/scheduler pressure from a
+    # 46-query session) from real per-query regressions (VERDICT r4 #2)
+    only = os.environ.get("BENCH_ONLY")
+    if only:
+        wanted = {w.strip() for w in only.split(",") if w.strip()}
+        names = [n for n in names if n in wanted]
     iters = int(os.environ.get("BENCH_ITERS", "3"))  # driver default: n=3
 
     def run(name: str) -> None:
