@@ -11,3 +11,4 @@ from .tables import (  # noqa: F401
     read_poi_csv,
     write_partitioned_parquet,
 )
+from .xlsx import read_poi_xlsx, read_xlsx_rows  # noqa: F401

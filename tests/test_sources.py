@@ -174,3 +174,97 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     assert set(df.columns) == {"id", "v", "score"}
     rows = {r.id: r.score for r in df.collect()}
     assert rows[1] is None and rows[2] == 9.5
+
+
+def _write_min_xlsx(path, header, rows):
+    """Minimal SpreadsheetML writer: shared strings for str cells,
+    numeric cells inline — enough to exercise both parse paths."""
+    import zipfile
+
+    strings: list[str] = []
+
+    def sref(s):
+        if s not in strings:
+            strings.append(s)
+        return strings.index(s)
+
+    def colref(i, r):
+        letters = ""
+        i += 1
+        while i:
+            i, rem = divmod(i - 1, 26)
+            letters = chr(ord("A") + rem) + letters
+        return f"{letters}{r}"
+
+    body = []
+    for rn, row in enumerate([header] + rows, start=1):
+        cells = []
+        for ci, v in enumerate(row):
+            if v is None:
+                continue  # gap cell — reader must keep alignment
+            ref = colref(ci, rn)
+            if isinstance(v, str):
+                cells.append(f'<c r="{ref}" t="s"><v>{sref(v)}</v></c>')
+            else:
+                cells.append(f'<c r="{ref}"><v>{v}</v></c>')
+        body.append(f'<row r="{rn}">' + "".join(cells) + "</row>")
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    sheet = (
+        f'<?xml version="1.0"?><worksheet xmlns="{ns}"><sheetData>'
+        + "".join(body)
+        + "</sheetData></worksheet>"
+    )
+    sst = (
+        f'<?xml version="1.0"?><sst xmlns="{ns}">'
+        + "".join(f"<si><t>{s}</t></si>" for s in strings)
+        + "</sst>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        z.writestr("xl/sharedStrings.xml", sst)
+
+
+def test_read_poi_xlsx_roundtrip(spark, tmp_path):
+    """stdlib xlsx reader: header→columns, shared strings, numeric
+    cells (as strings), gap cells keep column alignment."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        read_poi_xlsx,
+    )
+
+    p = str(tmp_path / "poi.xlsx")
+    _write_min_xlsx(
+        p,
+        ["point", "type", "name"],
+        [
+            ["[[121.3, 30.7]]", "7", "南京西路"],
+            ["[[121.4, 31.2]]", None, "静安寺"],  # gap cell
+            [42, "3", "plaza"],  # numeric cell
+        ],
+    )
+    df = read_poi_xlsx(spark, p)
+    assert df.columns == ["point", "type", "name"]
+    rows = [tuple(r) for r in df.collect()]
+    assert rows[0] == ("[[121.3, 30.7]]", "7", "南京西路")
+    assert rows[1] == ("[[121.4, 31.2]]", None, "静安寺")
+    assert rows[2] == ("42", "3", "plaza")
+
+
+def test_read_poi_xlsx_reference_file(spark):
+    """Parity: the reference's actual spreadsheet parses with the
+    documented shape (25 786 POIs, point/type/name) — cf.
+    geo-analytics/子区域划分/shanghai.xlsx."""
+    import os
+
+    import pytest
+
+    path = "/root/reference/geo-analytics/子区域划分/shanghai.xlsx"
+    if not os.path.exists(path):
+        pytest.skip("reference spreadsheet not present")
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        read_poi_xlsx,
+    )
+
+    df = read_poi_xlsx(spark, path)
+    assert df.columns == ["point", "type", "name"]
+    assert df.count() == 25785
+    assert df.filter("point IS NULL").count() == 0
