@@ -2721,6 +2721,470 @@ def _q_split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# batch 6 (round 5): sparse matmul / robust anomaly / changepoint /
+# seasonality / basket mining
+# --------------------------------------------------------------------------
+
+
+def _q_od_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop OD flows — SPARSE MATRIX MULTIPLY as a join+aggregate
+    (batch 6): M²[o,d] = Σ_m M[o,m]·M[m,d] over whole-period OD
+    totals, excluding self-loops. The linear-algebra shape the
+    reference drives through driver-side numpy/CSR (cal_mobility_
+    matrix.py) re-expressed distributively: one equi-join on the
+    middle vertex + one groupBy — the join only materializes nonzero
+    products, so the cost is Σ_m indeg(m)·outdeg(m) (the sparse
+    matmul bound), never |V|³. Products and sums are exact BIGINTs.
+    At 100 TB the middle-vertex join hot-keys on hub nodes — salt the
+    middle key (salted_type_counts' recipe) when deg(m) skew demands;
+    the 20-region graph needs none."""
+    pos = ops.hourly_positions(events_as_pings(spark, sf_dir, N_REGIONS))
+    od = ops.od_matrix(ops.gap_fill_edges(pos))
+    tot = (
+        od.filter(F.col("orig") != F.col("dest"))
+        .groupBy("orig", "dest")
+        .agg(F.sum("cnt").alias("w"))
+        .localCheckpoint(eager=True)  # feeds both matmul legs
+    )
+    a = tot.select(
+        F.col("orig").alias("o"), F.col("dest").alias("m"),
+        F.col("w").alias("w1"),
+    )
+    b = tot.select(
+        F.col("orig").alias("m"), F.col("dest").alias("d"),
+        F.col("w").alias("w2"),
+    )
+    return (
+        a.join(b, "m")
+        .groupBy("o", "d")
+        .agg(F.sum(F.col("w1") * F.col("w2")).alias("flow2"))
+    )
+
+
+def _q_mad_value_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly counts per event type via MEDIAN + MAD (batch
+    6): the outlier detector that survives the heavy tails that wreck
+    mean/σ (value_outliers_by_type is the 2σ twin). Exact,
+    engine-portable medians: rank-based — row_number over (value,
+    event_id) against count n picks the middle one/two rows, median =
+    avg of those values ((a+b)/2: one identical IEEE op) — NOT
+    percentile functions, whose interpolation rules differ across
+    engines. Same rank trick again on |v − med| for the MAD. Anomaly
+    gate |v − med| > 3·MAD compares identical doubles. Three passes
+    over events (median, MAD, flag) — the price of exact medians;
+    approximate at scale with KLL (value_percentiles_approx) and keep
+    this as the ground-truth gate."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type", "value", "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    lo = F.floor((F.col("n") + 1) / 2)  # integral double == int rn
+    hi = F.floor((F.col("n") + 2) / 2)
+    med = (
+        ranked.filter((F.col("rn") == lo) | (F.col("rn") == hi))
+        .groupBy("event_type", "n")
+        .agg(F.avg("value").alias("med"))
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "event_id", "n", "med",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+    )
+    wd = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    mad = (
+        dev.select(
+            "event_type", "dev", F.row_number().over(wd).alias("rn"), "n"
+        )
+        .filter((F.col("rn") == lo) | (F.col("rn") == hi))
+        .groupBy("event_type")
+        .agg(F.avg("dev").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "n", "med", "mad")
+        .agg(
+            F.sum(
+                (F.col("dev") > F.lit(3.0) * F.col("mad")).cast("int")
+            ).alias("n_anomalies")
+        )
+        .select("event_type", "n", "med", "mad", "n_anomalies")
+    )
+
+
+def _q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint per event type (batch 6): the point where the
+    cumulative deviation from the series mean peaks — the standard
+    mean-shift detector. ALL-INTEGER cusum: values land as
+    v6 = floor(v·10⁶ + 0.5) BIGINTs (the proven cross-engine floor
+    form), μ6 = integer-div mean, running Σ(v6 − μ6) is an exact
+    integer under ANY window association order — no float windowed-sum
+    divergence (DuckDB's segment-tree windowed double-sum would not
+    match Spark's running fold). Changepoint = earliest (ts, event_id)
+    maximizing |cusum| (integer comparisons); only the reported
+    magnitude becomes a double, by one exact division."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    v6 = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    base = ev.select("event_type", "ts", "event_id", v6.alias("v6"))
+    # floor(double-div) then cast: floor's result is integral in
+    # double, so the cast is exact on BOTH engines — a bare
+    # CAST(sum/count AS BIGINT) truncates in Spark but rounds in
+    # DuckDB
+    stats = base.groupBy("event_type").agg(
+        F.floor(
+            F.sum("v6").cast("double") / F.count("*").cast("double")
+        ).cast("long").alias("mu6"),
+        F.count("*").alias("n"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cus = base.join(F.broadcast(stats), "event_type").withColumn(
+        "cusum6", F.sum(F.col("v6") - F.col("mu6")).over(w)
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum6")).desc(), F.col("ts").asc(),
+        F.col("event_id").asc(),
+    )
+    return (
+        cus.withColumn("rk", F.row_number().over(pick))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            "n",
+            F.col("ts").alias("change_ts"),
+            "event_id",
+            (F.abs(F.col("cusum6")) / F.lit(1e6)).alias("peak_dev"),
+        )
+    )
+
+
+def _q_seasonal_hod_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal index per event type (batch 6): the
+    seasonal-naive decomposition a monitoring pipeline runs —
+    index(h) = mean(value | hod=h) / mean(value), both means in the
+    DECIMAL floor-rounded 6-dp form (identical doubles on both
+    engines), the index one exact IEEE division. One groupBy over
+    (type, hod) plus a types-sized broadcast join back."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+
+    def _mean6(col, cnt):
+        return F.floor(
+            F.sum(F.col(col).cast("decimal(28,6)")).cast("double")
+            / cnt.cast("double")
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ) / F.lit(1e6)
+
+    hod = ev.groupBy(
+        "event_type", F.hour("ts").alias("hod")
+    ).agg(
+        F.count("*").alias("n"),
+        _mean6("value", F.count("*")).alias("hod_mean"),
+    )
+    overall = ev.groupBy("event_type").agg(
+        _mean6("value", F.count("*")).alias("type_mean")
+    )
+    return hod.join(F.broadcast(overall), "event_type").select(
+        "event_type",
+        "hod",
+        "n",
+        "hod_mean",
+        (F.col("hod_mean") / F.col("type_mean")).alias("seasonal_idx"),
+    )
+
+
+def _q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 2-itemsets over (user, day) baskets (batch 6): the
+    A-priori/market-basket shape — which event types co-occur in the
+    same user-day beyond chance. Baskets = distinct (user, day, type);
+    pairs materialize via basket self-join on types a < b (bounded:
+    |types|² per basket, types is a small domain); support ≥ 5; lift
+    kept as exact cross-multiplied BIGINTs on both sides of the
+    reported division (the collocations_lift rule: no logs, one IEEE
+    division at the end)."""
+    ev = load_table(spark, sf_dir, "events")
+    basket = (
+        ev.select(
+            "user_id",
+            F.col("ts").cast("date").alias("day"),
+            "event_type",
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds pair join twice + counts
+    )
+    n_baskets = basket.select("user_id", "day").distinct().count()
+    item_n = basket.groupBy("event_type").agg(
+        F.count("*").alias("n_item")
+    )
+    a = basket.select(
+        "user_id", "day", F.col("event_type").alias("t1")
+    )
+    b = basket.select(
+        "user_id", "day", F.col("event_type").alias("t2")
+    )
+    pairs = (
+        a.join(b, ["user_id", "day"])
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 5)
+    )
+    i1 = item_n.select(
+        F.col("event_type").alias("t1"), F.col("n_item").alias("n1")
+    )
+    i2 = item_n.select(
+        F.col("event_type").alias("t2"), F.col("n_item").alias("n2")
+    )
+    return (
+        pairs.join(F.broadcast(i1), "t1")
+        .join(F.broadcast(i2), "t2")
+        .select(
+            "t1",
+            "t2",
+            "support",
+            (
+                (F.col("support") * F.lit(n_baskets)).cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+def _q_region_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (batch 6): the 4-core of the symmetrized
+    top-3-sparsified OD graph (the bfs_hops k-NN-graph construction —
+    the raw OD graph is near-complete and every node would trivially
+    survive). 6 fixed peel rounds (converged for this graph: peeling
+    is monotone and 6 exceeds the longest peel chain, pytest-pinned);
+    full unrolled DuckDB twin (operators/kcore.py)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.bfs import (
+        topk_out_edges,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.kcore import (
+        k_core,
+        symmetrize,
+    )
+
+    pos = ops.hourly_positions(events_as_pings(spark, sf_dir, N_REGIONS))
+    od = ops.od_matrix(ops.gap_fill_edges(pos))
+    tot = od.groupBy("orig", "dest").agg(F.sum("cnt").alias("w"))
+    g = topk_out_edges(
+        tot.select(
+            F.col("orig").alias("src"), F.col("dest").alias("dst"), "w"
+        ),
+        k=3,
+    )
+    return k_core(symmetrize(g), k=4, rounds=6)
+
+
+def _q_event_stay_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL (range) join without a range predicate (batch 6):
+    count each user's events inside each of their stay segments.
+    A naive ``JOIN ON user AND ts BETWEEN start AND end`` degenerates
+    to per-user nested loops; here the non-overlapping-intervals
+    property turns it into SORT-MERGE ALIGNMENT — union segment-start
+    markers with events on the (user, hour) axis, one window pass
+    takes each event's last-seen segment start (markers sort before
+    events within the tick), then a single equi-join on
+    (user, stay_start) recovers the segment and an end-bound filter
+    validates membership. One user-keyed window + one hash join —
+    no O(n·m) predicate evaluation at any scale. The oracle states
+    the same semantics as the naive BETWEEN join (the readable twin);
+    both produce identical rows, which is the point."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.stays import (
+        stay_segments,
+    )
+
+    pings = events_as_pings(spark, sf_dir, N_REGIONS)
+    pos = ops.hourly_positions(pings)
+    segs = stay_segments(pos).localCheckpoint(eager=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("hour", "ts").alias("t")
+    )
+    marks = segs.select(
+        "user_id",
+        F.col("stay_start").alias("t"),
+        F.col("stay_start").alias("seg_start"),
+        F.lit(0).alias("is_event"),
+    )
+    evs = ev.select(
+        "user_id",
+        "t",
+        F.lit(None).cast("timestamp").alias("seg_start"),
+        F.lit(1).alias("is_event"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    aligned = (
+        marks.unionByName(evs)
+        .withColumn(
+            "seg", F.last("seg_start", ignorenulls=True).over(w)
+        )
+        .filter(F.col("is_event") == 1)
+    )
+    counted = (
+        aligned.join(
+            segs.select(
+                "user_id",
+                F.col("stay_start").alias("seg"),
+                "stay_end",
+                "region_id",
+            ),
+            ["user_id", "seg"],
+        )
+        .filter(F.col("t") <= F.col("stay_end"))
+        .groupBy(
+            "user_id",
+            "region_id",
+            F.col("seg").alias("stay_start"),
+            "stay_end",
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    return counted
+
+
+def _q_levenshtein_near_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-key pairs (batch 6): part names within the
+    same brand at levenshtein ≤ 2 — the typo/variant entity-resolution
+    shape (the reference's exact-key joins have no fuzzy tier; this
+    is the curation-stack analogue of near-dup docs for SHORT keys
+    where shingling is meaningless). Brand blocking bounds the
+    quadratic exactly like LSH bands bound document pairs: pairs only
+    materialize within a block, and the within-block comparison is
+    exact — cross-brand near-keys are out of contract (the standard
+    blocking trade, documented). Distances are integers; both engines
+    implement unit-cost Levenshtein."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_name"
+    )
+    a = part.select(
+        F.col("p_brand").alias("b"),
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    bb = part.select(
+        F.col("p_brand").alias("b"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(bb, "b")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 2)
+        .select(
+            F.col("b").alias("p_brand"),
+            "key_a",
+            "key_b",
+            "name_a",
+            "name_b",
+            "dist",
+        )
+    )
+
+
+def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking (batch 6): the length-normalized
+    retrieval scorer (k1=1.2, b=0.75) that supersedes tfidf_search's
+    raw tf·idf — same fixed 3-term query, same fixed per-term fold
+    order (per-term weights pivot to columns and add in list order;
+    a bare sum(w) would fold in partition order and drift
+    cross-engine). idf = ln(1 + (N − df + 0.5)/(df + 0.5)): the
+    log's argument is built from exact integers, the doc-length
+    norm divides by the floor-rounded 6-dp average length, and the
+    final score rounds to 6 (the tfidf_search libm contract). One
+    tokenize pass feeds dl and the term postings."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["merge", "spark", "window"]
+    k1, b = 1.2, 0.75
+    toks = docs.select(
+        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("tok")
+    ).localCheckpoint(eager=True)
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n_and_avg = dl.agg(
+        F.count("*").alias("n"),
+        (
+            F.floor(
+                F.sum("dl").cast("double")
+                / F.count("*").cast("double")
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = (
+        toks.filter(F.col("tok").isin(*terms))
+        .groupBy("tok")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (
+            F.col("n").cast("double")
+            - F.col("df").cast("double")
+            + F.lit(0.5)
+        )
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    wexpr = (
+        idf
+        * F.col("tf").cast("double")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf").cast("double")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b)
+                * F.col("dl").cast("double")
+                / F.col("avgdl")
+            )
+        )
+    )
+    per_term = (
+        tf.join(F.broadcast(df_), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n_and_avg))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("tok") == t, wexpr)).alias(f"w_{t}")
+                for t in terms
+            ]
+        )
+    )
+    score = None
+    for t in terms:
+        c = F.coalesce(F.col(f"w_{t}"), F.lit(0.0))
+        score = c if score is None else score + c
+    return (
+        per_term.select("doc_id", F.round(score, 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
     """Apply runtime session tuning (UTC, nanosAsLong, AQE) before each
     query — the driver hands us its own SparkSession."""
@@ -2878,6 +3342,16 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations_lift": _q_collocations_lift,
         "shuffle_order": _q_shuffle_order,
         "split_leakage_pairs": _q_split_leakage_pairs,
+        # batch 6 (round 5)
+        "od_two_hop": _q_od_two_hop,
+        "mad_value_anomaly": _q_mad_value_anomaly,
+        "cusum_changepoint": _q_cusum_changepoint,
+        "seasonal_hod_index": _q_seasonal_hod_index,
+        "basket_pairs": _q_basket_pairs,
+        "region_kcore": _q_region_kcore,
+        "event_stay_range_join": _q_event_stay_range_join,
+        "levenshtein_near_keys": _q_levenshtein_near_keys,
+        "bm25_search": _q_bm25_search,
     }
 
 
@@ -3207,6 +3681,38 @@ def _ivf_kmeans_oracle() -> str:
                  ORDER BY cos_r DESC, vec_id ASC) AS INTEGER) AS rank
         FROM pairs QUALIFY rank <= 3
     """
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peeling twin over the symmetrized top-3 OD graph."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.kcore import (
+        k_core_oracle_sql,
+    )
+
+    graph_cte = (
+        EDGES_CTE
+        + """,
+        tot AS (
+          SELECT pre_region_id AS orig, region_id AS dest,
+                 count(*) AS w
+          FROM edges GROUP BY 1, 2
+        ),
+        sparse AS (
+          SELECT src, dst FROM (
+            SELECT orig AS src, dest AS dst, w,
+                   row_number() OVER (PARTITION BY orig
+                     ORDER BY w DESC, dest ASC) AS rn
+            FROM tot WHERE orig <> dest
+          ) WHERE rn <= 3
+        ),
+        graph AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM sparse
+            UNION ALL SELECT dst, src FROM sparse
+          )
+        )"""
+    )
+    return k_core_oracle_sql(graph_cte, k=4, rounds=6)
 
 
 def _bfs_oracle() -> str:
@@ -4846,6 +5352,233 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kmeans_embeddings": _kmeans_oracle(),
         "ivf_topk_kmeans": _ivf_kmeans_oracle(),
+        # ---- batch 6 (round 5) ----
+        "od_two_hop": (
+            "WITH "
+            + EDGES_CTE
+            + """,
+            tot AS (
+              SELECT pre_region_id AS orig, region_id AS dest,
+                     count(*) AS w
+              FROM edges WHERE pre_region_id <> region_id
+              GROUP BY 1, 2
+            )
+            SELECT a.orig AS o, b.dest AS d,
+                   CAST(sum(a.w * b.w) AS BIGINT) AS flow2
+            FROM tot a JOIN tot b ON a.dest = b.orig
+            GROUP BY 1, 2
+        """
+        ),
+        "mad_value_anomaly": """
+            WITH ev AS (
+              SELECT event_type, value, event_id FROM events
+              WHERE value IS NOT NULL
+            ),
+            ranked AS (
+              SELECT event_type, value, event_id,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY value, event_id) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM ev
+            ),
+            med AS (
+              SELECT event_type, n, avg(value) AS med
+              FROM ranked
+              WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+              GROUP BY 1, 2
+            ),
+            dev AS (
+              SELECT e.event_type, e.value, e.event_id, m.n, m.med,
+                     abs(e.value - m.med) AS dev
+              FROM ev e JOIN med m USING (event_type)
+            ),
+            mad AS (
+              SELECT event_type, avg(dev) AS mad FROM (
+                SELECT event_type, dev, n,
+                       row_number() OVER (PARTITION BY event_type
+                         ORDER BY dev, event_id) AS rn
+                FROM dev
+              ) WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+              GROUP BY 1
+            )
+            SELECT d.event_type, d.n, d.med, a.mad,
+                   CAST(sum(CASE WHEN d.dev > 3.0 * a.mad
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+            FROM dev d JOIN mad a USING (event_type)
+            GROUP BY 1, 2, 3, 4
+        """,
+        "cusum_changepoint": """
+            WITH base AS (
+              SELECT event_type, ts, event_id,
+                     CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v6
+              FROM events WHERE value IS NOT NULL
+            ),
+            stats AS (
+              SELECT event_type,
+                     CAST(floor(CAST(sum(v6) AS DOUBLE)
+                                / CAST(count(*) AS DOUBLE)) AS BIGINT)
+                       AS mu6,
+                     count(*) AS n
+              FROM base GROUP BY 1
+            ),
+            cus AS (
+              SELECT b.event_type, b.ts, b.event_id, s.n,
+                     sum(b.v6 - s.mu6) OVER (
+                       PARTITION BY b.event_type
+                       ORDER BY b.ts, b.event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cusum6
+              FROM base b JOIN stats s USING (event_type)
+            )
+            SELECT event_type, n, ts AS change_ts, event_id,
+                   CAST(abs(cusum6) AS DOUBLE) / 1000000.0 AS peak_dev
+            FROM cus
+            QUALIFY row_number() OVER (PARTITION BY event_type
+              ORDER BY abs(cusum6) DESC, ts ASC, event_id ASC) = 1
+        """,
+        "seasonal_hod_index": """
+            WITH ev AS (
+              SELECT event_type, CAST(hour(ts) AS INTEGER) AS hod,
+                     value
+              FROM events
+              WHERE value IS NOT NULL
+            ),
+            hodm AS (
+              SELECT event_type, hod, count(*) AS n,
+                     floor(CAST(sum(CAST(value AS DECIMAL(28,6)))
+                                AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE)
+                           * 1000000.0 + 0.5) / 1000000.0 AS hod_mean
+              FROM ev GROUP BY 1, 2
+            ),
+            typm AS (
+              SELECT event_type,
+                     floor(CAST(sum(CAST(value AS DECIMAL(28,6)))
+                                AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE)
+                           * 1000000.0 + 0.5) / 1000000.0 AS type_mean
+              FROM ev GROUP BY 1
+            )
+            SELECT h.event_type, h.hod, h.n, h.hod_mean,
+                   h.hod_mean / t.type_mean AS seasonal_idx
+            FROM hodm h JOIN typm t USING (event_type)
+        """,
+        "basket_pairs": """
+            WITH basket AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+                     event_type
+              FROM events
+            ),
+            nb AS (
+              SELECT count(*) AS n_baskets FROM (
+                SELECT DISTINCT user_id, day FROM basket
+              )
+            ),
+            item_n AS (
+              SELECT event_type, count(*) AS n_item
+              FROM basket GROUP BY 1
+            ),
+            pairs AS (
+              SELECT a.event_type AS t1, b.event_type AS t2,
+                     count(*) AS support
+              FROM basket a
+              JOIN basket b ON a.user_id = b.user_id AND a.day = b.day
+                           AND a.event_type < b.event_type
+              GROUP BY 1, 2
+              HAVING count(*) >= 5
+            )
+            SELECT p.t1, p.t2, p.support,
+                   CAST(p.support * nb.n_baskets AS DOUBLE)
+                   / CAST(i1.n_item * i2.n_item AS DOUBLE) AS lift
+            FROM pairs p
+            JOIN item_n i1 ON i1.event_type = p.t1
+            JOIN item_n i2 ON i2.event_type = p.t2
+            CROSS JOIN nb
+        """,
+        "region_kcore": _kcore_oracle(),
+        "event_stay_range_join": f"""
+            WITH {POSITIONS_CTE},
+            isl AS (
+              SELECT user_id, region_id, hour,
+                     CAST(epoch(hour) AS BIGINT) // 3600
+                       - row_number() OVER (
+                           PARTITION BY user_id, region_id ORDER BY hour)
+                       AS island
+              FROM pos
+            ),
+            segs AS (
+              SELECT user_id, region_id,
+                     min(hour) AS stay_start, max(hour) AS stay_end
+              FROM isl GROUP BY user_id, region_id, island
+            ),
+            ev AS (
+              SELECT user_id, date_trunc('hour', ts) AS t FROM events
+            )
+            SELECT s.user_id, s.region_id, s.stay_start, s.stay_end,
+                   count(*) AS n_events
+            FROM segs s
+            JOIN ev e ON e.user_id = s.user_id
+                     AND e.t BETWEEN s.stay_start AND s.stay_end
+            GROUP BY 1, 2, 3, 4
+        """,
+        "levenshtein_near_keys": """
+            SELECT a.p_brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
+                   a.p_name AS name_a, b.p_name AS name_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS INTEGER)
+                     AS dist
+            FROM part a
+            JOIN part b ON a.p_brand = b.p_brand
+                       AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 2
+        """,
+        "bm25_search": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+            ),
+            dl AS (
+              SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+            ),
+            na AS (
+              SELECT count(*) AS n,
+                     floor(CAST(sum(dl) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE)
+                           * 1000000.0 + 0.5) / 1000000.0 AS avgdl
+              FROM dl
+            ),
+            tf AS (
+              SELECT doc_id, tok, count(*) AS tf FROM toks
+              WHERE tok IN ('merge', 'spark', 'window') GROUP BY 1, 2
+            ),
+            df AS (
+              SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+              WHERE tok IN ('merge', 'spark', 'window') GROUP BY 1
+            ),
+            w AS (
+              SELECT t.doc_id, t.tok,
+                     ln(1.0 + (CAST(na.n AS DOUBLE) - CAST(df.df AS DOUBLE)
+                               + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
+                     * CAST(t.tf AS DOUBLE) * 2.2
+                     / (CAST(t.tf AS DOUBLE)
+                        + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+                                 / na.avgdl)) AS w
+              FROM tf t
+              JOIN df USING (tok)
+              JOIN dl ON dl.doc_id = t.doc_id
+              CROSS JOIN na
+            ),
+            piv AS (
+              SELECT doc_id,
+                     sum(CASE WHEN tok = 'merge' THEN w END) AS w_merge,
+                     sum(CASE WHEN tok = 'spark' THEN w END) AS w_spark,
+                     sum(CASE WHEN tok = 'window' THEN w END) AS w_window
+              FROM w GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   round(coalesce(w_merge, 0.0) + coalesce(w_spark, 0.0)
+                         + coalesce(w_window, 0.0), 6) AS score
+            FROM piv
+            ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
         # ---- batch 5: graph stats / time series / anomaly / scaling ----
         "region_degree_stats": (
             "WITH "

@@ -90,6 +90,16 @@ HEADLINE = [
     "collocations_lift",
     "shuffle_order",
     "split_leakage_pairs",
+    # batch-6 additions (round 5)
+    "od_two_hop",
+    "mad_value_anomaly",
+    "cusum_changepoint",
+    "seasonal_hod_index",
+    "basket_pairs",
+    "region_kcore",
+    "event_stay_range_join",
+    "levenshtein_near_keys",
+    "bm25_search",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

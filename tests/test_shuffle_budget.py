@@ -70,6 +70,16 @@ EXCHANGE_CEILING = {
     "collocations_lift": 8,
     "shuffle_order": 2,
     "split_leakage_pairs": 5,
+    # batch 6 (round 5)
+    "od_two_hop": 2,
+    "mad_value_anomaly": 8,
+    "cusum_changepoint": 4,
+    "seasonal_hod_index": 4,
+    "basket_pairs": 6,
+    "region_kcore": 2,       # final-stage only; peel rounds checkpointed
+    "event_stay_range_join": 2,
+    "levenshtein_near_keys": 1,  # brand-blocked broadcast join, map-only
+    "bm25_search": 14,  # static pre-AQE count; runtime collapses to 7
 }
 
 
