@@ -3185,6 +3185,175 @@ def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_longest_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest same-type streak per user (batch 7): gaps-and-islands
+    on the event sequence — rn_global − rn_by_type is constant within
+    a run of equal types (both row_numbers share the user exchange),
+    one groupBy sizes the islands, a (len desc, type asc, start asc)
+    rank picks each user's longest with a total-order tiebreak."""
+    ev = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    isl = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        (
+            F.row_number().over(w_all) - F.row_number().over(w_typ)
+        ).alias("island"),
+    )
+    runs = isl.groupBy("user_id", "event_type", "island").agg(
+        F.count("*").alias("len"),
+        F.min("ts").alias("streak_start"),
+    )
+    pick = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(),
+        F.col("event_type").asc(),
+        F.col("streak_start").asc(),
+    )
+    return (
+        runs.withColumn("rk", F.row_number().over(pick))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "event_type", "len", "streak_start")
+    )
+
+
+def _q_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day (batch 7): the
+    sliding-window COUNT DISTINCT — the aggregate that does NOT
+    decompose into window frames (distinct is not subtractable). The
+    scale plan replaces the oracle's range join (days ⋈ activity ON
+    day BETWEEN d−6 AND d — per-day re-scans) with a map-side
+    EXPLODE: each distinct (user, day) emits its 7 covered target
+    days, one distinct collapses user-level duplicates, one count per
+    day — 7× linear work, two key-partitioned exchanges, no range
+    predicate. Target days beyond the observed span are semi-joined
+    away so both engines agree on the day spine."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    days = act.select("day").distinct()
+    covered = act.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), 6)
+            )
+        ).alias("day"),
+    ).distinct()
+    return (
+        covered.join(days, "day", "semi")
+        .groupBy("day")
+        .agg(F.count("*").alias("active_7d"))
+    )
+
+
+def _q_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase conversion labels (batch 7): for every click,
+    seconds until the user's next purchase STRICTLY LATER in the
+    (ts, event_id) total order — the label-generation pass a training
+    pipeline runs over clickstreams. One user-keyed window ordered
+    DESC with a 1-PRECEDING frame: the running conditional min over
+    preceding rows is exactly the future-purchase minimum, and the
+    exclusive frame pins the strictness (a purchase tied on ts with a
+    smaller event_id does not convert the click). Epoch-second BIGINT
+    difference — exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nxt = F.min(
+        F.when(
+            F.col("event_type") == "purchase",
+            F.struct("ts", "event_id"),
+        )
+    ).over(w)
+    return (
+        ev.withColumn("np", nxt)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            (
+                F.unix_timestamp(F.col("np.ts"))
+                - F.unix_timestamp(F.col("ts"))
+            ).alias("secs_to_purchase"),
+        )
+    )
+
+
+def _q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution (batch 7): each purchase attributes to
+    the user's EARLIEST click in the trailing 24 h window — the RANGE
+    frame (interval window over event time) the ROWS-frame queries
+    don't exercise. Epoch seconds key the range so both engines share
+    integer frame bounds; the conditional min over a
+    (−86 400 s, 0] range frame picks the click, struct-min tiebreak on
+    event_id. Purchases with no click in range keep NULLs (left
+    semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-86400, 0)
+    )
+    first_click = F.min(
+        F.when(
+            F.col("event_type") == "click", F.struct("ts", "event_id")
+        )
+    ).over(w)
+    return (
+        ev.withColumn("fc", first_click)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("fc.ts").alias("first_click_ts"),
+            (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.col("fc.ts"))
+            ).alias("latency_s"),
+        )
+    )
+
+
+def _q_quantile_normalize_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-dimension quantile normalization (batch 7): each embedding
+    cell becomes its within-dimension quantile rank (rn − 0.5)/n —
+    the rank-based feature transform that is distribution-free and
+    engine-exact (row_number with a vec_id tiebreak, one integer-built
+    division; no interpolation semantics to disagree on). posexplode →
+    64 dimension partitions; output bounded to the first 8 dimensions
+    to keep the hash-compare surface proportionate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "x"
+        ),
+    ).filter(F.col("pos") < 8)
+    w = Window.partitionBy("pos").orderBy("x", "vec_id")
+    n = Window.partitionBy("pos")
+    return cells.select(
+        "vec_id",
+        "pos",
+        (
+            (F.row_number().over(w).cast("double") - F.lit(0.5))
+            / F.count("*").over(n).cast("double")
+        ).alias("q"),
+    )
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
     """Apply runtime session tuning (UTC, nanosAsLong, AQE) before each
     query — the driver hands us its own SparkSession."""
@@ -3352,6 +3521,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_stay_range_join": _q_event_stay_range_join,
         "levenshtein_near_keys": _q_levenshtein_near_keys,
         "bm25_search": _q_bm25_search,
+        "longest_streaks": _q_longest_streaks,
+        "rolling_7d_active_users": _q_rolling_7d_active_users,
+        "time_to_conversion": _q_time_to_conversion,
+        "first_touch_attribution": _q_first_touch_attribution,
+        "quantile_normalize_embeddings": _q_quantile_normalize_embeddings,
     }
 
 
@@ -5578,6 +5752,83 @@ def oracle_sql() -> dict[str, str]:
                          + coalesce(w_window, 0.0), 6) AS score
             FROM piv
             ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        "longest_streaks": """
+            WITH isl AS (
+              SELECT user_id, event_type, ts, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id)
+                     - row_number() OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS island
+              FROM events
+            ),
+            runs AS (
+              SELECT user_id, event_type, island,
+                     count(*) AS len, min(ts) AS streak_start
+              FROM isl GROUP BY 1, 2, 3
+            )
+            SELECT user_id, event_type, CAST(len AS BIGINT) AS len,
+                   streak_start
+            FROM runs
+            QUALIFY row_number() OVER (PARTITION BY user_id
+              ORDER BY len DESC, event_type ASC, streak_start ASC) = 1
+        """,
+        "rolling_7d_active_users": """
+            WITH act AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+              FROM events
+            ),
+            days AS (SELECT DISTINCT day FROM act)
+            SELECT d.day, count(DISTINCT a.user_id) AS active_7d
+            FROM days d
+            JOIN act a ON a.day BETWEEN d.day - 6 AND d.day
+            GROUP BY d.day
+        """,
+        "time_to_conversion": """
+            SELECT user_id, event_id, ts,
+                   CAST(floor(epoch(np_ts)) - floor(epoch(ts)) AS BIGINT)
+                     AS secs_to_purchase
+            FROM (
+              SELECT user_id, event_id, ts, event_type,
+                     min(CASE WHEN event_type = 'purchase'
+                          THEN struct_pack(ts := ts, event_id := event_id)
+                          END) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ).ts AS np_ts
+              FROM events
+            ) WHERE event_type = 'click'
+        """,
+        "first_touch_attribution": """
+            SELECT user_id, event_id AS purchase_event_id,
+                   ts AS purchase_ts, fc_ts AS first_click_ts,
+                   CAST(floor(epoch(ts)) - floor(epoch(fc_ts)) AS BIGINT) AS latency_s
+            FROM (
+              SELECT user_id, event_id, ts, event_type,
+                     min(CASE WHEN event_type = 'click'
+                          THEN struct_pack(ts := ts, event_id := event_id)
+                          END) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                       RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW
+                     ).ts AS fc_ts
+              FROM events
+            ) WHERE event_type = 'purchase'
+        """,
+        "quantile_normalize_embeddings": """
+            WITH cells AS (
+              SELECT vec_id, CAST(g.i - 1 AS INTEGER) AS pos,
+                     CAST(embedding[g.i] AS DOUBLE) AS x
+              FROM embeddings
+              CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i) g
+            )
+            SELECT vec_id, pos,
+                   (CAST(row_number() OVER (PARTITION BY pos
+                      ORDER BY x, vec_id) AS DOUBLE) - 0.5)
+                   / CAST(count(*) OVER (PARTITION BY pos) AS DOUBLE)
+                     AS q
+            FROM cells
         """,
         # ---- batch 5: graph stats / time series / anomaly / scaling ----
         "region_degree_stats": (

@@ -100,6 +100,12 @@ HEADLINE = [
     "event_stay_range_join",
     "levenshtein_near_keys",
     "bm25_search",
+    # batch-7 additions (round 5)
+    "longest_streaks",
+    "rolling_7d_active_users",
+    "time_to_conversion",
+    "first_touch_attribution",
+    "quantile_normalize_embeddings",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

@@ -80,6 +80,12 @@ EXCHANGE_CEILING = {
     "event_stay_range_join": 2,
     "levenshtein_near_keys": 1,  # brand-blocked broadcast join, map-only
     "bm25_search": 14,  # static pre-AQE count; runtime collapses to 7
+    # batch 7 (round 5)
+    "longest_streaks": 2,
+    "rolling_7d_active_users": 8,  # static; AQE dedups the act/days scans
+    "time_to_conversion": 2,
+    "first_touch_attribution": 2,
+    "quantile_normalize_embeddings": 2,
 }
 
 
