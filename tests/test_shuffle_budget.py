@@ -78,7 +78,7 @@ EXCHANGE_CEILING = {
     "basket_pairs": 6,
     "region_kcore": 2,       # final-stage only; peel rounds checkpointed
     "event_stay_range_join": 2,
-    "levenshtein_near_keys": 1,  # brand-blocked broadcast join, map-only
+    "levenshtein_near_keys": 10,  # static; dictionary-encoded name-domain DP
     "bm25_search": 14,  # static pre-AQE count; runtime collapses to 7
     # batch 7 (round 5)
     "longest_streaks": 2,
