@@ -3394,6 +3394,201 @@ def _q_quantile_normalize_embeddings(
     )
 
 
+def _q_random_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-walk corpus over the region graph (batch
+    8): the node2vec/DeepWalk TRAINING-DATA GENERATION pass — one
+    3-step walk per start node on the top-3-sparsified OD graph, the
+    walk corpus a graph-embedding trainer consumes. "Random" is the
+    md5 coin (the sampling.py contract): at step s from node u the
+    walk takes neighbor rank 1 + (hex8(md5('walk:start:s:u')) mod
+    deg(u)) — same walks on any engine, any partitioning, any retry,
+    which is what makes a walk corpus reproducible training data.
+    Each step is one hash join against the ranked edge list; 3
+    unrolled steps, fully joined (no iteration state)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.bfs import (
+        topk_out_edges,
+    )
+
+    pos = ops.hourly_positions(events_as_pings(spark, sf_dir, N_REGIONS))
+    od = ops.od_matrix(ops.gap_fill_edges(pos))
+    tot = od.groupBy("orig", "dest").agg(F.sum("cnt").alias("w"))
+    ranked = topk_out_edges(
+        tot.select(
+            F.col("orig").alias("src"), F.col("dest").alias("dst"), "w"
+        ),
+        k=3,
+    )
+    w_rank = Window.partitionBy("src").orderBy("dst")
+    edges = (
+        ranked.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn(
+            "deg", F.count("*").over(Window.partitionBy("src"))
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def coin(start, step, u):
+        key = F.concat(
+            F.lit("walk:"),
+            start.cast("string"),
+            F.lit(":"),
+            F.lit(str(step)),
+            F.lit(":"),
+            u.cast("string"),
+        )
+        return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+
+    walk = edges.select(F.col("src").alias("start")).distinct().select(
+        "start", F.lit(0).alias("step"), F.col("start").alias("node")
+    )
+    frontier = walk
+    out = [walk]
+    for step in (1, 2, 3):
+        pick = 1 + F.pmod(
+            coin(F.col("start"), step, F.col("node")), F.col("deg")
+        )
+        frontier = (
+            frontier.join(
+                edges, frontier["node"] == edges["src"], "inner"
+            )
+            .filter(F.col("rn") == pick)
+            .select(
+                "start",
+                F.lit(step).alias("step"),
+                F.col("dst").alias("node"),
+            )
+        )
+        out.append(frontier)
+    res = out[0]
+    for f in out[1:]:
+        res = res.unionByName(f)
+    return res
+
+
+def _q_concurrent_stays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval aggregation (batch 8): how many stays are
+    simultaneously active per region at each change point — the
+    interval-stabbing COUNT answered WITHOUT an interval join: each
+    stay emits +1 at stay_start and −1 at stay_end + 1 h, deltas
+    pre-aggregate per (region, hour) (map-combinable), and a running
+    sum per region over the hour order is the active count. One
+    region-keyed window, payload = change points, never
+    stays × hours."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.stays import (
+        stay_segments,
+    )
+
+    pos = ops.hourly_positions(events_as_pings(spark, sf_dir, N_REGIONS))
+    segs = stay_segments(pos)
+    deltas = (
+        segs.select(
+            "region_id",
+            F.col("stay_start").alias("hour"),
+            F.lit(1).alias("d"),
+        )
+        .unionByName(
+            segs.select(
+                "region_id",
+                (F.col("stay_end") + F.expr("INTERVAL 1 HOUR")).alias(
+                    "hour"
+                ),
+                F.lit(-1).alias("d"),
+            )
+        )
+        .groupBy("region_id", "hour")
+        .agg(F.sum("d").alias("delta"))
+    )
+    w = (
+        Window.partitionBy("region_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return deltas.select(
+        "region_id",
+        "hour",
+        F.sum("delta").over(w).alias("n_active"),
+    )
+
+
+def _q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics per event type (batch 8): the
+    heavy-hitter report a 100 TB operator consults before choosing a
+    salting strategy — per type: distinct users, events, the top-1
+    key's share, and the GINI coefficient of the per-user count
+    distribution. Gini = Σ(2·rn − n − 1)·cnt / (n·Σcnt) over counts
+    ascending: an all-BIGINT numerator and denominator (tie order
+    cannot change the sum — equal counts swap equal terms), ONE
+    double division at the end. Two key-partitioned aggregates + one
+    types-sized window pass."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy("cnt", "user_id")
+    wt = Window.partitionBy("event_type")
+    ranked = per_user.select(
+        "event_type",
+        "cnt",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wt).alias("n_users"),
+        F.sum("cnt").over(wt).alias("n_events"),
+        F.max("cnt").over(wt).alias("max_cnt"),
+    )
+    return (
+        ranked.groupBy("event_type", "n_users", "n_events", "max_cnt")
+        .agg(
+            F.sum(
+                (2 * F.col("rn") - F.col("n_users") - 1) * F.col("cnt")
+            ).alias("gnum")
+        )
+        .select(
+            "event_type",
+            "n_users",
+            "n_events",
+            (
+                F.col("max_cnt").cast("double")
+                / F.col("n_events").cast("double")
+            ).alias("top1_share"),
+            (
+                F.col("gnum").cast("double")
+                / (F.col("n_users") * F.col("n_events")).cast("double")
+            ).alias("gini"),
+        )
+    )
+
+
+def _q_stratified_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified EXACT-proportion split (batch 8): within each
+    source stratum, rank docs by the md5 coin and cut at
+    floor(9n/10) / floor(19n/20) — train/val/test with exact
+    per-stratum sizes (the hash-coin split `corpus_split_counts`
+    only hits proportions in expectation; a stratified eval set
+    needs them exact). Integer cuts, md5 rank with doc_id tiebreak —
+    reproducible on any engine. One stratum-keyed window + one
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    wn = Window.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    split = (
+        F.when(F.col("rn") <= F.floor(F.col("n") * 9 / 10), "train")
+        .when(F.col("rn") <= F.floor(F.col("n") * 19 / 20), "val")
+        .otherwise("test")
+    )
+    return (
+        ranked.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
     """Apply runtime session tuning (UTC, nanosAsLong, AQE) before each
     query — the driver hands us its own SparkSession."""
@@ -3566,6 +3761,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_to_conversion": _q_time_to_conversion,
         "first_touch_attribution": _q_first_touch_attribution,
         "quantile_normalize_embeddings": _q_quantile_normalize_embeddings,
+        # batch 8 (round 5)
+        "random_walk_corpus": _q_random_walk_corpus,
+        "concurrent_stays": _q_concurrent_stays,
+        "key_skew_profile": _q_key_skew_profile,
+        "stratified_split_counts": _q_stratified_split_counts,
     }
 
 
@@ -5869,6 +6069,147 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(count(*) OVER (PARTITION BY pos) AS DOUBLE)
                      AS q
             FROM cells
+        """,
+            "random_walk_corpus": (
+            "WITH "
+            + EDGES_CTE
+            + f""",
+            tot AS (
+              SELECT pre_region_id AS orig, region_id AS dest,
+                     count(*) AS w
+              FROM edges GROUP BY 1, 2
+            ),
+            sparse AS (
+              SELECT src, dst FROM (
+                SELECT orig AS src, dest AS dst, w,
+                       row_number() OVER (PARTITION BY orig
+                         ORDER BY w DESC, dest ASC) AS rk
+                FROM tot WHERE orig <> dest
+              ) WHERE rk <= 3
+            ),
+            redges AS MATERIALIZED (
+              SELECT src, dst,
+                     row_number() OVER (PARTITION BY src ORDER BY dst)
+                       AS rn,
+                     count(*) OVER (PARTITION BY src) AS deg
+              FROM sparse
+            ),
+            w0 AS MATERIALIZED (
+              SELECT DISTINCT src AS start, 0 AS step, src AS node
+              FROM redges
+            ),
+            w1 AS MATERIALIZED (
+              SELECT w.start, 1 AS step, e.dst AS node
+              FROM (
+                SELECT start, node,
+                       md5('walk:' || CAST(start AS VARCHAR) || ':1:'
+                           || CAST(node AS VARCHAR)) AS hx
+                FROM w0
+              ) w
+              JOIN redges e
+                ON e.src = w.node
+               AND e.rn = 1 + (({_HEX8_SQL}) % e.deg)
+            ),
+            w2 AS MATERIALIZED (
+              SELECT w.start, 2 AS step, e.dst AS node
+              FROM (
+                SELECT start, node,
+                       md5('walk:' || CAST(start AS VARCHAR) || ':2:'
+                           || CAST(node AS VARCHAR)) AS hx
+                FROM w1
+              ) w
+              JOIN redges e
+                ON e.src = w.node
+               AND e.rn = 1 + (({_HEX8_SQL}) % e.deg)
+            ),
+            w3 AS MATERIALIZED (
+              SELECT w.start, 3 AS step, e.dst AS node
+              FROM (
+                SELECT start, node,
+                       md5('walk:' || CAST(start AS VARCHAR) || ':3:'
+                           || CAST(node AS VARCHAR)) AS hx
+                FROM w2
+              ) w
+              JOIN redges e
+                ON e.src = w.node
+               AND e.rn = 1 + (({_HEX8_SQL}) % e.deg)
+            )
+            SELECT start, CAST(step AS INTEGER) AS step, node FROM w0
+            UNION ALL SELECT start, 1, node FROM w1
+            UNION ALL SELECT start, 2, node FROM w2
+            UNION ALL SELECT start, 3, node FROM w3
+        """
+        ),
+        "concurrent_stays": f"""
+            WITH {POSITIONS_CTE},
+            isl AS (
+              SELECT user_id, region_id, hour,
+                     CAST(epoch(hour) AS BIGINT) // 3600
+                       - row_number() OVER (
+                           PARTITION BY user_id, region_id ORDER BY hour)
+                       AS island
+              FROM pos
+            ),
+            segs AS (
+              SELECT user_id, region_id,
+                     min(hour) AS stay_start, max(hour) AS stay_end
+              FROM isl GROUP BY user_id, region_id, island
+            ),
+            deltas AS (
+              SELECT region_id, hour, CAST(sum(d) AS BIGINT) AS delta
+              FROM (
+                SELECT region_id, stay_start AS hour, 1 AS d FROM segs
+                UNION ALL
+                SELECT region_id, stay_end + INTERVAL 1 HOUR, -1
+                FROM segs
+              ) GROUP BY 1, 2
+            )
+            SELECT region_id, hour,
+                   CAST(sum(delta) OVER (PARTITION BY region_id
+                     ORDER BY hour
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS n_active
+            FROM deltas
+        """,
+        "key_skew_profile": """
+            WITH per_user AS (
+              SELECT event_type, user_id, count(*) AS cnt
+              FROM events GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT event_type, cnt,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY cnt, user_id) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n_users,
+                     sum(cnt) OVER (PARTITION BY event_type) AS n_events,
+                     max(cnt) OVER (PARTITION BY event_type) AS max_cnt
+              FROM per_user
+            )
+            SELECT event_type,
+                   CAST(n_users AS BIGINT) AS n_users,
+                   CAST(n_events AS BIGINT) AS n_events,
+                   CAST(max_cnt AS DOUBLE) / CAST(n_events AS DOUBLE)
+                     AS top1_share,
+                   CAST(sum((2 * rn - n_users - 1) * cnt) AS DOUBLE)
+                   / CAST(n_users * n_events AS DOUBLE) AS gini
+            FROM ranked
+            GROUP BY event_type, n_users, n_events, max_cnt
+        """,
+        "stratified_split_counts": """
+            WITH ranked AS (
+              SELECT source,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)),
+                                doc_id) AS rn,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM documents
+            )
+            SELECT source,
+                   CASE WHEN rn <= floor(n * 9 / 10) THEN 'train'
+                        WHEN rn <= floor(n * 19 / 20) THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_docs
+            FROM ranked GROUP BY 1, 2
         """,
         # ---- batch 5: graph stats / time series / anomaly / scaling ----
         "region_degree_stats": (

@@ -106,6 +106,11 @@ HEADLINE = [
     "time_to_conversion",
     "first_touch_attribution",
     "quantile_normalize_embeddings",
+    # batch-8 additions (round 5)
+    "random_walk_corpus",
+    "concurrent_stays",
+    "key_skew_profile",
+    "stratified_split_counts",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

@@ -86,6 +86,11 @@ EXCHANGE_CEILING = {
     "time_to_conversion": 2,
     "first_touch_attribution": 2,
     "quantile_normalize_embeddings": 2,
+    # batch 8 (round 5)
+    "random_walk_corpus": 8,   # 4 frontier joins against checkpointed edges
+    "concurrent_stays": 12,    # static; union legs re-derive segs pre-AQE
+    "key_skew_profile": 4,
+    "stratified_split_counts": 2,
 }
 
 
