@@ -48,20 +48,24 @@ stack (SURVEY.md §2 extensions).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _DEC = "decimal(28,12)"
 
 
-def _sq_dist(vec: Column, cent: list[float]) -> Column:
+def _sq_dist_sql(vec_col: str, cent: list[float]) -> str:
     """Squared euclidean distance to a literal centroid — sequential
-    left fold, matching the oracle's list_reduce order."""
-    lit = F.array(*[F.lit(float(c)) for c in cent])
-    return F.aggregate(
-        F.zip_with(vec, lit, lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
+    left fold matching the oracle's list_reduce order, rendered as ONE
+    SQL string: assembling it from Column objects costs several py4j
+    round trips per HOF lambda × k centroids × iterations (the
+    _centroid_sims lesson, similarity.py — measured ~2.3 s of driver
+    time per query at k=16); literal doubles repr-round-trip exactly,
+    so the arithmetic is bit-identical to the Column form."""
+    arr = "array(" + ", ".join(f"{float(c)!r}D" for c in cent) + ")"
+    return (
+        f"aggregate(zip_with({vec_col}, {arr}, "
+        "(x, c) -> (x - c) * (x - c)), 0.0D, (acc, t) -> acc + t)"
     )
 
 
@@ -72,15 +76,12 @@ def assign_clusters(
     the smallest cluster id (lexicographic struct min) — map-only."""
     if not cents:  # empty corpus → no seeds; typed all-NULL column
         return emb.withColumn("cluster", F.lit(None).cast("int"))
-    pairs = [
-        F.struct(
-            _sq_dist(F.col(vec_col), cents[c]).alias("d"),
-            F.lit(c).alias("c"),
-        )
+    pairs = ", ".join(
+        f"named_struct('d', {_sq_dist_sql(vec_col, cents[c])}, 'c', {c})"
         for c in sorted(cents)
-    ]
+    )
     return emb.withColumn(
-        "cluster", F.array_min(F.array(*pairs))["c"].cast("int")
+        "cluster", F.expr(f"int(array_min(array({pairs})).c)")
     )
 
 
