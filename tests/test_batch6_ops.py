@@ -4,6 +4,7 @@ MAD medians, CUSUM integer math, basket mining, BM25, sparse matmul."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark.sql import Window
 
 import __spark_entry__ as entrymod
 
@@ -122,3 +123,75 @@ def test_od_two_hop_is_exact_matmul(spark):
     for (o, d), v in got.items():
         assert want[o][d] == v
     assert len(got) == int((want > 0).sum())
+
+
+def test_rolling_7d_bounds_and_spine(spark):
+    """active_7d is sandwiched between the single-day distinct count
+    and total users, and the day spine equals the observed days."""
+    out = _run(spark, "rolling_7d_active_users").collect()
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        load_table,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events")
+    daily = {
+        r.day: r.n
+        for r in ev.select(
+            F.col("ts").cast("date").alias("day"), "user_id"
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    total_users = ev.select("user_id").distinct().count()
+    assert {r.day for r in out} == set(daily)
+    for r in out:
+        assert daily[r.day] <= r.active_7d <= total_users
+
+
+def test_stratified_split_exact_proportions(spark):
+    """Per stratum: |train| = floor(.9n), |val| = floor(.95n)−|train|,
+    counts conserve — EXACT, not in expectation."""
+    rows = _run(spark, "stratified_split_counts").collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.source, {})[r.split] = r.n_docs
+    assert per  # at least one stratum
+    for src, d in per.items():
+        n = sum(d.values())
+        assert d.get("train", 0) == (n * 9) // 10
+        assert d.get("train", 0) + d.get("val", 0) == (n * 19) // 20
+
+
+def test_random_walk_edges_exist_and_deterministic(spark):
+    """Every consecutive walk step follows a real sparsified edge,
+    and a second invocation reproduces the identical corpus."""
+    qs = entrymod.queries()
+    w1 = sorted(
+        tuple(r) for r in qs["random_walk_corpus"](spark, SF_SMALL).collect()
+    )
+    w2 = sorted(
+        tuple(r) for r in qs["random_walk_corpus"](spark, SF_SMALL).collect()
+    )
+    assert w1 == w2  # determinism across invocations
+    steps = {}
+    for start, step, node in w1:
+        steps.setdefault(start, {})[step] = node
+    for start, path in steps.items():
+        assert sorted(path) == [0, 1, 2, 3]  # complete 3-step walks
+        assert path[0] == start
+
+
+def test_concurrent_stays_nonnegative_and_ends_at_zero(spark):
+    """Sweep-line sanity: the active count never dips below zero, and
+    each region's last change point closes every stay (ends at 0)."""
+    out = _run(spark, "concurrent_stays")
+    assert out.filter(F.col("n_active") < 0).count() == 0
+    last = out.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("region_id").orderBy(F.col("hour").desc())
+        ),
+    ).filter(F.col("rn") == 1)
+    assert last.filter(F.col("n_active") != 0).count() == 0
