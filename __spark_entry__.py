@@ -3589,6 +3589,107 @@ def _q_stratified_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dense_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-based density clustering (batch 8): the GRID-DBSCAN
+    shape — the spatial clustering pass the reference's subarea
+    analysis gestures at, made distributive. Events land on a 60×60
+    integer grid (both coordinates exact double→floor→pmod
+    derivations), cells with ≥ 3 distinct users are DENSE, dense
+    cells 8-neighbor-adjacent merge into clusters via the pointer-
+    jumping connected components (components.py — O(log d) rounds).
+    No pairwise point distances anywhere: density is a groupBy,
+    adjacency is an equi-join on neighbor cell keys (explode of the
+    8 offsets on the dense side only), exactly how DBSCAN scales to
+    100 TB (grid first, merge second). Isolated dense cells keep
+    their own key as cluster id. Oracle: recursive-CTE closure, the
+    near_dup_clusters pattern."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.components import (
+        connected_components,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    g = 60
+    pts = ev.select(
+        "user_id",
+        F.pmod(F.floor(F.col("value")).cast("long"), F.lit(g)).alias(
+            "cx"
+        ),
+        F.pmod(
+            F.floor(F.col("value") * F.lit(7919.0)).cast("long"),
+            F.lit(g),
+        ).alias("cy"),
+    )
+    dense = (
+        pts.groupBy("cx", "cy")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .filter(F.col("n_users") >= 3)
+        .withColumn("cell", F.col("cx") * g + F.col("cy"))
+        .localCheckpoint(eager=True)
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if not (dx == 0 and dy == 0)
+        ]
+    )
+    probe = dense.select(
+        "cell", "cx", "cy", F.explode(offsets).alias("o")
+    ).select(
+        F.col("cell").alias("cell_a"),
+        (
+            (F.col("cx") + F.col("o.dx")) * g + F.col("cy") + F.col("o.dy")
+        ).alias("cell_b"),
+        (F.col("cx") + F.col("o.dx")).alias("nx"),
+        (F.col("cy") + F.col("o.dy")).alias("ny"),
+    ).filter(
+        (F.col("nx") >= 0) & (F.col("nx") < g)
+        & (F.col("ny") >= 0) & (F.col("ny") < g)
+    )
+    pairs = probe.join(
+        dense.select(F.col("cell").alias("cell_b")), "cell_b"
+    ).filter(F.col("cell_a") < F.col("cell_b")).select("cell_a", "cell_b")
+    cc = connected_components(pairs, a_col="cell_a", b_col="cell_b")
+    labeled = dense.join(
+        cc.withColumnRenamed("node", "cell"), "cell", "left"
+    ).select(
+        "cx",
+        "cy",
+        "n_users",
+        F.coalesce(F.col("component"), F.col("cell")).alias("cluster"),
+    )
+    return labeled
+
+
+def _q_trajectory_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence co-location (batch 8): user pairs sharing ≥ 2
+    (hour, region) position ticks — the TEMPORAL companion of
+    user_covisit_jaccard's set overlap (co-visiting the same cells
+    EVER vs being in the same region AT THE SAME HOUR; contact-tracing
+    /companion-detection semantics). The join keys on (hour, region):
+    at 100 TB that key space is huge and per-key membership small —
+    the m² risk the covisit join has on hot cells is structurally
+    diluted by the time dimension; the threshold prunes before the
+    final aggregate's exchange."""
+    pos = ops.hourly_positions(
+        events_as_pings(spark, sf_dir, N_REGIONS)
+    ).localCheckpoint(eager=True)
+    a = pos.select(
+        F.col("user_id").alias("u1"), "hour", "region_id"
+    )
+    b = pos.select(
+        F.col("user_id").alias("u2"), "hour", "region_id"
+    )
+    return (
+        a.join(b, ["hour", "region_id"])
+        .filter(F.col("u1") < F.col("u2"))
+        .groupBy("u1", "u2")
+        .agg(F.count("*").alias("n_shared_hours"))
+        .filter(F.col("n_shared_hours") >= 2)
+    )
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
     """Apply runtime session tuning (UTC, nanosAsLong, AQE) before each
     query — the driver hands us its own SparkSession."""
@@ -3766,6 +3867,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concurrent_stays": _q_concurrent_stays,
         "key_skew_profile": _q_key_skew_profile,
         "stratified_split_counts": _q_stratified_split_counts,
+        "dense_grid_clusters": _q_dense_grid_clusters,
+        "trajectory_overlap": _q_trajectory_overlap,
     }
 
 
@@ -6211,6 +6314,58 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs
             FROM ranked GROUP BY 1, 2
         """,
+        "dense_grid_clusters": """
+            WITH RECURSIVE pts AS (
+              SELECT user_id,
+                     (((CAST(floor(value) AS BIGINT) % 60) + 60) % 60)
+                       AS cx,
+                     (((CAST(floor(value * 7919.0) AS BIGINT) % 60) + 60)
+                      % 60) AS cy
+              FROM events
+            ),
+            dense AS (
+              SELECT cx, cy, count(DISTINCT user_id) AS n_users,
+                     cx * 60 + cy AS cell
+              FROM pts GROUP BY cx, cy
+              HAVING count(DISTINCT user_id) >= 3
+            ),
+            pairs AS (
+              SELECT a.cell AS cell_a, b.cell AS cell_b
+              FROM dense a JOIN dense b
+                ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+               AND a.cell < b.cell
+            ),
+            edges AS (
+              SELECT cell_a AS a, cell_b AS b FROM pairs
+              UNION SELECT cell_b, cell_a FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT a AS node FROM edges),
+            reach(src, node) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+            ),
+            labels AS (
+              SELECT src AS cell, min(node) AS component
+              FROM reach GROUP BY src
+            )
+            SELECT d.cx, d.cy, d.n_users,
+                   coalesce(l.component, d.cell) AS cluster
+            FROM dense d LEFT JOIN labels l ON l.cell = d.cell
+        """,
+        "trajectory_overlap": (
+            "WITH "
+            + POSITIONS_CTE
+            + """
+            SELECT a.user_id AS u1, b.user_id AS u2,
+                   count(*) AS n_shared_hours
+            FROM pos a
+            JOIN pos b ON a.hour = b.hour
+                      AND a.region_id = b.region_id
+                      AND a.user_id < b.user_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        """
+        ),
         # ---- batch 5: graph stats / time series / anomaly / scaling ----
         "region_degree_stats": (
             "WITH "

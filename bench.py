@@ -111,6 +111,8 @@ HEADLINE = [
     "concurrent_stays",
     "key_skew_profile",
     "stratified_split_counts",
+    "dense_grid_clusters",
+    "trajectory_overlap",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

@@ -91,6 +91,8 @@ EXCHANGE_CEILING = {
     "concurrent_stays": 12,    # static; union legs re-derive segs pre-AQE
     "key_skew_profile": 4,
     "stratified_split_counts": 2,
+    "dense_grid_clusters": 4,   # final-stage; CC rounds checkpointed
+    "trajectory_overlap": 4,
 }
 
 
