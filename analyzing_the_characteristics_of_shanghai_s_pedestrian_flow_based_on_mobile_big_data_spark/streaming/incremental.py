@@ -275,3 +275,52 @@ def incremental_covisit_index_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def incremental_basket_index_stream(
+    spark: SparkSession,
+    events_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    schema: str = "event_id long, ts timestamp, user_id long, event_type string",
+):
+    """Stream event files → incrementally-maintained (user, day, type)
+    basket membership index via foreachBatch — the streaming half of
+    the batch-6 market-basket family (`basket_pairs`).
+
+    Same design as the covisit index: the merged table is KEYED by
+    (user_id, day, event_type), so its key set is the union of every
+    batch's distinct memberships under any batch boundaries — a basket
+    that accretes new types across micro-batches (a user active before
+    and after a trigger) converges to exactly the batch basket. Pair
+    support stays a BATCH aggregate over the maintained index (pair
+    generation is quadratic per basket; the index is linear), computed
+    on demand — the same index-incremental / score-on-read split every
+    quadratic-family operator here uses. Parity pytest-pinned against
+    `basket_pairs` under a mid-day batch split."""
+    table = IncrementalCountTable(
+        spark, table_path, ["user_id", "day", "event_type"]
+    )
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        delta = (
+            batch_df.select(
+                "user_id",
+                F.col("ts").cast("date").alias("day"),
+                "event_type",
+            )
+            .groupBy("user_id", "day", "event_type")
+            .agg(F.count("*").alias("cnt"))
+        )
+        table.merge_batch(delta, epoch_id)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(events_dir)
+    )
+    return (
+        src.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -233,3 +233,70 @@ def test_incremental_covisit_index_parity_with_batch(spark, tmp_path):
     finally:
         q.stop()
     assert index_pairs(str(tmp_path / "table")) == batch_pairs(b1 + b2 + b3)
+
+
+def test_incremental_basket_index_parity_with_batch(spark, tmp_path):
+    """Batch-6 streaming twin: the maintained (user, day, type) index,
+    paired up exactly as basket_pairs does, equals the batch pair
+    supports over the same events — including a basket that accretes
+    a NEW type in the second micro-batch (the cross-batch-basket
+    case a per-batch pair count would get wrong)."""
+    from pyspark.sql import functions as F
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        IncrementalCountTable,
+        incremental_basket_index_stream,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    day1 = "2024-01-01"
+    b1, b2 = [], []
+    eid = 0
+    # 6 users click+view on day 1 (support pairs), all in batch 1
+    for u in range(1, 7):
+        b1.append((eid, ts(f"{day1} 08:00:00"), u, "click")); eid += 1
+        b1.append((eid, ts(f"{day1} 09:00:00"), u, "view")); eid += 1
+    # user 1's SAME-day basket accretes 'purchase' only in batch 2
+    b2.append((eid, ts(f"{day1} 18:00:00"), 1, "purchase")); eid += 1
+    # and 5 more users purchase+view in batch 2 (fresh baskets)
+    for u in range(7, 12):
+        b2.append((eid, ts(f"{day1} 10:00:00"), u, "purchase")); eid += 1
+        b2.append((eid, ts(f"{day1} 11:00:00"), u, "view")); eid += 1
+
+    def pair_supports(basket):
+        basket = basket.select("user_id", "day", "event_type").distinct()
+        a = basket.select("user_id", "day", F.col("event_type").alias("t1"))
+        b = basket.select("user_id", "day", F.col("event_type").alias("t2"))
+        return {
+            (r.t1, r.t2): r.support
+            for r in a.join(b, ["user_id", "day"])
+            .filter(F.col("t1") < F.col("t2"))
+            .groupBy("t1", "t2")
+            .agg(F.count("*").alias("support"))
+            .collect()
+        }
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+    q = incremental_basket_index_stream(
+        spark, src, str(tmp_path / "table"), str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    idx = IncrementalCountTable(
+        spark, str(tmp_path / "table"), ["user_id", "day", "event_type"]
+    ).read()
+    got = pair_supports(idx)
+    want = pair_supports(
+        spark.createDataFrame(b1 + b2, schema).select(
+            "user_id", F.col("ts").cast("date").alias("day"), "event_type"
+        )
+    )
+    assert got == want
+    # the accreted basket really crossed batches: user 1 contributes
+    # to (click, purchase) even though 'click' and 'purchase' never
+    # shared a micro-batch
+    assert want[("click", "purchase")] == 1
