@@ -3690,6 +3690,140 @@ def _q_trajectory_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) pair counts, window ±2 (batch 9):
+    the word2vec/GloVe TRAINING-DATA GENERATION pass. No join and no
+    explode-then-self-join: for each offset d ∈ {1, 2} the pair list
+    is arrays_zip(t, slice(t, d+1)) — a pure map-side array
+    expression — and symmetry adds the reversed direction, so every
+    co-occurrence within the window is counted exactly once per
+    direction. One final count exchange; top-30 by (count desc, pair
+    asc) keeps the hash surface bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tx.tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    legs = []
+    for d in (1, 2):
+        pair = toks.filter(F.size("t") >= d + 1).select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("t"), 1, F.size("t") - d).alias("w"),
+                    F.slice(
+                        F.col("t"), d + 1, F.size("t") - d
+                    ).alias("c"),
+                )
+            ).alias("p")
+        )
+        legs.append(
+            pair.select(F.col("p.w").alias("w"), F.col("p.c").alias("c"))
+        )
+        legs.append(
+            pair.select(F.col("p.c").alias("w"), F.col("p.w").alias("c"))
+        )
+    allp = legs[0]
+    for leg in legs[1:]:
+        allp = allp.unionByName(leg)
+    return (
+        allp.groupBy("w", "c")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w").asc(), F.col("c").asc())
+        .limit(30)
+    )
+
+
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style document chunking (batch 9): fixed 50-token chunks
+    with stride 40 (10-token overlap) — the retrieval-index prep
+    pass. Chunk starts come from explode(sequence(1, n, 40)) (the
+    gap-fill generator pattern — map-side, no join); each chunk
+    reports its id, token span, and boundary tokens so the oracle
+    pins slicing off-by-ones exactly. Short tails (< 50) are kept —
+    dropping them silently loses corpus tail text."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tx.tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") >= 1)
+    chunks = toks.select(
+        "doc_id",
+        F.size("t").alias("n_tok"),
+        "t",
+        F.explode(
+            F.sequence(F.lit(1), F.size("t"), F.lit(40))
+        ).alias("start"),
+    )
+    clen = F.least(F.lit(50), F.col("n_tok") - F.col("start") + 1)
+    return chunks.select(
+        "doc_id",
+        ((F.col("start") - 1) / 40).cast("int").alias("chunk_id"),
+        "start",
+        clen.alias("chunk_len"),
+        F.element_at("t", F.col("start")).alias("first_tok"),
+        F.element_at(
+            "t", F.col("start") + clen - 1
+        ).alias("last_tok"),
+    )
+
+
+def _q_kwic_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context extraction (batch 9): every occurrence of
+    the term 'spark' with its ±3-token window — the corpus-inspection
+    pass behind data-quality review UIs. Positions via posexplode,
+    context via one array slice per hit with exact boundary clamps
+    (the slice math is the off-by-one the oracle pins)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tx.tokens(F.col("text")).alias("t"))
+    hits = toks.select(
+        "doc_id",
+        "t",
+        F.posexplode("t").alias("pos0", "tok"),
+    ).filter(F.col("tok") == "spark")
+    lo = F.greatest(F.lit(1), F.col("pos0") + 1 - 3)
+    hi = F.least(F.size("t"), F.col("pos0") + 1 + 3)
+    return hits.select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.array_join(
+            F.slice(F.col("t"), lo, hi - lo + 1), " "
+        ).alias("context"),
+    )
+
+
+def _q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation stats (batch 9): sentences per doc and
+    mean sentence word-length — the readability profile a curation
+    pipeline scores. Sentences = period-split segments with ≥ 1
+    token (both engines: regex split on '\\.', trim, drop empties);
+    the mean divides two exact BIGINTs once."""
+    docs = load_table(spark, sf_dir, "documents")
+    sents = docs.select(
+        "doc_id",
+        F.filter(
+            F.transform(
+                F.split(F.lower(F.trim(F.col("text"))), r"\."),
+                lambda x: F.trim(x),
+            ),
+            lambda x: x != "",
+        ).alias("ss"),
+    )
+    per_sent = sents.select(
+        "doc_id", F.explode("ss").alias("s")
+    ).select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("s"), r"\s+"), lambda t: t != "")).alias(
+            "n_words"
+        ),
+    )
+    return per_sent.groupBy("doc_id").agg(
+        F.count("*").alias("n_sentences"),
+        F.sum("n_words").alias("n_words"),
+        (
+            F.sum("n_words").cast("double")
+            / F.count("*").cast("double")
+        ).alias("mean_sentence_len"),
+    )
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
     """Apply runtime session tuning (UTC, nanosAsLong, AQE) before each
     query — the driver hands us its own SparkSession."""
@@ -3869,6 +4003,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_split_counts": _q_stratified_split_counts,
         "dense_grid_clusters": _q_dense_grid_clusters,
         "trajectory_overlap": _q_trajectory_overlap,
+        # batch 9 (round 5): text-pipeline generation/inspection
+        "skipgram_pairs": _q_skipgram_pairs,
+        "doc_chunks": _q_doc_chunks,
+        "kwic_contexts": _q_kwic_contexts,
+        "sentence_stats": _q_sentence_stats,
     }
 
 
@@ -6366,6 +6505,89 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2 HAVING count(*) >= 2
         """
         ),
+        "skipgram_pairs": f"""
+            WITH toks AS (
+              SELECT {_TOKENS_SQL} AS t FROM documents
+            ),
+            legs AS (
+              SELECT t[i] AS w, t[i + 1] AS c
+              FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+                    FROM toks WHERE len(t) >= 2)
+              UNION ALL
+              SELECT t[i + 1], t[i]
+              FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+                    FROM toks WHERE len(t) >= 2)
+              UNION ALL
+              SELECT t[i] AS w, t[i + 2] AS c
+              FROM (SELECT t, unnest(generate_series(1, len(t) - 2)) AS i
+                    FROM toks WHERE len(t) >= 3)
+              UNION ALL
+              SELECT t[i + 2], t[i]
+              FROM (SELECT t, unnest(generate_series(1, len(t) - 2)) AS i
+                    FROM toks WHERE len(t) >= 3)
+            )
+            SELECT w, c, count(*) AS n FROM legs GROUP BY 1, 2
+            ORDER BY n DESC, w ASC, c ASC LIMIT 30
+        """,
+        "doc_chunks": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+            ),
+            chunks AS (
+              SELECT doc_id, len(t) AS n_tok, t,
+                     unnest(generate_series(1, len(t), 40)) AS start
+              FROM toks WHERE len(t) >= 1
+            )
+            SELECT doc_id,
+                   CAST((start - 1) // 40 AS INTEGER) AS chunk_id,
+                   CAST(start AS INTEGER) AS start,
+                   CAST(LEAST(50, n_tok - start + 1) AS INTEGER)
+                     AS chunk_len,
+                   t[start] AS first_tok,
+                   t[start + LEAST(50, n_tok - start + 1) - 1] AS last_tok
+            FROM chunks
+        """,
+        "kwic_contexts": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+            ),
+            hits AS (
+              SELECT doc_id, t, i AS pos
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(1, len(t))) AS i
+                    FROM toks)
+              WHERE t[i] = 'spark'
+            )
+            SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+                   array_to_string(
+                     t[GREATEST(1, pos - 3):LEAST(len(t), pos + 3)],
+                     ' ') AS context
+            FROM hits
+        """,
+        "sentence_stats": """
+            WITH sents AS (
+              SELECT doc_id,
+                     list_filter(
+                       list_transform(
+                         string_split_regex(lower(trim(text)), '\\.'),
+                         x -> trim(x)),
+                       x -> x <> '') AS ss
+              FROM documents
+            ),
+            per_sent AS (
+              SELECT doc_id,
+                     len(list_filter(
+                       string_split_regex(s, '\\s+'), t -> t <> ''))
+                       AS n_words
+              FROM (SELECT doc_id, unnest(ss) AS s FROM sents)
+            )
+            SELECT doc_id,
+                   count(*) AS n_sentences,
+                   CAST(sum(n_words) AS BIGINT) AS n_words,
+                   CAST(sum(n_words) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     AS mean_sentence_len
+            FROM per_sent GROUP BY doc_id
+        """,
         # ---- batch 5: graph stats / time series / anomaly / scaling ----
         "region_degree_stats": (
             "WITH "

@@ -113,6 +113,11 @@ HEADLINE = [
     "stratified_split_counts",
     "dense_grid_clusters",
     "trajectory_overlap",
+    # batch-9 additions (round 5)
+    "skipgram_pairs",
+    "doc_chunks",
+    "kwic_contexts",
+    "sentence_stats",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

@@ -93,6 +93,11 @@ EXCHANGE_CEILING = {
     "stratified_split_counts": 2,
     "dense_grid_clusters": 4,   # final-stage; CC rounds checkpointed
     "trajectory_overlap": 4,
+    # batch 9 (round 5): map-heavy text generation/inspection
+    "skipgram_pairs": 2,
+    "doc_chunks": 0,
+    "kwic_contexts": 0,
+    "sentence_stats": 2,
 }
 
 
