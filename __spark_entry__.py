@@ -3824,6 +3824,49 @@ def _q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient (batch 9): closes the
+    graph-statistics family — cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1))
+    on the undirected simple OD graph, composed from the
+    degree-ordered triangle counter (triangles.py — |E|^1.5 wedge
+    bound) and one degree aggregate. Nodes below degree 2 report 0.0;
+    the coefficient is one exact division of BIGINTs. The measure
+    behind 'how clique-ish is each region's neighborhood' — the
+    small-world diagnostic next to PageRank's centrality and k-core's
+    cohesion."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.triangles import (
+        triangle_counts,
+        undirected_simple_edges,
+    )
+
+    pos = ops.hourly_positions(events_as_pings(spark, sf_dir, N_REGIONS))
+    od = ops.od_matrix(ops.gap_fill_edges(pos))
+    g = od.select(F.col("orig").alias("src"), F.col("dest").alias("dst"))
+    und = undirected_simple_edges(g).localCheckpoint(eager=True)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    tri = triangle_counts(g)
+    cc = F.when(
+        F.col("deg") >= 2,
+        (F.lit(2) * F.col("n_tri")).cast("double")
+        / (F.col("deg") * (F.col("deg") - 1)).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(tri, "node", "left")
+        .withColumn("n_tri", F.coalesce(F.col("n_tri"), F.lit(0)))
+        .select(
+            F.col("node").cast("int").alias("node"),
+            "deg",
+            "n_tri",
+            cc.alias("clustering_coeff"),
+        )
+    )
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
     """Apply runtime session tuning (UTC, nanosAsLong, AQE) before each
     query — the driver hands us its own SparkSession."""
@@ -4008,6 +4051,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _q_doc_chunks,
         "kwic_contexts": _q_kwic_contexts,
         "sentence_stats": _q_sentence_stats,
+        "clustering_coefficient": _q_clustering_coefficient,
     }
 
 
@@ -4239,6 +4283,39 @@ def _triangles_oracle() -> str:
           SELECT pre_region_id AS src, region_id AS dst FROM edges
         ),"""
         + TRIANGLE_ORACLE_TEMPLATE
+    )
+
+
+def _cc_oracle() -> str:
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.triangles import (
+        TRIANGLE_ORACLE_CTES,
+    )
+
+    return (
+        "WITH "
+        + EDGES_CTE
+        + """,
+        graph AS (
+          SELECT pre_region_id AS src, region_id AS dst FROM edges
+        ),"""
+        + TRIANGLE_ORACLE_CTES
+        + """
+        , tri AS (
+          SELECT node, count(*) AS n_tri FROM (
+            SELECT a AS node FROM tris
+            UNION ALL SELECT b FROM tris
+            UNION ALL SELECT c FROM tris
+          ) GROUP BY 1
+        )
+        SELECT CAST(d.node AS INTEGER) AS node,
+               CAST(d.deg AS BIGINT) AS deg,
+               CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri,
+               CASE WHEN d.deg >= 2 THEN
+                 CAST(2 * coalesce(t.n_tri, 0) AS DOUBLE)
+                 / CAST(d.deg * (d.deg - 1) AS DOUBLE)
+               ELSE 0.0 END AS clustering_coeff
+        FROM deg d LEFT JOIN tri t ON t.node = d.node
+        """
     )
 
 
@@ -5769,6 +5846,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "region_pagerank": _pagerank_oracle(),
         "region_triangles": _triangles_oracle(),
+        "clustering_coefficient": _cc_oracle(),
         "quantized_cosine_topk": """
             WITH e AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings

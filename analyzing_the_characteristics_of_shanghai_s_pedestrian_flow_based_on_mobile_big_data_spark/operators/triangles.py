@@ -106,7 +106,10 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     return corners.groupBy("node").agg(F.count("*").alias("n_tri"))
 
 
-TRIANGLE_ORACLE_TEMPLATE = """
+# CTE block (und/deg/oriented/tris) without the final select —
+# composable by downstream oracles (clustering coefficient); the
+# TEMPLATE below keeps the original per-node-count contract.
+TRIANGLE_ORACLE_CTES = """
         und AS (
           SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
           FROM graph WHERE src <> dst
@@ -133,9 +136,15 @@ TRIANGLE_ORACLE_TEMPLATE = """
           JOIN oriented e2 ON e2.lo = e1.lo AND e2.hi <> e1.hi
           JOIN oriented e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
         )
+"""
+
+TRIANGLE_ORACLE_TEMPLATE = (
+    TRIANGLE_ORACLE_CTES
+    + """
         SELECT CAST(node AS INTEGER) AS node, count(*) AS n_tri FROM (
           SELECT a AS node FROM tris
           UNION ALL SELECT b FROM tris
           UNION ALL SELECT c FROM tris
         ) GROUP BY 1
 """
+)

@@ -118,6 +118,7 @@ HEADLINE = [
     "doc_chunks",
     "kwic_contexts",
     "sentence_stats",
+    "clustering_coefficient",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

@@ -98,6 +98,7 @@ EXCHANGE_CEILING = {
     "doc_chunks": 0,
     "kwic_contexts": 0,
     "sentence_stats": 2,
+    "clustering_coefficient": 4,
 }
 
 
