@@ -3867,6 +3867,51 @@ def _q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption pair generation (batch 9): the
+    denoising-objective TRAINING-DATA pass — each document's tokens
+    are masked i.i.d. at 20% by the md5 coin (deterministic per
+    (doc, position): same pairs on any engine, partitioning, or
+    retry), adjacent masked tokens merge into spans, the INPUT
+    replaces each span with one sentinel and the TARGET lists the
+    masked spans sentinel-delimited in order. Entirely Catalyst array
+    HOFs over the token array — transform(sequence) + run-start
+    detection via the previous position's coin — no explode, no
+    shuffle until the (bounded) output projection; 0-exchange map
+    plan. n_masked pins the coin; the two strings pin the span
+    merging and ordering."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tx.tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") >= 1)
+    mask_i = (
+        "(cast(conv(substring(md5(concat('span:', "
+        "cast(doc_id as string), ':', cast({i} as string))), 1, 8), "
+        "16, 10) as bigint) % 10) < 2"
+    )
+    m, mp = mask_i.format(i="i"), mask_i.format(i="i-1")
+    return toks.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.expr(
+            f"size(filter(sequence(1, size(t)), i -> {m}))"
+        ).alias("n_masked"),
+        F.expr(
+            "array_join(filter(transform(sequence(1, size(t)), i -> "
+            f"CASE WHEN NOT ({m}) THEN t[i-1] "
+            f"WHEN i = 1 OR NOT ({mp}) THEN '<X>' "
+            "ELSE NULL END), x -> x IS NOT NULL), ' ')"
+        ).alias("input_text"),
+        F.expr(
+            "array_join(filter(transform(sequence(1, size(t)), i -> "
+            f"CASE WHEN ({m}) AND (i = 1 OR NOT ({mp})) "
+            "THEN concat('<X> ', t[i-1]) "
+            f"WHEN ({m}) THEN t[i-1] "
+            "ELSE NULL END), x -> x IS NOT NULL), ' ')"
+        ).alias("target_text"),
+    )
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
     """Apply runtime session tuning (UTC, nanosAsLong, AQE) before each
     query — the driver hands us its own SparkSession."""
@@ -4052,6 +4097,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kwic_contexts": _q_kwic_contexts,
         "sentence_stats": _q_sentence_stats,
         "clustering_coefficient": _q_clustering_coefficient,
+        "span_corruption_pairs": _q_span_corruption_pairs,
     }
 
 
@@ -5847,6 +5893,35 @@ def oracle_sql() -> dict[str, str]:
         "region_pagerank": _pagerank_oracle(),
         "region_triangles": _triangles_oracle(),
         "clustering_coefficient": _cc_oracle(),
+        "span_corruption_pairs": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+            ),
+            raw AS (
+            SELECT doc_id,
+                   CAST(len(t) AS INTEGER) AS n_tokens,
+                   CAST(len(list_filter(generate_series(1, len(t)),
+                     i -> (((strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 2, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 3, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 4, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 5, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 6, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 8, 1)) - 1) * 1) % 10) < 2)) AS INTEGER) AS n_masked,
+                   array_to_string(list_filter(
+                     list_transform(generate_series(1, len(t)), i ->
+                       CASE WHEN NOT ((((strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 2, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 3, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 4, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 5, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 6, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 8, 1)) - 1) * 1) % 10) < 2) THEN t[i]
+                            WHEN i = 1 OR NOT ((((strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 2, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 3, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 4, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 5, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 6, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 8, 1)) - 1) * 1) % 10) < 2) THEN '<X>'
+                            ELSE NULL END),
+                     x -> x IS NOT NULL), ' ') AS input_text_raw,
+                   array_to_string(list_filter(
+                     list_transform(generate_series(1, len(t)), i ->
+                       CASE WHEN ((((strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 2, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 3, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 4, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 5, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 6, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 8, 1)) - 1) * 1) % 10) < 2) AND (i = 1 OR NOT ((((strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 2, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 3, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 4, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 5, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 6, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 8, 1)) - 1) * 1) % 10) < 2))
+                            THEN concat('<X> ', t[i])
+                            WHEN ((((strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 2, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 3, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 4, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 5, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 6, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 8, 1)) - 1) * 1) % 10) < 2) THEN t[i]
+                            ELSE NULL END),
+                     x -> x IS NOT NULL), ' ') AS target_text_raw
+            FROM toks WHERE len(t) >= 1
+            )
+            SELECT doc_id, n_tokens, n_masked,
+                   coalesce(input_text_raw, '') AS input_text,
+                   coalesce(target_text_raw, '') AS target_text
+            FROM raw
+        """,
         "quantized_cosine_topk": """
             WITH e AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings

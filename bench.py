@@ -119,6 +119,7 @@ HEADLINE = [
     "kwic_contexts",
     "sentence_stats",
     "clustering_coefficient",
+    "span_corruption_pairs",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

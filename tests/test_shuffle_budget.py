@@ -99,6 +99,7 @@ EXCHANGE_CEILING = {
     "kwic_contexts": 0,
     "sentence_stats": 2,
     "clustering_coefficient": 4,
+    "span_corruption_pairs": 0,  # pure map: array HOFs over the scan
 }
 
 
