@@ -195,3 +195,26 @@ def test_concurrent_stays_nonnegative_and_ends_at_zero(spark):
         ),
     ).filter(F.col("rn") == 1)
     assert last.filter(F.col("n_active") != 0).count() == 0
+
+
+def test_span_corruption_mask_determinism_and_conservation(spark):
+    """The corruption plan must be reproducible (two invocations,
+    identical pairs) and conservative: input sentinels == target
+    spans, and unmasked+masked == n_tokens."""
+    q = entrymod.queries()["span_corruption_pairs"]
+    r1 = sorted(tuple(r) for r in q(spark, SF_SMALL).collect())
+    r2 = sorted(tuple(r) for r in q(spark, SF_SMALL).collect())
+    assert r1 == r2 and len(r1) > 0
+    saw_masked = False
+    for doc_id, n_tokens, n_masked, inp, tgt in r1:
+        n_sent_in = inp.split().count("<X>")
+        n_sent_tgt = tgt.split().count("<X>")
+        assert n_sent_in == n_sent_tgt  # one sentinel per span, both sides
+        # token conservation: unmasked words in input + masked words
+        # in target == original token count
+        n_unmasked = len([w for w in inp.split() if w != "<X>"])
+        n_masked_words = len([w for w in tgt.split() if w != "<X>"])
+        assert n_unmasked + n_masked_words == n_tokens
+        assert n_masked_words == n_masked
+        saw_masked = saw_masked or n_masked > 0
+    assert saw_masked  # the 20% coin actually fired somewhere
