@@ -3912,6 +3912,79 @@ def _q_span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_graph_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row graph health report (batch 9): nodes, directed edges,
+    density, reciprocity (fraction of directed edges whose reverse
+    exists — a self-semi-join on the swapped key), and degree
+    assortativity (Pearson r of endpoint degrees over undirected
+    edges — every moment Σx, Σy, Σxy, Σx², Σy², n is an exact BIGINT,
+    so the only float ops are the final covariance/sqrt, identical
+    IEEE on both engines; sqrt is correctly rounded everywhere). The
+    whole-graph diagnostic read before choosing partitioning/salting
+    strategies for the graph family."""
+    pos = ops.hourly_positions(events_as_pings(spark, sf_dir, N_REGIONS))
+    od = ops.od_matrix(ops.gap_fill_edges(pos))
+    dir_e = (
+        od.filter(F.col("orig") != F.col("dest"))
+        .select(F.col("orig").alias("src"), F.col("dest").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rev = dir_e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    n_recip = dir_e.join(rev, ["src", "dst"], "semi").count()
+    und = (
+        dir_e.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("dx"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dy"))
+    mom = (
+        und.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .agg(
+            F.count("*").alias("m"),
+            F.sum("dx").alias("sx"),
+            F.sum("dy").alias("sy"),
+            F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+            F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+            F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        )
+    )
+    n_nodes = deg.count()
+    n_dir = dir_e.count()
+    m, sx, sy = F.col("m"), F.col("sx"), F.col("sy")
+    cov = (m * F.col("sxy") - sx * sy).cast("double")
+    varx = (m * F.col("sxx") - sx * sx).cast("double")
+    vary = (m * F.col("syy") - sy * sy).cast("double")
+    return mom.select(
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.lit(n_dir).cast("long").alias("n_directed_edges"),
+        (
+            F.lit(float(n_dir))
+            / F.lit(float(max(n_nodes * (n_nodes - 1), 1)))
+        ).alias("density"),
+        (F.lit(float(n_recip)) / F.lit(float(max(n_dir, 1)))).alias(
+            "reciprocity"
+        ),
+        F.when(
+            (varx > 0) & (vary > 0),
+            cov / (F.sqrt(varx) * F.sqrt(vary)),
+        ).alias("assortativity"),
+    )
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
     """Apply runtime session tuning (UTC, nanosAsLong, AQE) before each
     query — the driver hands us its own SparkSession."""
@@ -4098,6 +4171,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_stats": _q_sentence_stats,
         "clustering_coefficient": _q_clustering_coefficient,
         "span_corruption_pairs": _q_span_corruption_pairs,
+        "graph_summary_stats": _q_graph_summary_stats,
     }
 
 
@@ -5893,6 +5967,61 @@ def oracle_sql() -> dict[str, str]:
         "region_pagerank": _pagerank_oracle(),
         "region_triangles": _triangles_oracle(),
         "clustering_coefficient": _cc_oracle(),
+        "graph_summary_stats": (
+            "WITH "
+            + EDGES_CTE
+            + """,
+            dir_e AS (
+              SELECT DISTINCT pre_region_id AS src, region_id AS dst
+              FROM edges WHERE pre_region_id <> region_id
+            ),
+            und AS (
+              SELECT DISTINCT least(src, dst) AS u,
+                     greatest(src, dst) AS v
+              FROM dir_e
+            ),
+            deg AS (
+              SELECT node, count(*) AS deg FROM (
+                SELECT u AS node FROM und UNION ALL SELECT v FROM und
+              ) GROUP BY node
+            ),
+            mom AS (
+              SELECT count(*) AS m,
+                     CAST(sum(du.deg) AS BIGINT) AS sx,
+                     CAST(sum(dv.deg) AS BIGINT) AS sy,
+                     CAST(sum(du.deg * dv.deg) AS BIGINT) AS sxy,
+                     CAST(sum(du.deg * du.deg) AS BIGINT) AS sxx,
+                     CAST(sum(dv.deg * dv.deg) AS BIGINT) AS syy
+              FROM und
+              JOIN deg du ON du.node = und.u
+              JOIN deg dv ON dv.node = und.v
+            ),
+            scal AS (
+              SELECT (SELECT count(*) FROM deg) AS n_nodes,
+                     (SELECT count(*) FROM dir_e) AS n_dir,
+                     (SELECT count(*) FROM dir_e a
+                      WHERE EXISTS (SELECT 1 FROM dir_e b
+                        WHERE b.src = a.dst AND b.dst = a.src))
+                       AS n_recip
+            )
+            SELECT CAST(s.n_nodes AS BIGINT) AS n_nodes,
+                   CAST(s.n_dir AS BIGINT) AS n_directed_edges,
+                   CAST(s.n_dir AS DOUBLE)
+                   / CAST(GREATEST(s.n_nodes * (s.n_nodes - 1), 1)
+                          AS DOUBLE) AS density,
+                   CAST(s.n_recip AS DOUBLE)
+                   / CAST(GREATEST(s.n_dir, 1) AS DOUBLE) AS reciprocity,
+                   CASE WHEN CAST(m.m * m.sxx - m.sx * m.sx AS DOUBLE) > 0
+                         AND CAST(m.m * m.syy - m.sy * m.sy AS DOUBLE) > 0
+                        THEN CAST(m.m * m.sxy - m.sx * m.sy AS DOUBLE)
+                          / (sqrt(CAST(m.m * m.sxx - m.sx * m.sx
+                                       AS DOUBLE))
+                             * sqrt(CAST(m.m * m.syy - m.sy * m.sy
+                                         AS DOUBLE)))
+                        ELSE NULL END AS assortativity
+            FROM mom m CROSS JOIN scal s
+        """
+        ),
         "span_corruption_pairs": f"""
             WITH toks AS (
               SELECT doc_id, {_TOKENS_SQL} AS t FROM documents

@@ -120,6 +120,7 @@ HEADLINE = [
     "sentence_stats",
     "clustering_coefficient",
     "span_corruption_pairs",
+    "graph_summary_stats",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

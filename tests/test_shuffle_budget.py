@@ -100,6 +100,7 @@ EXCHANGE_CEILING = {
     "sentence_stats": 2,
     "clustering_coefficient": 4,
     "span_corruption_pairs": 0,  # pure map: array HOFs over the scan
+    "graph_summary_stats": 6,   # final-stage; edge table checkpointed
 }
 
 
