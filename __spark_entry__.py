@@ -3985,6 +3985,32 @@ def _q_graph_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_principal_component(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dominant principal direction of the embedding corpus (batch 9):
+    3 power-iteration rounds, each ONE fused matvec aggregate
+    (operators/pca.py — the Gram matrix never materializes; d doubles
+    reach the driver per round, the kmeans codebook budget class).
+    Max-abs normalization + 9-dp floor rounding keep both engines on
+    the identical vector every round; unrolled DuckDB twin. Output:
+    (dim_idx, coord) — 64 rows."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.vectors import (
+        as_double_array,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.pca import (
+        power_iteration_top_pc,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = emb.select(
+        "vec_id", as_double_array(F.col("embedding")).alias("vec")
+    )
+    v = power_iteration_top_pc(vec, dim=64, iterations=3)
+    rows = [(i, float(c)) for i, c in enumerate(v)]
+    return spark.createDataFrame(rows, "dim_idx int, coord double")
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
     """Apply runtime session tuning (UTC, nanosAsLong, AQE) before each
     query — the driver hands us its own SparkSession."""
@@ -4172,6 +4198,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coefficient": _q_clustering_coefficient,
         "span_corruption_pairs": _q_span_corruption_pairs,
         "graph_summary_stats": _q_graph_summary_stats,
+        "embedding_principal_component": _q_embedding_principal_component,
     }
 
 
@@ -4437,6 +4464,19 @@ def _cc_oracle() -> str:
         FROM deg d LEFT JOIN tri t ON t.node = d.node
         """
     )
+
+
+def _pca_oracle() -> str:
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.pca import (
+        pca_oracle_sql,
+    )
+
+    emb_cte = """
+        e AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings
+        )"""
+    return pca_oracle_sql(emb_cte, dim=64, iterations=3)
 
 
 def _pagerank_oracle() -> str:
@@ -5967,6 +6007,7 @@ def oracle_sql() -> dict[str, str]:
         "region_pagerank": _pagerank_oracle(),
         "region_triangles": _triangles_oracle(),
         "clustering_coefficient": _cc_oracle(),
+        "embedding_principal_component": _pca_oracle(),
         "graph_summary_stats": (
             "WITH "
             + EDGES_CTE

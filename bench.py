@@ -121,6 +121,7 @@ HEADLINE = [
     "clustering_coefficient",
     "span_corruption_pairs",
     "graph_summary_stats",
+    "embedding_principal_component",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the
