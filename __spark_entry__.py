@@ -4011,6 +4011,28 @@ def _q_embedding_principal_component(
     return spark.createDataFrame(rows, "dim_idx int, coord double")
 
 
+def _q_region_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities on the directed OD graph (batch 9):
+    PageRank's mutual-reinforcement sibling — authorities are the
+    regions flows converge INTO, hubs the origins that feed strong
+    authorities. 5 fixed alternations, max-normalized DECIMAL sums,
+    9-dp floor rounding per half-round; full unrolled DuckDB twin
+    (operators/hits.py)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.hits import (
+        hits,
+    )
+
+    pos = ops.hourly_positions(events_as_pings(spark, sf_dir, N_REGIONS))
+    od = ops.od_matrix(ops.gap_fill_edges(pos))
+    g = od.groupBy("orig", "dest").agg(F.count("*").alias("__n")).select(
+        F.col("orig").alias("src"), F.col("dest").alias("dst")
+    )
+    out = hits(g, iterations=3)
+    return out.select(
+        F.col("node").cast("int").alias("node"), "hub", "authority"
+    )
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
     """Apply runtime session tuning (UTC, nanosAsLong, AQE) before each
     query — the driver hands us its own SparkSession."""
@@ -4199,6 +4221,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corruption_pairs": _q_span_corruption_pairs,
         "graph_summary_stats": _q_graph_summary_stats,
         "embedding_principal_component": _q_embedding_principal_component,
+        "region_hits": _q_region_hits,
     }
 
 
@@ -4477,6 +4500,21 @@ def _pca_oracle() -> str:
           FROM embeddings
         )"""
     return pca_oracle_sql(emb_cte, dim=64, iterations=3)
+
+
+def _hits_oracle() -> str:
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.hits import (
+        hits_oracle_sql,
+    )
+
+    graph_cte = (
+        EDGES_CTE
+        + """,
+        graph AS (
+          SELECT pre_region_id AS src, region_id AS dst FROM edges
+        )"""
+    )
+    return hits_oracle_sql(graph_cte, iterations=3)
 
 
 def _pagerank_oracle() -> str:
@@ -6008,6 +6046,7 @@ def oracle_sql() -> dict[str, str]:
         "region_triangles": _triangles_oracle(),
         "clustering_coefficient": _cc_oracle(),
         "embedding_principal_component": _pca_oracle(),
+        "region_hits": _hits_oracle(),
         "graph_summary_stats": (
             "WITH "
             + EDGES_CTE

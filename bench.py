@@ -122,6 +122,7 @@ HEADLINE = [
     "span_corruption_pairs",
     "graph_summary_stats",
     "embedding_principal_component",
+    "region_hits",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

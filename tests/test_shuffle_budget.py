@@ -102,6 +102,7 @@ EXCHANGE_CEILING = {
     "span_corruption_pairs": 0,  # pure map: array HOFs over the scan
     "graph_summary_stats": 6,   # final-stage; edge table checkpointed
     "embedding_principal_component": 0,  # driver-assembled 64-row result
+    "region_hits": 4,  # final-stage; every half-round checkpointed
 }
 
 
