@@ -79,6 +79,11 @@ def power_iteration_top_pc(
             )
             .collect()  # bounded: dim cells
         )
+        if not rows:
+            # empty corpus ⇒ no direction at all (the DuckDB twin's
+            # unrolled CTEs also collapse to zero rows) — distinct from
+            # a nonempty all-zero corpus, which yields the zero vector
+            return []
         w = [0.0] * dim
         for r in rows:
             w[int(r.dim0)] = float(r.s)

@@ -50,6 +50,15 @@ def test_every_query_survives_empty_tables(spark, empty_sf_dir):
             if vals.get(("*", "n_rows")) != 0.0:
                 failures.append(f"{name}: empty table not profiled as 0 rows")
             continue
+        if name == "graph_summary_stats":
+            # one-row health report: an EMPTY graph is itself a
+            # reportable fact (0 nodes / 0 edges), the
+            # data_quality_profile contract — assert it reports the
+            # zeros rather than hiding them (the DuckDB twin's
+            # ungrouped aggregate also yields exactly one row)
+            if len(rows) != 1 or rows[0].n_nodes != 0 or rows[0].n_directed_edges != 0:
+                failures.append(f"{name}: empty graph not reported as 0 nodes/edges")
+            continue
         if rows:
             failures.append(f"{name}: produced {len(rows)} rows from empty input")
     assert not failures, "\n".join(failures)
