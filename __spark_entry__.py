@@ -4033,6 +4033,70 @@ def _q_region_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mobility_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.hourly_positions(events_as_pings(spark, sf_dir, N_REGIONS))
+
+
+def _q_radius_of_gyration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user radius of gyration on the region grid (batch 10 —
+    mobility characteristics): the headline per-user statistic of the
+    mobile-big-data literature the reference's pipeline feeds
+    (González et al. 2008). Expanded exact form n·Σx²−(Σx)² keeps the
+    numerator a single BIGINT; the only float ops are one IEEE sqrt and
+    one division (operators/mobility.py)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.mobility import (
+        radius_of_gyration,
+    )
+
+    return radius_of_gyration(_mobility_positions(spark, sf_dir))
+
+
+def _q_location_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective visited-region count per user (batch 10): inverse
+    Simpson N²/Σnᵢ² — the log-free location-entropy twin (same
+    ordering, exact BIGINT products, one IEEE division)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.mobility import (
+        location_diversity,
+    )
+
+    return location_diversity(_mobility_positions(spark, sf_dir))
+
+
+def _q_top_location_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user most-visited region + visit share (batch 10): the
+    zeroth-order predictability statistic; two map-combinable
+    aggregates, ties to the smallest region via a (count, −region)
+    max_by struct."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.mobility import (
+        top_location_share,
+    )
+
+    return top_location_share(_mobility_positions(spark, sf_dir))
+
+
+def _q_jump_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jump-length distribution (batch 10): Chebyshev grid distance of
+    consecutive hourly positions, histogrammed — integer buckets, so
+    no trig/libm anywhere (the exact stand-in for the haversine hop
+    histogram)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.mobility import (
+        jump_length_histogram,
+    )
+
+    return jump_length_histogram(_mobility_positions(spark, sf_dir))
+
+
+def _q_visitation_rank_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf curve of location visitation (batch 10): per-user region
+    ranks (count desc, region asc) aggregated into per-rank totals —
+    exact BIGINTs plus one IEEE mean division."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.mobility import (
+        visitation_rank_curve,
+    )
+
+    return visitation_rank_curve(_mobility_positions(spark, sf_dir))
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
     """Apply runtime session tuning (UTC, nanosAsLong, AQE) before each
     query — the driver hands us its own SparkSession."""
@@ -4222,6 +4286,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_summary_stats": _q_graph_summary_stats,
         "embedding_principal_component": _q_embedding_principal_component,
         "region_hits": _q_region_hits,
+        # batch 10 (round 5): per-user mobility characteristics
+        "radius_of_gyration": _q_radius_of_gyration,
+        "location_diversity": _q_location_diversity,
+        "top_location_share": _q_top_location_share,
+        "jump_length_histogram": _q_jump_length_histogram,
+        "visitation_rank_curve": _q_visitation_rank_curve,
     }
 
 
@@ -7074,5 +7144,100 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max((doc_id + 50 * w + s) % 256) AS INTEGER)
                      AS peak
             FROM vals GROUP BY doc_id, w
+        """,
+        # batch 10 (round 5): per-user mobility characteristics over
+        # the shared hourly-position CTE on the 5-wide region grid
+        "radius_of_gyration": f"""
+            WITH {POSITIONS_CTE},
+            pts AS (
+              SELECT user_id,
+                     CAST((region_id - 1) % 5 AS BIGINT) AS x,
+                     CAST((region_id - 1) // 5 AS BIGINT) AS y
+              FROM pos
+            ),
+            mom AS (
+              SELECT user_id, count(*) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(y * y) AS BIGINT) AS syy
+              FROM pts GROUP BY user_id
+            )
+            SELECT user_id, n AS n_obs,
+                   sqrt(CAST(n * sxx - sx * sx + n * syy - sy * sy
+                             AS DOUBLE)) / CAST(n AS DOUBLE) AS rog
+            FROM mom
+        """,
+        "location_diversity": f"""
+            WITH {POSITIONS_CTE},
+            cnt AS (
+              SELECT user_id, region_id, count(*) AS c
+              FROM pos GROUP BY user_id, region_id
+            )
+            SELECT user_id, count(*) AS n_regions,
+                   CAST(sum(c) AS BIGINT) AS n_obs,
+                   CAST(sum(c) * sum(c) AS DOUBLE)
+                   / CAST(sum(c * c) AS DOUBLE) AS eff_regions
+            FROM cnt GROUP BY user_id
+        """,
+        "top_location_share": f"""
+            WITH {POSITIONS_CTE},
+            cnt AS (
+              SELECT user_id, region_id, count(*) AS c
+              FROM pos GROUP BY user_id, region_id
+            ),
+            top AS (
+              SELECT user_id, region_id, c,
+                     CAST(sum(c) OVER (PARTITION BY user_id) AS BIGINT)
+                       AS n_obs
+              FROM cnt
+              QUALIFY row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY c DESC, region_id ASC) = 1
+            )
+            SELECT user_id, CAST(region_id AS INTEGER) AS top_region,
+                   n_obs,
+                   CAST(c AS DOUBLE) / CAST(n_obs AS DOUBLE)
+                     AS top_share
+            FROM top
+        """,
+        "jump_length_histogram": f"""
+            WITH {POSITIONS_CTE},
+            pts AS (
+              SELECT user_id, hour,
+                     CAST((region_id - 1) % 5 AS BIGINT) AS x,
+                     CAST((region_id - 1) // 5 AS BIGINT) AS y
+              FROM pos
+            ),
+            hops AS (
+              SELECT user_id,
+                     greatest(abs(x - lag(x) OVER w),
+                              abs(y - lag(y) OVER w)) AS dist
+              FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY hour)
+              QUALIFY lag(x) OVER w IS NOT NULL
+            )
+            SELECT dist, count(*) AS n_hops,
+                   count(DISTINCT user_id) AS n_users
+            FROM hops GROUP BY dist
+        """,
+        "visitation_rank_curve": f"""
+            WITH {POSITIONS_CTE},
+            cnt AS (
+              SELECT user_id, region_id, count(*) AS c
+              FROM pos GROUP BY user_id, region_id
+            ),
+            rk AS (
+              SELECT user_id, c,
+                     row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY c DESC, region_id ASC) AS rnk
+              FROM cnt
+              QUALIFY rnk <= 10
+            )
+            SELECT CAST(rnk AS INTEGER) AS rnk, count(*) AS n_users,
+                   CAST(sum(c) AS BIGINT) AS total_visits,
+                   CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     AS avg_visits
+            FROM rk GROUP BY rnk
         """,
     }

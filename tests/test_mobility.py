@@ -1,0 +1,93 @@
+"""Unit laws for the per-user mobility characteristics (batch 10).
+
+Checked on a hand-built positions table where every metric is known in
+closed form, plus conservation laws on the real sf0.001 positions —
+so a differential-harness failure localizes to the Spark side.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pyspark.sql.functions as F
+
+import __spark_entry__ as entrymod
+from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.mobility import (
+    jump_length_histogram,
+    location_diversity,
+    radius_of_gyration,
+    top_location_share,
+    visitation_rank_curve,
+)
+from conftest import SF_SMALL
+
+
+def _positions(spark, rows):
+    return spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, 1, h), r) for u, h, r in rows],
+        "user_id bigint, hour timestamp, region_id int",
+    )
+
+
+def test_radius_of_gyration_closed_form(spark):
+    # user 1 never moves -> rog 0; user 2 alternates region 1 (0,0)
+    # and region 2 (1,0) twice each -> variance 0.25 in x -> rog 0.5
+    pos = _positions(
+        spark,
+        [(1, 0, 7), (1, 1, 7), (2, 0, 1), (2, 1, 2), (2, 2, 1), (2, 3, 2)],
+    )
+    got = {r.user_id: r for r in radius_of_gyration(pos).collect()}
+    assert got[1].rog == 0.0 and got[1].n_obs == 2
+    assert math.isclose(got[2].rog, 0.5) and got[2].n_obs == 4
+
+
+def test_location_diversity_and_top_share_closed_form(spark):
+    # user 1: 3 visits to region 5, 1 to region 9 ->
+    #   eff = 16/10 = 1.6, top region 5 with share 0.75
+    pos = _positions(spark, [(1, 0, 5), (1, 1, 5), (1, 2, 5), (1, 3, 9)])
+    div = location_diversity(pos).collect()[0]
+    assert div.n_regions == 2 and div.n_obs == 4
+    assert math.isclose(div.eff_regions, 1.6)
+    top = top_location_share(pos).collect()[0]
+    assert top.top_region == 5 and math.isclose(top.top_share, 0.75)
+
+
+def test_top_share_tie_breaks_to_smallest_region(spark):
+    pos = _positions(spark, [(1, 0, 9), (1, 1, 3), (1, 2, 9), (1, 3, 3)])
+    top = top_location_share(pos).collect()[0]
+    assert top.top_region == 3 and math.isclose(top.top_share, 0.5)
+
+
+def test_jump_histogram_conserves_hops(spark):
+    pos = entrymod._mobility_positions(spark, SF_SMALL)
+    hist = jump_length_histogram(pos)
+    n_pos = pos.count()
+    n_users = pos.select("user_id").distinct().count()
+    # every consecutive pair is exactly one hop: sum(n_hops) = N - U
+    assert hist.agg(F.sum("n_hops")).collect()[0][0] == n_pos - n_users
+    # Chebyshev distance on a 5x4 grid is bounded by 4
+    assert hist.filter((F.col("dist") < 0) | (F.col("dist") > 4)).count() == 0
+
+
+def test_visitation_rank_curve_laws(spark):
+    pos = entrymod._mobility_positions(spark, SF_SMALL)
+    rows = sorted(visitation_rank_curve(pos).collect(), key=lambda r: r.rnk)
+    n_users = pos.select("user_id").distinct().count()
+    # rank 1 exists for every user; rank population never grows with k
+    assert rows[0].rnk == 1 and rows[0].n_users == n_users
+    pops = [r.n_users for r in rows]
+    assert pops == sorted(pops, reverse=True)
+    # per-rank mean is consistent with its own totals
+    for r in rows:
+        assert math.isclose(r.avg_visits, r.total_visits / r.n_users)
+
+
+def test_diversity_bounds_on_real_positions(spark):
+    pos = entrymod._mobility_positions(spark, SF_SMALL)
+    div = location_diversity(pos)
+    bad = div.filter(
+        (F.col("eff_regions") < 1.0)
+        | (F.col("eff_regions") > F.col("n_regions").cast("double"))
+    ).count()
+    assert bad == 0
