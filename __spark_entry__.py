@@ -4097,6 +4097,151 @@ def _q_visitation_rank_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return visitation_rank_curve(_mobility_positions(spark, sf_dir))
 
 
+def _q_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source keyword extraction by chi-squared (batch 11): the
+    classic 2×2 contingency test of token-vs-source association, the
+    curation primitive behind domain-tagging and contamination triage.
+    All four cell counts (a,b,c,d) are exact BIGINTs from two token
+    aggregates; chi² is then evaluated in ONE identically-parenthesized
+    double expression on both engines (every IEEE op on the same exact
+    inputs in the same order ⇒ identical bits — the rule that lets us
+    rank on the raw double). Keeps overrepresented tokens only
+    (ad > bc), support a ≥ 5, top-5 per source (ties: a desc, token
+    asc). Joins: per-token global counts joined on the Zipf-bounded
+    vocabulary; per-source totals broadcast (sources are enum-sized)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tx.tokens(F.col("text"))).alias("w")
+    )
+    a_tbl = toks.groupBy("source", "w").agg(F.count("*").alias("a"))
+    g_tbl = toks.groupBy("w").agg(F.count("*").alias("gw"))
+    s_tbl = toks.groupBy("source").agg(F.count("*").alias("ts"))
+    n_tbl = toks.agg(F.count("*").alias("n"))
+    j = (
+        a_tbl.join(g_tbl, "w")
+        .join(F.broadcast(s_tbl), "source")
+        .crossJoin(F.broadcast(n_tbl))
+    )
+    a = F.col("a").cast("double")
+    b = (F.col("gw") - F.col("a")).cast("double")
+    c = (F.col("ts") - F.col("a")).cast("double")
+    d = (F.col("n") - F.col("gw") - F.col("ts") + F.col("a")).cast("double")
+    nd = F.col("n").cast("double")
+    gwd = F.col("gw").cast("double")
+    tsd = F.col("ts").cast("double")
+    diff = a * d - b * c
+    # marginal form of the denominator: a+b = gw etc. exactly (all
+    # counts < 2^53, so the double sums are exact) — fewer IEEE ops to
+    # mirror in the oracle, same bits
+    chi2 = (nd * diff * diff) / (gwd * (nd - gwd) * tsd * (nd - tsd))
+    scored = j.filter(
+        (F.col("a") >= 5)
+        & (
+            F.col("a") * (F.col("n") - F.col("gw") - F.col("ts") + F.col("a"))
+            > (F.col("gw") - F.col("a")) * (F.col("ts") - F.col("a"))
+        )
+    ).select("source", F.col("w").alias("token"), "a", chi2.alias("chi2"))
+    w_rank = Window.partitionBy("source").orderBy(
+        F.col("chi2").desc(), F.col("a").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "source",
+            "rnk",
+            "token",
+            F.col("a").alias("n_in_source"),
+            "chi2",
+        )
+    )
+
+
+def _q_zipf_token_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf head of the corpus vocabulary (batch 11): top-50 tokens by
+    frequency with their rank and the rank×count product (the Zipf
+    constant a tokenizer-budget estimate reads). Global top-50 goes
+    through orderBy+limit (TakeOrderedAndProject — per-partition
+    top-k then a 50-row merge, never a single-partition sort); the
+    row_number window then runs on 50 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tx.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(50)
+    )
+    w_rank = Window.orderBy(F.col("cnt").desc(), F.col("w").asc())
+    return counts.withColumn("rnk", F.row_number().over(w_rank)).select(
+        "rnk",
+        F.col("w").alias("token"),
+        "cnt",
+        (F.col("rnk") * F.col("cnt")).cast("bigint").alias("rank_cnt"),
+    )
+
+
+def _q_bigram_next_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-likelihood next-token table (batch 11): for every head
+    token with ≥ 20 outgoing bigrams, the single most likely successor
+    and its conditional probability — the 1-st order LM a generation
+    sanity-check or a completion-dedup pass uses. Bigrams come from the
+    in-order arrays_zip (no shuffle before the count); the argmax
+    window partitions by head over vocabulary-bounded groups; the
+    probability is one IEEE division of exact BIGINTs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tx.tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("t"), 1, F.size("t") - 1).alias("w1"),
+                F.slice(F.col("t"), 2, F.size("t") - 1).alias("w2"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    pair = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("pair_n"))
+    w_head = Window.partitionBy("w1")
+    w_rank = Window.partitionBy("w1").orderBy(
+        F.col("pair_n").desc(), F.col("w2").asc()
+    )
+    return (
+        pair.withColumn("head_n", F.sum("pair_n").over(w_head))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter((F.col("rn") == 1) & (F.col("head_n") >= 20))
+        .select(
+            "w1",
+            "w2",
+            "pair_n",
+            F.col("head_n").cast("bigint").alias("head_n"),
+            (
+                F.col("pair_n").cast("double")
+                / F.col("head_n").cast("double")
+            ).alias("prob"),
+        )
+    )
+
+
+def _q_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per source (batch 11): distinct token types /
+    total tokens — the quality-scoring companion that separates
+    template-generated sources from natural ones. One exploded token
+    scan, exact BIGINT counts, one IEEE division."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tx.tokens(F.col("text"))).alias("w")
+    )
+    return toks.groupBy("source").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("w").alias("n_types"),
+        (
+            F.countDistinct("w").cast("double")
+            / F.count("*").cast("double")
+        ).alias("ttr"),
+    )
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
     """Apply runtime session tuning (UTC, nanosAsLong, AQE) before each
     query — the driver hands us its own SparkSession."""
@@ -4292,6 +4437,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_location_share": _q_top_location_share,
         "jump_length_histogram": _q_jump_length_histogram,
         "visitation_rank_curve": _q_visitation_rank_curve,
+        # batch 11 (round 5): corpus statistics for curation
+        "chi2_keywords": _q_chi2_keywords,
+        "zipf_token_rank": _q_zipf_token_rank,
+        "bigram_next_token": _q_bigram_next_token,
+        "type_token_ratio": _q_type_token_ratio,
     }
 
 
@@ -7239,5 +7389,105 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
                      AS avg_visits
             FROM rk GROUP BY rnk
+        """,
+        # batch 11 (round 5): corpus statistics for curation
+        "chi2_keywords": f"""
+            WITH toks AS (
+              SELECT source, unnest({_TOKENS_SQL}) AS w FROM documents
+            ),
+            a_tbl AS (
+              SELECT source, w, count(*) AS a
+              FROM toks GROUP BY source, w
+            ),
+            g_tbl AS (SELECT w, count(*) AS gw FROM toks GROUP BY w),
+            s_tbl AS (
+              SELECT source, count(*) AS ts FROM toks GROUP BY source
+            ),
+            n_tbl AS (SELECT count(*) AS n FROM toks),
+            scored AS (
+              SELECT a_tbl.source, a_tbl.w AS token, a,
+                     (CAST(n AS DOUBLE)
+                      * (CAST(a AS DOUBLE)
+                           * CAST(n - gw - ts + a AS DOUBLE)
+                         - CAST(gw - a AS DOUBLE)
+                           * CAST(ts - a AS DOUBLE))
+                      * (CAST(a AS DOUBLE)
+                           * CAST(n - gw - ts + a AS DOUBLE)
+                         - CAST(gw - a AS DOUBLE)
+                           * CAST(ts - a AS DOUBLE)))
+                     / (CAST(gw AS DOUBLE)
+                        * (CAST(n AS DOUBLE) - CAST(gw AS DOUBLE))
+                        * CAST(ts AS DOUBLE)
+                        * (CAST(n AS DOUBLE) - CAST(ts AS DOUBLE)))
+                       AS chi2
+              FROM a_tbl
+              JOIN g_tbl USING (w)
+              JOIN s_tbl USING (source)
+              CROSS JOIN n_tbl
+              WHERE a >= 5
+                AND a * (n - gw - ts + a) > (gw - a) * (ts - a)
+            )
+            SELECT source, CAST(rnk AS INTEGER) AS rnk, token,
+                   a AS n_in_source, chi2
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY source
+                ORDER BY chi2 DESC, a DESC, token ASC) AS rnk
+              FROM scored
+            ) WHERE rnk <= 5
+        """,
+        "zipf_token_rank": f"""
+            WITH counts AS (
+              SELECT w, count(*) AS cnt FROM (
+                SELECT unnest({_TOKENS_SQL}) AS w FROM documents
+              ) GROUP BY w ORDER BY cnt DESC, w ASC LIMIT 50
+            )
+            SELECT rnk, token, cnt,
+                   CAST(rnk * cnt AS BIGINT) AS rank_cnt
+            FROM (
+              SELECT CAST(row_number() OVER (
+                       ORDER BY cnt DESC, w ASC) AS INTEGER) AS rnk,
+                     w AS token, cnt
+              FROM counts
+            )
+        """,
+        "bigram_next_token": f"""
+            WITH toks AS (
+              SELECT {_TOKENS_SQL} AS t FROM documents
+            ),
+            bigrams AS (
+              SELECT t[i] AS w1, t[i + 1] AS w2
+              FROM (
+                SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+                FROM toks WHERE len(t) >= 2
+              )
+            ),
+            pair AS (
+              SELECT w1, w2, count(*) AS pair_n
+              FROM bigrams GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT w1, w2, pair_n,
+                     CAST(sum(pair_n) OVER (PARTITION BY w1)
+                          AS BIGINT) AS head_n,
+                     row_number() OVER (
+                       PARTITION BY w1
+                       ORDER BY pair_n DESC, w2 ASC) AS rn
+              FROM pair
+            )
+            SELECT w1, w2, pair_n, head_n,
+                   CAST(pair_n AS DOUBLE) / CAST(head_n AS DOUBLE)
+                     AS prob
+            FROM ranked WHERE rn = 1 AND head_n >= 20
+        """,
+        "type_token_ratio": f"""
+            WITH toks AS (
+              SELECT source, unnest({_TOKENS_SQL}) AS w FROM documents
+            )
+            SELECT source, count(*) AS n_tokens,
+                   count(DISTINCT w) AS n_types,
+                   CAST(count(DISTINCT w) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS ttr
+            FROM toks GROUP BY source
         """,
     }

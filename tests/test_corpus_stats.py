@@ -1,0 +1,74 @@
+"""Invariant laws for the batch-11 corpus statistics queries."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+import __spark_entry__ as entrymod
+from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions import (
+    text as tx,
+)
+from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+    load_table,
+)
+from conftest import SF_SMALL
+
+
+def _run(spark, name):
+    return entrymod.queries()[name](spark, SF_SMALL)
+
+
+def test_chi2_keywords_shape_and_positivity(spark):
+    rows = _run(spark, "chi2_keywords").collect()
+    by_source = {}
+    for r in rows:
+        # chi2 is finite and positive; support threshold honored
+        assert r.chi2 > 0 and math.isfinite(r.chi2)
+        assert r.n_in_source >= 5
+        by_source.setdefault(r.source, []).append(r)
+    for src, rs in by_source.items():
+        # at most 5 ranked keywords per source, ranks 1..k, chi2
+        # nonincreasing in rank
+        rs = sorted(rs, key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+        chis = [r.chi2 for r in rs]
+        assert chis == sorted(chis, reverse=True)
+
+
+def test_zipf_token_rank_is_the_exact_head(spark):
+    rows = sorted(_run(spark, "zipf_token_rank").collect(), key=lambda r: r.rnk)
+    # counts nonincreasing in rank, rank_cnt consistent
+    cnts = [r.cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    for r in rows:
+        assert r.rank_cnt == r.rnk * r.cnt
+    # total head mass never exceeds the corpus token count
+    docs = load_table(spark, SF_SMALL, "documents")
+    n_tokens = (
+        docs.select(F.size(tx.tokens(F.col("text"))).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert sum(cnts) <= n_tokens
+
+
+def test_bigram_next_token_is_a_conditional_mode(spark):
+    rows = _run(spark, "bigram_next_token").collect()
+    assert rows, "expected at least one frequent head"
+    for r in rows:
+        assert r.head_n >= 20 and 0 < r.pair_n <= r.head_n
+        assert math.isclose(r.prob, r.pair_n / r.head_n)
+    # one successor per head
+    heads = [r.w1 for r in rows]
+    assert len(heads) == len(set(heads))
+
+
+def test_type_token_ratio_bounds(spark):
+    rows = _run(spark, "type_token_ratio").collect()
+    for r in rows:
+        assert 0 < r.n_types <= r.n_tokens
+        assert math.isclose(r.ttr, r.n_types / r.n_tokens)
+        assert 0.0 < r.ttr <= 1.0
