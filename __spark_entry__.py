@@ -4242,6 +4242,217 @@ def _q_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (batch 12): order-priority checking — orders
+    placed in 1996 with at least one LATE lineitem (shipped > 60 days
+    after the order date; the schema has no commit/receipt dates, so
+    lateness is restated against o_orderdate), counted per priority.
+    The EXISTS becomes a semi-join on orderkey; the date filters reach
+    both parquet scans (PushedFilters)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(orders.o_orderdate, 60)),
+        "semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+def _q_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (batch 12): shipping volume between every
+    distinct (supplier-nation, customer-nation) pair for 1996–1997,
+    by ship year. Fact joins shuffle on orderkey/custkey/suppkey;
+    the nation dim broadcasts twice (aliased); revenue is the
+    DECIMAL-exact discounted sum."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    one = F.lit(1).cast("decimal(18,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            # floor form, not round(): ~1200 output groups means some
+            # sums land on .xx5 half-boundaries, where round() diverges
+            # across engines (module docstring rule; 2 rows diverged at
+            # sf0.01 with round)
+            (
+                F.floor(
+                    F.sum(
+                        _dec("l_extendedprice") * (one - _dec("l_discount"))
+                    ).cast("double")
+                    * F.lit(100.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(100.0)
+            ).alias("revenue")
+        )
+    )
+
+
+def _q_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (batch 12): promotion-revenue share per ship
+    month of 1996. Both the promo and total sums are DECIMAL-exact
+    conditional aggregates in ONE pass (no second scan, no join back);
+    the share is a single IEEE division of the two exactly-rounded
+    doubles. Part dim broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    one = F.lit(1).cast("decimal(18,4)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    agg = joined.groupBy(F.month("l_shipdate").alias("ship_month")).agg(
+        F.round(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )
+            ).cast("double"),
+            2,
+        ).alias("promo_revenue"),
+        F.round(F.sum(rev).cast("double"), 2).alias("total_revenue"),
+    )
+    return agg.select(
+        "ship_month",
+        "promo_revenue",
+        "total_revenue",
+        (F.col("promo_revenue") / F.col("total_revenue")).alias(
+            "promo_share"
+        ),
+    )
+
+
+def _q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (batch 12): the supplier(s) with maximum
+    revenue for 1996-Q1. The max-of-aggregate comparison runs on the
+    EXACT decimal sums (never the rounded doubles), so ties and the
+    winner are engine-independent; the 1-row max side broadcasts back
+    against the per-supplier aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    one = F.lit(1).cast("decimal(18,4)")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).alias(
+            "rev_dec"
+        )
+    )
+    mx = per_supp.agg(F.max("rev_dec").alias("max_dec"))
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_dec") == F.col("max_dec"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey"),
+            F.col("s_name"),
+            F.round(F.col("rev_dec").cast("double"), 2).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+def _q_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (batch 12): three-branch disjunctive
+    brand/quantity/size predicate over the part-lineitem join — the
+    OR-of-ANDs pattern that exercises predicate normalization. Part
+    broadcasts; one DECIMAL-exact global sum (zero-key,
+    map-combinable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    b = F.col("p_brand")
+    pred = (
+        ((b == "Brand#1") & (q >= 1) & (q <= 11) & (sz >= 1) & (sz <= 5))
+        | ((b == "Brand#13") & (q >= 10) & (q <= 20) & (sz >= 1) & (sz <= 10))
+        | ((b == "Brand#25") & (q >= 20) & (q <= 30) & (sz >= 1) & (sz <= 15))
+    )
+    one = F.lit(1).cast("decimal(18,4)")
+    return j.filter(pred).agg(
+        F.round(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).cast(
+                "double"
+            ),
+            2,
+        ).alias("revenue"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+def _q_q22_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (batch 12): customers richer than the global
+    mean balance who never ordered, aggregated per nation. The mean
+    comparison is restated exactly — bal·n > Σbal in DECIMAL (the
+    above_nation_avg rule; no float mean anywhere); the anti-join on
+    RECENT orders replaces NOT EXISTS (this testdata gives every
+    customer *some* order, so Q22's literal no-orders-ever set is
+    empty — lapsed-since-2000 keeps the anti-join non-trivial);
+    balance totals are DECIMAL-exact."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("date")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    glob = cust.agg(
+        F.sum(_dec("c_acctbal")).alias("bal_sum"),
+        F.count("*").alias("bal_n"),
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(glob))
+        .filter(
+            _dec("c_acctbal") * F.col("bal_n")
+            > F.col("bal_sum")
+        )
+        .join(orders, cust.c_custkey == orders.o_custkey, "anti")
+    )
+    return (
+        rich.join(
+            F.broadcast(nation), rich.c_nationkey == nation.n_nationkey
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum(_dec("c_acctbal")).cast("double"), 2).alias(
+                "total_acctbal"
+            ),
+        )
+    )
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
     """Apply runtime session tuning (UTC, nanosAsLong, AQE) before each
     query — the driver hands us its own SparkSession."""
@@ -4442,6 +4653,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_token_rank": _q_zipf_token_rank,
         "bigram_next_token": _q_bigram_next_token,
         "type_token_ratio": _q_type_token_ratio,
+        # batch 12 (round 5): TPC-H relational parity widening
+        "q4_order_priority": _q_q4_order_priority,
+        "q7_nation_volume": _q_q7_nation_volume,
+        "q14_promo_share": _q_q14_promo_share,
+        "q15_top_supplier": _q_q15_top_supplier,
+        "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,
+        "q22_idle_rich": _q_q22_idle_rich,
     }
 
 
@@ -7489,5 +7707,113 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT w) AS DOUBLE)
                    / CAST(count(*) AS DOUBLE) AS ttr
             FROM toks GROUP BY source
+        """,
+        # batch 12 (round 5): TPC-H relational parity widening
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1997-01-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND CAST(l_shipdate AS DATE)
+                      > CAST(o_orderdate AS DATE) + 60
+              )
+            GROUP BY o_orderpriority
+        """,
+        "q7_nation_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                   floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4))
+                           - CAST(l_discount AS DECIMAL(18,4))))
+                        AS DOUBLE) * 100.0 + 0.5) / 100.0 AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1998-01-01'
+              AND n1.n_name <> n2.n_name
+            GROUP BY 1, 2, 3
+        """,
+        "q14_promo_share": """
+            WITH agg AS (
+              SELECT month(l_shipdate) AS ship_month,
+                     round(CAST(sum(CASE WHEN p_type = 'PROMO'
+                          THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                               * (CAST(1 AS DECIMAL(18,4))
+                                  - CAST(l_discount AS DECIMAL(18,4)))
+                          ELSE CAST(0 AS DECIMAL(18,4)) END)
+                          AS DOUBLE), 2) AS promo_revenue,
+                     round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (CAST(1 AS DECIMAL(18,4))
+                             - CAST(l_discount AS DECIMAL(18,4))))
+                          AS DOUBLE), 2) AS total_revenue
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              WHERE l_shipdate >= DATE '1996-01-01'
+                AND l_shipdate < DATE '1997-01-01'
+              GROUP BY 1
+            )
+            SELECT CAST(ship_month AS INTEGER) AS ship_month,
+                   promo_revenue, total_revenue,
+                   promo_revenue / total_revenue AS promo_share
+            FROM agg
+        """,
+        "q15_top_supplier": """
+            WITH per_supp AS (
+              SELECT l_suppkey,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * (CAST(1 AS DECIMAL(18,4))
+                            - CAST(l_discount AS DECIMAL(18,4))))
+                       AS rev_dec
+              FROM lineitem
+              WHERE l_shipdate >= DATE '1996-01-01'
+                AND l_shipdate < DATE '1996-04-01'
+              GROUP BY 1
+            )
+            SELECT s_suppkey, s_name,
+                   round(CAST(rev_dec AS DOUBLE), 2) AS total_revenue
+            FROM per_supp
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE rev_dec = (SELECT max(rev_dec) FROM per_supp)
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4))
+                           - CAST(l_discount AS DECIMAL(18,4))))
+                        AS DOUBLE), 2) AS revenue,
+                   count(*) AS n_lineitems
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11
+                   AND p_size BETWEEN 1 AND 5)
+               OR (p_brand = 'Brand#13' AND l_quantity BETWEEN 10 AND 20
+                   AND p_size BETWEEN 1 AND 10)
+               OR (p_brand = 'Brand#25' AND l_quantity BETWEEN 20 AND 30
+                   AND p_size BETWEEN 1 AND 15)
+        """,
+        "q22_idle_rich": """
+            WITH bal_glob AS (
+              SELECT sum(CAST(c_acctbal AS DECIMAL(18,4))) AS bal_sum,
+                     count(*) AS bal_n
+              FROM customer
+            )
+            SELECT n_name, count(*) AS n_customers,
+                   round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4)))
+                        AS DOUBLE), 2) AS total_acctbal
+            FROM customer CROSS JOIN bal_glob
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE CAST(c_acctbal AS DECIMAL(18,4)) * bal_n > bal_sum
+              AND NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderdate >= DATE '2000-01-01'
+              )
+            GROUP BY n_name
         """,
     }

@@ -123,6 +123,24 @@ HEADLINE = [
     "graph_summary_stats",
     "embedding_principal_component",
     "region_hits",
+    # batch-10 additions (round 5): mobility characteristics
+    "radius_of_gyration",
+    "location_diversity",
+    "top_location_share",
+    "jump_length_histogram",
+    "visitation_rank_curve",
+    # batch-11 additions (round 5): corpus statistics
+    "chi2_keywords",
+    "zipf_token_rank",
+    "bigram_next_token",
+    "type_token_ratio",
+    # batch-12 additions (round 5): TPC-H relational parity
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q19_disjunctive_revenue",
+    "q22_idle_rich",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the
