@@ -42,6 +42,42 @@ def grid_xy(region_col: F.Column, width: int = 5) -> tuple[F.Column, F.Column]:
     return F.pmod(z, F.lit(width)).alias("x"), (z / width).cast("bigint").alias("y")
 
 
+def rog_from_moments(mom: DataFrame) -> DataFrame:
+    """(user_id, n, sx, sy, sxx, syy) exact integer moments → rog.
+
+    Shared by the batch operator and the streaming moment table
+    (streaming/incremental.py): because the moments are ADDITIVE
+    BIGINTs, any way of accumulating them — one batch aggregate, many
+    micro-batch merges, replayed epochs — yields the identical rog
+    bits from this one sqrt+division epilogue.
+    """
+    n = F.col("n")
+    num = (
+        n * F.col("sxx")
+        - F.col("sx") * F.col("sx")
+        + n * F.col("syy")
+        - F.col("sy") * F.col("sy")
+    )
+    return mom.select(
+        "user_id",
+        n.alias("n_obs"),
+        (F.sqrt(num.cast("double")) / n.cast("double")).alias("rog"),
+    )
+
+
+def grid_moments(
+    pts: DataFrame, user_col: str = "user_id"
+) -> DataFrame:
+    """(user_id, x, y) points → per-user additive BIGINT moments."""
+    return pts.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+
+
 def radius_of_gyration(
     positions: DataFrame, width: int = 5, user_col: str = "user_id"
 ) -> DataFrame:
@@ -57,25 +93,7 @@ def radius_of_gyration(
     """
     x, y = grid_xy(F.col("region_id"), width)
     pts = positions.select(F.col(user_col).alias("user_id"), x, y)
-    mom = pts.groupBy("user_id").agg(
-        F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-    )
-    n = F.col("n")
-    num = (
-        n * F.col("sxx")
-        - F.col("sx") * F.col("sx")
-        + n * F.col("syy")
-        - F.col("sy") * F.col("sy")
-    )
-    return mom.select(
-        "user_id",
-        n.alias("n_obs"),
-        (F.sqrt(num.cast("double")) / n.cast("double")).alias("rog"),
-    )
+    return rog_from_moments(grid_moments(pts))
 
 
 def location_diversity(

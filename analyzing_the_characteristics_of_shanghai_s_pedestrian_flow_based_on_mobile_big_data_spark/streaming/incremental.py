@@ -324,3 +324,69 @@ def incremental_basket_index_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def incremental_mobility_moments_stream(
+    spark: SparkSession,
+    events_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    n_regions: int = 20,
+    width: int = 5,
+    schema: str = "event_id long, ts timestamp, user_id long, value double",
+):
+    """Stream event files → per-user grid-coordinate moment table
+    (n, Σx, Σy, Σx², Σy² as BIGINTs) via foreachBatch — the streaming
+    half of the batch-10 mobility family.
+
+    The radius of gyration is a pure function of ADDITIVE integer
+    moments (operators/mobility.py:rog_from_moments), so the
+    incrementally merged table yields bit-identical rog to a batch
+    aggregate over the same pings, under any batch boundaries and
+    epoch replays (the generation-chain guarantee). The streaming
+    contract is over RAW pings (each event one observation) — the
+    batch `radius_of_gyration` query additionally collapses to hourly
+    positions first, a keep-latest step that is NOT additive; at
+    100 TB the raw-ping moments are the streaming-native statistic and
+    the hourly collapse stays a batch concern. Derive rog on read;
+    never store it — ratios don't merge."""
+    table = IncrementalCountTable(
+        spark,
+        table_path,
+        ["user_id"],
+        measures=("n", "sx", "sy", "sxx", "syy"),
+    )
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        region = (
+            F.pmod(F.floor(F.col("value")).cast("long"), F.lit(n_regions))
+            + 1
+        )
+        z = (region - 1).cast("bigint")
+        x = F.pmod(z, F.lit(width))
+        y = (z / width).cast("bigint")
+        delta = (
+            batch_df.select(
+                "user_id", x.alias("x"), y.alias("y")
+            )
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("x").alias("sx"),
+                F.sum("y").alias("sy"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                F.sum(F.col("y") * F.col("y")).alias("syy"),
+            )
+        )
+        table.merge_batch(delta, epoch_id)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(events_dir)
+    )
+    return (
+        src.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
