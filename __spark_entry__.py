@@ -4453,6 +4453,68 @@ def _q_q22_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (batch 12): supplier diversity per part
+    attribute class. The part-supplier relation is recovered from the
+    observed distinct (l_partkey, l_suppkey) pairs (this schema ships
+    no partsupp table); the NOT IN (bad suppliers — negative balance
+    stands in for the complaints filter) becomes a broadcast anti-join
+    BEFORE the expensive distinct, and the part dim broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    supp_bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    )
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    good = ps.join(
+        F.broadcast(supp_bad.select("s_suppkey")),
+        ps.l_suppkey == F.col("s_suppkey"),
+        "anti",
+    )
+    return (
+        good.join(F.broadcast(part), good.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def _q_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (batch 12): revenue locked in small-quantity
+    orders of one brand — lineitems whose quantity is below 20% of
+    their part's average. The correlated average is restated EXACTLY:
+    qty < Σq/(5n) ⇔ 5·qty·n < Σq in DECIMAL (no float mean is ever
+    formed, the above-avg rule), so the qualifying row set is
+    engine-independent. Per-part stats aggregate once and join back on
+    partkey; brand filter prunes via the broadcast part dim on BOTH
+    sides."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#13"
+    )
+    branded = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+    ).drop("p_partkey")
+    stats = branded.groupBy(F.col("l_partkey").alias("sk")).agg(
+        F.count("*").alias("n_li"),
+        F.sum(_dec("l_quantity")).alias("sum_q"),
+    )
+    small = branded.join(
+        stats, branded.l_partkey == stats.sk
+    ).filter(
+        _dec("l_quantity") * F.lit(5) * F.col("n_li") < F.col("sum_q")
+    )
+    return small.agg(
+        F.round(F.sum(_dec("l_extendedprice")).cast("double"), 2).alias(
+            "revenue_small_qty"
+        ),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
     """Apply runtime session tuning (UTC, nanosAsLong, AQE) before each
     query — the driver hands us its own SparkSession."""
@@ -4660,6 +4722,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": _q_q15_top_supplier,
         "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,
         "q22_idle_rich": _q_q22_idle_rich,
+        "q16_supplier_cnt": _q_q16_supplier_cnt,
+        "q17_small_qty_revenue": _q_q17_small_qty_revenue,
     }
 
 
@@ -7815,5 +7879,38 @@ def oracle_sql() -> dict[str, str]:
                   AND o_orderdate >= DATE '2000-01-01'
               )
             GROUP BY n_name
+        """,
+        "q16_supplier_cnt": """
+            WITH ps AS (
+              SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            )
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM ps
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+              AND l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+              )
+            GROUP BY 1, 2, 3
+        """,
+        "q17_small_qty_revenue": """
+            WITH branded AS (
+              SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#13'
+            ),
+            stats AS (
+              SELECT l_partkey AS sk, count(*) AS n_li,
+                     sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_q
+              FROM branded GROUP BY 1
+            )
+            SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                        AS DOUBLE), 2) AS revenue_small_qty,
+                   count(*) AS n_lineitems
+            FROM branded JOIN stats ON l_partkey = sk
+            WHERE CAST(l_quantity AS DECIMAL(18,4)) * 5 * n_li < sum_q
         """,
     }

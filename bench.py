@@ -141,6 +141,8 @@ HEADLINE = [
     "q15_top_supplier",
     "q19_disjunctive_revenue",
     "q22_idle_rich",
+    "q16_supplier_cnt",
+    "q17_small_qty_revenue",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

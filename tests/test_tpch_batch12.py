@@ -89,3 +89,28 @@ def test_q22_idle_rich_customers_have_no_recent_orders(spark):
     # non-trivial at sf0.001 (lapsed-since-2000 cut)
     assert rows
     assert all(r.n_customers > 0 and r.total_acctbal > 0 for r in rows)
+
+
+def test_q16_excludes_negative_balance_suppliers(spark):
+    rows = _run(spark, "q16_supplier_cnt").collect()
+    assert rows
+    n_good = (
+        load_table(spark, SF_SMALL, "supplier")
+        .filter(F.col("s_acctbal") >= 0)
+        .count()
+    )
+    for r in rows:
+        assert r.p_brand != "Brand#1"
+        assert 0 < r.supplier_cnt <= n_good
+
+
+def test_q17_small_qty_rows_are_a_strict_subset(spark):
+    row = _run(spark, "q17_small_qty_revenue").collect()[0]
+    li = load_table(spark, SF_SMALL, "lineitem")
+    part = load_table(spark, SF_SMALL, "part").filter(
+        F.col("p_brand") == "Brand#13"
+    )
+    n_branded = li.join(
+        part.select("p_partkey"), li.l_partkey == F.col("p_partkey")
+    ).count()
+    assert 0 <= row.n_lineitems < n_branded
