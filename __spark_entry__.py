@@ -4453,6 +4453,33 @@ def _q_q22_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality over the top-3-sparsified OD region graph
+    (batch 13): all-pairs hop distances from ONE multi-source BFS
+    chain (4 relax rounds keyed by (source, node) — not |V| separate
+    traversals), then H(v) = Σ 1/d as exact integer twelfths
+    (12 = lcm(1..4)) with a single closing division
+    (operators/bfs.py:multi_source_hops/harmonic_centrality). Full
+    unrolled DuckDB twin."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.bfs import (
+        harmonic_centrality,
+        topk_out_edges,
+    )
+
+    pos = ops.hourly_positions(events_as_pings(spark, sf_dir, N_REGIONS))
+    od = ops.od_matrix(ops.gap_fill_edges(pos))
+    tot = od.groupBy("orig", "dest").agg(F.sum("cnt").alias("w"))
+    g = topk_out_edges(
+        tot.select(
+            F.col("orig").alias("src"),
+            F.col("dest").alias("dst"),
+            "w",
+        ),
+        k=3,
+    )
+    return harmonic_centrality(g, max_hops=4)
+
+
 def _q_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape (batch 12): supplier diversity per part
     attribute class. The part-supplier relation is recovered from the
@@ -4724,6 +4751,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_rich": _q_q22_idle_rich,
         "q16_supplier_cnt": _q_q16_supplier_cnt,
         "q17_small_qty_revenue": _q_q17_small_qty_revenue,
+        # batch 13 (round 5): graph breadth
+        "harmonic_centrality": _q_harmonic_centrality,
     }
 
 
@@ -5174,6 +5203,35 @@ def _bfs_oracle() -> str:
         )"""
     )
     return bfs_oracle_sql(graph_cte, source=1, max_hops=6)
+
+
+def _harmonic_oracle() -> str:
+    """Unrolled multi-source-BFS harmonic twin over the same top-3
+    sparsified OD graph as the BFS oracle."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.bfs import (
+        harmonic_oracle_sql,
+    )
+
+    graph_cte = (
+        EDGES_CTE
+        + """,
+        od AS (
+          SELECT pre_region_id AS orig, region_id AS dest,
+                 count(*) AS cnt
+          FROM edges WHERE pre_region_id <> region_id
+          GROUP BY 1, 2
+        ),
+        graph AS (
+          SELECT src, dst FROM (
+            SELECT orig AS src, dest AS dst,
+                   row_number() OVER (
+                     PARTITION BY orig
+                     ORDER BY cnt DESC, dest ASC) AS rn
+            FROM od
+          ) WHERE rn <= 3
+        )"""
+    )
+    return harmonic_oracle_sql(graph_cte, max_hops=4)
 
 
 def _split_leakage_oracle() -> str:
@@ -7913,4 +7971,5 @@ def oracle_sql() -> dict[str, str]:
             FROM branded JOIN stats ON l_partkey = sk
             WHERE CAST(l_quantity AS DECIMAL(18,4)) * 5 * n_li < sum_q
         """,
+        "harmonic_centrality": _harmonic_oracle(),
     }

@@ -119,3 +119,125 @@ def bfs_oracle_sql(graph_cte: str, source: int, max_hops: int = 6) -> str:
         FROM d{max_hops}
         """
     )
+
+
+# Exact integer weights 12/d for hop distances 1..4 (12 = lcm(1..4)):
+# harmonic centrality becomes Σ (12/d) / 12 — a BIGINT numerator and
+# ONE IEEE division, instead of an association-order-dependent sum of
+# 1/d doubles.
+_HARMONIC_MAX_HOPS = 4
+_HARMONIC_WEIGHTS = {1: 12, 2: 6, 3: 4, 4: 3}
+
+
+def multi_source_hops(
+    edges: DataFrame, max_hops: int = _HARMONIC_MAX_HOPS
+) -> DataFrame:
+    """All-pairs hop distances within ``max_hops``: the bfs_hops relax
+    loop keyed by (source, node) — every node is its own 0-hop seed,
+    so ONE fixed chain of |rounds| join+min passes replaces |V|
+    separate traversals. Returns (source, node, hops), self rows
+    included at 0.
+
+    Scale shape: the per-round shuffle is O(|E| · avg frontier), keyed
+    on node ids; state is the (source, node) distance table — the
+    quadratic all-pairs table only materializes to the extent the
+    graph is actually connected within the budget, and the operator is
+    meant for node-bounded graphs (regions, clusters), not raw-entity
+    graphs."""
+    edges = edges.localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .select(F.col("node").cast("int").alias("node"))
+    )
+    dist = nodes.select(
+        F.col("node").alias("source"), "node"
+    ).withColumn("hops", F.lit(0))
+    for _ in range(max_hops):
+        cand = edges.join(
+            dist.withColumnRenamed("node", "src"), "src"
+        ).select(
+            "source",
+            F.col("dst").cast("int").alias("node"),
+            (F.col("hops") + 1).alias("hops"),
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("source", "node")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+    return dist
+
+
+def harmonic_centrality(
+    edges: DataFrame, max_hops: int = _HARMONIC_MAX_HOPS
+) -> DataFrame:
+    """Harmonic centrality H(v) = Σ_{u≠v reached} 1/d(u→v) within the
+    fixed hop budget — the centrality that handles disconnection
+    gracefully (unreached pairs contribute 0, no ∞ bookkeeping).
+    Exact form: integer weights 12/d summed as BIGINT, one final
+    division by 12. Returns (node, n_reached, harmonic)."""
+    if max_hops != _HARMONIC_MAX_HOPS:
+        raise ValueError("exact weights are precomputed for max_hops=4")
+    d = multi_source_hops(edges, max_hops).filter(F.col("hops") > 0)
+    w = F.col("hops")
+    weight = (
+        F.when(w == 1, F.lit(12))
+        .when(w == 2, F.lit(6))
+        .when(w == 3, F.lit(4))
+        .otherwise(F.lit(3))
+        .cast("bigint")
+    )
+    return d.groupBy("node").agg(
+        F.count("*").alias("n_reached"),
+        (F.sum(weight).cast("double") / F.lit(12.0)).alias("harmonic"),
+    )
+
+
+def harmonic_oracle_sql(
+    graph_cte: str, max_hops: int = _HARMONIC_MAX_HOPS
+) -> str:
+    """Unrolled multi-source twin over ``graph(src, dst)`` +the exact
+    integer-weight harmonic aggregation."""
+    assert max_hops == _HARMONIC_MAX_HOPS
+    parts = [
+        graph_cte,
+        """
+        m0 AS MATERIALIZED (
+          SELECT CAST(n AS INTEGER) AS source, CAST(n AS INTEGER) AS node,
+                 0 AS hops
+          FROM (
+            SELECT DISTINCT src AS n FROM graph
+            UNION SELECT dst FROM graph
+          )
+        )""",
+    ]
+    for r in range(1, max_hops + 1):
+        parts.append(
+            f"""
+        m{r} AS MATERIALIZED (
+          SELECT source, node, min(hops) AS hops FROM (
+            SELECT source, node, hops FROM m{r - 1}
+            UNION ALL
+            SELECT d.source, CAST(e.dst AS INTEGER) AS node,
+                   d.hops + 1 AS hops
+            FROM graph e JOIN m{r - 1} d ON e.src = d.node
+          ) GROUP BY source, node
+        )"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+        SELECT CAST(node AS INTEGER) AS node,
+               count(*) AS n_reached,
+               CAST(sum(CASE hops WHEN 1 THEN 12 WHEN 2 THEN 6
+                        WHEN 3 THEN 4 ELSE 3 END) AS DOUBLE) / 12.0
+                 AS harmonic
+        FROM m{max_hops}
+        WHERE hops > 0
+        GROUP BY node
+        """
+    )

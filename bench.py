@@ -143,6 +143,8 @@ HEADLINE = [
     "q22_idle_rich",
     "q16_supplier_cnt",
     "q17_small_qty_revenue",
+    # batch-13 additions (round 5)
+    "harmonic_centrality",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the
