@@ -4542,6 +4542,87 @@ def _q_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ols_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed simple linear regression (batch 14): per event-type
+    OLS of value on hour-of-day via SUFFICIENT STATISTICS — the
+    map-combinable normal-equation moments (n, Σx, Σy, Σxy, Σx², Σy²)
+    accumulate exactly (x is a small int, y goes through
+    DECIMAL(18,4)), so the slope/intercept/r² are pure functions of
+    exact inputs: identical IEEE expression trees on both engines.
+    This is THE scale pattern for regression at 100 TB — one pass, one
+    tiny aggregate row per group, no iterative solver, no driver data."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    x = F.hour("ts").cast("bigint")
+    # y in exact ten-thousandths: decimal(18,4)·10⁴ is an integral
+    # decimal, so the BIGINT cast is exact and EVERY moment below is a
+    # pure BIGINT — no decimal→double cast anywhere (that cast is the
+    # one operation documented to drift 1 ulp across engines at 1e9+)
+    y = (_dec("value") * 10000).cast("bigint")
+    mom = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(y * x).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    syyd = F.col("syy").cast("double")
+    cov_n = nd * sxyd - sxd * syd
+    varx_n = nd * sxxd - sxd * sxd
+    vary_n = nd * syyd - syd * syd
+    slope = (cov_n / varx_n) / F.lit(10000.0)
+    intercept = ((syd - (cov_n / varx_n) * sxd) / nd) / F.lit(10000.0)
+    r2 = (cov_n * cov_n) / (varx_n * vary_n)  # scale cancels exactly
+    return mom.select(
+        "event_type",
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )
+
+
+def _q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-digit profile per event type (batch 14): the Benford
+    data-quality screen for fabricated or truncated numeric columns.
+    Digit extraction is string-free integer math — divide |value|'s
+    integer part down to one digit (values here are ≥ 0.01·scale so a
+    0 integer part maps to the first significant decimal digit via a
+    ×100 pre-scale); shares are one exact division per row of the
+    digit-count over the type total (window sum)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") != 0)
+    )
+    # scale so every |value| has an integer part, then strip down to
+    # the leading digit with a log-free loop: v < 10^k comparisons
+    mag = F.abs(F.col("value")) * 100.0
+    digit = F.floor(mag).cast("bigint")
+    # descending-threshold sweep: each step strips one digit iff the
+    # value still has more than the step's digit budget, so any start
+    # below 10^8 lands on its leading digit after the chain (floor of
+    # a positive double division — identical on both engines; a bare
+    # double→int CAST would truncate on Spark but ROUND on DuckDB)
+    for p in (10000000, 1000000, 100000, 10000, 1000, 100, 10):
+        digit = F.when(
+            digit >= p, F.floor(digit / 10).cast("bigint")
+        ).otherwise(digit)
+    counts = ev.select(
+        "event_type", digit.alias("lead_digit")
+    ).groupBy("event_type", "lead_digit").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type")
+    return counts.withColumn(
+        "share",
+        F.col("cnt").cast("double") / F.sum("cnt").over(w).cast("double"),
+    )
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
     """Apply runtime session tuning (UTC, nanosAsLong, AQE) before each
     query — the driver hands us its own SparkSession."""
@@ -4753,6 +4834,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_qty_revenue": _q_q17_small_qty_revenue,
         # batch 13 (round 5): graph breadth
         "harmonic_centrality": _q_harmonic_centrality,
+        # batch 14 (round 5): sufficient-statistics analytics
+        "ols_value_trend": _q_ols_value_trend,
+        "benford_digits": _q_benford_digits,
     }
 
 
@@ -5175,6 +5259,19 @@ def _kcore_oracle() -> str:
         )"""
     )
     return k_core_oracle_sql(graph_cte, k=4, rounds=6)
+
+
+def _benford_digit_sql() -> str:
+    """The descending-threshold digit-stripping sweep as nested SQL —
+    the exact mirror of _q_benford_digits' loop (explicit floor, never
+    a bare double→int CAST: DuckDB rounds, Spark truncates)."""
+    expr = "d0"
+    for p in (10000000, 1000000, 100000, 10000, 1000, 100, 10):
+        expr = (
+            f"(CASE WHEN {expr} >= {p} THEN "
+            f"CAST(floor(({expr}) / 10) AS BIGINT) ELSE {expr} END)"
+        )
+    return expr
 
 
 def _bfs_oracle() -> str:
@@ -7972,4 +8069,63 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(l_quantity AS DECIMAL(18,4)) * 5 * n_li < sum_q
         """,
         "harmonic_centrality": _harmonic_oracle(),
+        # batch 14 (round 5): sufficient-statistics analytics
+        "ols_value_trend": """
+            WITH mom AS (
+              SELECT event_type, count(*) AS n,
+                     CAST(sum(hour(ts)) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(y * hour(ts)) AS BIGINT) AS sxy,
+                     CAST(sum(hour(ts) * hour(ts)) AS BIGINT) AS sxx,
+                     CAST(sum(y * y) AS BIGINT) AS syy
+              FROM (
+                SELECT event_type, ts,
+                       CAST(CAST(value AS DECIMAL(18,4)) * 10000
+                            AS BIGINT) AS y
+                FROM events WHERE value IS NOT NULL
+              ) GROUP BY 1
+            ),
+            d AS (
+              SELECT event_type, n,
+                     CAST(n AS DOUBLE) AS nd,
+                     CAST(sx AS DOUBLE) AS sxd,
+                     CAST(sy AS DOUBLE) AS syd,
+                     CAST(sxy AS DOUBLE) AS sxyd,
+                     CAST(sxx AS DOUBLE) AS sxxd,
+                     CAST(syy AS DOUBLE) AS syyd
+              FROM mom
+            ),
+            e AS (
+              SELECT event_type, n, nd, sxd, syd,
+                     nd * sxyd - sxd * syd AS cov_n,
+                     nd * sxxd - sxd * sxd AS varx_n,
+                     nd * syyd - syd * syd AS vary_n
+              FROM d
+            )
+            SELECT event_type, n,
+                   (cov_n / varx_n) / 10000.0 AS slope,
+                   ((syd - (cov_n / varx_n) * sxd) / nd) / 10000.0
+                     AS intercept,
+                   (cov_n * cov_n) / (varx_n * vary_n) AS r2
+            FROM e
+        """,
+        "benford_digits": """
+            WITH base AS (
+              SELECT event_type,
+                     CAST(floor(abs(value) * 100.0) AS BIGINT) AS d0
+              FROM events WHERE value IS NOT NULL AND value <> 0
+            ),
+            r AS (
+              SELECT event_type, {} AS lead_digit FROM base
+            ),
+            counts AS (
+              SELECT event_type, lead_digit, count(*) AS cnt
+              FROM r GROUP BY 1, 2
+            )
+            SELECT event_type, lead_digit, cnt,
+                   CAST(cnt AS DOUBLE)
+                   / CAST(sum(cnt) OVER (PARTITION BY event_type)
+                          AS DOUBLE) AS share
+            FROM counts
+        """.format(_benford_digit_sql()),
     }

@@ -145,6 +145,9 @@ HEADLINE = [
     "q17_small_qty_revenue",
     # batch-13 additions (round 5)
     "harmonic_centrality",
+    # batch-14 additions (round 5)
+    "ols_value_trend",
+    "benford_digits",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

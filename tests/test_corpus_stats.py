@@ -72,3 +72,49 @@ def test_type_token_ratio_bounds(spark):
         assert 0 < r.n_types <= r.n_tokens
         assert math.isclose(r.ttr, r.n_types / r.n_tokens)
         assert 0.0 < r.ttr <= 1.0
+
+
+def test_ols_value_trend_matches_numpy(spark):
+    import numpy as np
+
+    rows = _run(spark, "ols_value_trend").collect()
+    assert rows
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.hour("ts").alias("x"), "value")
+        .collect()
+    )
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append((r.x, r.value))
+    for r in rows:
+        assert 0.0 <= r.r2 <= 1.0
+        xs, ys = zip(*by_type[r.event_type])
+        slope, intercept = np.polyfit(np.array(xs, float), np.array(ys, float), 1)
+        # engine value is decimal(18,4)-quantized; polyfit is raw —
+        # agree to ~1e-4 absolute (the quantization scale)
+        assert abs(r.slope - slope) < 1e-3
+        assert abs(r.intercept - intercept) < 1e-2
+        assert r.n == len(xs)
+
+
+def test_benford_digits_shares_partition(spark):
+    import math
+
+    rows = _run(spark, "benford_digits").collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        assert 0 <= r.lead_digit <= 9
+        by_type.setdefault(r.event_type, []).append(r)
+    ev = load_table(spark, SF_SMALL, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") != 0)
+    )
+    totals = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    for t, rs in by_type.items():
+        assert sum(r.cnt for r in rs) == totals[t]
+        assert math.isclose(sum(r.share for r in rs), 1.0, rel_tol=1e-12)
