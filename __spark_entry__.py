@@ -4623,6 +4623,65 @@ def _q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_od_flow_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flow-conservation diagnostic per region (batch 15): total
+    inflow, outflow, net, and the imbalance share |in−out|/(in+out) —
+    the sanity report a mobility matrix is screened with before any
+    model consumes it (a closed population should balance over a long
+    window). Two region-keyed aggregates over the OD matrix joined
+    full-outer on region id (a region can be sink-only or source-
+    only); all counts exact BIGINTs, one IEEE division."""
+    pos = ops.hourly_positions(events_as_pings(spark, sf_dir, N_REGIONS))
+    od = ops.od_matrix(ops.gap_fill_edges(pos))
+    flows = od.filter(F.col("orig") != F.col("dest"))
+    outf = flows.groupBy(F.col("orig").alias("region")).agg(
+        F.sum("cnt").alias("out_cnt")
+    )
+    inf = flows.groupBy(F.col("dest").alias("region")).agg(
+        F.sum("cnt").alias("in_cnt")
+    )
+    j = outf.join(inf, "region", "full_outer").select(
+        F.col("region").cast("int").alias("region"),
+        F.coalesce("in_cnt", F.lit(0)).alias("in_cnt"),
+        F.coalesce("out_cnt", F.lit(0)).alias("out_cnt"),
+    )
+    return j.select(
+        "region",
+        "in_cnt",
+        "out_cnt",
+        (F.col("in_cnt") - F.col("out_cnt")).alias("net"),
+        (
+            F.abs(F.col("in_cnt") - F.col("out_cnt")).cast("double")
+            / (F.col("in_cnt") + F.col("out_cnt")).cast("double")
+        ).alias("imbalance"),
+    )
+
+
+def _q_region_peak_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak occupancy hour per region (batch 15): the argmax the
+    reference's per-hour occupancy plots eyeball, as one max_by
+    aggregate over the occupancy table (ties → earliest hour via the
+    (n_users, −epoch) struct order) — two map-combinable aggregates
+    end to end, no window over the full occupancy surface."""
+    pings = events_as_pings(spark, sf_dir, N_REGIONS)
+    occ = ops.occupancy(pings)  # (region_id, hour, n_users)
+    return occ.groupBy(F.col("region_id").cast("int").alias("region")).agg(
+        F.max_by(
+            F.col("hour"),
+            F.struct(
+                F.col("n_users"),
+                (-F.unix_timestamp("hour")).alias("neg_ts"),
+            ),
+        ).alias("peak_hour"),
+        F.max(
+            F.struct(
+                F.col("n_users"),
+                (-F.unix_timestamp("hour")).alias("neg_ts"),
+            )
+        )["n_users"].alias("peak_users"),
+    )
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
     """Apply runtime session tuning (UTC, nanosAsLong, AQE) before each
     query — the driver hands us its own SparkSession."""
@@ -4837,6 +4896,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 14 (round 5): sufficient-statistics analytics
         "ols_value_trend": _q_ols_value_trend,
         "benford_digits": _q_benford_digits,
+        # batch 15 (round 5): OD diagnostics
+        "od_flow_balance": _q_od_flow_balance,
+        "region_peak_hour": _q_region_peak_hour,
     }
 
 
@@ -8128,4 +8190,49 @@ def oracle_sql() -> dict[str, str]:
                           AS DOUBLE) AS share
             FROM counts
         """.format(_benford_digit_sql()),
+        # batch 15 (round 5): OD diagnostics
+        "od_flow_balance": (
+            "WITH "
+            + EDGES_CTE
+            + """,
+            flows AS (
+              SELECT pre_region_id AS orig, region_id AS dest
+              FROM edges WHERE pre_region_id <> region_id
+            ),
+            outf AS (
+              SELECT orig AS region, count(*) AS out_cnt
+              FROM flows GROUP BY 1
+            ),
+            inf AS (
+              SELECT dest AS region, count(*) AS in_cnt
+              FROM flows GROUP BY 1
+            )
+            SELECT CAST(COALESCE(o.region, i.region) AS INTEGER)
+                     AS region,
+                   CAST(COALESCE(in_cnt, 0) AS BIGINT) AS in_cnt,
+                   CAST(COALESCE(out_cnt, 0) AS BIGINT) AS out_cnt,
+                   CAST(COALESCE(in_cnt, 0) - COALESCE(out_cnt, 0)
+                        AS BIGINT) AS net,
+                   CAST(abs(COALESCE(in_cnt, 0) - COALESCE(out_cnt, 0))
+                        AS DOUBLE)
+                   / CAST(COALESCE(in_cnt, 0) + COALESCE(out_cnt, 0)
+                          AS DOUBLE) AS imbalance
+            FROM outf o FULL OUTER JOIN inf i ON o.region = i.region
+        """
+        ),
+        "region_peak_hour": f"""
+            WITH occ AS (
+              SELECT CAST({REGION_SQL} AS INTEGER) AS region_id,
+                     date_trunc('hour', ts) AS hour,
+                     count(DISTINCT user_id) AS n_users
+              FROM events GROUP BY 1, 2
+            )
+            SELECT CAST(region_id AS INTEGER) AS region,
+                   hour AS peak_hour,
+                   n_users AS peak_users
+            FROM occ
+            QUALIFY row_number() OVER (
+              PARTITION BY region_id
+              ORDER BY n_users DESC, hour ASC) = 1
+        """,
     }

@@ -148,6 +148,9 @@ HEADLINE = [
     # batch-14 additions (round 5)
     "ols_value_trend",
     "benford_digits",
+    # batch-15 additions (round 5)
+    "od_flow_balance",
+    "region_peak_hour",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

@@ -118,3 +118,35 @@ def test_harmonic_centrality_closed_form_path_graph(spark):
         for r in multi_source_hops(edges).collect()
     }
     assert hops[(1, 4)] == 3 and hops[(1, 1)] == 0
+
+
+def test_od_flow_balance_conserves_total_flow(spark):
+    rows = entrymod.queries()["od_flow_balance"](spark, SF_SMALL).collect()
+    assert rows
+    # every inter-region move leaves one region and enters another:
+    # global inflow == global outflow, and imbalance is a valid share
+    assert sum(r.in_cnt for r in rows) == sum(r.out_cnt for r in rows)
+    for r in rows:
+        assert r.net == r.in_cnt - r.out_cnt
+        assert 0.0 <= r.imbalance <= 1.0
+
+
+def test_region_peak_hour_is_the_argmax(spark):
+    import pyspark.sql.functions as F2
+
+    peaks = {
+        r.region: (r.peak_hour, r.peak_users)
+        for r in entrymod.queries()["region_peak_hour"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    occ = entrymod.queries()["occupancy_by_region_hour"](spark, SF_SMALL)
+    mx = {
+        r.region_id: r.m
+        for r in occ.groupBy("region_id")
+        .agg(F2.max("n_users").alias("m"))
+        .collect()
+    }
+    assert set(peaks) == set(mx)
+    for region, (hour, users) in peaks.items():
+        assert users == mx[region]
