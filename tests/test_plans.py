@@ -205,3 +205,58 @@ def test_runtime_bloom_filter_join_available(spark):
             prev_thresh,
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+
+
+def test_tpch_batch12_dims_broadcast(spark):
+    """Q7 must broadcast the (twice-aliased) nation dim; Q14/Q19 the
+    part dim; Q15's max side and Q22's global mean are 1-row
+    broadcasts — none of these may fall back to a shuffle join of a
+    dimension against the fact."""
+    for name in (
+        "q7_nation_volume",
+        "q14_promo_share",
+        "q19_disjunctive_revenue",
+        "q15_top_supplier",
+        "q22_idle_rich",
+    ):
+        assert_broadcast_join(entrymod.queries()[name](spark, SF_SMALL))
+
+
+def test_tpch_q4_date_filter_pushdown(spark):
+    plan = physical_plan(entrymod._q_q4_order_priority(spark, SF_SMALL))
+    assert "PushedFilters" in plan
+    assert "o_orderdate" in plan  # the 1996 bracket reaches the scan
+
+
+def test_mobility_family_is_python_free(spark):
+    for name in (
+        "radius_of_gyration",
+        "location_diversity",
+        "top_location_share",
+        "jump_length_histogram",
+        "visitation_rank_curve",
+        "od_flow_balance",
+        "region_peak_hour",
+    ):
+        assert_no_python_udf(entrymod.queries()[name](spark, SF_SMALL))
+
+
+def test_region_peak_hour_has_no_window(spark):
+    """The argmax must stay a max_by aggregate — a window over the
+    (region × hour) occupancy surface would sort 8760·|regions| rows
+    per year at scale for a 1-row-per-region answer."""
+    plan = physical_plan(entrymod._q_region_peak_hour(spark, SF_SMALL))
+    assert "Window" not in plan
+    assert "max_by" in plan
+
+
+def test_ols_moments_partially_aggregate(spark):
+    """The OLS plan must carry partial_ aggregates (map-side combine):
+    the six sufficient statistics are what crosses the wire, not rows."""
+    plan = physical_plan(entrymod._q_ols_value_trend(spark, SF_SMALL))
+    assert "partial_sum" in plan or "partial" in plan
+    assert_no_python_udf(entrymod._q_ols_value_trend(spark, SF_SMALL))
+
+
+def test_chi2_keywords_broadcasts_marginals(spark):
+    assert_broadcast_join(entrymod._q_chi2_keywords(spark, SF_SMALL))
