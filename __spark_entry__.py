@@ -4346,9 +4346,13 @@ def _q_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ship_month",
         "promo_revenue",
         "total_revenue",
-        (F.col("promo_revenue") / F.col("total_revenue")).alias(
-            "promo_share"
-        ),
+        # NULL share on a zero-revenue month on BOTH engines (Spark's
+        # raw x/0.0 is IEEE Inf/NaN, DuckDB's is NULL — never let the
+        # two disagree on a degenerate group)
+        F.when(
+            F.col("total_revenue") > 0,
+            F.col("promo_revenue") / F.col("total_revenue"),
+        ).alias("promo_share"),
     )
 
 
@@ -4580,7 +4584,15 @@ def _q_ols_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = (cov_n / varx_n) / F.lit(10000.0)
     intercept = ((syd - (cov_n / varx_n) * sxd) / nd) / F.lit(10000.0)
     r2 = (cov_n * cov_n) / (varx_n * vary_n)  # scale cancels exactly
-    return mom.select(
+    # degenerate-group guard IN EXACT BIGINT, mirrored in the oracle:
+    # zero x- or y-variance would divide by 0.0, where the engines
+    # disagree (Spark → NaN/Inf per IEEE, DuckDB → NULL) — the
+    # collocations-guard lesson: current testdata never trips it, but
+    # the contract must not depend on that
+    nonsing = (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0
+    ) & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+    return mom.filter(nonsing).select(
         "event_type",
         "n",
         slope.alias("slope"),
@@ -4603,16 +4615,18 @@ def _q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale so every |value| has an integer part, then strip down to
     # the leading digit with a log-free loop: v < 10^k comparisons
     mag = F.abs(F.col("value")) * 100.0
-    digit = F.floor(mag).cast("bigint")
-    # descending-threshold sweep: each step strips one digit iff the
-    # value still has more than the step's digit budget, so any start
-    # below 10^8 lands on its leading digit after the chain (floor of
-    # a positive double division — identical on both engines; a bare
-    # double→int CAST would truncate on Spark but ROUND on DuckDB)
-    for p in (10000000, 1000000, 100000, 10000, 1000, 100, 10):
-        digit = F.when(
-            digit >= p, F.floor(digit / 10).cast("bigint")
-        ).otherwise(digit)
+    d0 = F.floor(mag).cast("bigint")
+    # FLAT divisor lookup, never a nested digit-stripping chain: each
+    # nested when/CASE re-inlines its inner expression 3×, so a
+    # 7-level nest is a 3⁷-node tree (measured: a 142 KB plan and
+    # ~2 s/run at sf0.1; this form is ~60 B and scan-bound). The
+    # divisor is the largest power of ten ≤ d0; one floored double
+    # division lands on the leading digit (floor, never a bare
+    # double→int CAST: DuckDB rounds, Spark truncates).
+    divisor = F.lit(1).cast("bigint")
+    for p in (10, 100, 1000, 10000, 100000, 1000000, 10000000):
+        divisor = F.when(d0 >= p, F.lit(p).cast("bigint")).otherwise(divisor)
+    digit = F.floor(d0 / divisor).cast("bigint")
     counts = ev.select(
         "event_type", digit.alias("lead_digit")
     ).groupBy("event_type", "lead_digit").agg(F.count("*").alias("cnt"))
@@ -5324,16 +5338,17 @@ def _kcore_oracle() -> str:
 
 
 def _benford_digit_sql() -> str:
-    """The descending-threshold digit-stripping sweep as nested SQL —
-    the exact mirror of _q_benford_digits' loop (explicit floor, never
-    a bare double→int CAST: DuckDB rounds, Spark truncates)."""
-    expr = "d0"
-    for p in (10000000, 1000000, 100000, 10000, 1000, 100, 10):
-        expr = (
-            f"(CASE WHEN {expr} >= {p} THEN "
-            f"CAST(floor(({expr}) / 10) AS BIGINT) ELSE {expr} END)"
-        )
-    return expr
+    """Flat divisor-lookup CASE — the exact mirror of
+    _q_benford_digits' when-chain (largest power of ten ≤ d0 wins;
+    explicit floor, never a bare double→int CAST: DuckDB rounds,
+    Spark truncates)."""
+    branches = " ".join(
+        f"WHEN d0 >= {p} THEN {p}"
+        for p in (10000000, 1000000, 100000, 10000, 1000, 100, 10)
+    )
+    return (
+        f"CAST(floor(d0 / (CASE {branches} ELSE 1 END)) AS BIGINT)"
+    )
 
 
 def _bfs_oracle() -> str:
@@ -8042,7 +8057,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(ship_month AS INTEGER) AS ship_month,
                    promo_revenue, total_revenue,
-                   promo_revenue / total_revenue AS promo_share
+                   CASE WHEN total_revenue > 0
+                        THEN promo_revenue / total_revenue
+                        ELSE NULL END AS promo_share
             FROM agg
         """,
         "q15_top_supplier": """
@@ -8156,6 +8173,8 @@ def oracle_sql() -> dict[str, str]:
                      CAST(sxx AS DOUBLE) AS sxxd,
                      CAST(syy AS DOUBLE) AS syyd
               FROM mom
+              WHERE n * sxx - sx * sx > 0
+                AND n * syy - sy * sy > 0
             ),
             e AS (
               SELECT event_type, n, nd, sxd, syd,
