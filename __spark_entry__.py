@@ -4696,6 +4696,100 @@ def _q_region_peak_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+
+
+def _cms_bucket(d: F.Column, key: F.Column) -> F.Column:
+    """Row d of the Count-Min sketch: md5('cms'‖d‖':'‖key) → first 8
+    hex digits → 32-bit int → mod width. md5, not an engine hash —
+    the whole sketch is reproducible bit-for-bit in ANY engine."""
+    hx = F.md5(
+        F.concat(
+            F.lit("cms"),
+            d.cast("string"),
+            F.lit(":"),
+            key.cast("string"),
+        )
+    )
+    return F.pmod(
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("long"),
+        F.lit(_CMS_WIDTH),
+    )
+
+
+def _q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters (batch 16): the bounded-memory
+    frequency sketch, built EXACTLY — counters are a (depth, bucket)
+    groupBy (4×1024 cells, map-side combinable: the sketch build
+    shuffles ≤ depth·width rows no matter the event count), estimates
+    are min-over-rows via a broadcast probe of the exact top-20 keys.
+    Reports estimate next to truth so the oracle pins BOTH the sketch
+    arithmetic and the CMS ≥ exact overestimate guarantee. All md5 —
+    no engine-specific hashing anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    depths = F.array(*[F.lit(i) for i in range(_CMS_DEPTH)])
+    hashed = ev.select(
+        F.explode(depths).alias("d"), F.col("user_id")
+    ).select("d", _cms_bucket(F.col("d"), F.col("user_id")).alias("bucket"))
+    counters = hashed.groupBy("d", "bucket").agg(F.count("*").alias("c"))
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+    probe = exact.select(
+        "user_id", "exact_cnt", F.explode(depths).alias("d")
+    ).select(
+        "user_id",
+        "exact_cnt",
+        "d",
+        _cms_bucket(F.col("d"), F.col("user_id")).alias("bucket"),
+    )
+    return (
+        counters.join(F.broadcast(probe), ["d", "bucket"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+
+
+def _q_occupancy_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each region's hourly occupancy series
+    (batch 16): the persistence diagnostic of the flow (rush-hour
+    structure vs noise), over the ZERO-FILLED dense series so every
+    consecutive-hour pair exists. Occupancy counts are integers, so
+    all Pearson moments are exact BIGINTs (the OLS/assortativity
+    pattern); the only floats are two sqrt and one division, with the
+    zero-variance guard in exact integer arithmetic on both engines."""
+    dense = _q_dense_hourly_occupancy(spark, sf_dir)
+    w = Window.partitionBy("region_id").orderBy("hour")
+    pairs = (
+        dense.withColumn("prev", F.lag("n_users").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("region_id", F.col("prev").alias("x"), F.col("n_users").alias("y"))
+    )
+    mom = pairs.groupBy("region_id").agg(
+        F.count("*").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cov = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx = (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary = (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    nonsing = (
+        F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx") > 0
+    ) & (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+    return mom.filter(nonsing).select(
+        "region_id",
+        F.col("m").alias("n_pairs"),
+        (cov / (F.sqrt(varx) * F.sqrt(vary))).alias("r1"),
+    )
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
     """Apply runtime session tuning (UTC, nanosAsLong, AQE) before each
     query — the driver hands us its own SparkSession."""
@@ -4913,6 +5007,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 15 (round 5): OD diagnostics
         "od_flow_balance": _q_od_flow_balance,
         "region_peak_hour": _q_region_peak_hour,
+        # batch 16 (round 5): sketches + time series
+        "countmin_heavy_hitters": _q_countmin_heavy_hitters,
+        "occupancy_autocorrelation": _q_occupancy_autocorrelation,
     }
 
 
@@ -8253,5 +8350,98 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
               PARTITION BY region_id
               ORDER BY n_users DESC, hour ASC) = 1
+        """,
+        # batch 16 (round 5): sketches + time series
+        "countmin_heavy_hitters": f"""
+            WITH ex AS (
+              SELECT user_id, unnest([0, 1, 2, 3]) AS d FROM events
+            ),
+            hashed AS (
+              SELECT d, ({_HEX8_SQL}) % {_CMS_WIDTH} AS bucket FROM (
+                SELECT d, md5('cms' || CAST(d AS VARCHAR) || ':'
+                              || CAST(user_id AS VARCHAR)) AS hx
+                FROM ex
+              )
+            ),
+            counters AS (
+              SELECT d, bucket, count(*) AS c
+              FROM hashed GROUP BY 1, 2
+            ),
+            top AS (
+              SELECT user_id, count(*) AS exact_cnt
+              FROM events GROUP BY 1
+              ORDER BY exact_cnt DESC, user_id ASC LIMIT 20
+            ),
+            probe AS (
+              SELECT user_id, exact_cnt, d,
+                     ({_HEX8_SQL}) % {_CMS_WIDTH} AS bucket
+              FROM (
+                SELECT user_id, exact_cnt, d,
+                       md5('cms' || CAST(d AS VARCHAR) || ':'
+                           || CAST(user_id AS VARCHAR)) AS hx
+                FROM (
+                  SELECT user_id, exact_cnt, unnest([0, 1, 2, 3]) AS d
+                  FROM top
+                )
+              )
+            )
+            SELECT p.user_id, p.exact_cnt,
+                   CAST(min(c.c) AS BIGINT) AS cms_estimate
+            FROM probe p
+            JOIN counters c ON c.d = p.d AND c.bucket = p.bucket
+            GROUP BY 1, 2
+        """,
+        "occupancy_autocorrelation": f"""
+            WITH occ AS (
+              SELECT CAST({REGION_SQL} AS INTEGER) AS region_id,
+                     date_trunc('hour', ts) AS hour,
+                     count(DISTINCT user_id) AS n_users
+              FROM events GROUP BY 1, 2
+            ),
+            span AS (
+              SELECT min(date_trunc('hour', ts)) AS h0,
+                     max(date_trunc('hour', ts)) AS h1
+              FROM events
+            ),
+            hours AS (
+              SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                       AS hour
+              FROM span
+            ),
+            regions AS (
+              SELECT CAST(unnest(generate_series(1, {N_REGIONS}))
+                          AS INTEGER) AS region_id
+            ),
+            dense AS (
+              SELECT r.region_id, h.hour,
+                     CAST(coalesce(o.n_users, 0) AS BIGINT) AS n_users
+              FROM hours h
+              CROSS JOIN regions r
+              LEFT JOIN occ o ON o.region_id = r.region_id
+                             AND o.hour = h.hour
+            ),
+            pairs AS (
+              SELECT region_id, lag(n_users) OVER w AS x,
+                     n_users AS y
+              FROM dense WINDOW w AS (
+                PARTITION BY region_id ORDER BY hour)
+              QUALIFY lag(n_users) OVER w IS NOT NULL
+            ),
+            mom AS (
+              SELECT region_id, count(*) AS m,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(y * y) AS BIGINT) AS syy
+              FROM pairs GROUP BY 1
+            )
+            SELECT region_id, m AS n_pairs,
+                   CAST(m * sxy - sx * sy AS DOUBLE)
+                   / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(m * syy - sy * sy AS DOUBLE))) AS r1
+            FROM mom
+            WHERE m * sxx - sx * sx > 0
+              AND m * syy - sy * sy > 0
         """,
     }

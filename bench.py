@@ -151,6 +151,9 @@ HEADLINE = [
     # batch-15 additions (round 5)
     "od_flow_balance",
     "region_peak_hour",
+    # batch-16 additions (round 5)
+    "countmin_heavy_hitters",
+    "occupancy_autocorrelation",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

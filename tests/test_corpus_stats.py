@@ -118,3 +118,20 @@ def test_benford_digits_shares_partition(spark):
     for t, rs in by_type.items():
         assert sum(r.cnt for r in rs) == totals[t]
         assert math.isclose(sum(r.share for r in rs), 1.0, rel_tol=1e-12)
+
+
+def test_countmin_never_underestimates(spark):
+    rows = _run(spark, "countmin_heavy_hitters").collect()
+    # exact top-20 probe set (sf0.001 has only 15 users in total)
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        # the CMS guarantee: estimate >= truth, always
+        assert r.cms_estimate >= r.exact_cnt > 0
+
+
+def test_occupancy_autocorrelation_is_a_correlation(spark):
+    rows = _run(spark, "occupancy_autocorrelation").collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r.r1 <= 1.0
+        assert r.n_pairs > 0
