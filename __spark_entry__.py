@@ -4790,6 +4790,91 @@ def _q_occupancy_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_BITS = 4096
+_BLOOM_K = 3
+
+
+def _bloom_bit(i: F.Column, key: F.Column) -> F.Column:
+    hx = F.md5(
+        F.concat(
+            F.lit("bloom"),
+            i.cast("string"),
+            F.lit(":"),
+            key.cast("string"),
+        )
+    )
+    return F.pmod(
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("long"),
+        F.lit(_BLOOM_BITS),
+    )
+
+
+def _q_bloom_membership_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership report (batch 16): build a 4096-bit /
+    3-hash Bloom filter over purchasing users (the set-bit positions
+    ARE the filter — a distinct (bit) table ≤ m rows, broadcastable
+    anywhere), probe every user, and report the measured
+    false-positive rate next to the zero-false-negative guarantee.
+    Completes the sketch family (HLL occupancy, KLL percentiles,
+    Count-Min counts, Bloom membership); md5 throughout, so the
+    filter and the report reproduce bit-for-bit in any engine. One
+    row out; the only division is fp / non-members."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    members = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    hashes = F.array(*[F.lit(i) for i in range(_BLOOM_K)])
+    bits = (
+        members.select(F.explode(hashes).alias("i"), "user_id")
+        .select(_bloom_bit(F.col("i"), F.col("user_id")).alias("bit"))
+        .distinct()
+    )
+    probe = users.select(
+        "user_id", F.explode(hashes).alias("i")
+    ).select("user_id", _bloom_bit(F.col("i"), F.col("user_id")).alias("bit"))
+    hits = (
+        probe.join(F.broadcast(bits), "bit", "semi")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("nhit"))
+    )
+    flagged = users.join(
+        hits.filter(F.col("nhit") == _BLOOM_K), "user_id", "left"
+    ).select(
+        "user_id", F.col("nhit").isNotNull().alias("bloom_pos")
+    )
+    labeled = flagged.join(
+        members.withColumn("is_member", F.lit(True)), "user_id", "left"
+    ).select(
+        "user_id",
+        "bloom_pos",
+        F.coalesce("is_member", F.lit(False)).alias("is_member"),
+    )
+    return labeled.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0)).alias("n_members"),
+        F.sum(
+            F.when(F.col("bloom_pos") & ~F.col("is_member"), 1).otherwise(0)
+        ).alias("n_false_positives"),
+        F.sum(
+            F.when(F.col("is_member") & ~F.col("bloom_pos"), 1).otherwise(0)
+        ).alias("n_false_negatives"),
+        (
+            F.sum(
+                F.when(
+                    F.col("bloom_pos") & ~F.col("is_member"), 1
+                ).otherwise(0)
+            ).cast("double")
+            / F.greatest(
+                F.sum(F.when(~F.col("is_member"), 1).otherwise(0)),
+                F.lit(1),
+            ).cast("double")
+        ).alias("fp_rate"),
+    )
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
     """Apply runtime session tuning (UTC, nanosAsLong, AQE) before each
     query — the driver hands us its own SparkSession."""
@@ -5010,6 +5095,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 16 (round 5): sketches + time series
         "countmin_heavy_hitters": _q_countmin_heavy_hitters,
         "occupancy_autocorrelation": _q_occupancy_autocorrelation,
+        "bloom_membership_report": _q_bloom_membership_report,
     }
 
 
@@ -8443,5 +8529,64 @@ def oracle_sql() -> dict[str, str]:
             FROM mom
             WHERE m * sxx - sx * sx > 0
               AND m * syy - sy * sy > 0
+        """,
+        "bloom_membership_report": f"""
+            WITH users AS (
+              SELECT DISTINCT user_id FROM events
+            ),
+            members AS (
+              SELECT DISTINCT user_id FROM events
+              WHERE event_type = 'purchase'
+            ),
+            bits AS (
+              SELECT DISTINCT ({_HEX8_SQL}) % {_BLOOM_BITS} AS bit
+              FROM (
+                SELECT md5('bloom' || CAST(i AS VARCHAR) || ':'
+                           || CAST(user_id AS VARCHAR)) AS hx
+                FROM (
+                  SELECT user_id, unnest([0, 1, 2]) AS i FROM members
+                )
+              )
+            ),
+            probe AS (
+              SELECT user_id, ({_HEX8_SQL}) % {_BLOOM_BITS} AS bit
+              FROM (
+                SELECT user_id,
+                       md5('bloom' || CAST(i AS VARCHAR) || ':'
+                           || CAST(user_id AS VARCHAR)) AS hx
+                FROM (
+                  SELECT user_id, unnest([0, 1, 2]) AS i FROM users
+                )
+              )
+            ),
+            hits AS (
+              SELECT user_id, count(*) AS nhit
+              FROM probe
+              WHERE bit IN (SELECT bit FROM bits)
+              GROUP BY 1
+            ),
+            labeled AS (
+              SELECT u.user_id,
+                     coalesce(h.nhit, 0) = {_BLOOM_K} AS bloom_pos,
+                     u.user_id IN (SELECT user_id FROM members)
+                       AS is_member
+              FROM users u
+              LEFT JOIN hits h ON h.user_id = u.user_id
+            )
+            SELECT count(*) AS n_users,
+                   CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_members,
+                   CAST(sum(CASE WHEN bloom_pos AND NOT is_member
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_false_positives,
+                   CAST(sum(CASE WHEN is_member AND NOT bloom_pos
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_false_negatives,
+                   CAST(sum(CASE WHEN bloom_pos AND NOT is_member
+                            THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(greatest(sum(CASE WHEN NOT is_member
+                                       THEN 1 ELSE 0 END), 1)
+                          AS DOUBLE) AS fp_rate
+            FROM labeled
         """,
     }

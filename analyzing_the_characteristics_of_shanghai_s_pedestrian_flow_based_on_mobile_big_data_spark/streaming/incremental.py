@@ -390,3 +390,66 @@ def incremental_mobility_moments_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def incremental_cms_stream(
+    spark: SparkSession,
+    events_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    depth: int = 4,
+    width: int = 1024,
+    schema: str = "event_id long, ts timestamp, user_id long, value double",
+):
+    """Stream event files → incrementally-maintained Count-Min sketch
+    via foreachBatch — the streaming half of the batch-16 sketch
+    family. CMS counters are ADDITIVE by construction (that is the
+    sketch's merge property), so the per-batch (depth, bucket) partial
+    counts merged through the generation chain equal the batch-built
+    sketch under any batch boundaries and epoch replays. Hashing is
+    md5 (the batch query's exact _cms_bucket recipe), so the
+    maintained sketch is bit-identical to the batch sketch — parity is
+    pytest-pinned. Estimation stays a read-time min-over-rows probe."""
+    table = IncrementalCountTable(
+        spark, table_path, ["d", "bucket"], measures=("c",)
+    )
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        depths = F.array(*[F.lit(i) for i in range(depth)])
+        hashed = batch_df.select(
+            F.explode(depths).alias("d"), F.col("user_id")
+        ).select(
+            "d",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("cms"),
+                                F.col("d").cast("string"),
+                                F.lit(":"),
+                                F.col("user_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(width),
+            ).alias("bucket"),
+        )
+        delta = hashed.groupBy("d", "bucket").agg(F.count("*").alias("c"))
+        table.merge_batch(delta, epoch_id)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(events_dir)
+    )
+    return (
+        src.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -154,6 +154,7 @@ HEADLINE = [
     # batch-16 additions (round 5)
     "countmin_heavy_hitters",
     "occupancy_autocorrelation",
+    "bloom_membership_report",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

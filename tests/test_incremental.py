@@ -381,3 +381,65 @@ def test_incremental_mobility_moments_parity_with_batch(spark, tmp_path):
         assert table_rog(str(tmp_path / "table")) == batch_rog(b1 + b2 + b3)
     finally:
         q.stop()
+
+
+def test_incremental_cms_parity_with_batch_sketch(spark, tmp_path):
+    """Batch-16 streaming twin: the foreachBatch-maintained CMS
+    counter table must be CELL-IDENTICAL to the batch-built sketch
+    over the same events (additivity is the sketch's merge property),
+    under a 2-file split and after a late third file."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        IncrementalCountTable,
+        incremental_cms_stream,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    b1 = [(i, ts("2024-01-01 10:00:00"), i % 5, 1.0) for i in range(1, 12)]
+    b2 = [(i, ts("2024-01-01 11:00:00"), i % 7, 2.0) for i in range(12, 25)]
+    b3 = [(i, ts("2024-01-01 12:00:00"), 3, 3.0) for i in range(25, 30)]
+
+    def batch_sketch(rows):
+        ev = spark.createDataFrame(rows, schema)
+        depths = F.array(*[F.lit(i) for i in range(4)])
+        hashed = ev.select(
+            F.explode(depths).alias("d"), "user_id"
+        ).select(
+            "d",
+            entrymod._cms_bucket(F.col("d"), F.col("user_id")).alias(
+                "bucket"
+            ),
+        )
+        return {
+            (r.d, r.bucket): r.c
+            for r in hashed.groupBy("d", "bucket")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        }
+
+    def table_sketch(table_path):
+        idx = IncrementalCountTable(
+            spark, table_path, ["d", "bucket"], measures=("c",)
+        ).read()
+        return {(r.d, r.bucket): r.c for r in idx.collect()}
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+    q = incremental_cms_stream(
+        spark, src, str(tmp_path / "table"), str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        assert table_sketch(str(tmp_path / "table")) == batch_sketch(b1 + b2)
+        spark.createDataFrame(b3, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        got = table_sketch(str(tmp_path / "table"))
+        want = batch_sketch(b1 + b2 + b3)
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()
