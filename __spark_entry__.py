@@ -4875,6 +4875,88 @@ def _q_bloom_membership_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gravity_model_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gravity-model fit (batch 17): is inter-region flow
+    proportional to the product of endpoint masses? OLS of
+    flow(i→j) on n_i·n_j over all region pairs with observed flow —
+    the mobility-literature screen, in the batch-14 sufficient-
+    statistics shape: every moment is an exact BIGINT (flows and
+    visit counts are integers; Σx² stays under 2⁶³ through ~sf10 —
+    documented bound), one mirrored double epilogue. One row out."""
+    pos = ops.hourly_positions(events_as_pings(spark, sf_dir, N_REGIONS))
+    od = ops.od_matrix(ops.gap_fill_edges(pos))
+    mass = pos.groupBy(F.col("region_id").alias("r")).agg(
+        F.count("*").alias("m")
+    )
+    flow = (
+        od.filter(
+            (F.col("orig") != F.col("dest"))
+            & (F.col("orig") > 0)
+            & (F.col("dest") > 0)
+        )
+        .groupBy("orig", "dest")
+        .agg(F.sum("cnt").alias("y"))
+    )
+    mi = mass.select(F.col("r").alias("orig"), F.col("m").alias("m_o"))
+    mj = mass.select(F.col("r").alias("dest"), F.col("m").alias("m_d"))
+    pts = (
+        flow.join(F.broadcast(mi), "orig")
+        .join(F.broadcast(mj), "dest")
+        .select((F.col("m_o") * F.col("m_d")).alias("x"), "y")
+    )
+    mom = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    cov_n = nd * F.col("sxy").cast("double") - sxd * syd
+    varx_n = nd * F.col("sxx").cast("double") - sxd * sxd
+    vary_n = nd * F.col("syy").cast("double") - syd * syd
+    nonsing = (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0
+    ) & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+    return mom.filter(nonsing).select(
+        F.col("n").alias("n_pairs"),
+        (cov_n / varx_n).alias("slope"),
+        ((syd - (cov_n / varx_n) * sxd) / nd).alias("intercept"),
+        ((cov_n * cov_n) / (varx_n * vary_n)).alias("r2"),
+    )
+
+
+def _q_weekly_region_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week visit growth per region (batch 17): weekly
+    position counts, lag to the previous OBSERVED week (gaps skip, by
+    contract), growth = (cur − prev)/prev — prev ≥ 1 whenever the lag
+    row exists, so the division can never hit zero. The lag window
+    partitions per region over weeks-observed (bounded)."""
+    pos = ops.hourly_positions(events_as_pings(spark, sf_dir, N_REGIONS))
+    weekly = pos.groupBy(
+        F.col("region_id").cast("int").alias("region"),
+        F.date_trunc("week", F.col("hour")).alias("week"),
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("region").orderBy("week")
+    return (
+        weekly.withColumn("prev_cnt", F.lag("cnt").over(w))
+        .filter(F.col("prev_cnt").isNotNull())
+        .select(
+            "region",
+            "week",
+            "cnt",
+            "prev_cnt",
+            (
+                (F.col("cnt") - F.col("prev_cnt")).cast("double")
+                / F.col("prev_cnt").cast("double")
+            ).alias("growth"),
+        )
+    )
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
     """Apply runtime session tuning (UTC, nanosAsLong, AQE) before each
     query — the driver hands us its own SparkSession."""
@@ -5096,6 +5178,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countmin_heavy_hitters": _q_countmin_heavy_hitters,
         "occupancy_autocorrelation": _q_occupancy_autocorrelation,
         "bloom_membership_report": _q_bloom_membership_report,
+        # batch 17 (round 5): mobility modelling + trends
+        "gravity_model_fit": _q_gravity_model_fit,
+        "weekly_region_growth": _q_weekly_region_growth,
     }
 
 
@@ -8588,5 +8673,84 @@ def oracle_sql() -> dict[str, str]:
                                        THEN 1 ELSE 0 END), 1)
                           AS DOUBLE) AS fp_rate
             FROM labeled
+        """,
+        # batch 17 (round 5): mobility modelling + trends
+        "gravity_model_fit": (
+            "WITH "
+            + EDGES_CTE
+            + """,
+            mass AS (
+              SELECT region_id AS r, count(*) AS m FROM pos GROUP BY 1
+            ),
+            flow AS (
+              SELECT pre_region_id AS orig, region_id AS dest,
+                     count(*) AS y
+              FROM edges
+              WHERE pre_region_id <> region_id
+                AND pre_region_id > 0 AND region_id > 0
+              GROUP BY 1, 2
+            ),
+            pts AS (
+              SELECT CAST(mi.m * mj.m AS BIGINT) AS x,
+                     CAST(y AS BIGINT) AS y
+              FROM flow
+              JOIN mass mi ON mi.r = orig
+              JOIN mass mj ON mj.r = dest
+            ),
+            mom AS (
+              SELECT count(*) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(y * y) AS BIGINT) AS syy
+              FROM pts
+            ),
+            e AS (
+              SELECT n,
+                     CAST(n AS DOUBLE) AS nd,
+                     CAST(sx AS DOUBLE) AS sxd,
+                     CAST(sy AS DOUBLE) AS syd,
+                     CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                       AS cov_n,
+                     CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                       AS varx_n,
+                     CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                       AS vary_n
+              FROM mom
+              WHERE n * sxx - sx * sx > 0
+                AND n * syy - sy * sy > 0
+            )
+            SELECT n AS n_pairs,
+                   cov_n / varx_n AS slope,
+                   (syd - (cov_n / varx_n) * sxd) / nd AS intercept,
+                   (cov_n * cov_n) / (varx_n * vary_n) AS r2
+            FROM e
+        """
+        ),
+        "weekly_region_growth": f"""
+            WITH {POSITIONS_CTE},
+            weekly AS (
+              SELECT CAST(region_id AS INTEGER) AS region,
+                     CAST(date_trunc('week', hour) AS TIMESTAMP)
+                       AS week,
+                     count(*) AS cnt
+              FROM pos GROUP BY 1, 2
+            ),
+            lagd AS (
+              SELECT region, week, cnt,
+                     lag(cnt) OVER (
+                       PARTITION BY region ORDER BY week) AS prev_cnt
+              FROM weekly
+              QUALIFY prev_cnt IS NOT NULL
+            )
+            SELECT region, week, cnt,
+                   CAST(prev_cnt AS BIGINT) AS prev_cnt,
+                   CAST(cnt - prev_cnt AS DOUBLE)
+                   / CAST(prev_cnt AS DOUBLE) AS growth
+            FROM lagd
         """,
     }

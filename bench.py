@@ -155,6 +155,9 @@ HEADLINE = [
     "countmin_heavy_hitters",
     "occupancy_autocorrelation",
     "bloom_membership_report",
+    # batch-17 additions (round 5)
+    "gravity_model_fit",
+    "weekly_region_growth",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

@@ -150,3 +150,18 @@ def test_region_peak_hour_is_the_argmax(spark):
     assert set(peaks) == set(mx)
     for region, (hour, users) in peaks.items():
         assert users == mx[region]
+
+
+def test_gravity_fit_r2_bounds_and_pair_count(spark):
+    row = entrymod.queries()["gravity_model_fit"](spark, SF_SMALL).collect()[0]
+    # pairs bounded by 20x19 directed region pairs; r2 is a valid share
+    assert 0 < row.n_pairs <= 380
+    assert 0.0 <= row.r2 <= 1.0
+
+
+def test_weekly_growth_is_consistent_with_counts(spark):
+    rows = entrymod.queries()["weekly_region_growth"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.prev_cnt >= 1
+        assert math.isclose(r.growth, (r.cnt - r.prev_cnt) / r.prev_cnt)
