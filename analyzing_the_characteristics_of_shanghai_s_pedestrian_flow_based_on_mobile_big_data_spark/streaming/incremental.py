@@ -453,3 +453,73 @@ def incremental_cms_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def incremental_bloom_stream(
+    spark: SparkSession,
+    events_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    member_type: str = "purchase",
+    bits: int = 4096,
+    k: int = 3,
+    schema: str = (
+        "event_id long, ts timestamp, user_id long, event_type string"
+    ),
+):
+    """Stream event files → incrementally-maintained Bloom filter over
+    member keys (users with a ``member_type`` event) via foreachBatch —
+    the last member of the streaming sketch family (moments, CMS,
+    HLL-occupancy). The filter IS the key set of the merged table
+    (set-bit positions); set union is idempotent, so the maintained
+    bit set equals the batch-built filter under any batch boundaries.
+    (The cnt measure counts per-batch-distinct contributions — a
+    member active in several batches adds to it more than once — so
+    cnt is an upper bound, NOT a member count; the filter's semantics
+    depend only on the key set, which is exact.) md5 hashing (the
+    batch _bloom_bit recipe); parity pytest-pinned."""
+    table = IncrementalCountTable(spark, table_path, ["bit"])
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        hashes = F.array(*[F.lit(i) for i in range(k)])
+        members = (
+            batch_df.filter(F.col("event_type") == member_type)
+            .select("user_id")
+            .distinct()
+        )
+        hashed = members.select(
+            F.explode(hashes).alias("i"), "user_id"
+        ).select(
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("bloom"),
+                                F.col("i").cast("string"),
+                                F.lit(":"),
+                                F.col("user_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(bits),
+            ).alias("bit")
+        )
+        delta = hashed.groupBy("bit").agg(F.count("*").alias("cnt"))
+        table.merge_batch(delta, epoch_id)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(events_dir)
+    )
+    return (
+        src.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -50,6 +50,12 @@ def test_every_query_survives_empty_tables(spark, empty_sf_dir):
             if vals.get(("*", "n_rows")) != 0.0:
                 failures.append(f"{name}: empty table not profiled as 0 rows")
             continue
+        if name == "bloom_membership_report":
+            # ungrouped one-row report: an empty corpus IS reportable
+            # (0 users, 0 members, 0 FPs); the DuckDB twin agrees
+            if len(rows) != 1 or rows[0].n_users != 0 or rows[0].n_members != 0:
+                failures.append(f"{name}: empty corpus not reported as zeros")
+            continue
         if name in ("q19_disjunctive_revenue", "q17_small_qty_revenue"):
             # ungrouped global aggregates: one (NULL sum, 0 count) row
             # IS the correct report of an empty fact table — the

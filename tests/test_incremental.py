@@ -443,3 +443,71 @@ def test_incremental_cms_parity_with_batch_sketch(spark, tmp_path):
         assert got == want and len(want) > 0
     finally:
         q.stop()
+
+
+def test_incremental_bloom_parity_with_batch_filter(spark, tmp_path):
+    """The streamed Bloom bit set must equal the batch-built filter's
+    bit set over the same events — including a member whose purchases
+    span micro-batches (set union is idempotent)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        IncrementalCountTable,
+        incremental_bloom_stream,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    b1 = [
+        (1, ts("2024-01-01 10:00:00"), 1, "purchase"),
+        (2, ts("2024-01-01 10:01:00"), 2, "click"),
+        (3, ts("2024-01-01 10:02:00"), 3, "purchase"),
+    ]
+    b2 = [
+        (4, ts("2024-01-01 11:00:00"), 1, "purchase"),  # repeat member
+        (5, ts("2024-01-01 11:01:00"), 4, "purchase"),
+        (6, ts("2024-01-01 11:02:00"), 2, "view"),
+    ]
+
+    def batch_bits(rows):
+        ev = spark.createDataFrame(rows, schema)
+        members = (
+            ev.filter(F.col("event_type") == "purchase")
+            .select("user_id")
+            .distinct()
+        )
+        hashes = F.array(*[F.lit(i) for i in range(3)])
+        return {
+            r.bit
+            for r in members.select(
+                F.explode(hashes).alias("i"), "user_id"
+            )
+            .select(
+                entrymod._bloom_bit(F.col("i"), F.col("user_id")).alias(
+                    "bit"
+                )
+            )
+            .distinct()
+            .collect()
+        }
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+    q = incremental_bloom_stream(
+        spark, src, str(tmp_path / "table"), str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.bit
+        for r in IncrementalCountTable(
+            spark, str(tmp_path / "table"), ["bit"]
+        )
+        .read()
+        .collect()
+    }
+    want = batch_bits(b1 + b2)
+    assert got == want and len(want) > 0
