@@ -4852,23 +4852,43 @@ def _q_bloom_membership_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bloom_pos",
         F.coalesce("is_member", F.lit(False)).alias("is_member"),
     )
+    # coalesce(…, 0): sum over zero rows is NULL, and the empty-corpus
+    # report should say 0 members / 0 FPs, not NULL (both engines)
     return labeled.agg(
         F.count("*").alias("n_users"),
-        F.sum(F.when(F.col("is_member"), 1).otherwise(0)).alias("n_members"),
-        F.sum(
-            F.when(F.col("bloom_pos") & ~F.col("is_member"), 1).otherwise(0)
-        ).alias("n_false_positives"),
-        F.sum(
-            F.when(F.col("is_member") & ~F.col("bloom_pos"), 1).otherwise(0)
-        ).alias("n_false_negatives"),
-        (
+        F.coalesce(
+            F.sum(F.when(F.col("is_member"), 1).otherwise(0)), F.lit(0)
+        ).alias("n_members"),
+        F.coalesce(
             F.sum(
                 F.when(
                     F.col("bloom_pos") & ~F.col("is_member"), 1
                 ).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("n_false_positives"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("is_member") & ~F.col("bloom_pos"), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("n_false_negatives"),
+        (
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("bloom_pos") & ~F.col("is_member"), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
             ).cast("double")
             / F.greatest(
-                F.sum(F.when(~F.col("is_member"), 1).otherwise(0)),
+                F.coalesce(
+                    F.sum(F.when(~F.col("is_member"), 1).otherwise(0)),
+                    F.lit(0),
+                ),
                 F.lit(1),
             ).cast("double")
         ).alias("fp_rate"),
@@ -8659,18 +8679,22 @@ def oracle_sql() -> dict[str, str]:
               LEFT JOIN hits h ON h.user_id = u.user_id
             )
             SELECT count(*) AS n_users,
-                   CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END)
+                   CAST(coalesce(sum(CASE WHEN is_member
+                                     THEN 1 ELSE 0 END), 0)
                         AS BIGINT) AS n_members,
-                   CAST(sum(CASE WHEN bloom_pos AND NOT is_member
-                            THEN 1 ELSE 0 END) AS BIGINT)
+                   CAST(coalesce(sum(CASE WHEN bloom_pos
+                                          AND NOT is_member
+                                     THEN 1 ELSE 0 END), 0) AS BIGINT)
                      AS n_false_positives,
-                   CAST(sum(CASE WHEN is_member AND NOT bloom_pos
-                            THEN 1 ELSE 0 END) AS BIGINT)
+                   CAST(coalesce(sum(CASE WHEN is_member
+                                          AND NOT bloom_pos
+                                     THEN 1 ELSE 0 END), 0) AS BIGINT)
                      AS n_false_negatives,
-                   CAST(sum(CASE WHEN bloom_pos AND NOT is_member
-                            THEN 1 ELSE 0 END) AS DOUBLE)
-                   / CAST(greatest(sum(CASE WHEN NOT is_member
-                                       THEN 1 ELSE 0 END), 1)
+                   CAST(coalesce(sum(CASE WHEN bloom_pos
+                                          AND NOT is_member
+                                     THEN 1 ELSE 0 END), 0) AS DOUBLE)
+                   / CAST(greatest(coalesce(sum(CASE WHEN NOT is_member
+                                            THEN 1 ELSE 0 END), 0), 1)
                           AS DOUBLE) AS fp_rate
             FROM labeled
         """,
