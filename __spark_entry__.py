@@ -4977,6 +4977,39 @@ def _q_weekly_region_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_work_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Work-location assignment (batch 18): modal business-hour
+    (09–17) region over the hour-collapsed positions — the daytime
+    twin of home_location's night-anchor mode (hourly dedup first, so
+    ping frequency can't bias the mode; ties → smallest region, the
+    mode_per_group contract). Output (user_id, work_region)."""
+    pos = _mobility_positions(spark, sf_dir)
+    bus = pos.filter(
+        (F.hour("hour") >= 9) & (F.hour("hour") <= 17)
+    )
+    return ops.mode_per_group(bus, "user_id", "region_id").withColumnRenamed(
+        "region_id", "work_region"
+    )
+
+
+def _q_commute_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Home→work commuter OD (batch 18): the matrix the reference's
+    analysis ultimately feeds planning questions with — join the two
+    per-user modal assignments (both user-keyed, AQE picks the join)
+    and count users per (home, work) pair. Includes the diagonal
+    (non-commuters) — its share is the interesting number."""
+    home = ops.home_location(events_as_pings(spark, sf_dir, N_REGIONS))
+    work = _q_work_location(spark, sf_dir)
+    return (
+        home.join(work, "user_id")
+        .groupBy(
+            F.col("home_region").cast("int").alias("home_region"),
+            F.col("work_region").cast("int").alias("work_region"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
     """Apply runtime session tuning (UTC, nanosAsLong, AQE) before each
     query — the driver hands us its own SparkSession."""
@@ -5201,6 +5234,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 17 (round 5): mobility modelling + trends
         "gravity_model_fit": _q_gravity_model_fit,
         "weekly_region_growth": _q_weekly_region_growth,
+        # batch 18 (round 5): commuter analysis
+        "work_location": _q_work_location,
+        "commute_matrix": _q_commute_matrix,
     }
 
 
@@ -8776,5 +8812,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cnt - prev_cnt AS DOUBLE)
                    / CAST(prev_cnt AS DOUBLE) AS growth
             FROM lagd
+        """,
+        # batch 18 (round 5): commuter analysis
+        "work_location": f"""
+            WITH {POSITIONS_CTE},
+            counted AS (
+              SELECT user_id, region_id, count(*) AS n
+              FROM pos
+              WHERE hour(hour) BETWEEN 9 AND 17
+              GROUP BY 1, 2
+            )
+            SELECT user_id, region_id AS work_region
+            FROM counted
+            QUALIFY row_number() OVER (
+              PARTITION BY user_id ORDER BY n DESC, region_id ASC) = 1
+        """,
+        "commute_matrix": f"""
+            WITH {POSITIONS_CTE},
+            {NIGHT_ANCHORS_CTE.strip().lstrip()},
+            hcount AS (
+              SELECT user_id, region_id, count(*) AS n
+              FROM anchors GROUP BY 1, 2
+            ),
+            home AS (
+              SELECT user_id, region_id AS home_region
+              FROM hcount
+              QUALIFY row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY n DESC, region_id ASC) = 1
+            ),
+            wcount AS (
+              SELECT user_id, region_id, count(*) AS n
+              FROM pos
+              WHERE hour(hour) BETWEEN 9 AND 17
+              GROUP BY 1, 2
+            ),
+            work AS (
+              SELECT user_id, region_id AS work_region
+              FROM wcount
+              QUALIFY row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY n DESC, region_id ASC) = 1
+            )
+            SELECT CAST(home_region AS INTEGER) AS home_region,
+                   CAST(work_region AS INTEGER) AS work_region,
+                   count(*) AS n_users
+            FROM home JOIN work USING (user_id)
+            GROUP BY 1, 2
         """,
     }

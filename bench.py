@@ -158,6 +158,9 @@ HEADLINE = [
     # batch-17 additions (round 5)
     "gravity_model_fit",
     "weekly_region_growth",
+    # batch-18 additions (round 5)
+    "work_location",
+    "commute_matrix",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

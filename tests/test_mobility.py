@@ -165,3 +165,32 @@ def test_weekly_growth_is_consistent_with_counts(spark):
     for r in rows:
         assert r.prev_cnt >= 1
         assert math.isclose(r.growth, (r.cnt - r.prev_cnt) / r.prev_cnt)
+
+
+def test_commute_matrix_covers_dual_anchor_users(spark):
+    home = entrymod.queries()["home_location"](spark, SF_SMALL)
+    work = entrymod.queries()["work_location"](spark, SF_SMALL)
+    cm = entrymod.queries()["commute_matrix"](spark, SF_SMALL)
+    # one cell per (home, work) pair; total mass = users with both
+    n_dual = home.join(work, "user_id").count()
+    assert cm.agg(F.sum("n_users")).collect()[0][0] == n_dual
+    assert cm.filter(F.col("n_users") <= 0).count() == 0
+
+
+def test_work_location_is_modal_business_region(spark):
+    work = {
+        r.user_id: r.work_region
+        for r in entrymod.queries()["work_location"](spark, SF_SMALL).collect()
+    }
+    pos = entrymod._mobility_positions(spark, SF_SMALL).filter(
+        (F.hour("hour") >= 9) & (F.hour("hour") <= 17)
+    )
+    counts = {}
+    for r in pos.collect():
+        counts.setdefault(r.user_id, {}).setdefault(r.region_id, 0)
+        counts[r.user_id][r.region_id] += 1
+    for u, per_region in counts.items():
+        best = min(
+            per_region.items(), key=lambda kv: (-kv[1], kv[0])
+        )[0]
+        assert work[u] == best
