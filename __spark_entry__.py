@@ -4584,14 +4584,16 @@ def _q_ols_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = (cov_n / varx_n) / F.lit(10000.0)
     intercept = ((syd - (cov_n / varx_n) * sxd) / nd) / F.lit(10000.0)
     r2 = (cov_n * cov_n) / (varx_n * vary_n)  # scale cancels exactly
-    # degenerate-group guard IN EXACT BIGINT, mirrored in the oracle:
-    # zero x- or y-variance would divide by 0.0, where the engines
-    # disagree (Spark → NaN/Inf per IEEE, DuckDB → NULL) — the
-    # collocations-guard lesson: current testdata never trips it, but
-    # the contract must not depend on that
-    nonsing = (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0
-    ) & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+    # degenerate-group guard on the DOUBLE moments, mirrored in the
+    # oracle: zero x- or y-variance would divide by 0.0, where the
+    # engines disagree (Spark → NaN/Inf per IEEE, DuckDB → NULL).
+    # The doubles are identical bits on both engines (same exact
+    # inputs, same expression), so the comparison is symmetric — and
+    # unlike the BIGINT form n·syy, it cannot overflow (n·syy passed
+    # 2⁶³ at sf0.1 and ANSI Spark threw ARITHMETIC_OVERFLOW; DuckDB
+    # would have silently widened to HUGEINT — an engine divergence
+    # hiding inside the 'exact' guard)
+    nonsing = (varx_n > 0) & (vary_n > 0)
     return mom.filter(nonsing).select(
         "event_type",
         "n",
@@ -4938,9 +4940,9 @@ def _q_gravity_model_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov_n = nd * F.col("sxy").cast("double") - sxd * syd
     varx_n = nd * F.col("sxx").cast("double") - sxd * sxd
     vary_n = nd * F.col("syy").cast("double") - syd * syd
-    nonsing = (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0
-    ) & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+    # double-moment guard (bit-identical across engines); the BIGINT
+    # form n·sxx overflows 2⁶³ here already at sf0.1
+    nonsing = (varx_n > 0) & (vary_n > 0)
     return mom.filter(nonsing).select(
         F.col("n").alias("n_pairs"),
         (cov_n / varx_n).alias("slope"),
@@ -8497,8 +8499,6 @@ def oracle_sql() -> dict[str, str]:
                      CAST(sxx AS DOUBLE) AS sxxd,
                      CAST(syy AS DOUBLE) AS syyd
               FROM mom
-              WHERE n * sxx - sx * sx > 0
-                AND n * syy - sy * sy > 0
             ),
             e AS (
               SELECT event_type, n, nd, sxd, syd,
@@ -8513,6 +8513,7 @@ def oracle_sql() -> dict[str, str]:
                      AS intercept,
                    (cov_n * cov_n) / (varx_n * vary_n) AS r2
             FROM e
+            WHERE varx_n > 0 AND vary_n > 0
         """,
         "benford_digits": """
             WITH base AS (
@@ -8781,14 +8782,13 @@ def oracle_sql() -> dict[str, str]:
                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
                        AS vary_n
               FROM mom
-              WHERE n * sxx - sx * sx > 0
-                AND n * syy - sy * sy > 0
             )
             SELECT n AS n_pairs,
                    cov_n / varx_n AS slope,
                    (syd - (cov_n / varx_n) * sxd) / nd AS intercept,
                    (cov_n * cov_n) / (varx_n * vary_n) AS r2
             FROM e
+            WHERE varx_n > 0 AND vary_n > 0
         """
         ),
         "weekly_region_growth": f"""
