@@ -103,6 +103,39 @@ EXCHANGE_CEILING = {
     "graph_summary_stats": 6,   # final-stage; edge table checkpointed
     "embedding_principal_component": 0,  # driver-assembled 64-row result
     "region_hits": 4,  # final-stage; every half-round checkpointed
+    # batch 10 (round 5): mobility characteristics
+    "radius_of_gyration": 4,
+    "location_diversity": 6,
+    "top_location_share": 6,
+    "jump_length_histogram": 6,
+    "visitation_rank_curve": 8,
+    # batch 11 (round 5): corpus statistics
+    "chi2_keywords": 16,  # static; the four token aggs share one scan under AQE
+    "zipf_token_rank": 2,
+    "bigram_next_token": 4,
+    "type_token_ratio": 4,
+    # batch 12 (round 5): TPC-H parity
+    "q4_order_priority": 4,
+    "q7_nation_volume": 12,
+    "q14_promo_share": 4,
+    "q15_top_supplier": 10,
+    "q19_disjunctive_revenue": 4,
+    "q22_idle_rich": 10,
+    "q16_supplier_cnt": 10,
+    "q17_small_qty_revenue": 10,
+    # batches 13-18 (round 5)
+    "harmonic_centrality": 2,   # final-stage; relax rounds checkpointed
+    "ols_value_trend": 2,
+    "benford_digits": 4,
+    "od_flow_balance": 16,      # static; both legs re-derive edges pre-AQE
+    "region_peak_hour": 6,
+    "countmin_heavy_hitters": 8,
+    "occupancy_autocorrelation": 10,
+    "bloom_membership_report": 18,  # static; users/members legs share the scan at runtime
+    "gravity_model_fit": 22,    # static; mass and flow legs share pos at runtime
+    "weekly_region_growth": 6,
+    "work_location": 6,
+    "commute_matrix": 16,       # static; home/work legs re-derive positions pre-AQE
 }
 
 
