@@ -5012,6 +5012,76 @@ def _q_commute_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_od_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flow symmetry per unordered region pair (batch 19):
+    sym = 2·min(f_ij, f_ji) / (f_ij + f_ji) — 1.0 for perfectly
+    reciprocal flows, → 0 for one-way corridors. The canonical-key
+    self-merge (least/greatest) keeps one row per unordered pair with
+    both directed counts as exact BIGINTs; one IEEE division."""
+    pos = ops.hourly_positions(events_as_pings(spark, sf_dir, N_REGIONS))
+    od = ops.od_matrix(ops.gap_fill_edges(pos))
+    flows = (
+        od.filter(
+            (F.col("orig") != F.col("dest"))
+            & (F.col("orig") > 0)
+            & (F.col("dest") > 0)
+        )
+        .groupBy("orig", "dest")
+        .agg(F.sum("cnt").alias("f"))
+    )
+    und = flows.groupBy(
+        F.least("orig", "dest").cast("int").alias("a"),
+        F.greatest("orig", "dest").cast("int").alias("b"),
+    ).agg(
+        F.sum(F.when(F.col("orig") < F.col("dest"), F.col("f")).otherwise(0)).alias(
+            "f_ab"
+        ),
+        F.sum(F.when(F.col("orig") > F.col("dest"), F.col("f")).otherwise(0)).alias(
+            "f_ba"
+        ),
+    )
+    return und.select(
+        "a",
+        "b",
+        "f_ab",
+        "f_ba",
+        (
+            (F.lit(2) * F.least("f_ab", "f_ba")).cast("double")
+            / (F.col("f_ab") + F.col("f_ba")).cast("double")
+        ).alias("symmetry"),
+    )
+
+
+def _q_user_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user regularity R (batch 19): the fraction of observed
+    hours the user sits in their MODAL region for that hour-of-week —
+    the log-free upper bound on location predictability from the
+    mobility literature (a perfectly routine commuter scores 1.0).
+    Two map-combinable aggregates — (user, how, region) counts, then
+    a max/sum struct fold per (user, how), then per-user exact totals;
+    one IEEE division at the very end."""
+    pos = _mobility_positions(spark, sf_dir)
+    how = (F.weekday("hour") * 24 + F.hour("hour")).alias("how")
+    cells = pos.groupBy(F.col("user_id"), how, F.col("region_id")).agg(
+        F.count("*").alias("c")
+    )
+    per_slot = cells.groupBy("user_id", "how").agg(
+        F.max("c").alias("top_c"),
+        F.sum("c").alias("tot_c"),
+    )
+    agg = per_slot.groupBy("user_id").agg(
+        F.sum("top_c").alias("hits"),
+        F.sum("tot_c").alias("n_obs"),
+    )
+    return agg.select(
+        "user_id",
+        "n_obs",
+        (
+            F.col("hits").cast("double") / F.col("n_obs").cast("double")
+        ).alias("regularity"),
+    )
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
     """Apply runtime session tuning (UTC, nanosAsLong, AQE) before each
     query — the driver hands us its own SparkSession."""
@@ -5239,6 +5309,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 18 (round 5): commuter analysis
         "work_location": _q_work_location,
         "commute_matrix": _q_commute_matrix,
+        # batch 19 (round 5): flow symmetry + regularity
+        "od_symmetry": _q_od_symmetry,
+        "user_regularity": _q_user_regularity,
     }
 
 
@@ -8859,5 +8932,53 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_users
             FROM home JOIN work USING (user_id)
             GROUP BY 1, 2
+        """,
+        # batch 19 (round 5): flow symmetry + regularity
+        "od_symmetry": (
+            "WITH "
+            + EDGES_CTE
+            + """,
+            flows AS (
+              SELECT pre_region_id AS orig, region_id AS dest,
+                     count(*) AS f
+              FROM edges
+              WHERE pre_region_id <> region_id
+                AND pre_region_id > 0 AND region_id > 0
+              GROUP BY 1, 2
+            ),
+            und AS (
+              SELECT CAST(least(orig, dest) AS INTEGER) AS a,
+                     CAST(greatest(orig, dest) AS INTEGER) AS b,
+                     CAST(sum(CASE WHEN orig < dest THEN f
+                              ELSE 0 END) AS BIGINT) AS f_ab,
+                     CAST(sum(CASE WHEN orig > dest THEN f
+                              ELSE 0 END) AS BIGINT) AS f_ba
+              FROM flows GROUP BY 1, 2
+            )
+            SELECT a, b, f_ab, f_ba,
+                   CAST(2 * least(f_ab, f_ba) AS DOUBLE)
+                   / CAST(f_ab + f_ba AS DOUBLE) AS symmetry
+            FROM und
+        """
+        ),
+        "user_regularity": f"""
+            WITH {POSITIONS_CTE},
+            cells AS (
+              SELECT user_id,
+                     (isodow(hour) - 1) * 24 + hour(hour) AS how,
+                     region_id, count(*) AS c
+              FROM pos GROUP BY 1, 2, 3
+            ),
+            per_slot AS (
+              SELECT user_id, how,
+                     CAST(max(c) AS BIGINT) AS top_c,
+                     CAST(sum(c) AS BIGINT) AS tot_c
+              FROM cells GROUP BY 1, 2
+            )
+            SELECT user_id,
+                   CAST(sum(tot_c) AS BIGINT) AS n_obs,
+                   CAST(sum(top_c) AS DOUBLE)
+                   / CAST(sum(tot_c) AS DOUBLE) AS regularity
+            FROM per_slot GROUP BY 1
         """,
     }

@@ -161,6 +161,9 @@ HEADLINE = [
     # batch-18 additions (round 5)
     "work_location",
     "commute_matrix",
+    # batch-19 additions (round 5)
+    "od_symmetry",
+    "user_regularity",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

@@ -194,3 +194,26 @@ def test_work_location_is_modal_business_region(spark):
             per_region.items(), key=lambda kv: (-kv[1], kv[0])
         )[0]
         assert work[u] == best
+
+
+def test_od_symmetry_bounds_and_pair_canonicalization(spark):
+    rows = entrymod.queries()["od_symmetry"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.a < r.b
+        assert 0.0 <= r.symmetry <= 1.0
+        assert math.isclose(
+            r.symmetry, 2 * min(r.f_ab, r.f_ba) / (r.f_ab + r.f_ba)
+        )
+
+
+def test_user_regularity_bounds_and_conservation(spark):
+    rows = entrymod.queries()["user_regularity"](spark, SF_SMALL).collect()
+    assert rows
+    pos = entrymod._mobility_positions(spark, SF_SMALL)
+    n_pos = pos.count()
+    # every hourly position is counted exactly once in someone's n_obs
+    assert sum(r.n_obs for r in rows) == n_pos
+    for r in rows:
+        # regularity is a share and can never be 0 (the mode exists)
+        assert 0.0 < r.regularity <= 1.0
