@@ -5082,6 +5082,90 @@ def _q_user_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth (batch 20): cumulative distinct
+    token types vs cumulative token occurrences across ten corpus
+    slices. Slices come from the doc_id RANGE (floor((id−min)·10 /
+    span) — min/max broadcast, pure map-side), NOT a global
+    row_number: an exact count-decile would need a single-partition
+    sort at 100 TB, and the growth curve only needs a deterministic
+    monotone slicing. A type's slice of first appearance is one
+    min() aggregate; the cumulative sums run on ten rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    span = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    with_b = docs.crossJoin(F.broadcast(span)).select(
+        (
+            (F.col("doc_id") - F.col("lo")) * 10
+            / (F.col("hi") - F.col("lo") + 1)
+        )
+        .cast("bigint")
+        .alias("bucket"),
+        tx.tokens(F.col("text")).alias("t"),
+    )
+    toks = with_b.select("bucket", F.explode("t").alias("w"))
+    per_bucket = toks.groupBy("bucket").agg(
+        F.count("*").alias("n_tokens")
+    )
+    first_seen = toks.groupBy("w").agg(F.min("bucket").alias("fb"))
+    new_types = first_seen.groupBy(F.col("fb").alias("bucket")).agg(
+        F.count("*").alias("new_types")
+    )
+    j = per_bucket.join(new_types, "bucket", "left").select(
+        "bucket",
+        "n_tokens",
+        F.coalesce("new_types", F.lit(0)).alias("new_types"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return j.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        "n_tokens",
+        "new_types",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+        F.sum("new_types").over(w).alias("cum_types"),
+    )
+
+
+def _q_hub_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region hub dependence (batch 20): the share of each
+    region's outflow going to its single strongest destination
+    (ties → smallest dest) — the corridor-concentration diagnostic
+    that tells a planner which regions have one dominant sink. One
+    pair aggregate + one max_by/sum aggregate, one division."""
+    pos = ops.hourly_positions(events_as_pings(spark, sf_dir, N_REGIONS))
+    od = ops.od_matrix(ops.gap_fill_edges(pos))
+    flows = (
+        od.filter(
+            (F.col("orig") != F.col("dest"))
+            & (F.col("orig") > 0)
+            & (F.col("dest") > 0)
+        )
+        .groupBy("orig", "dest")
+        .agg(F.sum("cnt").alias("f"))
+    )
+    agg = flows.groupBy(F.col("orig").cast("int").alias("region")).agg(
+        F.max_by(
+            F.col("dest").cast("int"),
+            F.struct(F.col("f"), (-F.col("dest")).alias("nd")),
+        ).alias("top_dest"),
+        F.max("f").alias("top_flow"),
+        F.sum("f").alias("out_flow"),
+    )
+    return agg.select(
+        "region",
+        "top_dest",
+        "top_flow",
+        "out_flow",
+        (
+            F.col("top_flow").cast("double")
+            / F.col("out_flow").cast("double")
+        ).alias("dependence"),
+    )
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
     """Apply runtime session tuning (UTC, nanosAsLong, AQE) before each
     query — the driver hands us its own SparkSession."""
@@ -5312,6 +5396,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 19 (round 5): flow symmetry + regularity
         "od_symmetry": _q_od_symmetry,
         "user_regularity": _q_user_regularity,
+        # batch 20 (round 5): corpus growth + corridor concentration
+        "vocab_growth_curve": _q_vocab_growth_curve,
+        "hub_dependence": _q_hub_dependence,
     }
 
 
@@ -8981,4 +9068,74 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(sum(tot_c) AS DOUBLE) AS regularity
             FROM per_slot GROUP BY 1
         """,
+        # batch 20 (round 5): corpus growth + corridor concentration
+        "vocab_growth_curve": f"""
+            WITH span AS (
+              SELECT min(doc_id) AS lo, max(doc_id) AS hi
+              FROM documents
+            ),
+            wb AS (
+              SELECT CAST(floor((doc_id - lo) * 10
+                               / (hi - lo + 1)) AS BIGINT) AS bucket,
+                     {_TOKENS_SQL} AS t
+              FROM documents CROSS JOIN span
+            ),
+            toks AS (SELECT bucket, unnest(t) AS w FROM wb),
+            per_bucket AS (
+              SELECT bucket, count(*) AS n_tokens
+              FROM toks GROUP BY 1
+            ),
+            first_seen AS (
+              SELECT w, min(bucket) AS fb FROM toks GROUP BY 1
+            ),
+            nt AS (
+              SELECT fb AS bucket, count(*) AS new_types
+              FROM first_seen GROUP BY 1
+            ),
+            j AS (
+              SELECT p.bucket, p.n_tokens,
+                     CAST(coalesce(n.new_types, 0) AS BIGINT)
+                       AS new_types
+              FROM per_bucket p LEFT JOIN nt n USING (bucket)
+            )
+            SELECT CAST(bucket AS INTEGER) AS bucket, n_tokens,
+                   new_types,
+                   CAST(sum(n_tokens) OVER (
+                     ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS cum_tokens,
+                   CAST(sum(new_types) OVER (
+                     ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS cum_types
+            FROM j
+        """,
+        "hub_dependence": (
+            "WITH "
+            + EDGES_CTE
+            + """,
+            flows AS (
+              SELECT pre_region_id AS orig, region_id AS dest,
+                     count(*) AS f
+              FROM edges
+              WHERE pre_region_id <> region_id
+                AND pre_region_id > 0 AND region_id > 0
+              GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT orig, dest, f,
+                     CAST(sum(f) OVER (PARTITION BY orig) AS BIGINT)
+                       AS out_flow,
+                     CAST(max(f) OVER (PARTITION BY orig) AS BIGINT)
+                       AS top_flow
+              FROM flows
+              QUALIFY row_number() OVER (
+                PARTITION BY orig ORDER BY f DESC, dest ASC) = 1
+            )
+            SELECT CAST(orig AS INTEGER) AS region,
+                   CAST(dest AS INTEGER) AS top_dest,
+                   top_flow, out_flow,
+                   CAST(top_flow AS DOUBLE) / CAST(out_flow AS DOUBLE)
+                     AS dependence
+            FROM ranked
+        """
+        ),
     }

@@ -164,6 +164,9 @@ HEADLINE = [
     # batch-19 additions (round 5)
     "od_symmetry",
     "user_regularity",
+    # batch-20 additions (round 5)
+    "vocab_growth_curve",
+    "hub_dependence",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

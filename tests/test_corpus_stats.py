@@ -135,3 +135,34 @@ def test_occupancy_autocorrelation_is_a_correlation(spark):
     for r in rows:
         assert -1.0 <= r.r1 <= 1.0
         assert r.n_pairs > 0
+
+
+def test_vocab_growth_curve_conserves_totals(spark):
+    import pyspark.sql.functions as F2
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions import (
+        text as tx2,
+    )
+
+    rows = sorted(
+        _run(spark, "vocab_growth_curve").collect(), key=lambda r: r.bucket
+    )
+    assert [r.bucket for r in rows] == sorted({r.bucket for r in rows})
+    assert rows[-1].cum_tokens == sum(r.n_tokens for r in rows)
+    assert rows[-1].cum_types == sum(r.new_types for r in rows)
+    docs = load_table(spark, SF_SMALL, "documents")
+    toks = docs.select(F2.explode(tx2.tokens(F2.col("text"))).alias("w"))
+    assert rows[-1].cum_tokens == toks.count()
+    assert rows[-1].cum_types == toks.distinct().count()
+    # the curve is a growth curve: cumulative types never decrease
+    cts = [r.cum_types for r in rows]
+    assert cts == sorted(cts)
+
+
+def test_hub_dependence_is_a_share_of_outflow(spark):
+    rows = entrymod.queries()["hub_dependence"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.region != r.top_dest
+        assert 0 < r.top_flow <= r.out_flow
+        assert math.isclose(r.dependence, r.top_flow / r.out_flow)
