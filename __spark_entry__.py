@@ -5166,6 +5166,60 @@ def _q_hub_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_region_visitor_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visitor diversity per region (batch 21): the transpose of
+    location_diversity — inverse Simpson over the per-user visit
+    counts INTO each region (N²/Σnᵤ²), i.e. the effective number of
+    distinct visitors: a region with eff ≪ n_visitors is carried by
+    a few regulars, eff ≈ n_visitors is true through-traffic. Exact
+    BIGINT products, one division."""
+    pos = _mobility_positions(spark, sf_dir)
+    counts = pos.groupBy(
+        F.col("region_id").cast("int").alias("region"), "user_id"
+    ).agg(F.count("*").alias("c"))
+    agg = counts.groupBy("region").agg(
+        F.count("*").alias("n_visitors"),
+        F.sum("c").alias("n_obs"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    return agg.select(
+        "region",
+        "n_visitors",
+        "n_obs",
+        (
+            (F.col("n_obs") * F.col("n_obs")).cast("double")
+            / F.col("s2").cast("double")
+        ).alias("eff_visitors"),
+    )
+
+
+def _q_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split (batch 21): the product-
+    analytics companion of cohort_retention — per active day, how
+    many users are on their FIRST-ever day vs returning. First day is
+    one min() aggregate; the daily split is one distinct-actives
+    aggregate with a conditional count against the broadcast first-day
+    table. All integers; no window."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    first = daily.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    j = daily.join(F.broadcast(first), "user_id")
+    return (
+        j.groupBy("day")
+        .agg(
+            F.sum(
+                F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+            ).alias("new_users"),
+            F.sum(
+                F.when(F.col("day") != F.col("first_day"), 1).otherwise(0)
+            ).alias("returning_users"),
+            F.count("*").alias("active_users"),
+        )
+    )
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
     """Apply runtime session tuning (UTC, nanosAsLong, AQE) before each
     query — the driver hands us its own SparkSession."""
@@ -5399,6 +5453,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 20 (round 5): corpus growth + corridor concentration
         "vocab_growth_curve": _q_vocab_growth_curve,
         "hub_dependence": _q_hub_dependence,
+        # batch 21 (round 5): visitor diversity + daily user split
+        "region_visitor_diversity": _q_region_visitor_diversity,
+        "new_vs_returning_daily": _q_new_vs_returning_daily,
     }
 
 
@@ -9138,4 +9195,37 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked
         """
         ),
+        # batch 21 (round 5): visitor diversity + daily user split
+        "region_visitor_diversity": f"""
+            WITH {POSITIONS_CTE},
+            counts AS (
+              SELECT CAST(region_id AS INTEGER) AS region, user_id,
+                     count(*) AS c
+              FROM pos GROUP BY 1, 2
+            )
+            SELECT region, count(*) AS n_visitors,
+                   CAST(sum(c) AS BIGINT) AS n_obs,
+                   CAST(sum(c) * sum(c) AS DOUBLE)
+                   / CAST(sum(c * c) AS DOUBLE) AS eff_visitors
+            FROM counts GROUP BY 1
+        """,
+        "new_vs_returning_daily": """
+            WITH daily AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+              FROM events
+            ),
+            first AS (
+              SELECT user_id, min(day) AS first_day
+              FROM daily GROUP BY 1
+            )
+            SELECT day,
+                   CAST(sum(CASE WHEN day = first_day THEN 1
+                            ELSE 0 END) AS BIGINT) AS new_users,
+                   CAST(sum(CASE WHEN day <> first_day THEN 1
+                            ELSE 0 END) AS BIGINT)
+                     AS returning_users,
+                   count(*) AS active_users
+            FROM daily JOIN first USING (user_id)
+            GROUP BY 1
+        """,
     }

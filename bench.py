@@ -167,6 +167,9 @@ HEADLINE = [
     # batch-20 additions (round 5)
     "vocab_growth_curve",
     "hub_dependence",
+    # batch-21 additions (round 5)
+    "region_visitor_diversity",
+    "new_vs_returning_daily",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

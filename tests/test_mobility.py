@@ -217,3 +217,33 @@ def test_user_regularity_bounds_and_conservation(spark):
     for r in rows:
         # regularity is a share and can never be 0 (the mode exists)
         assert 0.0 < r.regularity <= 1.0
+
+
+def test_region_visitor_diversity_bounds(spark):
+    rows = entrymod.queries()["region_visitor_diversity"](
+        spark, SF_SMALL
+    ).collect()
+    assert rows
+    pos = entrymod._mobility_positions(spark, SF_SMALL)
+    assert sum(r.n_obs for r in rows) == pos.count()
+    for r in rows:
+        assert 1.0 <= r.eff_visitors <= r.n_visitors
+
+
+def test_new_vs_returning_daily_partitions_actives(spark):
+    rows = sorted(
+        entrymod.queries()["new_vs_returning_daily"](spark, SF_SMALL).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows
+    for r in rows:
+        assert r.new_users + r.returning_users == r.active_users
+    # day one: everyone active is new; total new over all days = users
+    assert rows[0].returning_users == 0
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        load_table,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.new_users for r in rows) == n_users

@@ -136,6 +136,14 @@ EXCHANGE_CEILING = {
     "weekly_region_growth": 6,
     "work_location": 6,
     "commute_matrix": 16,       # static; home/work legs re-derive positions pre-AQE
+    # batches 19-20 (round 5)
+    "od_symmetry": 10,
+    "user_regularity": 8,
+    "vocab_growth_curve": 18,   # static; both token aggs share one scan at runtime
+    "hub_dependence": 10,
+    # batch 21 (round 5)
+    "region_visitor_diversity": 6,
+    "new_vs_returning_daily": 8,
 }
 
 
