@@ -5220,6 +5220,83 @@ def _q_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_median_jump_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user median jump length (batch 22): the characteristic
+    displacement scale that complements radius_of_gyration (spread of
+    positions) with the spread of MOVES. Exact rank-based median over
+    integer Chebyshev grid distances (the mad_value_anomaly recipe:
+    lo/hi middle ranks, mean of two BIGINTs = one /2.0 division —
+    no percentile interpolation semantics to reconcile cross-engine).
+    Users with ≥ 2 positions only."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.mobility import (
+        grid_xy,
+    )
+
+    pos = _mobility_positions(spark, sf_dir)
+    x, y = grid_xy(F.col("region_id"), 5)
+    pts = pos.select("user_id", F.col("hour"), x, y)
+    w = Window.partitionBy("user_id").orderBy("hour")
+    hops = (
+        pts.withColumn("px", F.lag("x").over(w))
+        .withColumn("py", F.lag("y").over(w))
+        .filter(F.col("px").isNotNull())
+        .select(
+            "user_id",
+            F.greatest(
+                F.abs(F.col("x") - F.col("px")),
+                F.abs(F.col("y") - F.col("py")),
+            ).alias("d"),
+        )
+    )
+    # deterministic exact median: rank duplicates arbitrarily but the
+    # VALUE at each rank is fixed by the sorted multiset, so the
+    # middle values are engine-independent
+    ranked = hops.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(F.col("d").asc())
+        ),
+    ).withColumn(
+        "n", F.count("*").over(Window.partitionBy("user_id"))
+    )
+    lo = F.floor((F.col("n") + 1) / 2)
+    hi = F.floor((F.col("n") + 2) / 2)
+    mid = ranked.filter(
+        (F.col("rn") == lo) | (F.col("rn") == hi)
+    )
+    return mid.groupBy("user_id").agg(
+        F.max("n").alias("n_hops"),
+        (F.sum("d").cast("double") / F.count("*").cast("double")).alias(
+            "median_jump"
+        ),
+    )
+
+
+def _q_trajectory_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trajectory sampling completeness (batch 22): observed
+    hourly positions over the user's own first→last hour span — the
+    data-quality screen run before trusting any per-user mobility
+    metric (a 0.2-complete trajectory's rog is noise). Span math is
+    exact integer epoch-hours; one division."""
+    pos = _mobility_positions(spark, sf_dir)
+    agg = pos.groupBy("user_id").agg(
+        F.count("*").alias("n_obs"),
+        F.min("hour").alias("h0"),
+        F.max("hour").alias("h1"),
+    )
+    span_h = (
+        (F.unix_timestamp("h1") - F.unix_timestamp("h0")) / 3600
+    ).cast("bigint") + 1
+    return agg.select(
+        "user_id",
+        "n_obs",
+        span_h.alias("span_hours"),
+        (
+            F.col("n_obs").cast("double") / span_h.cast("double")
+        ).alias("completeness"),
+    )
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
     """Apply runtime session tuning (UTC, nanosAsLong, AQE) before each
     query — the driver hands us its own SparkSession."""
@@ -5456,6 +5533,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 21 (round 5): visitor diversity + daily user split
         "region_visitor_diversity": _q_region_visitor_diversity,
         "new_vs_returning_daily": _q_new_vs_returning_daily,
+        # batch 22 (round 5): jump scale + trajectory quality
+        "median_jump_length": _q_median_jump_length,
+        "trajectory_completeness": _q_trajectory_completeness,
     }
 
 
@@ -9227,5 +9307,46 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS active_users
             FROM daily JOIN first USING (user_id)
             GROUP BY 1
+        """,
+        # batch 22 (round 5): jump scale + trajectory quality
+        "median_jump_length": f"""
+            WITH {POSITIONS_CTE},
+            pts AS (
+              SELECT user_id, hour,
+                     CAST((region_id - 1) % 5 AS BIGINT) AS x,
+                     CAST((region_id - 1) // 5 AS BIGINT) AS y
+              FROM pos
+            ),
+            hops AS (
+              SELECT user_id,
+                     greatest(abs(x - lag(x) OVER w),
+                              abs(y - lag(y) OVER w)) AS d
+              FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY hour)
+              QUALIFY lag(x) OVER w IS NOT NULL
+            ),
+            ranked AS (
+              SELECT user_id, d,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY d ASC) AS rn,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM hops
+            )
+            SELECT user_id, CAST(max(n) AS BIGINT) AS n_hops,
+                   CAST(sum(d) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     AS median_jump
+            FROM ranked
+            WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)
+               OR rn = CAST(floor((n + 2) / 2) AS BIGINT)
+            GROUP BY 1
+        """,
+        "trajectory_completeness": f"""
+            WITH {POSITIONS_CTE}
+            SELECT user_id, count(*) AS n_obs,
+                   CAST(date_diff('hour', min(hour), max(hour)) + 1
+                        AS BIGINT) AS span_hours,
+                   CAST(count(*) AS DOUBLE)
+                   / CAST(date_diff('hour', min(hour), max(hour)) + 1
+                          AS DOUBLE) AS completeness
+            FROM pos GROUP BY 1
         """,
     }

@@ -170,6 +170,9 @@ HEADLINE = [
     # batch-21 additions (round 5)
     "region_visitor_diversity",
     "new_vs_returning_daily",
+    # batch-22 additions (round 5)
+    "median_jump_length",
+    "trajectory_completeness",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

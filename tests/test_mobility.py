@@ -247,3 +247,60 @@ def test_new_vs_returning_daily_partitions_actives(spark):
     ev = load_table(spark, SF_SMALL, "events")
     n_users = ev.select("user_id").distinct().count()
     assert sum(r.new_users for r in rows) == n_users
+
+
+def test_median_jump_closed_form(spark):
+    # user 1 hops: regions 1->2->1 (d=1,1) -> median 1; user 2 single
+    # long hop 1->20 gives d = max(|0-4|,|0-3|) = 4
+    pos = _positions(
+        spark, [(1, 0, 1), (1, 1, 2), (1, 2, 1), (2, 0, 1), (2, 1, 20)]
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.mobility import (
+        grid_xy,
+    )
+    from pyspark.sql import Window as W2
+
+    x, y = grid_xy(F.col("region_id"), 5)
+    pts = pos.select("user_id", "hour", x, y)
+    w = W2.partitionBy("user_id").orderBy("hour")
+    hops = (
+        pts.withColumn("px", F.lag("x").over(w))
+        .withColumn("py", F.lag("y").over(w))
+        .filter(F.col("px").isNotNull())
+        .select(
+            "user_id",
+            F.greatest(
+                F.abs(F.col("x") - F.col("px")),
+                F.abs(F.col("y") - F.col("py")),
+            ).alias("d"),
+        )
+    )
+    got = {
+        u: sorted(r.d for r in hops.filter(F.col("user_id") == u).collect())
+        for u in (1, 2)
+    }
+    assert got[1] == [1, 1] and got[2] == [4]
+
+
+def test_median_jump_and_completeness_on_real_positions(spark):
+    med = {
+        r.user_id: r
+        for r in entrymod.queries()["median_jump_length"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    comp = {
+        r.user_id: r
+        for r in entrymod.queries()["trajectory_completeness"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    pos = entrymod._mobility_positions(spark, SF_SMALL)
+    n_users = pos.select("user_id").distinct().count()
+    assert len(comp) == n_users
+    for u, r in comp.items():
+        assert 0.0 < r.completeness <= 1.0
+        assert r.n_obs <= r.span_hours
+    for u, r in med.items():
+        assert 0.0 <= r.median_jump <= 4.0  # Chebyshev bound on 5x4
+        assert r.n_hops >= 1

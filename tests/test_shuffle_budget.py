@@ -144,6 +144,9 @@ EXCHANGE_CEILING = {
     # batch 21 (round 5)
     "region_visitor_diversity": 6,
     "new_vs_returning_daily": 8,
+    # batch 22 (round 5)
+    "median_jump_length": 4,
+    "trajectory_completeness": 4,
 }
 
 
