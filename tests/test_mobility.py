@@ -304,3 +304,44 @@ def test_median_jump_and_completeness_on_real_positions(spark):
     for u, r in med.items():
         assert 0.0 <= r.median_jump <= 4.0  # Chebyshev bound on 5x4
         assert r.n_hops >= 1
+
+
+def test_moment_operators_are_partition_invariant(spark):
+    """The exactness claim behind every sufficient-statistics operator:
+    BIGINT moments are associative/commutative, so ANY partitioning
+    yields bit-identical doubles. Pin it by comparing collected results
+    under 1-partition vs 13-partition inputs."""
+    names = [
+        "radius_of_gyration",
+        "location_diversity",
+        "ols_value_trend",
+        "gravity_model_fit",
+        "occupancy_autocorrelation",
+        "user_regularity",
+    ]
+    qs = entrymod.queries()
+    import analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources.tables as tbl
+
+    orig_load = tbl.load_table
+    results: dict[int, dict[str, list]] = {}
+    for parts in (1, 13):
+
+        def patched(spark_, sf_dir, name, _p=parts):
+            return orig_load(spark_, sf_dir, name).repartition(_p)
+
+        # patch BOTH call sites: tables.py's internal uses AND the
+        # direct `from sources import load_table` in __spark_entry__
+        tbl.load_table = patched
+        entrymod.load_table = patched
+        try:
+            results[parts] = {
+                n: sorted(tuple(r) for r in qs[n](spark, SF_SMALL).collect())
+                for n in names
+            }
+        finally:
+            tbl.load_table = orig_load
+            entrymod.load_table = orig_load
+    for n in names:
+        assert results[1][n] == results[13][n], (
+            f"{n}: results differ across partitioning"
+        )
