@@ -48,6 +48,7 @@ class IncrementalCountTable:
         keys: list[str],
         retain: int = 2,
         measures: tuple[str, ...] = ("cnt",),
+        min_measures: tuple[str, ...] = (),
     ):
         self.spark = spark
         self.path = path
@@ -59,6 +60,11 @@ class IncrementalCountTable:
         # and compaction all commute. (Non-additive stats — medians,
         # distincts — need sketch columns instead; see occupancy HLL.)
         self.measures = measures
+        # MIN-merged measures (first-seen timestamps/days, minima):
+        # min is associative, commutative AND idempotent, so it rides
+        # the generation chain even more safely than sums — a replayed
+        # delta could not corrupt it even without the rebasing.
+        self.min_measures = min_measures
         # Superseded generations (beyond current + parent) kept before
         # GC: a lazy DataFrame handed out by read() stays readable
         # across up to `retain` subsequent merges. Readers that hold a
@@ -110,7 +116,8 @@ class IncrementalCountTable:
         else:
             merged = delta
         merged = merged.groupBy(*self.keys).agg(
-            *[F.sum(m).alias(m) for m in self.measures]
+            *[F.sum(m).alias(m) for m in self.measures],
+            *[F.min(m).alias(m) for m in self.min_measures],
         )
         # Fresh directory per attempt: the lazy `existing` read above is
         # materialized by this write while its input files still exist.
@@ -511,6 +518,49 @@ def incremental_bloom_stream(
             ).alias("bit")
         )
         delta = hashed.groupBy("bit").agg(F.count("*").alias("cnt"))
+        table.merge_batch(delta, epoch_id)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(events_dir)
+    )
+    return (
+        src.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def incremental_first_seen_stream(
+    spark: SparkSession,
+    events_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    schema: str = (
+        "event_id long, ts timestamp, user_id long, event_type string"
+    ),
+):
+    """Stream event files → per-user (first_day MIN, n_events SUM)
+    table via foreachBatch — the exactly-once first-touch tracker the
+    new-vs-returning analytics need. first_day is a MIN measure:
+    associative, commutative, idempotent, so even late files carrying
+    an EARLIER day than anything seen before merge correctly (the
+    parity test plants exactly that). n_events rides the additive
+    path. Parity pytest-pinned against the batch min/count."""
+    table = IncrementalCountTable(
+        spark,
+        table_path,
+        ["user_id"],
+        measures=("n_events",),
+        min_measures=("first_day",),
+    )
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        delta = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.min(F.to_date("ts")).alias("first_day"),
+        )
         table.merge_batch(delta, epoch_id)
 
     src = (

@@ -511,3 +511,59 @@ def test_incremental_bloom_parity_with_batch_filter(spark, tmp_path):
     }
     want = batch_bits(b1 + b2)
     assert got == want and len(want) > 0
+
+
+def test_incremental_first_seen_min_merge_with_late_earlier_data(spark, tmp_path):
+    """MIN-measure merge: a late file carrying an EARLIER first day
+    than anything already merged must win, and event counts stay
+    exact — the first-touch tracker contract."""
+    from pyspark.sql import functions as F
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        IncrementalCountTable,
+        incremental_first_seen_stream,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    b1 = [
+        (1, ts("2024-01-05 10:00:00"), 1, "click"),
+        (2, ts("2024-01-06 10:00:00"), 2, "view"),
+    ]
+    b2 = [  # user 1's genuinely FIRST day arrives late
+        (3, ts("2024-01-02 09:00:00"), 1, "click"),
+        (4, ts("2024-01-07 09:00:00"), 2, "view"),
+        (5, ts("2024-01-07 10:00:00"), 3, "purchase"),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+    q = incremental_first_seen_stream(
+        spark, src, str(tmp_path / "table"), str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    idx = IncrementalCountTable(
+        spark,
+        str(tmp_path / "table"),
+        ["user_id"],
+        measures=("n_events",),
+        min_measures=("first_day",),
+    ).read()
+    got = {r.user_id: (r.n_events, r.first_day) for r in idx.collect()}
+    ev = spark.createDataFrame(b1 + b2, schema)
+    want = {
+        r.user_id: (r.n, r.fd)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.to_date("ts")).alias("fd"),
+        )
+        .collect()
+    }
+    assert got == want
+    # the late-earlier-day fact really exercised the MIN path
+    import datetime as dt
+
+    assert got[1][1] == dt.date(2024, 1, 2)
