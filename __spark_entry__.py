@@ -175,6 +175,64 @@ def _q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.gap_fill_edges(pos)
 
 
+def _q_gap_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ``get_more_24`` QA artifact
+    (cal_mobility_matrix.py:92-93): hops whose hour gap exceeds the
+    24 h fill horizon — the rows the gap-fill refuses to interpolate."""
+    pos = ops.hourly_positions(events_as_pings(spark, sf_dir, N_REGIONS))
+    return ops.gap_outliers(pos)
+
+
+def _q_district_poi_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end exercise of the district POI CSV reader
+    (sources.read_poi_district_csv) against the reference's
+    ``Point,Type,NAME,KIND,…`` export shape
+    (geo-analytics/子区域划分/type7.csv:1).
+
+    A type{1..7}-shaped CSV fixture is rendered deterministically from
+    the supplier dim (repr-formatted doubles, so the string→double
+    parse in the reader roundtrips bit-exact), read back through the
+    normalizing reader, and profiled per type. The driver-side render
+    is fixture machinery, not a data path — the dim is collected
+    bounded (a POI dim; the reference's largest district file is
+    25 785 rows) and only so DuckDB can recompute the same values
+    straight from supplier."""
+    import tempfile
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        read_poi_district_csv,
+    )
+
+    sup = load_table(spark, sf_dir, "supplier")
+    rows = (
+        sup.select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+        .collect()
+    )
+    lines = ["Point,Type,NAME,KIND,ADMINCODE,ADDRESS"]
+    for r in rows:
+        k = int(r["s_suppkey"])
+        lon = repr(121.0 + k / 1000.0)
+        lat = repr(30.6 + k / 700.0)
+        lines.append(
+            f'"[[{lon}, {lat}]]",{k % 7 + 1},{r["s_name"]},K{k % 10},3101{k % 16:02d},addr{k}'
+        )
+    tmp = tempfile.mkdtemp(prefix="district_poi_")
+    fpath = os.path.join(tmp, "type_fixture.csv")
+    with open(fpath, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+
+    poi = read_poi_district_csv(spark, fpath)
+    return poi.groupBy(F.col("type").cast("long").alias("type")).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("kind").alias("n_kinds"),
+        F.countDistinct("admincode").alias("n_admincodes"),
+        F.min("longitude").alias("min_lon"),
+        F.max("latitude").alias("max_lat"),
+        F.min("Title").alias("first_title"),
+    )
+
+
 def _q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = ops.hourly_positions(events_as_pings(spark, sf_dir, N_REGIONS))
     return ops.od_matrix(ops.gap_fill_edges(pos))
@@ -5536,6 +5594,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 22 (round 5): jump scale + trajectory quality
         "median_jump_length": _q_median_jump_length,
         "trajectory_completeness": _q_trajectory_completeness,
+        # batch 23 (round 6): QA reports + district POI ingest
+        "gap_outlier_report": _q_gap_outlier_report,
+        "district_poi_profile": _q_district_poi_profile,
     }
 
 
@@ -6115,6 +6176,28 @@ def oracle_sql() -> dict[str, str]:
         "trajectory_gap_fill": f"""
             WITH {EDGES_CTE}
             SELECT user_id, region_id, hour, pre_hour, pre_region_id FROM edges
+        """,
+        "gap_outlier_report": f"""
+            WITH {POSITIONS_CTE},
+            ctx AS (
+              SELECT user_id, hour, region_id,
+                     lag(hour) OVER w AS pre_hour,
+                     lag(region_id) OVER w AS pre_region_id,
+                     date_diff('hour', lag(hour) OVER w, hour) AS gap_h
+              FROM pos WINDOW w AS (PARTITION BY user_id ORDER BY hour)
+            )
+            SELECT user_id, region_id, hour, pre_hour, pre_region_id, gap_h
+            FROM ctx WHERE gap_h > 24
+        """,
+        "district_poi_profile": """
+            SELECT (s_suppkey % 7) + 1 AS type,
+                   count(*) AS n,
+                   count(DISTINCT s_suppkey % 10) AS n_kinds,
+                   count(DISTINCT s_suppkey % 16) AS n_admincodes,
+                   min(121.0 + s_suppkey / 1000.0) AS min_lon,
+                   max(30.6 + s_suppkey / 700.0) AS max_lat,
+                   min(s_name) AS first_title
+            FROM supplier GROUP BY 1
         """,
         "od_matrix": f"""
             WITH {EDGES_CTE}

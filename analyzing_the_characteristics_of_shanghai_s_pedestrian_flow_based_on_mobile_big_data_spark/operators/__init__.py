@@ -20,5 +20,10 @@ from .region_build import (  # noqa: F401
 from .sessions import session_stats, sessionize  # noqa: F401
 from .similarity import brute_force_topk, bucketed_ann_topk, ivf_topk  # noqa: F401
 from .skew import salted_count  # noqa: F401
-from .trajectory import gap_fill_edges, hourly_positions, keep_latest  # noqa: F401
+from .trajectory import (  # noqa: F401
+    gap_fill_edges,
+    gap_outliers,
+    hourly_positions,
+    keep_latest,
+)
 from .upsert import merge_upsert  # noqa: F401

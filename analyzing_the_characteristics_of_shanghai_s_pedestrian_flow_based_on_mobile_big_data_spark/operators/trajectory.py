@@ -81,6 +81,39 @@ def hourly_positions(
     )
 
 
+def gap_outliers(
+    positions: DataFrame,
+    max_fill_hours: int = 24,
+) -> DataFrame:
+    """QA report: trajectory hops whose hour gap exceeds the fill
+    horizon (the reference's ``get_more_24`` —
+    ``cal_mobility_matrix.py:92-93`` dumps ``hour_diff > 24`` rows to a
+    single-file CSV so an operator can eyeball out-of-observation
+    users before trusting the month's OD matrix).
+
+    Input: one row per (user_id, hour, region_id) — from
+    :func:`hourly_positions`.
+    Output: (user_id, region_id, hour, pre_hour, pre_region_id, gap_h)
+    for every hop with ``gap_h > max_fill_hours``.
+
+    One window shuffle (hash by user), then a plain filter — the same
+    lag context :func:`gap_fill_edges` computes, so at 100 TB the two
+    can share one pass when run together. The result is tiny by
+    construction (only broken trajectories), so a coalesced
+    single-file CSV sink (S9) on top is safe.
+    """
+    w = Window.partitionBy("user_id").orderBy("hour")
+    return (
+        positions.withColumn("pre_hour", F.lag("hour").over(w))
+        .withColumn("pre_region_id", F.lag("region_id").over(w))
+        .withColumn("gap_h", F.expr("timestampdiff(HOUR, pre_hour, hour)"))
+        .filter(F.col("gap_h") > max_fill_hours)
+        .select(
+            "user_id", "region_id", "hour", "pre_hour", "pre_region_id", "gap_h"
+        )
+    )
+
+
 def gap_fill_edges(
     positions: DataFrame,
     max_fill_hours: int = 24,

@@ -397,15 +397,39 @@ def spark_param_sweep(
     spark,
     grid: Sequence[tuple],
     loss_fn: Callable[[tuple], float],
+    broadcast_threshold: int = 64,
 ) -> list[tuple[tuple, float]]:
     """The reference's multiprocessing fit loop
     (1108Fit_para_multi.py:319-334) as a Spark job: one task per
-    parameter combination, results collected to the driver. The
-    closure ships the (small) inputs to executors once per task batch;
-    for big grids broadcast the shared inputs instead."""
+    parameter combination, results collected to the driver.
+
+    The loss closure captures the shared sim inputs (observed series,
+    mobility matrix, hourly fractions — can be MBs). Past
+    ``broadcast_threshold`` grid points, the closure is shipped via
+    ``sc.broadcast`` so executors fetch it once instead of once per
+    serialized task; below it, plain closure capture is cheaper (no
+    broadcast-cleanup bookkeeping for a handful of tasks). Results are
+    identical on both paths — only the transport changes.
+    """
     sc = spark.sparkContext
-    return (
-        sc.parallelize(list(grid), numSlices=min(len(grid), 64))
-        .map(lambda p: (p, float(loss_fn(p))))
-        .collect()
-    )
+    pts = list(grid)
+    rdd = sc.parallelize(pts, numSlices=min(len(pts), 64))
+    if len(pts) > broadcast_threshold:
+        # sc.broadcast pickles with stdlib pickle, which rejects the
+        # closures a loss_fn is in practice — ship cloudpickle bytes
+        # (cloudpickle output loads with plain pickle.loads).
+        import pickle
+
+        from pyspark import cloudpickle
+
+        bc = sc.broadcast(cloudpickle.dumps(loss_fn))
+
+        def _run(part):
+            fn = pickle.loads(bc.value)  # once per partition
+            return ((p, float(fn(p))) for p in part)
+
+        try:
+            return rdd.mapPartitions(_run).collect()
+        finally:
+            bc.unpersist()
+    return rdd.map(lambda p: (p, float(loss_fn(p)))).collect()

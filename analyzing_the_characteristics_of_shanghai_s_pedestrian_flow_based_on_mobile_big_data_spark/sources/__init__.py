@@ -9,6 +9,7 @@ from .tables import (  # noqa: F401
     load_table,
     read_pings_tsv,
     read_poi_csv,
+    read_poi_district_csv,
     write_partitioned_parquet,
 )
 from .xlsx import read_poi_xlsx, read_xlsx_rows  # noqa: F401

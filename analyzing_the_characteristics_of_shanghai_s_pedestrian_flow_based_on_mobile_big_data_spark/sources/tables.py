@@ -152,6 +152,56 @@ def read_poi_csv(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.options(header=True).schema(POI_SCHEMA).csv(path)
 
 
+# "[[lon, lat]]" point literal used by the reference's district POI
+# exports (geo-analytics/子区域划分/shanghai_jingan.csv, type7.csv).
+_POINT_RE = r"\[\[\s*(-?[0-9.]+)\s*,\s*(-?[0-9.]+)\s*\]\]"
+
+
+def read_poi_district_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S2 variant: the reference's per-district / per-type POI exports.
+
+    Two header shapes exist in the reference's own data
+    (``geo-analytics/子区域划分/``):
+
+    - ``Point,Type,NAME,KIND[,TELEPHONE][,ADMINCODE,ADDRESS]`` —
+      ``type{1..7}.csv``;
+    - ``name,point,type`` — ``shanghai_<district>.csv`` (type as a
+      float literal like ``1.0``).
+
+    Both carry the coordinate as a ``"[[lon, lat]]"`` string. This
+    reader normalizes either shape into the POI dimension schema
+    (longitude, latitude, type, Title) + optional ``kind`` /
+    ``admincode`` passthrough columns (NULL when the variant lacks
+    them), so every district file joins the same downstream plan.
+
+    All columns are read as strings (no inference pass — a dim read
+    must not cost an extra scan) and parsed with native regexp/cast
+    expressions; rows whose point fails the pattern get NULL
+    coordinates rather than killing the ingest.
+    """
+    df = spark.read.options(header=True).csv(path)
+    cols = {c.lower(): c for c in df.columns}
+
+    def col_or_null(*names: str) -> F.Column:
+        for n in names:
+            if n in cols:
+                return F.col(f"`{cols[n]}`")
+        return F.lit(None).cast("string")
+
+    point = col_or_null("point")
+    lon = F.regexp_extract(point, _POINT_RE, 1)
+    lat = F.regexp_extract(point, _POINT_RE, 2)
+    return df.select(
+        F.when(lon != "", lon).cast("double").alias("longitude"),
+        F.when(lat != "", lat).cast("double").alias("latitude"),
+        # district files carry type as "1.0": go through double
+        col_or_null("type").cast("double").cast("int").alias("type"),
+        col_or_null("name", "title").alias("Title"),
+        col_or_null("kind").alias("kind"),
+        col_or_null("admincode").alias("admincode"),
+    )
+
+
 def write_partitioned_parquet(df: DataFrame, path: str, partition_col: str = "date") -> None:
     """S8: date-partitioned Parquet sink (ppl_days.py:23) — the layout
     that makes every downstream date-range read partition-pruned."""

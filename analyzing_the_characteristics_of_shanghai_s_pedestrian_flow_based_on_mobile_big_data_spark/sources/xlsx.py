@@ -43,14 +43,37 @@ def _col_index(ref: str) -> int:
     return acc - 1
 
 
+# Driver-side ingest bound: this parser materializes the whole sheet
+# in driver memory, which is correct ONLY for dimension tables (the
+# reference's biggest workbook is 25 785 rows ≈ 3 MB of XML). 256 MiB
+# of uncompressed worksheet XML ≈ low-single-digit millions of rows —
+# far past any sane dim, and still far under the driver heap.
+MAX_SHEET_XML_BYTES = 256 << 20
+
+
 def read_xlsx_rows(
-    path: str, sheet: str = "sheet1"
+    path: str, sheet: str = "sheet1", max_bytes: int = MAX_SHEET_XML_BYTES
 ) -> tuple[list[str], list[list[str | None]]]:
     """Parse one worksheet into (header, data rows) of strings.
 
     Header = first row; every data row is padded/aligned to the header
-    width by cell reference, missing cells → None."""
+    width by cell reference, missing cells → None.
+
+    Guard: refuses worksheets whose *uncompressed* XML exceeds
+    ``max_bytes`` (checked from the ZIP directory before any parse) —
+    a workbook that big is fact data mislabeled as a dim; export it to
+    CSV/parquet and use the distributed readers in sources/tables.py.
+    """
     with zipfile.ZipFile(path) as z:
+        member = f"xl/worksheets/{sheet}.xml"
+        info = z.getinfo(member)
+        if info.file_size > max_bytes:
+            raise ValueError(
+                f"{path}:{member} is {info.file_size >> 20} MiB uncompressed "
+                f"(> {max_bytes >> 20} MiB): too big for the driver-side xlsx "
+                "dim ingest — export to CSV/parquet and read it distributed "
+                "(sources.read_poi_csv / spark.read.parquet)"
+            )
         shared: list[str] = []
         if "xl/sharedStrings.xml" in z.namelist():
             root = ET.fromstring(z.read("xl/sharedStrings.xml"))

@@ -147,6 +147,9 @@ EXCHANGE_CEILING = {
     # batch 22 (round 5)
     "median_jump_length": 4,
     "trajectory_completeness": 4,
+    # batch 23 (round 6)
+    "gap_outlier_report": 4,
+    "district_poi_profile": 4,  # multi-countDistinct expand on a dim-sized input
 }
 
 

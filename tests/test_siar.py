@@ -189,3 +189,32 @@ def test_spark_param_sweep(spark):
     assert len(results) == len(grid)
     best = min(results, key=lambda t: t[1])
     assert best[1] == min(l for _, l in results)
+
+
+def test_spark_param_sweep_broadcast_path_identical(spark, monkeypatch):
+    """Past the grid-size threshold the sweep ships the loss closure
+    via ONE sc.broadcast (executors fetch the shared sim inputs once,
+    not once per task); results are identical to the closure path."""
+    calls = []
+    sc = spark.sparkContext
+    orig = sc.broadcast
+
+    def counting_broadcast(v):
+        calls.append(1)
+        return orig(v)
+
+    monkeypatch.setattr(sc, "broadcast", counting_broadcast)
+
+    def loss(p):
+        beta, gamma = p
+        traj = simulate(INIT, {}, 24, beta=beta, gamma=gamma, cycle=1)
+        return float(traj[:, :, 1].sum(axis=1).max())
+
+    grid = [(b, g) for b in (0.1, 0.3, 0.5) for g in (0.05, 0.2)]
+
+    plain = spark_param_sweep(spark, grid, loss, broadcast_threshold=1000)
+    assert calls == []  # small grid: no broadcast machinery
+
+    bcast = spark_param_sweep(spark, grid, loss, broadcast_threshold=0)
+    assert calls == [1]  # big grid: exactly one broadcast
+    assert sorted(bcast) == sorted(plain)

@@ -268,3 +268,102 @@ def test_read_poi_xlsx_reference_file(spark):
     assert df.columns == ["point", "type", "name"]
     assert df.count() == 25785
     assert df.filter("point IS NULL").count() == 0
+
+
+def test_read_poi_district_csv_type_variant(spark, tmp_path):
+    """The type{1..7}.csv header shape (Point,Type,NAME,KIND,…) —
+    geo-analytics/子区域划分/type7.csv:1 — normalizes into the POI
+    schema with kind/admincode passthrough."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        read_poi_district_csv,
+    )
+
+    p = str(tmp_path / "type7.csv")
+    with open(p, "w", encoding="utf-8") as f:
+        f.write(
+            "Point,Type,NAME,KIND,TELEPHONE,ADMINCODE,ADDRESS\n"
+            '"[[121.3405641, 30.709522934999985]]",7,公园甲,7300,021-5793,310116,路16号\n'
+            '"not a point",7,broken,7300,,310116,x\n'
+        )
+    df = read_poi_district_csv(spark, p)
+    assert df.columns == ["longitude", "latitude", "type", "Title", "kind", "admincode"]
+    rows = df.orderBy("Title").collect()
+    good = rows[1]
+    assert good["longitude"] == 121.3405641
+    assert good["latitude"] == 30.709522934999985
+    assert good["type"] == 7
+    assert good["Title"] == "公园甲"
+    assert good["kind"] == "7300"
+    assert good["admincode"] == "310116"
+    # malformed point → NULL coords, row preserved for quarantine
+    bad = rows[0]
+    assert bad["longitude"] is None and bad["latitude"] is None
+
+
+def test_read_poi_district_csv_district_variant(spark, tmp_path):
+    """The shanghai_<district>.csv header shape (name,point,type) with
+    float-literal types — geo-analytics/子区域划分/shanghai_jingan.csv:1."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        read_poi_district_csv,
+    )
+
+    p = str(tmp_path / "jingan.csv")
+    with open(p, "w", encoding="utf-8") as f:
+        f.write(
+            "name,point,type\n"
+            '丁香公寓,"[[121.43457251990594, 31.216145759619124]]",1.0\n'
+        )
+    df = read_poi_district_csv(spark, p)
+    r = df.collect()[0]
+    assert r["longitude"] == 121.43457251990594
+    assert r["latitude"] == 31.216145759619124
+    assert r["type"] == 1
+    assert r["Title"] == "丁香公寓"
+    assert r["kind"] is None and r["admincode"] is None
+
+
+def test_read_poi_district_csv_reference_files(spark):
+    """Parity against the reference's own district exports: every
+    type{1..7}.csv and shanghai_jingan.csv parse with non-null
+    coordinates and the declared type."""
+    import glob
+    import os
+
+    import pytest
+
+    base = "/root/reference/geo-analytics/子区域划分"
+    if not os.path.isdir(base):
+        pytest.skip("reference district files not present")
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        read_poi_district_csv,
+    )
+
+    for path in sorted(glob.glob(f"{base}/type*.csv")) + [
+        f"{base}/shanghai_jingan.csv"
+    ]:
+        df = read_poi_district_csv(spark, path)
+        n = df.count()
+        assert n > 0, path
+        assert df.filter("longitude IS NULL OR latitude IS NULL").count() == 0, path
+        assert df.filter("type IS NULL").count() == 0, path
+
+
+def test_read_xlsx_rows_size_guard(tmp_path):
+    """The driver-side xlsx ingest is for dims only: a worksheet whose
+    uncompressed XML exceeds the bound is refused up front (from ZIP
+    directory metadata, before any parse) with a pointer at the
+    distributed CSV/parquet path."""
+    import pytest
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        read_xlsx_rows,
+    )
+
+    p = str(tmp_path / "tiny.xlsx")
+    _write_min_xlsx(p, ["a", "b"], [["1", "2"]])
+    # parses fine at the default bound
+    header, rows = read_xlsx_rows(p)
+    assert header == ["a", "b"] and len(rows) == 1
+    # same file refused when the bound is below its XML size
+    with pytest.raises(ValueError, match="CSV/parquet"):
+        read_xlsx_rows(p, max_bytes=10)

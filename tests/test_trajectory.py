@@ -132,3 +132,54 @@ def test_keep_latest_one_row_per_key(spark):
     )
     out = keep_latest(df, ["k"], [F.col("o").desc()]).collect()
     assert {(r.k, r.v) for r in out} == {(1, "b"), (2, "c")}
+
+
+def test_gap_outliers_reports_only_oversized_gaps(spark, tmp_path):
+    """get_more_24 parity (cal_mobility_matrix.py:92-93): only hops
+    whose gap exceeds the fill horizon appear, with the lag context
+    attached — plus the reference's single-file CSV report sink (S9,
+    coalesce(1) instead of its repartition(1): no extra shuffle)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.trajectory import (
+        gap_outliers,
+    )
+
+    pos = _positions(
+        spark,
+        [
+            (1, ts("2024-01-01 10:00:00"), 7),
+            (1, ts("2024-01-01 12:00:00"), 8),   # gap 2 — fillable
+            (1, ts("2024-01-03 00:00:00"), 9),   # gap 36 — outlier
+            (2, ts("2024-01-01 00:00:00"), 3),
+            (2, ts("2024-01-02 00:00:00"), 4),   # gap 24 — still fillable
+        ],
+    )
+    out = gap_outliers(pos)
+    rows = [tuple(r) for r in out.collect()]
+    assert rows == [
+        (1, 9, ts("2024-01-03 00:00:00"), ts("2024-01-01 12:00:00"), 8, 36)
+    ]
+
+    # S9 report sink: one header CSV file, reloadable
+    dest = str(tmp_path / "more_24_csv")
+    out.coalesce(1).write.option("header", True).mode("overwrite").csv(dest)
+    back = spark.read.option("header", True).csv(dest)
+    assert back.count() == 1
+    assert set(back.columns) == {
+        "user_id", "region_id", "hour", "pre_hour", "pre_region_id", "gap_h",
+    }
+
+
+def test_gap_outliers_threshold_is_exclusive(spark):
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.trajectory import (
+        gap_outliers,
+    )
+
+    pos = _positions(
+        spark,
+        [
+            (1, ts("2024-01-01 00:00:00"), 1),
+            (1, ts("2024-01-01 05:00:00"), 2),  # gap 5
+        ],
+    )
+    assert gap_outliers(pos, max_fill_hours=5).count() == 0
+    assert gap_outliers(pos, max_fill_hours=4).count() == 1
