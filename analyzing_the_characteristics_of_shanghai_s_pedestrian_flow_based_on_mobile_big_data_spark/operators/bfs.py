@@ -56,7 +56,7 @@ def bfs_hops(
     (node, hops); nodes not reached within the budget are absent, and
     a ``source`` absent from the graph's node set yields an empty
     result (so an empty edge table stays empty — no phantom row)."""
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -79,7 +79,7 @@ def bfs_hops(
             dist.unionByName(cand)
             .groupBy("node")
             .agg(F.min("hops").alias("hops"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return dist
 
@@ -144,7 +144,7 @@ def multi_source_hops(
     graph is actually connected within the budget, and the operator is
     meant for node-bounded graphs (regions, clusters), not raw-entity
     graphs."""
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -166,7 +166,7 @@ def multi_source_hops(
             dist.unionByName(cand)
             .groupBy("source", "node")
             .agg(F.min("hops").alias("hops"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return dist
 

@@ -12,7 +12,7 @@ difference between 7 and 63 rounds on a 64-node chain of near-dups.
 No GraphX dependency, no python.
 
 Scale hardening (100 TB):
-- every round's label table is ``localCheckpoint(eager=True)``-ed —
+- every round's label table is ``localCheckpoint(eager=False)``-ed —
   the pointer-jump self-join doubles the logical plan tree per round,
   so without per-round truncation Catalyst re-analysis cost grows
   exponentially (measured: round 2 alone took 18 s at sf0.1 with
@@ -64,7 +64,7 @@ def connected_components(
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # Decimal sum: overflow-safe for arbitrary long ids at any count.
     sum_expr = F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
@@ -91,9 +91,11 @@ def connected_components(
         jump = stepped.select(
             F.col("node").alias("j_node"), F.col("component").alias("j_comp")
         )
-        # Eager per-round checkpoint: the self-join above doubles the
+        # Per-round checkpoint: the self-join above doubles the
         # plan tree, so carrying lineage across rounds makes Catalyst
         # re-analysis exponential — truncate to a LogicalRDD now.
+        # Lazy: the convergence-sum collect right below is the
+        # materializing action (one fused job per round).
         new_labels = (
             stepped.join(jump, stepped.component == jump.j_node, "left")
             .select(
@@ -103,7 +105,7 @@ def connected_components(
                     F.coalesce("j_comp", F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_sum = new_labels.agg(sum_expr).collect()[0]["s"]
         labels = new_labels

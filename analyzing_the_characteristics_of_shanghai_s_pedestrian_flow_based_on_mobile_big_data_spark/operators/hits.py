@@ -34,14 +34,16 @@ _DEC = "decimal(38,12)"
 def _norm_round(scores: DataFrame, col: str, scale: float) -> DataFrame:
     """Divide by the max score and floor-round at 1/scale.
 
-    ``scores`` must already be checkpointed: the max is then ONE
-    scalar read off the materialized table (a bounded driver fetch,
-    the kmeans collect budget class) embedded as a literal, and the
-    normalization is a lazy pure map over the same checkpoint — each
-    half-round job computes exactly one join, once. (First cut used
-    an in-plan 1-row-agg crossJoin: 7.4 s at sf0.1; second cut
-    collected the max from UNcheckpointed lineage, recomputing every
-    half-round twice: 4.6 s; this form measures ~2.5 s.)"""
+    ``scores`` must already be checkpointed (eager or lazy): the max
+    is ONE scalar read (a bounded driver fetch, the kmeans collect
+    budget class) embedded as a literal, and the normalization is a
+    lazy pure map over the same checkpoint — each half-round runs
+    exactly one job, which both materializes the lazy checkpoint and
+    returns the max. (First cut used an in-plan 1-row-agg crossJoin:
+    7.4 s at sf0.1; second cut collected the max from UNcheckpointed
+    lineage, recomputing every half-round twice: 4.6 s; eager
+    checkpoint + separate max job: ~2.5 s; fused lazy form: the
+    round-6 job-overhead cut.)"""
     mx = scores.agg(F.max(col)).collect()[0][0] or 1.0
     return scores.select(
         "node",
@@ -65,13 +67,13 @@ def hits(
         edges.filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     scale = float(10**round_scale)
     hub = nodes.select("node", F.lit(1.0).alias("hub"))
@@ -91,7 +93,7 @@ def hits(
                     "authority"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         auth = _norm_round(auth_full, "authority", scale)
         hub_raw = (
@@ -110,7 +112,7 @@ def hits(
                 "node",
                 F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         hub = _norm_round(hub_full, "hub", scale)
     return nodes.join(hub, "node").join(auth, "node").select(

@@ -44,7 +44,7 @@ def k_core(edges: DataFrame, k: int, rounds: int = 6) -> DataFrame:
     (pre-symmetrized (src, dst), both orientations present) with
     their core-subgraph degree: (node, deg). Peels for exactly
     ``rounds`` rounds."""
-    live = edges.localCheckpoint(eager=True)
+    live = edges.localCheckpoint(eager=False)
     for _ in range(rounds):
         deg = live.groupBy("src").agg(F.count("*").alias("deg"))
         alive = deg.filter(F.col("deg") >= k).select(
@@ -57,7 +57,7 @@ def k_core(edges: DataFrame, k: int, rounds: int = 6) -> DataFrame:
             .join(
                 alive.select(F.col("node").alias("dst")), "dst", "semi"
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return (
         live.groupBy(F.col("src").alias("node"))

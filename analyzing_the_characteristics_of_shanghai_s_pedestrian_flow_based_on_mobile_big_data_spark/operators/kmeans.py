@@ -18,7 +18,7 @@ Physical design, per iteration:
    groupBy (cluster, dim) with a DECIMAL sum (association-order
    independent ⇒ partitioning-independent) — map-side combinable,
    shuffle payload k·dim rows per partition.
-3. The corpus is eager-localCheckpointed once up front: every
+3. The corpus is localCheckpointed (lazily) once up front: every
    iteration re-scans it, and without truncation iteration i would
    re-derive the upstream pipeline i times (pagerank.py:88-94).
 
@@ -96,7 +96,7 @@ def kmeans_fit(
     """Run ``iterations`` Lloyd rounds on ``emb`` (id_col, vec_col:
     array<double>). Returns (final centroids {cluster: coords}, the
     corpus with its final ``cluster`` assignment)."""
-    emb = emb.localCheckpoint(eager=True)
+    emb = emb.localCheckpoint(eager=False)
     # seed from the k SMALLEST OBSERVED ids, not `id < k`: a sparse or
     # offset id domain (plausible after a testdata regeneration) would
     # silently fit fewer than k clusters under the literal filter —

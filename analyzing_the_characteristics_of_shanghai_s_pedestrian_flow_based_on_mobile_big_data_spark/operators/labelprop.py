@@ -72,11 +72,11 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
                 F.col("v").alias("src"), F.col("u").alias("dst"), "w"
             )
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     nodes = nbr.select(F.col("src").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(
-        eager=True
+        eager=False
     )
     rank_w = Window.partitionBy("dst").orderBy(
         F.col("score").desc(), F.col("label").asc()
@@ -100,7 +100,7 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
             .select(
                 "node", F.coalesce("label", "__old").alias("label")
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return labels.select("node", F.col("label").alias("community"))
 

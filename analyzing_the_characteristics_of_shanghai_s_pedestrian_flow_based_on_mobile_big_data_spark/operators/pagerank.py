@@ -33,9 +33,13 @@ independent; one correctly-rounded decimal→double cast, an IEEE
 teleport division, and a 9-dp round re-synchronize representations
 every iteration.
 
-At cluster scale: ``checkpoint_every`` eagerly truncates plan lineage
-(the same localCheckpoint cadence components.py uses) — without it a
-30-iteration chain re-derives every prior join on each action.
+At cluster scale: ``checkpoint_every`` truncates plan lineage (the
+same localCheckpoint cadence components.py uses) — without it a
+30-iteration chain re-derives every prior join on each action. All
+checkpoints are lazy (eager=False): logical truncation is what fixes
+Catalyst re-analysis, and with no data-dependent exit the whole loop
+can materialize in the one final action instead of one job per
+checkpoint.
 """
 
 from __future__ import annotations
@@ -93,18 +97,25 @@ def pagerank(
     rank⁰(v) = floor((1/N)·10ˢ + ½)/10ˢ;
     rankⁱ⁺¹(v) = floor(((1-d)/N + d·Σ_{(u,v)∈E} w(u,v)·rankⁱ(u))·10ˢ + ½)/10ˢ.
     """
-    # Materialize the graph tables ONCE before iterating: every
+    # Checkpoint the graph tables ONCE before iterating: every
     # iteration references nodes/aug/n_row, and without truncation each
     # of the 10 rounds would re-derive the full upstream pipeline that
     # produced the edges (measured 160 s → ~10 s on the OD graph).
     # localCheckpoint, not persist: it also cuts the lineage the
-    # per-round plans would otherwise re-analyze.
-    edges = edges.localCheckpoint(eager=True)
+    # per-round plans would otherwise re-analyze. eager=False
+    # everywhere: the LogicalRDD truncation (the Catalyst-re-analysis
+    # fix) is identical, but materialization folds into the ONE final
+    # action instead of one job per checkpoint — the loop has no
+    # data-dependent exit, so nothing ever needs an early scalar read
+    # (round-6 job-overhead cut; each checkpointed table still
+    # computes once and is block-cached on first scan within the
+    # final job).
+    edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # dangling sink fix: nodes with no out-edge self-loop at weight 1
     dangling = nodes.join(
@@ -116,10 +127,10 @@ def pagerank(
             F.col("node").alias("dst"),
             F.lit(1.0).alias("w"),
         )
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # N via a 1-row aggregate crossJoin — stays in-plan (no collect),
     # broadcast by AQE; teleport/init are single IEEE divisions
-    n_row = nodes.agg(F.count("*").alias("__n")).localCheckpoint(eager=True)
+    n_row = nodes.agg(F.count("*").alias("__n")).localCheckpoint(eager=False)
     # 1-d precomputed in Python so both engines embed the identical
     # binary64 constant (1.0 - 0.85 != 0.15 in floating point)
     tele = 1.0 - damping
@@ -165,7 +176,7 @@ def pagerank(
             )
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 

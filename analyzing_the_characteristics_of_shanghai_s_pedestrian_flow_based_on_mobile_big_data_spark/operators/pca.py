@@ -54,7 +54,7 @@ def power_iteration_top_pc(
 ) -> list[float]:
     """Return the (max-abs-normalized, 9-dp-rounded) dominant Gram
     direction after ``iterations`` rounds, v⁰ = e₁."""
-    emb = emb.localCheckpoint(eager=True)
+    emb = emb.localCheckpoint(eager=False)
     v = [1.0] + [0.0] * (dim - 1)
     scale = float(10**round_scale)  # mirrors the oracle's literal
     for _ in range(iterations):

@@ -573,3 +573,56 @@ def incremental_first_seen_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def incremental_od_stream(
+    spark: SparkSession,
+    edges_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    schema: str = (
+        "user_id long, region_id int, hour timestamp, "
+        "pre_hour timestamp, pre_region_id int"
+    ),
+):
+    """Stream trajectory-edge files → additive (hour, orig, dest) OD
+    count table via foreachBatch — the incremental twin of
+    operators.od.od_matrix (cal_mobility_matrix.py:167). Counts are
+    exactly additive, so the table equals the batch OD matrix after
+    any prefix of files, under any batch boundaries, any arrival
+    order (late hours included), and epoch replays (the
+    generation-chain guarantee). Returns the StreamingQuery."""
+    table = IncrementalCountTable(spark, table_path, ["hour", "orig", "dest"])
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        delta = batch_df.groupBy(
+            F.col("hour"),
+            F.col("pre_region_id").alias("orig"),
+            F.col("region_id").alias("dest"),
+        ).agg(F.count("*").alias("cnt"))
+        table.merge_batch(delta, epoch_id)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(edges_dir)
+    )
+    return (
+        src.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def od_fractions_from_table(od_table: DataFrame) -> DataFrame:
+    """Row-normalized OD fractions derived from the incremental count
+    table AT READ TIME. Fractions are a ratio of two additive
+    measures (cnt / Σ_dest cnt) — they do NOT merge, so they are never
+    stored in the table; deriving on read makes late data and replays
+    free: once the counts match the batch counts, one window division
+    reproduces the batch fractions bit-for-bit (identical integer
+    inputs → identical IEEE divisions on any engine/arrival order).
+    Same plan as operators.od.od_fractions on the batch side."""
+    from ..operators.od import od_fractions
+
+    return od_fractions(od_table)

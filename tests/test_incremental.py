@@ -567,3 +567,90 @@ def test_incremental_first_seen_min_merge_with_late_earlier_data(spark, tmp_path
     import datetime as dt
 
     assert got[1][1] == dt.date(2024, 1, 2)
+
+
+def test_incremental_od_fractions_parity_under_late_replay(spark, tmp_path):
+    """OD fractions (ratio of two additive measures) derived from the
+    incremental table equal the batch od_fractions bit-for-bit: after
+    the first file, after a LATE file carrying an EARLIER hour, and
+    after an epoch replay. Fractions are never stored — only counts
+    merge; the division happens at read time."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.od import (
+        od_fractions,
+        od_matrix,
+    )
+    from pyspark.sql import functions as F
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        incremental_od_stream,
+        od_fractions_from_table,
+    )
+
+    schema = (
+        "user_id long, region_id int, hour timestamp, "
+        "pre_hour timestamp, pre_region_id int"
+    )
+    h10, h11 = ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")
+    h9 = ts("2024-01-01 09:00:00")
+    b1 = [
+        (1, 5, h10, h9, 4),
+        (2, 5, h10, h9, 4),
+        (3, 6, h10, h9, 4),   # same (hour, orig), second dest
+        (1, 6, h11, h10, 5),
+    ]
+    b2 = [  # LATE file: earlier hour 09 plus more mass on (10, 4, 5)
+        (4, 4, h9, ts("2024-01-01 08:00:00"), 0),
+        (4, 5, h10, h9, 4),
+    ]
+
+    def batch_fracs(rows):
+        edges = spark.createDataFrame(rows, schema)
+        return {
+            (r.hour, r.orig, r.dest): (r.cnt, r.frac)
+            for r in od_fractions(od_matrix(edges)).collect()
+        }
+
+    def table_fracs(path):
+        t = IncrementalCountTable(
+            spark, path, ["hour", "orig", "dest"]
+        )
+        return {
+            (r.hour, r.orig, r.dest): (r.cnt, r.frac)
+            for r in od_fractions_from_table(t.read()).collect()
+        }
+
+    src = str(tmp_path / "edges")
+    tbl = str(tmp_path / "od_table")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    q = incremental_od_stream(spark, src, tbl, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        got1 = table_fracs(tbl)
+        assert got1 == batch_fracs(b1)
+        # sanity: the shared-origin split is a real fraction
+        assert got1[(h10, 4, 5)][1] == 2 / 3
+
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got2 = table_fracs(tbl)
+        assert got2 == batch_fracs(b1 + b2)
+        assert got2[(h10, 4, 5)][1] == 3 / 4  # late mass re-normalized
+        assert (h9, 0, 4) in got2              # the late earlier hour landed
+    finally:
+        q.stop()
+
+    # epoch replay on the same table: fractions still match (counts
+    # rebase onto the parent generation, division is read-time)
+    t = IncrementalCountTable(spark, tbl, ["hour", "orig", "dest"])
+    ptr = t._pointer()
+    replay_delta = (
+        spark.createDataFrame(b2, schema)
+        .groupBy(
+            F.col("hour"),
+            F.col("pre_region_id").alias("orig"),
+            F.col("region_id").alias("dest"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    t.merge_batch(replay_delta, ptr["epoch"])  # same epoch → rebase
+    assert table_fracs(tbl) == batch_fracs(b1 + b2)

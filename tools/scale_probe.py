@@ -1,9 +1,32 @@
-"""Scale probe: replicate the events table N× (disjoint user-id
-spaces) and measure the headline trajectory chain, to check that
-runtime grows ~linearly with input and the plan shape holds.
+"""Scale probe: replicate the input tables N× (disjoint id spaces)
+and measure operator families, to check that runtime grows as designed
+and the plan shape holds.
 
-Usage: python tools/scale_probe.py [N] [sf_dir]
-Writes the scaled table to /tmp and prints one JSON line per stage.
+Usage:
+    python tools/scale_probe.py [N] [sf_dir]            # trajectory+hygiene chain
+    python tools/scale_probe.py --family graph [N] [sf_dir]
+    python tools/scale_probe.py --family ann [N] [sf_dir]
+    python tools/scale_probe.py --family setsim [N] [sf_dir]
+    python tools/scale_probe.py --family cc [N] [sf_dir]
+
+Writes scaled tables to /tmp and prints one JSON line with per-stage
+seconds. Replication designs per family:
+
+- graph: events N× in disjoint user spaces. The OD region GRAPH is
+  unchanged (same 20 nodes; every edge count multiplies by ~N and
+  normalized weights/degrees are N-invariant), so PageRank / HITS /
+  k-core / harmonic outputs must be IDENTICAL at every N — the probe
+  asserts the value fingerprint, which turns the scale run into a
+  correctness check of the whole derivation chain too.
+- ann: embeddings N× in disjoint vec_id spaces (queries fixed to the
+  rep-0 vectors). Brute-force top-k is Θ(N); sign-bucket ANN re-derives
+  nbits ≈ log2(N·2000/16) so in-bucket candidates stay ~constant.
+- setsim: events N× — N× more users over the SAME bounded cell grid,
+  so qualifying pairs grow ~N² (the documented dense-regime Ω(U²)
+  bound of the exact set-similarity join; the probe MEASURES the
+  exponent instead of asserting linearity).
+- cc: documents N× with identical text — every near-dup group gains
+  N× members (worst case for LSH pair growth and for CC convergence).
 """
 
 from __future__ import annotations
@@ -29,11 +52,244 @@ from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile
 )
 
 
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _timed(results: dict, key: str, df) -> None:
+    t0 = time.perf_counter()
+    _noop(df)
+    results[f"{key}_s"] = round(time.perf_counter() - t0, 2)
+
+
+def _scaled_events_pings(spark, sf_dir: str, n: int):
+    base = load_events(spark, sf_dir)
+    copies = base.crossJoin(
+        spark.range(n).select(F.col("id").alias("rep"))
+    ).select(
+        (F.col("user_id") + F.col("rep") * 1_000_000).alias("user_id"),
+        "ts",
+        "event_type",
+        "event_id",
+        "value",
+    )
+    out = os.path.join(tempfile.gettempdir(), f"events_x{n}.parquet")
+    copies.write.mode("overwrite").parquet(out)
+    scaled = spark.read.parquet(out)
+    return scaled.select(
+        "user_id",
+        "ts",
+        F.date_trunc("hour", "ts").alias("hour"),
+        (F.pmod(F.floor("value").cast("long"), F.lit(20)) + 1)
+        .cast("int")
+        .alias("region_id"),
+        "event_id",
+    ), scaled.count()
+
+
+def _fingerprint(df) -> str:
+    """Order-insensitive value fingerprint of a (small) result —
+    asserts replication-invariance of graph-family outputs."""
+    import hashlib
+
+    rows = sorted(tuple(map(repr, r)) for r in df.collect())
+    return hashlib.md5(repr(rows).encode()).hexdigest()[:16]
+
+
+def probe_graph(spark, sf_dir: str, n: int) -> dict:
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.bfs import (
+        harmonic_centrality,
+        topk_out_edges,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.hits import (
+        hits,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.kcore import (
+        k_core,
+        symmetrize,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.pagerank import (
+        normalized_edges,
+        pagerank,
+    )
+
+    pings, n_rows = _scaled_events_pings(spark, sf_dir, n)
+    results = {"family": "graph", "replication": n, "rows": n_rows}
+
+    def od():
+        pos = ops.hourly_positions(pings)
+        return ops.od_matrix(ops.gap_fill_edges(pos))
+
+    t0 = time.perf_counter()
+    pr = pagerank(
+        normalized_edges(
+            od().select(
+                F.col("orig").alias("src"), F.col("dest").alias("dst"), "cnt"
+            )
+        ),
+        iterations=10,
+    )
+    results["pagerank_fp"] = _fingerprint(pr)
+    results["pagerank_s"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    h = hits(
+        od().select(F.col("orig").alias("src"), F.col("dest").alias("dst"))
+    )
+    results["hits_fp"] = _fingerprint(h)
+    results["hits_s"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    tot = od().groupBy("orig", "dest").agg(F.sum("cnt").alias("w"))
+    g = topk_out_edges(
+        tot.select(F.col("orig").alias("src"), F.col("dest").alias("dst"), "w"),
+        k=3,
+    )
+    kc = k_core(symmetrize(g), k=4, rounds=6)
+    results["kcore_fp"] = _fingerprint(kc)
+    results["kcore_s"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    hc = harmonic_centrality(g)
+    results["harmonic_fp"] = _fingerprint(hc)
+    results["harmonic_s"] = round(time.perf_counter() - t0, 2)
+    return results
+
+
+def probe_ann(spark, sf_dir: str, n: int) -> dict:
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        brute_force_topk,
+        bucketed_ann_topk,
+        ivf_centroid_rows,
+        ivf_topk,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = emb.crossJoin(
+        spark.range(n).select(F.col("id").alias("rep"))
+    ).select(
+        (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    out = os.path.join(tempfile.gettempdir(), f"embeddings_x{n}.parquet")
+    copies.write.mode("overwrite").parquet(out)
+    scaled = spark.read.parquet(out)
+    results = {"family": "ann", "replication": n, "rows": scaled.count()}
+    queries = scaled.filter(F.col("vec_id") < 5)
+
+    _timed(results, "brute_force_topk", brute_force_topk(scaled, queries, k=3, dim=64))
+    _timed(
+        results,
+        "ann_bucketed",
+        bucketed_ann_topk(scaled, queries, k=3, dim=64, multi_probe=1),
+    )
+    t0 = time.perf_counter()
+    cent = ivf_centroid_rows(scaled, 16)
+    _noop(
+        ivf_topk(
+            scaled, queries, k=3, n_centroids=16, nprobe=4, dim=64, centroids=cent
+        )
+    )
+    results["ivf_topk_s"] = round(time.perf_counter() - t0, 2)
+    return results
+
+
+def probe_setsim(spark, sf_dir: str, n: int) -> dict:
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        set_similarity_join,
+    )
+
+    base = load_events(spark, sf_dir)
+    copies = base.crossJoin(
+        spark.range(n).select(F.col("id").alias("rep"))
+    ).select(
+        (F.col("user_id") + F.col("rep") * 1_000_000).alias("user_id"),
+        "value",
+    )
+    out = os.path.join(tempfile.gettempdir(), f"events_ss_x{n}.parquet")
+    copies.write.mode("overwrite").parquet(out)
+    scaled = spark.read.parquet(out)
+    results = {"family": "setsim", "replication": n, "rows": scaled.count()}
+    cells = 2000
+    # same cell derivation as the registered user_covisit_jaccard query
+    sets = scaled.select(
+        "user_id",
+        F.pmod(F.floor(F.col("value")).cast("long"), F.lit(cells)).alias(
+            "cell"
+        ),
+    ).distinct()
+    t0 = time.perf_counter()
+    pairs = set_similarity_join(
+        sets,
+        "user_id",
+        "cell",
+        threshold_num=3,
+        threshold_den=10,
+        dense_bitmap_domain=cells,
+    )
+    n_pairs = pairs.count()
+    results["covisit_s"] = round(time.perf_counter() - t0, 2)
+    results["covisit_pairs"] = n_pairs
+    return results
+
+
+def probe_cc(spark, sf_dir: str, n: int) -> dict:
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.components import (
+        connected_components,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dcopies = docs.crossJoin(
+        spark.range(n).select(F.col("id").alias("rep"))
+    ).select(
+        (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+        "text",
+    )
+    dout = os.path.join(tempfile.gettempdir(), f"documents_cc_x{n}.parquet")
+    dcopies.write.mode("overwrite").parquet(dout)
+    sdocs = spark.read.parquet(dout)
+    results = {"family": "cc", "replication": n, "rows": sdocs.count()}
+
+    t0 = time.perf_counter()
+    pairs = minhash_lsh_pairs(sdocs)
+    comp = connected_components(pairs, max_iterations=30)
+    results["clusters"] = comp.select("component").distinct().count()
+    results["members"] = comp.count()
+    results["near_dup_cc_s"] = round(time.perf_counter() - t0, 2)
+    return results
+
+
+FAMILIES = {
+    "graph": probe_graph,
+    "ann": probe_ann,
+    "setsim": probe_setsim,
+    "cc": probe_cc,
+}
+
+
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    args = sys.argv[1:]
+    family = None
+    if args and args[0] == "--family":
+        family = args[1]
+        args = args[2:]
+    n = int(args[0]) if args else 16
+    sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    if family is not None:
+        print(json.dumps(FAMILIES[family](spark, sf_dir, n)))
+        return
 
     base = load_events(spark, sf_dir)
     copies = base.crossJoin(
