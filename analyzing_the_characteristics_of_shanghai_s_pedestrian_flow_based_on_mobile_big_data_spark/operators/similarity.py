@@ -380,6 +380,26 @@ def _centroid_sims(emb_col_name: str, centroids, dim):
     return F.expr("array(" + ", ".join(structs) + ")")
 
 
+def ivf_assign(
+    emb: DataFrame, centroids: list, dim: int | None = None
+) -> DataFrame:
+    """Corpus → inverted-list assignment (vec_id, c_emb, centroid_id):
+    the INDEX of IVF. A map-only expression over literal centroids —
+    no join, no shuffle; the corpus never moves to be indexed. A real
+    deployment materializes this table once per corpus state (it IS
+    the inverted file) and serves many query batches from it;
+    recomputing it per batch charges k_c sims/vector to every serve,
+    which is the difference between IVF beating and losing to the
+    brute-force scan at small query counts (measured in SCALE.md r6:
+    serve-with-inline-assignment cost ~3× brute force at 5 queries ×
+    16 centroids, exactly the 16-vs-5 sims/row ratio)."""
+    c = emb.select("vec_id", as_double_array(F.col("embedding")).alias("c_emb"))
+    return c.withColumn(
+        "centroid_id",
+        (-F.array_max(_centroid_sims("c_emb", centroids, dim)).getField("negid")).cast("long"),
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -388,6 +408,7 @@ def ivf_topk(
     nprobe: int = 4,
     dim: int | None = None,
     centroids: list | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: corpus vectors are inverted-listed
     under their nearest coarse centroid; each query probes only its
@@ -399,7 +420,12 @@ def ivf_topk(
     join broadcasts the (tiny) query×nprobe table keyed on
     centroid_id, so candidate matching is also shuffle-free; the only
     exchange is the final per-query top-k over ~nprobe·N/k_c candidate
-    rows. n_centroids should grow ~sqrt(N) to keep list sizes flat."""
+    rows. n_centroids should grow ~sqrt(N) to keep list sizes flat.
+
+    Pass ``assigned`` (a materialized :func:`ivf_assign` table) to
+    serve from a prebuilt index; otherwise the assignment is computed
+    inline in the same plan (fine for one-shot queries, pays
+    k_c sims/vector on every run)."""
     if centroids is None:
         centroids = ivf_centroid_rows(emb, n_centroids)
     if not centroids:
@@ -413,11 +439,8 @@ def ivf_topk(
                 F.lit(1).alias("rank"),
             ).filter(F.lit(False))
         )
-    c = emb.select("vec_id", as_double_array(F.col("embedding")).alias("c_emb"))
-    assigned = c.withColumn(
-        "centroid_id",
-        (-F.array_max(_centroid_sims("c_emb", centroids, dim)).getField("negid")).cast("long"),
-    )
+    if assigned is None:
+        assigned = ivf_assign(emb, centroids, dim)
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         as_double_array(F.col("embedding")).alias("q_emb"),

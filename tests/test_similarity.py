@@ -420,3 +420,36 @@ def test_ivf_kmeans_codebook_recall_beats_sampled(spark):
     recall_k = len(truth & got_k) / len(truth)
     assert recall_k >= recall_s
     assert recall_k >= 0.8  # absolute floor: trained codebook works
+
+
+def test_ivf_topk_prebuilt_index_identical(spark, tmp_path):
+    """Serving from a materialized ivf_assign index (the inverted
+    file) returns exactly the inline-assignment result — the round-6
+    build/serve split: assignment is charged to index BUILD once per
+    corpus state, not k_c sims/vector on every query batch."""
+    from pyspark.sql import functions as F
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroid_rows,
+        ivf_topk,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    cent = ivf_centroid_rows(emb, 16)
+    inline = ivf_topk(
+        emb, q, k=3, n_centroids=16, nprobe=4, dim=64, centroids=cent
+    )
+    idx_path = str(tmp_path / "ivf_index")
+    ivf_assign(emb, cent, dim=64).write.parquet(idx_path)
+    served = ivf_topk(
+        emb, q, k=3, n_centroids=16, nprobe=4, dim=64,
+        centroids=cent, assigned=spark.read.parquet(idx_path),
+    )
+    a = sorted(tuple(r) for r in inline.collect())
+    b = sorted(tuple(r) for r in served.collect())
+    assert a == b and len(a) > 0

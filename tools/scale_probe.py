@@ -187,14 +187,29 @@ def probe_ann(spark, sf_dir: str, n: int) -> dict:
         "ann_bucketed",
         bucketed_ann_topk(scaled, queries, k=3, dim=64, multi_probe=1),
     )
+    # index BUILD (centroid pick + corpus assignment, materialized —
+    # the inverted file) and SERVE (probe join + candidate cos +
+    # top-k over the prebuilt index) timed separately: a real IVF
+    # index is built once per corpus state and served many times, so
+    # the scaling claim that matters is the serve-side one.
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        ivf_assign,
+    )
+
     t0 = time.perf_counter()
     cent = ivf_centroid_rows(scaled, 16)
+    ivf_dir = os.path.join(tempfile.gettempdir(), f"ivf_index_x{n}.parquet")
+    ivf_assign(scaled, cent, dim=64).write.mode("overwrite").parquet(ivf_dir)
+    results["ivf_build_s"] = round(time.perf_counter() - t0, 2)
+    index = spark.read.parquet(ivf_dir)
+    t0 = time.perf_counter()
     _noop(
         ivf_topk(
-            scaled, queries, k=3, n_centroids=16, nprobe=4, dim=64, centroids=cent
+            scaled, queries, k=3, n_centroids=16, nprobe=4, dim=64,
+            centroids=cent, assigned=index,
         )
     )
-    results["ivf_topk_s"] = round(time.perf_counter() - t0, 2)
+    results["ivf_serve_s"] = round(time.perf_counter() - t0, 2)
     return results
 
 
