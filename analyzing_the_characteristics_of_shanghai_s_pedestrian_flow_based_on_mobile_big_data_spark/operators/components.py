@@ -21,7 +21,8 @@ Scale hardening (100 TB):
   in executor storage at a time;
 - convergence is detected from the label-sum delta (labels are
   monotonically non-increasing integers, so an unchanged sum ⟺ no
-  change) — one aggregate job per round on the label table alone, no
+  change) — and because the checkpoint is lazy, the sum collect IS
+  the round's materializing action: ONE fused job per round, no
   extra join;
 - a loop that exits without converging raises (or returns flagged via
   ``strict=False``) instead of silently returning truncated labels.

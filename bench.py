@@ -173,6 +173,9 @@ HEADLINE = [
     # batch-22 additions (round 5)
     "median_jump_length",
     "trajectory_completeness",
+    # batch-23 additions (round 6)
+    "gap_outlier_report",
+    "district_poi_profile",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the
