@@ -4604,6 +4604,210 @@ def _q_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (batch 24): forecast-revenue change — one scan, three
+    pushed-down filters, a single zero-key DECIMAL aggregate. The
+    simplest TPC-H query and the purest pushdown check: every
+    predicate reaches the parquet scan, no join, no shuffle beyond the
+    single-row final combine. Discount bounds compare the column's own
+    double values against the same binary64 literals on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def _q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (batch 24): NATION_3's share of the ASIA market
+    for ECONOMY parts, per order year. The share is a ratio of two
+    co-grouped DECIMAL sums rounded identically on both engines (the
+    q14 promo-share convention); nation/region dims broadcast, the
+    fact chain shuffles on its join keys only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rk")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    one = F.lit(1).cast("decimal(18,4)")
+    vol = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    target = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    base = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_cust), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_rk") == region.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_supp), supp.s_nationkey == F.col("sn_key"))
+    )
+    agg = base.groupBy(
+        F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(
+        F.round(F.sum(target).cast("double"), 2).alias("nation_volume"),
+        F.round(F.sum(vol).cast("double"), 2).alias("total_volume"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_volume",
+        "total_volume",
+        F.when(
+            F.col("total_volume") > 0,
+            F.col("nation_volume") / F.col("total_volume"),
+        ).alias("mkt_share"),
+    )
+
+
+def _q_q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (batch 24), ADAPTED: profit per supplier nation
+    and order year over parts named like '%red%'. The dataset ships no
+    partsupp table, so the ps_supplycost·quantity term is dropped and
+    profit is the discounted revenue — the adaptation is applied
+    identically on both engines, so the differential check still pins
+    the 4-way join + LIKE-pruned part dim + year rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    one = F.lit(1).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+                .cast("double"),
+                2,
+            ).alias("sum_profit"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def _q_q12_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (batch 24), ADAPTED: the schema has no
+    l_shipmode / commit / receipt dates, so the Q12 split is restated
+    on lateness itself — lines shipped in 1996 bucketed by whether
+    they shipped >90 days after the order date, with the classic
+    CASE-sum split of high- vs low-priority orders per bucket. Same
+    restatement on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    late = (
+        F.col("l_shipdate").cast("date")
+        > F.date_add(F.col("o_orderdate").cast("date"), 90)
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy(late.alias("is_late")).agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+def _q_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (batch 24): distribution of customers by order
+    count, zero-order customers included via the left join (the
+    dataset has no o_comment, so Q13's comment-exclusion predicate is
+    dropped on both engines). Two aggregates: per-customer count, then
+    the count-of-counts — both map-side combinable."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").alias("custdist")
+    )
+
+
+def _q_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (batch 24), ADAPTED: suppliers who alone held
+    up multi-supplier orders. With no receipt/commit dates, 'held up'
+    is restated on ship dates — in orders with ≥2 distinct suppliers,
+    the blocking supplier is the UNIQUE supplier whose latest line
+    ships on the order's latest ship date (Q21's exists/not-exists
+    pair becomes two aggregate predicates on the per-(order, supplier)
+    max-shipdate table). All joins key on orderkey; the supplier dim
+    broadcasts for the final name attach."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    lo = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("supp_max")
+    )
+    stats = lo.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.max("supp_max").alias("ord_max"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+    at_max = (
+        lo.join(stats, (lo.l_orderkey == stats.ok))
+        .filter(F.col("supp_max") == F.col("ord_max"))
+        .groupBy(F.col("l_orderkey").alias("ok2"))
+        .agg(F.count("*").alias("n_at_max"))
+    )
+    blockers = (
+        lo.join(stats, lo.l_orderkey == stats.ok)
+        .join(at_max, lo.l_orderkey == F.col("ok2"))
+        .filter(
+            (F.col("n_supp") >= 2)
+            & (F.col("supp_max") == F.col("ord_max"))
+            & (F.col("n_at_max") == 1)
+        )
+    )
+    return (
+        blockers.join(
+            F.broadcast(supp), blockers.l_suppkey == supp.s_suppkey
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
 def _q_ols_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed simple linear regression (batch 14): per event-type
     OLS of value on hour-of-day via SUFFICIENT STATISTICS — the
@@ -5597,6 +5801,15 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 23 (round 6): QA reports + district POI ingest
         "gap_outlier_report": _q_gap_outlier_report,
         "district_poi_profile": _q_district_poi_profile,
+        # batch 24 (round 6): TPC-H parity completion over the shipped
+        # columns (Q2/Q11/Q20 need the absent partsupp table; Q9/Q12/
+        # Q21 adapted as documented in their docstrings)
+        "q6_forecast_revenue": _q_q6_forecast_revenue,
+        "q8_market_share": _q_q8_market_share,
+        "q9_profit_by_nation": _q_q9_profit_by_nation,
+        "q12_priority_lateness": _q_q12_priority_lateness,
+        "q13_customer_distribution": _q_q13_customer_distribution,
+        "q21_waiting_supplier": _q_q21_waiting_supplier,
     }
 
 
@@ -8767,6 +8980,110 @@ def oracle_sql() -> dict[str, str]:
                         THEN promo_revenue / total_revenue
                         ELSE NULL END AS promo_share
             FROM agg
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 2)
+                     AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q8_market_share": """
+            WITH base AS (
+              SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                     CAST(l_extendedprice AS DECIMAL(18,4))
+                       * (CAST(1 AS DECIMAL(18,4))
+                          - CAST(l_discount AS DECIMAL(18,4))) AS vol,
+                     n2.n_name AS supp_nation
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON c_nationkey = n1.n_nationkey
+              JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n2 ON s_nationkey = n2.n_nationkey
+              WHERE o_orderdate >= DATE '1996-01-01'
+                AND o_orderdate < DATE '1998-01-01'
+            ),
+            agg AS (
+              SELECT o_year,
+                     round(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                          THEN vol ELSE CAST(0 AS DECIMAL(18,4)) END)
+                          AS DOUBLE), 2) AS nation_volume,
+                     round(CAST(sum(vol) AS DOUBLE), 2) AS total_volume
+              FROM base GROUP BY 1
+            )
+            SELECT o_year, nation_volume, total_volume,
+                   CASE WHEN total_volume > 0
+                        THEN nation_volume / total_volume END AS mkt_share
+            FROM agg
+        """,
+        "q9_profit_by_nation": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4))
+                           - CAST(l_discount AS DECIMAL(18,4))))
+                        AS DOUBLE), 2) AS sum_profit,
+                   count(*) AS n_lines
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY 1, 2
+        """,
+        "q12_priority_lateness": """
+            SELECT CAST(l_shipdate AS DATE)
+                     > CAST(o_orderdate AS DATE) + 90 AS is_late,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1997-01-01'
+            GROUP BY 1
+        """,
+        "q13_customer_distribution": """
+            WITH per_cust AS (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey
+            )
+            SELECT c_count, count(*) AS custdist
+            FROM per_cust GROUP BY c_count
+        """,
+        "q21_waiting_supplier": """
+            WITH lo AS (
+              SELECT l_orderkey, l_suppkey, max(l_shipdate) AS supp_max
+              FROM lineitem GROUP BY 1, 2
+            ),
+            stats AS (
+              SELECT l_orderkey AS ok, max(supp_max) AS ord_max,
+                     count(DISTINCT l_suppkey) AS n_supp
+              FROM lo GROUP BY 1
+            ),
+            at_max AS (
+              SELECT lo.l_orderkey AS ok2, count(*) AS n_at_max
+              FROM lo JOIN stats ON lo.l_orderkey = stats.ok
+              WHERE lo.supp_max = stats.ord_max
+              GROUP BY 1
+            )
+            SELECT s_name, count(*) AS numwait
+            FROM lo
+            JOIN stats ON lo.l_orderkey = stats.ok
+            JOIN at_max ON lo.l_orderkey = at_max.ok2
+            JOIN supplier ON lo.l_suppkey = s_suppkey
+            WHERE stats.n_supp >= 2
+              AND lo.supp_max = stats.ord_max
+              AND at_max.n_at_max = 1
+            GROUP BY s_name
         """,
         "q15_top_supplier": """
             WITH per_supp AS (

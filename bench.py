@@ -176,6 +176,13 @@ HEADLINE = [
     # batch-23 additions (round 6)
     "gap_outlier_report",
     "district_poi_profile",
+    # batch-24 additions (round 6): TPC-H parity completion
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q12_priority_lateness",
+    "q13_customer_distribution",
+    "q21_waiting_supplier",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

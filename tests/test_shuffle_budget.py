@@ -150,6 +150,13 @@ EXCHANGE_CEILING = {
     # batch 23 (round 6)
     "gap_outlier_report": 4,
     "district_poi_profile": 4,  # multi-countDistinct expand on a dim-sized input
+    # batch 24 (round 6): TPC-H parity completion
+    "q6_forecast_revenue": 2,
+    "q8_market_share": 2,
+    "q9_profit_by_nation": 2,
+    "q12_priority_lateness": 2,
+    "q13_customer_distribution": 4,
+    "q21_waiting_supplier": 16,  # static; lo/stats/at_max legs share scans at runtime
 }
 
 
