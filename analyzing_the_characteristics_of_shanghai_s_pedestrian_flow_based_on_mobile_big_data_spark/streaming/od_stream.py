@@ -24,6 +24,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
@@ -111,6 +112,56 @@ def run_od_stream_over_dir(
     edges = streaming_od_edges(src)
     writer = (
         edges.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def streaming_gap_outliers(
+    positions_stream: DataFrame, max_fill_hours: int = 24
+) -> DataFrame:
+    """Streaming twin of operators.trajectory.gap_outliers — the
+    reference's ``get_more_24`` QA report (cal_mobility_matrix.py:92-93)
+    as a LIVE feed: hops whose hour gap exceeds the fill horizon, with
+    gap_h attached, emitted as soon as the closing position arrives.
+
+    Pure stateless filter+projection ON TOP of the stateful edge
+    stream — the per-user last-position state is shared with the OD
+    edge derivation, so running both costs ONE state store. In
+    production this sinks to the ops alert topic; an operator sees a
+    broken trajectory the micro-batch it closes instead of at
+    month-end QA."""
+    edges = streaming_od_edges(positions_stream)
+    gap = F.expr("timestampdiff(HOUR, pre_hour, hour)")
+    return edges.withColumn("gap_h", gap).filter(
+        F.col("gap_h") > max_fill_hours
+    ).select(
+        "user_id", "region_id", "hour", "pre_hour", "pre_region_id", "gap_h"
+    )
+
+
+def run_gap_outlier_stream_over_dir(
+    spark,
+    positions_dir: str,
+    query_name: str = "gap_outliers",
+    checkpoint_dir: str | None = None,
+    max_fill_hours: int = 24,
+) -> "object":
+    """Drive the streaming gap-outlier report over a directory of
+    position parquet files (one micro-batch per file)."""
+    src = (
+        spark.readStream.schema(
+            "user_id long, hour timestamp, region_id int"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(positions_dir)
+    )
+    out = streaming_gap_outliers(src, max_fill_hours)
+    writer = (
+        out.writeStream.outputMode("append")
         .format("memory")
         .queryName(query_name)
     )
