@@ -4542,6 +4542,60 @@ def _q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return harmonic_centrality(g, max_hops=4)
 
 
+def _q_region_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closeness centrality over the top-3-sparsified OD region graph
+    (batch 25): same one-chain multi-source BFS as harmonic
+    centrality, different epilogue — C(v) = n_reached / Σd with both
+    counts exact BIGINTs and the division the only float op
+    (operators/bfs.py:closeness_centrality). Full unrolled DuckDB
+    twin."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.bfs import (
+        closeness_centrality,
+        topk_out_edges,
+    )
+
+    pos = ops.hourly_positions(events_as_pings(spark, sf_dir, N_REGIONS))
+    od = ops.od_matrix(ops.gap_fill_edges(pos))
+    tot = od.groupBy("orig", "dest").agg(F.sum("cnt").alias("w"))
+    g = topk_out_edges(
+        tot.select(
+            F.col("orig").alias("src"),
+            F.col("dest").alias("dst"),
+            "w",
+        ),
+        k=3,
+    )
+    return closeness_centrality(g, max_hops=4)
+
+
+def _q_exploration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-place discovery curve (batch 25): fraction of users in a
+    never-before-visited region at their n-th hourly position — the
+    Song et al. exploration/preferential-return signature
+    (operators/mobility.py:exploration_curve). Two windows over the
+    position table, one visit-index aggregate."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.mobility import (
+        exploration_curve,
+    )
+
+    pos = ops.hourly_positions(events_as_pings(spark, sf_dir, N_REGIONS))
+    return exploration_curve(pos)
+
+
+def _q_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event burstiness B = (σ−μ)/(σ+μ) per user (batch 25) —
+    Goh & Barabási's bursty-dynamics measure over hourly position
+    gaps, from exact BIGINT sufficient statistics with an identical
+    float epilogue on both engines
+    (operators/mobility.py:user_burstiness)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.mobility import (
+        user_burstiness,
+    )
+
+    pos = ops.hourly_positions(events_as_pings(spark, sf_dir, N_REGIONS))
+    return user_burstiness(pos)
+
+
 def _q_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape (batch 12): supplier diversity per part
     attribute class. The part-supplier relation is recovered from the
@@ -5810,6 +5864,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_priority_lateness": _q_q12_priority_lateness,
         "q13_customer_distribution": _q_q13_customer_distribution,
         "q21_waiting_supplier": _q_q21_waiting_supplier,
+        # batch 25 (round 6): mobility-literature metrics + closeness
+        "region_closeness": _q_region_closeness,
+        "exploration_curve": _q_exploration_curve,
+        "user_burstiness": _q_user_burstiness,
     }
 
 
@@ -6303,6 +6361,35 @@ def _harmonic_oracle() -> str:
         )"""
     )
     return harmonic_oracle_sql(graph_cte, max_hops=4)
+
+
+def _closeness_oracle() -> str:
+    """Unrolled multi-source-BFS closeness twin over the same top-3
+    sparsified OD graph as the harmonic oracle."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.bfs import (
+        closeness_oracle_sql,
+    )
+
+    graph_cte = (
+        EDGES_CTE
+        + """,
+        od AS (
+          SELECT pre_region_id AS orig, region_id AS dest,
+                 count(*) AS cnt
+          FROM edges WHERE pre_region_id <> region_id
+          GROUP BY 1, 2
+        ),
+        graph AS (
+          SELECT src, dst FROM (
+            SELECT orig AS src, dest AS dst,
+                   row_number() OVER (
+                     PARTITION BY orig
+                     ORDER BY cnt DESC, dest ASC) AS rn
+            FROM od
+          ) WHERE rn <= 3
+        )"""
+    )
+    return closeness_oracle_sql(graph_cte, max_hops=4)
 
 
 def _split_leakage_oracle() -> str:
@@ -9171,6 +9258,54 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(l_quantity AS DECIMAL(18,4)) * 5 * n_li < sum_q
         """,
         "harmonic_centrality": _harmonic_oracle(),
+        "region_closeness": _closeness_oracle(),
+        "exploration_curve": f"""
+            WITH {POSITIONS_CTE},
+            flagged AS (
+              SELECT row_number() OVER (
+                       PARTITION BY user_id ORDER BY hour) AS visit_idx,
+                     row_number() OVER (
+                       PARTITION BY user_id, region_id ORDER BY hour) = 1
+                       AS is_new
+              FROM pos
+            )
+            SELECT CAST(visit_idx AS INTEGER) AS visit_idx,
+                   count(*) AS n_visits,
+                   CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_new,
+                   CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS new_frac
+            FROM flagged GROUP BY 1
+        """,
+        "user_burstiness": f"""
+            WITH {POSITIONS_CTE},
+            gaps AS (
+              SELECT user_id,
+                     date_diff('hour', lag(hour) OVER (
+                       PARTITION BY user_id ORDER BY hour), hour) AS g
+              FROM pos
+              QUALIFY g IS NOT NULL
+            ),
+            stats AS (
+              SELECT user_id, count(*) AS n_gaps,
+                     CAST(sum(g) AS BIGINT) AS sum_gap_h,
+                     CAST(sum(g * g) AS BIGINT) AS sum_gap_sq
+              FROM gaps GROUP BY 1 HAVING count(*) >= 2
+            ),
+            derived AS (
+              SELECT user_id, n_gaps, sum_gap_h, sum_gap_sq,
+                     sqrt(CAST(n_gaps * sum_gap_sq
+                               - sum_gap_h * sum_gap_h AS DOUBLE))
+                       / CAST(n_gaps AS DOUBLE) AS sd,
+                     CAST(sum_gap_h AS DOUBLE)
+                       / CAST(n_gaps AS DOUBLE) AS mu
+              FROM stats
+            )
+            SELECT user_id, n_gaps, sum_gap_h, sum_gap_sq,
+                   CASE WHEN sd + mu > 0
+                        THEN (sd - mu) / (sd + mu) END AS burstiness
+            FROM derived
+        """,
         # batch 14 (round 5): sufficient-statistics analytics
         "ols_value_trend": """
             WITH mom AS (

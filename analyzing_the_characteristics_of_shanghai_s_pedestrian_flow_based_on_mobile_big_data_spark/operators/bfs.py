@@ -241,3 +241,71 @@ def harmonic_oracle_sql(
         GROUP BY node
         """
     )
+
+
+def closeness_centrality(
+    edges: DataFrame, max_hops: int = _HARMONIC_MAX_HOPS
+) -> DataFrame:
+    """Closeness centrality within the fixed hop budget, exact-integer
+    form: C(v) = n_reached / Σ d(u→v) over pairs reached within
+    ``max_hops`` (the bounded-horizon closeness that, like harmonic,
+    needs no ∞ bookkeeping on disconnected graphs). n_reached and the
+    distance sum are exact BIGINTs off the same multi-source relax
+    table harmonic centrality uses; the single final division is the
+    only float op, so both engines produce identical doubles. Returns
+    (node, n_reached, total_hops, closeness)."""
+    d = multi_source_hops(edges, max_hops).filter(F.col("hops") > 0)
+    return d.groupBy("node").agg(
+        F.count("*").alias("n_reached"),
+        F.sum("hops").cast("bigint").alias("total_hops"),
+        (
+            F.count("*").cast("double")
+            / F.sum("hops").cast("double")
+        ).alias("closeness"),
+    )
+
+
+def closeness_oracle_sql(
+    graph_cte: str, max_hops: int = _HARMONIC_MAX_HOPS
+) -> str:
+    """Unrolled multi-source twin of :func:`closeness_centrality` —
+    the harmonic CTE chain with the closeness aggregation."""
+    parts = [
+        graph_cte,
+        """
+        m0 AS MATERIALIZED (
+          SELECT CAST(n AS INTEGER) AS source, CAST(n AS INTEGER) AS node,
+                 0 AS hops
+          FROM (
+            SELECT DISTINCT src AS n FROM graph
+            UNION SELECT dst FROM graph
+          )
+        )""",
+    ]
+    for r in range(1, max_hops + 1):
+        parts.append(
+            f"""
+        m{r} AS MATERIALIZED (
+          SELECT source, node, min(hops) AS hops FROM (
+            SELECT source, node, hops FROM m{r - 1}
+            UNION ALL
+            SELECT d.source, CAST(e.dst AS INTEGER) AS node,
+                   d.hops + 1 AS hops
+            FROM graph e JOIN m{r - 1} d ON e.src = d.node
+          ) GROUP BY source, node
+        )"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+        SELECT CAST(node AS INTEGER) AS node,
+               count(*) AS n_reached,
+               CAST(sum(hops) AS BIGINT) AS total_hops,
+               CAST(count(*) AS DOUBLE) / CAST(sum(hops) AS DOUBLE)
+                 AS closeness
+        FROM m{max_hops}
+        WHERE hops > 0
+        GROUP BY node
+        """
+    )

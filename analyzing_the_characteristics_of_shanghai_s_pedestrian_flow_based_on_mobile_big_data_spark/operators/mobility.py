@@ -226,3 +226,82 @@ def visitation_rank_curve(
             / F.count("*").cast("double")
         ).alias("avg_visits"),
     )
+
+
+def exploration_curve(positions: DataFrame) -> DataFrame:
+    """New-place discovery curve (the Song et al. exploration /
+    preferential-return signature): at each visit index n (a user's
+    n-th hourly position, time-ordered), what fraction of users are in
+    a region they have never visited before?
+
+    Two windows over the same (user, hour) ordering — visit index and
+    first-visit flag (row 1 of the (user, region) partition) — then a
+    visit-index aggregate. Payload is one row per position; the output
+    is bounded by the longest trajectory. The division is the single
+    float op over two exact counts, so both engines agree bit-for-bit.
+    Returns (visit_idx, n_visits, n_new, new_frac).
+    """
+    w_seq = Window.partitionBy("user_id").orderBy("hour")
+    w_first = Window.partitionBy("user_id", "region_id").orderBy("hour")
+    flagged = positions.select(
+        F.row_number().over(w_seq).alias("visit_idx"),
+        (F.row_number().over(w_first) == 1).alias("is_new"),
+    )
+    return flagged.groupBy("visit_idx").agg(
+        F.count("*").alias("n_visits"),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("n_new"),
+        (
+            F.sum(F.when(F.col("is_new"), 1).otherwise(0)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("new_frac"),
+    )
+
+
+def user_burstiness(positions: DataFrame, min_gaps: int = 2) -> DataFrame:
+    """Inter-event burstiness B = (σ−μ)/(σ+μ) per user over hourly
+    position gaps (Goh & Barabási): −1 = perfectly regular, 0 =
+    Poisson, →1 = bursty. Human mobility is strongly bursty — the
+    property that makes naive uniform-rate interpolation wrong and
+    motivates the 24 h gap-fill horizon.
+
+    Exact-integer sufficient statistics per user (n, Σg, Σg² as
+    BIGINTs off the hour-gap lag), then σ and μ derived with the SAME
+    op sequence on both engines: σ = sqrt(n·Σg² − (Σg)²)/n,
+    μ = Σg/n, so identical integers give identical doubles. Returns
+    (user_id, n_gaps, sum_gap_h, sum_gap_sq, burstiness).
+    """
+    w = Window.partitionBy("user_id").orderBy("hour")
+    gaps = (
+        positions.withColumn(
+            "gap_h",
+            F.expr(
+                "timestampdiff(HOUR, lag(hour) OVER "
+                "(PARTITION BY user_id ORDER BY hour), hour)"
+            ),
+        )
+        .filter(F.col("gap_h").isNotNull())
+        .select("user_id", F.col("gap_h").cast("bigint").alias("g"))
+    )
+    stats = gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("g").alias("sum_gap_h"),
+        F.sum(F.col("g") * F.col("g")).alias("sum_gap_sq"),
+    ).filter(F.col("n_gaps") >= min_gaps)
+    n = F.col("n_gaps").cast("double")
+    sd = (
+        F.sqrt(
+            (
+                F.col("n_gaps") * F.col("sum_gap_sq")
+                - F.col("sum_gap_h") * F.col("sum_gap_h")
+            ).cast("double")
+        )
+        / n
+    )
+    mu = F.col("sum_gap_h").cast("double") / n
+    return stats.select(
+        "user_id",
+        "n_gaps",
+        "sum_gap_h",
+        "sum_gap_sq",
+        F.when(sd + mu > 0, (sd - mu) / (sd + mu)).alias("burstiness"),
+    )

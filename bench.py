@@ -183,6 +183,10 @@ HEADLINE = [
     "q12_priority_lateness",
     "q13_customer_distribution",
     "q21_waiting_supplier",
+    # batch-25 additions (round 6): mobility metrics + closeness
+    "region_closeness",
+    "exploration_curve",
+    "user_burstiness",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

@@ -345,3 +345,56 @@ def test_moment_operators_are_partition_invariant(spark):
         assert results[1][n] == results[13][n], (
             f"{n}: results differ across partitioning"
         )
+
+
+def test_exploration_curve_new_place_flags(spark):
+    """Visit 1 is always new; a revisit is never new; a first visit to
+    a second region is new at its index."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.mobility import (
+        exploration_curve,
+    )
+    from conftest import ts
+
+    pos = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:00"), 5),
+            (1, ts("2024-01-01 11:00:00"), 5),   # revisit
+            (1, ts("2024-01-01 12:00:00"), 7),   # new place at idx 3
+            (2, ts("2024-01-01 10:00:00"), 3),
+        ],
+        "user_id long, hour timestamp, region_id int",
+    )
+    got = {r.visit_idx: (r.n_visits, r.n_new, r.new_frac)
+           for r in exploration_curve(pos).collect()}
+    assert got[1] == (2, 2, 1.0)     # both users' first visit is new
+    assert got[2] == (1, 0, 0.0)     # user 1 revisits region 5
+    assert got[3] == (1, 1, 1.0)     # user 1 discovers region 7
+
+
+def test_user_burstiness_regular_vs_bursty(spark):
+    """Perfectly regular gaps → B = −1 exactly (σ=0); a bursty pattern
+    (many short gaps + one huge) → B > 0; users with <2 gaps drop."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.mobility import (
+        user_burstiness,
+    )
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: hourly like clockwork (gaps all 1)
+    for i in range(6):
+        rows.append((1, base + dt.timedelta(hours=i), 5))
+    # user 2: 1,1,1,1,200 — bursty
+    hours = [0, 1, 2, 3, 4, 204]
+    for h in hours:
+        rows.append((2, base + dt.timedelta(hours=h), 5))
+    # user 3: single observation → no gaps → excluded
+    rows.append((3, base, 5))
+    pos = spark.createDataFrame(
+        rows, "user_id long, hour timestamp, region_id int"
+    )
+    got = {r.user_id: r for r in user_burstiness(pos).collect()}
+    assert got[1].burstiness == -1.0
+    # gaps [1,1,1,1,200]: mu=40.8, sigma~79.6 -> B ~ 0.322
+    assert 0.3 < got[2].burstiness < 0.35
+    assert 3 not in got

@@ -157,6 +157,10 @@ EXCHANGE_CEILING = {
     "q12_priority_lateness": 2,
     "q13_customer_distribution": 4,
     "q21_waiting_supplier": 16,  # static; lo/stats/at_max legs share scans at runtime
+    # batch 25 (round 6)
+    "region_closeness": 2,   # final stage; BFS chain behind lazy checkpoints
+    "exploration_curve": 6,
+    "user_burstiness": 4,
 }
 
 
