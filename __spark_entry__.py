@@ -1661,6 +1661,64 @@ def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup survivorship (batch 26) — the step that turns cluster
+    ids into an actual deduplicated corpus: one survivor per cluster
+    under the keep-longest policy (ties → smallest doc_id), singleton
+    docs surviving as their own cluster. Composes minhash LSH pairs →
+    pointer-jump CC → one left join + one cluster-keyed aggregate; the
+    survivor pick is a max over the (n_chars, −doc_id) struct, so the
+    whole policy is map-combinable — no window over the corpus."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ops.minhash_lsh_pairs(docs, k=8, bands=4, n=3)
+    comp = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    lab = (
+        docs.select("doc_id", F.col("n_chars").cast("long").alias("nc"))
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "nc",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+        )
+    )
+    agg = lab.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.max(
+            F.struct(F.col("nc").alias("nc"), (-F.col("doc_id")).alias("nd"))
+        ).alias("top"),
+    )
+    return agg.select(
+        "cluster_id",
+        "n_members",
+        (-F.col("top.nd")).alias("survivor_doc_id"),
+        F.col("top.nc").alias("survivor_chars"),
+        (F.col("n_members") - 1).alias("n_dropped"),
+    )
+
+
+def _q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution (batch 26): how much of the
+    corpus sits in how-big duplicate groups — the curation dashboard
+    number that decides whether exact dedup alone would have sufficed.
+    Clusters of size ≥2 only (singletons are the non-duplicated
+    corpus)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ops.minhash_lsh_pairs(docs, k=8, bands=4, n=3)
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("size"))
+    return sizes.groupBy("size").agg(F.count("*").alias("n_clusters"))
+
+
 def _q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF keyword scoring: top-10 documents for a fixed query term
     set, scored sum(tf * ln(N/df)) with deterministic math order."""
@@ -5868,6 +5926,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_closeness": _q_region_closeness,
         "exploration_curve": _q_exploration_curve,
         "user_burstiness": _q_user_burstiness,
+        # batch 26 (round 6): dedup survivorship
+        "dedup_survivors": _q_dedup_survivors,
+        "cluster_size_histogram": _q_cluster_size_histogram,
     }
 
 
@@ -5969,6 +6030,74 @@ def _near_dup_clusters_oracle() -> str:
         )
         SELECT src AS doc_id, min(node) AS cluster_id
         FROM reach GROUP BY src
+    """
+
+
+def _dedup_survivors_oracle() -> str:
+    """Near-dup CC (recursive CTE) + keep-longest survivorship over
+    the WHOLE corpus (singletons survive as their own cluster)."""
+    ctes, pairs_select = _minhash_oracle_parts(k=8, bands=4)
+    return f"""
+        WITH RECURSIVE {ctes},
+        pairs AS ({pairs_select}),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs
+        ),
+        cnodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(src, node) AS (
+          SELECT node, node FROM cnodes
+          UNION
+          SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+        ),
+        clusters AS (
+          SELECT src AS doc_id, min(node) AS cluster_id
+          FROM reach GROUP BY src
+        ),
+        lab AS (
+          SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS nc,
+                 coalesce(c.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+        ),
+        ranked AS (
+          SELECT *,
+                 row_number() OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY nc DESC, doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY cluster_id) AS n_members
+          FROM lab
+        )
+        SELECT cluster_id, n_members, doc_id AS survivor_doc_id,
+               nc AS survivor_chars, n_members - 1 AS n_dropped
+        FROM ranked WHERE rn = 1
+    """
+
+
+def _cluster_size_histogram_oracle() -> str:
+    ctes, pairs_select = _minhash_oracle_parts(k=8, bands=4)
+    return f"""
+        WITH RECURSIVE {ctes},
+        pairs AS ({pairs_select}),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs
+        ),
+        cnodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(src, node) AS (
+          SELECT node, node FROM cnodes
+          UNION
+          SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+        ),
+        clusters AS (
+          SELECT src AS doc_id, min(node) AS cluster_id
+          FROM reach GROUP BY src
+        ),
+        sizes AS (
+          SELECT cluster_id, count(*) AS size FROM clusters GROUP BY 1
+        )
+        SELECT size, count(*) AS n_clusters FROM sizes GROUP BY size
     """
 
 
@@ -7430,6 +7559,8 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY 1
         """,
         "near_dup_clusters": _near_dup_clusters_oracle(),
+        "dedup_survivors": _dedup_survivors_oracle(),
+        "cluster_size_histogram": _cluster_size_histogram_oracle(),
         "value_histogram": """
             SELECT event_type,
                    CAST(floor(value / 50.0) * 50 AS BIGINT) AS bucket_lo,

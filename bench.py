@@ -187,6 +187,9 @@ HEADLINE = [
     "region_closeness",
     "exploration_curve",
     "user_burstiness",
+    # batch-26 additions (round 6): dedup survivorship
+    "dedup_survivors",
+    "cluster_size_histogram",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

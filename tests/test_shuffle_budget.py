@@ -161,6 +161,9 @@ EXCHANGE_CEILING = {
     "region_closeness": 2,   # final stage; BFS chain behind lazy checkpoints
     "exploration_curve": 6,
     "user_burstiness": 4,
+    # batch 26 (round 6): dedup survivorship (CC rounds checkpointed)
+    "dedup_survivors": 6,
+    "cluster_size_histogram": 4,
 }
 
 
