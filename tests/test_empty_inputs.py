@@ -63,6 +63,11 @@ def test_every_query_survives_empty_tables(spark, empty_sf_dir):
             if len(rows) != 1 or rows[0].n_lineitems != 0:
                 failures.append(f"{name}: empty input not reported as 0 lineitems")
             continue
+        if name == "q6_forecast_revenue":
+            # same ungrouped-global-aggregate contract as q17/q19
+            if len(rows) != 1 or rows[0].n_lines != 0:
+                failures.append(f"{name}: empty input not reported as 0 lines")
+            continue
         if name == "graph_summary_stats":
             # one-row health report: an EMPTY graph is itself a
             # reportable fact (0 nodes / 0 edges), the
