@@ -217,7 +217,11 @@ def _q_district_poi_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         lines.append(
             f'"[[{lon}, {lat}]]",{k % 7 + 1},{r["s_name"]},K{k % 10},3101{k % 16:02d},addr{k}'
         )
-    tmp = tempfile.mkdtemp(prefix="district_poi_")
+    # deterministic fixture path, overwritten per call — bench runs
+    # this query repeatedly (warmup + iterations) and mkdtemp would
+    # leak one dir per run
+    tmp = os.path.join(tempfile.gettempdir(), "district_poi_fixture")
+    os.makedirs(tmp, exist_ok=True)
     fpath = os.path.join(tmp, "type_fixture.csv")
     with open(fpath, "w", encoding="utf-8") as f:
         f.write("\n".join(lines) + "\n")
@@ -9425,8 +9429,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             derived AS (
               SELECT user_id, n_gaps, sum_gap_h, sum_gap_sq,
-                     sqrt(CAST(n_gaps * sum_gap_sq
-                               - sum_gap_h * sum_gap_h AS DOUBLE))
+                     sqrt(CAST(n_gaps AS DOUBLE) * CAST(sum_gap_sq AS DOUBLE)
+                          - CAST(sum_gap_h AS DOUBLE)
+                            * CAST(sum_gap_h AS DOUBLE))
                        / CAST(n_gaps AS DOUBLE) AS sd,
                      CAST(sum_gap_h AS DOUBLE)
                        / CAST(n_gaps AS DOUBLE) AS mu

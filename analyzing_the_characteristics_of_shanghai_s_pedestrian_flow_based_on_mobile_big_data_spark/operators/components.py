@@ -21,9 +21,11 @@ Scale hardening (100 TB):
   in executor storage at a time;
 - convergence is detected from the label-sum delta (labels are
   monotonically non-increasing integers, so an unchanged sum ⟺ no
-  change) — and because the checkpoint is lazy, the sum collect IS
-  the round's materializing action: ONE fused job per round, no
-  extra join;
+  change). The lazy checkpoint skips the per-checkpoint count job;
+  note that under AQE the checkpointed plan's shuffle stages still
+  execute at checkpoint construction regardless of eager, so the
+  saving is exactly that one skipped job per round, not a deferral
+  of the round's work into the sum collect;
 - a loop that exits without converging raises (or returns flagged via
   ``strict=False``) instead of silently returning truncated labels.
 """

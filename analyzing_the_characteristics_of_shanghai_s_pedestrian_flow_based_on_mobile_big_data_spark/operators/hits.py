@@ -37,12 +37,15 @@ def _norm_round(scores: DataFrame, col: str, scale: float) -> DataFrame:
     ``scores`` must already be checkpointed (eager or lazy): the max
     is ONE scalar read (a bounded driver fetch, the kmeans collect
     budget class) embedded as a literal, and the normalization is a
-    lazy pure map over the same checkpoint — each half-round runs
-    exactly one job, which both materializes the lazy checkpoint and
-    returns the max. (First cut used an in-plan 1-row-agg crossJoin:
-    7.4 s at sf0.1; second cut collected the max from UNcheckpointed
-    lineage, recomputing every half-round twice: 4.6 s; eager
-    checkpoint + separate max job: ~2.5 s; fused lazy form: the
+    lazy pure map over the same checkpoint. With a LAZY checkpoint the
+    per-checkpoint count job is skipped and this max read is the first
+    action against it; note that under AQE (on here) the checkpointed
+    plan's shuffle stages execute at checkpoint construction either
+    way, so the saving is the skipped count job, not a fusion of the
+    round's work into the max. (First cut used an in-plan 1-row-agg
+    crossJoin: 7.4 s at sf0.1; second cut collected the max from
+    UNcheckpointed lineage, recomputing every half-round twice: 4.6 s;
+    eager checkpoint + separate max job: ~2.5 s; lazy checkpoint: the
     round-6 job-overhead cut.)"""
     mx = scores.agg(F.max(col)).collect()[0][0] or 1.0
     return scores.select(

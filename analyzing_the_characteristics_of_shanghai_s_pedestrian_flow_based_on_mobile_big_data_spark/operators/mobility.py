@@ -270,7 +270,6 @@ def user_burstiness(positions: DataFrame, min_gaps: int = 2) -> DataFrame:
     μ = Σg/n, so identical integers give identical doubles. Returns
     (user_id, n_gaps, sum_gap_h, sum_gap_sq, burstiness).
     """
-    w = Window.partitionBy("user_id").orderBy("hour")
     gaps = (
         positions.withColumn(
             "gap_h",
@@ -288,12 +287,16 @@ def user_burstiness(positions: DataFrame, min_gaps: int = 2) -> DataFrame:
         F.sum(F.col("g") * F.col("g")).alias("sum_gap_sq"),
     ).filter(F.col("n_gaps") >= min_gaps)
     n = F.col("n_gaps").cast("double")
+    # factors cast to double BEFORE multiplying (mirrored in the oracle
+    # SQL): in int64 the product n*sum_gap_sq wraps silently in Spark
+    # but raises in DuckDB, so extreme gap magnitudes would make the
+    # engines diverge instead of degrading identically; double-lane
+    # products round the same way in both.
     sd = (
         F.sqrt(
-            (
-                F.col("n_gaps") * F.col("sum_gap_sq")
-                - F.col("sum_gap_h") * F.col("sum_gap_h")
-            ).cast("double")
+            F.col("n_gaps").cast("double") * F.col("sum_gap_sq").cast("double")
+            - F.col("sum_gap_h").cast("double")
+            * F.col("sum_gap_h").cast("double")
         )
         / n
     )

@@ -104,12 +104,12 @@ def pagerank(
     # localCheckpoint, not persist: it also cuts the lineage the
     # per-round plans would otherwise re-analyze. eager=False
     # everywhere: the LogicalRDD truncation (the Catalyst-re-analysis
-    # fix) is identical, but materialization folds into the ONE final
-    # action instead of one job per checkpoint — the loop has no
-    # data-dependent exit, so nothing ever needs an early scalar read
-    # (round-6 job-overhead cut; each checkpointed table still
-    # computes once and is block-cached on first scan within the
-    # final job).
+    # fix) is identical, and the per-checkpoint count job is skipped —
+    # that skipped job is the whole saving. Under AQE (on in this
+    # session) the checkpointed plan's shuffle stages still execute at
+    # construction regardless of eager, so eager=False does NOT defer
+    # upstream work into the final action; each checkpointed table
+    # computes once either way (round-6 job-overhead cut).
     edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
