@@ -1723,6 +1723,57 @@ def _q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.groupBy("size").agg(F.count("*").alias("n_clusters"))
 
 
+def _q_deduped_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup pipeline as ONE registered plan (batch 27,
+    VERDICT r6 #6): LSH candidate pairs → pointer-jump CC →
+    keep-longest survivor per cluster → the SURVIVING corpus joined
+    back and profiled per language (doc/token/char/source counts) —
+    the table a training run actually consumes, exercising the
+    survivorship join at full plan depth instead of stopping at the
+    survivor id table (`dedup_survivors`). All stages shuffle digests
+    and ids only until the final join pulls the surviving rows; the
+    survivor pick stays the map-combinable max-over-struct (no
+    corpus-wide window). Oracle: the survivors recursive CTE feeding
+    a join + group-by over `documents`.
+    Cf. reference corpus-curation flow (SURVEY.md §2 dedup family)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ops.minhash_lsh_pairs(docs, k=8, bands=4, n=3)
+    comp = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    lab = (
+        docs.select("doc_id", F.col("n_chars").cast("long").alias("nc"))
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "nc",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+        )
+    )
+    surv = (
+        lab.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("nc").alias("nc"), (-F.col("doc_id")).alias("nd")
+                )
+            ).alias("top")
+        )
+        .select((-F.col("top.nd")).alias("doc_id"))
+    )
+    surviving = docs.join(surv, "doc_id")
+    return surviving.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(tx.token_count(F.col("text")).cast("long")).alias("n_tokens"),
+        F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
 def _q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF keyword scoring: top-10 documents for a fixed query term
     set, scored sum(tf * ln(N/df)) with deterministic math order."""
@@ -2654,7 +2705,12 @@ def _q_user_covisit_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     enumeration with the integer size-ratio prune, |∩| by
     bit_count(and) lanes — 1.4 s at sf0.1, exact. All three paths
     (bitmap / prefix / single-join) produce identical pair sets,
-    pytest-pinned."""
+    pytest-pinned. Above the dense-regime handoff
+    (set_similarity_join_auto, round 7) the library routes this
+    workload to MinHash-LSH instead — registered separately as
+    `user_covisit_lsh` with its own oracle; THIS query stays on the
+    exact path by construction (path pinned in tests/test_plans.py)
+    so its oracle row remains exact-vs-exact."""
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
         set_similarity_join,
     )
@@ -2673,6 +2729,55 @@ def _q_user_covisit_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
         threshold_num=3,
         threshold_den=10,
+        dense_bitmap_domain=cells,
+    )
+    union_sz = F.col("sz_a") + F.col("sz_b") - F.col("n_shared")
+    return pairs.select(
+        F.col("key_a").alias("u1"),
+        F.col("key_b").alias("u2"),
+        "n_shared",
+        (F.col("n_shared").cast("double") / union_sz.cast("double")).alias(
+            "jacc"
+        ),
+    )
+
+
+def _q_user_covisit_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH set-similarity join on the covisit workload
+    (batch 27) — the dense-regime escape hatch that
+    ``set_similarity_join_auto`` routes to above the handoff
+    (VERDICT r6 #1), registered as its own oracle-paired query so the
+    approximation itself is engine-differentially checked: the oracle
+    mirrors the k=16 min-md5 signatures, the 8×2 banding, the
+    (band, band_hash) candidate equi-join with the integer size-ratio
+    prune, and the EXACT verification — so both engines must agree on
+    every candidate AND its exact (n_shared, sz, jacc). Output is a
+    strict subset of user_covisit_jaccard's pairs (no false positives
+    by construction; misses only where no band agrees —
+    P = 1−(1−J²)^8). Scale shape: signatures are one map-side-combined
+    exchange on user; candidates come from a hash equi-join on 32-char
+    band hashes — never the Ω(U²) pair loop the exact paths need in
+    this regime (measured, SCALE_PROBE_r7 setsim family)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        set_similarity_join_lsh,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = 2000
+    sets = ev.select(
+        "user_id",
+        F.pmod(F.floor(F.col("value")).cast("long"), F.lit(cells)).alias(
+            "cell"
+        ),
+    ).distinct()
+    pairs = set_similarity_join_lsh(
+        sets,
+        "user_id",
+        "cell",
+        threshold_num=3,
+        threshold_den=10,
+        k=16,
+        bands=8,
         dense_bitmap_domain=cells,
     )
     union_sz = F.col("sz_a") + F.col("sz_b") - F.col("n_shared")
@@ -5932,6 +6037,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_burstiness": _q_user_burstiness,
         # batch 26 (round 6): dedup survivorship
         "dedup_survivors": _q_dedup_survivors,
+        "deduped_corpus_stats": _q_deduped_corpus_stats,
+        "user_covisit_lsh": _q_user_covisit_lsh,
         "cluster_size_histogram": _q_cluster_size_histogram,
     }
 
@@ -6075,6 +6182,123 @@ def _dedup_survivors_oracle() -> str:
         SELECT cluster_id, n_members, doc_id AS survivor_doc_id,
                nc AS survivor_chars, n_members - 1 AS n_dropped
         FROM ranked WHERE rn = 1
+    """
+
+
+def _covisit_lsh_oracle() -> str:
+    """DuckDB mirror of set_similarity_join_lsh on the covisit sets:
+    min-md5 signatures → 8×2 band hashes → candidate equi-join with
+    the integer size prune → exact shared-cell verification."""
+    return """
+            WITH sets AS (
+              SELECT DISTINCT user_id,
+                     (((CAST(floor(value) AS BIGINT) % 2000) + 2000)
+                      % 2000) AS cell
+              FROM events
+            ),
+            sig AS (
+              SELECT user_id, count(*) AS sz,
+                     min(md5('0:' || CAST(cell AS VARCHAR))) AS mh_0,
+                     min(md5('1:' || CAST(cell AS VARCHAR))) AS mh_1,
+                     min(md5('2:' || CAST(cell AS VARCHAR))) AS mh_2,
+                     min(md5('3:' || CAST(cell AS VARCHAR))) AS mh_3,
+                     min(md5('4:' || CAST(cell AS VARCHAR))) AS mh_4,
+                     min(md5('5:' || CAST(cell AS VARCHAR))) AS mh_5,
+                     min(md5('6:' || CAST(cell AS VARCHAR))) AS mh_6,
+                     min(md5('7:' || CAST(cell AS VARCHAR))) AS mh_7,
+                     min(md5('8:' || CAST(cell AS VARCHAR))) AS mh_8,
+                     min(md5('9:' || CAST(cell AS VARCHAR))) AS mh_9,
+                     min(md5('10:' || CAST(cell AS VARCHAR))) AS mh_10,
+                     min(md5('11:' || CAST(cell AS VARCHAR))) AS mh_11,
+                     min(md5('12:' || CAST(cell AS VARCHAR))) AS mh_12,
+                     min(md5('13:' || CAST(cell AS VARCHAR))) AS mh_13,
+                     min(md5('14:' || CAST(cell AS VARCHAR))) AS mh_14,
+                     min(md5('15:' || CAST(cell AS VARCHAR))) AS mh_15
+              FROM sets GROUP BY user_id
+            ),
+            bands AS (
+              SELECT user_id, sz, 0 AS band, md5(mh_0 || '|' || mh_1) AS band_hash FROM sig WHERE mh_0 IS NOT NULL
+              UNION ALL
+              SELECT user_id, sz, 1 AS band, md5(mh_2 || '|' || mh_3) AS band_hash FROM sig WHERE mh_0 IS NOT NULL
+              UNION ALL
+              SELECT user_id, sz, 2 AS band, md5(mh_4 || '|' || mh_5) AS band_hash FROM sig WHERE mh_0 IS NOT NULL
+              UNION ALL
+              SELECT user_id, sz, 3 AS band, md5(mh_6 || '|' || mh_7) AS band_hash FROM sig WHERE mh_0 IS NOT NULL
+              UNION ALL
+              SELECT user_id, sz, 4 AS band, md5(mh_8 || '|' || mh_9) AS band_hash FROM sig WHERE mh_0 IS NOT NULL
+              UNION ALL
+              SELECT user_id, sz, 5 AS band, md5(mh_10 || '|' || mh_11) AS band_hash FROM sig WHERE mh_0 IS NOT NULL
+              UNION ALL
+              SELECT user_id, sz, 6 AS band, md5(mh_12 || '|' || mh_13) AS band_hash FROM sig WHERE mh_0 IS NOT NULL
+              UNION ALL
+              SELECT user_id, sz, 7 AS band, md5(mh_14 || '|' || mh_15) AS band_hash FROM sig WHERE mh_0 IS NOT NULL
+            ),
+            cand AS (
+              SELECT DISTINCT a.user_id AS u1, b.user_id AS u2,
+                     a.sz AS sz_a, b.sz AS sz_b
+              FROM bands a
+              JOIN bands b ON a.band = b.band
+                          AND a.band_hash = b.band_hash
+                          AND a.user_id < b.user_id
+              WHERE 10 * least(a.sz, b.sz) >= 3 * greatest(a.sz, b.sz)
+            ),
+            inter AS (
+              SELECT c.u1, c.u2, c.sz_a, c.sz_b, count(*) AS n_shared
+              FROM cand c
+              JOIN sets sa ON sa.user_id = c.u1
+              JOIN sets sb ON sb.user_id = c.u2 AND sb.cell = sa.cell
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT u1, u2, n_shared,
+                   CAST(n_shared AS DOUBLE)
+                   / CAST(sz_a + sz_b - n_shared AS DOUBLE) AS jacc
+            FROM inter
+            WHERE 10 * n_shared >= 3 * (sz_a + sz_b - n_shared)
+    """
+
+
+def _deduped_corpus_stats_oracle() -> str:
+    """Survivors recursive CTE + join-back + per-lang profile of the
+    surviving corpus (the composed end-to-end dedup pipeline)."""
+    ctes, pairs_select = _minhash_oracle_parts(k=8, bands=4)
+    return f"""
+        WITH RECURSIVE {ctes},
+        pairs AS ({pairs_select}),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs
+        ),
+        cnodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(src, node) AS (
+          SELECT node, node FROM cnodes
+          UNION
+          SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+        ),
+        clusters AS (
+          SELECT src AS doc_id, min(node) AS cluster_id
+          FROM reach GROUP BY src
+        ),
+        lab AS (
+          SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS nc,
+                 coalesce(c.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+        ),
+        ranked AS (
+          SELECT *,
+                 row_number() OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY nc DESC, doc_id ASC) AS rn
+          FROM lab
+        ),
+        survivors AS (SELECT doc_id FROM ranked WHERE rn = 1)
+        SELECT d.lang,
+               count(*) AS n_docs,
+               CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS n_tokens,
+               CAST(sum(CAST(d.n_chars AS BIGINT)) AS BIGINT) AS sum_chars,
+               CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources
+        FROM documents d JOIN survivors s ON d.doc_id = s.doc_id
+        GROUP BY d.lang
     """
 
 
@@ -7564,6 +7788,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "near_dup_clusters": _near_dup_clusters_oracle(),
         "dedup_survivors": _dedup_survivors_oracle(),
+        "deduped_corpus_stats": _deduped_corpus_stats_oracle(),
+        "user_covisit_lsh": _covisit_lsh_oracle(),
         "cluster_size_histogram": _cluster_size_histogram_oracle(),
         "value_histogram": """
             SELECT event_type,

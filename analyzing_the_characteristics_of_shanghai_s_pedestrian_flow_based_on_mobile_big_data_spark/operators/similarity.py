@@ -548,9 +548,13 @@ def set_similarity_join(
     generation only adds exchanges. This path is right when the KEY
     table is broadcastable (≤ ~10M keys × D/8 bytes); past that, a
     dense workload's exact output is itself quadratic — the LSH
-    family (minhash_lsh_pairs, embedding ANN) is the 100 TB answer,
-    measured against this operator's exact semantics at sampled
-    scale.
+    family is the 100 TB answer, measured against this operator's
+    exact semantics at sampled scale. Since round 7 that handoff is
+    AUTOMATIC: :func:`set_similarity_join_auto` estimates the
+    candidate bound from cheap df statistics and routes to
+    :func:`set_similarity_join_lsh` (sub-quadratic candidates, exact
+    verification) above the budget — callers who do not know their
+    regime should use it instead of this function.
     """
     k, it = F.col(key_col), F.col(item_col)
     num, den = int(threshold_num), int(threshold_den)
@@ -707,3 +711,357 @@ def set_similarity_join(
     return common.filter(
         F.lit(den) * F.col("n_shared") >= F.lit(num) * union_sz
     )
+
+
+def set_similarity_stats(
+    sets: DataFrame, key_col: str, item_col: str
+) -> dict:
+    """Cheap statistics that bound the exact join's candidate volume —
+    the inputs to :func:`choose_set_similarity_path`. Two scalar-only
+    aggregate jobs over the (key, item) table (the same item-df
+    aggregate the prefix filter computes anyway; only scalars reach
+    the driver):
+
+    - ``n_rows`` / ``n_keys``: table size and distinct key count;
+    - ``cand_pairs``: Σ_item df·(df−1)/2 — EVERY pair sharing ≥1 item
+      is counted by at least one shared item, so this upper-bounds
+      both the qualifying-pair count (a qualifying pair shares
+      ⌈t·max(sz)⌉ ≥ 1 items) and the inverted-index join's generated
+      candidate rows;
+    - ``max_df``: the hottest item's key count (the m² blowup knob).
+
+    At 100 TB feed these from catalog/NDV statistics instead of agg
+    jobs; the decision rule only needs orders of magnitude."""
+    k, it = F.col(key_col), F.col(item_col)
+    base = sets.select(k.alias("key"), it.alias("item"))
+    r1 = base.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("key").alias("n_keys"),
+    ).collect()[0]
+    r2 = (
+        base.filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("df") * (F.col("df") - F.lit(1)) / F.lit(2)),
+                F.lit(0.0),
+            ).alias("cand_pairs"),
+            F.coalesce(F.max("df"), F.lit(0)).alias("max_df"),
+        )
+        .collect()[0]
+    )
+    return {
+        "n_rows": int(r1.n_rows),
+        "n_keys": int(r1.n_keys),
+        "cand_pairs": float(r2.cand_pairs),
+        "max_df": int(r2.max_df),
+    }
+
+
+def choose_set_similarity_path(
+    stats: dict,
+    pairs_per_key_budget: int = 64,
+    min_lsh_keys: int = 4096,
+) -> str:
+    """Route ``set_similarity_join_auto`` from :func:`set_similarity_stats`
+    output: ``"exact"`` or ``"lsh"``.
+
+    The dense-regime bound is the round-6 SCALE_PROBE measurement
+    (SCALE.md setsim table: 4× users → 16.04× qualifying pairs — the
+    documented Ω(U²) regime of any EXACT method): when the candidate
+    bound says the average key would meet more than
+    ``pairs_per_key_budget`` partners, candidate volume is growing
+    with U² rather than U and no exact filter can prune it — the
+    MinHash-LSH path (sub-quadratic candidate generation, exact
+    verification of candidates) is the only shape that survives a
+    100× scale-up. Below the budget, or on small key tables
+    (< ``min_lsh_keys``, where U² is trivially affordable and exact
+    recall is free), the exact path keeps its guarantee."""
+    n_keys = stats["n_keys"]
+    if n_keys < min_lsh_keys:
+        return "exact"
+    # candidate bound can never exceed all-pairs
+    est = min(stats["cand_pairs"], n_keys * (n_keys - 1) / 2.0)
+    if est > float(pairs_per_key_budget) * n_keys:
+        return "lsh"
+    return "exact"
+
+
+def set_similarity_join_lsh(
+    sets: DataFrame,
+    key_col: str,
+    item_col: str,
+    threshold_num: int,
+    threshold_den: int,
+    k: int = 16,
+    bands: int = 8,
+    dense_bitmap_domain: int | None = None,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + EXACT verification for the
+    generic (key, item) set table — the dense-regime escape hatch of
+    :func:`set_similarity_join` (same output schema and row semantics:
+    (key_a, key_b, n_shared, sz_a, sz_b), key_a < key_b, pairs with
+    den·|∩| ≥ num·|∪|). Output is a SUBSET of the exact join's pairs:
+    verification is exact (no false positives can survive), LSH can
+    only *miss* pairs whose signatures never agree on a band —
+    P(candidate) = 1 − (1 − J^r)^bands with r = k/bands.
+
+    Scale shape: signatures are ``k`` min-md5 aggregates per key
+    (map-side combined, one exchange on key); candidates come from an
+    equi-join on (band, band_hash) — shuffle keyed on 32-char hashes,
+    never an all-pairs loop, which is the whole point: the exact
+    paths' candidate volume is Ω(U²) in the dense regime (measured,
+    SCALE.md setsim) while band collisions track the qualifying pairs.
+
+    ``dense_bitmap_domain=D`` verifies candidates with ⌈D/64⌉-word
+    bitmaps and bit_count (integer lanes) instead of sorted-array
+    intersection — right when items are longs in [0, D); semantics
+    identical (duplicate (key,item) rows count once in |∩| either
+    way, matching array_intersect's set semantics; sz counts rows,
+    matching the exact paths)."""
+    kc, it = F.col(key_col), F.col(item_col)
+    num, den = int(threshold_num), int(threshold_den)
+    base = sets.select(kc.alias("key"), it.alias("item"))
+    aggs = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("item").cast("string")))
+        ).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    if dense_bitmap_domain is not None:
+        nwords = (int(dense_bitmap_domain) + 63) // 64
+        aggs += [
+            F.count(F.lit(1)).alias("sz"),
+            F.expr("filter(collect_list(item), c -> c IS NOT NULL)").alias(
+                "arr0"
+            ),
+        ]
+        sig = (
+            base.groupBy("key")
+            .agg(*aggs)
+            .withColumn(
+                "payload",
+                F.expr(
+                    f"transform(sequence(0, {nwords - 1}), w -> "
+                    "aggregate(filter(array_distinct(arr0), c -> int(c div 64) = w), 0L, "
+                    "(acc, c) -> acc | shiftleft(1L, int(c % 64))))"
+                ),
+            )
+            .drop("arr0")
+        )
+        n_shared_expr = F.expr(
+            "aggregate(zip_with(pl_a, pl_b, "
+            "(x, y) -> bigint(bit_count(x & y))), 0L, (acc, v) -> acc + v)"
+        )
+    else:
+        # collect_list drops NULL items (they can never intersect);
+        # sz still counts them, matching the exact paths.
+        aggs += [
+            F.count(F.lit(1)).alias("sz"),
+            F.sort_array(F.collect_list("item")).alias("payload"),
+        ]
+        sig = base.groupBy("key").agg(*aggs)
+        n_shared_expr = F.size(F.array_intersect("pl_a", "pl_b")).cast("long")
+    assert k % bands == 0, "k must divide evenly into bands"
+    r = k // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh_{i}") for i in range(b * r, (b + 1) * r)]
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    # One persist: the signature/payload table feeds the band table
+    # (both self-join sides) and the two verification join-backs.
+    # Keys whose items are all NULL have a NULL mh_0; they can never
+    # qualify (|∩|=0 < num·|∪| for num>0), so they are dropped before
+    # banding rather than colliding in one degenerate md5('') bucket.
+    sig = sig.persist()
+    bands_df = (
+        sig.filter(F.col("mh_0").isNotNull())
+        .select("key", "sz", F.explode(F.array(*band_structs)).alias("bb"))
+        .select(
+            "key",
+            "sz",
+            F.col("bb.band").alias("band"),
+            F.col("bb.band_hash").alias("band_hash"),
+        )
+    )
+    size_ok = F.lit(den) * F.least("sz_a", "sz_b") >= F.lit(
+        num
+    ) * F.greatest("sz_a", "sz_b")
+    a = bands_df.select(
+        F.col("key").alias("key_a"),
+        F.col("sz").alias("sz_a"),
+        "band",
+        "band_hash",
+    )
+    b_ = bands_df.select(
+        F.col("key").alias("key_b"),
+        F.col("sz").alias("sz_b"),
+        "band",
+        "band_hash",
+    )
+    # Candidate pairs stay NARROW through the band join and the
+    # distinct (sz is 8 B; the wide payload would multiply the
+    # exchange by the band multiplicity ×payload width — the same
+    # physical-plan choice the exact prefix path makes); payloads
+    # join back per side afterwards, sized by the deduped pair set.
+    cand = (
+        a.join(b_, ["band", "band_hash"])
+        .filter((F.col("key_a") < F.col("key_b")) & size_ok)
+        .select("key_a", "key_b")
+        .distinct()
+    )
+    payloads = sig.select("key", "sz", "payload")
+    common = (
+        cand.join(
+            payloads.select(
+                F.col("key").alias("key_a"),
+                F.col("sz").alias("sz_a"),
+                F.col("payload").alias("pl_a"),
+            ),
+            "key_a",
+        )
+        .join(
+            payloads.select(
+                F.col("key").alias("key_b"),
+                F.col("sz").alias("sz_b"),
+                F.col("payload").alias("pl_b"),
+            ),
+            "key_b",
+        )
+        .withColumn("n_shared", n_shared_expr)
+        .select("key_a", "key_b", "n_shared", "sz_a", "sz_b")
+    )
+    union_sz = F.col("sz_a") + F.col("sz_b") - F.col("n_shared")
+    return common.filter(
+        F.lit(den) * F.col("n_shared") >= F.lit(num) * union_sz
+    )
+
+
+def set_similarity_join_auto(
+    sets: DataFrame,
+    key_col: str,
+    item_col: str,
+    threshold_num: int,
+    threshold_den: int,
+    pairs_per_key_budget: int = 64,
+    min_lsh_keys: int = 4096,
+    dense_bitmap_domain: int | None = None,
+    lsh_k: int = 16,
+    lsh_bands: int = 8,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Cost-routed set-similarity join — the round-6 probe's measured
+    dense-regime Ω(U²) bound (SCALE.md setsim: 4× users → 16.04×
+    qualifying pairs) encoded as an automatic handoff instead of a
+    docstring a user has to read. Estimates the candidate-pair bound
+    from cheap df statistics (:func:`set_similarity_stats`) and routes:
+
+    - sparse regime → :func:`set_similarity_join` (exact; the
+      dense-bitmap variant when ``dense_bitmap_domain`` is given,
+      else the df-ranked prefix filter) — output EQUAL to the exact
+      join by construction;
+    - dense regime (candidate bound > ``pairs_per_key_budget``
+      partners/key over ≥ ``min_lsh_keys`` keys) →
+      :func:`set_similarity_join_lsh` — sub-quadratic candidate
+      generation, exact verification, output ⊆ the exact pair set.
+
+    Pass precomputed ``stats`` (e.g. from catalog NDVs at 100 TB) to
+    skip the two scalar agg jobs. The chosen path is recorded on the
+    returned DataFrame's ``.__setsim_path__`` attribute and in
+    :func:`set_similarity_stats`-shaped ``stats['path']`` when the
+    caller owns the dict (plan-pinning tests read it)."""
+    if stats is None:
+        stats = set_similarity_stats(sets, key_col, item_col)
+    path = choose_set_similarity_path(
+        stats, pairs_per_key_budget, min_lsh_keys
+    )
+    stats["path"] = path
+    if path == "lsh":
+        out = set_similarity_join_lsh(
+            sets,
+            key_col,
+            item_col,
+            threshold_num,
+            threshold_den,
+            k=lsh_k,
+            bands=lsh_bands,
+            dense_bitmap_domain=dense_bitmap_domain,
+        )
+    else:
+        out = set_similarity_join(
+            sets,
+            key_col,
+            item_col,
+            threshold_num,
+            threshold_den,
+            dense_bitmap_domain=dense_bitmap_domain,
+        )
+    out.__setsim_path__ = path
+    return out
+
+
+def perturbed_replicas(
+    emb: DataFrame, n: int, noise: float = 0.5, id_stride: int = 10_000_000
+) -> DataFrame:
+    """N×-replicated embedding corpus for recall-vs-scale evaluation:
+    rep 0 is the original table verbatim; reps 1..n−1 get disjoint
+    vec_id spaces and a deterministic md5-derived perturbation of
+    ±noise/2 per dimension, scaled by the VECTOR'S OWN RMS component
+    magnitude (no RNG state — same rows on every run and every
+    engine). Identical copies would make recall trivially 1.0 (same
+    vector ⟹ same sign bucket / same inverted list); an ABSOLUTE
+    noise amplitude would silently change meaning with the corpus's
+    normalization (on the unit-normalized test embeddings, rms
+    component 0.125, an absolute ±0.15/dim buried the signal — the
+    "replicas" sat at cos ≈ 0.82, indistinguishable from hard
+    background, and every hash-based path scored ~0.2). Relative
+    noise=0.5 lands replicas at cos ≈ 0.99 — genuine near-duplicates
+    that still straddle hash planes with ~5%/dim sign-flip
+    probability, which is the recall-decay mode size-adaptive
+    bucketing must be measured against."""
+    copies = emb.crossJoin(
+        F.broadcast(
+            emb.sparkSession.range(n).select(F.col("id").alias("rep"))
+        )
+    ).select(
+        (F.col("vec_id") + F.col("rep") * id_stride).alias("vec_id"),
+        "rep",
+        *[c for c in emb.columns if c not in ("vec_id",)],
+    )
+    copies = copies.withColumn(
+        "__rms",
+        F.expr(
+            "sqrt(aggregate(cast(embedding as array<double>), 0.0D, "
+            "(acc, x) -> acc + x * x) / size(embedding))"
+        ),
+    )
+    pert = F.expr(
+        "transform(cast(embedding as array<double>), (x, j) -> "
+        "CASE WHEN rep = 0 THEN x ELSE x + {s} * __rms * ("
+        "conv(substring(md5(concat(cast(vec_id as string), ':', "
+        "cast(j as string))), 1, 8), 16, 10) / 4294967296.0 - 0.5) END)".format(
+            s=float(noise)
+        )
+    )
+    return copies.withColumn("embedding", pert).drop("rep", "__rms")
+
+
+def recall_against(bf: DataFrame, approx: DataFrame) -> float:
+    """Recall of an approximate top-k result against the brute-force
+    result: |pairs ∩| / |pairs_bf| over (query_id, vec_id). Both
+    inputs are top-k tables — bounded (n_queries·k rows), so the
+    collect is the scalar-read budget class."""
+    b = {(r.query_id, r.vec_id) for r in bf.select("query_id", "vec_id").collect()}
+    a = {
+        (r.query_id, r.vec_id)
+        for r in approx.select("query_id", "vec_id").collect()
+    }
+    return round(len(a & b) / max(1, len(b)), 4)

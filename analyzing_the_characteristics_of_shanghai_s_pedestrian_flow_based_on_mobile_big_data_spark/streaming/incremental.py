@@ -96,6 +96,16 @@ class IncrementalCountTable:
             return None
         return self.spark.read.parquet(os.path.join(self.path, ptr["gen"]))
 
+    def _combine(self, merged: DataFrame) -> DataFrame:
+        """Reduce the unioned (existing + delta) rows to one row per
+        key. The count table's combine is SUM over measures and MIN
+        over min_measures; subclasses override for other mergeable
+        state (the upsert table's last-writer-wins max-struct)."""
+        return merged.groupBy(*self.keys).agg(
+            *[F.sum(m).alias(m) for m in self.measures],
+            *[F.min(m).alias(m) for m in self.min_measures],
+        )
+
     def merge_batch(self, delta: DataFrame, epoch_id: int) -> None:
         """Add a batch's (keys..., measures...) partials into the table.
 
@@ -115,10 +125,7 @@ class IncrementalCountTable:
             merged = existing.unionByName(delta)
         else:
             merged = delta
-        merged = merged.groupBy(*self.keys).agg(
-            *[F.sum(m).alias(m) for m in self.measures],
-            *[F.min(m).alias(m) for m in self.min_measures],
-        )
+        merged = self._combine(merged)
         # Fresh directory per attempt: the lazy `existing` read above is
         # materialized by this write while its input files still exist.
         gen = f"gen_{epoch_id}_{uuid.uuid4().hex[:8]}"
@@ -626,3 +633,162 @@ def od_fractions_from_table(od_table: DataFrame) -> DataFrame:
     from ..operators.od import od_fractions
 
     return od_fractions(od_table)
+
+
+class IncrementalUpsertTable(IncrementalCountTable):
+    """Keyed last-writer-wins UPSERT table on the same generation
+    chain — the mergeable-state requirement met with MAX instead of
+    SUM: each row carries a caller-assigned version ``seq_col``
+    (ingest sequence number / source commit timestamp), and the merge
+    keeps, per key, the row of the maximal (seq, payload...) struct.
+
+    Max over structs is associative, commutative AND idempotent, so
+    out-of-order deltas (seq 2 arriving before seq 1), replayed
+    epochs, and compaction all converge to the same table — strictly
+    stronger replay safety than the additive counts (which need the
+    parent-rebasing; it is kept here too, harmlessly, for machinery
+    uniformity). Seq ties across attempts resolve by the payload
+    columns' struct ordering — deterministic, never arrival order.
+
+    ``tombstone_col`` (optional boolean payload column) soft-deletes:
+    a delete is an upsert of (key, seq, tombstone=true); the row wins
+    its key like any other version and :meth:`read` filters it out —
+    so deletes replay/commute exactly like updates and a later
+    re-insert (higher seq) resurrects the key. At 100 TB this class
+    maps onto MERGE INTO ... WHEN MATCHED AND s.seq > t.seq THEN
+    UPDATE on Delta/Iceberg, keys partition-pruned by the merge
+    condition."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: list[str],
+        seq_col: str = "seq",
+        payload_cols: list[str] | None = None,
+        tombstone_col: str | None = None,
+        retain: int = 2,
+    ):
+        super().__init__(spark, path, keys, retain=retain, measures=())
+        self.seq_col = seq_col
+        self.payload_cols = payload_cols
+        self.tombstone_col = tombstone_col
+
+    def _combine(self, merged: DataFrame) -> DataFrame:
+        payload = self.payload_cols
+        if payload is None:
+            payload = [
+                c
+                for c in merged.columns
+                if c not in self.keys and c != self.seq_col
+            ]
+        win = F.max(
+            F.struct(F.col(self.seq_col), *[F.col(c) for c in payload])
+        ).alias("__w")
+        out = merged.groupBy(*self.keys).agg(win)
+        return out.select(
+            *self.keys,
+            F.col(f"__w.{self.seq_col}").alias(self.seq_col),
+            *[F.col(f"__w.{c}").alias(c) for c in payload],
+        )
+
+    def read(self, include_tombstones: bool = False) -> DataFrame | None:
+        df = super().read()
+        if df is None:
+            return None
+        if self.tombstone_col is not None and not include_tombstones:
+            df = df.filter(
+                ~F.coalesce(F.col(self.tombstone_col), F.lit(False))
+            )
+        return df
+
+
+def ivf_index_table(
+    spark: SparkSession, table_path: str
+) -> IncrementalUpsertTable:
+    """The maintained IVF inverted file: (vec_id, seq, c_emb,
+    centroid_id, deleted) — :func:`operators.similarity.ivf_assign`
+    output plus version + tombstone. Serve with
+    ``ivf_topk(..., assigned=table.read(), centroids=...)``."""
+    return IncrementalUpsertTable(
+        spark,
+        table_path,
+        keys=["vec_id"],
+        seq_col="seq",
+        payload_cols=["c_emb", "centroid_id", "deleted"],
+        tombstone_col="deleted",
+    )
+
+
+def ivf_index_upsert(
+    table: IncrementalUpsertTable,
+    delta_emb: DataFrame,
+    centroids: list,
+    epoch_id: int,
+    dim: int | None = None,
+) -> None:
+    """Merge an embedding delta (vec_id, seq, embedding[, deleted])
+    into the maintained inverted file — the round-6 build/serve split
+    (similarity.py:ivf_assign) without the full Θ(N) rebuild on every
+    corpus change: only the delta's vectors are assigned (the same
+    map-only literal-centroid expression — no shuffle, no join), and
+    the MERGE touches only their keys. The coarse codebook stays
+    FIXED across upserts — that is what makes incremental assignment
+    correct (same centroids ⟹ same list for an unchanged vector);
+    re-training the codebook is a rebuild by definition (new
+    centroids re-list every vector), exactly as in FAISS-style IVF
+    deployments where the quantizer is trained once and the lists
+    absorb adds/deletes."""
+    from ..functions.vectors import as_double_array
+    from ..operators.similarity import _centroid_sims
+
+    has_del = "deleted" in delta_emb.columns
+    c = delta_emb.select(
+        "vec_id",
+        "seq",
+        as_double_array(F.col("embedding")).alias("c_emb"),
+        (F.col("deleted") if has_del else F.lit(False)).alias("deleted"),
+    )
+    assigned = c.withColumn(
+        "centroid_id",
+        F.when(
+            F.col("deleted"), F.lit(None).cast("long")
+        ).otherwise(
+            (
+                -F.array_max(
+                    _centroid_sims("c_emb", centroids, dim)
+                ).getField("negid")
+            ).cast("long")
+        ),
+    ).select("vec_id", "seq", "c_emb", "centroid_id", "deleted")
+    table.merge_batch(assigned, epoch_id)
+
+
+def incremental_ivf_index_stream(
+    spark: SparkSession,
+    emb_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    centroids: list,
+    dim: int | None = None,
+    schema: str = "vec_id long, seq long, embedding array<float>",
+):
+    """Stream embedding-delta files → maintained IVF inverted file via
+    foreachBatch (exactly-once on the generation chain, out-of-order
+    and replay safe by max-struct merge). Returns the StreamingQuery;
+    serve queries any time from ``ivf_index_table(...).read()``."""
+    table = ivf_index_table(spark, table_path)
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        ivf_index_upsert(table, batch_df, centroids, epoch_id, dim)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(emb_dir)
+    )
+    return (
+        src.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -190,6 +190,10 @@ HEADLINE = [
     # batch-26 additions (round 6): dedup survivorship
     "dedup_survivors",
     "cluster_size_histogram",
+    # batch-27 additions (round 7): composed end-to-end dedup pipeline
+    # + the LSH set-similarity escape hatch as a first-class query
+    "deduped_corpus_stats",
+    "user_covisit_lsh",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the
@@ -229,6 +233,32 @@ def main() -> None:
         names = [n for n in names if n in wanted]
     iters = int(os.environ.get("BENCH_ITERS", "3"))  # driver default: n=3
 
+    # Order randomization (round 7): BENCH_DRIFT_r5/r6 each burned a
+    # round proving that sub-second queries inflate with SESSION
+    # POSITION (GC/scheduler pressure by query ~55+), not with plan
+    # changes. Rotating the tail order per round de-correlates a
+    # query's timing from its position, so a cross-round mover that
+    # also moved positions is presumptively position noise, while a
+    # true regression survives rotation. The common-14 gate prefix
+    # stays FIRST and in fixed order — its subtotal remains comparable
+    # to every earlier round. Seed: BENCH_SEED env, else the round
+    # number inferred from committed BENCH_r*.json files — fixed
+    # within a round, different across rounds; recorded in the output.
+    import glob
+    import random
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    seed_env = os.environ.get("BENCH_SEED")
+    seed = (
+        int(seed_env)
+        if seed_env is not None
+        else len(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    )
+    common_prefix = [n for n in names if n in COMMON14]
+    tail = [n for n in names if n not in COMMON14]
+    random.Random(seed).shuffle(tail)
+    names = common_prefix + tail
+
     def run(name: str) -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
@@ -253,7 +283,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "protocol": {"iters": iters, "stat": "median", "warmup": 1},
+        "protocol": {
+            "iters": iters,
+            "stat": "median",
+            "warmup": 1,
+            "order_seed": seed,
+            "order": names,
+        },
         "spread": spread,
         "common14_total": common14,
     }
@@ -261,11 +297,7 @@ def main() -> None:
     # the one-line contract LAST, after spark.stop(), so a tail-capture
     # of stdout always ends at a complete, parseable JSON line
     # (BENCH_r04.json was clipped mid-JSON by exactly this failure)
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_FULL.json"),
-        "w",
-    ) as fh:
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
         json.dump(result, fh, indent=1)
         fh.write("\n")
     spark.stop()

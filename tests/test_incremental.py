@@ -654,3 +654,141 @@ def test_incremental_od_fractions_parity_under_late_replay(spark, tmp_path):
     )
     t.merge_batch(replay_delta, ptr["epoch"])  # same epoch → rebase
     assert table_fracs(tbl) == batch_fracs(b1 + b2)
+
+
+def test_incremental_ivf_index_parity_under_out_of_order_upserts(
+    spark, tmp_path
+):
+    """Maintained IVF inverted file == full Θ(N) rebuild, under
+    out-of-order appends (seq 2 delivered before seq 1), updates,
+    soft deletes, a later resurrect, and an epoch replay — the
+    round-7 ask: corpus changes ride the exactly-once MERGE machinery
+    instead of forcing an index rebuild. Serve-path equality is
+    pinned too: ivf_topk from the merged index == from a fresh
+    ivf_assign of the final corpus."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroid_rows,
+        ivf_topk,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        ivf_index_table,
+        ivf_index_upsert,
+    )
+
+    import math
+
+    from pyspark.sql import functions as F
+
+    def vec(seed: float):
+        # +1.3 offset: seed 0 would give the all-zero vector, whose
+        # cosine is undefined (ANSI divide-by-zero) — not a corpus
+        # this operator family accepts
+        return [
+            math.sin((seed + 1.3) * (j + 1) * 0.7) for j in range(8)
+        ]
+
+    base = spark.createDataFrame(
+        [(i, 0, vec(float(i))) for i in range(24)],
+        "vec_id long, seq long, embedding array<double>",
+    )
+    cent = ivf_centroid_rows(base, 4)
+
+    table = ivf_index_table(spark, str(tmp_path / "ivf"))
+    ivf_index_upsert(table, base, cent, epoch_id=0, dim=8)
+
+    # epoch 2 lands BEFORE epoch 1 (out-of-order): seq 2 moves vec 3
+    # and inserts vec 100; then the STALE seq-1 update to vec 3
+    # arrives late and must lose; vec 5 is deleted at seq 1 and
+    # resurrected at seq 3; epoch 2 replays (same epoch id) unchanged.
+    e2 = spark.createDataFrame(
+        [(3, 2, vec(77.0)), (100, 2, vec(100.0))],
+        "vec_id long, seq long, embedding array<double>",
+    )
+    e1 = spark.createDataFrame(
+        [(3, 1, vec(55.0))],
+        "vec_id long, seq long, embedding array<double>",
+    )
+    e1_del = spark.createDataFrame(
+        [(5, 1, vec(5.0), True)],
+        "vec_id long, seq long, embedding array<double>, deleted boolean",
+    )
+    e3 = spark.createDataFrame(
+        [(5, 3, vec(500.0), False)],
+        "vec_id long, seq long, embedding array<double>, deleted boolean",
+    )
+    ivf_index_upsert(table, e2, cent, epoch_id=2, dim=8)
+    ivf_index_upsert(table, e1, cent, epoch_id=1, dim=8)
+    ivf_index_upsert(table, e1_del, cent, epoch_id=3, dim=8)
+    ivf_index_upsert(table, e2, cent, epoch_id=2, dim=8)  # replay
+    ivf_index_upsert(table, e3, cent, epoch_id=4, dim=8)
+
+    # the logically-final corpus after all upserts
+    final = spark.createDataFrame(
+        [(i, 0, vec(float(i))) for i in range(24) if i not in (3, 5)]
+        + [(3, 2, vec(77.0)), (100, 2, vec(100.0)), (5, 3, vec(500.0))],
+        "vec_id long, seq long, embedding array<double>",
+    )
+    rebuilt = ivf_assign(final, cent, dim=8)
+
+    got = sorted(
+        (r.vec_id, r.centroid_id, tuple(round(x, 12) for x in r.c_emb))
+        for r in table.read().collect()
+    )
+    want = sorted(
+        (r.vec_id, r.centroid_id, tuple(round(x, 12) for x in r.c_emb))
+        for r in rebuilt.collect()
+    )
+    assert got == want
+
+    queries = final.filter(F.col("vec_id") < 3)
+    served_merged = ivf_topk(
+        final, queries, k=2, nprobe=2, dim=8,
+        centroids=cent, assigned=table.read(),
+    )
+    served_rebuilt = ivf_topk(
+        final, queries, k=2, nprobe=2, dim=8,
+        centroids=cent, assigned=rebuilt,
+    )
+    a = sorted(map(tuple, served_merged.collect()))
+    b = sorted(map(tuple, served_rebuilt.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_incremental_upsert_table_lww_and_tombstones(spark, tmp_path):
+    """IncrementalUpsertTable unit semantics: max-seq wins regardless
+    of merge order; replays are idempotent; tombstones hide keys from
+    read() but stay visible with include_tombstones."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        IncrementalUpsertTable,
+    )
+
+    t = IncrementalUpsertTable(
+        spark,
+        str(tmp_path / "u"),
+        keys=["k"],
+        seq_col="seq",
+        tombstone_col="dead",
+    )
+    schema = "k long, seq long, v string, dead boolean"
+    t.merge_batch(
+        spark.createDataFrame([(1, 3, "newest", False)], schema), 0
+    )
+    t.merge_batch(
+        spark.createDataFrame(
+            [(1, 1, "stale", False), (2, 1, "b", False)], schema
+        ),
+        1,
+    )
+    t.merge_batch(
+        spark.createDataFrame([(2, 2, None, True)], schema), 2
+    )  # delete key 2
+    t.merge_batch(
+        spark.createDataFrame([(2, 2, None, True)], schema), 2
+    )  # replay
+    got = {(r.k): (r.seq, r.v) for r in t.read().collect()}
+    assert got == {1: (3, "newest")}
+    with_dead = {
+        (r.k): (r.seq, r.dead) for r in t.read(include_tombstones=True).collect()
+    }
+    assert with_dead == {1: (3, False), 2: (2, True)}

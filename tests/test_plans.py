@@ -260,3 +260,49 @@ def test_ols_moments_partially_aggregate(spark):
 
 def test_chi2_keywords_broadcasts_marginals(spark):
     assert_broadcast_join(entrymod._q_chi2_keywords(spark, SF_SMALL))
+
+
+def test_registered_path_selections_pinned(spark):
+    """Round-7 path pins (VERDICT r6 #7): the three operators whose
+    physical path is a DATA-DEPENDENT choice — ann_bucketed's adaptive
+    nbits, user_covisit_jaccard's set-similarity path, ivf_topk's
+    inline-vs-prebuilt assignment — are pinned on the committed test
+    corpus, so a testdata regeneration that silently flips a path
+    fails HERE instead of surfacing as an unexplained bench move (the
+    r3→r4 drift class)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        adaptive_nbits,
+        choose_set_similarity_path,
+        set_similarity_stats,
+    )
+
+    # 1) ann_bucketed: nbits derived from corpus size. 500 vectors at
+    # sf0.001 AND sf0.01 → ceil(log2(500/16)) = 5; sf0.1's 2000 → 7.
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    assert adaptive_nbits(emb.count()) == 5
+    assert adaptive_nbits(2000) == 7
+
+    # 2) user_covisit_jaccard: the registered query's dense-bitmap
+    # path shows as the broadcast pair enumeration (no shuffle join of
+    # user pairs) — and the auto router agrees the committed corpus is
+    # below the LSH handoff, so the registered EXACT query stays
+    # oracle-pairable.
+    spark.catalog.clearCache()
+    covisit = entrymod._q_user_covisit_jaccard(spark, SF_SMALL)
+    plan = physical_plan(covisit)
+    assert "BroadcastNestedLoopJoin" in plan
+    ev = load_table(spark, SF_SMALL, "events")
+    sets = ev.select(
+        "user_id",
+        F.pmod(F.floor(F.col("value")).cast("long"), F.lit(2000)).alias("cell"),
+    ).distinct()
+    stats = set_similarity_stats(sets, "user_id", "cell")
+    assert choose_set_similarity_path(stats) == "exact", stats
+
+    # 3) ivf_topk: the registered query assigns inline (array_max over
+    # literal centroid sims in-plan), never from a materialized index
+    # scan — flipping to a prebuilt index would change both markers.
+    ivf = entrymod._q_ivf_topk(spark, SF_SMALL)
+    iplan = physical_plan(ivf)
+    assert "array_max" in iplan
+    assert "ivf_index" not in iplan

@@ -164,6 +164,13 @@ EXCHANGE_CEILING = {
     # batch 26 (round 6): dedup survivorship (CC rounds checkpointed)
     "dedup_survivors": 6,
     "cluster_size_histogram": 4,
+    # batch 27 (round 7): composed end-to-end dedup pipeline — the
+    # survivor agg + join-back + lang profile on top of the
+    # dedup_survivors chain (CC rounds behind checkpoints as above)
+    "deduped_corpus_stats": 10,
+    # signature agg + band fanout both sides + candidate distinct +
+    # two payload join-backs — each narrow (digests/ids), by design
+    "user_covisit_lsh": 12,
 }
 
 

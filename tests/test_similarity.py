@@ -453,3 +453,195 @@ def test_ivf_topk_prebuilt_index_identical(spark, tmp_path):
     a = sorted(tuple(r) for r in inline.collect())
     b = sorted(tuple(r) for r in served.collect())
     assert a == b and len(a) > 0
+
+
+def test_choose_set_similarity_path_rules():
+    """Routing rule unit test (no Spark): small key tables and
+    linear-regime candidate bounds stay exact; only a quadratic
+    candidate bound over a large key table hands off to LSH."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        choose_set_similarity_path,
+    )
+
+    # tiny key table: always exact, however dense
+    assert (
+        choose_set_similarity_path(
+            {"n_keys": 100, "cand_pairs": 1e9, "n_rows": 1000, "max_df": 100}
+        )
+        == "exact"
+    )
+    # large but sparse (avg < budget partners/key): exact
+    assert (
+        choose_set_similarity_path(
+            {"n_keys": 10_000, "cand_pairs": 5e4, "n_rows": 1e6, "max_df": 9}
+        )
+        == "exact"
+    )
+    # large and dense (the measured Ω(U²) regime): LSH
+    assert (
+        choose_set_similarity_path(
+            {"n_keys": 10_000, "cand_pairs": 5e7, "n_rows": 1e6, "max_df": 9_000}
+        )
+        == "lsh"
+    )
+    # cand bound is capped at all-pairs: a single ultra-hot item on a
+    # small-ish key table cannot fake a quadratic regime past C(U,2)
+    assert (
+        choose_set_similarity_path(
+            {"n_keys": 5_000, "cand_pairs": 1e12, "n_rows": 1e6, "max_df": 1e6},
+            pairs_per_key_budget=5_000,
+        )
+        == "exact"
+    )
+    # thresholds are parameters
+    assert (
+        choose_set_similarity_path(
+            {"n_keys": 20, "cand_pairs": 190, "n_rows": 100, "max_df": 20},
+            pairs_per_key_budget=1,
+            min_lsh_keys=10,
+        )
+        == "lsh"
+    )
+
+
+def test_set_similarity_auto_sparse_equals_exact(spark):
+    """Sparse regime: the auto join must be pair-for-pair IDENTICAL to
+    the exact join (path selection is a physical choice only below the
+    handoff), and must report the exact path."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        set_similarity_join,
+        set_similarity_join_auto,
+        set_similarity_stats,
+    )
+
+    sets = _sets_fixture(spark)
+    stats = set_similarity_stats(sets, "key", "item")
+    assert stats["n_keys"] == 12
+    assert stats["n_rows"] == sets.count()
+    assert stats["max_df"] == 12  # hot item 0 in every key
+    auto = set_similarity_join_auto(sets, "key", "item", 3, 10, stats=stats)
+    assert stats["path"] == "exact"
+    assert auto.__setsim_path__ == "exact"
+    exact = set_similarity_join(sets, "key", "item", 3, 10)
+    assert _pairs(auto) == _pairs(exact)
+
+
+def test_set_similarity_lsh_no_false_positives_and_dup_recall(spark):
+    """LSH path: every emitted pair must carry the EXACT (n_shared,
+    sz_a, sz_b) and satisfy the threshold (verification is exact → no
+    false positives); identical sets (J=1, signatures agree on every
+    band) are always recovered."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        set_similarity_join,
+        set_similarity_join_lsh,
+    )
+
+    rows = []
+    for k in range(12):
+        items = {0} | {(k * 7 + j) % 64 for j in range(1, 5 + (k % 4))}
+        rows += [(k, i) for i in sorted(items)]
+    # planted exact-duplicate cluster: keys 100..103 share one set
+    for k in range(100, 104):
+        rows += [(k, i) for i in (1, 2, 3, 4, 5)]
+    rows.append((10, None))
+    sets = spark.createDataFrame(rows, "key long, item long")
+    exact = set(map(tuple, _pairs(set_similarity_join(sets, "key", "item", 3, 10))))
+    for domain in (None, 64):
+        got = set(
+            map(
+                tuple,
+                _pairs(
+                    set_similarity_join_lsh(
+                        sets, "key", "item", 3, 10,
+                        dense_bitmap_domain=domain,
+                    )
+                ),
+            )
+        )
+        assert got <= exact, f"false positives (domain={domain}): {got - exact}"
+        # the J=1 cluster collides on every band: all 6 pairs found
+        dup_pairs = {
+            (a, b, 5, 5, 5)
+            for a in range(100, 104)
+            for b in range(a + 1, 104)
+        }
+        assert dup_pairs <= got, f"missed exact dups (domain={domain})"
+
+
+def test_set_similarity_auto_dense_routes_lsh(spark):
+    """Dense fixture (thresholds tightened to make the small fixture
+    'dense'): auto must route to LSH and emit a subset of the exact
+    pair set with exact values."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        set_similarity_join,
+        set_similarity_join_auto,
+    )
+
+    # every key shares most of a tiny item domain: quadratic regime
+    rows = [(k, (k + j) % 8) for k in range(24) for j in range(6)]
+    sets = spark.createDataFrame(rows, "key long, item long")
+    stats = {}
+    auto = set_similarity_join_auto(
+        sets, "key", "item", 1, 2,
+        pairs_per_key_budget=2, min_lsh_keys=10,
+        dense_bitmap_domain=8,
+    )
+    assert auto.__setsim_path__ == "lsh"
+    exact = set(map(tuple, _pairs(set_similarity_join(sets, "key", "item", 1, 2))))
+    got = set(map(tuple, _pairs(auto)))
+    assert got <= exact
+    assert len(got) > 0
+
+
+def test_ann_recall_floor_at_64x(spark):
+    """Recall-vs-scale floor (VERDICT r6 #2): at 64× replication the
+    size-adaptive designs must still recover ≥ 0.6 of the brute-force
+    top-3. The corpus is perturbed-replicated (rep 0 verbatim, others
+    md5-noised near-duplicates — identical copies would be a vacuous
+    recall 1.0), so each query's true neighbors are near-duplicates
+    that straddle hash planes the way real near-dup corpora do; the
+    floor fails if adaptive nbits ever shrinks buckets past the point
+    where Hamming-1 probing recovers them, or if IVF lists stop
+    co-locating near-duplicates. Exact per-path recall curves live in
+    SCALE_PROBE_r7.jsonl (sf0.1); this gate runs the same machinery
+    at sf0.001·64."""
+    from pyspark.sql import functions as F
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        banded_ann_topk,
+        brute_force_topk,
+        bucketed_ann_topk,
+        ivf_centroid_rows,
+        ivf_topk,
+        perturbed_replicas,
+        recall_against,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    scaled = perturbed_replicas(emb, 64, noise=0.3).persist()
+    queries = scaled.filter(F.col("vec_id") < 5)
+    bf = brute_force_topk(scaled, queries, k=3, dim=64).persist()
+    bf.count()
+
+    got = {
+        "bucketed": recall_against(
+            bf, bucketed_ann_topk(scaled, queries, k=3, dim=64, multi_probe=1)
+        ),
+        "banded": recall_against(
+            bf, banded_ann_topk(scaled, queries, k=3, n_tables=4, dim=64)
+        ),
+    }
+    cent = ivf_centroid_rows(scaled, 16)
+    got["ivf"] = recall_against(
+        bf,
+        ivf_topk(
+            scaled, queries, k=3, nprobe=4, dim=64, centroids=cent
+        ),
+    )
+    scaled.unpersist()
+    bf.unpersist()
+    for path, rec in got.items():
+        assert rec >= 0.6, (path, got)

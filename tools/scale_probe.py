@@ -157,45 +157,64 @@ def probe_graph(spark, sf_dir: str, n: int) -> dict:
 
 
 def probe_ann(spark, sf_dir: str, n: int) -> dict:
+    """ANN family: time AND recall@k vs scale. The corpus is
+    perturbed-replicated (rep 0 verbatim, reps 1..n−1 md5-noised
+    near-duplicates — identical copies would make recall trivially
+    1.0); queries are 5 rep-0 vectors, so each query's true top-3 are
+    its perturbed replicas. Recall is scored for every approximate
+    path against the brute-force result on the SAME corpus — the
+    round-7 measurement the α=0.08 time curve was missing: adaptive
+    nbits holds candidates ~constant by shrinking buckets, which is
+    exactly how recall decays."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.vectors import (
+        as_double_array,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.kmeans import (
+        kmeans_fit,
+    )
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        banded_ann_topk,
         brute_force_topk,
         bucketed_ann_topk,
+        ivf_assign,
         ivf_centroid_rows,
         ivf_topk,
+        perturbed_replicas,
+        recall_against,
     )
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
         load_table,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    copies = emb.crossJoin(
-        spark.range(n).select(F.col("id").alias("rep"))
-    ).select(
-        (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
-        "embedding",
-        "label",
-    )
+    copies = perturbed_replicas(emb, n, noise=0.3)
     out = os.path.join(tempfile.gettempdir(), f"embeddings_x{n}.parquet")
     copies.write.mode("overwrite").parquet(out)
     scaled = spark.read.parquet(out)
     results = {"family": "ann", "replication": n, "rows": scaled.count()}
     queries = scaled.filter(F.col("vec_id") < 5)
 
-    _timed(results, "brute_force_topk", brute_force_topk(scaled, queries, k=3, dim=64))
-    _timed(
-        results,
-        "ann_bucketed",
-        bucketed_ann_topk(scaled, queries, k=3, dim=64, multi_probe=1),
-    )
+    t0 = time.perf_counter()
+    bf = brute_force_topk(scaled, queries, k=3, dim=64)
+    bf_rows = bf.persist()
+    bf_rows.count()
+    results["brute_force_topk_s"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    bucketed = bucketed_ann_topk(scaled, queries, k=3, dim=64, multi_probe=1)
+    results["ann_bucketed_recall"] = recall_against(bf_rows, bucketed)
+    results["ann_bucketed_s"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    banded = banded_ann_topk(scaled, queries, k=3, n_tables=4, dim=64)
+    results["ann_banded_recall"] = recall_against(bf_rows, banded)
+    results["ann_banded_s"] = round(time.perf_counter() - t0, 2)
+
     # index BUILD (centroid pick + corpus assignment, materialized —
     # the inverted file) and SERVE (probe join + candidate cos +
     # top-k over the prebuilt index) timed separately: a real IVF
     # index is built once per corpus state and served many times, so
     # the scaling claim that matters is the serve-side one.
-    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
-        ivf_assign,
-    )
-
     t0 = time.perf_counter()
     cent = ivf_centroid_rows(scaled, 16)
     ivf_dir = os.path.join(tempfile.gettempdir(), f"ivf_index_x{n}.parquet")
@@ -203,19 +222,50 @@ def probe_ann(spark, sf_dir: str, n: int) -> dict:
     results["ivf_build_s"] = round(time.perf_counter() - t0, 2)
     index = spark.read.parquet(ivf_dir)
     t0 = time.perf_counter()
-    _noop(
-        ivf_topk(
-            scaled, queries, k=3, n_centroids=16, nprobe=4, dim=64,
-            centroids=cent, assigned=index,
-        )
+    served = ivf_topk(
+        scaled, queries, k=3, n_centroids=16, nprobe=4, dim=64,
+        centroids=cent, assigned=index,
     )
+    results["ivf_recall"] = recall_against(bf_rows, served)
     results["ivf_serve_s"] = round(time.perf_counter() - t0, 2)
+
+    # trained (3 Lloyd rounds) coarse quantizer — the ivf_topk_kmeans
+    # registered path; training is part of build time by definition
+    t0 = time.perf_counter()
+    vec = scaled.select(
+        "vec_id", as_double_array(F.col("embedding")).alias("vec")
+    )
+    cents_km, _ = kmeans_fit(vec, k=16, iterations=3)
+    cent_km = sorted((int(c), list(v)) for c, v in cents_km.items())
+    km_dir = os.path.join(tempfile.gettempdir(), f"ivf_km_index_x{n}.parquet")
+    ivf_assign(scaled, cent_km, dim=64).write.mode("overwrite").parquet(km_dir)
+    results["ivf_kmeans_build_s"] = round(time.perf_counter() - t0, 2)
+    km_index = spark.read.parquet(km_dir)
+    t0 = time.perf_counter()
+    served_km = ivf_topk(
+        scaled, queries, k=3, n_centroids=16, nprobe=4, dim=64,
+        centroids=cent_km, assigned=km_index,
+    )
+    results["ivf_kmeans_recall"] = recall_against(bf_rows, served_km)
+    results["ivf_kmeans_serve_s"] = round(time.perf_counter() - t0, 2)
+    bf_rows.unpersist()
     return results
 
 
 def probe_setsim(spark, sf_dir: str, n: int) -> dict:
+    """Set-similarity family: EXACT (dense-bitmap) vs LSH vs the
+    round-7 AUTO router on the covisit workload. The probe publishes
+    the router's inputs (n_keys, cand_pairs) and decision, then times
+    all three paths so the JSONL shows the auto path tracking the LSH
+    curve, not the measured Ω(U²) exact one. Set
+    SETSIM_SKIP_EXACT=1 to skip the quadratic reference at large N
+    once its exponent is established."""
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        choose_set_similarity_path,
         set_similarity_join,
+        set_similarity_join_auto,
+        set_similarity_join_lsh,
+        set_similarity_stats,
     )
 
     base = load_events(spark, sf_dir)
@@ -237,18 +287,44 @@ def probe_setsim(spark, sf_dir: str, n: int) -> dict:
             "cell"
         ),
     ).distinct()
+    stats = set_similarity_stats(sets, "user_id", "cell")
+    results["n_keys"] = stats["n_keys"]
+    results["cand_pairs_bound"] = int(stats["cand_pairs"])
+    results["auto_path"] = choose_set_similarity_path(stats)
+
+    n_exact = None
+    if not os.environ.get("SETSIM_SKIP_EXACT"):
+        t0 = time.perf_counter()
+        pairs = set_similarity_join(
+            sets, "user_id", "cell",
+            threshold_num=3, threshold_den=10,
+            dense_bitmap_domain=cells,
+        )
+        n_exact = pairs.count()
+        results["covisit_s"] = round(time.perf_counter() - t0, 2)
+        results["covisit_pairs"] = n_exact
+
     t0 = time.perf_counter()
-    pairs = set_similarity_join(
-        sets,
-        "user_id",
-        "cell",
-        threshold_num=3,
-        threshold_den=10,
+    lsh = set_similarity_join_lsh(
+        sets, "user_id", "cell",
+        threshold_num=3, threshold_den=10,
         dense_bitmap_domain=cells,
     )
-    n_pairs = pairs.count()
-    results["covisit_s"] = round(time.perf_counter() - t0, 2)
-    results["covisit_pairs"] = n_pairs
+    n_lsh = lsh.count()
+    results["covisit_lsh_s"] = round(time.perf_counter() - t0, 2)
+    results["covisit_lsh_pairs"] = n_lsh
+    if n_exact:
+        results["lsh_recall"] = round(n_lsh / n_exact, 4)
+
+    t0 = time.perf_counter()
+    auto = set_similarity_join_auto(
+        sets, "user_id", "cell",
+        threshold_num=3, threshold_den=10,
+        dense_bitmap_domain=cells,
+        stats=dict(stats),
+    )
+    results["covisit_auto_pairs"] = auto.count()
+    results["covisit_auto_s"] = round(time.perf_counter() - t0, 2)
     return results
 
 
