@@ -955,7 +955,7 @@ def set_similarity_join_auto(
     min_lsh_keys: int = 4096,
     dense_bitmap_domain: int | None = None,
     lsh_k: int = 16,
-    lsh_bands: int = 8,
+    lsh_bands: int | None = None,
     stats: dict | None = None,
 ) -> DataFrame:
     """Cost-routed set-similarity join — the round-6 probe's measured
@@ -985,6 +985,11 @@ def set_similarity_join_auto(
     )
     stats["path"] = path
     if path == "lsh":
+        if lsh_bands is None:
+            # banding matched to the threshold's S-curve midpoint —
+            # a fixed 8×2 would be mis-tuned for high-threshold
+            # (near-dup) workloads; see choose_lsh_bands
+            lsh_bands = choose_lsh_bands(threshold_num, threshold_den, lsh_k)
         out = set_similarity_join_lsh(
             sets,
             key_col,
@@ -1065,3 +1070,32 @@ def recall_against(bf: DataFrame, approx: DataFrame) -> float:
         for r in approx.select("query_id", "vec_id").collect()
     }
     return round(len(a & b) / max(1, len(b)), 4)
+
+
+def choose_lsh_bands(
+    threshold_num: int, threshold_den: int, k: int = 16
+) -> int:
+    """Pick the band count whose LSH S-curve midpoint best matches the
+    caller's Jaccard threshold. With ``bands`` bands of ``r = k/bands``
+    rows, a pair at similarity J becomes a candidate with
+    P = 1 − (1 − J^r)^bands; the curve's midpoint sits near
+    t* = (1/bands)^(1/r). A FIXED banding is silently mis-tuned away
+    from its design point: 8×2 over k=16 centers at t* ≈ 0.35 — right
+    for a 0.3 covisit threshold, but at a 0.8 near-dup threshold it
+    floods candidates with J≈0.4 junk, while 4×4 (t* ≈ 0.71) or 2×8
+    (t* ≈ 0.92) prune them structurally. Scans the divisors of k and
+    returns the bands minimizing |t* − threshold|; ties break toward
+    MORE bands (higher recall at equal distance — r ascends below, so
+    bands descends and strict improvement keeps the first/larger
+    bands on a tie)."""
+    t = threshold_num / threshold_den
+    best_bands, best_err = k, float("inf")
+    for r in range(1, k + 1):
+        if k % r:
+            continue
+        bands = k // r
+        t_star = (1.0 / bands) ** (1.0 / r) if bands > 1 else 1.0
+        err = abs(t_star - t)
+        if err < best_err:
+            best_bands, best_err = bands, err
+    return best_bands

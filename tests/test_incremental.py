@@ -792,3 +792,62 @@ def test_incremental_upsert_table_lww_and_tombstones(spark, tmp_path):
         (r.k): (r.seq, r.dead) for r in t.read(include_tombstones=True).collect()
     }
     assert with_dead == {1: (3, False), 2: (2, True)}
+
+
+def test_incremental_ivf_index_stream_end_to_end(spark, tmp_path):
+    """The streaming wrapper: embedding-delta FILES → foreachBatch →
+    maintained inverted file. Two files (initial corpus, then an
+    update + an insert) processed as separate micro-batches must leave
+    the table equal to a fresh ivf_assign of the final corpus."""
+    import math
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroid_rows,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        incremental_ivf_index_stream,
+        ivf_index_table,
+    )
+
+    def vec(seed: float):
+        return [math.sin((seed + 1.3) * (j + 1) * 0.7) for j in range(8)]
+
+    schema = "vec_id long, seq long, embedding array<double>"
+    src = str(tmp_path / "emb_files")
+    base_rows = [(i, 0, vec(float(i))) for i in range(12)]
+    spark.createDataFrame(base_rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    cent = ivf_centroid_rows(spark.createDataFrame(base_rows, schema), 3)
+
+    q = incremental_ivf_index_stream(
+        spark,
+        src,
+        str(tmp_path / "ivf"),
+        str(tmp_path / "ckpt"),
+        cent,
+        dim=8,
+        schema=schema,
+    )
+    try:
+        q.processAllAvailable()
+        upd = [(4, 1, vec(44.0)), (50, 1, vec(50.0))]
+        spark.createDataFrame(upd, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    final = spark.createDataFrame(
+        [r for r in base_rows if r[0] != 4] + upd, schema
+    )
+    want = sorted(
+        (r.vec_id, r.centroid_id) for r in ivf_assign(final, cent, dim=8).collect()
+    )
+    got = sorted(
+        (r.vec_id, r.centroid_id)
+        for r in ivf_index_table(spark, str(tmp_path / "ivf")).read().collect()
+    )
+    assert got == want and len(got) == 13

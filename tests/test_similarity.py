@@ -645,3 +645,22 @@ def test_ann_recall_floor_at_64x(spark):
     bf.unpersist()
     for path, rec in got.items():
         assert rec >= 0.6, (path, got)
+
+
+def test_choose_lsh_bands_matches_threshold():
+    """Band count tracks the threshold's S-curve midpoint: low
+    (covisit-style) thresholds get many narrow bands, near-dup
+    thresholds get few wide ones."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        choose_lsh_bands,
+    )
+
+    # k=16 midpoints: 16x1 -> 0.0625, 8x2 -> 0.354, 4x4 -> 0.707,
+    # 2x8 -> 0.917, 1x16 -> 1.0
+    assert choose_lsh_bands(1, 10, 16) == 16   # J >= 0.1
+    assert choose_lsh_bands(3, 10, 16) == 8    # J >= 0.3 (covisit)
+    assert choose_lsh_bands(7, 10, 16) == 4    # J >= 0.7
+    assert choose_lsh_bands(8, 10, 16) == 4    # 0.8 nearer 0.707 than 0.917
+    assert choose_lsh_bands(9, 10, 16) == 2    # J >= 0.9
+    # k=8: 8x1 -> 0.125, 4x2 -> 0.5, 2x4 -> 0.841, 1x8 -> 1.0
+    assert choose_lsh_bands(4, 5, 8) == 2
