@@ -780,6 +780,18 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
 
 
+def _q_near_dup_pairs_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-routed n-gram near-dup pairs (batch 27): the document-level
+    face of the round-7 exact↔LSH handoff. On the committed corpus the
+    router picks the EXACT path (500 docs < min_lsh_keys — pinned in
+    tests/test_plans.py), so the oracle is the exact n-gram Jaccard
+    SQL; a corpus regeneration that flips the route fails the pin
+    before it can silently turn this into an approximation
+    (operators/dedup.py:near_dup_pairs_auto)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ops.near_dup_pairs_auto(docs, n=3, threshold_num=1, threshold_den=2)
+
+
 def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
@@ -6039,6 +6051,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": _q_dedup_survivors,
         "deduped_corpus_stats": _q_deduped_corpus_stats,
         "user_covisit_lsh": _q_user_covisit_lsh,
+        "near_dup_pairs_auto": _q_near_dup_pairs_auto,
         "cluster_size_histogram": _q_cluster_size_histogram,
     }
 
@@ -6819,7 +6832,7 @@ def oracle_sql() -> dict[str, str]:
         "cos(radians(pre_lat)) * cos(radians(lat)) * "
         "pow(sin(radians(lon - pre_lon) / 2), 2)))"
     )
-    return {
+    out = {
         "occupancy_by_region_hour": f"""
             SELECT CAST({REGION_SQL} AS INTEGER) AS region_id,
                    date_trunc('hour', ts) AS hour,
@@ -10247,3 +10260,8 @@ def oracle_sql() -> dict[str, str]:
             FROM pos GROUP BY 1
         """,
     }
+    # near_dup_pairs_auto routes to the EXACT path on the committed
+    # corpus (n_keys < min_lsh_keys — pinned in tests/test_plans.py),
+    # so its oracle is the same exact n-gram Jaccard SQL
+    out["near_dup_pairs_auto"] = out["ngram_jaccard_pairs"]
+    return out

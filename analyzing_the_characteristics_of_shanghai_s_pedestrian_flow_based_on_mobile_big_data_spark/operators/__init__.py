@@ -3,6 +3,7 @@ from .dedup import (  # noqa: F401
     exact_dedup,
     minhash_signatures,
     minhash_lsh_pairs,
+    near_dup_pairs_auto,
     ngram_jaccard_pairs,
     simhash,
 )

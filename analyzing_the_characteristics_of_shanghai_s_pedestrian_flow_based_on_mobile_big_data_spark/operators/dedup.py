@@ -416,3 +416,43 @@ def duplicated_block_stats(
             F.round(F.col("n_dup_blocks").cast("double") / F.col("n_blocks"), 6),
         )
     )
+
+
+def near_dup_pairs_auto(
+    docs: DataFrame,
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **auto_kwargs,
+) -> DataFrame:
+    """Document-level twin of the round-7 set-similarity auto-handoff:
+    n-gram near-dup pairs (doc_a, doc_b, jaccard) with the
+    exact-vs-MinHash-LSH path chosen by
+    :func:`~..operators.similarity.set_similarity_join_auto` from
+    cheap shingle-df statistics. Below the handoff the output is
+    EXACTLY :func:`ngram_jaccard_pairs` at the same (integer)
+    threshold — pytest-pinned; above it, candidates come from banded
+    min-md5 signatures (bands matched to the threshold's S-curve
+    midpoint via ``choose_lsh_bands``) with exact verification, so
+    emitted pairs still carry true Jaccard values and no false
+    positives exist. The threshold is held in cross-multiplied integer
+    form end to end; ``jaccard`` is one exact IEEE division at the
+    edge. This replaces the 'read the docstring and pick
+    minhash_lsh_pairs yourself' step for corpora where the
+    inverted-index join's candidate volume has gone quadratic."""
+    from .similarity import set_similarity_join_auto
+
+    sh = doc_shingles(docs, n, id_col, text_col)
+    pairs = set_similarity_join_auto(
+        sh, "doc_id", "shingle", threshold_num, threshold_den, **auto_kwargs
+    )
+    union_sz = F.col("sz_a") + F.col("sz_b") - F.col("n_shared")
+    out = pairs.select(
+        F.col("key_a").alias("doc_a"),
+        F.col("key_b").alias("doc_b"),
+        (F.col("n_shared") / union_sz.cast("double")).alias("jaccard"),
+    )
+    out.__setsim_path__ = pairs.__setsim_path__
+    return out

@@ -194,6 +194,7 @@ HEADLINE = [
     # + the LSH set-similarity escape hatch as a first-class query
     "deduped_corpus_stats",
     "user_covisit_lsh",
+    "near_dup_pairs_auto",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

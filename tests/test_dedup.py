@@ -191,3 +191,22 @@ def test_choose_jaccard_path_skew_vs_uniform(spark):
                 ).collect()
             }
             assert auto == explicit
+
+
+def test_near_dup_pairs_auto_sparse_equals_exact(spark):
+    """The auto-routed document near-dup join must equal
+    ngram_jaccard_pairs pair-for-pair (and value-for-value) on a
+    sparse corpus, and report the exact route."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+        near_dup_pairs_auto,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark)
+    auto = near_dup_pairs_auto(docs, n=3, threshold_num=1, threshold_den=2)
+    assert auto.__setsim_path__ == "exact"
+    got = sorted(map(tuple, auto.collect()))
+    want = sorted(
+        map(tuple, ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect())
+    )
+    assert got == want and len(got) > 0

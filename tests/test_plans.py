@@ -306,3 +306,9 @@ def test_registered_path_selections_pinned(spark):
     iplan = physical_plan(ivf)
     assert "array_max" in iplan
     assert "ivf_index" not in iplan
+
+    # 4) near_dup_pairs_auto: the registered document-level auto route
+    # must be EXACT on the committed corpus (its oracle is the exact
+    # n-gram Jaccard SQL — an LSH flip would make the oracle row lie)
+    ndp = entrymod._q_near_dup_pairs_auto(spark, SF_SMALL)
+    assert ndp.__setsim_path__ == "exact"

@@ -171,6 +171,9 @@ EXCHANGE_CEILING = {
     # signature agg + band fanout both sides + candidate distinct +
     # two payload join-backs — each narrow (digests/ids), by design
     "user_covisit_lsh": 12,
+    # exact route on the committed corpus (df-stat router; the prefix
+    # path's stats job runs before the plan, so only the join shows)
+    "near_dup_pairs_auto": 6,
 }
 
 
