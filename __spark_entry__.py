@@ -1665,15 +1665,19 @@ def _q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of MinHash near-dup pairs → cluster ids
-    (iterative min-label propagation; oracle = recursive CTE)."""
+    (iterative min-label propagation; oracle = recursive CTE). Round 7:
+    exact-digest pre-collapse (near_dup_components) — identical texts
+    collapse to one representative before signatures/banding, so an
+    exact-dup group of g docs costs Θ(g) instead of the Θ(g²) band
+    self-join rows the 64× probe measured; result is pinned identical
+    to the uncollapsed composition."""
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.components import (
-        connected_components,
+        near_dup_components,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ops.minhash_lsh_pairs(docs, k=8, bands=4, n=3)
-    return connected_components(pairs).select(
-        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    return near_dup_components(docs, k=8, bands=4, n=3).select(
+        "doc_id", F.col("component").alias("cluster_id")
     )
 
 
@@ -1684,16 +1688,16 @@ def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs surviving as their own cluster. Composes minhash LSH pairs →
     pointer-jump CC → one left join + one cluster-keyed aggregate; the
     survivor pick is a max over the (n_chars, −doc_id) struct, so the
-    whole policy is map-combinable — no window over the corpus."""
+    whole policy is map-combinable — no window over the corpus.
+    Round 7: the CC stage rides near_dup_components' exact-digest
+    pre-collapse (components.py) — identical result, Θ(g) not Θ(g²)
+    on exact-dup groups."""
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.components import (
-        connected_components,
+        near_dup_components,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ops.minhash_lsh_pairs(docs, k=8, bands=4, n=3)
-    comp = connected_components(pairs).select(
-        F.col("node").alias("doc_id"), "component"
-    )
+    comp = near_dup_components(docs, k=8, bands=4, n=3)
     lab = (
         docs.select("doc_id", F.col("n_chars").cast("long").alias("nc"))
         .join(comp, "doc_id", "left")
@@ -1725,12 +1729,11 @@ def _q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Clusters of size ≥2 only (singletons are the non-duplicated
     corpus)."""
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.components import (
-        connected_components,
+        near_dup_components,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ops.minhash_lsh_pairs(docs, k=8, bands=4, n=3)
-    comp = connected_components(pairs)
+    comp = near_dup_components(docs, k=8, bands=4, n=3)
     sizes = comp.groupBy("component").agg(F.count("*").alias("size"))
     return sizes.groupBy("size").agg(F.count("*").alias("n_clusters"))
 
@@ -1749,14 +1752,11 @@ def _q_deduped_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     a join + group-by over `documents`.
     Cf. reference corpus-curation flow (SURVEY.md §2 dedup family)."""
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.components import (
-        connected_components,
+        near_dup_components,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ops.minhash_lsh_pairs(docs, k=8, bands=4, n=3)
-    comp = connected_components(pairs).select(
-        F.col("node").alias("doc_id"), "component"
-    )
+    comp = near_dup_components(docs, k=8, bands=4, n=3)
     lab = (
         docs.select("doc_id", F.col("n_chars").cast("long").alias("nc"))
         .join(comp, "doc_id", "left")

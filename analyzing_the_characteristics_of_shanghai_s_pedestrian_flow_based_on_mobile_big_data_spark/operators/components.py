@@ -124,3 +124,66 @@ def connected_components(
             )
         return labels.withColumn("converged", F.lit(False))
     return labels
+
+
+def near_dup_components(
+    docs: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(doc_id, component) over the MinHash near-dup graph — result
+    IDENTICAL to ``connected_components(minhash_lsh_pairs(docs))``
+    (pytest-pinned), computed with an EXACT-DIGEST PRE-COLLAPSE that
+    removes the dominant scale hazard the round-7 probe measured:
+    identical texts all share every band hash, so an exact-dup group
+    of g docs contributes g² candidate rows to the band self-join —
+    the all-identical 64× corpus cost 51 s and drove the CC family's
+    16→64× slope (SCALE.md §Round 7). Exact duplicates are the most
+    common duplicate class in a real crawl, and they are detectable
+    for the price of one md5 — so they are collapsed to their min-id
+    representative FIRST (one digest groupBy, the exact_dedup shape),
+    signatures/banding/CC run on distinct texts only (Θ(g) per group,
+    not Θ(g²)), and membership expands back through the digest table.
+
+    Equivalence argument: signatures are a pure function of text, so
+    (i) docs in a ≥2 digest group are always mutual LSH pairs — all
+    such docs are graph members with or without collapse; (ii) two
+    DISTINCT texts collide iff their representatives collide, so the
+    rep graph is exactly the quotient of the doc graph by text
+    equality and components correspond 1:1; (iii) both labelings pick
+    the min reachable id, and each group's representative IS its min
+    id, so labels agree too."""
+    from .dedup import minhash_lsh_pairs
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    grp = d.withColumn("digest", F.md5("text"))
+    reps = grp.groupBy("digest").agg(
+        F.min("doc_id").alias("rep_id"), F.count("*").alias("g")
+    )
+    rep_docs = (
+        grp.join(reps.select("digest", "rep_id"), "digest")
+        .filter(F.col("doc_id") == F.col("rep_id"))
+        .select("doc_id", "text")
+    )
+    pairs = minhash_lsh_pairs(rep_docs, k=k, bands=bands, n=n)
+    comp_rep = connected_components(pairs, max_iterations=max_iterations)
+    membership = grp.select("doc_id", "digest").join(reps, "digest")
+    return (
+        membership.join(
+            comp_rep.withColumnRenamed("node", "rep_id"), "rep_id", "left"
+        )
+        .withColumn(
+            "component",
+            F.coalesce(
+                "component", F.when(F.col("g") >= 2, F.col("rep_id"))
+            ),
+        )
+        .filter(F.col("component").isNotNull())
+        .select("doc_id", "component")
+    )

@@ -210,3 +210,51 @@ def test_near_dup_pairs_auto_sparse_equals_exact(spark):
         map(tuple, ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_near_dup_components_equals_uncollapsed(spark):
+    """Exact-digest pre-collapse must be a pure physical optimization:
+    membership AND labels identical to
+    connected_components(minhash_lsh_pairs(docs)) — on a fixture with
+    a planted exact-dup group, a cross-text near-dup bridging it, and
+    unrelated docs, and again on the real sf0.001 corpus."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.components import (
+        connected_components,
+        near_dup_components,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        load_table,
+    )
+
+    fixture = spark.createDataFrame(
+        [
+            (1, DOC_A),
+            (2, DOC_A2),   # near-dup of A (one word changed)
+            (3, DOC_B),
+            (4, DOC_A),    # exact dup of 1
+            (9, DOC_A),    # exact dup of 1
+            (10, DOC_B),   # exact dup of 3
+            (11, "totally unrelated singleton content nothing shared here"),
+        ],
+        "doc_id long, text string",
+    )
+    for docs in (fixture, load_table(spark, "/root/testdata/sf0.001", "documents")):
+        want = sorted(
+            (r.node, r.component)
+            for r in connected_components(
+                minhash_lsh_pairs(docs, k=8, bands=4, n=3)
+            ).collect()
+        )
+        got = sorted(
+            (r.doc_id, r.component)
+            for r in near_dup_components(docs, k=8, bands=4, n=3).collect()
+        )
+        assert got == want
+    # fixture sanity: the exact-dup group {1,4,9} fused with near-dup 2
+    comp = {
+        r.doc_id: r.component
+        for r in near_dup_components(fixture).collect()
+    }
+    assert comp[1] == comp[2] == comp[4] == comp[9] == 1
+    assert comp[3] == comp[10] == 3
+    assert 11 not in comp

@@ -161,13 +161,18 @@ EXCHANGE_CEILING = {
     "region_closeness": 2,   # final stage; BFS chain behind lazy checkpoints
     "exploration_curve": 6,
     "user_burstiness": 4,
-    # batch 26 (round 6): dedup survivorship (CC rounds checkpointed)
-    "dedup_survivors": 6,
-    "cluster_size_histogram": 4,
+    # batch 26 (round 6): dedup survivorship (CC rounds checkpointed).
+    # Raised in round 7: the exact-digest pre-collapse adds a digest
+    # groupBy + membership/expansion joins — narrow (digest, id)
+    # exchanges that buy away the Θ(g²) band-join blowup on exact-dup
+    # groups (SCALE.md §Round 7: 54 s → 7 s at 64×)
+    "dedup_survivors": 12,
+    "cluster_size_histogram": 10,
+    "near_dup_clusters": 6,
     # batch 27 (round 7): composed end-to-end dedup pipeline — the
     # survivor agg + join-back + lang profile on top of the
     # dedup_survivors chain (CC rounds behind checkpoints as above)
-    "deduped_corpus_stats": 10,
+    "deduped_corpus_stats": 16,  # includes the r7 pre-collapse stages
     # signature agg + band fanout both sides + candidate distinct +
     # two payload join-backs — each narrow (digests/ids), by design
     "user_covisit_lsh": 12,

@@ -357,6 +357,22 @@ def probe_cc(spark, sf_dir: str, n: int) -> dict:
     results["clusters"] = comp.select("component").distinct().count()
     results["members"] = comp.count()
     results["near_dup_cc_s"] = round(time.perf_counter() - t0, 2)
+
+    # round-7 exact-digest pre-collapse (components.near_dup_components):
+    # identical result, but exact-dup groups cost Θ(g) instead of the
+    # Θ(g²) band self-join rows — measured against the uncollapsed
+    # composition above on the same scaled corpus
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.components import (
+        near_dup_components,
+    )
+
+    t0 = time.perf_counter()
+    comp2 = near_dup_components(sdocs, max_iterations=30)
+    results["collapsed_clusters"] = (
+        comp2.select("component").distinct().count()
+    )
+    results["collapsed_members"] = comp2.count()
+    results["near_dup_cc_collapsed_s"] = round(time.perf_counter() - t0, 2)
     return results
 
 
