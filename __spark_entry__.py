@@ -2769,7 +2769,12 @@ def _q_user_covisit_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     P = 1−(1−J²)^8). Scale shape: signatures are one map-side-combined
     exchange on user; candidates come from a hash equi-join on 32-char
     band hashes — never the Ω(U²) pair loop the exact paths need in
-    this regime (measured, SCALE_PROBE_r7 setsim family)."""
+    this regime (measured, SCALE_PROBE_r7 setsim family). Identical
+    SETS are collapsed to one representative before banding
+    (collapse_identical, late round 7): on the duplicated 16× probe
+    corpus that is 8.7× (128 → 15 s, bit-identical pairs); on this
+    duplicate-free corpus it costs a ~1.2 s constant — the price of
+    being structurally immune to the Σg² band-join blowup."""
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
         set_similarity_join_lsh,
     )

@@ -797,6 +797,7 @@ def set_similarity_join_lsh(
     k: int = 16,
     bands: int = 8,
     dense_bitmap_domain: int | None = None,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + EXACT verification for the
     generic (key, item) set table — the dense-regime escape hatch of
@@ -819,7 +820,23 @@ def set_similarity_join_lsh(
     intersection — right when items are longs in [0, D); semantics
     identical (duplicate (key,item) rows count once in |∩| either
     way, matching array_intersect's set semantics; sz counts rows,
-    matching the exact paths)."""
+    matching the exact paths).
+
+    ``collapse_identical=True`` (default) quotients the key table by
+    SET EQUALITY before the band join — the same move
+    ``near_dup_components`` makes for documents: g keys holding the
+    same multiset have identical signatures, so every band bucket
+    gains g² candidate rows from them (the round-7 probe measured the
+    replicated covisit corpus paying exactly this). Keys collapse to
+    their min-key representative by a payload digest (multiset-exact:
+    sz + the sorted item list, so NULL counts and duplicates
+    distinguish); banding/verification run on distinct sets only, and
+    qualifying pairs expand back through the group table — cross-group
+    pairs inherit the rep pair's exact (n_shared, sz), within-group
+    pairs qualify by the same threshold test on the group's self
+    overlap. Output is IDENTICAL to the uncollapsed join
+    (pytest-pinned): identical sets always collide on every band, so
+    no within- or cross-group pair can be lost by collapsing."""
     kc, it = F.col(key_col), F.col(item_col)
     num, den = int(threshold_num), int(threshold_den)
     base = sets.select(kc.alias("key"), it.alias("item"))
@@ -877,13 +894,37 @@ def set_similarity_join_lsh(
         for b in range(bands)
     ]
     # One persist: the signature/payload table feeds the band table
-    # (both self-join sides) and the two verification join-backs.
+    # (both self-join sides), the verification join-backs, and (when
+    # collapsing) the group membership/expansion joins.
     # Keys whose items are all NULL have a NULL mh_0; they can never
     # qualify (|∩|=0 < num·|∪| for num>0), so they are dropped before
     # banding rather than colliding in one degenerate md5('') bucket.
+    if collapse_identical:
+        # multiset-exact payload digest: items hashed individually
+        # then md5-chained (no separator ambiguity), sz appended so
+        # NULL-count differences split groups
+        sig = sig.withColumn(
+            "__pdig",
+            F.expr(
+                "md5(aggregate(transform(payload, x -> "
+                "md5(cast(x as string))), cast('' as string), "
+                "(acc, h) -> md5(acc || h)) || ':' || cast(sz as string))"
+            ),
+        )
     sig = sig.persist()
+    if collapse_identical:
+        grp = sig.groupBy("__pdig").agg(
+            F.min("key").alias("rep"), F.count(F.lit(1)).alias("g")
+        )
+        work = (
+            sig.join(grp.select("__pdig", "rep"), "__pdig")
+            .filter(F.col("key") == F.col("rep"))
+            .drop("rep")
+        )
+    else:
+        work = sig
     bands_df = (
-        sig.filter(F.col("mh_0").isNotNull())
+        work.filter(F.col("mh_0").isNotNull())
         .select("key", "sz", F.explode(F.array(*band_structs)).alias("bb"))
         .select(
             "key",
@@ -918,7 +959,7 @@ def set_similarity_join_lsh(
         .select("key_a", "key_b")
         .distinct()
     )
-    payloads = sig.select("key", "sz", "payload")
+    payloads = work.select("key", "sz", "payload")
     common = (
         cand.join(
             payloads.select(
@@ -940,9 +981,70 @@ def set_similarity_join_lsh(
         .select("key_a", "key_b", "n_shared", "sz_a", "sz_b")
     )
     union_sz = F.col("sz_a") + F.col("sz_b") - F.col("n_shared")
-    return common.filter(
+    qual = common.filter(
         F.lit(den) * F.col("n_shared") >= F.lit(num) * union_sz
     )
+    if not collapse_identical:
+        return qual
+    # Expansion back to keys. Cross-group: every member pair of a
+    # qualifying rep pair inherits its exact (n_shared, sz) — payload
+    # equality within groups makes the values identical by
+    # construction; ordering re-derived per member pair, sizes follow
+    # the ordered sides. Within-group: the group's self overlap
+    # (distinct non-NULL items) decides all C(g,2) member pairs at
+    # once with the SAME threshold test (NULL rows inflate sz, so an
+    # identical pair can legitimately fail at high thresholds — as in
+    # the uncollapsed join).
+    mem = sig.select("__pdig", "key")
+    ga = grp.select(F.col("rep").alias("key_a"), F.col("__pdig").alias("__pa"))
+    gb = grp.select(F.col("rep").alias("key_b"), F.col("__pdig").alias("__pb"))
+    cross = (
+        qual.join(ga, "key_a")
+        .join(gb, "key_b")
+        .join(mem.select(F.col("__pdig").alias("__pa"), F.col("key").alias("ma")), "__pa")
+        .join(mem.select(F.col("__pdig").alias("__pb"), F.col("key").alias("mb")), "__pb")
+        .select(
+            F.least("ma", "mb").alias("key_a"),
+            F.greatest("ma", "mb").alias("key_b"),
+            "n_shared",
+            F.when(F.col("ma") < F.col("mb"), F.col("sz_a"))
+            .otherwise(F.col("sz_b"))
+            .alias("sz_a"),
+            F.when(F.col("ma") < F.col("mb"), F.col("sz_b"))
+            .otherwise(F.col("sz_a"))
+            .alias("sz_b"),
+        )
+    )
+    self_n = (
+        F.expr(
+            "aggregate(transform(payload, x -> bigint(bit_count(x))), "
+            "0L, (acc, v) -> acc + v)"
+        )
+        if dense_bitmap_domain is not None
+        else F.size(F.array_distinct("payload")).cast("long")
+    )
+    self_groups = (
+        work.withColumn("self_n", self_n)
+        .join(grp.filter(F.col("g") >= 2), "__pdig")
+        .filter(
+            F.lit(den) * F.col("self_n")
+            >= F.lit(num) * (F.lit(2) * F.col("sz") - F.col("self_n"))
+        )
+        .select("__pdig", "self_n", "sz")
+    )
+    within = (
+        self_groups.join(mem.select("__pdig", F.col("key").alias("ma")), "__pdig")
+        .join(mem.select("__pdig", F.col("key").alias("mb")), "__pdig")
+        .filter(F.col("ma") < F.col("mb"))
+        .select(
+            F.col("ma").alias("key_a"),
+            F.col("mb").alias("key_b"),
+            F.col("self_n").alias("n_shared"),
+            F.col("sz").alias("sz_a"),
+            F.col("sz").alias("sz_b"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def set_similarity_join_auto(

@@ -175,7 +175,12 @@ EXCHANGE_CEILING = {
     "deduped_corpus_stats": 16,  # includes the r7 pre-collapse stages
     # signature agg + band fanout both sides + candidate distinct +
     # two payload join-backs — each narrow (digests/ids), by design
-    "user_covisit_lsh": 12,
+    # static pre-AQE count; the identical-set collapse adds the digest
+    # group/membership/expansion joins — narrow (digest, id) tables
+    # that AQE broadcasts at runtime. Measured: ~+1.2 s constant at
+    # sf0.1 (zero duplicate sets) vs 8.7× faster on the duplicated
+    # 16× probe corpus (SCALE.md §Round 7)
+    "user_covisit_lsh": 54,
     # exact route on the committed corpus (df-stat router; the prefix
     # path's stats job runs before the plan, so only the join shows)
     "near_dup_pairs_auto": 6,

@@ -664,3 +664,52 @@ def test_choose_lsh_bands_matches_threshold():
     assert choose_lsh_bands(9, 10, 16) == 2    # J >= 0.9
     # k=8: 8x1 -> 0.125, 4x2 -> 0.5, 2x4 -> 0.841, 1x8 -> 1.0
     assert choose_lsh_bands(4, 5, 8) == 2
+
+
+def test_set_similarity_lsh_collapse_identical_equality(spark):
+    """collapse_identical must be a pure physical choice: pair-set AND
+    value equality with the uncollapsed LSH join, on a fixture with a
+    4-member identical-set group, an identical pair whose NULL rows
+    push it under a high threshold, near-dup cross-group pairs, and
+    duplicate (key,item) rows."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        set_similarity_join_lsh,
+    )
+
+    rows = []
+    for k in range(12):
+        items = {0} | {(k * 7 + j) % 64 for j in range(1, 5 + (k % 4))}
+        rows += [(k, i) for i in sorted(items)]
+    for k in range(100, 104):            # identical group, J=1
+        rows += [(k, i) for i in (1, 2, 3, 4, 5)]
+    for k in (200, 201):                 # identical non-null items...
+        rows += [(k, i) for i in (7, 8, 9)]
+        rows.append((k, None))           # ...plus a NULL row: J=3/5
+    rows.append((201, None))             # 201 has TWO nulls: different
+    rows.append((10, None))              # multiset → separate group
+    rows.append((300, 42))
+    rows.append((300, 42))               # duplicate (key,item) row
+    sets = spark.createDataFrame(rows, "key long, item long")
+    for domain in (None, 64):
+        for thr in ((3, 10), (9, 10)):
+            got = _pairs(
+                set_similarity_join_lsh(
+                    sets, "key", "item", *thr,
+                    dense_bitmap_domain=domain, collapse_identical=True,
+                )
+            )
+            want = _pairs(
+                set_similarity_join_lsh(
+                    sets, "key", "item", *thr,
+                    dense_bitmap_domain=domain, collapse_identical=False,
+                )
+            )
+            assert got == want, (domain, thr)
+    # sanity: at 9/10 the NULL-bearing identical pair (200,201) fails
+    # (3 shared / union 3+4... no: sz 4 vs 5 → union 6, J=1/2) while
+    # the clean identical group still qualifies
+    high = _pairs(
+        set_similarity_join_lsh(sets, "key", "item", 9, 10)
+    )
+    keys = {(a, b) for a, b, *_ in high}
+    assert (100, 101) in keys and (200, 201) not in keys
