@@ -782,11 +782,15 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_near_dup_pairs_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Auto-routed n-gram near-dup pairs (batch 27): the document-level
-    face of the round-7 exact↔LSH handoff. On the committed corpus the
-    router picks the EXACT path (500 docs < min_lsh_keys — pinned in
-    tests/test_plans.py), so the oracle is the exact n-gram Jaccard
-    SQL; a corpus regeneration that flips the route fails the pin
-    before it can silently turn this into an approximation
+    face of the round-7 exact↔LSH handoff. At the CORRECTNESS scales
+    (sf0.001/sf0.01: 500 docs < min_lsh_keys) the router picks the
+    EXACT path — pinned in tests/test_plans.py — so the oracle is the
+    exact n-gram Jaccard SQL, and a corpus regeneration that flips the
+    route fails the pin before it can silently turn the oracle row
+    into an approximation. At the sf0.1 BENCH scale the router
+    measures 253 candidate partners/doc (> the 64 budget over 5 000
+    docs) and hands off to LSH — which is the design, not drift: the
+    bench number tracks the path a 100 TB corpus would take
     (operators/dedup.py:near_dup_pairs_auto)."""
     docs = load_table(spark, sf_dir, "documents")
     return ops.near_dup_pairs_auto(docs, n=3, threshold_num=1, threshold_den=2)
