@@ -376,11 +376,110 @@ def probe_cc(spark, sf_dir: str, n: int) -> dict:
     return results
 
 
+def probe_ivf_incr(spark, sf_dir: str, n: int) -> dict:
+    """Incremental IVF maintenance (round-7 task #4) vs full rebuild:
+    build the inverted file for an N×-replicated corpus, then apply a
+    1% delta (updates + inserts) two ways — ivf_index_upsert through
+    the exactly-once MERGE table vs a full Θ(N) ivf_assign rebuild —
+    and fingerprint both the resulting index states and the served
+    top-k to prove they are identical. The claim under test: corpus
+    churn costs Θ(delta), not Θ(corpus)."""
+    import hashlib
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroid_rows,
+        ivf_topk,
+        perturbed_replicas,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        load_table,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        ivf_index_table,
+        ivf_index_upsert,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = perturbed_replicas(emb, n, noise=0.5)
+    out = os.path.join(tempfile.gettempdir(), f"emb_incr_x{n}.parquet")
+    copies.withColumn("seq", F.lit(0).cast("long")).write.mode(
+        "overwrite"
+    ).parquet(out)
+    base = spark.read.parquet(out)
+    n_rows = base.count()
+    results = {"family": "ivf_incr", "replication": n, "rows": n_rows}
+    cent = ivf_centroid_rows(base, 16)
+
+    # initial build through the MERGE table (epoch 0)
+    tbl_dir = os.path.join(tempfile.gettempdir(), f"ivf_incr_tbl_x{n}")
+    if os.path.isdir(tbl_dir):
+        import shutil
+
+        shutil.rmtree(tbl_dir)
+    table = ivf_index_table(spark, tbl_dir)
+    t0 = time.perf_counter()
+    ivf_index_upsert(table, base, cent, epoch_id=0, dim=64)
+    results["initial_build_s"] = round(time.perf_counter() - t0, 2)
+
+    # 1% delta: half updates (re-embedded vectors), half inserts
+    d = max(2, n_rows // 100)
+    upd = base.filter(F.col("vec_id") % 199 == 0).limit(d // 2).select(
+        "vec_id",
+        F.lit(1).cast("long").alias("seq"),
+        F.expr("transform(cast(embedding as array<double>), x -> -x)").alias(
+            "embedding"
+        ),
+    )
+    ins = base.limit(d - d // 2).select(
+        (F.col("vec_id") + 900_000_000).alias("vec_id"),
+        F.lit(1).cast("long").alias("seq"),
+        "embedding",
+    )
+    delta = upd.unionByName(ins).localCheckpoint(eager=True)
+    results["delta_rows"] = delta.count()
+
+    t0 = time.perf_counter()
+    ivf_index_upsert(table, delta, cent, epoch_id=1, dim=64)
+    results["upsert_s"] = round(time.perf_counter() - t0, 2)
+
+    # full rebuild of the logically-final corpus for comparison
+    final = (
+        base.join(upd.select("vec_id"), "vec_id", "left_anti")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .unionByName(delta.select("vec_id", "embedding"))
+    )
+    t0 = time.perf_counter()
+    reb_dir = os.path.join(tempfile.gettempdir(), f"ivf_incr_reb_x{n}.parquet")
+    ivf_assign(final, cent, dim=64).write.mode("overwrite").parquet(reb_dir)
+    results["full_rebuild_s"] = round(time.perf_counter() - t0, 2)
+
+    def fp(df, cols):
+        rows = sorted(tuple(map(repr, r)) for r in df.select(*cols).collect())
+        return hashlib.md5(repr(rows).encode()).hexdigest()[:16]
+
+    merged = table.read()
+    rebuilt = spark.read.parquet(reb_dir)
+    results["index_fp_merged"] = fp(merged, ["vec_id", "centroid_id"])
+    results["index_fp_rebuilt"] = fp(rebuilt, ["vec_id", "centroid_id"])
+    queries = base.filter(F.col("vec_id") < 5)
+    serve_m = ivf_topk(final, queries, k=3, nprobe=4, dim=64,
+                       centroids=cent, assigned=merged)
+    serve_r = ivf_topk(final, queries, k=3, nprobe=4, dim=64,
+                       centroids=cent, assigned=rebuilt)
+    results["serve_fp_merged"] = fp(serve_m, ["query_id", "vec_id", "rank"])
+    results["serve_fp_rebuilt"] = fp(serve_r, ["query_id", "vec_id", "rank"])
+    assert results["index_fp_merged"] == results["index_fp_rebuilt"]
+    assert results["serve_fp_merged"] == results["serve_fp_rebuilt"]
+    return results
+
+
 FAMILIES = {
     "graph": probe_graph,
     "ann": probe_ann,
     "setsim": probe_setsim,
     "cc": probe_cc,
+    "ivf_incr": probe_ivf_incr,
 }
 
 
