@@ -444,7 +444,12 @@ def near_dup_pairs_auto(
     inverted-index join's candidate volume has gone quadratic."""
     from .similarity import set_similarity_join_auto
 
-    sh = doc_shingles(docs, n, id_col, text_col)
+    # One shingle pass: the router's two scalar stats jobs and the
+    # chosen join all read this table — unpersisted, each would
+    # re-tokenize and re-shingle the corpus (3 scans measured at
+    # sf0.1). At 100 TB the equivalent is a checkpointed shingle
+    # table (or catalog NDVs passed via stats=, skipping the jobs).
+    sh = doc_shingles(docs, n, id_col, text_col).persist()
     pairs = set_similarity_join_auto(
         sh, "doc_id", "shingle", threshold_num, threshold_den, **auto_kwargs
     )
