@@ -473,6 +473,7 @@ def set_similarity_join(
     threshold_den: int,
     prefix_filter: bool = True,
     dense_bitmap_domain: int | None = None,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """Exact Jaccard set-similarity self-join: all key pairs whose
     item sets satisfy ``den·|∩| ≥ num·|∪|`` (i.e. J ≥ num/den, held in
@@ -578,18 +579,44 @@ def set_similarity_join(
                 ),
             )
             .drop("arr")
-            .localCheckpoint(eager=True)
         )
+        if collapse_identical:
+            # quotient by set equality BEFORE the U² pair loop — the
+            # same collapse as the LSH path (docstring there): the
+            # bitmap + sz IS a canonical multiset-exact encoding of
+            # the set (distinct items in the words, NULL count in
+            # sz − bit count), so the digest is just its hash
+            bm = bm.withColumn(
+                "__pdig",
+                F.expr(
+                    "md5(aggregate(transform(bm, x -> "
+                    "md5(cast(x as string))), cast('' as string), "
+                    "(acc, h) -> md5(acc || h)) || ':' || "
+                    "cast(sz as string))"
+                ),
+            )
+        bm = bm.localCheckpoint(eager=True)
+        if collapse_identical:
+            grp = bm.groupBy("__pdig").agg(
+                F.min("key").alias("rep"), F.count(F.lit(1)).alias("g")
+            )
+            work = (
+                bm.join(grp.select("__pdig", "rep"), "__pdig")
+                .filter(F.col("key") == F.col("rep"))
+                .drop("rep")
+            )
+        else:
+            work = bm
         # the checkpointed key table is tiny — AQE would coalesce it
         # to one partition and serialize the nested-loop join;
         # repartition restores task parallelism on the streamed side
         par = 2 * sets.sparkSession.sparkContext.defaultParallelism
-        a = bm.select(
+        a = work.select(
             F.col("key").alias("key_a"),
             F.col("sz").alias("sz_a"),
             F.col("bm").alias("bm_a"),
         ).repartition(par)
-        b = bm.select(
+        b = work.select(
             F.col("key").alias("key_b"),
             F.col("sz").alias("sz_b"),
             F.col("bm").alias("bm_b"),
@@ -612,6 +639,30 @@ def set_similarity_join(
             )
             .select("key_a", "key_b", "n_shared", "sz_a", "sz_b")
         )
+        if collapse_identical:
+            union_d = F.col("sz_a") + F.col("sz_b") - F.col("n_shared")
+            qual = common.filter(
+                F.lit(den) * F.col("n_shared") >= F.lit(num) * union_d
+            )
+            self_groups = (
+                work.withColumn(
+                    "self_n",
+                    F.expr(
+                        "aggregate(transform(bm, x -> "
+                        "bigint(bit_count(x))), 0L, (acc, v) -> acc + v)"
+                    ),
+                )
+                .join(grp.filter(F.col("g") >= 2), "__pdig")
+                .filter(
+                    F.lit(den) * F.col("self_n")
+                    >= F.lit(num)
+                    * (F.lit(2) * F.col("sz") - F.col("self_n"))
+                )
+                .select("__pdig", "self_n", "sz")
+            )
+            return _expand_identical_groups(
+                qual, bm.select("__pdig", "key"), grp, self_groups
+            )
     elif prefix_filter:
         # df via pre-aggregated join (combine-heavy shuffle of counts,
         # not rows; AQE broadcasts the small side). Left join keeps
@@ -786,6 +837,63 @@ def choose_set_similarity_path(
     if est > float(pairs_per_key_budget) * n_keys:
         return "lsh"
     return "exact"
+
+
+def _expand_identical_groups(qual, mem, grp, self_groups):
+    """Expansion half of the identical-set collapse, shared by the
+    LSH and dense-bitmap paths. Inputs: ``qual`` — threshold-FILTERED
+    rep-level pairs (key_a, key_b, n_shared, sz_a, sz_b); ``mem`` —
+    (__pdig, key) group membership; ``grp`` — (__pdig, rep, g);
+    ``self_groups`` — (__pdig, self_n, sz) for the g≥2 groups whose
+    self overlap passes the same threshold test. Cross-group member
+    pairs inherit the rep pair's exact values (payload equality makes
+    them identical by construction), re-ordered per member pair with
+    sizes following the ordered sides; within-group pairs are all
+    C(g,2) members of each qualifying group."""
+    ga = grp.select(
+        F.col("rep").alias("key_a"), F.col("__pdig").alias("__pa")
+    )
+    gb = grp.select(
+        F.col("rep").alias("key_b"), F.col("__pdig").alias("__pb")
+    )
+    cross = (
+        qual.join(ga, "key_a")
+        .join(gb, "key_b")
+        .join(
+            mem.select(F.col("__pdig").alias("__pa"), F.col("key").alias("ma")),
+            "__pa",
+        )
+        .join(
+            mem.select(F.col("__pdig").alias("__pb"), F.col("key").alias("mb")),
+            "__pb",
+        )
+        .select(
+            F.least("ma", "mb").alias("key_a"),
+            F.greatest("ma", "mb").alias("key_b"),
+            "n_shared",
+            F.when(F.col("ma") < F.col("mb"), F.col("sz_a"))
+            .otherwise(F.col("sz_b"))
+            .alias("sz_a"),
+            F.when(F.col("ma") < F.col("mb"), F.col("sz_b"))
+            .otherwise(F.col("sz_a"))
+            .alias("sz_b"),
+        )
+    )
+    within = (
+        self_groups.join(
+            mem.select("__pdig", F.col("key").alias("ma")), "__pdig"
+        )
+        .join(mem.select("__pdig", F.col("key").alias("mb")), "__pdig")
+        .filter(F.col("ma") < F.col("mb"))
+        .select(
+            F.col("ma").alias("key_a"),
+            F.col("mb").alias("key_b"),
+            F.col("self_n").alias("n_shared"),
+            F.col("sz").alias("sz_a"),
+            F.col("sz").alias("sz_b"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def set_similarity_join_lsh(
@@ -995,26 +1103,6 @@ def set_similarity_join_lsh(
     # once with the SAME threshold test (NULL rows inflate sz, so an
     # identical pair can legitimately fail at high thresholds — as in
     # the uncollapsed join).
-    mem = sig.select("__pdig", "key")
-    ga = grp.select(F.col("rep").alias("key_a"), F.col("__pdig").alias("__pa"))
-    gb = grp.select(F.col("rep").alias("key_b"), F.col("__pdig").alias("__pb"))
-    cross = (
-        qual.join(ga, "key_a")
-        .join(gb, "key_b")
-        .join(mem.select(F.col("__pdig").alias("__pa"), F.col("key").alias("ma")), "__pa")
-        .join(mem.select(F.col("__pdig").alias("__pb"), F.col("key").alias("mb")), "__pb")
-        .select(
-            F.least("ma", "mb").alias("key_a"),
-            F.greatest("ma", "mb").alias("key_b"),
-            "n_shared",
-            F.when(F.col("ma") < F.col("mb"), F.col("sz_a"))
-            .otherwise(F.col("sz_b"))
-            .alias("sz_a"),
-            F.when(F.col("ma") < F.col("mb"), F.col("sz_b"))
-            .otherwise(F.col("sz_a"))
-            .alias("sz_b"),
-        )
-    )
     self_n = (
         F.expr(
             "aggregate(transform(payload, x -> bigint(bit_count(x))), "
@@ -1032,19 +1120,9 @@ def set_similarity_join_lsh(
         )
         .select("__pdig", "self_n", "sz")
     )
-    within = (
-        self_groups.join(mem.select("__pdig", F.col("key").alias("ma")), "__pdig")
-        .join(mem.select("__pdig", F.col("key").alias("mb")), "__pdig")
-        .filter(F.col("ma") < F.col("mb"))
-        .select(
-            F.col("ma").alias("key_a"),
-            F.col("mb").alias("key_b"),
-            F.col("self_n").alias("n_shared"),
-            F.col("sz").alias("sz_a"),
-            F.col("sz").alias("sz_b"),
-        )
+    return _expand_identical_groups(
+        qual, sig.select("__pdig", "key"), grp, self_groups
     )
-    return cross.unionByName(within)
 
 
 def set_similarity_join_auto(

@@ -65,7 +65,11 @@ EXCHANGE_CEILING = {
     "top_session_paths": 4,
     "audio_window_energy": 0,
     "region_bfs_hops": 2,
-    "user_covisit_jaccard": 2,  # bitmap path: repartition only (build behind checkpoint)
+    # bitmap path; raised in round 7 for the identical-set collapse's
+    # group/membership/expansion joins (narrow digest/id tables, AQE
+    # broadcasts at runtime) — buys Θ(g) instead of g² pair
+    # comparisons on duplicate-heavy corpora (SCALE.md §Round 7)
+    "user_covisit_jaccard": 14,
     "round_trip_users": 6,
     "collocations_lift": 8,
     "shuffle_order": 2,
