@@ -287,7 +287,7 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(
+def minhash_bands(
     docs: DataFrame,
     k: int = 8,
     bands: int = 4,
@@ -295,10 +295,13 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """LSH candidate pairs: split the k-wide signature into ``bands``
-    bands of k/bands rows; docs agreeing on any full band are
-    candidates. Join is equi on (band_idx, band_hash) — shuffles hash
-    keys only, scales linearly with corpus size."""
+    """(doc_id, band, band_hash) band table — the linear-size LSH
+    index over a document set. Factored out of
+    :func:`minhash_lsh_pairs` so the streaming ingest index
+    (streaming/incremental.py:incremental_band_index_stream) and the
+    batch candidate join share one definition: a doc's band rows are a
+    pure function of its text, which is what makes the index
+    incrementally maintainable (append-only per doc)."""
     assert k % bands == 0, "k must divide evenly into bands"
     r = k // bands
     sig = minhash_signatures(docs, k, n, id_col, text_col)
@@ -317,11 +320,19 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    # Persist: the band table feeds both sides of the candidate
-    # self-join; it is k×32B per doc — tiny relative to the corpus.
-    bands_df = sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")).persist()
+    ).select(
+        "doc_id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_hash").alias("band_hash"),
+    )
+
+
+def lsh_pairs_from_bands(bands_df: DataFrame) -> DataFrame:
+    """Candidate pairs from a band table (materialized index or the
+    in-plan :func:`minhash_bands` output): equi self-join on
+    (band, band_hash), doc_a < doc_b, deduped."""
     a = bands_df.alias("a")
     b_ = bands_df.alias("b")
     return (
@@ -336,6 +347,24 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidate pairs: split the k-wide signature into ``bands``
+    bands of k/bands rows; docs agreeing on any full band are
+    candidates. Join is equi on (band_idx, band_hash) — shuffles hash
+    keys only, scales linearly with corpus size."""
+    # Persist: the band table feeds both sides of the candidate
+    # self-join; it is k×32B per doc — tiny relative to the corpus.
+    bands_df = minhash_bands(docs, k, bands, n, id_col, text_col).persist()
+    return lsh_pairs_from_bands(bands_df)
 
 
 def simhash(

@@ -792,3 +792,56 @@ def incremental_ivf_index_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def incremental_band_index_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    schema: str = "doc_id long, text string",
+):
+    """Stream document files → incrementally-maintained MinHash band
+    index via foreachBatch — dedup-on-ingest for the corpus pipeline.
+
+    The maintained table's KEY SET is the (doc_id, band, band_hash)
+    band table of every document seen so far: a doc's band rows are a
+    pure function of its (immutable) text, so the index is append-only
+    per doc and set union rides the additive count-table machinery
+    idempotently (a replayed epoch cannot corrupt the key set; cnt
+    stays 1 per key via the rebasing). Candidate scoring stays a BATCH
+    query over the index — ``lsh_pairs_from_bands(table.read())`` for
+    the full pair set (parity pytest-pinned against batch
+    minhash_lsh_pairs under any file split), or join only the newest
+    batch's bands against the index for find-dups-of-new-docs-as-they-
+    arrive, which touches |delta|·bands rows instead of re-banding the
+    corpus. At 100 TB the index is the thing you keep, not the pairs:
+    linear in corpus size, partitionable by band_hash, and the ingest
+    path never rescans old documents."""
+    from ..operators.dedup import minhash_bands
+
+    table = IncrementalCountTable(
+        spark, table_path, ["doc_id", "band", "band_hash"]
+    )
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        delta = (
+            minhash_bands(batch_df, k=k, bands=bands, n=n)
+            .groupBy("doc_id", "band", "band_hash")
+            .agg(F.count("*").alias("cnt"))
+        )
+        table.merge_batch(delta, epoch_id)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(docs_dir)
+    )
+    return (
+        src.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

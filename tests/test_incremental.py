@@ -851,3 +851,63 @@ def test_incremental_ivf_index_stream_end_to_end(spark, tmp_path):
         for r in ivf_index_table(spark, str(tmp_path / "ivf")).read().collect()
     )
     assert got == want and len(got) == 13
+
+
+def test_incremental_band_index_parity_with_batch_lsh(spark, tmp_path):
+    """Dedup-on-ingest: the streamed MinHash band index, scored with
+    lsh_pairs_from_bands, must equal batch minhash_lsh_pairs over the
+    same documents — under a 2-file split and again after a late third
+    file, including a cross-file near-dup pair (the case an ingest-time
+    dedup exists for)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+        lsh_pairs_from_bands,
+        minhash_lsh_pairs,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        IncrementalCountTable,
+        incremental_band_index_stream,
+    )
+
+    A = "the quick brown fox jumps over the lazy dog and runs far away today"
+    A2 = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    B = "completely different text about spark query engines and big data systems"
+    schema = "doc_id long, text string"
+    b1 = [(1, A), (3, B)]
+    b2 = [(4, A)]            # exact dup of 1, lands in a LATER file
+    b3 = [(2, A2), (10, B)]  # late near-dup of 1 + exact dup of 3
+    src = str(tmp_path / "docs")
+
+    def batch_pairs(rows):
+        return sorted(
+            (r.doc_a, r.doc_b)
+            for r in minhash_lsh_pairs(
+                spark.createDataFrame(rows, schema)
+            ).collect()
+        )
+
+    def index_pairs():
+        table = IncrementalCountTable(
+            spark, str(tmp_path / "tbl"), ["doc_id", "band", "band_hash"]
+        )
+        return sorted(
+            (r.doc_a, r.doc_b)
+            for r in lsh_pairs_from_bands(table.read()).collect()
+        )
+
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    q = incremental_band_index_stream(
+        spark, src, str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        assert index_pairs() == batch_pairs(b1 + b2)
+        assert (1, 4) in index_pairs()  # cross-file exact dup found
+        spark.createDataFrame(b3, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = index_pairs()
+    assert got == batch_pairs(b1 + b2 + b3)
+    assert (1, 2) in got and (3, 10) in got
