@@ -490,3 +490,39 @@ def near_dup_pairs_auto(
     )
     out.__setsim_path__ = pairs.__setsim_path__
     return out
+
+
+def new_doc_dup_candidates(
+    index_bands: DataFrame,
+    new_docs: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ingest-time dedup scoring: candidate (new_doc_id, doc_id) pairs
+    between a batch of NEW documents and the maintained band index
+    (streaming/incremental.py:incremental_band_index_stream) — the
+    read-side half of dedup-on-ingest. Only the new docs are banded
+    (|delta|·bands rows); the join is equi on (band, band_hash)
+    against the linear-size index, so scoring a batch never rescans or
+    re-hashes the corpus. Self-matches (a new doc already in the
+    index) are excluded; pairs are deduped. The k/bands/n parameters
+    MUST match the ones the index was built with — band hashes are
+    only comparable within one scheme."""
+    nb = minhash_bands(new_docs, k, bands, n, id_col, text_col)
+    return (
+        nb.alias("q")
+        .join(
+            index_bands.alias("ix"),
+            (F.col("q.band") == F.col("ix.band"))
+            & (F.col("q.band_hash") == F.col("ix.band_hash"))
+            & (F.col("q.doc_id") != F.col("ix.doc_id")),
+        )
+        .select(
+            F.col("q.doc_id").alias("new_doc_id"),
+            F.col("ix.doc_id").alias("doc_id"),
+        )
+        .distinct()
+    )

@@ -911,3 +911,60 @@ def test_incremental_band_index_parity_with_batch_lsh(spark, tmp_path):
     got = index_pairs()
     assert got == batch_pairs(b1 + b2 + b3)
     assert (1, 2) in got and (3, 10) in got
+
+
+def test_new_doc_dup_candidates_against_streamed_index(spark, tmp_path):
+    """Ingest-time scoring: banding ONLY the new batch against the
+    maintained index finds its duplicates without re-banding the
+    corpus, and agrees with the full-pair view restricted to the new
+    ids."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+        lsh_pairs_from_bands,
+        new_doc_dup_candidates,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        IncrementalCountTable,
+        incremental_band_index_stream,
+    )
+
+    A = "the quick brown fox jumps over the lazy dog and runs far away today"
+    A2 = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    B = "completely different text about spark query engines and big data systems"
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "docs")
+    spark.createDataFrame([(1, A), (3, B)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = incremental_band_index_stream(
+        spark, src, str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    table = IncrementalCountTable(
+        spark, str(tmp_path / "tbl"), ["doc_id", "band", "band_hash"]
+    )
+    index = table.read()
+    new = spark.createDataFrame([(20, A2), (21, "unrelated fresh text")], schema)
+    got = sorted(
+        (r.new_doc_id, r.doc_id)
+        for r in new_doc_dup_candidates(index, new).collect()
+    )
+    assert got == [(20, 1)]
+    # consistency with the full-pair view over index ∪ new bands
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+        minhash_bands,
+    )
+
+    full = lsh_pairs_from_bands(
+        index.select("doc_id", "band", "band_hash").unionByName(
+            minhash_bands(new)
+        )
+    )
+    restricted = sorted(
+        (max(r.doc_a, r.doc_b), min(r.doc_a, r.doc_b))
+        for r in full.collect()
+        if r.doc_a in (20, 21) or r.doc_b in (20, 21)
+    )
+    assert restricted == got
