@@ -217,14 +217,22 @@ def _q_district_poi_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         lines.append(
             f'"[[{lon}, {lat}]]",{k % 7 + 1},{r["s_name"]},K{k % 10},3101{k % 16:02d},addr{k}'
         )
-    # deterministic fixture path, overwritten per call — bench runs
-    # this query repeatedly (warmup + iterations) and mkdtemp would
-    # leak one dir per run
-    tmp = os.path.join(tempfile.gettempdir(), "district_poi_fixture")
+    # deterministic PER-DATASET fixture path, atomically replaced —
+    # bench runs this query repeatedly (mkdtemp leaked one dir per
+    # run), but a single shared file would let a still-lazy plan built
+    # for one sf_dir read another's fixture, and a concurrent writer
+    # could expose a truncated file; keying the dir on sf_dir and
+    # os.replace()-ing a temp file fixes both
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tmp = os.path.join(tempfile.gettempdir(), f"district_poi_fixture_{tag}")
     os.makedirs(tmp, exist_ok=True)
     fpath = os.path.join(tmp, "type_fixture.csv")
-    with open(fpath, "w", encoding="utf-8") as f:
+    tmp_f = fpath + ".tmp"
+    with open(tmp_f, "w", encoding="utf-8") as f:
         f.write("\n".join(lines) + "\n")
+    os.replace(tmp_f, fpath)
 
     poi = read_poi_district_csv(spark, fpath)
     return poi.groupBy(F.col("type").cast("long").alias("type")).agg(

@@ -150,21 +150,39 @@ def near_dup_components(
     not Θ(g²)), and membership expands back through the digest table.
 
     Equivalence argument: signatures are a pure function of text, so
-    (i) docs in a ≥2 digest group are always mutual LSH pairs — all
-    such docs are graph members with or without collapse; (ii) two
-    DISTINCT texts collide iff their representatives collide, so the
-    rep graph is exactly the quotient of the doc graph by text
-    equality and components correspond 1:1; (iii) both labelings pick
-    the min reachable id, and each group's representative IS its min
-    id, so labels agree too."""
+    (i) docs in a ≥2 digest group whose text yields AT LEAST ONE
+    shingle (≥ n tokens) are always mutual LSH pairs — identical
+    signatures agree on every band — and are graph members with or
+    without collapse, while a zero-shingle text (< n tokens) produces
+    no signature row at all, so its duplicates are NOT in the doc
+    graph and the within-group fallback below is gated on the same
+    token test doc_shingles applies; (ii) two DISTINCT texts collide
+    iff their representatives collide, so the rep graph is exactly
+    the quotient of the doc graph by text equality and components
+    correspond 1:1; (iii) both labelings pick the min reachable id,
+    and each group's representative IS its min id, so labels agree
+    too."""
+    from ..functions.text import token_count
     from .dedup import minhash_lsh_pairs
 
     d = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
-    grp = d.withColumn("digest", F.md5("text"))
+    # Per-doc digest table: feeds reps, the representative rows, AND
+    # the membership expansion — persisted so the corpus is scanned
+    # and hashed once, not once per consumer (same digest/min-id/count
+    # shape as dedup.exact_dedup, kept local so one persisted table
+    # serves all three uses).
+    grp = (
+        d.withColumn("digest", F.md5("text"))
+        .withColumn("has_shingle", token_count(F.col("text")) >= n)
+        .persist()
+    )
     reps = grp.groupBy("digest").agg(
-        F.min("doc_id").alias("rep_id"), F.count("*").alias("g")
+        F.min("doc_id").alias("rep_id"),
+        F.count("*").alias("g"),
+        # identical text ⟹ identical flag; any() is just the cheap way
+        F.max("has_shingle").alias("has_shingle"),
     )
     rep_docs = (
         grp.join(reps.select("digest", "rep_id"), "digest")
@@ -181,7 +199,11 @@ def near_dup_components(
         .withColumn(
             "component",
             F.coalesce(
-                "component", F.when(F.col("g") >= 2, F.col("rep_id"))
+                "component",
+                F.when(
+                    (F.col("g") >= 2) & F.col("has_shingle"),
+                    F.col("rep_id"),
+                ),
             ),
         )
         .filter(F.col("component").isNotNull())

@@ -508,10 +508,21 @@ def new_doc_dup_candidates(
     (|delta|·bands rows); the join is equi on (band, band_hash)
     against the linear-size index, so scoring a batch never rescans or
     re-hashes the corpus. Self-matches (a new doc already in the
-    index) are excluded; pairs are deduped. The k/bands/n parameters
-    MUST match the ones the index was built with — band hashes are
-    only comparable within one scheme."""
+    index) are excluded, and each relationship appears ONCE: a pair
+    shows up in BOTH orientations exactly when both endpoints sit in
+    (new batch ∩ index) — a replayed source file re-ingesting docs the
+    index already holds — and then only the smaller-id orientation is
+    kept; without that, the mirrored (q=1,ix=2)/(q=2,ix=1) rows both
+    survive distinct() and a scoring consumer double-counts the pair.
+    A genuinely-new doc's pair with a re-ingested index doc has no
+    mirror and is always kept, whichever id is smaller. The k/bands/n
+    parameters MUST match the ones the index was built with — band
+    hashes are only comparable within one scheme."""
     nb = minhash_bands(new_docs, k, bands, n, id_col, text_col)
+    new_ids = new_docs.select(F.col(id_col).alias("__new_id")).distinct()
+    index_ids = index_bands.select(
+        F.col("doc_id").alias("__ix_id")
+    ).distinct()
     return (
         nb.alias("q")
         .join(
@@ -519,6 +530,15 @@ def new_doc_dup_candidates(
             (F.col("q.band") == F.col("ix.band"))
             & (F.col("q.band_hash") == F.col("ix.band_hash"))
             & (F.col("q.doc_id") != F.col("ix.doc_id")),
+        )
+        .join(new_ids, F.col("ix.doc_id") == F.col("__new_id"), "left")
+        .join(index_ids, F.col("q.doc_id") == F.col("__ix_id"), "left")
+        .filter(
+            # the mirrored orientation exists iff ix is also new AND q
+            # is also indexed — then keep only the smaller-id side
+            F.col("__new_id").isNull()
+            | F.col("__ix_id").isNull()
+            | (F.col("q.doc_id") < F.col("ix.doc_id"))
         )
         .select(
             F.col("q.doc_id").alias("new_doc_id"),

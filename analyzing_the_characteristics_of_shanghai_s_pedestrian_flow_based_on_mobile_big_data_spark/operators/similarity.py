@@ -583,28 +583,13 @@ def set_similarity_join(
         if collapse_identical:
             # quotient by set equality BEFORE the U² pair loop — the
             # same collapse as the LSH path (docstring there): the
-            # bitmap + sz IS a canonical multiset-exact encoding of
-            # the set (distinct items in the words, NULL count in
-            # sz − bit count), so the digest is just its hash
-            bm = bm.withColumn(
-                "__pdig",
-                F.expr(
-                    "md5(aggregate(transform(bm, x -> "
-                    "md5(cast(x as string))), cast('' as string), "
-                    "(acc, h) -> md5(acc || h)) || ':' || "
-                    "cast(sz as string))"
-                ),
-            )
+            # bitmap + sz IS a canonical encoding of the set (distinct
+            # items in the words, NULL count in sz − bit count), so
+            # the shared digest applies directly
+            bm = _with_set_digest(bm, "bm")
         bm = bm.localCheckpoint(eager=True)
         if collapse_identical:
-            grp = bm.groupBy("__pdig").agg(
-                F.min("key").alias("rep"), F.count(F.lit(1)).alias("g")
-            )
-            work = (
-                bm.join(grp.select("__pdig", "rep"), "__pdig")
-                .filter(F.col("key") == F.col("rep"))
-                .drop("rep")
-            )
+            grp, work = _identical_set_groups(bm)
         else:
             work = bm
         # the checkpointed key table is tiny — AQE would coalesce it
@@ -644,21 +629,15 @@ def set_similarity_join(
             qual = common.filter(
                 F.lit(den) * F.col("n_shared") >= F.lit(num) * union_d
             )
-            self_groups = (
-                work.withColumn(
-                    "self_n",
-                    F.expr(
-                        "aggregate(transform(bm, x -> "
-                        "bigint(bit_count(x))), 0L, (acc, v) -> acc + v)"
-                    ),
-                )
-                .join(grp.filter(F.col("g") >= 2), "__pdig")
-                .filter(
-                    F.lit(den) * F.col("self_n")
-                    >= F.lit(num)
-                    * (F.lit(2) * F.col("sz") - F.col("self_n"))
-                )
-                .select("__pdig", "self_n", "sz")
+            self_groups = _qualifying_self_groups(
+                work,
+                grp,
+                F.expr(
+                    "aggregate(transform(bm, x -> "
+                    "bigint(bit_count(x))), 0L, (acc, v) -> acc + v)"
+                ),
+                num,
+                den,
             )
             return _expand_identical_groups(
                 qual, bm.select("__pdig", "key"), grp, self_groups
@@ -742,10 +721,17 @@ def set_similarity_join(
         aug = base.withColumn(
             "sz", F.count("*").over(Window.partitionBy("key"))
         ).localCheckpoint(eager=True)
+        # distinct BEFORE the self-join: n_shared is |∩| under SET
+        # semantics (array_intersect's contract, matching the other
+        # paths) — joining raw rows would count a duplicated
+        # (key, item) row once per copy (caught by the round-7
+        # property suite on multiset inputs); sz keeps counting ALL
+        # rows, NULLs and duplicates included, as everywhere else
+        joinable = aug.distinct()
         common = (
-            aug.alias("a")
+            joinable.alias("a")
             .join(
-                aug.alias("b"),
+                joinable.alias("b"),
                 (F.col("a.item") == F.col("b.item"))
                 & (F.col("a.key") < F.col("b.key")),
             )
@@ -837,6 +823,52 @@ def choose_set_similarity_path(
     if est > float(pairs_per_key_budget) * n_keys:
         return "lsh"
     return "exact"
+
+
+def _with_set_digest(df, payload_col: str):
+    """Append the multiset-exact set digest ``__pdig``: the payload's
+    elements hashed individually then md5-chained (no separator
+    ambiguity), with sz appended so NULL-count differences split
+    groups. Shared by the LSH and dense-bitmap collapse paths — one
+    definition, so the encoding can never desynchronize between
+    them."""
+    return df.withColumn(
+        "__pdig",
+        F.expr(
+            f"md5(aggregate(transform({payload_col}, x -> "
+            "md5(cast(x as string))), cast('' as string), "
+            "(acc, h) -> md5(acc || h)) || ':' || cast(sz as string))"
+        ),
+    )
+
+
+def _identical_set_groups(digested):
+    """(grp, work): per-digest (rep = min key, g = group size) and the
+    representative rows of ``digested`` (one per distinct set)."""
+    grp = digested.groupBy("__pdig").agg(
+        F.min("key").alias("rep"), F.count(F.lit(1)).alias("g")
+    )
+    work = (
+        digested.join(grp.select("__pdig", "rep"), "__pdig")
+        .filter(F.col("key") == F.col("rep"))
+        .drop("rep")
+    )
+    return grp, work
+
+
+def _qualifying_self_groups(work, grp, self_n, num: int, den: int):
+    """The g≥2 groups whose self overlap passes the threshold test —
+    the within-group half of the expansion. ``self_n`` is the
+    path-specific distinct-item count expression."""
+    return (
+        work.withColumn("self_n", self_n)
+        .join(grp.filter(F.col("g") >= 2), "__pdig")
+        .filter(
+            F.lit(den) * F.col("self_n")
+            >= F.lit(num) * (F.lit(2) * F.col("sz") - F.col("self_n"))
+        )
+        .select("__pdig", "self_n", "sz")
+    )
 
 
 def _expand_identical_groups(qual, mem, grp, self_groups):
@@ -1008,27 +1040,10 @@ def set_similarity_join_lsh(
     # qualify (|∩|=0 < num·|∪| for num>0), so they are dropped before
     # banding rather than colliding in one degenerate md5('') bucket.
     if collapse_identical:
-        # multiset-exact payload digest: items hashed individually
-        # then md5-chained (no separator ambiguity), sz appended so
-        # NULL-count differences split groups
-        sig = sig.withColumn(
-            "__pdig",
-            F.expr(
-                "md5(aggregate(transform(payload, x -> "
-                "md5(cast(x as string))), cast('' as string), "
-                "(acc, h) -> md5(acc || h)) || ':' || cast(sz as string))"
-            ),
-        )
+        sig = _with_set_digest(sig, "payload")
     sig = sig.persist()
     if collapse_identical:
-        grp = sig.groupBy("__pdig").agg(
-            F.min("key").alias("rep"), F.count(F.lit(1)).alias("g")
-        )
-        work = (
-            sig.join(grp.select("__pdig", "rep"), "__pdig")
-            .filter(F.col("key") == F.col("rep"))
-            .drop("rep")
-        )
+        grp, work = _identical_set_groups(sig)
     else:
         work = sig
     bands_df = (
@@ -1111,15 +1126,7 @@ def set_similarity_join_lsh(
         if dense_bitmap_domain is not None
         else F.size(F.array_distinct("payload")).cast("long")
     )
-    self_groups = (
-        work.withColumn("self_n", self_n)
-        .join(grp.filter(F.col("g") >= 2), "__pdig")
-        .filter(
-            F.lit(den) * F.col("self_n")
-            >= F.lit(num) * (F.lit(2) * F.col("sz") - F.col("self_n"))
-        )
-        .select("__pdig", "self_n", "sz")
-    )
+    self_groups = _qualifying_self_groups(work, grp, self_n, num, den)
     return _expand_identical_groups(
         qual, sig.select("__pdig", "key"), grp, self_groups
     )

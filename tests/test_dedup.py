@@ -258,3 +258,37 @@ def test_near_dup_components_equals_uncollapsed(spark):
     assert comp[1] == comp[2] == comp[4] == comp[9] == 1
     assert comp[3] == comp[10] == 3
     assert 11 not in comp
+
+
+def test_near_dup_components_zero_shingle_duplicates_not_clustered(spark):
+    """Round-7 review fix: duplicated texts with FEWER than n tokens
+    produce no shingles, hence no signature rows, hence no LSH pairs —
+    the uncollapsed baseline omits them, and the collapse's
+    within-group fallback must too (it is gated on the same ≥ n-token
+    test doc_shingles applies). Empty and NULL texts likewise."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.components import (
+        connected_components,
+        near_dup_components,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hi there"),        # 2 tokens < n=3: zero shingles
+            (2, "hi there"),        # exact dup of 1 — must NOT cluster
+            (3, ""),
+            (4, ""),
+            (5, None),
+            (6, None),
+            (7, DOC_A),
+            (8, DOC_A),             # real dup group — must cluster
+        ],
+        "doc_id long, text string",
+    )
+    want = sorted(
+        (r.node, r.component)
+        for r in connected_components(minhash_lsh_pairs(docs)).collect()
+    )
+    got = sorted(
+        (r.doc_id, r.component) for r in near_dup_components(docs).collect()
+    )
+    assert got == want == [(7, 7), (8, 7)]

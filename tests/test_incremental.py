@@ -968,3 +968,26 @@ def test_new_doc_dup_candidates_against_streamed_index(spark, tmp_path):
         if r.doc_a in (20, 21) or r.doc_b in (20, 21)
     )
     assert restricted == got
+
+    # replayed-file cases (round-7 review fix): each relationship
+    # must appear exactly once, never in both orientations
+    # (a) genuinely-new doc 30 (near-dup of indexed 1) alongside a
+    # re-ingest of 1: the (30,1) pair has no mirror and is kept even
+    # though 30 > 1; no (1,1) self-match
+    replay = spark.createDataFrame([(1, A), (30, A2)], schema)
+    got2 = sorted(
+        (r.new_doc_id, r.doc_id)
+        for r in new_doc_dup_candidates(index, replay).collect()
+    )
+    assert got2 == [(30, 1)], got2
+    # (b) grow the index to hold near-dups 1 and 2, then replay BOTH:
+    # both orientations would match; only the smaller-id one survives
+    idx2 = index.select("doc_id", "band", "band_hash").unionByName(
+        minhash_bands(spark.createDataFrame([(2, A2)], schema))
+    )
+    both = spark.createDataFrame([(1, A), (2, A2)], schema)
+    got3 = sorted(
+        (r.new_doc_id, r.doc_id)
+        for r in new_doc_dup_candidates(idx2, both).collect()
+    )
+    assert got3 == [(1, 2)], got3
