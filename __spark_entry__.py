@@ -229,7 +229,10 @@ def _q_district_poi_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = os.path.join(tempfile.gettempdir(), f"district_poi_fixture_{tag}")
     os.makedirs(tmp, exist_ok=True)
     fpath = os.path.join(tmp, "type_fixture.csv")
-    tmp_f = fpath + ".tmp"
+    # per-process staging name: a SHARED .tmp would let a concurrent
+    # writer truncate the inode mid-write and publish a partial file —
+    # the rename is atomic, the staging path must be private too
+    tmp_f = f"{fpath}.{os.getpid()}.tmp"
     with open(tmp_f, "w", encoding="utf-8") as f:
         f.write("\n".join(lines) + "\n")
     os.replace(tmp_f, fpath)

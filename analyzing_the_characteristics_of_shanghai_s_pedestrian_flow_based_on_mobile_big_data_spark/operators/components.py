@@ -172,7 +172,11 @@ def near_dup_components(
     # the membership expansion — persisted so the corpus is scanned
     # and hashed once, not once per consumer (same digest/min-id/count
     # shape as dedup.exact_dedup, kept local so one persisted table
-    # serves all three uses).
+    # serves all three uses). Lifetime: CacheManager keys entries by
+    # canonicalized plan, so repeated invocations over the same corpus
+    # REUSE one entry rather than accumulating (the repo-wide pattern,
+    # cf. minhash_lsh_pairs' persist); entries are per-dataset, bounded
+    # by the handful of sf dirs a session touches.
     grp = (
         d.withColumn("digest", F.md5("text"))
         .withColumn("has_shingle", token_count(F.col("text")) >= n)

@@ -478,6 +478,9 @@ def near_dup_pairs_auto(
     # re-tokenize and re-shingle the corpus (3 scans measured at
     # sf0.1). At 100 TB the equivalent is a checkpointed shingle
     # table (or catalog NDVs passed via stats=, skipping the jobs).
+    # Cache lifetime: CacheManager reuses the canonical-plan entry on
+    # repeated invocations over the same corpus — no growth across
+    # bench iterations.
     sh = doc_shingles(docs, n, id_col, text_col).persist()
     pairs = set_similarity_join_auto(
         sh, "doc_id", "shingle", threshold_num, threshold_den, **auto_kwargs
@@ -515,15 +518,18 @@ def new_doc_dup_candidates(
     kept; without that, the mirrored (q=1,ix=2)/(q=2,ix=1) rows both
     survive distinct() and a scoring consumer double-counts the pair.
     A genuinely-new doc's pair with a re-ingested index doc has no
-    mirror and is always kept, whichever id is smaller. The k/bands/n
-    parameters MUST match the ones the index was built with — band
-    hashes are only comparable within one scheme."""
+    mirror and is always kept, whichever id is smaller. WITHIN-batch
+    duplicates (two near-identical docs arriving in the same file,
+    neither indexed yet) surface through a batch self-join term — so
+    scoring does NOT require the batch to be merged into the index
+    first. The k/bands/n parameters MUST match the ones the index was
+    built with — band hashes are only comparable within one scheme."""
     nb = minhash_bands(new_docs, k, bands, n, id_col, text_col)
     new_ids = new_docs.select(F.col(id_col).alias("__new_id")).distinct()
     index_ids = index_bands.select(
         F.col("doc_id").alias("__ix_id")
     ).distinct()
-    return (
+    vs_index = (
         nb.alias("q")
         .join(
             index_bands.alias("ix"),
@@ -544,5 +550,28 @@ def new_doc_dup_candidates(
             F.col("q.doc_id").alias("new_doc_id"),
             F.col("ix.doc_id").alias("doc_id"),
         )
-        .distinct()
     )
+    # within-batch pairs, min-id first; only pairs where NEITHER
+    # endpoint is indexed — any pair with an indexed endpoint is
+    # already emitted by the index-side term (the indexed doc appears
+    # as ix), and a second copy in either orientation would survive
+    # distinct()
+    within_batch = (
+        lsh_pairs_from_bands(nb)
+        .join(
+            index_ids.withColumnRenamed("__ix_id", "__ia"),
+            F.col("doc_a") == F.col("__ia"),
+            "left",
+        )
+        .join(
+            index_ids.withColumnRenamed("__ix_id", "__ib"),
+            F.col("doc_b") == F.col("__ib"),
+            "left",
+        )
+        .filter(F.col("__ia").isNull() & F.col("__ib").isNull())
+        .select(
+            F.col("doc_a").alias("new_doc_id"),
+            F.col("doc_b").alias("doc_id"),
+        )
+    )
+    return vs_index.unionByName(within_batch).distinct()

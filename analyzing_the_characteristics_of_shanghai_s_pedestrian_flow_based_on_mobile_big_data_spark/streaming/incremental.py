@@ -803,16 +803,22 @@ def incremental_band_index_stream(
     bands: int = 4,
     n: int = 3,
     schema: str = "doc_id long, text string",
+    id_col: str = "doc_id",
+    text_col: str = "text",
 ):
     """Stream document files → incrementally-maintained MinHash band
     index via foreachBatch — dedup-on-ingest for the corpus pipeline.
+    ``schema``/``id_col``/``text_col`` travel together: a custom
+    source schema must name its id/text columns here too.
 
     The maintained table's KEY SET is the (doc_id, band, band_hash)
     band table of every document seen so far: a doc's band rows are a
     pure function of its (immutable) text, so the index is append-only
-    per doc and set union rides the additive count-table machinery
-    idempotently (a replayed epoch cannot corrupt the key set; cnt
-    stays 1 per key via the rebasing). Candidate scoring stays a BATCH
+    per doc and SET UNION is the maintained invariant — idempotent
+    under same-epoch replays (the rebasing) AND under the same doc
+    re-arriving in a later file (its band keys merge into themselves).
+    ``cnt`` is merely the delivery count (≥1, additive) — do not read
+    it as a doc-occurrence count. Candidate scoring stays a BATCH
     query over the index — ``lsh_pairs_from_bands(table.read())`` for
     the full pair set (parity pytest-pinned against batch
     minhash_lsh_pairs under any file split), or join only the newest
@@ -829,7 +835,10 @@ def incremental_band_index_stream(
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
         delta = (
-            minhash_bands(batch_df, k=k, bands=bands, n=n)
+            minhash_bands(
+                batch_df, k=k, bands=bands, n=n,
+                id_col=id_col, text_col=text_col,
+            )
             .groupBy("doc_id", "band", "band_hash")
             .agg(F.count("*").alias("cnt"))
         )

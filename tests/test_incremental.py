@@ -991,3 +991,12 @@ def test_new_doc_dup_candidates_against_streamed_index(spark, tmp_path):
         for r in new_doc_dup_candidates(idx2, both).collect()
     )
     assert got3 == [(1, 2)], got3
+    # (c) two near-dups arriving in the SAME batch, neither indexed:
+    # the within-batch term surfaces them without a merge-first step
+    fresh = spark.createDataFrame([(50, A), (51, A2), (52, B)], schema)
+    empty_ix = index.filter("1 = 0").select("doc_id", "band", "band_hash")
+    got4 = sorted(
+        (r.new_doc_id, r.doc_id)
+        for r in new_doc_dup_candidates(empty_ix, fresh).collect()
+    )
+    assert got4 == [(50, 51)], got4

@@ -444,8 +444,13 @@ def probe_ivf_incr(spark, sf_dir: str, n: int) -> dict:
     results["upsert_s"] = round(time.perf_counter() - t0, 2)
 
     # full rebuild of the logically-final corpus for comparison
+    # anti-join ids come from the CHECKPOINTED delta, not from a
+    # re-evaluation of the limit-based upd plan (limit without sort is
+    # order-dependent — a re-execution could pick different rows and
+    # make the rebuild baseline spuriously disagree with the merge)
+    upd_ids = delta.filter(F.col("vec_id") < 900_000_000).select("vec_id")
     final = (
-        base.join(upd.select("vec_id"), "vec_id", "left_anti")
+        base.join(upd_ids, "vec_id", "left_anti")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
         .unionByName(delta.select("vec_id", "embedding"))
     )
