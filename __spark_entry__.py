@@ -1696,6 +1696,30 @@ def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _survivor_table(docs, comp):
+    """Keep-longest survivorship shared by dedup_survivors and
+    deduped_corpus_stats (one policy definition — the oracles mirror
+    it too): label every doc with its cluster (singletons survive as
+    their own), then one map-combinable max over the
+    (n_chars, −doc_id) struct per cluster. Returns
+    (cluster_id, n_members, top{nc, nd})."""
+    lab = (
+        docs.select("doc_id", F.col("n_chars").cast("long").alias("nc"))
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "nc",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+        )
+    )
+    return lab.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.max(
+            F.struct(F.col("nc").alias("nc"), (-F.col("doc_id")).alias("nd"))
+        ).alias("top"),
+    )
+
+
 def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup survivorship (batch 26) — the step that turns cluster
     ids into an actual deduplicated corpus: one survivor per cluster
@@ -1713,21 +1737,7 @@ def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     comp = near_dup_components(docs, k=8, bands=4, n=3)
-    lab = (
-        docs.select("doc_id", F.col("n_chars").cast("long").alias("nc"))
-        .join(comp, "doc_id", "left")
-        .select(
-            "doc_id",
-            "nc",
-            F.coalesce("component", "doc_id").alias("cluster_id"),
-        )
-    )
-    agg = lab.groupBy("cluster_id").agg(
-        F.count("*").alias("n_members"),
-        F.max(
-            F.struct(F.col("nc").alias("nc"), (-F.col("doc_id")).alias("nd"))
-        ).alias("top"),
-    )
+    agg = _survivor_table(docs, comp)
     return agg.select(
         "cluster_id",
         "n_members",
@@ -1772,25 +1782,8 @@ def _q_deduped_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     comp = near_dup_components(docs, k=8, bands=4, n=3)
-    lab = (
-        docs.select("doc_id", F.col("n_chars").cast("long").alias("nc"))
-        .join(comp, "doc_id", "left")
-        .select(
-            "doc_id",
-            "nc",
-            F.coalesce("component", "doc_id").alias("cluster_id"),
-        )
-    )
-    surv = (
-        lab.groupBy("cluster_id")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("nc").alias("nc"), (-F.col("doc_id")).alias("nd")
-                )
-            ).alias("top")
-        )
-        .select((-F.col("top.nd")).alias("doc_id"))
+    surv = _survivor_table(docs, comp).select(
+        (-F.col("top.nd")).alias("doc_id")
     )
     surviving = docs.join(surv, "doc_id")
     return surviving.groupBy("lang").agg(

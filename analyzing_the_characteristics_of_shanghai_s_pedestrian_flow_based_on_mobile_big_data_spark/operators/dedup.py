@@ -48,6 +48,11 @@ def doc_shingles(
     outside whole-stage codegen — measured 2× slower than this fully
     codegen'd token-table formulation. The window's doc_id shuffle
     doubles as the pre-partitioning for the distinct that follows.
+    INVARIANT: the inline split/trim/lower/non-empty filter below must
+    stay equivalent to functions.text.tokens() — near_dup_components'
+    zero-shingle gate tests token_count(text) >= n as "this doc has a
+    shingle", and tests/test_dedup.py pins the equivalence on
+    tricky whitespace; change both or neither.
     """
     from pyspark.sql import Window
 
@@ -524,7 +529,10 @@ def new_doc_dup_candidates(
     scoring does NOT require the batch to be merged into the index
     first. The k/bands/n parameters MUST match the ones the index was
     built with — band hashes are only comparable within one scheme."""
-    nb = minhash_bands(new_docs, k, bands, n, id_col, text_col)
+    # persisted: nb feeds the index probe AND both sides of the
+    # within-batch self-join — unpersisted, the tokenize/shingle/
+    # minhash pipeline over the batch would run once per reference
+    nb = minhash_bands(new_docs, k, bands, n, id_col, text_col).persist()
     new_ids = new_docs.select(F.col(id_col).alias("__new_id")).distinct()
     index_ids = index_bands.select(
         F.col("doc_id").alias("__ix_id")

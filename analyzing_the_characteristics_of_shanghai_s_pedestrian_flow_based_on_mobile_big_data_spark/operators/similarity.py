@@ -557,6 +557,13 @@ def set_similarity_join(
     verification) above the budget — callers who do not know their
     regime should use it instead of this function.
     """
+    if not 1 <= int(threshold_num) <= int(threshold_den):
+        raise ValueError(
+            "set-similarity threshold must satisfy 1 <= num <= den: "
+            f"got {threshold_num}/{threshold_den} (num=0 would make the "
+            "join-based candidate paths diverge — no equi-join method "
+            "can emit zero-overlap pairs)"
+        )
     k, it = F.col(key_col), F.col(item_col)
     num, den = int(threshold_num), int(threshold_den)
     base = sets.select(k.alias("key"), it.alias("item"))
@@ -977,6 +984,13 @@ def set_similarity_join_lsh(
     overlap. Output is IDENTICAL to the uncollapsed join
     (pytest-pinned): identical sets always collide on every band, so
     no within- or cross-group pair can be lost by collapsing."""
+    if not 1 <= int(threshold_num) <= int(threshold_den):
+        raise ValueError(
+            "set-similarity threshold must satisfy 1 <= num <= den: "
+            f"got {threshold_num}/{threshold_den} (num=0 would make the "
+            "join-based candidate paths diverge — no equi-join method "
+            "can emit zero-overlap pairs)"
+        )
     kc, it = F.col(key_col), F.col(item_col)
     num, den = int(threshold_num), int(threshold_den)
     base = sets.select(kc.alias("key"), it.alias("item"))
@@ -1165,6 +1179,13 @@ def set_similarity_join_auto(
     returned DataFrame's ``.__setsim_path__`` attribute and in
     :func:`set_similarity_stats`-shaped ``stats['path']`` when the
     caller owns the dict (plan-pinning tests read it)."""
+    if not 1 <= int(threshold_num) <= int(threshold_den):
+        raise ValueError(
+            "set-similarity threshold must satisfy 1 <= num <= den: "
+            f"got {threshold_num}/{threshold_den} (num=0 would make the "
+            "join-based candidate paths diverge — no equi-join method "
+            "can emit zero-overlap pairs)"
+        )
     if stats is None:
         stats = set_similarity_stats(sets, key_col, item_col)
     path = choose_set_similarity_path(

@@ -250,10 +250,17 @@ def main() -> None:
 
     here = os.path.dirname(os.path.abspath(__file__))
     seed_env = os.environ.get("BENCH_SEED")
+    # the driver commits BENCH_r{N}.json once per round, advancing the
+    # first term; the second term advances in driver-less flows where
+    # only the builder's bench_r{N}_full.json artifacts accumulate —
+    # either way the seed moves every round (BENCH_SEED overrides)
     seed = (
         int(seed_env)
         if seed_env is not None
-        else len(glob.glob(os.path.join(here, "BENCH_r*.json")))
+        else (
+            len(glob.glob(os.path.join(here, "BENCH_r*.json"))) * 31
+            + len(glob.glob(os.path.join(here, "bench_r*_full.json")))
+        )
     )
     common_prefix = [n for n in names if n in COMMON14]
     tail = [n for n in names if n not in COMMON14]

@@ -292,3 +292,41 @@ def test_near_dup_components_zero_shingle_duplicates_not_clustered(spark):
         (r.doc_id, r.component) for r in near_dup_components(docs).collect()
     )
     assert got == want == [(7, 7), (8, 7)]
+
+
+def test_doc_shingles_presence_matches_token_count(spark):
+    """near_dup_components gates its zero-shingle fallback on
+    token_count(text) >= n, assuming doc_shingles' inline tokenizer is
+    equivalent to functions.text.tokens(). Pin that equivalence on
+    adversarial texts: mixed/duplicated whitespace, tabs/newlines,
+    leading/trailing space, empty, NULL, exactly n-1 and n tokens."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.text import (
+        token_count,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+        doc_shingles,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "a b"),
+        (2, "a b c"),
+        (3, "  a\t\tb \n c  "),
+        (4, "a     b"),
+        (5, ""),
+        (6, "   "),
+        (7, None),
+        (8, "one two three four"),
+        (9, "\tx\n"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    n = 3
+    has_shingle = {
+        r.doc_id
+        for r in doc_shingles(docs, n).select("doc_id").distinct().collect()
+    }
+    gate = {
+        r.doc_id
+        for r in docs.filter(token_count(F.col("text")) >= n).collect()
+    }
+    assert has_shingle == gate == {2, 3, 8}
