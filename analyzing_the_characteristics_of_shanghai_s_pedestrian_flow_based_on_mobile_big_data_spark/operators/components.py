@@ -134,6 +134,7 @@ def near_dup_components(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_iterations: int = 25,
+    hot_bucket_cap: int | None = 256,
 ) -> DataFrame:
     """(doc_id, component) over the MinHash near-dup graph — result
     IDENTICAL to ``connected_components(minhash_lsh_pairs(docs))``
@@ -161,7 +162,17 @@ def near_dup_components(
     the quotient of the doc graph by text equality and components
     correspond 1:1; (iii) both labelings pick the min reachable id,
     and each group's representative IS its min id, so labels agree
-    too."""
+    too.
+
+    ``hot_bucket_cap`` (default 256, round 8) additionally arms the
+    signature-digest hot-bucket quotient in
+    :func:`~.dedup.lsh_pairs_from_bands` on the REP graph: the exact
+    pre-collapse only absorbs byte-identical texts, so g byte-DISTINCT
+    boilerplate docs sharing every band hash (identical shingle sets,
+    or near-identical sets whose minima agree) would still pay
+    bands·g² band-join rows; over-cap buckets are quotiented by
+    whole-signature equality instead. Pair set — hence components —
+    identical by lsh_pairs_from_bands' pinned equivalence."""
     from ..functions.text import token_count
     from .dedup import minhash_lsh_pairs
 
@@ -193,7 +204,9 @@ def near_dup_components(
         .filter(F.col("doc_id") == F.col("rep_id"))
         .select("doc_id", "text")
     )
-    pairs = minhash_lsh_pairs(rep_docs, k=k, bands=bands, n=n)
+    pairs = minhash_lsh_pairs(
+        rep_docs, k=k, bands=bands, n=n, hot_bucket_cap=hot_bucket_cap
+    )
     comp_rep = connected_components(pairs, max_iterations=max_iterations)
     membership = grp.select("doc_id", "digest").join(reps, "digest")
     return (

@@ -334,24 +334,142 @@ def minhash_bands(
     )
 
 
-def lsh_pairs_from_bands(bands_df: DataFrame) -> DataFrame:
+def lsh_pairs_from_bands(
+    bands_df: DataFrame, hot_bucket_cap: int | None = None
+) -> DataFrame:
     """Candidate pairs from a band table (materialized index or the
     in-plan :func:`minhash_bands` output): equi self-join on
-    (band, band_hash), doc_a < doc_b, deduped."""
-    a = bands_df.alias("a")
-    b_ = bands_df.alias("b")
-    return (
-        a.join(
-            b_,
+    (band, band_hash), doc_a < doc_b, deduped. Assumes one row per
+    (doc_id, band) — what minhash_bands emits and what the keyed
+    incremental index stores.
+
+    ``hot_bucket_cap`` (round-8, VERDICT r7 #2) bounds the Σg²
+    band-join blowup for NEAR-IDENTICAL-BUT-NOT-IDENTICAL documents —
+    the crawl-boilerplate case the identical-text pre-collapse
+    (components.near_dup_components) cannot absorb: g byte-distinct
+    docs sharing every band hash put g rows in each of their ``bands``
+    buckets, hence bands·g² self-join rows, deduped back to C(g,2).
+    With a cap set, bucket sizes are counted first (one map-combined
+    agg over the band table, the same cheap-stats shape as the prefix
+    filter's df counts); buckets ≤ cap self-join directly, and rows in
+    over-cap buckets are quotiented by FULL-SIGNATURE digest (docs
+    whose entire band-hash vector agrees — since a doc's band rows are
+    a pure function of its signature, a digest class is wholly inside
+    or wholly outside any bucket): one representative per class enters
+    the hot self-join (c² rows for c distinct signatures instead of
+    m² for m docs), cross-class pairs expand back through the
+    membership table, and within-class pairs (always candidates —
+    identical signatures agree on every band) are emitted directly as
+    C(g,2) output rows, the unavoidable floor. The pair SET is
+    IDENTICAL to the uncapped join (pytest-pinned): a pair sharing a
+    cold bucket survives the cold path, a pair sharing only hot
+    buckets collides iff its signature classes' reps collide, and the
+    final distinct dedups pairs found by both. Default None keeps the
+    single-join plan (two fewer exchanges — right when no bucket is
+    hot, e.g. post-exact-collapse corpora)."""
+    if hot_bucket_cap is None:
+        a = bands_df.alias("a")
+        b_ = bands_df.alias("b")
+        return (
+            a.join(
+                b_,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+    cap = int(hot_bucket_cap)
+    # One materialization: the band table feeds the size count, both
+    # cold-join sides, the hot-doc digest pass, and the rep join.
+    bt = bands_df.localCheckpoint(eager=True)
+    sizes = bt.groupBy("band", "band_hash").agg(F.count("*").alias("__bsz"))
+    tagged = bt.join(sizes, ["band", "band_hash"])
+    cold = tagged.filter(F.col("__bsz") <= cap).select(
+        "doc_id", "band", "band_hash"
+    )
+    cold_pairs = (
+        cold.alias("a")
+        .join(
+            cold.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
         )
+    )
+    hot_rows = tagged.filter(F.col("__bsz") > cap).select(
+        "doc_id", "band", "band_hash"
+    )
+    # Full-signature digest of every doc holding >= 1 hot row: all of
+    # a doc's band rows (band-ordered) hashed into one 32-char class
+    # key. Struct sort orders by band first, so the digest is
+    # row-order independent.
+    hot_doc_ids = hot_rows.select("doc_id").distinct()
+    digests = (
+        bt.join(hot_doc_ids, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("band", "band_hash"))
+                        ),
+                        lambda s: s["band_hash"],
+                    ),
+                    "|",
+                )
+            ).alias("__dig")
+        )
+    )
+    cls = digests.groupBy("__dig").agg(
+        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("g")
+    )
+    mem = digests.select("__dig", "doc_id")
+    rep_hot = hot_rows.join(
+        cls.select(F.col("rep").alias("doc_id"), "__dig"), "doc_id"
+    ).select(F.col("doc_id").alias("rep"), "__dig", "band", "band_hash")
+    rep_pairs = (
+        rep_hot.alias("a")
+        .join(
+            rep_hot.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.rep") < F.col("b.rep")),
+        )
+        .select(F.col("a.__dig").alias("__da"), F.col("b.__dig").alias("__db"))
         .distinct()
     )
+    cross = (
+        rep_pairs.join(
+            mem.select(F.col("__dig").alias("__da"), F.col("doc_id").alias("ma")),
+            "__da",
+        )
+        .join(
+            mem.select(F.col("__dig").alias("__db"), F.col("doc_id").alias("mb")),
+            "__db",
+        )
+        .select(
+            F.least("ma", "mb").alias("doc_a"),
+            F.greatest("ma", "mb").alias("doc_b"),
+        )
+    )
+    within = (
+        cls.filter(F.col("g") >= 2)
+        .join(mem.select("__dig", F.col("doc_id").alias("ma")), "__dig")
+        .join(mem.select("__dig", F.col("doc_id").alias("mb")), "__dig")
+        .filter(F.col("ma") < F.col("mb"))
+        .select(F.col("ma").alias("doc_a"), F.col("mb").alias("doc_b"))
+    )
+    return cold_pairs.unionByName(cross).unionByName(within).distinct()
 
 
 def minhash_lsh_pairs(
@@ -361,15 +479,19 @@ def minhash_lsh_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hot_bucket_cap: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: split the k-wide signature into ``bands``
     bands of k/bands rows; docs agreeing on any full band are
     candidates. Join is equi on (band_idx, band_hash) — shuffles hash
-    keys only, scales linearly with corpus size."""
+    keys only, scales linearly with corpus size. ``hot_bucket_cap``
+    forwards to :func:`lsh_pairs_from_bands` — set it on
+    boilerplate-heavy corpora where many byte-distinct docs share
+    whole signatures (pair set identical either way)."""
     # Persist: the band table feeds both sides of the candidate
     # self-join; it is k×32B per doc — tiny relative to the corpus.
     bands_df = minhash_bands(docs, k, bands, n, id_col, text_col).persist()
-    return lsh_pairs_from_bands(bands_df)
+    return lsh_pairs_from_bands(bands_df, hot_bucket_cap=hot_bucket_cap)
 
 
 def simhash(
@@ -479,14 +601,17 @@ def near_dup_pairs_auto(
     from .similarity import set_similarity_join_auto
 
     # One shingle pass: the router's two scalar stats jobs and the
-    # chosen join all read this table — unpersisted, each would
+    # chosen join all read this table — un-materialized, each would
     # re-tokenize and re-shingle the corpus (3 scans measured at
-    # sf0.1). At 100 TB the equivalent is a checkpointed shingle
-    # table (or catalog NDVs passed via stats=, skipping the jobs).
-    # Cache lifetime: CacheManager reuses the canonical-plan entry on
-    # repeated invocations over the same corpus — no growth across
-    # bench iterations.
-    sh = doc_shingles(docs, n, id_col, text_col).persist()
+    # sf0.1). Eager localCheckpoint, NOT .persist() (round-8 lifecycle
+    # fix): a session that varies (n, threshold) across invocations
+    # would pin one CacheManager entry per distinct parameterization
+    # forever; checkpoint blocks are ContextCleaner-reclaimed once the
+    # caller drops the result, so parameter sweeps stay flat
+    # (pytest-pinned: test_dedup.py cached-entry no-growth). At 100 TB
+    # the equivalent is a checkpointed shingle table (or catalog NDVs
+    # passed via stats=, skipping the jobs).
+    sh = doc_shingles(docs, n, id_col, text_col).localCheckpoint(eager=True)
     pairs = set_similarity_join_auto(
         sh, "doc_id", "shingle", threshold_num, threshold_den, **auto_kwargs
     )
@@ -497,6 +622,7 @@ def near_dup_pairs_auto(
         (F.col("n_shared") / union_sz.cast("double")).alias("jaccard"),
     )
     out.__setsim_path__ = pairs.__setsim_path__
+    out.__setsim_meta__ = pairs.__setsim_meta__
     return out
 
 
@@ -529,10 +655,18 @@ def new_doc_dup_candidates(
     scoring does NOT require the batch to be merged into the index
     first. The k/bands/n parameters MUST match the ones the index was
     built with — band hashes are only comparable within one scheme."""
-    # persisted: nb feeds the index probe AND both sides of the
-    # within-batch self-join — unpersisted, the tokenize/shingle/
-    # minhash pipeline over the batch would run once per reference
-    nb = minhash_bands(new_docs, k, bands, n, id_col, text_col).persist()
+    # Materialized ONCE via eager localCheckpoint (|delta|·bands rows —
+    # tiny): nb feeds the index probe AND both sides of the
+    # within-batch self-join; un-materialized, the tokenize/shingle/
+    # minhash pipeline over the batch would run once per reference.
+    # NOT .persist(): this function runs once per ingest batch with a
+    # DIFFERENT delta each time, so each call would pin a new
+    # CacheManager entry forever (unbounded accumulation over a
+    # long-running ingest loop); checkpoint blocks are reclaimed by
+    # the ContextCleaner as soon as the caller drops the result.
+    nb = minhash_bands(new_docs, k, bands, n, id_col, text_col).localCheckpoint(
+        eager=True
+    )
     new_ids = new_docs.select(F.col(id_col).alias("__new_id")).distinct()
     index_ids = index_bands.select(
         F.col("doc_id").alias("__ix_id")

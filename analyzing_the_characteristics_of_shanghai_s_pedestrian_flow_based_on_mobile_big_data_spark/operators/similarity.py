@@ -775,7 +775,9 @@ def set_similarity_stats(
     - ``max_df``: the hottest item's key count (the m² blowup knob).
 
     At 100 TB feed these from catalog/NDV statistics instead of agg
-    jobs; the decision rule only needs orders of magnitude."""
+    jobs (:func:`set_similarity_stats_from_catalog` — zero data jobs,
+    pytest-pinned); the decision rule only needs orders of
+    magnitude."""
     k, it = F.col(key_col), F.col(item_col)
     base = sets.select(k.alias("key"), it.alias("item"))
     r1 = base.agg(
@@ -800,6 +802,69 @@ def set_similarity_stats(
         "n_keys": int(r1.n_keys),
         "cand_pairs": float(r2.cand_pairs),
         "max_df": int(r2.max_df),
+    }
+
+
+def set_similarity_stats_from_catalog(
+    spark, table: str, key_col: str, item_col: str
+) -> dict:
+    """Router stats from ANALYZE TABLE catalog statistics — ZERO data
+    jobs (VERDICT r7 #4: at 100 TB the two full-table agg jobs of
+    :func:`set_similarity_stats` are not free). Requires the table to
+    have been analyzed::
+
+        ANALYZE TABLE t COMPUTE STATISTICS
+        ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS key, item
+
+    Reads rowCount and per-column NDV/null counts from DESCRIBE
+    EXTENDED — metadata-only commands that never scan data — and
+    models document frequency as UNIFORM over the item NDV:
+    df̄ = non-null rows / NDV(item), cand_pairs ≈ NDV·C(df̄,2). By
+    convexity of C(x,2), the uniform model is the MINIMUM of
+    Σ C(df,2) under a fixed row total — an under-estimate on skewed
+    corpora, which only errs toward the exact path; a workload dense
+    ON AVERAGE (the regime where exact candidate volume is Ω(U²))
+    crosses the budget under any df shape, so the router's
+    order-of-magnitude decision is preserved. ``max_df`` is reported
+    as ⌈df̄⌉ (the model's value; the routing rule never reads it).
+    Raises ``ValueError`` naming the missing statistic if the table
+    was not analyzed — never silently guesses."""
+    t_rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    n_rows = None
+    for r in t_rows:
+        if r.col_name == "Statistics" and "rows" in (r.data_type or ""):
+            # format: "NNN bytes, MMM rows"
+            n_rows = int(r.data_type.split(",")[1].strip().split(" ")[0])
+    if n_rows is None:
+        raise ValueError(
+            f"no rowCount statistic for {table}: run ANALYZE TABLE "
+            f"{table} COMPUTE STATISTICS first"
+        )
+
+    def col_stats(col: str) -> dict:
+        rows = spark.sql(
+            f"DESCRIBE TABLE EXTENDED {table} {col}"
+        ).collect()
+        info = {r.info_name: r.info_value for r in rows}
+        if info.get("distinct_count") in (None, "NULL"):
+            raise ValueError(
+                f"no NDV statistic for {table}.{col}: run ANALYZE TABLE "
+                f"{table} COMPUTE STATISTICS FOR COLUMNS {col} first"
+            )
+        return {
+            "ndv": int(info["distinct_count"]),
+            "nulls": int(info.get("num_nulls") or 0),
+        }
+
+    key_s, item_s = col_stats(key_col), col_stats(item_col)
+    nonnull = max(0, n_rows - item_s["nulls"])
+    ndv_item = max(1, item_s["ndv"])
+    df_bar = nonnull / ndv_item
+    return {
+        "n_rows": n_rows,
+        "n_keys": max(1, key_s["ndv"]),
+        "cand_pairs": ndv_item * df_bar * (df_bar - 1.0) / 2.0,
+        "max_df": int(-(-df_bar // 1)),
     }
 
 
@@ -1047,15 +1112,19 @@ def set_similarity_join_lsh(
         )
         for b in range(bands)
     ]
-    # One persist: the signature/payload table feeds the band table
-    # (both self-join sides), the verification join-backs, and (when
-    # collapsing) the group membership/expansion joins.
+    # One materialization: the signature/payload table feeds the band
+    # table (both self-join sides), the verification join-backs, and
+    # (when collapsing) the group membership/expansion joins. Eager
+    # localCheckpoint, NOT .persist() (round-8 lifecycle fix): varied
+    # (k, bands, threshold) invocations in one session would pin one
+    # CacheManager entry each forever; checkpoint blocks are
+    # ContextCleaner-reclaimed once the caller drops the result.
     # Keys whose items are all NULL have a NULL mh_0; they can never
     # qualify (|∩|=0 < num·|∪| for num>0), so they are dropped before
     # banding rather than colliding in one degenerate md5('') bucket.
     if collapse_identical:
         sig = _with_set_digest(sig, "payload")
-    sig = sig.persist()
+    sig = sig.localCheckpoint(eager=True)
     if collapse_identical:
         grp, work = _identical_set_groups(sig)
     else:
@@ -1146,6 +1215,72 @@ def set_similarity_join_lsh(
     )
 
 
+def lsh_collision_probability(
+    j: float, k: int, bands: int
+) -> float:
+    """P(a pair at Jaccard ``j`` becomes an LSH candidate) under a
+    ``bands``×(k/bands) banding: 1 − (1 − j^r)^bands with r = k/bands.
+    The family-average statement of MinHash theory — per-pair recall is
+    monotone INCREASING in j, so a guarantee at the threshold extends
+    to every qualifying pair."""
+    r = k // bands
+    return 1.0 - (1.0 - j**r) ** bands
+
+
+def choose_lsh_params(
+    threshold_num: int,
+    threshold_den: int,
+    target_recall: float,
+    margin: float = 0.0,
+    max_k: int = 64,
+) -> tuple[int, int]:
+    """(k, bands) meeting an explicit recall CONTRACT: the smallest
+    signature satisfying P(collide) ≥ ``target_recall`` at
+    J = threshold·(1+margin), with rows-per-band maximized under the
+    ``max_k`` signature-width cap.
+
+    Why this shape: :func:`choose_lsh_bands` pins the S-curve MIDPOINT
+    at the threshold, so measured recall at the boundary is ~0.5 by
+    construction (SCALE_PROBE_r7 setsim rows) — correct cost
+    engineering, silent answer-quality change. This selector inverts
+    the curve instead: for each rows-per-band r (descending — larger r
+    means a steeper curve, structurally pruning sub-threshold junk
+    candidates), the band count needed is
+    b = ⌈ln(1−target) / ln(1−t'^r)⌉, and the first r whose r·b fits
+    ``max_k`` wins. Since P is monotone increasing in J, meeting the
+    target at t' = threshold·(1+margin) meets it for EVERY pair at
+    J ≥ t'; with margin=0 (default) the guarantee holds at the
+    threshold itself, i.e. for every qualifying pair. Falls back to
+    the best-effort (1, max_k) banding when even r=1 cannot reach the
+    target within the cap — the caller reads the achieved probability
+    from ``__setsim_meta__`` (never a silent shortfall).
+
+    Signature cost is k min-md5 aggregates per key — linear in k, so
+    the contract's price is explicit: target 0.8 at t=0.3 needs k=36,
+    0.95 needs k=64 (pytest-pinned), vs the midpoint default's 16."""
+    import math
+
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(f"target_recall must be in (0,1): {target_recall}")
+    t = threshold_num / threshold_den
+    t_g = min(1.0, t * (1.0 + margin))
+    if t_g >= 1.0:
+        return 1, 1  # J=1 guarantee point: identical sets always collide
+    best = None
+    for r in range(max_k, 0, -1):
+        p1 = t_g**r  # per-band collision probability at the guarantee point
+        if 1.0 - p1 >= 1.0:
+            continue  # p1 underflowed: no feasible band count at this r
+        needed = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p1))
+        if r * needed <= max_k:
+            best = (r, needed)
+            break
+    if best is None:
+        best = (1, max_k)  # best effort; meta reports the achieved P
+    r, b = best
+    return r * b, b
+
+
 def set_similarity_join_auto(
     sets: DataFrame,
     key_col: str,
@@ -1158,6 +1293,9 @@ def set_similarity_join_auto(
     lsh_k: int = 16,
     lsh_bands: int | None = None,
     stats: dict | None = None,
+    target_recall: float | None = None,
+    recall_margin: float = 0.0,
+    lsh_max_k: int = 64,
 ) -> DataFrame:
     """Cost-routed set-similarity join — the round-6 probe's measured
     dense-regime Ω(U²) bound (SCALE.md setsim: 4× users → 16.04×
@@ -1174,11 +1312,27 @@ def set_similarity_join_auto(
       :func:`set_similarity_join_lsh` — sub-quadratic candidate
       generation, exact verification, output ⊆ the exact pair set.
 
-    Pass precomputed ``stats`` (e.g. from catalog NDVs at 100 TB) to
-    skip the two scalar agg jobs. The chosen path is recorded on the
-    returned DataFrame's ``.__setsim_path__`` attribute and in
-    :func:`set_similarity_stats`-shaped ``stats['path']`` when the
-    caller owns the dict (plan-pinning tests read it)."""
+    Pass precomputed ``stats`` (e.g. from catalog NDVs via
+    :func:`set_similarity_stats_from_catalog` at 100 TB) to skip the
+    two scalar agg jobs — the caller's dict is never mutated. The
+    chosen path is recorded on the returned DataFrame's
+    ``.__setsim_path__`` attribute (plan-pinning tests read it), and
+    the full routing decision — path, banding, and the recall contract
+    when LSH is chosen — on ``.__setsim_meta__``.
+
+    **Recall contract** (round 8): by default the LSH route uses the
+    midpoint banding (``choose_lsh_bands``) — measured recall ~0.5 AT
+    the threshold boundary, the S-curve midpoint by construction. Pass
+    ``target_recall`` (e.g. 0.8 or 0.95) to instead size the signature
+    via :func:`choose_lsh_params` so P(candidate) ≥ target for EVERY
+    pair at J ≥ threshold·(1+``recall_margin``) — with the default
+    margin 0, for every qualifying pair. The achieved probability, the
+    banding, and its cost (k grows with the target) are surfaced in
+    ``__setsim_meta__['expected_recall_at_threshold']`` etc., so a
+    caller crossing the exact→LSH budget can SEE the semantics change
+    instead of inferring it from missing pairs. ``lsh_max_k`` caps the
+    signature width; an unreachable target degrades to best-effort
+    with the shortfall visible in the meta, never silently."""
     if not 1 <= int(threshold_num) <= int(threshold_den):
         raise ValueError(
             "set-similarity threshold must satisfy 1 <= num <= den: "
@@ -1191,9 +1345,21 @@ def set_similarity_join_auto(
     path = choose_set_similarity_path(
         stats, pairs_per_key_budget, min_lsh_keys
     )
-    stats["path"] = path
+    t = threshold_num / threshold_den
+    meta: dict = {"path": path, "threshold": t}
     if path == "lsh":
-        if lsh_bands is None:
+        if target_recall is not None:
+            # explicit recall contract: invert the S-curve so
+            # P(collide) >= target at J = threshold·(1+margin) — see
+            # choose_lsh_params; overrides lsh_k/lsh_bands
+            lsh_k, lsh_bands = choose_lsh_params(
+                threshold_num,
+                threshold_den,
+                target_recall,
+                recall_margin,
+                max_k=lsh_max_k,
+            )
+        elif lsh_bands is None:
             # banding matched to the threshold's S-curve midpoint —
             # a fixed 8×2 would be mis-tuned for high-threshold
             # (near-dup) workloads; see choose_lsh_bands
@@ -1208,6 +1374,23 @@ def set_similarity_join_auto(
             bands=lsh_bands,
             dense_bitmap_domain=dense_bitmap_domain,
         )
+        t_g = min(1.0, t * (1.0 + recall_margin))
+        meta.update(
+            k=lsh_k,
+            bands=lsh_bands,
+            rows_per_band=lsh_k // lsh_bands,
+            target_recall=target_recall,
+            recall_margin=recall_margin,
+            # family-average per-pair candidate probability; monotone
+            # increasing in J, so the threshold value is the FLOOR over
+            # all qualifying pairs (margin>0: floor over J >= t_g only)
+            expected_recall_at_threshold=round(
+                lsh_collision_probability(t, lsh_k, lsh_bands), 4
+            ),
+            expected_recall_at_guarantee=round(
+                lsh_collision_probability(t_g, lsh_k, lsh_bands), 4
+            ),
+        )
     else:
         out = set_similarity_join(
             sets,
@@ -1217,7 +1400,9 @@ def set_similarity_join_auto(
             threshold_den,
             dense_bitmap_domain=dense_bitmap_domain,
         )
+        meta.update(expected_recall_at_threshold=1.0)
     out.__setsim_path__ = path
+    out.__setsim_meta__ = meta
     return out
 
 

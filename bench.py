@@ -242,26 +242,28 @@ def main() -> None:
     # also moved positions is presumptively position noise, while a
     # true regression survives rotation. The common-14 gate prefix
     # stays FIRST and in fixed order — its subtotal remains comparable
-    # to every earlier round. Seed: BENCH_SEED env, else the round
-    # number inferred from committed BENCH_r*.json files — fixed
-    # within a round, different across rounds; recorded in the output.
-    import glob
+    # to every earlier round. Seed: BENCH_SEED env (the reproducible
+    # path — the order and seed are recorded in the output, so a replay
+    # passes the recorded seed back), else the round number parsed from
+    # the COMMITTED VERDICT.md header (+1: the verdict describes the
+    # PREVIOUS round) — committed state only, so a clean checkout of
+    # the same commit always reproduces the same order regardless of
+    # untracked/stale bench artifacts in the working tree.
     import random
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
     seed_env = os.environ.get("BENCH_SEED")
-    # the driver commits BENCH_r{N}.json once per round, advancing the
-    # first term; the second term advances in driver-less flows where
-    # only the builder's bench_r{N}_full.json artifacts accumulate —
-    # either way the seed moves every round (BENCH_SEED overrides)
-    seed = (
-        int(seed_env)
-        if seed_env is not None
-        else (
-            len(glob.glob(os.path.join(here, "BENCH_r*.json"))) * 31
-            + len(glob.glob(os.path.join(here, "bench_r*_full.json")))
-        )
-    )
+    if seed_env is not None:
+        seed = int(seed_env)
+    else:
+        seed = 1
+        verdict = os.path.join(here, "VERDICT.md")
+        if os.path.exists(verdict):
+            with open(verdict) as fh:
+                m = re.search(r"Round\s+(\d+)", fh.readline())
+            if m:
+                seed = int(m.group(1)) + 1
     common_prefix = [n for n in names if n in COMMON14]
     tail = [n for n in names if n not in COMMON14]
     random.Random(seed).shuffle(tail)

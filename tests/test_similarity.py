@@ -520,8 +520,12 @@ def test_set_similarity_auto_sparse_equals_exact(spark):
     assert stats["n_rows"] == sets.count()
     assert stats["max_df"] == 12  # hot item 0 in every key
     auto = set_similarity_join_auto(sets, "key", "item", 3, 10, stats=stats)
-    assert stats["path"] == "exact"
+    # round 8: the caller's stats dict is never mutated; the decision
+    # lives on the returned DataFrame only
+    assert "path" not in stats
     assert auto.__setsim_path__ == "exact"
+    assert auto.__setsim_meta__["path"] == "exact"
+    assert auto.__setsim_meta__["expected_recall_at_threshold"] == 1.0
     exact = set_similarity_join(sets, "key", "item", 3, 10)
     assert _pairs(auto) == _pairs(exact)
 
@@ -713,3 +717,142 @@ def test_set_similarity_lsh_collapse_identical_equality(spark):
     )
     keys = {(a, b) for a, b, *_ in high}
     assert (100, 101) in keys and (200, 201) not in keys
+
+
+def test_choose_lsh_params_meets_target():
+    """Band-selection math for the explicit recall contract (VERDICT
+    r7 #1): P(collide) >= target at J = threshold·(1+margin), with the
+    signature cost of the contract pinned (k grows with the target)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        choose_lsh_params,
+        lsh_collision_probability,
+    )
+
+    # pinned selections at the covisit threshold 0.3
+    assert choose_lsh_params(3, 10, 0.8) == (36, 18)
+    assert choose_lsh_params(3, 10, 0.95) == (64, 32)
+    # a margin moves the guarantee point up the curve: cheaper contract
+    assert choose_lsh_params(3, 10, 0.8, margin=0.5) == (51, 17)
+    # the contract holds at the guarantee point for every selection
+    for num, den, tgt, margin in [
+        (3, 10, 0.8, 0.0),
+        (3, 10, 0.95, 0.0),
+        (8, 10, 0.9, 0.0),
+        (1, 2, 0.8, 0.25),
+    ]:
+        k, b = choose_lsh_params(num, den, tgt, margin)
+        t_g = min(1.0, num / den * (1 + margin))
+        assert lsh_collision_probability(t_g, k, b) >= tgt, (num, den, tgt)
+        assert k % b == 0 and k <= 64
+    # J=1 guarantee point: identical sets collide on any banding
+    assert choose_lsh_params(1, 1, 0.9) == (1, 1)
+    # unreachable target degrades to best effort at the cap — the
+    # shortfall is visible via the probability, never silent
+    assert choose_lsh_params(3, 10, 0.999999, max_k=4) == (4, 4)
+    assert lsh_collision_probability(0.3, 4, 4) < 0.999999
+
+
+def test_auto_target_recall_surfaces_contract(spark):
+    """The dense-routed auto join with target_recall set must use the
+    contract banding, surface it in __setsim_meta__, and stay a subset
+    of the exact pairs with every identical-set pair recovered."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        set_similarity_join,
+        set_similarity_join_auto,
+    )
+
+    rows = [(k, (k + j) % 8) for k in range(24) for j in range(6)]
+    rows += [(k, i) for k in (100, 101) for i in (1, 2, 3)]  # J=1 pair
+    sets = spark.createDataFrame(rows, "key long, item long")
+    auto = set_similarity_join_auto(
+        sets, "key", "item", 3, 10,
+        pairs_per_key_budget=2, min_lsh_keys=10,
+        target_recall=0.8,
+    )
+    meta = auto.__setsim_meta__
+    assert auto.__setsim_path__ == "lsh"
+    assert (meta["k"], meta["bands"]) == (36, 18)
+    assert meta["target_recall"] == 0.8
+    assert meta["expected_recall_at_threshold"] >= 0.8
+    assert meta["expected_recall_at_guarantee"] >= 0.8
+    exact = set(map(tuple, _pairs(set_similarity_join(sets, "key", "item", 3, 10))))
+    got = set(map(tuple, _pairs(auto)))
+    assert got <= exact and len(got) > 0
+    assert (100, 101, 3, 3, 3) in got
+    # measured recall on this fixture should beat the midpoint default
+    # by a wide margin (expected ~0.52 there, >=0.8 here); assert the
+    # contract's floor holds in aggregate on qualifying pairs
+    assert len(got) / len(exact) >= 0.8
+
+
+def test_catalog_stats_route_zero_preroute_jobs(spark, monkeypatch):
+    """VERDICT r7 #4: routing from persisted ANALYZE TABLE statistics
+    must launch ZERO pre-route Spark jobs — the catalog read is
+    metadata-only (asserted via the status store's cumulative job
+    list), and set_similarity_stats is monkeypatched to raise so any
+    fallback to the two scalar agg jobs fails loudly. The catalog
+    estimate must also reproduce the exact-stats routing decision on
+    both a dense and a sparse table."""
+    import analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity as sim
+
+    dense = [(k, (k + j) % 8) for k in range(24) for j in range(6)]
+    sparse = [(k, k * 50 + j) for k in range(24) for j in range(6)]
+    for name, rows, budget in [
+        ("setsim_cat_dense", dense, 2),
+        ("setsim_cat_sparse", sparse, 2),
+    ]:
+        df = spark.createDataFrame(rows, "key long, item long")
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        df.write.saveAsTable(name)
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+        spark.sql(
+            f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS key, item"
+        )
+    try:
+        store = spark.sparkContext._jsc.sc().statusStore()
+        n0 = store.jobsList(None).size()
+        cat_dense = sim.set_similarity_stats_from_catalog(
+            spark, "setsim_cat_dense", "key", "item"
+        )
+        cat_sparse = sim.set_similarity_stats_from_catalog(
+            spark, "setsim_cat_sparse", "key", "item"
+        )
+        assert store.jobsList(None).size() == n0  # metadata-only
+        # catalog estimate agrees with exact stats on the decision
+        for name, cat in [
+            ("setsim_cat_dense", cat_dense),
+            ("setsim_cat_sparse", cat_sparse),
+        ]:
+            exact = sim.set_similarity_stats(spark.table(name), "key", "item")
+            assert cat["n_keys"] == exact["n_keys"]
+            assert sim.choose_set_similarity_path(
+                cat, pairs_per_key_budget=2, min_lsh_keys=10
+            ) == sim.choose_set_similarity_path(
+                exact, pairs_per_key_budget=2, min_lsh_keys=10
+            )
+        # the auto join with catalog stats must never touch the
+        # stats-job path
+        def boom(*a, **k):
+            raise AssertionError("pre-route stats job launched")
+
+        monkeypatch.setattr(sim, "set_similarity_stats", boom)
+        auto = sim.set_similarity_join_auto(
+            spark.table("setsim_cat_dense"), "key", "item", 3, 10,
+            pairs_per_key_budget=2, min_lsh_keys=10, stats=cat_dense,
+        )
+        assert auto.__setsim_path__ == "lsh"
+        assert auto.count() > 0
+        # un-analyzed table: loud failure, never a silent guess
+        spark.sql("DROP TABLE IF EXISTS setsim_cat_raw")
+        spark.createDataFrame(dense, "key long, item long").write.saveAsTable(
+            "setsim_cat_raw"
+        )
+        import pytest
+
+        with pytest.raises(ValueError, match="ANALYZE TABLE"):
+            sim.set_similarity_stats_from_catalog(
+                spark, "setsim_cat_raw", "key", "item"
+            )
+    finally:
+        for name in ("setsim_cat_dense", "setsim_cat_sparse", "setsim_cat_raw"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
