@@ -135,6 +135,7 @@ def near_dup_components(
     text_col: str = "text",
     max_iterations: int = 25,
     hot_bucket_cap: int | None = 256,
+    collapse_signatures: bool = True,
 ) -> DataFrame:
     """(doc_id, component) over the MinHash near-dup graph — result
     IDENTICAL to ``connected_components(minhash_lsh_pairs(docs))``
@@ -164,17 +165,33 @@ def near_dup_components(
     and each group's representative IS its min id, so labels agree
     too.
 
+    ``collapse_signatures=True`` (default, round 8) adds a SECOND
+    quotient level for the crawl-boilerplate case the exact collapse
+    cannot absorb: g byte-DISTINCT docs sharing the whole MinHash
+    signature (identical shingle sets, or near-identical sets whose
+    minima agree) are a clique by construction — identical signatures
+    agree on every band — so materializing their C(g,2) pair rows into
+    CC is pure waste. Text-reps are quotiented by full-signature
+    digest; banding, the candidate join, and CC run on one
+    representative per signature class; and class members inherit the
+    rep's component through the membership table — a STAR expansion,
+    Θ(g) rows, where the pair table is the Θ(g²) clique. A class with
+    g≥2 and no cross-class edge is its own component (labeled by its
+    rep = its min id). Equivalence mirrors the text-digest argument:
+    same-signature docs are always mutual LSH pairs, distinct
+    signatures collide iff their class reps collide, and every
+    quotient level's representative IS its min id, so min-label
+    propagation commutes with the quotient (pytest-pinned identical
+    to the uncollapsed composition).
+
     ``hot_bucket_cap`` (default 256, round 8) additionally arms the
     signature-digest hot-bucket quotient in
-    :func:`~.dedup.lsh_pairs_from_bands` on the REP graph: the exact
-    pre-collapse only absorbs byte-identical texts, so g byte-DISTINCT
-    boilerplate docs sharing every band hash (identical shingle sets,
-    or near-identical sets whose minima agree) would still pay
-    bands·g² band-join rows; over-cap buckets are quotiented by
-    whole-signature equality instead. Pair set — hence components —
-    identical by lsh_pairs_from_bands' pinned equivalence."""
+    :func:`~.dedup.lsh_pairs_from_bands` on the candidate join (pair
+    set identical by its pinned equivalence) — after the signature
+    collapse it only fires on hot buckets of DISTINCT signatures,
+    where it caps the residual bands·m² term."""
     from ..functions.text import token_count
-    from .dedup import minhash_lsh_pairs
+    from .dedup import lsh_pairs_from_bands, minhash_bands, minhash_lsh_pairs
 
     d = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
@@ -204,15 +221,62 @@ def near_dup_components(
         .filter(F.col("doc_id") == F.col("rep_id"))
         .select("doc_id", "text")
     )
-    pairs = minhash_lsh_pairs(
-        rep_docs, k=k, bands=bands, n=n, hot_bucket_cap=hot_bucket_cap
-    )
-    comp_rep = connected_components(pairs, max_iterations=max_iterations)
     membership = grp.select("doc_id", "digest").join(reps, "digest")
-    return (
-        membership.join(
-            comp_rep.withColumnRenamed("node", "rep_id"), "rep_id", "left"
+    if not collapse_signatures:
+        pairs = minhash_lsh_pairs(
+            rep_docs, k=k, bands=bands, n=n, hot_bucket_cap=hot_bucket_cap
         )
+        comp_rep = connected_components(pairs, max_iterations=max_iterations)
+        rep_label = comp_rep.withColumnRenamed("node", "rep_id")
+    else:
+        # Signature-class quotient. The band table is computed once for
+        # all text-reps (eager localCheckpoint — it feeds the digest
+        # pass, the class-rep filter, and the candidate join; the
+        # checkpoint is ContextCleaner-reclaimed with the result).
+        bands_df = minhash_bands(
+            rep_docs, k=k, bands=bands, n=n
+        ).localCheckpoint(eager=True)
+        # whole-signature digest: band-ordered band_hash chain — the
+        # same class key lsh_pairs_from_bands' hot path uses
+        sigd = bands_df.groupBy("doc_id").agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("band", "band_hash"))
+                        ),
+                        lambda s: s["band_hash"],
+                    ),
+                    "|",
+                )
+            ).alias("__sig")
+        )
+        cls = sigd.groupBy("__sig").agg(
+            F.min("doc_id").alias("rep2"), F.count(F.lit(1)).alias("g2")
+        )
+        mem2 = sigd.join(cls, "__sig").select("doc_id", "rep2", "g2")
+        rep2_bands = bands_df.join(
+            cls.select(F.col("rep2").alias("doc_id")), "doc_id"
+        )
+        pairs2 = lsh_pairs_from_bands(
+            rep2_bands, hot_bucket_cap=hot_bucket_cap
+        )
+        comp2 = connected_components(pairs2, max_iterations=max_iterations)
+        # per text-rep label: component of its class rep, else — for a
+        # g2≥2 class with no cross-class edge — the class itself is a
+        # clique/component labeled by its rep (= its min id). Docs with
+        # no signature row (zero shingles) fall through to the
+        # text-group rule below.
+        rep_label = mem2.join(
+            comp2.withColumnRenamed("node", "rep2"), "rep2", "left"
+        ).select(
+            F.col("doc_id").alias("rep_id"),
+            F.coalesce(
+                "component", F.when(F.col("g2") >= 2, F.col("rep2"))
+            ).alias("component"),
+        )
+    return (
+        membership.join(rep_label, "rep_id", "left")
         .withColumn(
             "component",
             F.coalesce(

@@ -447,9 +447,18 @@ def test_near_dup_components_cap_invariant(spark):
     rows.append((10, "unrelated text with completely different words here"))
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     want = sorted(
-        map(tuple, near_dup_components(docs, hot_bucket_cap=None).collect())
+        map(
+            tuple,
+            near_dup_components(
+                docs, hot_bucket_cap=None, collapse_signatures=False
+            ).collect(),
+        )
     )
-    got = sorted(
-        map(tuple, near_dup_components(docs, hot_bucket_cap=2).collect())
-    )
-    assert got == want and len(want) >= 5
+    for kwargs in (
+        {"hot_bucket_cap": 2},
+        {"hot_bucket_cap": None},
+        {"hot_bucket_cap": 2, "collapse_signatures": False},
+    ):
+        got = sorted(map(tuple, near_dup_components(docs, **kwargs).collect()))
+        assert got == want, kwargs
+    assert len(want) >= 5

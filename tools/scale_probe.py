@@ -325,6 +325,371 @@ def probe_setsim(spark, sf_dir: str, n: int) -> dict:
     )
     results["covisit_auto_pairs"] = auto.count()
     results["covisit_auto_s"] = round(time.perf_counter() - t0, 2)
+
+    # round-8 recall contract (VERDICT r7 #1): the default midpoint
+    # banding sits at ~0.5 recall AT the threshold by construction;
+    # measure the target_recall path at two targets against the exact
+    # pair count — cost curve (k grows with target) included
+    for tgt, label in [(0.8, "t80"), (0.95, "t95")]:
+        t0 = time.perf_counter()
+        j = set_similarity_join_auto(
+            sets, "user_id", "cell",
+            threshold_num=3, threshold_den=10,
+            dense_bitmap_domain=cells,
+            stats=dict(stats),
+            target_recall=tgt,
+        )
+        n_t = j.count()
+        results[f"covisit_auto_{label}_s"] = round(
+            time.perf_counter() - t0, 2
+        )
+        results[f"covisit_auto_{label}_pairs"] = n_t
+        meta = j.__setsim_meta__
+        results[f"covisit_auto_{label}_k"] = meta.get("k")
+        results[f"covisit_auto_{label}_bands"] = meta.get("bands")
+        results[f"covisit_auto_{label}_expected"] = meta.get(
+            "expected_recall_at_threshold"
+        )
+        if n_exact:
+            results[f"covisit_auto_{label}_recall"] = round(
+                n_t / n_exact, 4
+            )
+    return results
+
+
+def probe_lsh_hotband(spark, sf_dir: str, n: int) -> dict:
+    """Hot-band signature quotient (round-8 task #2): plant boilerplate
+    groups — ``n`` byte-DISTINCT case-variants per base doc (identical
+    shingle sets after lowercasing ⟹ identical whole signatures, but
+    distinct md5(text), so the exact-text pre-collapse cannot absorb
+    them) — and measure:
+
+    - the candidate PAIR join capped vs uncapped (the cap removes the
+      bands× band-join multiplier; the C(g,2) output floor remains in
+      both — pair fingerprints asserted identical);
+    - the CLUSTERING composition (near_dup_components) with the
+      round-8 signature-class star expansion vs the clique pipeline —
+      the end-to-end near-flat path (Θ(g) rows per group instead of
+      Θ(g²) pair rows), cluster fingerprints asserted identical."""
+    import hashlib
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.components import (
+        near_dup_components,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+        lsh_pairs_from_bands,
+        minhash_bands,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    # n case-variants per base doc: uppercase the (i mod n_words)-th
+    # word — byte-distinct, shingle-identical
+    variants = docs.crossJoin(
+        spark.range(n).select(F.col("id").alias("rep"))
+    ).select(
+        (F.col("doc_id") * 1000 + F.col("rep")).alias("doc_id"),
+        F.expr(
+            "array_join(transform(split(text, ' '), (w, i) -> "
+            "CASE WHEN i = int(rep % size(split(text, ' '))) "
+            "THEN upper(w) ELSE w END), ' ')"
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    out = os.path.join(tempfile.gettempdir(), f"docs_hotband_x{n}.parquet")
+    variants.write.mode("overwrite").parquet(out)
+    sdocs = spark.read.parquet(out)
+    results = {"family": "lsh_hotband", "replication": n, "rows": sdocs.count()}
+
+    def fp_pairs(df):
+        rows = sorted((r.doc_a, r.doc_b) for r in df.collect())
+        return hashlib.md5(repr(rows).encode()).hexdigest()[:16], len(rows)
+
+    bands_df = minhash_bands(sdocs).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    fp_u, n_u = fp_pairs(lsh_pairs_from_bands(bands_df))
+    results["pairs_uncapped_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    fp_c, n_c = fp_pairs(lsh_pairs_from_bands(bands_df, hot_bucket_cap=32))
+    results["pairs_capped_s"] = round(time.perf_counter() - t0, 2)
+    results["pairs"] = n_u
+    results["pairs_fp_uncapped"] = fp_u
+    results["pairs_fp_capped"] = fp_c
+    assert fp_u == fp_c
+
+    def fp_comp(df):
+        rows = sorted((r.doc_id, r.component) for r in df.collect())
+        return hashlib.md5(repr(rows).encode()).hexdigest()[:16], len(rows)
+
+    t0 = time.perf_counter()
+    fp_q, members = fp_comp(
+        near_dup_components(sdocs, max_iterations=30)
+    )
+    results["cc_star_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    fp_k, _ = fp_comp(
+        near_dup_components(
+            sdocs, max_iterations=30,
+            collapse_signatures=False, hot_bucket_cap=None,
+        )
+    )
+    results["cc_clique_s"] = round(time.perf_counter() - t0, 2)
+    results["cc_members"] = members
+    results["cc_fp_star"] = fp_q
+    results["cc_fp_clique"] = fp_k
+    assert fp_q == fp_k
+    return results
+
+
+def probe_dedup_e2e(spark, sf_dir: str, n: int) -> dict:
+    """Composed dedup pipeline at scale (round-8 task #5): the
+    deduped_corpus_stats composition — pairs → CC → keep-longest
+    survivors → surviving-corpus per-lang profile — on an
+    N×-replicated corpus (disjoint doc_id spaces, identical text).
+    Replication design makes the outputs REPLICATION-INVARIANT: every
+    cluster gains N× members, the keep-longest tie-break (smallest
+    doc_id) always picks the rep-0 document, so the survivor ID SET
+    and the per-lang profile must be identical at every N — the
+    fingerprints turn the scale run into a correctness check of the
+    whole composition."""
+    import hashlib
+
+    import __spark_entry__ as entry
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions import (
+        text as tx,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.components import (
+        near_dup_components,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dcopies = docs.crossJoin(
+        spark.range(n).select(F.col("id").alias("rep"))
+    ).select(
+        (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    dout = os.path.join(tempfile.gettempdir(), f"documents_e2e_x{n}.parquet")
+    dcopies.write.mode("overwrite").parquet(dout)
+    sdocs = spark.read.parquet(dout)
+    results = {"family": "dedup_e2e", "replication": n, "rows": sdocs.count()}
+
+    t0 = time.perf_counter()
+    comp = near_dup_components(sdocs, k=8, bands=4, n=3, max_iterations=30)
+    surv = entry._survivor_table(sdocs, comp).select(
+        (-F.col("top.nd")).alias("doc_id")
+    )
+    surviving = sdocs.join(surv, "doc_id")
+    stats_df = surviving.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(tx.token_count(F.col("text")).cast("long")).alias("n_tokens"),
+        F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    rows = sorted(tuple(map(repr, r)) for r in stats_df.collect())
+    results["e2e_s"] = round(time.perf_counter() - t0, 2)
+    results["lang_stats_fp"] = hashlib.md5(repr(rows).encode()).hexdigest()[:16]
+    surv_ids = sorted(r.doc_id for r in surv.collect())
+    results["survivors"] = len(surv_ids)
+    results["survivor_fp"] = hashlib.md5(repr(surv_ids).encode()).hexdigest()[
+        :16
+    ]
+    return results
+
+
+def probe_ingest_compact(spark, sf_dir: str, n: int) -> dict:
+    """Band-index retention (round-8 task #3): drive ``n`` ingest
+    epochs of fresh documents through the generation-chain band index
+    twice — once with the sliding-window retention compaction armed,
+    once unbounded — and record the per-merge wall curve. Without
+    retention the merge is a full-table rewrite of a monotonically
+    growing index (cost ∝ epoch); with the horizon the table is
+    bounded at the window's working set and merge cost goes flat.
+    Parity of the retained window is pinned by the pytest; here the
+    curves and final table sizes are the measurement."""
+    import shutil as _sh
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+        minhash_bands,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        load_table,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        IncrementalCountTable,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    results = {"family": "ingest_compact", "epochs": n}
+    horizon, every = 4, 2
+
+    def run(label: str, retained: bool) -> None:
+        path = os.path.join(tempfile.gettempdir(), f"bandidx_{label}_x{n}")
+        if os.path.isdir(path):
+            _sh.rmtree(path)
+        table = IncrementalCountTable(
+            spark,
+            path,
+            ["doc_id", "band", "band_hash"],
+            max_measures=("last_epoch",),
+        )
+        merge_s = []
+        for epoch in range(n):
+            batch = docs.select(
+                (F.col("doc_id") + epoch * 10_000_000).alias("doc_id"),
+                "text",
+            )
+            delta = (
+                minhash_bands(batch)
+                .groupBy("doc_id", "band", "band_hash")
+                .agg(
+                    F.count("*").alias("cnt"),
+                    F.lit(epoch).cast("long").alias("last_epoch"),
+                )
+            )
+            t0 = time.perf_counter()
+            table.merge_batch(delta, epoch)
+            if retained and epoch > 0 and epoch % every == 0:
+                table.compact(F.col("last_epoch") >= F.lit(epoch - horizon))
+            merge_s.append(round(time.perf_counter() - t0, 2))
+        results[f"{label}_merge_s"] = merge_s
+        results[f"{label}_first4_s"] = round(sum(merge_s[:4]), 2)
+        results[f"{label}_last4_s"] = round(sum(merge_s[-4:]), 2)
+        results[f"{label}_final_rows"] = table.read().count()
+
+    run("unbounded", retained=False)
+    run("retained", retained=True)
+    return results
+
+
+def probe_ivf_drift(spark, sf_dir: str, n: int) -> dict:
+    """IVF codebook drift (round-8 task #6): after 50% corpus turnover
+    into a SHIFTED distribution (new vectors get a constant offset on
+    the first dims — the embedding-model-update scenario), measure
+    serve recall@3 vs brute force with (a) the STALE codebook +
+    incrementally-maintained index vs (b) a codebook re-picked and the
+    index rebuilt on the final corpus. Also records the cheap drift
+    monitor — mean cos(vector, assigned centroid) before and after
+    turnover on the stale index — the statistic a deployment watches
+    to decide recentering (threshold documented in SCALE.md)."""
+    import shutil as _sh
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_centroid_rows,
+        ivf_topk,
+        perturbed_replicas,
+        recall_against,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        load_table,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        ivf_index_table,
+        ivf_index_upsert,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = perturbed_replicas(emb, n, noise=0.5)
+    out = os.path.join(tempfile.gettempdir(), f"emb_drift_x{n}.parquet")
+    base.withColumn("seq", F.lit(0).cast("long")).write.mode(
+        "overwrite"
+    ).parquet(out)
+    base = spark.read.parquet(out)
+    n_rows = base.count()
+    results = {"family": "ivf_drift", "replication": n, "rows": n_rows}
+
+    cent0 = ivf_centroid_rows(base, 16)
+    tbl_dir = os.path.join(tempfile.gettempdir(), f"ivf_drift_tbl_x{n}")
+    if os.path.isdir(tbl_dir):
+        _sh.rmtree(tbl_dir)
+    table = ivf_index_table(spark, tbl_dir)
+    ivf_index_upsert(table, base, cent0, epoch_id=0, dim=64)
+
+    def mean_assigned_cos(index_df) -> float:
+        cent_df = spark.createDataFrame(
+            [(c, v) for c, v in cent0],
+            "centroid_id long, c_vec array<double>",
+        )
+        return round(
+            index_df.join(F.broadcast(cent_df), "centroid_id")
+            .select(
+                cosine_similarity(F.col("c_emb"), F.col("c_vec")).alias("c")
+            )
+            .agg(F.avg("c"))
+            .collect()[0][0],
+            4,
+        )
+
+    results["mean_assigned_cos_before"] = mean_assigned_cos(table.read())
+
+    # 50% turnover: replace every even-id vector with a re-embedded
+    # version under a SHIFTED model — 8 new cluster directions
+    # (vec_id-keyed 8-dim blocks, +0.75/dim ≈ 6× the unit-normalized
+    # corpus's ~0.125 rms component, within-cluster cos ≈ 0.8). Eight
+    # moderate clusters is the adversarial staleness case: more new
+    # directions than nprobe covers, none aligned with a stale
+    # centroid, so the stale lists scatter each new cluster while a
+    # recentered codebook can give each one its own list.
+    turned = base.filter(F.col("vec_id") % 2 == 0).select(
+        "vec_id",
+        F.lit(1).cast("long").alias("seq"),
+        F.expr(
+            "transform(cast(embedding as array<double>), (x, j) -> "
+            "CASE WHEN int(j div 8) = int(vec_id % 8) "
+            "THEN x + 0.75 ELSE x END)"
+        ).alias("embedding"),
+    )
+    ivf_index_upsert(table, turned, cent0, epoch_id=1, dim=64)
+    stale_index = table.read()
+    results["mean_assigned_cos_after"] = mean_assigned_cos(stale_index)
+
+    final = (
+        base.filter(F.col("vec_id") % 2 == 1)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .unionByName(turned.select("vec_id", "embedding"))
+        .localCheckpoint(eager=True)
+    )
+    queries = final.filter(F.col("vec_id") < 5)
+    bf = brute_force_topk(final, queries, k=3, dim=64).persist()
+    bf.count()
+
+    t0 = time.perf_counter()
+    served_stale = ivf_topk(
+        final, queries, k=3, nprobe=4, dim=64,
+        centroids=cent0, assigned=stale_index,
+    )
+    results["recall_stale_codebook"] = recall_against(bf, served_stale)
+    results["serve_stale_s"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    cent1 = ivf_centroid_rows(final, 16)
+    reb_dir = os.path.join(tempfile.gettempdir(), f"ivf_drift_reb_x{n}.parquet")
+    ivf_assign(final, cent1, dim=64).write.mode("overwrite").parquet(reb_dir)
+    results["recenter_rebuild_s"] = round(time.perf_counter() - t0, 2)
+    rebuilt = spark.read.parquet(reb_dir)
+    served_reb = ivf_topk(
+        final, queries, k=3, nprobe=4, dim=64,
+        centroids=cent1, assigned=rebuilt,
+    )
+    results["recall_rebuilt_codebook"] = recall_against(bf, served_reb)
+    bf.unpersist()
     return results
 
 
@@ -485,6 +850,10 @@ FAMILIES = {
     "setsim": probe_setsim,
     "cc": probe_cc,
     "ivf_incr": probe_ivf_incr,
+    "lsh_hotband": probe_lsh_hotband,
+    "dedup_e2e": probe_dedup_e2e,
+    "ingest_compact": probe_ingest_compact,
+    "ivf_drift": probe_ivf_drift,
 }
 
 
