@@ -2804,6 +2804,62 @@ def _q_user_covisit_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=16,
         bands=8,
         dense_bitmap_domain=cells,
+        # fixed parameterization → one bounded CacheManager entry,
+        # reused across invocations (round-8 materialize contract)
+        materialize="persist",
+    )
+    union_sz = F.col("sz_a") + F.col("sz_b") - F.col("n_shared")
+    return pairs.select(
+        F.col("key_a").alias("u1"),
+        F.col("key_b").alias("u2"),
+        "n_shared",
+        (F.col("n_shared").cast("double") / union_sz.cast("double")).alias(
+            "jacc"
+        ),
+    )
+
+
+def _q_user_covisit_lsh_t90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-CONTRACT LSH set-similarity join (batch 28, round 8,
+    VERDICT r7 #1): the same covisit workload as `user_covisit_lsh`,
+    but banded by :func:`choose_lsh_params` for an explicit guarantee —
+    P(candidate) ≥ 0.9 for EVERY qualifying pair (margin 0: the floor
+    holds at the threshold itself, and P is monotone in J above it),
+    instead of the midpoint banding's ~0.5 at the boundary. At the
+    0.3 threshold that selection is k=50, 25 bands × 2 rows
+    (pinned in tests/test_plans.py against the library math); the
+    signature is 3.1× wider than the default 16 — the measured,
+    documented price of the contract. The oracle mirrors the FULL
+    contract banding parametrically (50 min-md5 signatures, 25 band
+    hashes, candidate equi-join + integer size prune, exact
+    verification), so the guarantee's mechanism — not just its output
+    — is engine-differentially checked."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        choose_lsh_params,
+        set_similarity_join_lsh,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = 2000
+    sets = ev.select(
+        "user_id",
+        F.pmod(F.floor(F.col("value")).cast("long"), F.lit(cells)).alias(
+            "cell"
+        ),
+    ).distinct()
+    k, bands = choose_lsh_params(3, 10, target_recall=0.9)
+    pairs = set_similarity_join_lsh(
+        sets,
+        "user_id",
+        "cell",
+        threshold_num=3,
+        threshold_den=10,
+        k=k,
+        bands=bands,
+        dense_bitmap_domain=cells,
+        # fixed parameterization → one bounded CacheManager entry,
+        # reused across invocations (round-8 materialize contract)
+        materialize="persist",
     )
     union_sz = F.col("sz_a") + F.col("sz_b") - F.col("n_shared")
     return pairs.select(
@@ -6064,6 +6120,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": _q_dedup_survivors,
         "deduped_corpus_stats": _q_deduped_corpus_stats,
         "user_covisit_lsh": _q_user_covisit_lsh,
+        "user_covisit_lsh_t90": _q_user_covisit_lsh_t90,
         "near_dup_pairs_auto": _q_near_dup_pairs_auto,
         "cluster_size_histogram": _q_cluster_size_histogram,
     }
@@ -6208,6 +6265,68 @@ def _dedup_survivors_oracle() -> str:
         SELECT cluster_id, n_members, doc_id AS survivor_doc_id,
                nc AS survivor_chars, n_members - 1 AS n_dropped
         FROM ranked WHERE rn = 1
+    """
+
+
+def _covisit_lsh_oracle_params(k: int, bands: int) -> str:
+    """DuckDB mirror of set_similarity_join_lsh on the covisit sets
+    for an ARBITRARY (k, bands) scheme — generates the same structure
+    as the hand-written k=16/8×2 twin below (min-md5 signatures →
+    band hashes → candidate equi-join with the integer size prune →
+    exact shared-cell verification), so the round-8 recall-contract
+    banding (choose_lsh_params output) gets the same engine-
+    differential check as the default banding."""
+    r = k // bands
+    mh_cols = ",\n                     ".join(
+        f"min(md5('{i}:' || CAST(cell AS VARCHAR))) AS mh_{i}"
+        for i in range(k)
+    )
+    band_selects = "\n              UNION ALL\n              ".join(
+        "SELECT user_id, sz, {b} AS band, md5({expr}) AS band_hash "
+        "FROM sig WHERE mh_0 IS NOT NULL".format(
+            b=b,
+            expr=" || '|' || ".join(
+                f"mh_{i}" for i in range(b * r, (b + 1) * r)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+            WITH sets AS (
+              SELECT DISTINCT user_id,
+                     (((CAST(floor(value) AS BIGINT) % 2000) + 2000)
+                      % 2000) AS cell
+              FROM events
+            ),
+            sig AS (
+              SELECT user_id, count(*) AS sz,
+                     {mh_cols}
+              FROM sets GROUP BY user_id
+            ),
+            bands AS (
+              {band_selects}
+            ),
+            cand AS (
+              SELECT DISTINCT a.user_id AS u1, b.user_id AS u2,
+                     a.sz AS sz_a, b.sz AS sz_b
+              FROM bands a
+              JOIN bands b ON a.band = b.band
+                          AND a.band_hash = b.band_hash
+                          AND a.user_id < b.user_id
+              WHERE 10 * least(a.sz, b.sz) >= 3 * greatest(a.sz, b.sz)
+            ),
+            inter AS (
+              SELECT c.u1, c.u2, c.sz_a, c.sz_b, count(*) AS n_shared
+              FROM cand c
+              JOIN sets sa ON sa.user_id = c.u1
+              JOIN sets sb ON sb.user_id = c.u2 AND sb.cell = sa.cell
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT u1, u2, n_shared,
+                   CAST(n_shared AS DOUBLE)
+                   / CAST(sz_a + sz_b - n_shared AS DOUBLE) AS jacc
+            FROM inter
+            WHERE 10 * n_shared >= 3 * (sz_a + sz_b - n_shared)
     """
 
 
@@ -7816,6 +7935,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_survivors": _dedup_survivors_oracle(),
         "deduped_corpus_stats": _deduped_corpus_stats_oracle(),
         "user_covisit_lsh": _covisit_lsh_oracle(),
+        # recall-contract banding: must match choose_lsh_params(3,10,0.9)
+        # (pinned in tests/test_plans.py)
+        "user_covisit_lsh_t90": _covisit_lsh_oracle_params(50, 25),
         "cluster_size_histogram": _cluster_size_histogram_oracle(),
         "value_histogram": """
             SELECT event_type,

@@ -365,8 +365,18 @@ def lsh_pairs_from_bands(
     cold bucket survives the cold path, a pair sharing only hot
     buckets collides iff its signature classes' reps collide, and the
     final distinct dedups pairs found by both. Default None keeps the
-    single-join plan (two fewer exchanges — right when no bucket is
-    hot, e.g. post-exact-collapse corpora)."""
+    single-join plan — and the round-8 measurement says to KEEP that
+    default for pair-materializing consumers (SCALE_PROBE_r8
+    lsh_hotband: at g=256 planted boilerplate the uncapped codegen'd
+    hash join clears the 52M narrow band-join rows in 3.8 s while the
+    quotient's extra exchanges + skewed expansion joins cost 24.5 s;
+    the C(g,2) OUTPUT floor dominates asymptotically either way). When
+    the consumer is clustering, don't cap here — use
+    ``near_dup_components(collapse_signatures=True)``, whose star
+    expansion skips materializing the clique entirely (measured
+    near-flat). The cap remains for genuinely enormous mixed-signature
+    buckets where bands·m² join rows, not output, are the binding
+    term."""
     if hot_bucket_cap is None:
         a = bands_df.alias("a")
         b_ = bands_df.alias("b")

@@ -1010,6 +1010,7 @@ def set_similarity_join_lsh(
     bands: int = 8,
     dense_bitmap_domain: int | None = None,
     collapse_identical: bool = True,
+    materialize: str = "checkpoint",
 ) -> DataFrame:
     """MinHash-LSH candidate generation + EXACT verification for the
     generic (key, item) set table — the dense-regime escape hatch of
@@ -1114,17 +1115,29 @@ def set_similarity_join_lsh(
     ]
     # One materialization: the signature/payload table feeds the band
     # table (both self-join sides), the verification join-backs, and
-    # (when collapsing) the group membership/expansion joins. Eager
-    # localCheckpoint, NOT .persist() (round-8 lifecycle fix): varied
-    # (k, bands, threshold) invocations in one session would pin one
-    # CacheManager entry each forever; checkpoint blocks are
-    # ContextCleaner-reclaimed once the caller drops the result.
+    # (when collapsing) the group membership/expansion joins.
+    # ``materialize="checkpoint"`` (default, the round-8 lifecycle
+    # rule) uses an eager localCheckpoint whose blocks the
+    # ContextCleaner reclaims once the caller drops the result —
+    # varied (k, bands, threshold) invocations (the auto router's
+    # case) never accumulate CacheManager entries (pytest-pinned).
+    # ``materialize="persist"`` keeps the CacheManager entry: right
+    # for FIXED-parameterization registered queries, where the
+    # canonical plan is one bounded entry reused across repeated
+    # invocations (the bench's warm iterations) instead of
+    # re-signing the corpus each call.
     # Keys whose items are all NULL have a NULL mh_0; they can never
     # qualify (|∩|=0 < num·|∪| for num>0), so they are dropped before
     # banding rather than colliding in one degenerate md5('') bucket.
+    if materialize not in ("checkpoint", "persist"):
+        raise ValueError(f"materialize must be checkpoint|persist: {materialize}")
     if collapse_identical:
         sig = _with_set_digest(sig, "payload")
-    sig = sig.localCheckpoint(eager=True)
+    sig = (
+        sig.persist()
+        if materialize == "persist"
+        else sig.localCheckpoint(eager=True)
+    )
     if collapse_identical:
         grp, work = _identical_set_groups(sig)
     else:

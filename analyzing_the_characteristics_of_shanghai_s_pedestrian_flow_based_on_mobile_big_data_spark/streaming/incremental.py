@@ -21,6 +21,13 @@ advanced but before the streaming checkpoint committed:
 At scale the swap becomes a MERGE INTO on Delta/Iceberg and the
 read-modify-write narrows to the touched partitions (counts are
 partitioned by hour → only the watermark-recent partitions rewrite).
+Round 8 implements exactly that narrowing on plain parquet:
+:class:`PartitionedIncrementalCountTable` keeps a manifest of
+partition dirs, rewrites only the partitions a delta touches, and
+reuses the rest verbatim — merge cost Θ(delta + touched partitions),
+measured flat vs the monolithic chain's linear growth
+(SCALE_PROBE_r8 ingest_narrow). For bounded-history contracts,
+:meth:`IncrementalCountTable.compact` adds retention instead.
 """
 
 from __future__ import annotations
@@ -223,6 +230,217 @@ class IncrementalCountTable:
         gens.sort(key=gen_rank, reverse=True)
         for d in gens[self.retain:]:
             shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+
+
+class PartitionedIncrementalCountTable(IncrementalCountTable):
+    """Partition-narrowed generation chain (round 8, VERDICT r7 #3's
+    structural half): the monolithic chain rewrites the WHOLE table
+    per merge, so an ever-growing table makes every merge Θ(table).
+    This variant implements the partition-narrowing the class
+    docstring deferred to Delta/Iceberg, with plain parquet + a
+    manifest:
+
+    - ``partition_col`` must be one of ``keys`` with path-safe,
+      LOW-CARDINALITY-PER-DELTA values (an hour/date string, an epoch
+      bucket): the watermark property — a micro-batch's rows touch
+      only recent partitions — is what makes narrowing pay.
+    - A generation is a MANIFEST mapping partition value → the parquet
+      dir holding that partition's current rows (each dir keeps the
+      partition column as a normal data column, so ``read()`` is one
+      multi-path parquet scan with a uniform schema).
+    - ``merge_batch`` lists the delta's distinct partition values (a
+      bounded driver read — that is the watermark contract), reads and
+      re-combines ONLY those partitions' dirs, writes one fresh dir
+      per touched partition, and publishes a new manifest that reuses
+      the untouched partitions' dirs verbatim. Merge cost:
+      Θ(delta + touched-partition rows), independent of table size —
+      measured in scale_probe --family ingest_narrow against the
+      monolithic chain.
+    - Exactly-once rides the SAME pointer protocol as the base class
+      (CURRENT → manifest, epoch, parent manifest): a replayed epoch
+      rebases onto the parent manifest, whose dirs GC always keeps.
+    - GC deletes a superseded generation dir only when no kept
+      manifest (current, parent, the ``retain`` most recent) still
+      references it — partitions age out of rewrites naturally, so
+      old dirs survive exactly as long as a live manifest points at
+      them.
+
+    A delta that back-fills MANY partitions degrades toward the full
+    rewrite (one filtered write per touched partition) — that is the
+    same trade a MERGE INTO with partition pruning makes."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: list[str],
+        partition_col: str,
+        retain: int = 2,
+        measures: tuple[str, ...] = ("cnt",),
+        min_measures: tuple[str, ...] = (),
+        max_measures: tuple[str, ...] = (),
+    ):
+        super().__init__(
+            spark,
+            path,
+            keys,
+            retain=retain,
+            measures=measures,
+            min_measures=min_measures,
+            max_measures=max_measures,
+        )
+        if partition_col not in keys:
+            raise ValueError(
+                f"partition_col {partition_col!r} must be one of keys {keys}"
+            )
+        self.partition_col = partition_col
+
+    # manifest helpers -------------------------------------------------
+    def _load_manifest(self, name: str) -> dict:
+        with open(os.path.join(self.path, name)) as f:
+            return json.load(f)
+
+    def read(self) -> DataFrame | None:
+        ptr = self._pointer()
+        if ptr is None:
+            return None
+        parts = self._load_manifest(ptr["gen"])["parts"]
+        if not parts:
+            return None
+        dirs = [os.path.join(self.path, d) for d in sorted(set(parts.values()))]
+        return self.spark.read.parquet(*dirs)
+
+    def merge_batch(self, delta: DataFrame, epoch_id: int) -> None:
+        ptr = self._pointer()
+        if ptr is not None and ptr["epoch"] == epoch_id:
+            base_name = ptr["parent"]  # replay: pointer already advanced
+        else:
+            base_name = ptr["gen"] if ptr is not None else None
+        base_parts: dict = (
+            self._load_manifest(base_name)["parts"] if base_name else {}
+        )
+        # the watermark read: which partitions does this delta touch?
+        # NULL partition keys ride a sentinel value so they are never
+        # silently dropped (NULL == NULL is false in the filter below)
+        pcol = self.partition_col
+        pstr = F.coalesce(F.col(pcol).cast("string"), F.lit("__null__"))
+        touched = [
+            str(r[0]) for r in delta.select(pstr).distinct().collect()
+        ]
+        gen = f"gen_{epoch_id}_{uuid.uuid4().hex[:8]}"
+        new_parts = dict(base_parts)
+        for pv in sorted(touched):
+            old_dir = base_parts.get(pv)
+            d_part = delta.filter(pstr == pv)
+            if old_dir is not None:
+                existing = self.spark.read.parquet(
+                    os.path.join(self.path, old_dir)
+                )
+                merged = self._combine(existing.unionByName(d_part))
+            else:
+                merged = self._combine(d_part)
+            rel = os.path.join(gen, f"p_{_safe_part(pv)}")
+            merged.write.mode("overwrite").parquet(
+                os.path.join(self.path, rel)
+            )
+            new_parts[pv] = rel
+        manifest = f"manifest_{epoch_id}_{uuid.uuid4().hex[:8]}.json"
+        with open(os.path.join(self.path, manifest + ".tmp"), "w") as f:
+            json.dump({"parts": new_parts}, f)
+        os.replace(
+            os.path.join(self.path, manifest + ".tmp"),
+            os.path.join(self.path, manifest),
+        )
+        tmp = os.path.join(self.path, "CURRENT.tmp")
+        with open(tmp, "w") as f:
+            json.dump(
+                {"gen": manifest, "epoch": epoch_id, "parent": base_name}, f
+            )
+        os.replace(tmp, os.path.join(self.path, "CURRENT"))
+        self._gc(keep_manifests={manifest, base_name})
+
+    def compact(self, keep=None) -> None:
+        """Retention compaction: rewrite every partition the predicate
+        filters, drop partitions it empties. Full-table cost — pair it
+        with the partition narrowing (compaction is rare; merges are
+        every epoch)."""
+        ptr = self._pointer()
+        if ptr is None:
+            return
+        parts = self._load_manifest(ptr["gen"])["parts"]
+        gen = f"gen_{ptr['epoch'] if ptr['epoch'] is not None else 0}_c{uuid.uuid4().hex[:8]}"
+        new_parts: dict = {}
+        for pv, rel in sorted(parts.items()):
+            df = self.spark.read.parquet(os.path.join(self.path, rel))
+            if keep is not None:
+                df = df.filter(keep)
+            if df.limit(1).count() == 0:
+                continue
+            nrel = os.path.join(gen, f"p_{_safe_part(pv)}")
+            df.write.mode("overwrite").parquet(os.path.join(self.path, nrel))
+            new_parts[pv] = nrel
+        manifest = f"manifest_{ptr['epoch'] or 0}_c{uuid.uuid4().hex[:8]}.json"
+        with open(os.path.join(self.path, manifest + ".tmp"), "w") as f:
+            json.dump({"parts": new_parts}, f)
+        os.replace(
+            os.path.join(self.path, manifest + ".tmp"),
+            os.path.join(self.path, manifest),
+        )
+        tmp = os.path.join(self.path, "CURRENT.tmp")
+        with open(tmp, "w") as f:
+            json.dump(
+                {"gen": manifest, "epoch": ptr["epoch"], "parent": ptr["parent"]},
+                f,
+            )
+        os.replace(tmp, os.path.join(self.path, "CURRENT"))
+        self._gc(keep_manifests={manifest, ptr["parent"]})
+
+    def _gc(self, keep_manifests: set) -> None:
+        """Delete superseded manifests beyond the retain window, then
+        any generation dir no kept manifest references."""
+        manifests = [
+            m
+            for m in os.listdir(self.path)
+            if m.startswith("manifest_")
+            and not m.endswith(".tmp")
+            and m not in keep_manifests
+        ]
+
+        def m_rank(m: str) -> tuple[int, float]:
+            try:
+                e = int(m.split("_")[1])
+            except (IndexError, ValueError):
+                e = -1
+            return (e, os.path.getmtime(os.path.join(self.path, m)))
+
+        manifests.sort(key=m_rank, reverse=True)
+        kept = set(k for k in keep_manifests if k) | set(
+            manifests[: self.retain]
+        )
+        for m in manifests[self.retain:]:
+            try:
+                os.remove(os.path.join(self.path, m))
+            except OSError:
+                pass
+        referenced = set()
+        for m in kept:
+            try:
+                parts = self._load_manifest(m)["parts"]
+            except (OSError, json.JSONDecodeError):
+                continue
+            for rel in parts.values():
+                referenced.add(rel.split(os.sep)[0])
+        for d in os.listdir(self.path):
+            if d.startswith("gen_") and d not in referenced:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+
+
+def _safe_part(value: str) -> str:
+    """Path-safe encoding of a partition value (hex of anything not
+    [A-Za-z0-9_-])."""
+    return "".join(
+        c if c.isalnum() or c in "_-" else f"x{ord(c):02x}" for c in value
+    )
 
 
 def incremental_occupancy_stream(

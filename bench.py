@@ -195,6 +195,9 @@ HEADLINE = [
     "deduped_corpus_stats",
     "user_covisit_lsh",
     "near_dup_pairs_auto",
+    # batch-28 addition (round 8): the recall-contract banding as a
+    # first-class oracle-paired query
+    "user_covisit_lsh_t90",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

@@ -433,32 +433,46 @@ def test_lsh_hot_bucket_cap_pairs_identical(spark):
 
 def test_near_dup_components_cap_invariant(spark):
     """near_dup_components labels must not depend on the hot-bucket
-    cap (the quotient is a physical-plan choice only)."""
+    cap or the signature-class star expansion (both are physical-plan
+    choices only). Two boilerplate group sizes bracket the adaptive
+    savings gate: the 12-variant group (Σ C(g,2)=66 > 2·docs) ENGAGES
+    the star quotient, the lone pair stays on the skip path — the
+    labels must be identical to the uncollapsed clique composition in
+    both regimes."""
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.components import (
         near_dup_components,
     )
 
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     rows = []
-    for i in range(5):
+    for i in range(12):
         words = base.split()
-        words[i] = words[i].upper()
-        rows.append((i, " ".join(words)))
-    rows.append((10, "unrelated text with completely different words here"))
-    docs = spark.createDataFrame(rows, "doc_id long, text string")
-    want = sorted(
-        map(
-            tuple,
-            near_dup_components(
-                docs, hot_bucket_cap=None, collapse_signatures=False
-            ).collect(),
+        words[i % len(words)] = words[i % len(words)].upper() + (
+            "" if i < len(words) else "X"
         )
-    )
-    for kwargs in (
-        {"hot_bucket_cap": 2},
-        {"hot_bucket_cap": None},
-        {"hot_bucket_cap": 2, "collapse_signatures": False},
-    ):
-        got = sorted(map(tuple, near_dup_components(docs, **kwargs).collect()))
-        assert got == want, kwargs
-    assert len(want) >= 5
+        rows.append((i, " ".join(words)))
+    rows.append((10_000, "unrelated text with completely different words here"))
+    docs12 = spark.createDataFrame(rows, "doc_id long, text string")
+    small = [(i, r[1]) for i, r in enumerate(rows[:5])] + [
+        (10_000, "unrelated text with completely different words here")
+    ]
+    docs5 = spark.createDataFrame(small, "doc_id long, text string")
+    for docs in (docs12, docs5):
+        want = sorted(
+            map(
+                tuple,
+                near_dup_components(
+                    docs, hot_bucket_cap=None, collapse_signatures=False
+                ).collect(),
+            )
+        )
+        for kwargs in (
+            {"hot_bucket_cap": 2},
+            {"hot_bucket_cap": None},
+            {"hot_bucket_cap": 2, "collapse_signatures": False},
+        ):
+            got = sorted(
+                map(tuple, near_dup_components(docs, **kwargs).collect())
+            )
+            assert got == want, kwargs
+        assert len(want) >= 5

@@ -312,3 +312,16 @@ def test_registered_path_selections_pinned(spark):
     # n-gram Jaccard SQL — an LSH flip would make the oracle row lie)
     ndp = entrymod._q_near_dup_pairs_auto(spark, SF_SMALL)
     assert ndp.__setsim_path__ == "exact"
+
+    # 5) user_covisit_lsh_t90 (round 8): the registered query derives
+    # its banding from choose_lsh_params, and the oracle SQL is
+    # GENERATED for (50, 25) — if the library selection ever moves,
+    # this pin fails before the oracle row silently mismatches.
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        choose_lsh_params,
+        lsh_collision_probability,
+    )
+
+    k_c, b_c = choose_lsh_params(3, 10, target_recall=0.9)
+    assert (k_c, b_c) == (50, 25)
+    assert lsh_collision_probability(0.3, k_c, b_c) >= 0.9

@@ -169,14 +169,19 @@ EXCHANGE_CEILING = {
     # Raised in round 7: the exact-digest pre-collapse adds a digest
     # groupBy + membership/expansion joins — narrow (digest, id)
     # exchanges that buy away the Θ(g²) band-join blowup on exact-dup
-    # groups (SCALE.md §Round 7: 54 s → 7 s at 64×)
-    "dedup_survivors": 12,
-    "cluster_size_histogram": 10,
-    "near_dup_clusters": 6,
+    # groups (SCALE.md §Round 7: 54 s → 7 s at 64×). Raised again in
+    # round 8: the signature-class star expansion adds the
+    # whole-signature digest groupBy + class/membership joins — more
+    # narrow (digest, id) exchanges that replace the C(g,2)
+    # boilerplate-clique pair rows with Θ(g) star rows (SCALE.md
+    # §Round 8: CC near-flat at g=16→256 while the clique grows)
+    "dedup_survivors": 24,
+    "cluster_size_histogram": 22,
+    "near_dup_clusters": 18,
     # batch 27 (round 7): composed end-to-end dedup pipeline — the
     # survivor agg + join-back + lang profile on top of the
     # dedup_survivors chain (CC rounds behind checkpoints as above)
-    "deduped_corpus_stats": 16,  # includes the r7 pre-collapse stages
+    "deduped_corpus_stats": 28,  # includes the r7+r8 collapse stages
     # signature agg + band fanout both sides + candidate distinct +
     # two payload join-backs — each narrow (digests/ids), by design
     # static pre-AQE count; the identical-set collapse adds the digest
