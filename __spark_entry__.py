@@ -2762,27 +2762,17 @@ def _q_user_covisit_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_user_covisit_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH set-similarity join on the covisit workload
-    (batch 27) — the dense-regime escape hatch that
-    ``set_similarity_join_auto`` routes to above the handoff
-    (VERDICT r6 #1), registered as its own oracle-paired query so the
-    approximation itself is engine-differentially checked: the oracle
-    mirrors the k=16 min-md5 signatures, the 8×2 banding, the
-    (band, band_hash) candidate equi-join with the integer size-ratio
-    prune, and the EXACT verification — so both engines must agree on
-    every candidate AND its exact (n_shared, sz, jacc). Output is a
-    strict subset of user_covisit_jaccard's pairs (no false positives
-    by construction; misses only where no band agrees —
-    P = 1−(1−J²)^8). Scale shape: signatures are one map-side-combined
-    exchange on user; candidates come from a hash equi-join on 32-char
-    band hashes — never the Ω(U²) pair loop the exact paths need in
-    this regime (measured, SCALE_PROBE_r7 setsim family). Identical
-    SETS are collapsed to one representative before banding
-    (collapse_identical, late round 7): on the duplicated 16× probe
-    corpus that is 8.7× (128 → 15 s, bit-identical pairs); on this
-    duplicate-free corpus it costs a ~1.2 s constant — the price of
-    being structurally immune to the Σg² band-join blowup."""
+def _covisit_lsh_query(
+    spark: SparkSession, sf_dir: str, k: int, bands: int
+) -> DataFrame:
+    """ONE covisit-LSH definition shared by `user_covisit_lsh` (the
+    midpoint 16/8 banding) and `user_covisit_lsh_t90` (the
+    choose_lsh_params contract banding): the sets construction, the
+    3/10 threshold, the dense-bitmap domain, the materialize contract,
+    and the output projection live here exactly once — a tweak to the
+    cell hashing cannot silently diverge the siblings (their oracles
+    are generated from the same (k, bands) via
+    _covisit_lsh_oracle_params)."""
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
         set_similarity_join_lsh,
     )
@@ -2795,59 +2785,6 @@ def _q_user_covisit_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell"
         ),
     ).distinct()
-    pairs = set_similarity_join_lsh(
-        sets,
-        "user_id",
-        "cell",
-        threshold_num=3,
-        threshold_den=10,
-        k=16,
-        bands=8,
-        dense_bitmap_domain=cells,
-        # fixed parameterization → one bounded CacheManager entry,
-        # reused across invocations (round-8 materialize contract)
-        materialize="persist",
-    )
-    union_sz = F.col("sz_a") + F.col("sz_b") - F.col("n_shared")
-    return pairs.select(
-        F.col("key_a").alias("u1"),
-        F.col("key_b").alias("u2"),
-        "n_shared",
-        (F.col("n_shared").cast("double") / union_sz.cast("double")).alias(
-            "jacc"
-        ),
-    )
-
-
-def _q_user_covisit_lsh_t90(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall-CONTRACT LSH set-similarity join (batch 28, round 8,
-    VERDICT r7 #1): the same covisit workload as `user_covisit_lsh`,
-    but banded by :func:`choose_lsh_params` for an explicit guarantee —
-    P(candidate) ≥ 0.9 for EVERY qualifying pair (margin 0: the floor
-    holds at the threshold itself, and P is monotone in J above it),
-    instead of the midpoint banding's ~0.5 at the boundary. At the
-    0.3 threshold that selection is k=50, 25 bands × 2 rows
-    (pinned in tests/test_plans.py against the library math); the
-    signature is 3.1× wider than the default 16 — the measured,
-    documented price of the contract. The oracle mirrors the FULL
-    contract banding parametrically (50 min-md5 signatures, 25 band
-    hashes, candidate equi-join + integer size prune, exact
-    verification), so the guarantee's mechanism — not just its output
-    — is engine-differentially checked."""
-    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
-        choose_lsh_params,
-        set_similarity_join_lsh,
-    )
-
-    ev = load_table(spark, sf_dir, "events")
-    cells = 2000
-    sets = ev.select(
-        "user_id",
-        F.pmod(F.floor(F.col("value")).cast("long"), F.lit(cells)).alias(
-            "cell"
-        ),
-    ).distinct()
-    k, bands = choose_lsh_params(3, 10, target_recall=0.9)
     pairs = set_similarity_join_lsh(
         sets,
         "user_id",
@@ -2870,6 +2807,53 @@ def _q_user_covisit_lsh_t90(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jacc"
         ),
     )
+
+
+def _q_user_covisit_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH set-similarity join on the covisit workload
+    (batch 27) — the dense-regime escape hatch that
+    ``set_similarity_join_auto`` routes to above the handoff
+    (VERDICT r6 #1), registered as its own oracle-paired query so the
+    approximation itself is engine-differentially checked: the oracle
+    mirrors the k=16 min-md5 signatures, the 8×2 banding, the
+    (band, band_hash) candidate equi-join with the integer size-ratio
+    prune, and the EXACT verification — so both engines must agree on
+    every candidate AND its exact (n_shared, sz, jacc). Output is a
+    strict subset of user_covisit_jaccard's pairs (no false positives
+    by construction; misses only where no band agrees —
+    P = 1−(1−J²)^8). Scale shape: signatures are one map-side-combined
+    exchange on user; candidates come from a hash equi-join on 32-char
+    band hashes — never the Ω(U²) pair loop the exact paths need in
+    this regime (measured, SCALE_PROBE_r7 setsim family). Identical
+    SETS are collapsed to one representative before banding
+    (collapse_identical, late round 7): on the duplicated 16× probe
+    corpus that is 8.7× (128 → 15 s, bit-identical pairs); on this
+    duplicate-free corpus it costs a ~1.2 s constant — the price of
+    being structurally immune to the Σg² band-join blowup."""
+    return _covisit_lsh_query(spark, sf_dir, k=16, bands=8)
+
+
+def _q_user_covisit_lsh_t90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-CONTRACT LSH set-similarity join (batch 28, round 8,
+    VERDICT r7 #1): the same covisit workload as `user_covisit_lsh`,
+    but banded by :func:`choose_lsh_params` for an explicit guarantee —
+    P(candidate) ≥ 0.9 for EVERY qualifying pair (margin 0: the floor
+    holds at the threshold itself, and P is monotone in J above it),
+    instead of the midpoint banding's ~0.5 at the boundary. At the
+    0.3 threshold that selection is k=50, 25 bands × 2 rows
+    (pinned in tests/test_plans.py against the library math); the
+    signature is 3.1× wider than the default 16 — the measured,
+    documented price of the contract. The oracle mirrors the FULL
+    contract banding parametrically (50 min-md5 signatures, 25 band
+    hashes, candidate equi-join + integer size prune, exact
+    verification), so the guarantee's mechanism — not just its output
+    — is engine-differentially checked."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        choose_lsh_params,
+    )
+
+    k, bands = choose_lsh_params(3, 10, target_recall=0.9)
+    return _covisit_lsh_query(spark, sf_dir, k=k, bands=bands)
 
 
 def _q_round_trip_users(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -334,6 +334,30 @@ def minhash_bands(
     )
 
 
+def signature_digest(bands_df: DataFrame) -> DataFrame:
+    """(doc_id, __sig): the whole-signature class key — the doc's
+    band-ordered band_hash chain, md5'd. Same digest ⟺ identical band
+    rows (struct sort orders by band first, so row order is
+    irrelevant). THE shared definition for every signature-class
+    quotient — lsh_pairs_from_bands' hot-bucket path,
+    near_dup_components' star expansion, and the scale probes — whose
+    equivalence arguments all require the class key to be the same
+    function everywhere."""
+    return bands_df.groupBy("doc_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("band", "band_hash"))
+                    ),
+                    lambda s: s["band_hash"],
+                ),
+                "|",
+            )
+        ).alias("__sig")
+    )
+
+
 def lsh_pairs_from_bands(
     bands_df: DataFrame, hot_bucket_cap: int | None = None
 ) -> DataFrame:
@@ -394,9 +418,13 @@ def lsh_pairs_from_bands(
             .distinct()
         )
     cap = int(hot_bucket_cap)
-    # One materialization: the band table feeds the size count, both
-    # cold-join sides, the hot-doc digest pass, and the rep join.
-    bt = bands_df.localCheckpoint(eager=True)
+    # The band table feeds the size count, both cold-join sides, the
+    # hot-doc digest pass, and the rep join — materialization is the
+    # CALLER's concern (minhash_lsh_pairs persists, the streaming
+    # index is already parquet): checkpointing here on top of a
+    # persisted input would hold the table twice in executor storage
+    # (review-pass fix).
+    bt = bands_df
     sizes = bt.groupBy("band", "band_hash").agg(F.count("*").alias("__bsz"))
     tagged = bt.join(sizes, ["band", "band_hash"])
     cold = tagged.filter(F.col("__bsz") <= cap).select(
@@ -423,22 +451,8 @@ def lsh_pairs_from_bands(
     # key. Struct sort orders by band first, so the digest is
     # row-order independent.
     hot_doc_ids = hot_rows.select("doc_id").distinct()
-    digests = (
-        bt.join(hot_doc_ids, "doc_id")
-        .groupBy("doc_id")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("band", "band_hash"))
-                        ),
-                        lambda s: s["band_hash"],
-                    ),
-                    "|",
-                )
-            ).alias("__dig")
-        )
+    digests = signature_digest(bt.join(hot_doc_ids, "doc_id")).withColumnRenamed(
+        "__sig", "__dig"
     )
     cls = digests.groupBy("__dig").agg(
         F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("g")

@@ -465,6 +465,85 @@ def ivf_topk(
     return _ranked_topk(pairs, k)
 
 
+def ivf_index_health(
+    index: DataFrame, centroids: list, recenter_share: float = 2.0
+) -> dict:
+    """The two drift monitors of SCALE_PROBE_r8 ivf_drift as an
+    executable library call over a maintained inverted file
+    (:func:`ivf_assign` output / ``ivf_index_table(...).read()``):
+
+    - ``mean_assigned_cos``: mean cosine between each vector and its
+      assigned centroid — assignment-quality drift;
+    - ``max_list_share``: the hottest inverted list's corpus share vs
+      the uniform 1/k_c — the monitor that actually moves under
+      COHERENT drift (measured: 50% turnover left recall at 1.00 but
+      doubled the hot list, 0.08 → 0.15; serve cost tails with it);
+    - ``recenter``: True when max_list_share > recenter_share·(1/k_c)
+      — the documented rule: keep riding the Θ(delta) upsert below
+      it, pay the kmeans retrain above it (a hash re-SAMPLE does not
+      rebalance — measured 0.165 vs kmeans' 0.079).
+
+    One aggregate job over the index (scalar read); at 100 TB both
+    statistics are additively maintainable per (centroid, batch) if
+    even one scan is too much.
+
+    Index rows assigned to centroid ids ABSENT from ``centroids``
+    (the mid-recenter situation) are never silently excluded: a LEFT
+    join keeps them in every list count (they can be the hottest
+    list), they are reported as ``orphan_rows``, and any orphan
+    forces ``recenter=True`` — an index referencing dropped centroids
+    is stale by definition. ``mean_assigned_cos`` averages over the
+    matched rows only (there is no vector to compare orphans to)."""
+    k_c = max(1, len(centroids))
+    cent_df = index.sparkSession.createDataFrame(
+        [(c, [float(x) for x in v]) for c, v in centroids],
+        "centroid_id long, c_vec array<double>",
+    )
+    row = (
+        index.join(F.broadcast(cent_df), "centroid_id", "left")
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cosine_similarity(F.col("c_emb"), F.col("c_vec"))).alias(
+                "s"
+            ),
+            F.sum(
+                F.when(F.col("c_vec").isNull(), 1).otherwise(0)
+            ).alias("orph"),
+            F.sum(
+                F.when(F.col("c_vec").isNotNull(), 1).otherwise(0)
+            ).alias("matched"),
+        )
+        .agg(
+            F.sum("n").alias("tot"),
+            F.max("n").alias("mx"),
+            F.sum("s").alias("ssum"),
+            F.sum("orph").alias("orphans"),
+            F.sum("matched").alias("matched"),
+        )
+        .collect()[0]
+    )
+    tot = int(row.tot or 0)
+    if tot == 0:
+        return {
+            "mean_assigned_cos": None,
+            "max_list_share": None,
+            "orphan_rows": 0,
+            "recenter": False,
+        }
+    share = row.mx / tot
+    orphans = int(row.orphans or 0)
+    matched = int(row.matched or 0)
+    return {
+        "mean_assigned_cos": (
+            round(row.ssum / matched, 4) if matched else None
+        ),
+        "max_list_share": round(share, 4),
+        "orphan_rows": orphans,
+        "recenter": bool(orphans > 0 or share > recenter_share / k_c),
+    }
+
+
 def set_similarity_join(
     sets: DataFrame,
     key_col: str,

@@ -108,6 +108,22 @@ class IncrementalCountTable:
             return None
         return self.spark.read.parquet(os.path.join(self.path, ptr["gen"]))
 
+    def _union_upgrading(self, existing: DataFrame, delta: DataFrame):
+        """Union that tolerates a SCHEMA UPGRADE of the table: columns
+        the delta carries but an older on-disk generation lacks (a new
+        min/max measure like last_epoch) are added to the existing
+        side as NULL — min/max ignore NULLs and sums never see the
+        column, so pre-upgrade history merges correctly instead of the
+        table becoming unreadable by its own upsert path. Columns the
+        delta LACKS still raise (strict unionByName): a delta missing
+        a measure is a bug, never an upgrade."""
+        for c in delta.columns:
+            if c not in existing.columns:
+                existing = existing.withColumn(
+                    c, F.lit(None).cast(delta.schema[c].dataType)
+                )
+        return existing.unionByName(delta)
+
     def _combine(self, merged: DataFrame) -> DataFrame:
         """Reduce the unioned (existing + delta) rows to one row per
         key. The count table's combine is SUM over measures and MIN
@@ -135,7 +151,7 @@ class IncrementalCountTable:
             existing = self.spark.read.parquet(
                 os.path.join(self.path, base_gen)
             )
-            merged = existing.unionByName(delta)
+            merged = self._union_upgrading(existing, delta)
         else:
             merged = delta
         merged = self._combine(merged)
@@ -327,6 +343,13 @@ class PartitionedIncrementalCountTable(IncrementalCountTable):
         touched = [
             str(r[0]) for r in delta.select(pstr).distinct().collect()
         ]
+        if len(touched) > 1:
+            # the per-partition filters below re-execute the delta's
+            # lineage once per touched partition — materialize once
+            # when more than one would pay (review-pass fix; the
+            # common single-partition watermark case skips the
+            # checkpoint's storage write)
+            delta = delta.localCheckpoint(eager=True)
         gen = f"gen_{epoch_id}_{uuid.uuid4().hex[:8]}"
         new_parts = dict(base_parts)
         for pv in sorted(touched):
@@ -336,7 +359,7 @@ class PartitionedIncrementalCountTable(IncrementalCountTable):
                 existing = self.spark.read.parquet(
                     os.path.join(self.path, old_dir)
                 )
-                merged = self._combine(existing.unionByName(d_part))
+                merged = self._combine(self._union_upgrading(existing, d_part))
             else:
                 merged = self._combine(d_part)
             rel = os.path.join(gen, f"p_{_safe_part(pv)}")
@@ -436,10 +459,16 @@ class PartitionedIncrementalCountTable(IncrementalCountTable):
 
 
 def _safe_part(value: str) -> str:
-    """Path-safe encoding of a partition value (hex of anything not
-    [A-Za-z0-9_-])."""
+    """Path-safe, INJECTIVE encoding of a partition value: every char
+    outside [A-Za-z0-9_-] — and the escape char ``x`` itself — becomes
+    ``x<hex>``. Escaping ``x`` is what makes the map injective: a
+    literal ``x20`` in a value encodes to ``x7820``, so it can never
+    collide with the escape of a space (``x20``) — two distinct
+    partition values can therefore never claim the same directory
+    (clobbering rows silently)."""
     return "".join(
-        c if c.isalnum() or c in "_-" else f"x{ord(c):02x}" for c in value
+        c if (c.isalnum() or c in "_-") and c != "x" else f"x{ord(c):02x}"
+        for c in value
     )
 
 

@@ -263,10 +263,19 @@ def main() -> None:
         seed = 1
         verdict = os.path.join(here, "VERDICT.md")
         if os.path.exists(verdict):
+            # scan the whole header region, not just line 1 — a
+            # reformatted VERDICT must not silently freeze the tail
+            # rotation at a fixed order (review-pass fix)
             with open(verdict) as fh:
-                m = re.search(r"Round\s+(\d+)", fh.readline())
+                m = re.search(r"Round\s+(\d+)", fh.read(4096))
             if m:
                 seed = int(m.group(1)) + 1
+            else:
+                print(
+                    "bench: no round number in VERDICT.md header; "
+                    "tail-order seed frozen at 1 (pass BENCH_SEED)",
+                    file=sys.stderr,
+                )
     common_prefix = [n for n in names if n in COMMON14]
     tail = [n for n in names if n not in COMMON14]
     random.Random(seed).shuffle(tail)

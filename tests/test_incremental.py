@@ -1250,3 +1250,50 @@ def test_partitioned_table_compact_retention(spark, tmp_path):
     t.merge_batch(_mk_delta(spark, [("h02", 1, 10)]), 2)
     got = {(r.hour, r.region): r.cnt for r in t.read().collect()}
     assert got == {("h02", 1): 13, ("h03", 1): 4}
+
+
+def test_safe_part_injective():
+    """The partition-dir encoding must be injective: values that
+    differ only by an escape-lookalike ('a b' vs literal 'ax20b')
+    must never claim the same directory (silent row clobbering)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        _safe_part,
+    )
+
+    values = ["a b", "ax20b", "a_b", "x", "xx", "x20", " ", "__null__",
+              "2024-03-01 13:00:00", "h01"]
+    encoded = [_safe_part(v) for v in values]
+    assert len(set(encoded)) == len(values), encoded
+    assert all("/" not in e and " " not in e for e in encoded)
+
+
+def test_count_table_schema_upgrade_merges(spark, tmp_path):
+    """A table written BEFORE a new max/min measure existed must stay
+    mergeable after the upgrade: the old generation's missing column
+    rides as NULL (ignored by max), never an AnalysisException."""
+    from pyspark.sql import functions as F
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        IncrementalCountTable,
+    )
+
+    path = str(tmp_path / "t")
+    old = IncrementalCountTable(spark, path, ["k"])
+    old.merge_batch(spark.createDataFrame([(1, 2)], "k long, cnt long"), 0)
+    new = IncrementalCountTable(
+        spark, path, ["k"], max_measures=("last_epoch",)
+    )
+    new.merge_batch(
+        spark.createDataFrame(
+            [(1, 3, 5), (2, 1, 5)], "k long, cnt long, last_epoch long"
+        ),
+        1,
+    )
+    got = {r.k: (r.cnt, r.last_epoch) for r in new.read().collect()}
+    assert got == {1: (5, 5), 2: (1, 5)}
+    # a delta MISSING a column the table has is a bug, not an upgrade
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        new.merge_batch(spark.createDataFrame([(3, 1)], "k long, cnt long"), 2)

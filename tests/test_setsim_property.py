@@ -102,3 +102,57 @@ def test_setsim_paths_vs_model_and_lsh_laws(spark, rows):
     for pair in ((0, 100), (0, 101), (100, 101)):
         if pair in exact:
             assert pair in lsh, pair
+
+
+# --- round 8: hot-bucket quotient fidelity over random band tables ---
+
+# (doc_id, band, band_hash) rows with deliberately tiny hash domains so
+# buckets go hot; one row per (doc, band) as minhash_bands guarantees
+band_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=11),
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=0, max_value=3),
+    ),
+    min_size=1,
+    max_size=40,
+).map(lambda rows: list({(d, b): h for (d, b, h) in rows}.items()))
+
+
+def _band_model(rows):
+    """Independent model: a pair is a candidate iff the docs share a
+    (band, hash) cell."""
+    cells: dict = {}
+    for (d, b), h in rows:
+        cells.setdefault((b, h), set()).add(d)
+    pairs = set()
+    for docs in cells.values():
+        s = sorted(docs)
+        for i, a in enumerate(s):
+            for b2 in s[i + 1:]:
+                pairs.add((a, b2))
+    return pairs
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(band_rows, st.sampled_from([1, 2, 4, None]))
+def test_hot_bucket_cap_equals_model(spark, rows, cap):
+    """lsh_pairs_from_bands must equal the independent shared-cell
+    model at EVERY cap (including buckets far over it, duplicate
+    signatures, and signature classes split across hot and cold
+    buckets) — the quotient is a physical choice only."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+        lsh_pairs_from_bands,
+    )
+
+    df = spark.createDataFrame(
+        [(d, b, f"h{h}") for (d, b), h in rows],
+        "doc_id long, band int, band_hash string",
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_pairs_from_bands(df, hot_bucket_cap=cap).collect()
+    }
+    assert got == _band_model(rows), (cap, sorted(rows))

@@ -856,3 +856,49 @@ def test_catalog_stats_route_zero_preroute_jobs(spark, monkeypatch):
     finally:
         for name in ("setsim_cat_dense", "setsim_cat_sparse", "setsim_cat_raw"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_ivf_index_health_monitors(spark):
+    """The executable recenter rule (SCALE.md round 8): a balanced
+    index reports max_list_share near uniform and recenter=False; an
+    index whose mass crowds one list crosses the 2x-uniform rule."""
+    from pyspark.sql import functions as F
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        ivf_assign,
+        ivf_index_health,
+    )
+
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-1.0, 0.0]), (3, [0.0, -1.0])]
+    balanced = spark.createDataFrame(
+        [(i, [float(v) for v in vec]) for i, (_, vec) in enumerate(cents * 3)],
+        "vec_id long, embedding array<double>",
+    )
+    h = ivf_index_health(ivf_assign(balanced, cents), cents)
+    assert h["max_list_share"] == 0.25 and not h["recenter"]
+    assert h["mean_assigned_cos"] == 1.0
+    skewed = spark.createDataFrame(
+        [(i, [1.0, 0.01 * i]) for i in range(10)]
+        + [(100, [0.0, 1.0]), (101, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    h2 = ivf_index_health(ivf_assign(skewed, cents), cents)
+    assert h2["max_list_share"] >= 0.83  # 10 of 12 rows in one list (4dp-rounded)
+    assert h2["recenter"]
+    # empty index: defined, no recenter
+    empty = ivf_assign(balanced.filter("vec_id < 0"), cents)
+    h3 = ivf_index_health(empty, cents)
+    assert h3 == {
+        "mean_assigned_cos": None,
+        "max_list_share": None,
+        "orphan_rows": 0,
+        "recenter": False,
+    }
+    # orphaned assignments (index references a dropped centroid — the
+    # mid-recenter case) are counted, reported, and force recenter
+    orphaned = ivf_assign(balanced, cents).withColumn(
+        "centroid_id",
+        F.when(F.col("vec_id") < 3, F.lit(99)).otherwise(F.col("centroid_id")),
+    )
+    h4 = ivf_index_health(orphaned, cents)
+    assert h4["orphan_rows"] == 3 and h4["recenter"]

@@ -446,17 +446,11 @@ def probe_lsh_hotband(spark, sf_dir: str, n: int) -> dict:
     # star pipeline feeds rep-level pairs + Θ(g) membership rows.
     # Wall times at local g are overhead-bound (±1.5 s run variance,
     # both paths); the row shape is what survives a 1000× scale-up.
-    sigd = bands_df.groupBy("doc_id").agg(
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("band", "band_hash"))),
-                    lambda s: s["band_hash"],
-                ),
-                "|",
-            )
-        ).alias("__sig")
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+        signature_digest,
     )
+
+    sigd = signature_digest(bands_df)
     cls = sigd.groupBy("__sig").agg(F.min("doc_id").alias("rep2"))
     rep_bands = bands_df.join(
         cls.select(F.col("rep2").alias("doc_id")), "doc_id"
