@@ -900,6 +900,7 @@ def incremental_od_stream(
         "user_id long, region_id int, hour timestamp, "
         "pre_hour timestamp, pre_region_id int"
     ),
+    partitioned: bool = False,
 ):
     """Stream trajectory-edge files → additive (hour, orig, dest) OD
     count table via foreachBatch — the incremental twin of
@@ -907,8 +908,23 @@ def incremental_od_stream(
     exactly additive, so the table equals the batch OD matrix after
     any prefix of files, under any batch boundaries, any arrival
     order (late hours included), and epoch replays (the
-    generation-chain guarantee). Returns the StreamingQuery."""
-    table = IncrementalCountTable(spark, table_path, ["hour", "orig", "dest"])
+    generation-chain guarantee). Returns the StreamingQuery.
+
+    ``partitioned=True`` stores the table through
+    :class:`PartitionedIncrementalCountTable` keyed on ``hour`` — the
+    textbook watermark workload (a micro-batch's edges touch recent
+    hours only), so each merge rewrites ONLY those hours' partitions
+    instead of the whole history (measured flat vs linear,
+    SCALE_PROBE_r8 ingest_narrow); batch/stream parity is pinned in
+    both modes by the same pytest."""
+    if partitioned:
+        table: IncrementalCountTable = PartitionedIncrementalCountTable(
+            spark, table_path, ["hour", "orig", "dest"], partition_col="hour"
+        )
+    else:
+        table = IncrementalCountTable(
+            spark, table_path, ["hour", "orig", "dest"]
+        )
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
         delta = batch_df.groupBy(

@@ -1297,3 +1297,51 @@ def test_count_table_schema_upgrade_merges(spark, tmp_path):
 
     with pytest.raises(AnalysisException):
         new.merge_batch(spark.createDataFrame([(3, 1)], "k long, cnt long"), 2)
+
+
+def test_incremental_od_stream_partitioned_parity(spark, tmp_path):
+    """partitioned=True (round 8): the hour-partitioned OD table must
+    equal the batch od_matrix under a late-earlier-hour file — the
+    same contract as the monolithic mode, with merges narrowed to the
+    touched hour partitions."""
+    from pyspark.sql import functions as F
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.od import (
+        od_matrix,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        PartitionedIncrementalCountTable,
+        incremental_od_stream,
+    )
+
+    schema = (
+        "user_id long, region_id int, hour timestamp, "
+        "pre_hour timestamp, pre_region_id int"
+    )
+    h9 = ts("2024-01-01 09:00:00")
+    h10, h11 = ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")
+    b1 = [(1, 5, h10, h9, 4), (2, 5, h10, h9, 4), (1, 6, h11, h10, 5)]
+    b2 = [(4, 4, h9, ts("2024-01-01 08:00:00"), 0), (4, 5, h10, h9, 4)]
+    src = str(tmp_path / "edges")
+    tbl = str(tmp_path / "od_part")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    q = incremental_od_stream(
+        spark, src, tbl, str(tmp_path / "ckpt"), partitioned=True
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    t = PartitionedIncrementalCountTable(
+        spark, tbl, ["hour", "orig", "dest"], partition_col="hour"
+    )
+    got = {
+        (r.hour, r.orig, r.dest): r.cnt for r in t.read().collect()
+    }
+    want = {
+        (r.hour, r.orig, r.dest): r.cnt
+        for r in od_matrix(spark.createDataFrame(b1 + b2, schema)).collect()
+    }
+    assert got == want and (h9, 0, 4) in got
