@@ -419,12 +419,17 @@ def lsh_pairs_from_bands(
         )
     cap = int(hot_bucket_cap)
     # The band table feeds the size count, both cold-join sides, the
-    # hot-doc digest pass, and the rep join — materialization is the
-    # CALLER's concern (minhash_lsh_pairs persists, the streaming
-    # index is already parquet): checkpointing here on top of a
-    # persisted input would hold the table twice in executor storage
-    # (review-pass fix).
-    bt = bands_df
+    # hot-doc digest pass, and the rep join (~6 references). Already-
+    # cached inputs (minhash_lsh_pairs persists before calling) are
+    # used as-is — checkpointing on top of a persisted input would
+    # hold the table twice in executor storage; an un-cached lineage
+    # (a derived join like the star path's rep2_bands) is eagerly
+    # checkpointed once instead of re-executing per reference.
+    bt = (
+        bands_df
+        if bands_df.is_cached
+        else bands_df.localCheckpoint(eager=True)
+    )
     sizes = bt.groupBy("band", "band_hash").agg(F.count("*").alias("__bsz"))
     tagged = bt.join(sizes, ["band", "band_hash"])
     cold = tagged.filter(F.col("__bsz") <= cap).select(

@@ -96,6 +96,16 @@ class IncrementalCountTable:
             # pre-upgrade pointer: plain generation name
             return {"gen": raw, "epoch": None, "parent": None}
 
+    def _check_monolithic(self, gen: str) -> None:
+        if gen.startswith("manifest_"):
+            raise ValueError(
+                f"{self.path} holds a PARTITIONED table (pointer -> "
+                f"{gen!r}); open it with "
+                "PartitionedIncrementalCountTable — flipping the "
+                "table class on an existing path requires a "
+                "migration, not a config change"
+            )
+
     def read(self) -> DataFrame | None:
         """Current table state as a lazy DataFrame.
 
@@ -106,6 +116,7 @@ class IncrementalCountTable:
         ptr = self._pointer()
         if ptr is None:
             return None
+        self._check_monolithic(ptr["gen"])
         return self.spark.read.parquet(os.path.join(self.path, ptr["gen"]))
 
     def _union_upgrading(self, existing: DataFrame, delta: DataFrame):
@@ -148,6 +159,7 @@ class IncrementalCountTable:
         else:
             base_gen = ptr["gen"] if ptr is not None else None
         if base_gen is not None:
+            self._check_monolithic(base_gen)
             existing = self.spark.read.parquet(
                 os.path.join(self.path, base_gen)
             )
@@ -214,6 +226,7 @@ class IncrementalCountTable:
         ptr = self._pointer()
         if ptr is None:
             return
+        self._check_monolithic(ptr["gen"])
         cur = self.spark.read.parquet(os.path.join(self.path, ptr["gen"]))
         if keep is not None:
             cur = cur.filter(keep)
@@ -311,8 +324,30 @@ class PartitionedIncrementalCountTable(IncrementalCountTable):
             )
         self.partition_col = partition_col
 
+    def _pkey(self, df: DataFrame):
+        """Canonical, ENGINE-STATE-INDEPENDENT partition key string.
+        A plain cast(timestamp AS string) renders in the SESSION
+        TIMEZONE, so a restart under a different spark.sql.session
+        .timeZone would fork an existing hour into a second partition
+        dir holding duplicate keys (review-pass fix); instants cast to
+        epoch seconds instead (TZ-independent; TIMESTAMP_NTZ is a
+        wall clock, so its string form is already stable). NULLs ride
+        a sentinel."""
+        dt = dict(df.dtypes).get(self.partition_col, "")
+        col = F.col(self.partition_col)
+        base = col.cast("long") if dt == "timestamp" else col.cast("string")
+        return F.coalesce(base.cast("string"), F.lit("__null__"))
+
     # manifest helpers -------------------------------------------------
     def _load_manifest(self, name: str) -> dict:
+        if not name.startswith("manifest_"):
+            raise ValueError(
+                f"{self.path} holds a MONOLITHIC generation chain "
+                f"(pointer -> {name!r}); it cannot be opened as a "
+                "partitioned table — flipping partitioned= on an "
+                "existing table_path requires a migration, not a "
+                "config change"
+            )
         with open(os.path.join(self.path, name)) as f:
             return json.load(f)
 
@@ -324,7 +359,12 @@ class PartitionedIncrementalCountTable(IncrementalCountTable):
         if not parts:
             return None
         dirs = [os.path.join(self.path, d) for d in sorted(set(parts.values()))]
-        return self.spark.read.parquet(*dirs)
+        # mergeSchema: after a schema UPGRADE (a new measure column)
+        # only touched partitions carry the new column until every
+        # partition has been rewritten; schema-merging keeps the
+        # served view complete (old partitions read NULL) instead of
+        # silently adopting whichever dir's footer Spark samples
+        return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
 
     def merge_batch(self, delta: DataFrame, epoch_id: int) -> None:
         ptr = self._pointer()
@@ -338,8 +378,7 @@ class PartitionedIncrementalCountTable(IncrementalCountTable):
         # the watermark read: which partitions does this delta touch?
         # NULL partition keys ride a sentinel value so they are never
         # silently dropped (NULL == NULL is false in the filter below)
-        pcol = self.partition_col
-        pstr = F.coalesce(F.col(pcol).cast("string"), F.lit("__null__"))
+        pstr = self._pkey(delta)
         touched = [
             str(r[0]) for r in delta.select(pstr).distinct().collect()
         ]
@@ -392,9 +431,21 @@ class PartitionedIncrementalCountTable(IncrementalCountTable):
             return
         parts = self._load_manifest(ptr["gen"])["parts"]
         gen = f"gen_{ptr['epoch'] if ptr['epoch'] is not None else 0}_c{uuid.uuid4().hex[:8]}"
+        # reference schema across ALL partitions (mergeSchema read):
+        # after a schema upgrade, not-yet-rewritten partitions lack
+        # the new column — align them (NULL) so a retention predicate
+        # naming it filters instead of raising
+        full = self.read()
+        ref_schema = full.schema if full is not None else None
         new_parts: dict = {}
         for pv, rel in sorted(parts.items()):
             df = self.spark.read.parquet(os.path.join(self.path, rel))
+            if ref_schema is not None:
+                for field in ref_schema:
+                    if field.name not in df.columns:
+                        df = df.withColumn(
+                            field.name, F.lit(None).cast(field.dataType)
+                        )
             if keep is not None:
                 df = df.filter(keep)
             if df.limit(1).count() == 0:
@@ -459,17 +510,23 @@ class PartitionedIncrementalCountTable(IncrementalCountTable):
 
 
 def _safe_part(value: str) -> str:
-    """Path-safe, INJECTIVE encoding of a partition value: every char
-    outside [A-Za-z0-9_-] — and the escape char ``x`` itself — becomes
-    ``x<hex>``. Escaping ``x`` is what makes the map injective: a
-    literal ``x20`` in a value encodes to ``x7820``, so it can never
-    collide with the escape of a space (``x20``) — two distinct
-    partition values can therefore never claim the same directory
-    (clobbering rows silently)."""
-    return "".join(
-        c if (c.isalnum() or c in "_-") and c != "x" else f"x{ord(c):02x}"
-        for c in value
-    )
+    """Path-safe, INJECTIVE encoding of a partition value: ASCII
+    [A-Za-z0-9_-] minus the escape char ``x`` pass through; every
+    other character is escaped PER UTF-8 BYTE as ``x`` + exactly two
+    hex digits. Injectivity needs both rules: escaping ``x`` itself
+    means every ``x`` in the output starts an escape, and fixed-width
+    two-digit escapes mean no escape can be a prefix of another — an
+    em dash (bytes e2 80 94 → ``xe2x80x94``) can never collide with
+    ``" 14"`` (``x203134``-style sequences), and ``'a b'`` can never
+    collide with the literal ``'ax20b'``. Decoding is unambiguous, so
+    two distinct partition values never claim the same directory."""
+    out = []
+    for c in value:
+        if c.isascii() and (c.isalnum() or c in "_-") and c != "x":
+            out.append(c)
+        else:
+            out.extend(f"x{b:02x}" for b in c.encode("utf-8"))
+    return "".join(out)
 
 
 def incremental_occupancy_stream(

@@ -1345,3 +1345,162 @@ def test_incremental_od_stream_partitioned_parity(spark, tmp_path):
         for r in od_matrix(spark.createDataFrame(b1 + b2, schema)).collect()
     }
     assert got == want and (h9, 0, 4) in got
+
+
+def test_partitioned_vs_monolithic_property(spark, tmp_path):
+    """Randomized-sequence equivalence for the partition-narrowed
+    chain: over md5-seeded random delta sequences (random partitions,
+    keys, counts), with every epoch optionally REPLAYED and a
+    compaction injected mid-sequence, the partitioned table must equal
+    the monolithic table after every single step. Deterministic
+    seeds (no RNG state) — failures reproduce exactly."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        IncrementalCountTable,
+        PartitionedIncrementalCountTable,
+    )
+
+    def h(*parts) -> int:
+        return int(
+            hashlib.md5(":".join(map(str, parts)).encode()).hexdigest()[:8],
+            16,
+        )
+
+    for case in range(3):
+        mono = IncrementalCountTable(
+            spark, str(tmp_path / f"m{case}"), ["p", "k"]
+        )
+        part = PartitionedIncrementalCountTable(
+            spark, str(tmp_path / f"p{case}"), ["p", "k"], partition_col="p"
+        )
+        n_epochs = 4 + case
+        for e in range(n_epochs):
+            rows = [
+                (
+                    f"p{h(case, e, i, 'part') % 4}",
+                    h(case, e, i, "key") % 5,
+                    1 + h(case, e, i, "cnt") % 3,
+                )
+                for i in range(1 + h(case, e, "n") % 6)
+            ]
+            d = spark.createDataFrame(rows, "p string, k long, cnt long")
+            mono.merge_batch(d, e)
+            part.merge_batch(d, e)
+            if h(case, e, "replay") % 3 == 0:  # replay the same epoch
+                mono.merge_batch(d, e)
+                part.merge_batch(d, e)
+            if e == n_epochs // 2:  # mid-sequence retention compaction
+                keep = F.col("p") != "p0"
+                mono.compact(keep)
+                part.compact(keep)
+            got = sorted(map(tuple, part.read().collect()))
+            want = sorted(map(tuple, mono.read().collect()))
+            assert got == want, (case, e)
+
+
+def test_safe_part_injective_unicode():
+    """Variable-width escapes were a collision channel: an em dash
+    (utf-8 e2 80 94) must not encode identically to ' 14'
+    (space + '14') — per-byte fixed-width escapes make every escape
+    exactly x+2 hex digits."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        _safe_part,
+    )
+
+    assert _safe_part("—") != _safe_part(" 14")
+    values = ["—", " 14", "x2014", "上海", "aéb", "aéb"]
+    enc = [_safe_part(v) for v in values]
+    assert len(set(enc)) == len(values), enc
+    assert all(c.isascii() and c not in "/ " for e in enc for c in e)
+
+
+def test_partitioned_schema_upgrade_and_format_guards(spark, tmp_path):
+    """(1) A partitioned table written before a new measure existed
+    stays readable AND compactable after the upgrade even while some
+    partitions still carry the old schema (mergeSchema read + aligned
+    compaction). (2) Flipping the table class on an existing path
+    fails with a clear migration error, not an obscure I/O crash."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        IncrementalCountTable,
+        PartitionedIncrementalCountTable,
+    )
+
+    path = str(tmp_path / "pt")
+    old = PartitionedIncrementalCountTable(
+        spark, path, ["p", "k"], partition_col="p"
+    )
+    old.merge_batch(
+        spark.createDataFrame([("h01", 1, 2), ("h02", 1, 3)], "p string, k long, cnt long"),
+        0,
+    )
+    new = PartitionedIncrementalCountTable(
+        spark,
+        path,
+        ["p", "k"],
+        partition_col="p",
+        max_measures=("last_epoch",),
+    )
+    # upgrade merge touches ONLY h02; h01 keeps the old schema on disk
+    new.merge_batch(
+        spark.createDataFrame(
+            [("h02", 1, 1, 7)], "p string, k long, cnt long, last_epoch long"
+        ),
+        1,
+    )
+    got = {(r.p, r.k): (r.cnt, r.last_epoch) for r in new.read().collect()}
+    assert got == {("h01", 1): (2, None), ("h02", 1): (4, 7)}
+    # retention predicate naming the NEW column must not raise on the
+    # old-schema h01 partition; NULL last_epoch rows age out
+    new.compact(F.col("last_epoch") >= 0)
+    assert {(r.p, r.k) for r in new.read().collect()} == {("h02", 1)}
+    # format-flip guards, both directions
+    with pytest.raises(ValueError, match="migration"):
+        IncrementalCountTable(spark, path, ["p", "k"]).read()
+    mono_path = str(tmp_path / "mono")
+    mono = IncrementalCountTable(spark, mono_path, ["k"])
+    mono.merge_batch(spark.createDataFrame([(1, 1)], "k long, cnt long"), 0)
+    with pytest.raises(ValueError, match="migration"):
+        PartitionedIncrementalCountTable(
+            spark, mono_path, ["k"], partition_col="k"
+        ).read()
+
+
+def test_partitioned_timestamp_keys_timezone_stable(spark, tmp_path):
+    """Timestamp partition keys must not depend on
+    spark.sql.session.timeZone: merges for the same instant under two
+    session timezones must land in ONE partition (a string-rendered
+    key would fork the hour and serve duplicate key rows)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        PartitionedIncrementalCountTable,
+    )
+
+    t = PartitionedIncrementalCountTable(
+        spark, str(tmp_path / "tz"), ["hour", "k"], partition_col="hour"
+    )
+    rows = [("2024-01-01 09:00:00", 1, 2)]
+    schema = "hour_s string, k long, cnt long"
+    from pyspark.sql import functions as F
+
+    def delta():
+        return spark.createDataFrame(rows, schema).select(
+            F.to_timestamp("hour_s").alias("hour"), "k", "cnt"
+        )
+
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        d0 = delta().localCheckpoint(eager=True)  # parse under UTC
+        t.merge_batch(d0, 0)
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        # same INSTANT (checkpointed micros), new session timezone
+        t.merge_batch(d0, 1)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+    out = t.read().collect()
+    assert len(out) == 1 and out[0].cnt == 4, out

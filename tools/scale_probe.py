@@ -465,13 +465,13 @@ def probe_lsh_hotband(spark, sf_dir: str, n: int) -> dict:
 
     t0 = time.perf_counter()
     fp_q, members = fp_comp(
-        near_dup_components(sdocs, max_iterations=30)
+        near_dup_components(sdocs, max_iterations=30, materialize="checkpoint")
     )
     results["cc_star_s"] = round(time.perf_counter() - t0, 2)
     t0 = time.perf_counter()
     fp_k, _ = fp_comp(
         near_dup_components(
-            sdocs, max_iterations=30,
+            sdocs, max_iterations=30, materialize="checkpoint",
             collapse_signatures=False, hot_bucket_cap=None,
         )
     )
@@ -523,7 +523,9 @@ def probe_dedup_e2e(spark, sf_dir: str, n: int) -> dict:
     results = {"family": "dedup_e2e", "replication": n, "rows": sdocs.count()}
 
     t0 = time.perf_counter()
-    comp = near_dup_components(sdocs, k=8, bands=4, n=3, max_iterations=30)
+    comp = near_dup_components(
+        sdocs, k=8, bands=4, n=3, max_iterations=30, materialize="checkpoint"
+    )
     surv = entry._survivor_table(sdocs, comp).select(
         (-F.col("top.nd")).alias("doc_id")
     )
@@ -912,7 +914,7 @@ def probe_cc(spark, sf_dir: str, n: int) -> dict:
     )
 
     t0 = time.perf_counter()
-    comp2 = near_dup_components(sdocs, max_iterations=30)
+    comp2 = near_dup_components(sdocs, max_iterations=30, materialize="checkpoint")
     results["collapsed_clusters"] = (
         comp2.select("component").distinct().count()
     )
