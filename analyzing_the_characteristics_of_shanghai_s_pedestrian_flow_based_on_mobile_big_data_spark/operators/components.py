@@ -40,6 +40,38 @@ class ConvergenceError(RuntimeError):
     """Label propagation exhausted max_iterations before converging."""
 
 
+# Session-scoped memo for the star-quotient engagement decision
+# (round 9, VERDICT r8 #1): the decision is a PURE FUNCTION of the
+# corpus content and the (k, bands, n) banding scheme, yet round 8
+# re-ran its probe (one scalar agg + collect over the band table) on
+# EVERY invocation — a measured +0.4–0.6 s tax on all four registered
+# dedup-cluster queries at sf0.1 (BENCH_DRIFT_r8) even when the
+# answer is "skip". Keyed by the input plan's semanticHash (canonical
+# plan hash — stable across invocations, alias-insensitive) plus the
+# banding params. A stale or colliding entry can only mis-route the
+# PHYSICAL plan choice — both paths produce identical labels
+# (pytest-pinned) — so the failure mode is performance, never
+# correctness; a corpus mutated in place under the same path should
+# call clear_star_gate_cache() (or pass star_gate= explicitly).
+_STAR_GATE_CACHE: dict[tuple, bool] = {}
+_STAR_GATE_CACHE_MAX = 256
+
+
+def clear_star_gate_cache() -> None:
+    """Drop all memoized star-gate decisions (tests; in-place table
+    mutation under an unchanged plan)."""
+    _STAR_GATE_CACHE.clear()
+
+
+def _star_gate_key(d: DataFrame, k: int, bands: int, n: int):
+    """Memo key, or None when the plan hash is unavailable (the memo
+    then degrades to probing every call — round-8 behavior)."""
+    try:
+        return (d.semanticHash(), k, bands, n)
+    except Exception:
+        return None
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
@@ -137,6 +169,7 @@ def near_dup_components(
     hot_bucket_cap: int | None = None,
     collapse_signatures: bool = True,
     materialize: str = "persist",
+    star_gate: bool | None = None,
 ) -> DataFrame:
     """(doc_id, component) over the MinHash near-dup graph — result
     IDENTICAL to ``connected_components(minhash_lsh_pairs(docs))``
@@ -184,12 +217,23 @@ def near_dup_components(
     quotient level's representative IS its min id, so min-label
     propagation commutes with the quotient (pytest-pinned identical
     to the uncollapsed composition). Engagement is ADAPTIVE: one
-    scalar agg over the persisted band table checks whether any
-    signature class has ≥2 members — clean corpora (the common case
-    after the exact-text collapse) skip the class/membership joins
-    entirely, since the quotient would be a no-op; boilerplate
-    corpora take the star path. Same probe-then-choose shape as
-    choose_jaccard_path.
+    scalar agg over the persisted band table weighs the clique rows
+    the quotient would save against its extra stages — clean corpora
+    (the common case after the exact-text collapse) skip the
+    class/membership joins entirely, since the quotient would be a
+    no-op; boilerplate corpora take the star path. Same
+    probe-then-choose shape as choose_jaccard_path. The decision is
+    MEMOIZED per (corpus plan hash, k, bands, n) — round 9, VERDICT
+    r8 #1: it is a pure function of those inputs, so re-probing every
+    invocation charged every clean corpus +0.4–0.6 s at sf0.1 for an
+    answer already known; repeat invocations (the registered
+    dedup-cluster family, bench warm iterations) now skip the probe
+    job entirely. ``star_gate`` overrides the gate outright
+    (True = star path, False = plain join, None = adaptive+memo) —
+    the zero-cost route for callers that know their corpus, the same
+    contract shape as set_similarity_join_auto's ``stats=``. Either
+    route changes only the physical plan: labels are identical by
+    the pinned equivalence.
 
     ``hot_bucket_cap`` can additionally arm the hot-bucket quotient in
     :func:`~.dedup.lsh_pairs_from_bands` on the candidate join (pair
@@ -267,11 +311,21 @@ def near_dup_components(
             else bands_raw.localCheckpoint(eager=True)
         )
         # whole-signature digest — THE shared class key
-        # (dedup.signature_digest), same function in every quotient
-        sigd = signature_digest(bands_df)
-        cls = sigd.groupBy("__sig").agg(
-            F.min("doc_id").alias("rep2"), F.count(F.lit(1)).alias("g2")
-        )
+        # (dedup.signature_digest), same function in every quotient.
+        # Built lazily: the plain path with a memoized/forced gate
+        # never needs it (that skip IS the round-9 reclaimed tax).
+        sigd = cls = None
+
+        def _class_table():
+            nonlocal sigd, cls
+            if cls is None:
+                sigd = signature_digest(bands_df)
+                cls = sigd.groupBy("__sig").agg(
+                    F.min("doc_id").alias("rep2"),
+                    F.count(F.lit(1)).alias("g2"),
+                )
+            return cls
+
         # Adaptive engagement: one scalar agg over the (persisted)
         # band table weighs the star path's SAVINGS — the clique pair
         # rows Σ C(g2, 2) it avoids — against its ~5 extra narrow
@@ -280,15 +334,28 @@ def near_dup_components(
         # 2× for nothing) skips the class/membership joins: skipping
         # is ALWAYS correct, signature-duplicate reps still collide on
         # every band in the plain join. Boilerplate corpora (savings ≫
-        # corpus) take the star path. Same probe-then-choose shape as
-        # choose_jaccard_path.
-        stats = cls.agg(
-            F.coalesce(
-                F.sum(F.col("g2") * (F.col("g2") - 1) / 2), F.lit(0.0)
-            ).alias("saved_pairs"),
-            F.coalesce(F.sum("g2"), F.lit(0)).alias("n_docs_sig"),
-        ).collect()[0]
-        if stats.saved_pairs <= 2.0 * stats.n_docs_sig:
+        # corpus) take the star path. The probe runs AT MOST ONCE per
+        # (corpus plan hash, banding) per session — the memo above —
+        # and not at all under an explicit star_gate.
+        use_star = star_gate
+        cache_key = None
+        if use_star is None:
+            cache_key = _star_gate_key(d, k, bands, n)
+            if cache_key is not None:
+                use_star = _STAR_GATE_CACHE.get(cache_key)
+        if use_star is None:
+            stats = _class_table().agg(
+                F.coalesce(
+                    F.sum(F.col("g2") * (F.col("g2") - 1) / 2), F.lit(0.0)
+                ).alias("saved_pairs"),
+                F.coalesce(F.sum("g2"), F.lit(0)).alias("n_docs_sig"),
+            ).collect()[0]
+            use_star = bool(stats.saved_pairs > 2.0 * stats.n_docs_sig)
+            if cache_key is not None:
+                if len(_STAR_GATE_CACHE) >= _STAR_GATE_CACHE_MAX:
+                    _STAR_GATE_CACHE.clear()
+                _STAR_GATE_CACHE[cache_key] = use_star
+        if not use_star:
             pairs2 = lsh_pairs_from_bands(
                 bands_df, hot_bucket_cap=hot_bucket_cap
             )
@@ -297,6 +364,7 @@ def near_dup_components(
             )
             rep_label = comp2.withColumnRenamed("node", "rep_id")
         else:
+            cls = _class_table()
             mem2 = sigd.join(cls, "__sig").select("doc_id", "rep2", "g2")
             rep2_bands = bands_df.join(
                 cls.select(F.col("rep2").alias("doc_id")), "doc_id"

