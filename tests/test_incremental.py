@@ -1504,3 +1504,213 @@ def test_partitioned_timestamp_keys_timezone_stable(spark, tmp_path):
         spark.conf.set("spark.sql.session.timeZone", tz)
     out = t.read().collect()
     assert len(out) == 1 and out[0].cnt == 4, out
+
+
+def test_concurrent_writer_lock(spark, tmp_path):
+    """Round-9 (VERDICT r8 #3): the generation chain is single-writer
+    by construction — a second LIVE writer must fail loudly, a lock
+    left by a dead same-host pid must be broken automatically (a
+    streaming restart after a mid-merge crash replays its epoch), and
+    a foreign-host lock is never broken without force_unlock()."""
+    import json as _json
+    import os as _os
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        ConcurrentWriterError,
+        IncrementalCountTable,
+        PartitionedIncrementalCountTable,
+    )
+    import pytest
+    import socket as _socket
+
+    for t in (
+        IncrementalCountTable(spark, str(tmp_path / "m"), ["k"]),
+        PartitionedIncrementalCountTable(
+            spark, str(tmp_path / "p"), ["k"], partition_col="k"
+        ),
+    ):
+        d = spark.createDataFrame([("a", 1)], "k string, cnt long")
+        t.merge_batch(d, 0)  # lock acquired and released
+        assert not _os.path.exists(t._lock_path())
+        _os.makedirs(t.path, exist_ok=True)
+        # live same-host writer (our own pid): refuse
+        with open(t._lock_path(), "w") as f:
+            _json.dump(
+                {"pid": _os.getpid(), "host": _socket.gethostname()}, f
+            )
+        with pytest.raises(ConcurrentWriterError):
+            t.merge_batch(d, 1)
+        with pytest.raises(ConcurrentWriterError):
+            t.compact()
+        # dead same-host pid: broken automatically, merge proceeds
+        dead = 1
+        while True:
+            dead += 7919
+            try:
+                _os.kill(dead, 0)
+            except ProcessLookupError:
+                break
+            except PermissionError:
+                continue
+        with open(t._lock_path(), "w") as f:
+            _json.dump({"pid": dead, "host": _socket.gethostname()}, f)
+        t.merge_batch(d, 1)
+        assert {r.cnt for r in t.read().collect()} == {2}
+        # foreign host: never auto-broken
+        with open(t._lock_path(), "w") as f:
+            _json.dump({"pid": dead, "host": "some-other-host"}, f)
+        with pytest.raises(ConcurrentWriterError):
+            t.merge_batch(d, 2)
+        t.force_unlock()
+        t.merge_batch(d, 2)
+        assert {r.cnt for r in t.read().collect()} == {3}
+
+
+def test_sum_measure_upgrade_refused(spark, tmp_path):
+    """Round-9 ADVICE: a schema upgrade that adds a SUM measure is
+    refused (pre-upgrade keys would merge to NULL, not 0 — a silent
+    semantic hole); min/max-measure upgrades still merge (NULL-safe
+    by aggregate semantics)."""
+    import pytest
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        IncrementalCountTable,
+    )
+
+    t0 = IncrementalCountTable(spark, str(tmp_path / "t"), ["k"])
+    t0.merge_batch(spark.createDataFrame([("a", 1)], "k string, cnt long"), 0)
+    # reopen with an upgraded schema: cnt + a NEW sum measure
+    t1 = IncrementalCountTable(
+        spark, str(tmp_path / "t"), ["k"], measures=("cnt", "amount")
+    )
+    with pytest.raises(ValueError, match="SUM measure 'amount'"):
+        t1.merge_batch(
+            spark.createDataFrame(
+                [("a", 1, 10)], "k string, cnt long, amount long"
+            ),
+            1,
+        )
+    # a new MAX measure upgrade is fine and NULL-merges correctly
+    t2 = IncrementalCountTable(
+        spark,
+        str(tmp_path / "t"),
+        ["k"],
+        measures=("cnt",),
+        max_measures=("last_epoch",),
+    )
+    t2.merge_batch(
+        spark.createDataFrame(
+            [("a", 1, 5), ("b", 2, 5)],
+            "k string, cnt long, last_epoch long",
+        ),
+        1,
+    )
+    got = {(r.k): (r.cnt, r.last_epoch) for r in t2.read().collect()}
+    assert got == {"a": (2, 5), "b": (2, 5)}
+
+
+def test_gc_fails_closed_on_corrupt_kept_manifest(spark, tmp_path):
+    """Round-9 ADVICE (medium): if a KEPT manifest cannot be parsed,
+    GC must abort the generation-dir deletion pass — continuing with
+    a partial referenced set would rmtree dirs a live manifest points
+    at (transient read error → permanent data loss)."""
+    import json as _json
+    import os as _os
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        PartitionedIncrementalCountTable,
+    )
+
+    t = PartitionedIncrementalCountTable(
+        spark, str(tmp_path / "p"), ["hour", "region"], partition_col="hour"
+    )
+    for e in range(4):
+        t.merge_batch(_mk_delta(spark, [(f"h{e:02d}", 1, e + 1)]), e)
+    with open(_os.path.join(t.path, "CURRENT")) as f:
+        cur = _json.load(f)["gen"]
+    dirs_before = {
+        d for d in _os.listdir(t.path) if d.startswith("gen_")
+    }
+    # corrupt the CURRENT manifest, then run a GC that keeps it
+    with open(_os.path.join(t.path, cur), "w") as f:
+        f.write("{not json")
+    t._gc(keep_manifests={cur})
+    dirs_after = {d for d in _os.listdir(t.path) if d.startswith("gen_")}
+    assert dirs_after == dirs_before  # nothing deleted: failed closed
+
+
+def test_bulk_backfill_fallback_parity(spark, tmp_path):
+    """Round-9 (VERDICT r8 #4): a delta touching more than
+    bulk_threshold partitions merges via ONE partitionBy job instead
+    of one filtered write per partition — state parity with the
+    narrow path pinned across wide/narrow/late/replay epochs, the
+    manifest's 1:1 pv→dir invariant preserved (every referenced dir
+    exists and holds only its pv's rows), untouched-dir reuse intact,
+    and compaction works across mixed narrow/bulk generations."""
+    import json as _json
+    import os as _os
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        PartitionedIncrementalCountTable,
+    )
+    from pyspark.sql import functions as F
+
+    keys = ["hour", "region"]
+    narrow = PartitionedIncrementalCountTable(
+        spark, str(tmp_path / "n"), keys, partition_col="hour",
+        bulk_threshold=10_000,
+    )
+    bulk = PartitionedIncrementalCountTable(
+        spark, str(tmp_path / "b"), keys, partition_col="hour",
+        bulk_threshold=2,
+    )
+
+    def state(t):
+        return sorted(map(tuple, t.read().collect()))
+
+    def manifest_parts(t):
+        with open(_os.path.join(t.path, "CURRENT")) as f:
+            ptr = _json.load(f)
+        with open(_os.path.join(t.path, ptr["gen"])) as f:
+            return _json.load(f)["parts"]
+
+    wide0 = [(f"h{i:02d}", i % 3, i + 1) for i in range(6)]
+    narrow1 = [("h03", 1, 10)]
+    wide2 = [(f"h{i:02d}", 7, 2) for i in range(1, 9)]  # late + new pvs
+    for e, rows in enumerate([wide0, narrow1, wide2]):
+        d = _mk_delta(spark, rows)
+        narrow.merge_batch(d, e)
+        bulk.merge_batch(d, e)
+        assert state(bulk) == state(narrow), f"epoch {e}"
+    parts = manifest_parts(bulk)
+    # epoch 0 and 2 were bulk writes; their dirs are per-pv __pv= dirs
+    assert any("__pv=" in rel for rel in parts.values())
+    assert len(set(parts.values())) == len(parts)  # 1:1 pv -> dir
+    for pv, rel in parts.items():
+        p = _os.path.join(bulk.path, rel)
+        assert _os.path.isdir(p)
+        vals = {
+            r.hour for r in spark.read.parquet(p).select("hour").collect()
+        }
+        assert vals == {pv}, (pv, rel, vals)
+    # untouched-dir reuse across a narrow epoch on top of a bulk gen:
+    # h00 was written in epoch 0 (bulk) and untouched by epoch 1
+    bulk2 = PartitionedIncrementalCountTable(
+        spark, str(tmp_path / "b2"), keys, partition_col="hour",
+        bulk_threshold=2,
+    )
+    bulk2.merge_batch(_mk_delta(spark, wide0), 0)
+    before = manifest_parts(bulk2)
+    bulk2.merge_batch(_mk_delta(spark, narrow1), 1)
+    after = manifest_parts(bulk2)
+    assert after["h00"] == before["h00"]
+    assert after["h03"] != before["h03"]
+    # replay of the in-flight (bulk) epoch converges
+    want = state(bulk)
+    bulk.merge_batch(_mk_delta(spark, wide2), 2)
+    assert state(bulk) == want
+    # retention compaction across mixed narrow/bulk generations
+    bulk.compact(F.col("hour") >= "h03")
+    assert sorted({r.hour for r in bulk.read().collect()}) == [
+        "h03", "h04", "h05", "h06", "h07", "h08",
+    ]
