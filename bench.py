@@ -198,6 +198,10 @@ HEADLINE = [
     # batch-28 addition (round 8): the recall-contract banding as a
     # first-class oracle-paired query
     "user_covisit_lsh_t90",
+    # batch-29 additions (round 9): the DOC-level recall contract and
+    # the IVF health report as first-class oracle-paired queries
+    "near_dup_pairs_t90",
+    "ivf_health_report",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the
@@ -258,18 +262,32 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     seed_env = os.environ.get("BENCH_SEED")
     if seed_env is not None:
+        # the driver-protocol path (round 9, VERDICT r8 #5): explicit,
+        # reproducible, no prose parsing — the recorded seed +
+        # seed_source round-trip through the output JSON
         seed = int(seed_env)
+        seed_source = "env"
     else:
         seed = 1
+        seed_source = "frozen"
         verdict = os.path.join(here, "VERDICT.md")
         if os.path.exists(verdict):
-            # scan the whole header region, not just line 1 — a
-            # reformatted VERDICT must not silently freeze the tail
-            # rotation at a fixed order (review-pass fix)
+            # fallback/warning path only: parse the round number from
+            # the COMMITTED VERDICT header LINE (anchored `^#.*Round N`
+            # — round-9 ADVICE: an unanchored search could match a
+            # body mention of an earlier round and silently shift the
+            # tail order; the header line is the authoritative one)
             with open(verdict) as fh:
-                m = re.search(r"Round\s+(\d+)", fh.read(4096))
+                m = re.search(r"^#.*?\bRound\s+(\d+)", fh.read(4096), re.M)
             if m:
                 seed = int(m.group(1)) + 1
+                seed_source = "verdict"
+                print(
+                    "bench: tail-order seed derived from VERDICT.md "
+                    f"header (round {m.group(1)} -> seed {seed}); pass "
+                    "BENCH_SEED for the explicit protocol path",
+                    file=sys.stderr,
+                )
             else:
                 print(
                     "bench: no round number in VERDICT.md header; "
@@ -310,6 +328,7 @@ def main() -> None:
             "stat": "median",
             "warmup": 1,
             "order_seed": seed,
+            "seed_source": seed_source,
             "order": names,
         },
         "spread": spread,

@@ -325,3 +325,17 @@ def test_registered_path_selections_pinned(spark):
     k_c, b_c = choose_lsh_params(3, 10, target_recall=0.9)
     assert (k_c, b_c) == (50, 25)
     assert lsh_collision_probability(0.3, k_c, b_c) >= 0.9
+
+    # 6) near_dup_pairs_t90 (round 9): the DOC-level contract query —
+    # banding pinned to the library math (the oracle SQL is generated
+    # for (54, 18)), the route pinned to LSH at every sf, and the
+    # recall contract propagated through near_dup_pairs_auto's meta.
+    k_d, b_d = choose_lsh_params(1, 2, target_recall=0.9)
+    assert (k_d, b_d) == (54, 18)
+    assert lsh_collision_probability(0.5, k_d, b_d) >= 0.9
+    t90 = entrymod._q_near_dup_pairs_t90(spark, SF_SMALL)
+    meta = t90.__setsim_meta__
+    assert t90.__setsim_path__ == "lsh"
+    assert meta["target_recall"] == 0.9
+    assert (meta["k"], meta["bands"]) == (54, 18)
+    assert meta["expected_recall_at_threshold"] >= 0.9
