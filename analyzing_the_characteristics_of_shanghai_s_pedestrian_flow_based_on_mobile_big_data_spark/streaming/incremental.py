@@ -415,11 +415,16 @@ class PartitionedIncrementalCountTable(IncrementalCountTable):
     dirs, combines with the whole delta, and writes every touched
     partition in a single ``partitionBy`` pass (each partition still
     gets its own directory, so the manifest's 1:1 pv→dir invariant
-    and every read/merge path are unchanged). Measured crossover in
-    SCALE_PROBE_r9 ingest_backfill — per-partition job overhead is
-    ~0.5 s/partition at local scale while the bulk pass is ~flat in
-    the touched count. That is the same trade a MERGE INTO with
-    partition pruning makes."""
+    and every read/merge path are unchanged). Measured
+    (SCALE_PROBE_r9 ingest_backfill, 48×50k-row partitions): narrow
+    is ~0.55 s/partition LINEAR (0.93 → 25.95 s from 1 → 48 touched)
+    while bulk is near-flat (0.85 → 2.92 s); the curves cross at ~2
+    touched partitions — hence the default ``bulk_threshold=2``,
+    keeping the watermark case (1–2 recent hours) on the narrow path
+    whose per-partition jobs are independent (no cross-partition
+    shuffle coupling, per-partition retry) and switching as soon as
+    per-job overhead dominates. That is the same trade a MERGE INTO
+    with partition pruning makes."""
 
     def __init__(
         self,
@@ -431,7 +436,7 @@ class PartitionedIncrementalCountTable(IncrementalCountTable):
         measures: tuple[str, ...] = ("cnt",),
         min_measures: tuple[str, ...] = (),
         max_measures: tuple[str, ...] = (),
-        bulk_threshold: int = 8,
+        bulk_threshold: int = 2,
     ):
         super().__init__(
             spark,

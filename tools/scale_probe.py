@@ -715,6 +715,203 @@ def probe_ingest_narrow(spark, sf_dir: str, n: int) -> dict:
     return results
 
 
+def probe_ingest_backfill(spark, sf_dir: str, n: int) -> dict:
+    """Backfill degradation crossover (round 9, VERDICT r8 #4): merge
+    cost vs TOUCHED-PARTITION COUNT for the per-partition narrow path
+    (one filtered read+write job per partition) vs the bulk path (one
+    combined read → combine → partitionBy write). ``n`` = partitions
+    in the base table. A watermark-shaped delta touches 1–2
+    partitions — narrow wins by skipping the wide shuffle; a backfill
+    touching dozens pays per-partition job overhead linearly — bulk
+    is ~flat. The measured crossover sets
+    PartitionedIncrementalCountTable.bulk_threshold's default. State
+    parity between strategies is fingerprint-checked at every T."""
+    import shutil as _sh
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        PartitionedIncrementalCountTable,
+    )
+
+    del sf_dir
+    parts = n
+    rows_per_part = 50_000
+    results = {
+        "family": "ingest_backfill",
+        "base_partitions": parts,
+        "rows_per_partition": rows_per_part,
+    }
+    base_delta_dir = os.path.join(
+        tempfile.gettempdir(), f"backfill_base_{parts}"
+    )
+    if not os.path.isdir(base_delta_dir):
+        spark.range(parts * rows_per_part).select(
+            F.concat(
+                F.lit("h"),
+                F.lpad((F.col("id") % parts).cast("string"), 3, "0"),
+            ).alias("hour"),
+            (F.col("id") / parts).cast("int").alias("region"),
+            F.lit(1).cast("long").alias("cnt"),
+        ).write.mode("overwrite").parquet(base_delta_dir)
+    touched_counts = [t for t in (1, 2, 4, 8, 16, 32, parts) if t <= parts]
+    delta_dirs = {}
+    for t in touched_counts:
+        d = os.path.join(tempfile.gettempdir(), f"backfill_delta_{parts}_{t}")
+        delta_dirs[t] = d
+        if os.path.isdir(d):
+            continue
+        spark.range(t * 10_000).select(
+            F.concat(
+                F.lit("h"),
+                F.lpad((F.col("id") % t).cast("string"), 3, "0"),
+            ).alias("hour"),
+            (F.col("id") / t).cast("int").alias("region"),
+            F.lit(1).cast("long").alias("cnt"),
+        ).write.mode("overwrite").parquet(d)
+
+    def fp(table):
+        return (
+            table.read()
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.conv(
+                        F.md5(
+                            F.concat_ws("|", "hour", "region", "cnt")
+                        ).substr(1, 8),
+                        16,
+                        10,
+                    ).cast("long")
+                ).alias("h"),
+            )
+            .collect()[0]
+        )
+
+    def run(label: str, threshold: int) -> list:
+        path = os.path.join(
+            tempfile.gettempdir(), f"backfill_{label}_{parts}"
+        )
+        if os.path.isdir(path):
+            _sh.rmtree(path)
+        table = PartitionedIncrementalCountTable(
+            spark,
+            path,
+            ["hour", "region"],
+            partition_col="hour",
+            bulk_threshold=threshold,
+        )
+        # epoch 0: seed all partitions (bulk for both configs — not
+        # what is being measured)
+        table.merge_batch(spark.read.parquet(base_delta_dir), 0)
+        times, fps = [], []
+        for e, t in enumerate(touched_counts, start=1):
+            delta = spark.read.parquet(delta_dirs[t])
+            t0 = time.perf_counter()
+            table.merge_batch(delta, e)
+            times.append(round(time.perf_counter() - t0, 2))
+            fps.append(tuple(fp(table)))
+        results[f"{label}_merge_s"] = dict(zip(map(str, touched_counts), times))
+        return fps
+
+    fp_narrow = run("narrow", 10**9)  # per-partition always
+    fp_bulk = run("bulk", 0)  # bulk always
+    assert fp_narrow == fp_bulk, "strategy parity broke"
+    results["touched_counts"] = touched_counts
+    results["state_parity"] = True
+    return results
+
+
+def probe_ingest_epochs(spark, sf_dir: str, n: int) -> dict:
+    """Long-horizon manifest-chain behavior (round 9, VERDICT r8 #7):
+    ``n`` (≥200) watermark-shaped epochs against the partitioned
+    table — each opens a fresh hour and drops one late row into h000.
+    Records the merge-cost curve (must stay FLAT: cost tracks the
+    touched partitions, never the table or the generation count) and
+    the on-disk accounting at the end: manifest files (bounded by the
+    retain window), generation dirs (every one referenced by a kept
+    manifest — GC leaves no orphans), parquet files per partition dir
+    (AQE coalescing should keep small merged partitions at ~1 file;
+    this is the small-file monitor)."""
+    import shutil as _sh
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        PartitionedIncrementalCountTable,
+    )
+
+    del sf_dir
+    rows_per_epoch = 20_000
+    results = {
+        "family": "ingest_epochs",
+        "epochs": n,
+        "rows_per_epoch": rows_per_epoch,
+    }
+    path = os.path.join(tempfile.gettempdir(), f"epochs_x{n}")
+    if os.path.isdir(path):
+        _sh.rmtree(path)
+    table = PartitionedIncrementalCountTable(
+        spark, path, ["hour", "region"], partition_col="hour"
+    )
+    merge_s = []
+    for e in range(n):
+        delta = spark.range(rows_per_epoch).select(
+            F.lit(f"h{e:03d}").alias("hour"),
+            F.col("id").cast("int").alias("region"),
+            F.lit(1).cast("long").alias("cnt"),
+        )
+        if e > 0:
+            delta = delta.unionByName(
+                spark.range(1).select(
+                    F.lit("h000").alias("hour"),
+                    F.lit(7).cast("int").alias("region"),
+                    F.lit(1).cast("long").alias("cnt"),
+                )
+            )
+        t0 = time.perf_counter()
+        table.merge_batch(delta, e)
+        merge_s.append(round(time.perf_counter() - t0, 2))
+    results["first10_s"] = round(sum(merge_s[:10]), 2)
+    results["last10_s"] = round(sum(merge_s[-10:]), 2)
+    results["every_25th_s"] = merge_s[::25]
+    # on-disk accounting
+    import json as _json
+
+    manifests = [
+        m
+        for m in os.listdir(path)
+        if m.startswith("manifest_") and not m.endswith(".tmp")
+    ]
+    gen_dirs = [d for d in os.listdir(path) if d.startswith("gen_")]
+    with open(os.path.join(path, "CURRENT")) as f:
+        cur = _json.load(f)
+    with open(os.path.join(path, cur["gen"])) as f:
+        parts = _json.load(f)["parts"]
+    # orphans = gen dirs referenced by NO surviving manifest (GC keeps
+    # current + parent + the retain window; their references must
+    # cover every dir still on disk)
+    referenced = set()
+    for m in manifests:
+        with open(os.path.join(path, m)) as f:
+            for rel in _json.load(f)["parts"].values():
+                referenced.add(rel.split(os.sep)[0])
+    files_per_dir = []
+    for rel in parts.values():
+        d = os.path.join(path, rel)
+        files_per_dir.append(
+            len([x for x in os.listdir(d) if x.endswith(".parquet")])
+        )
+    results["n_manifests"] = len(manifests)
+    results["n_gen_dirs"] = len(gen_dirs)
+    results["n_partitions"] = len(parts)
+    results["orphan_gen_dirs"] = len(
+        [d for d in gen_dirs if d not in referenced]
+    )
+    results["max_files_per_partition_dir"] = max(files_per_dir)
+    results["mean_files_per_partition_dir"] = round(
+        sum(files_per_dir) / len(files_per_dir), 2
+    )
+    results["final_rows"] = table.read().count()
+    return results
+
+
 def probe_ivf_drift(spark, sf_dir: str, n: int) -> dict:
     """IVF codebook drift (round-8 task #6): after 50% corpus turnover
     into a SHIFTED distribution (new vectors get a constant offset on
@@ -1036,6 +1233,8 @@ FAMILIES = {
     "dedup_e2e": probe_dedup_e2e,
     "ingest_compact": probe_ingest_compact,
     "ingest_narrow": probe_ingest_narrow,
+    "ingest_backfill": probe_ingest_backfill,
+    "ingest_epochs": probe_ingest_epochs,
     "ivf_drift": probe_ivf_drift,
 }
 
