@@ -834,8 +834,14 @@ def _q_near_dup_pairs_t90(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=3,
         threshold_num=1,
         threshold_den=2,
+        # the route is PINNED to lsh (budget 0 over >=1 key), so the
+        # router's two df-stats jobs would be pure overhead — synthetic
+        # stats skip them, the same designed input the catalog-stats
+        # path uses (set_similarity_stats_from_catalog); the pin itself
+        # is belt-and-braces: either input alone forces lsh
         pairs_per_key_budget=0,
         min_lsh_keys=1,
+        stats={"n_keys": 2_000_000, "cand_pairs": 1e18},
         target_recall=0.9,
     )
 

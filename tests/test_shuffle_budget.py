@@ -193,6 +193,15 @@ EXCHANGE_CEILING = {
     # exact route on the committed corpus (df-stat router; the prefix
     # path's stats job runs before the plan, so only the join shows)
     "near_dup_pairs_auto": 6,
+    # batch 29 (round 9): doc-level recall contract — the LSH route's
+    # signature agg + band fanout + candidate distinct + two payload
+    # join-backs + the identical-set collapse joins, all narrow
+    # (digests/ids); the 54-wide signature changes agg WIDTH, not the
+    # exchange count
+    "near_dup_pairs_t90": 18,
+    # map-side centroid assignment + one k_c-bounded agg + final 1-row
+    # agg: the corpus never shuffles
+    "ivf_health_report": 4,
 }
 
 
