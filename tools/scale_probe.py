@@ -715,6 +715,81 @@ def probe_ingest_narrow(spark, sf_dir: str, n: int) -> dict:
     return results
 
 
+def probe_doc_contract(spark, sf_dir: str, n: int) -> dict:
+    """Doc-level recall contract, MEASURED (round 9 — the covisit
+    contract got this in round 8; the doc contract should not rest on
+    math + oracle alone): a planted-Jaccard corpus of ``n`` doc pairs
+    PER overlap level — pair p's two docs share a (L−d)-token prefix
+    of pair-unique tokens, so their 3-gram shingle sets overlap in
+    exactly s = L−d−2 of 2(L−2)−s, i.e. a KNOWN J per d, no
+    cross-pair collisions. Measures the banded candidate rate at each
+    J for the contract banding choose_lsh_params(1,2,0.9) = (54, 18)
+    vs the midpoint default (16, 8), against the analytic
+    1−(1−J^r)^b. The contract's claim is a FLOOR: rate ≥ 0.9 for
+    every J ≥ 0.5 (verification is exact, so candidates are the only
+    place recall can be lost)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+        lsh_pairs_from_bands,
+        minhash_bands,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        choose_lsh_params,
+        lsh_collision_probability,
+    )
+
+    del sf_dir
+    L = 52  # tokens per doc -> 50 shingles
+    deltas = [8, 12, 17, 22, 28]  # replaced-suffix lengths -> J levels
+    rows = []
+    for di, d in enumerate(deltas):
+        for p in range(n):
+            pid = di * n + p
+            shared = [f"p{pid}w{i}" for i in range(L - d)]
+            a = shared + [f"p{pid}a{i}" for i in range(d)]
+            b = shared + [f"p{pid}b{i}" for i in range(d)]
+            rows.append((2 * pid, " ".join(a), d))
+            rows.append((2 * pid + 1, " ".join(b), d))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, d int"
+    ).persist()
+    results = {"family": "doc_contract", "pairs_per_level": n, "levels": {}}
+    k_c, b_c = choose_lsh_params(1, 2, target_recall=0.9)
+    schemes = {"contract": (k_c, b_c), "midpoint": (16, 8)}
+    cand = {}
+    for label, (k, bands) in schemes.items():
+        bands_df = minhash_bands(docs, k=k, bands=bands, n=3)
+        pairs = lsh_pairs_from_bands(bands_df)
+        # planted pair = (2p, 2p+1); count candidates per level
+        hit = (
+            pairs.filter(
+                (F.col("doc_b") == F.col("doc_a") + 1)
+                & (F.col("doc_a") % 2 == 0)
+            )
+            .select((F.col("doc_a") / 2).cast("long").alias("pid"))
+            .withColumn("level", (F.col("pid") / n).cast("int"))
+            .groupBy("level")
+            .count()
+        )
+        cand[label] = {r.level: r["count"] for r in hit.collect()}
+    for di, d in enumerate(deltas):
+        s = L - d - 2
+        j = s / (2 * (L - 2) - s)
+        results["levels"][f"d{d}"] = {
+            "jaccard": round(j, 4),
+            "expected_contract": round(
+                lsh_collision_probability(j, k_c, b_c), 4
+            ),
+            "measured_contract": round(cand["contract"].get(di, 0) / n, 4),
+            "expected_midpoint": round(
+                lsh_collision_probability(j, 16, 8), 4
+            ),
+            "measured_midpoint": round(cand["midpoint"].get(di, 0) / n, 4),
+        }
+    results["contract_banding"] = [k_c, b_c]
+    docs.unpersist()
+    return results
+
+
 def probe_ingest_backfill(spark, sf_dir: str, n: int) -> dict:
     """Backfill degradation crossover (round 9, VERDICT r8 #4): merge
     cost vs TOUCHED-PARTITION COUNT for the per-partition narrow path
@@ -1235,6 +1310,7 @@ FAMILIES = {
     "ingest_narrow": probe_ingest_narrow,
     "ingest_backfill": probe_ingest_backfill,
     "ingest_epochs": probe_ingest_epochs,
+    "doc_contract": probe_doc_contract,
     "ivf_drift": probe_ivf_drift,
 }
 
