@@ -567,6 +567,19 @@ def ivf_health_report_df(
     stability of the float sums."""
     if centroids is None:
         centroids = ivf_centroid_rows(emb, n_centroids)
+    if not centroids:
+        # empty corpus -> the report an empty-input aggregate yields
+        # (sum/max over zero lists are NULL, count 0) — the same row
+        # the SQL twin's final aggregate produces, and the schema the
+        # non-empty path has (an untyped array() of zero centroid
+        # structs cannot even be analyzed, cf. ivf_topk's guard)
+        return emb.sparkSession.range(1).select(
+            F.lit(None).cast("bigint").alias("n_vectors"),
+            F.lit(0).cast("bigint").alias("n_lists"),
+            F.lit(None).cast("double").alias("max_list_share"),
+            F.lit(None).cast("double").alias("mean_assigned_cos"),
+            F.lit(None).cast("boolean").alias("recenter"),
+        )
     k_c = max(1, len(centroids))
     c = emb.select(
         "vec_id", as_double_array(F.col("embedding")).alias("c_emb")

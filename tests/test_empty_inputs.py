@@ -68,6 +68,20 @@ def test_every_query_survives_empty_tables(spark, empty_sf_dir):
             if len(rows) != 1 or rows[0].n_lines != 0:
                 failures.append(f"{name}: empty input not reported as 0 lines")
             continue
+        if name == "ivf_health_report":
+            # one-row health report (round 9): an empty index yields
+            # the row the SQL twin's ungrouped final aggregate
+            # produces — 0 lists, NULL shares/cos/recenter (there is
+            # no hottest list to compare to a threshold)
+            if (
+                len(rows) != 1
+                or rows[0].n_lists != 0
+                or rows[0].max_list_share is not None
+            ):
+                failures.append(
+                    f"{name}: empty index not reported as 0 lists"
+                )
+            continue
         if name == "graph_summary_stats":
             # one-row health report: an EMPTY graph is itself a
             # reportable fact (0 nodes / 0 edges), the
