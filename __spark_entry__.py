@@ -786,6 +786,41 @@ def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.simhash(docs)
 
 
+def _q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-distance near-dup pairs (batch 29, round 9) —
+    the Manku block LSH: candidates from an equi self-join on
+    (block, 16-bit block value) — by pigeonhole a COMPLETE cover of
+    every pair within Hamming 1 of the 32-bit signature, so unlike
+    MinHash banding there is no recall contract to carry: zero misses
+    and zero false positives w.r.t. the signature, verified by one
+    bit_count(XOR). The oracle mirrors signature, blocking, and
+    verification (DuckDB xor/bit_count), so the cover property itself
+    is engine-differentially checked. Budget 1 (not Manku's 3-of-64):
+    the synthetic corpus's docs share one token distribution, so a
+    32-bit simhash concentrates — hamming ≤ 3 matches 28% of ALL
+    pairs here (a signature-resolution fact, not an operator bug);
+    ≤ 1 keeps the registered output at genuine near-dup scale while
+    the operator stays parametric for wider signatures."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ops.simhash_hamming_pairs(docs, max_hamming=1)
+
+
+def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment join (batch 29, round 9): ordered
+    (doc_a, doc_b, containment) where |A∩B|/|A| ≥ 4/5 over 3-gram
+    shingles — the quote/subset detector a symmetric Jaccard join
+    structurally misses (a short doc wholly quoted in a long one has
+    J ≈ |A|/|B| but C = 1); the curation use is dropping documents
+    subsumed by longer ones. Candidates are prefix-filtered on the
+    CONTAINED side only (the containment lemma: any
+    ⌊(1−t)·|A|⌋+1-subset of A must hit B — rarity ordering is purely
+    pruning, so engine tie-divergence cannot change the answer);
+    verification is exact via array_intersect. Threshold rides in
+    integer form; one IEEE division at the edge."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ops.containment_pairs(docs, n=3, threshold_num=4, threshold_den=5)
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ops.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
@@ -6172,6 +6207,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_covisit_lsh_t90": _q_user_covisit_lsh_t90,
         "near_dup_pairs_auto": _q_near_dup_pairs_auto,
         "near_dup_pairs_t90": _q_near_dup_pairs_t90,
+        "simhash_hamming_pairs": _q_simhash_hamming_pairs,
+        "containment_pairs": _q_containment_pairs,
         "cluster_size_histogram": _q_cluster_size_histogram,
     }
 
@@ -6600,6 +6637,96 @@ def _simhash_oracle(nbits: int = 32) -> str:
         h AS (SELECT doc_id, md5(tok) AS h FROM tok),
         v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
         SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM v
+    """
+
+
+def _simhash_hamming_oracle(nbits: int = 32, max_hamming: int = 3) -> str:
+    """DuckDB mirror of the Manku block-LSH hamming join: the SAME
+    vote/signature arithmetic as _simhash_oracle, block values by
+    shift/mask, candidate equi-join on (block, value), verification
+    via bit_count(xor) — the complete-cover property is what the twin
+    checks (a missing pair on either side fails the hash compare)."""
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN substr(h, {j + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v_{j}"
+        for j in range(nbits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(nbits)
+    )
+    b = max_hamming + 1
+    widths = [nbits // b + (1 if i < nbits % b else 0) for i in range(b)]
+    block_rows, off = [], 0
+    for i, w in enumerate(widths):
+        block_rows.append(
+            f"SELECT doc_id, simhash, {i} AS blk, "
+            f"(simhash >> {off}) & {(1 << w) - 1} AS val FROM sig"
+        )
+        off += w
+    blocks = "\n          UNION ALL\n          ".join(block_rows)
+    return f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+        tok AS (
+          SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(t) AS tok FROM toks)
+        ),
+        h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+        v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+        sig AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM v),
+        blocks AS (
+          {blocks}
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.simhash AS sa, b.simhash AS sb
+          FROM blocks a
+          JOIN blocks b ON a.blk = b.blk AND a.val = b.val
+                       AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    """
+
+
+def _containment_oracle(num: int = 4, den: int = 5) -> str:
+    """DuckDB mirror of the containment prefix-filter join. The
+    prefix is any ⌊(1−t)·sz⌋+1-subset by the lemma, so candidate-set
+    tie divergence between engines cannot change the verified output;
+    both sides still rank by (df, shingle) for the measured pruning."""
+    return f"""
+        WITH {_SHINGLES_CTE},
+        dfr AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+        ranked AS (
+          SELECT sh.doc_id, sh.shingle,
+                 row_number() OVER (PARTITION BY sh.doc_id
+                                    ORDER BY dfr.df, sh.shingle) AS rk,
+                 count(*) OVER (PARTITION BY sh.doc_id) AS sz
+          FROM sh JOIN dfr USING (shingle)
+        ),
+        pref AS (
+          SELECT doc_id, shingle FROM ranked
+          WHERE {den} * (rk - 1) <= {den - num} * sz
+        ),
+        cand AS (
+          SELECT DISTINCT p.doc_id AS doc_a, s.doc_id AS doc_b
+          FROM pref p JOIN sh s USING (shingle)
+          WHERE p.doc_id <> s.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+          GROUP BY 1, 2
+        )
+        SELECT i.doc_a, i.doc_b,
+               CAST(n_shared AS DOUBLE) / CAST(za.sz AS DOUBLE)
+                 AS containment
+        FROM inter i JOIN sizes za ON za.doc_id = i.doc_a
+        WHERE {den} * n_shared >= {num} * za.sz
     """
 
 
@@ -8077,6 +8204,8 @@ def oracle_sql() -> dict[str, str]:
         "user_covisit_lsh_t90": _covisit_lsh_oracle_params(50, 25),
         # doc-level contract banding: choose_lsh_params(1,2,0.9) — same pin
         "near_dup_pairs_t90": _doc_lsh_oracle_params(54, 18, 1, 2),
+        "simhash_hamming_pairs": _simhash_hamming_oracle(32, 1),
+        "containment_pairs": _containment_oracle(4, 5),
         "cluster_size_histogram": _cluster_size_histogram_oracle(),
         "value_histogram": """
             SELECT event_type,

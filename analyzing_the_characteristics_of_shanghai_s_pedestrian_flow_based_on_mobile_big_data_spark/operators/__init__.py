@@ -1,11 +1,13 @@
 from .cascade import cascade_join  # noqa: F401
 from .dedup import (  # noqa: F401
+    containment_pairs,
     exact_dedup,
     minhash_signatures,
     minhash_lsh_pairs,
     near_dup_pairs_auto,
     ngram_jaccard_pairs,
     simhash,
+    simhash_hamming_pairs,
 )
 from .home import home_location, mode_per_group, night_single_region_users  # noqa: F401
 from .occupancy import occupancy, occupancy_approx  # noqa: F401

@@ -551,6 +551,179 @@ def simhash(
     return voted.select("doc_id", sig.alias("simhash"))
 
 
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    nbits: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance — the Manku-style
+    block LSH (the web-crawl dedup classic; reference analogue: the
+    all-pairs text comparisons in cal_user_trace.py, re-expressed
+    sub-quadratically): split the ``nbits`` signature into
+    ``max_hamming``+1 contiguous blocks; by pigeonhole, any pair
+    within the Hamming budget agrees EXACTLY on at least one block,
+    so candidates come from an equi self-join on (block, block_value)
+    — never an all-pairs loop — and one ``bit_count(a XOR b)``
+    verifies. Unlike MinHash banding, the block cover is COMPLETE:
+    zero misses and zero false positives w.r.t. the simhash itself
+    (recall loss lives only in how well simhash approximates token
+    overlap), so no recall contract is needed.
+
+    Scale shape: the signature table is 8 B/doc; block rows are
+    (max_hamming+1)×16 B/doc; the join shuffles block values only and
+    each bucket holds docs agreeing on an ⌈nbits/(h+1)⌉-bit slice —
+    2^8 partitions of the corpus at the default 32/4 split, the same
+    self-balancing property the sign-bucket ANN relies on. Output is
+    (doc_a, doc_b, hamming), doc_a < doc_b."""
+    assert 0 <= max_hamming < nbits
+    b = max_hamming + 1
+    widths = [nbits // b + (1 if i < nbits % b else 0) for i in range(b)]
+    sig = simhash(docs, id_col, text_col, nbits)
+    block_structs = []
+    off = 0
+    for i, w in enumerate(widths):
+        block_structs.append(
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(F.col("simhash"), off)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("val"),
+            )
+        )
+        off += w
+    blocks = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*block_structs)).alias("bb")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bb.blk").alias("blk"),
+        F.col("bb.val").alias("val"),
+    )
+    a = blocks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sim_a"),
+        "blk",
+        "val",
+    )
+    b_ = blocks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+        "blk",
+        "val",
+    )
+    cand = (
+        a.join(b_, ["blk", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ASYMMETRIC near-dup join: ordered pairs where the containment
+    C(A in B) = |A∩B| / |A| ≥ num/den (n-gram shingle sets) — the
+    quote/subset detector a symmetric Jaccard join structurally
+    misses: a short document wholly quoted inside a long one has
+    J = |A|/|B| ≈ 0 but C = 1. The training-data curation use is
+    dropping documents subsumed by longer ones (and decontamination
+    of benchmark snippets embedded in web pages).
+
+    Scale shape — the containment prefix-filter lemma: if
+    |A∩B| ≥ t·|A| then among A's ⌊(1−t)·|A|⌋+1 globally-RAREST
+    shingles (global order = document frequency ascending, the same
+    df ranking the Jaccard prefix path uses) at least one is in B —
+    so only the contained side's prefix enters the candidate join,
+    against the container side's full inverted index; hot boilerplate
+    shingles sort to every doc's suffix and never become join keys.
+    Verification is exact per candidate via array_intersect on
+    per-doc sorted shingle sets (reuses the doc_id partitioning the
+    payload groupBy creates). The threshold rides in cross-multiplied
+    integer form; ``containment`` is one exact IEEE division at the
+    edge. Output: (doc_a, doc_b, containment) = A-contained-in-B,
+    BOTH orientations emitted when both qualify (a ≠ b always)."""
+    from pyspark.sql import Window
+
+    num, den = int(threshold_num), int(threshold_den)
+    if not 1 <= num <= den:
+        raise ValueError(f"containment threshold must be in (0,1]: {num}/{den}")
+    sh = doc_shingles(docs, n, id_col, text_col)
+    # df-ranked global rarity order, then each doc's prefix: the
+    # ⌊(1−t)·sz⌋+1 rarest shingles (ties broken by shingle text so
+    # both engines rank identically)
+    df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(df_tbl, "shingle")
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    sz_w = Window.partitionBy("doc_id")
+    pref = (
+        ranked.withColumn("rk", F.row_number().over(w))
+        .withColumn("sz", F.count(F.lit(1)).over(sz_w))
+        .filter(
+            F.lit(den) * (F.col("rk") - 1)
+            <= F.lit(den - num) * F.col("sz")
+        )
+        .select("doc_id", "shingle")
+    )
+    # candidates: contained-side prefix vs container-side full index
+    cand = (
+        pref.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            "shingle",
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    payload = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("items"),
+        F.count(F.lit(1)).alias("sz"),
+    )
+    out = (
+        cand.join(
+            payload.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("items").alias("it_a"),
+                F.col("sz").alias("sz_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            payload.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("items").alias("it_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "n_shared", F.size(F.array_intersect("it_a", "it_b")).cast("long")
+        )
+        .filter(F.lit(den) * F.col("n_shared") >= F.lit(num) * F.col("sz_a"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_shared") / F.col("sz_a").cast("double")).alias(
+                "containment"
+            ),
+        )
+    )
+    return out
+
+
 def duplicated_block_stats(
     docs: DataFrame,
     block_words: int = 10,

@@ -199,9 +199,13 @@ HEADLINE = [
     # first-class oracle-paired query
     "user_covisit_lsh_t90",
     # batch-29 additions (round 9): the DOC-level recall contract and
-    # the IVF health report as first-class oracle-paired queries
+    # the IVF health report as first-class oracle-paired queries,
+    # plus the two new dedup operator classes (complete-cover simhash
+    # blocking; asymmetric containment)
     "near_dup_pairs_t90",
     "ivf_health_report",
+    "simhash_hamming_pairs",
+    "containment_pairs",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

@@ -550,3 +550,96 @@ def test_star_gate_memo_and_override(spark, monkeypatch):
     )
     assert got_memo == want_b and got_forced == want_b
     comp.clear_star_gate_cache()
+
+
+def test_simhash_hamming_pairs_complete_cover(spark):
+    """Round-9: the Manku block join must equal the brute-force
+    all-pairs hamming filter EXACTLY (the pigeonhole cover is
+    complete — no probabilistic recall), at several budgets."""
+    from itertools import combinations
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+        simhash,
+        simhash_hamming_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(0, base)]
+    for i in range(1, 10):
+        words = base.split()
+        words[i % len(words)] = words[i % len(words)] + "x"
+        rows.append((i, " ".join(words)))
+    rows.append((100, "totally different words about spark engines here"))
+    rows.append((101, "another unrelated short document sample text"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    for h in (0, 1, 3, 6):
+        want = sorted(
+            (a, b, bin(sig[a] ^ sig[b]).count("1"))
+            for a, b in combinations(sorted(sig), 2)
+            if bin(sig[a] ^ sig[b]).count("1") <= h
+        )
+        got = sorted(
+            map(
+                tuple,
+                simhash_hamming_pairs(docs, max_hamming=h).collect(),
+            )
+        )
+        assert got == want, f"max_hamming={h}"
+    assert len(want) >= 3  # the h=6 run found real structure
+
+
+def test_containment_pairs_exact_and_asymmetric(spark):
+    """Round-9: the prefix-filtered containment join must equal the
+    brute-force definition |A∩B|/|A| >= t over shingle sets in BOTH
+    orientations — including the case symmetric Jaccard misses by
+    construction: a short doc wholly quoted inside a long one
+    (C(A in B)=1 while J << t)."""
+    from itertools import permutations
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+        containment_pairs,
+        doc_shingles,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    long_doc = (
+        "unrelated prefix words keep arriving here and then "
+        + quote
+        + " followed by much more trailing content about engines "
+        + "systems pipelines clusters shuffles and partitions galore"
+    )
+    rows = [
+        (1, quote),                 # contained in 2
+        (2, long_doc),
+        (3, quote + " almost"),     # near-contained variant
+        (4, "completely different text with its own vocabulary set"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sets = {}
+    for r in doc_shingles(docs, 3).collect():
+        sets.setdefault(r.doc_id, set()).add(r.shingle)
+    num, den = 4, 5
+    want = sorted(
+        (a, b, len(sets[a] & sets[b]) / len(sets[a]))
+        for a, b in permutations(sorted(sets), 2)
+        if den * len(sets[a] & sets[b]) >= num * len(sets[a])
+    )
+    got = sorted(
+        map(
+            tuple,
+            containment_pairs(
+                docs, n=3, threshold_num=num, threshold_den=den
+            ).collect(),
+        )
+    )
+    assert got == want
+    # the planted quote: fully contained, ordered (1, 2), and invisible
+    # to the symmetric join at the same threshold
+    assert any(a == 1 and b == 2 and c == 1.0 for a, b, c in got)
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    assert (1, 2) not in jac

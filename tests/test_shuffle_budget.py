@@ -202,6 +202,12 @@ EXCHANGE_CEILING = {
     # map-side centroid assignment + one k_c-bounded agg + final 1-row
     # agg: the corpus never shuffles
     "ivf_health_report": 4,
+    # signature groupBy + block self-join + candidate distinct — all
+    # narrow (doc_id, 8B signature) rows
+    "simhash_hamming_pairs": 8,
+    # df groupBy + rank window + prefix-vs-index join + payload
+    # join-backs: the prefix filter's stage price, as in ngram_jaccard
+    "containment_pairs": 14,
 }
 
 
