@@ -1147,6 +1147,99 @@ def probe_ivf_drift(spark, sf_dir: str, n: int) -> dict:
     return results
 
 
+def probe_pairops(spark, sf_dir: str, n: int) -> dict:
+    """Round-9 batch-29 pair operators at scale: replicate documents
+    N× with IDENTICAL text in disjoint doc_id spaces. Under that
+    design BOTH operators have CLOSED-FORM output counts, so the
+    scale run doubles as an exact correctness check:
+
+    - ``simhash_hamming_pairs(max_hamming=1)``: every replica carries
+      its base doc's signature, so the output must be exactly
+      N²·P_base + C(N,2)·D rows (P_base = base pair count, D = base
+      docs; the second term is the hamming-0 replica diagonal).
+    - ``containment_pairs(4/5)``: shingle sets are identical per
+      replica, so ordered output = N²·P_base + N·(N−1)·D (each
+      replica pair of the same base doc is mutually contained, both
+      orientations).
+
+    The probe asserts both counts AND that the base-projected
+    DISTINCT pair set (ids mod the replication stride, diagonal
+    dropped, values included) equals the base output — both
+    directions checked with server-side anti-joins, never a driver
+    materialization of the scaled pairs. The N² term is the pair
+    CONTRACT's own output floor (every qualifying pair is the
+    answer), not candidate waste; what the wall-clock measures is
+    that the blocking machinery adds no second quadratic on top."""
+    import __spark_entry__ as entry  # noqa: F401  (session parity)
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+        containment_pairs,
+        simhash_hamming_pairs,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        load_table,
+    )
+
+    stride = 10_000_000
+    docs = load_table(spark, sf_dir, "documents")
+    dcopies = docs.crossJoin(
+        spark.range(n).select(F.col("id").alias("rep"))
+    ).select(
+        (F.col("doc_id") + F.col("rep") * stride).alias("doc_id"),
+        "text",
+    )
+    dout = os.path.join(tempfile.gettempdir(), f"documents_pairops_x{n}.parquet")
+    dcopies.write.mode("overwrite").parquet(dout)
+    sdocs = spark.read.parquet(dout)
+    d_base = docs.count()
+    results = {"family": "pairops", "replication": n, "docs": d_base * n}
+
+    def check(name, base_out, scaled_fn, cols, expected_fn, ordered):
+        base_cnt = base_out.count()
+        t0 = time.perf_counter()
+        scaled = scaled_fn(sdocs)
+        _noop(scaled)
+        results[f"{name}_s"] = round(time.perf_counter() - t0, 2)
+        scaled_cnt = scaled_fn(sdocs).count()
+        results[f"{name}_base_pairs"] = base_cnt
+        results[f"{name}_scaled_pairs"] = scaled_cnt
+        results[f"{name}_count_exact"] = scaled_cnt == expected_fn(base_cnt)
+        a0 = F.pmod(F.col("doc_a"), F.lit(stride))
+        b0 = F.pmod(F.col("doc_b"), F.lit(stride))
+        if ordered:
+            pa, pb = a0, b0
+        else:
+            pa, pb = F.least(a0, b0), F.greatest(a0, b0)
+        proj = (
+            scaled_fn(sdocs)
+            .select(pa.alias("doc_a"), pb.alias("doc_b"), cols[2])
+            .filter(F.col("doc_a") != F.col("doc_b"))
+            .distinct()
+        )
+        miss = base_out.join(proj, cols, "left_anti").count()
+        extra = proj.join(base_out, cols, "left_anti").count()
+        results[f"{name}_projection_match"] = miss == 0 and extra == 0
+        assert results[f"{name}_count_exact"], (name, scaled_cnt)
+        assert results[f"{name}_projection_match"], (name, miss, extra)
+
+    check(
+        "simhash_h1",
+        simhash_hamming_pairs(docs, max_hamming=1),
+        lambda d: simhash_hamming_pairs(d, max_hamming=1),
+        ["doc_a", "doc_b", "hamming"],
+        lambda p: n * n * p + d_base * n * (n - 1) // 2,
+        ordered=False,
+    )
+    check(
+        "containment_t80",
+        containment_pairs(docs, n=3, threshold_num=4, threshold_den=5),
+        lambda d: containment_pairs(d, n=3, threshold_num=4, threshold_den=5),
+        ["doc_a", "doc_b", "containment"],
+        lambda p: n * n * p + d_base * n * (n - 1),
+        ordered=True,
+    )
+    return results
+
+
 def probe_cc(spark, sf_dir: str, n: int) -> dict:
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.components import (
         connected_components,
@@ -1312,6 +1405,7 @@ FAMILIES = {
     "ingest_epochs": probe_ingest_epochs,
     "doc_contract": probe_doc_contract,
     "ivf_drift": probe_ivf_drift,
+    "pairops": probe_pairops,
 }
 
 
