@@ -821,6 +821,23 @@ def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.containment_pairs(docs, n=3, threshold_num=4, threshold_den=5)
 
 
+def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span extraction (batch 29, round
+    9): maximal token spans covered by OVERLAPPING 10-gram
+    fingerprints occurring in ≥ 2 distinct documents — the sliding
+    window finds duplicated passages at ANY alignment (the form
+    `dup_passage_stats`' fixed blocks quantize away) and returns the
+    exact 1-based token extents a curation cut would remove. All
+    shuffles carry md5 digests / (doc_id, pos) ints, never text; the
+    island merge windows over covered positions only
+    (output-bounded). Exactly SQL-expressible — the DuckDB twin
+    mirrors gram fingerprinting, document-frequency filter, and the
+    gaps-and-islands merge, so engine agreement pins every span
+    boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ops.duplicate_spans(docs, window_words=10, min_docs=2)
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ops.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
@@ -6209,6 +6226,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_pairs_t90": _q_near_dup_pairs_t90,
         "simhash_hamming_pairs": _q_simhash_hamming_pairs,
         "containment_pairs": _q_containment_pairs,
+        "duplicate_spans": _q_duplicate_spans,
         "cluster_size_histogram": _q_cluster_size_histogram,
     }
 
@@ -6727,6 +6745,54 @@ def _containment_oracle(num: int = 4, den: int = 5) -> str:
                  AS containment
         FROM inter i JOIN sizes za ON za.doc_id = i.doc_a
         WHERE {den} * n_shared >= {num} * za.sz
+    """
+
+
+def _duplicate_spans_oracle(window_words: int = 10, min_docs: int = 2) -> str:
+    """DuckDB mirror of the ExactSubstr windowed span extraction:
+    identical gram fingerprints (md5 of the space-joined w-slice),
+    identical ≥min_docs distinct-document filter, identical
+    gaps-and-islands merge (lag-NULL on the first covered position
+    falls into the no-break branch in BOTH engines)."""
+    w = int(window_words)
+    return f"""
+        WITH ws AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        grams AS (
+          SELECT ws.doc_id, t.p,
+                 md5(array_to_string(ws.w[t.p : t.p + {w - 1}], ' '))
+                   AS digest
+          FROM ws, unnest(generate_series(1, len(ws.w) - {w - 1})) AS t(p)
+        ),
+        dup AS (
+          SELECT digest FROM grams
+          GROUP BY digest
+          HAVING count(DISTINCT doc_id) >= {int(min_docs)}
+        ),
+        cov AS (
+          SELECT g.doc_id, g.p FROM grams g JOIN dup USING (digest)
+        ),
+        brk AS (
+          SELECT doc_id, p,
+                 CASE WHEN p > lag(p) OVER
+                          (PARTITION BY doc_id ORDER BY p) + {w}
+                      THEN 1 ELSE 0 END AS b
+          FROM cov
+        ),
+        isl AS (
+          SELECT doc_id, p,
+                 sum(b) OVER (PARTITION BY doc_id ORDER BY p
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS island
+          FROM brk
+        )
+        SELECT doc_id,
+               CAST(min(p) AS INTEGER) AS span_start,
+               CAST(max(p) + {w - 1} AS INTEGER) AS span_end,
+               CAST(max(p) + {w} - min(p) AS INTEGER) AS span_tokens
+        FROM isl
+        GROUP BY doc_id, island
     """
 
 
@@ -8206,6 +8272,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_pairs_t90": _doc_lsh_oracle_params(54, 18, 1, 2),
         "simhash_hamming_pairs": _simhash_hamming_oracle(32, 1),
         "containment_pairs": _containment_oracle(4, 5),
+        "duplicate_spans": _duplicate_spans_oracle(10, 2),
         "cluster_size_histogram": _cluster_size_histogram_oracle(),
         "value_histogram": """
             SELECT event_type,

@@ -1,6 +1,7 @@
 from .cascade import cascade_join  # noqa: F401
 from .dedup import (  # noqa: F401
     containment_pairs,
+    duplicate_spans,
     exact_dedup,
     minhash_signatures,
     minhash_lsh_pairs,

@@ -724,6 +724,96 @@ def containment_pairs(
     return out
 
 
+def duplicate_spans(
+    docs: DataFrame,
+    window_words: int = 10,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MAXIMAL duplicated token spans per document — the ExactSubstr
+    dedup signal (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"): every OVERLAPPING ``window_words``-gram
+    is fingerprinted; a position is *covered* when its gram occurs in
+    ≥ ``min_docs`` distinct documents; runs of covered windows are
+    merged into maximal spans with one gaps-and-islands pass. Compared
+    to ``duplicated_block_stats`` (fixed non-overlapping blocks) the
+    sliding window finds duplicated passages at ANY alignment — the
+    form that actually survives in web-crawl corpora — and returns the
+    exact token extents a curation pass would cut (reassembling the
+    cleaned text is one positional anti-filter + ``array_join`` away).
+
+    Scale shape: gram rows carry (doc_id, pos, md5-digest) — every
+    shuffle (the document-frequency groupBy, the join back, the
+    per-doc island window) is keyed on fixed-width digests or doc_id,
+    never text. The island merge is a per-doc window over covered
+    positions only (output-bounded, not corpus-bounded). Suffix-array
+    ExactSubstr finds duplicates at every length ≥ L with one global
+    sort; this windowed form is its standard distributed
+    approximation — spans shorter than ``window_words`` are invisible
+    and span ends are quantized to window extents, in exchange for an
+    embarrassingly parallel plan with no global order.
+
+    Output: (doc_id, span_start, span_end, span_tokens) — 1-based
+    inclusive token positions, spans maximal and disjoint per doc.
+    Intra-doc-only repeats are NOT flagged (``min_docs`` counts
+    distinct documents; see ``repetition_signals`` for the intra-doc
+    rules)."""
+    from pyspark.sql import Window
+
+    w = int(window_words)
+    if w < 1 or min_docs < 1:
+        raise ValueError("window_words and min_docs must be >= 1")
+    words = F.split(F.col(text_col), " ")
+    grams_arr = F.when(
+        F.size(words) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - F.lit(w - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.array_join(F.slice(words, i, w), " ")).alias(
+                    "digest"
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,digest:string>>"))
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams_arr).alias("g")
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.digest").alias("digest"))
+    dup = (
+        grams.groupBy("digest")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("digest")
+    )
+    # (doc_id, pos) is unique in `grams` by construction and `dup` is
+    # unique by digest, so the join needs no distinct
+    covered = grams.join(dup, "digest").select("doc_id", "pos")
+    ord_w = Window.partitionBy("doc_id").orderBy("pos")
+    run_w = ord_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    islands = covered.withColumn(
+        "brk",
+        F.when(
+            F.col("pos") > F.lag("pos").over(ord_w) + F.lit(w), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn("island", F.sum("brk").over(run_w))
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(w - 1)).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + F.lit(1)).alias(
+                "span_tokens"
+            ),
+        )
+    )
+
+
 def duplicated_block_stats(
     docs: DataFrame,
     block_words: int = 10,

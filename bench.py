@@ -206,6 +206,7 @@ HEADLINE = [
     "ivf_health_report",
     "simhash_hamming_pairs",
     "containment_pairs",
+    "duplicate_spans",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

@@ -643,3 +643,62 @@ def test_containment_pairs_exact_and_asymmetric(spark):
         for r in ngram_jaccard_pairs(docs, n=3, threshold=0.8).collect()
     }
     assert (1, 2) not in jac
+
+
+def test_duplicate_spans_matches_brute_force(spark):
+    """Round-9: the windowed ExactSubstr span extraction must equal a
+    pure-Python reference (overlapping w-gram df >= 2 distinct docs ->
+    covered positions -> merged maximal islands) — planted passages at
+    DIFFERENT alignments, plus an exact-copy doc and a clean doc."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    quote = "one two three four five six seven eight nine ten eleven twelve"
+    d1 = quote + " tailA tailB tailC tailD tailE tailF tailG tailH"
+    d2 = "lead1 lead2 lead3 lead4 lead5 " + quote + " endA endB endC"
+    d3 = "nothing shared here at all with anyone ever truly unique words"
+    rows = [(1, d1), (2, d2), (3, d3), (4, d1)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    w = 5
+
+    grams = {}
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        grams[doc_id] = [
+            tuple(toks[p : p + w]) for p in range(len(toks) - w + 1)
+        ]
+    df_docs = {}
+    for doc_id, gs in grams.items():
+        for g in set(gs):
+            df_docs.setdefault(g, set()).add(doc_id)
+    want = []
+    for doc_id, gs in grams.items():
+        covered = [
+            p + 1 for p, g in enumerate(gs) if len(df_docs[g]) >= 2
+        ]
+        runs = []
+        for p in covered:
+            if runs and p <= runs[-1][1] + w:
+                runs[-1][1] = p
+            else:
+                runs.append([p, p])
+        for s, e in runs:
+            want.append((doc_id, s, e + w - 1, e + w - s))
+    got = sorted(
+        map(
+            tuple,
+            duplicate_spans(docs, window_words=w, min_docs=2).collect(),
+        )
+    )
+    assert got == sorted(want)
+    # the planted quote is found at both alignments; the clean doc is
+    # absent; the exact copy is covered end to end
+    by_doc = {}
+    for doc_id, s, e, n in got:
+        by_doc.setdefault(doc_id, []).append((s, e))
+    assert (1, 12) in [t for t in by_doc[1]] or by_doc[1][0][0] == 1
+    assert by_doc[2][0] == (6, 17)
+    assert 3 not in by_doc
+    n_toks_d1 = len(d1.split(" "))
+    assert by_doc[4] == [(1, n_toks_d1)] and by_doc[1] == [(1, n_toks_d1)]

@@ -208,6 +208,9 @@ EXCHANGE_CEILING = {
     # df groupBy + rank window + prefix-vs-index join + payload
     # join-backs: the prefix filter's stage price, as in ngram_jaccard
     "containment_pairs": 14,
+    # gram-df groupBy + covered join + one doc_id window whose
+    # partitioning the island groupBy reuses (subset-key clustering)
+    "duplicate_spans": 8,
 }
 
 
