@@ -838,6 +838,19 @@ def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.duplicate_spans(docs, window_words=10, min_docs=2)
 
 
+def _q_span_cleaned_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The duplicated-span CUT applied (batch 29, round 9): one row
+    per document with (n_tokens, n_removed, cleaned_md5) where
+    cleaned_md5 fingerprints the space-rejoined tokens OUTSIDE every
+    `duplicate_spans` extent, in original order — the cleaned-corpus
+    manifest a curation pass ships. Hash-matching the md5 against the
+    DuckDB twin pins token-level agreement of the whole composition:
+    gram fingerprints → df filter → island merge → positional
+    anti-join → ordered rebuild."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ops.span_cleaned_stats(docs, window_words=10, min_docs=2)
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ops.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
@@ -6227,6 +6240,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_hamming_pairs": _q_simhash_hamming_pairs,
         "containment_pairs": _q_containment_pairs,
         "duplicate_spans": _q_duplicate_spans,
+        "span_cleaned_stats": _q_span_cleaned_stats,
         "cluster_size_histogram": _q_cluster_size_histogram,
     }
 
@@ -6793,6 +6807,75 @@ def _duplicate_spans_oracle(window_words: int = 10, min_docs: int = 2) -> str:
                CAST(max(p) + {w} - min(p) AS INTEGER) AS span_tokens
         FROM isl
         GROUP BY doc_id, island
+    """
+
+
+def _span_cleaned_oracle(window_words: int = 10, min_docs: int = 2) -> str:
+    """DuckDB mirror of the span-cut manifest: the SAME span CTE chain
+    as _duplicate_spans_oracle, exploded back to covered positions,
+    anti-joined against per-position tokens, rebuilt in pos order and
+    md5'd — token-level engine agreement of the whole composition."""
+    w = int(window_words)
+    return f"""
+        WITH ws AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        grams AS (
+          SELECT ws.doc_id, t.p,
+                 md5(array_to_string(ws.w[t.p : t.p + {w - 1}], ' '))
+                   AS digest
+          FROM ws, unnest(generate_series(1, len(ws.w) - {w - 1})) AS t(p)
+        ),
+        dup AS (
+          SELECT digest FROM grams
+          GROUP BY digest
+          HAVING count(DISTINCT doc_id) >= {int(min_docs)}
+        ),
+        covg AS (
+          SELECT g.doc_id, g.p FROM grams g JOIN dup USING (digest)
+        ),
+        brk AS (
+          SELECT doc_id, p,
+                 CASE WHEN p > lag(p) OVER
+                          (PARTITION BY doc_id ORDER BY p) + {w}
+                      THEN 1 ELSE 0 END AS b
+          FROM covg
+        ),
+        isl AS (
+          SELECT doc_id, p,
+                 sum(b) OVER (PARTITION BY doc_id ORDER BY p
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS island
+          FROM brk
+        ),
+        spans AS (
+          SELECT doc_id, min(p) AS s, max(p) + {w - 1} AS e
+          FROM isl GROUP BY doc_id, island
+        ),
+        cut AS (
+          SELECT spans.doc_id, t.pos
+          FROM spans, unnest(generate_series(spans.s, spans.e)) AS t(pos)
+        ),
+        toks AS (
+          SELECT ws.doc_id, t.pos, ws.w[t.pos] AS tok
+          FROM ws, unnest(generate_series(1, len(ws.w))) AS t(pos)
+        ),
+        kept AS (
+          SELECT toks.doc_id, toks.pos, toks.tok
+          FROM toks ANTI JOIN cut USING (doc_id, pos)
+        ),
+        rebuilt AS (
+          SELECT doc_id, count(*) AS n_kept,
+                 md5(string_agg(tok, ' ' ORDER BY pos)) AS cleaned_md5
+          FROM kept GROUP BY doc_id
+        ),
+        totals AS (SELECT doc_id, len(w) AS n_tokens FROM ws)
+        SELECT totals.doc_id,
+               CAST(totals.n_tokens AS INTEGER) AS n_tokens,
+               CAST(totals.n_tokens - coalesce(rebuilt.n_kept, 0)
+                    AS INTEGER) AS n_removed,
+               coalesce(rebuilt.cleaned_md5, md5('')) AS cleaned_md5
+        FROM totals LEFT JOIN rebuilt USING (doc_id)
     """
 
 
@@ -8273,6 +8356,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_hamming_pairs": _simhash_hamming_oracle(32, 1),
         "containment_pairs": _containment_oracle(4, 5),
         "duplicate_spans": _duplicate_spans_oracle(10, 2),
+        "span_cleaned_stats": _span_cleaned_oracle(10, 2),
         "cluster_size_histogram": _cluster_size_histogram_oracle(),
         "value_histogram": """
             SELECT event_type,

@@ -9,6 +9,7 @@ from .dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     simhash,
     simhash_hamming_pairs,
+    span_cleaned_stats,
 )
 from .home import home_location, mode_per_group, night_single_region_users  # noqa: F401
 from .occupancy import occupancy, occupancy_approx  # noqa: F401

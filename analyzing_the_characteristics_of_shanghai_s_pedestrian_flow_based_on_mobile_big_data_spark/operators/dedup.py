@@ -814,6 +814,73 @@ def duplicate_spans(
     )
 
 
+def span_cleaned_stats(
+    docs: DataFrame,
+    window_words: int = 10,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The curation CUT the spans imply, executed: remove every token
+    inside a ``duplicate_spans`` extent and fingerprint what remains —
+    per doc (n_tokens, n_removed, cleaned_md5), where ``cleaned_md5``
+    hashes the space-rejoined survivors in original order (empty
+    string when a doc is removed whole, e.g. exact duplicates). Docs
+    with no duplicated span pass through with n_removed = 0, so the
+    output is exactly one row per input document — a cleaned-corpus
+    manifest.
+
+    Scale shape: spans explode to covered (doc_id, pos) rows (output-
+    bounded), the anti-join against the token table is doc_id+pos
+    equi-keyed, and the rebuild is one per-doc sort_array over
+    surviving tokens — the only wide rows are each doc's own tokens,
+    the same cardinality the tokenizer already touches."""
+    spans = duplicate_spans(docs, window_words, min_docs, id_col, text_col)
+    covered = spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end"))
+        ).alias("pos"),
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("p0", "tok"),
+    ).select("doc_id", (F.col("p0") + F.lit(1)).alias("pos"), "tok")
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            )
+        ).alias("cleaned_md5"),
+    )
+    totals = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
+    )
+    empty_md5 = "d41d8cd98f00b204e9800998ecf8427e"  # md5("")
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+            F.coalesce(F.col("cleaned_md5"), F.lit(empty_md5)).alias(
+                "cleaned_md5"
+            ),
+        )
+    )
+
+
 def duplicated_block_stats(
     docs: DataFrame,
     block_words: int = 10,

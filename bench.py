@@ -207,6 +207,7 @@ HEADLINE = [
     "simhash_hamming_pairs",
     "containment_pairs",
     "duplicate_spans",
+    "span_cleaned_stats",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

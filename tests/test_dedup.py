@@ -702,3 +702,51 @@ def test_duplicate_spans_matches_brute_force(spark):
     assert 3 not in by_doc
     n_toks_d1 = len(d1.split(" "))
     assert by_doc[4] == [(1, n_toks_d1)] and by_doc[1] == [(1, n_toks_d1)]
+
+
+def test_span_cleaned_stats_rebuild(spark):
+    """Round-9: the span cut must rebuild exactly the tokens outside
+    every duplicated extent, in order — checked against a pure-Python
+    rebuild on the planted-alignment corpus, including the
+    removed-whole (exact duplicate) and untouched-doc rows."""
+    import hashlib
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+        duplicate_spans,
+        span_cleaned_stats,
+    )
+
+    quote = "one two three four five six seven eight nine ten eleven twelve"
+    d1 = quote + " tailA tailB tailC tailD tailE tailF tailG tailH"
+    d2 = "lead1 lead2 lead3 lead4 lead5 " + quote + " endA endB endC"
+    d3 = "nothing shared here at all with anyone ever truly unique words"
+    rows = [(1, d1), (2, d2), (3, d3), (4, d1)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    w = 5
+
+    spans = {}
+    for r in duplicate_spans(docs, window_words=w).collect():
+        spans.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    want = {}
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        cut = set()
+        for s, e in spans.get(doc_id, []):
+            cut.update(range(s, e + 1))
+        kept = [t for i, t in enumerate(toks, 1) if i not in cut]
+        want[doc_id] = (
+            len(toks),
+            len(cut),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_md5)
+        for r in span_cleaned_stats(docs, window_words=w).collect()
+    }
+    assert got == want
+    # structure: docs 1 and 4 are exact copies -> removed whole
+    # (md5 of ""), doc 3 untouched, doc 2 loses exactly the quote span
+    empty = hashlib.md5(b"").hexdigest()
+    assert got[1][2] == empty and got[4][2] == empty
+    assert got[3][1] == 0
+    assert 0 < got[2][1] < got[2][0]

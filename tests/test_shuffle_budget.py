@@ -211,6 +211,9 @@ EXCHANGE_CEILING = {
     # gram-df groupBy + covered join + one doc_id window whose
     # partitioning the island groupBy reuses (subset-key clustering)
     "duplicate_spans": 8,
+    # the span chain above + positional anti-join + per-doc rebuild
+    # groupBy + the totals left join — all doc_id/digest-keyed
+    "span_cleaned_stats": 12,
 }
 
 
