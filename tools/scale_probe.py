@@ -1237,6 +1237,49 @@ def probe_pairops(spark, sf_dir: str, n: int) -> dict:
         lambda p: n * n * p + d_base * n * (n - 1),
         ordered=True,
     )
+
+    # span family: replication saturates coverage — every doc with
+    # ≥ w tokens shares ALL its grams with its replicas, so the span
+    # output must be exactly ONE whole-doc span per replicated doc
+    # (1 .. n_tokens) and the cleaned manifest must remove everything
+    # from those docs and nothing from the sub-window ones. An
+    # end-to-end island-merge + cut check at N× coverage density.
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+        duplicate_spans,
+        span_cleaned_stats,
+    )
+
+    w = 10
+    d_ge = docs.filter(
+        F.size(F.split(F.col("text"), " ")) >= w
+    ).count()
+    t0 = time.perf_counter()
+    spans = duplicate_spans(sdocs, window_words=w)
+    _noop(spans)
+    results["spans_s"] = round(time.perf_counter() - t0, 2)
+    spans = duplicate_spans(sdocs, window_words=w)
+    bad_span = spans.join(
+        sdocs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+        ),
+        "doc_id",
+    ).filter(
+        (F.col("span_start") != 1) | (F.col("span_end") != F.col("n_tokens"))
+    )
+    results["spans_rows"] = spans.count()
+    results["spans_whole_doc"] = (
+        results["spans_rows"] == n * d_ge and bad_span.count() == 0
+    )
+    cleaned = span_cleaned_stats(sdocs, window_words=w)
+    leftover = cleaned.filter(
+        ((F.col("n_tokens") >= w) & (F.col("n_removed") != F.col("n_tokens")))
+        | ((F.col("n_tokens") < w) & (F.col("n_removed") != 0))
+    ).count()
+    results["cleaned_rows"] = cleaned.count()
+    results["cleaned_saturated"] = (
+        leftover == 0 and results["cleaned_rows"] == d_base * n
+    )
+    assert results["spans_whole_doc"] and results["cleaned_saturated"]
     return results
 
 
