@@ -339,3 +339,16 @@ def test_registered_path_selections_pinned(spark):
     assert meta["target_recall"] == 0.9
     assert (meta["k"], meta["bands"]) == (54, 18)
     assert meta["expected_recall_at_threshold"] >= 0.9
+
+
+def test_batch29_dedup_family_is_python_free(spark):
+    """Round-9 batch 29: the new dedup operators must stay entirely
+    JVM-side — signature votes, block joins, prefix filters, island
+    merges and the positional cut are all built-in expressions."""
+    for name in (
+        "simhash_hamming_pairs",
+        "containment_pairs",
+        "duplicate_spans",
+        "span_cleaned_stats",
+    ):
+        assert_no_python_udf(entrymod.queries()[name](spark, SF_SMALL))
