@@ -815,8 +815,10 @@ def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     CONTAINED side only (the containment lemma: any
     ⌊(1−t)·|A|⌋+1-subset of A must hit B — rarity ordering is purely
     pruning, so engine tie-divergence cannot change the answer);
-    verification is exact via array_intersect. Threshold rides in
-    integer form; one IEEE division at the edge."""
+    verification counts |A∩B| exactly with two equi-joins against the
+    one persisted augmented index (the ngram_jaccard pattern — one
+    corpus scan, no array payloads replicated per candidate).
+    Threshold rides in integer form; one IEEE division at the edge."""
     docs = load_table(spark, sf_dir, "documents")
     return ops.containment_pairs(docs, n=3, threshold_num=4, threshold_den=5)
 

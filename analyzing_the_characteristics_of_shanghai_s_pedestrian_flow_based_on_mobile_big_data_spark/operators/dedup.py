@@ -650,69 +650,65 @@ def containment_pairs(
     so only the contained side's prefix enters the candidate join,
     against the container side's full inverted index; hot boilerplate
     shingles sort to every doc's suffix and never become join keys.
-    Verification is exact per candidate via array_intersect on
-    per-doc sorted shingle sets (reuses the doc_id partitioning the
-    payload groupBy creates). The threshold rides in cross-multiplied
-    integer form; ``containment`` is one exact IEEE division at the
-    edge. Output: (doc_a, doc_b, containment) = A-contained-in-B,
-    BOTH orientations emitted when both qualify (a ≠ b always)."""
+    The index is built the ``ngram_jaccard_pairs`` way: ONE persisted
+    augmented table (df via a shingle-partition window; size and
+    rarity rank sharing the doc_id exchange) feeds the prefix, the
+    container side, and both verification joins — one corpus scan,
+    one tokenization. Verification counts |A∩B| with two equi-joins
+    against that index (never array payloads replicated per candidate
+    pair). The threshold rides in cross-multiplied integer form;
+    ``containment`` is one exact IEEE division at the edge. Output:
+    (doc_a, doc_b, containment) = A-contained-in-B, BOTH orientations
+    emitted when both qualify (a ≠ b always)."""
     from pyspark.sql import Window
 
     num, den = int(threshold_num), int(threshold_den)
     if not 1 <= num <= den:
         raise ValueError(f"containment threshold must be in (0,1]: {num}/{den}")
-    sh = doc_shingles(docs, n, id_col, text_col)
-    # df-ranked global rarity order, then each doc's prefix: the
-    # ⌊(1−t)·sz⌋+1 rarest shingles (ties broken by shingle text so
-    # both engines rank identically)
-    df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ranked = sh.join(df_tbl, "shingle")
-    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    sz_w = Window.partitionBy("doc_id")
-    pref = (
-        ranked.withColumn("rk", F.row_number().over(w))
-        .withColumn("sz", F.count(F.lit(1)).over(sz_w))
-        .filter(
-            F.lit(den) * (F.col("rk") - 1)
-            <= F.lit(den - num) * F.col("sz")
-        )
-        .select("doc_id", "shingle")
+    # df-ranked global rarity order (ties broken by shingle text so
+    # both engines rank identically), each doc's prefix = the
+    # ⌊(1−t)·sz⌋+1 rarest shingles, all in one augmented index
+    w_sh = Window.partitionBy("shingle")
+    w_doc = Window.partitionBy("doc_id")
+    w_rk = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    aug = (
+        doc_shingles(docs, n, id_col, text_col)
+        .withColumn("df", F.count(F.lit(1)).over(w_sh))
+        .withColumn("sz", F.count(F.lit(1)).over(w_doc))
+        .withColumn("rk", F.row_number().over(w_rk))
+        .persist()
+    )
+    pref = aug.filter(
+        F.lit(den) * (F.col("rk") - 1) <= F.lit(den - num) * F.col("sz")
     )
     # candidates: contained-side prefix vs container-side full index
     cand = (
-        pref.select(F.col("doc_id").alias("doc_a"), "shingle")
+        pref.select(F.col("doc_id").alias("doc_a"), "shingle", "sz")
         .join(
-            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            aug.select(F.col("doc_id").alias("doc_b"), "shingle"),
             "shingle",
         )
         .filter(F.col("doc_a") != F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b", F.col("sz").alias("sz_a"))
         .distinct()
     )
-    payload = sh.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("shingle")).alias("items"),
-        F.count(F.lit(1)).alias("sz"),
-    )
-    out = (
+    # exact |A∩B| per candidate: expand by A's shingles, keep those
+    # present in B — both joins against the same persisted index
+    inter = (
         cand.join(
-            payload.select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("items").alias("it_a"),
-                F.col("sz").alias("sz_a"),
-            ),
-            "doc_a",
+            aug.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
         )
         .join(
-            payload.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("items").alias("it_b"),
-            ),
-            "doc_b",
+            aug.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
         )
-        .withColumn(
-            "n_shared", F.size(F.array_intersect("it_a", "it_b")).cast("long")
+        .groupBy("doc_a", "doc_b", "sz_a")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        inter.filter(
+            F.lit(den) * F.col("n_shared") >= F.lit(num) * F.col("sz_a")
         )
-        .filter(F.lit(den) * F.col("n_shared") >= F.lit(num) * F.col("sz_a"))
         .select(
             "doc_a",
             "doc_b",
@@ -721,7 +717,6 @@ def containment_pairs(
             ),
         )
     )
-    return out
 
 
 def duplicate_spans(

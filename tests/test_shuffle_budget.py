@@ -205,9 +205,14 @@ EXCHANGE_CEILING = {
     # signature groupBy + block self-join + candidate distinct — all
     # narrow (doc_id, 8B signature) rows
     "simhash_hamming_pairs": 8,
-    # df groupBy + rank window + prefix-vs-index join + payload
-    # join-backs: the prefix filter's stage price, as in ngram_jaccard
-    "containment_pairs": 14,
+    # the ngram_jaccard-style persisted augmented index (shingle +
+    # doc_id window exchanges) + prefix-vs-index candidate join +
+    # two count-verification joins: more exchange MENTIONS than the
+    # old payload plan (17 vs 14) but every one carries narrow
+    # (doc_id, digest) rows and the corpus is scanned/tokenized ONCE —
+    # the old plan replicated each doc's full shingle array per
+    # candidate pair, the real 100 TB hazard
+    "containment_pairs": 17,
     # gram-df groupBy + covered join + one doc_id window whose
     # partitioning the island groupBy reuses (subset-key clustering)
     "duplicate_spans": 8,
