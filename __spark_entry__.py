@@ -823,6 +823,23 @@ def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.containment_pairs(docs, n=3, threshold_num=4, threshold_den=5)
 
 
+def _q_tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayardo/APSS all-pairs tf-cosine ≥ 0.9 over 3-gram frequencies
+    (batch 29, round 9) — weighted sparse-vector similarity, the
+    third leg beside Jaccard (sets, multiplicity-blind) and
+    embeddings (dense). Membership is decided in EXACT integer
+    arithmetic (den²·dot² ≥ num²·Σtf²_a·Σtf²_b); the float appears
+    only in the reported cosine (one correctly-rounded sqrt +
+    division), so the oracle is a deliberately UNPRUNED brute-force
+    twin — an independent derivation that also differentially proves
+    the prefix bound dropped nothing. Grams, not unigrams: this
+    corpus's ~30-word vocabulary makes unigram APSS inherently
+    near-quadratic (measured 37 s at sf0.1 — the dense regime), while
+    the 3-gram frequency tail restores the rare-term prefix bite."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ops.tf_cosine_pairs(docs, threshold_num=9, threshold_den=10, n=3)
+
+
 def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style duplicated-span extraction (batch 29, round
     9): maximal token spans covered by OVERLAPPING 10-gram
@@ -6243,6 +6260,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": _q_containment_pairs,
         "duplicate_spans": _q_duplicate_spans,
         "span_cleaned_stats": _q_span_cleaned_stats,
+        "tf_cosine_pairs": _q_tf_cosine_pairs,
         "cluster_size_histogram": _q_cluster_size_histogram,
     }
 
@@ -6809,6 +6827,43 @@ def _duplicate_spans_oracle(window_words: int = 10, min_docs: int = 2) -> str:
                CAST(max(p) + {w} - min(p) AS INTEGER) AS span_tokens
         FROM isl
         GROUP BY doc_id, island
+    """
+
+
+def _tf_cosine_oracle(num: int = 9, den: int = 10, n: int = 3) -> str:
+    """Deliberately UNPRUNED brute-force twin of the APSS join: same
+    tokenizer, n-gram terms WITH multiplicity, integer tf/norm/dot,
+    the identical cross-multiplied integer threshold, one
+    sqrt+division for the reported value. Being prune-free it
+    independently proves the Spark side's Bayardo prefix bound
+    dropped no qualifying pair."""
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+        ),
+        tok AS (
+          SELECT doc_id,
+                 array_to_string(t[u.p : u.p + {n - 1}], ' ') AS term
+          FROM toks,
+               unnest(generate_series(1, len(t) - {n - 1})) AS u(p)
+        ),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+        ),
+        n2 AS (SELECT doc_id, sum(tf * tf) AS na2 FROM tf GROUP BY 1),
+        dots AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 sum(a.tf * b.tf) AS dot
+          FROM tf a JOIN tf b
+            ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               dot / sqrt(CAST(x.na2 * y.na2 AS DOUBLE)) AS cosine
+        FROM dots
+        JOIN n2 x ON x.doc_id = doc_a
+        JOIN n2 y ON y.doc_id = doc_b
+        WHERE {den * den} * dot * dot >= {num * num} * x.na2 * y.na2
     """
 
 
@@ -8359,6 +8414,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": _containment_oracle(4, 5),
         "duplicate_spans": _duplicate_spans_oracle(10, 2),
         "span_cleaned_stats": _span_cleaned_oracle(10, 2),
+        "tf_cosine_pairs": _tf_cosine_oracle(9, 10, 3),
         "cluster_size_histogram": _cluster_size_histogram_oracle(),
         "value_histogram": """
             SELECT event_type,

@@ -719,6 +719,133 @@ def containment_pairs(
     )
 
 
+def tf_cosine_pairs(
+    docs: DataFrame,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    n: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All-pairs cosine similarity over TERM-FREQUENCY vectors ≥
+    num/den — the Bayardo/APSS ("Scaling Up All Pairs Similarity
+    Search") sparse-vector sibling of the Jaccard and embedding
+    paths: weighted bag-of-words similarity, the form that separates
+    reordered/repeated-token near-dups Jaccard's set semantics
+    flattens.
+
+    Exactness across engines: tf, the per-doc squared norm Σtf², and
+    the pair dot product are INTEGERS, and the threshold decision is
+    cross-multiplied into integer arithmetic (den²·dot² ≥
+    num²·na2·nb2) — no float ever decides membership. The reported
+    ``cosine`` is one correctly-rounded sqrt + one IEEE division over
+    exact integers, bit-identical on any IEEE-754 engine. (The
+    cross-multiplied longs are overflow-free while den²·na2·nb2 <
+    2⁶³ — docs up to ~10M tokens at den ≤ 10; widen to DECIMAL beyond
+    that.)
+
+    Scale shape — Bayardo's prefix bound, batch/asymmetric form: with
+    terms in a fixed global order (df DESC, term — hot terms first),
+    doc a's PREFIX is the longest head whose bound
+    Σ ŵ_a(t)·maxweight(t) stays < τ (ŵ = tf/√Σtf², maxweight = the
+    term's largest ŵ in the corpus); any pair with cos ≥ τ must then
+    share a SUFFIX term of a, so candidates come from suffix(a) ⋈
+    full-index(b) — hot boilerplate terms live in prefixes and never
+    become join keys. The bound is float but only PRUNES (an ε=1e-9
+    guard keeps it conservative; candidate-set divergence between
+    engines cannot change the verified output). One persisted
+    augmented index (the ngram_jaccard pattern) feeds the suffix, the
+    full side, and both verification joins. Output: unordered
+    (doc_a < doc_b, cosine).
+
+    ``n`` sets the term granularity: 1 = unigram bag-of-words, >1 =
+    word n-gram frequencies (kept WITH multiplicity, unlike the
+    Jaccard path's shingle sets). The prefix bound's bite is a
+    property of the term-frequency tail: on a vocabulary-degenerate
+    corpus (this synthetic table's ~30 words) unigram APSS is
+    inherently near-quadratic — every doc shares every term, the
+    dense regime the set-sim router documents as Ω(U²) — while n ≥ 3
+    grams re-establish the rare-term tail the filter needs (the same
+    reason ngram_jaccard prefixes work); the registered query uses
+    n=3."""
+    from pyspark.sql import Window
+
+    from ..functions import text as tx
+
+    num, den = int(threshold_num), int(threshold_den)
+    if not 1 <= num <= den:
+        raise ValueError(f"cosine threshold must be in (0,1]: {num}/{den}")
+    tau = num / den
+    n = int(n)
+    toks = tx.tokens(F.col(text_col))
+    terms = toks if n == 1 else tx.word_shingles(toks, n)
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(terms).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w_term = Window.partitionBy("term")
+    w_doc = Window.partitionBy("doc_id")
+    w_ord = Window.partitionBy("doc_id").orderBy(F.desc("df"), "term")
+    run_w = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nw = F.col("tf") / F.sqrt(F.col("na2").cast("double"))
+    aug = (
+        tf.withColumn("df", F.count(F.lit(1)).over(w_term))
+        .withColumn("na2", F.sum(F.col("tf") * F.col("tf")).over(w_doc))
+        .withColumn("mw", F.max(nw).over(w_term))
+        .withColumn("bound", F.sum(nw * F.col("mw")).over(run_w))
+        .persist()
+    )
+    suffix = aug.filter(F.col("bound") > F.lit(tau - 1e-9))
+    cand = (
+        suffix.select(F.col("doc_id").alias("da"), "term")
+        .join(aug.select(F.col("doc_id").alias("db"), "term"), "term")
+        .filter(F.col("da") != F.col("db"))
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+        )
+        .distinct()
+    )
+    norms = aug.groupBy("doc_id").agg(F.min("na2").alias("na2"))
+    inter = (
+        cand.join(
+            aug.select(
+                F.col("doc_id").alias("doc_a"), "term", F.col("tf").alias("tf_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            aug.select(
+                F.col("doc_id").alias("doc_b"), "term", F.col("tf").alias("tf_b")
+            ),
+            ["doc_b", "term"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    out = (
+        inter.join(norms.select(F.col("doc_id").alias("doc_a"), F.col("na2").alias("na2_a")), "doc_a")
+        .join(norms.select(F.col("doc_id").alias("doc_b"), F.col("na2").alias("na2_b")), "doc_b")
+        .filter(
+            F.lit(den * den) * F.col("dot") * F.col("dot")
+            >= F.lit(num * num) * F.col("na2_a") * F.col("na2_b")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("dot")
+                / F.sqrt((F.col("na2_a") * F.col("na2_b")).cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    return out
+
+
 def duplicate_spans(
     docs: DataFrame,
     window_words: int = 10,

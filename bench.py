@@ -208,6 +208,7 @@ HEADLINE = [
     "containment_pairs",
     "duplicate_spans",
     "span_cleaned_stats",
+    "tf_cosine_pairs",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

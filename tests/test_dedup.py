@@ -750,3 +750,44 @@ def test_span_cleaned_stats_rebuild(spark):
     assert got[1][2] == empty and got[4][2] == empty
     assert got[3][1] == 0
     assert 0 < got[2][1] < got[2][0]
+
+
+def test_tf_cosine_pairs_matches_brute_force(spark):
+    """Round-9: the Bayardo prefix-pruned APSS join must equal the
+    all-pairs tf-cosine definition exactly — including the case
+    set-Jaccard flattens by construction: token REPETITION (two docs
+    over the same small vocabulary with near-identical frequency
+    profiles have cosine ~1 while their 3-gram Jaccard stays low)."""
+    import math
+    from collections import Counter
+    from itertools import combinations
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+        tf_cosine_pairs,
+    )
+
+    rows = [
+        (1, "spark spark spark shuffle shuffle join"),
+        (2, "spark spark spark spark shuffle shuffle shuffle join"),
+        (3, "join shuffle spark spark spark shuffle"),  # reordered 1
+        (4, "wholly different vocabulary here truly unrelated text"),
+        (5, "spark join"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    num, den = 9, 10
+    vecs = {d: Counter(t.split()) for d, t in rows}
+    want = []
+    for a, b in combinations(sorted(vecs), 2):
+        dot = sum(vecs[a][t] * vecs[b][t] for t in vecs[a])
+        na2 = sum(v * v for v in vecs[a].values())
+        nb2 = sum(v * v for v in vecs[b].values())
+        if den * den * dot * dot >= num * num * na2 * nb2:
+            want.append((a, b, dot / math.sqrt(na2 * nb2)))
+    got = sorted(
+        map(tuple, tf_cosine_pairs(docs, num, den).collect())
+    )
+    assert got == sorted(want)
+    # the reorder/repetition pair is found; the unrelated doc is not
+    found = {(a, b) for a, b, _ in got}
+    assert (1, 3) in found and (1, 2) in found
+    assert all(4 not in p for p in found)

@@ -350,5 +350,6 @@ def test_batch29_dedup_family_is_python_free(spark):
         "containment_pairs",
         "duplicate_spans",
         "span_cleaned_stats",
+        "tf_cosine_pairs",
     ):
         assert_no_python_udf(entrymod.queries()[name](spark, SF_SMALL))

@@ -219,6 +219,15 @@ EXCHANGE_CEILING = {
     # the span chain above + positional anti-join + per-doc rebuild
     # groupBy + the totals left join — all doc_id/digest-keyed
     "span_cleaned_stats": 12,
+    # APSS: tf groupBy + term/doc window exchanges on the ONE
+    # persisted index + suffix-vs-full candidate join + two
+    # verification joins + two norm joins — narrow (id, term, int)
+    # rows throughout. The TEXTUAL count is inflated: the persisted
+    # index is referenced 5× and explain() reprints its 3-exchange
+    # lineage under every InMemoryRelation reference; at runtime the
+    # cache computes it once (the same accounting as the other
+    # persisted-index plans, just more references)
+    "tf_cosine_pairs": 41,
 }
 
 
