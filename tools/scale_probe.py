@@ -1238,6 +1238,27 @@ def probe_pairops(spark, sf_dir: str, n: int) -> dict:
         ordered=True,
     )
 
+    # APSS tf-cosine: replicas carry identical 3-gram frequency
+    # vectors, so the output count is closed-form exactly like the
+    # simhash join — N²·P_base unordered base pairs plus the
+    # cosine-1.0 replica diagonal C(N,2) per gram-bearing doc
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions import (
+        text as tx,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+        tf_cosine_pairs,
+    )
+
+    d_grams = docs.filter(F.size(tx.tokens(F.col("text"))) >= 3).count()
+    check(
+        "tf_cosine_t90_n3",
+        tf_cosine_pairs(docs, 9, 10, n=3),
+        lambda d: tf_cosine_pairs(d, 9, 10, n=3),
+        ["doc_a", "doc_b", "cosine"],
+        lambda p: n * n * p + d_grams * n * (n - 1) // 2,
+        ordered=False,
+    )
+
     # span family: replication saturates coverage — every doc with
     # ≥ w tokens shares ALL its grams with its replicas, so the span
     # output must be exactly ONE whole-doc span per replicated doc
