@@ -770,22 +770,40 @@ def tf_cosine_pairs(
     n=3."""
     from pyspark.sql import Window
 
-    from ..functions import text as tx
-
     num, den = int(threshold_num), int(threshold_den)
     if not 1 <= num <= den:
         raise ValueError(f"cosine threshold must be in (0,1]: {num}/{den}")
     tau = num / den
     n = int(n)
-    toks = tx.tokens(F.col(text_col))
-    terms = toks if n == 1 else tx.word_shingles(toks, n)
-    tf = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(terms).alias("term"),
+    # grams WITH multiplicity via the codegen'd posexplode+lead
+    # formulation (array-lambda shingling runs interpreted — the
+    # measured-2×-slower path doc_shingles already documents); the
+    # inline split stays equivalent to functions.text.tokens()
+    toks0 = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tok_tbl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(toks0).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    if n == 1:
+        term_tbl = tok_tbl.select("doc_id", F.col("tok").alias("term"))
+    else:
+        w_lead = Window.partitionBy("doc_id").orderBy("pos")
+        parts = [F.col("tok")] + [
+            F.lead("tok", i).over(w_lead) for i in range(1, n)
+        ]
+        term_tbl = (
+            tok_tbl.select(
+                "doc_id",
+                parts[-1].alias("__last"),
+                F.concat_ws(" ", *parts).alias("term"),
+            )
+            .filter(F.col("__last").isNotNull())
+            .select("doc_id", "term")
         )
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    # doc_id hash partitioning from the lead window already satisfies
+    # the (doc_id, term) grouping — no extra exchange
+    tf = term_tbl.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
     )
     w_term = Window.partitionBy("term")
     w_doc = Window.partitionBy("doc_id")
