@@ -551,6 +551,185 @@ def simhash(
     return voted.select("doc_id", sig.alias("simhash"))
 
 
+def simhash_blocks(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    nbits: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, simhash, blk, val) — the Manku block decomposition of
+    each document's SimHash signature: ``max_hamming``+1 contiguous
+    blocks whose widths differ by at most one bit. A pure function of
+    the document text, so the row set is append-only per doc and SET
+    UNION is a valid maintenance invariant — the same property the
+    MinHash band index exploits for dedup-on-ingest
+    (streaming/incremental.py:incremental_block_index_stream).
+    Shared by the batch join (simhash_hamming_pairs), the ingest
+    index, and delta-vs-index scoring, so all three agree on the
+    blocking by construction."""
+    assert 0 <= max_hamming < nbits
+    b = max_hamming + 1
+    widths = [nbits // b + (1 if i < nbits % b else 0) for i in range(b)]
+    sig = simhash(docs, id_col, text_col, nbits)
+    block_structs = []
+    off = 0
+    for i, w in enumerate(widths):
+        block_structs.append(
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(F.col("simhash"), off)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("val"),
+            )
+        )
+        off += w
+    return sig.select(
+        "doc_id", "simhash", F.explode(F.array(*block_structs)).alias("bb")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bb.blk").alias("blk"),
+        F.col("bb.val").alias("val"),
+    )
+
+
+def hamming_pairs_from_blocks(
+    blocks: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Pair extraction over an ALREADY-MATERIALIZED block table (the
+    ingest index's read() or any simhash_blocks output): equi
+    self-join on (blk, val), one bit_count(XOR) verification —
+    identical semantics to simhash_hamming_pairs, minus the signature
+    recomputation. ``max_hamming`` must match the blocking the table
+    was built with (fewer blocks than budget+1 would lose the
+    pigeonhole cover)."""
+    a = blocks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sim_a"),
+        "blk",
+        "val",
+    )
+    b_ = blocks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+        "blk",
+        "val",
+    )
+    cand = (
+        a.join(b_, ["blk", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def new_doc_hamming_candidates(
+    index_blocks: DataFrame,
+    new_docs: DataFrame,
+    max_hamming: int = 3,
+    nbits: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ingest-time scoring for the simhash block index: (new_doc_id,
+    doc_id, hamming) pairs between a batch of NEW documents and the
+    maintained index — only the delta is signed and blocked
+    (|delta|·(h+1) rows), the join is equi on (blk, val) against the
+    linear-size index, and unlike the MinHash path the result is
+    EXACT w.r.t. the signatures (complete pigeonhole cover — no
+    recall contract to carry to ingest). Orientation rules mirror
+    new_doc_dup_candidates: self-matches excluded, the mirrored pair
+    a replayed file would create (both endpoints in new batch ∩
+    index) collapses to the smaller-id orientation, and WITHIN-batch
+    duplicates surface through a batch self-join term so scoring
+    never requires the merge to land first."""
+    nb = simhash_blocks(
+        new_docs, max_hamming, nbits, id_col, text_col
+    ).localCheckpoint(eager=True)
+    idx = index_blocks.select("doc_id", "simhash", "blk", "val")
+    q = nb.select(
+        F.col("doc_id").alias("new_doc_id"),
+        F.col("simhash").alias("sim_q"),
+        "blk",
+        "val",
+    )
+    ix = idx.select(
+        F.col("doc_id").alias("doc_id"),
+        F.col("simhash").alias("sim_i"),
+        "blk",
+        "val",
+    )
+    vs_index = (
+        q.join(ix, ["blk", "val"])
+        .filter(F.col("new_doc_id") != F.col("doc_id"))
+        .select("new_doc_id", "doc_id", "sim_q", "sim_i")
+    )
+    # drop the mirror when BOTH endpoints are new-batch docs already
+    # present in the index (replay): keep the smaller-id orientation
+    new_ids = nb.select(F.col("doc_id").alias("__nid")).distinct()
+    idx_ids = idx.select(F.col("doc_id").alias("__iid")).distinct()
+    both = new_ids.join(
+        idx_ids, new_ids["__nid"] == idx_ids["__iid"]
+    ).select(F.col("__nid").alias("__both_id"))
+    vs_index = vs_index.join(
+        both.select(F.col("__both_id").alias("new_doc_id")).withColumn(
+            "__q_in_idx", F.lit(True)
+        ),
+        "new_doc_id",
+        "left",
+    ).join(
+        both.select(F.col("__both_id").alias("doc_id")).withColumn(
+            "__i_in_new", F.lit(True)
+        ),
+        "doc_id",
+        "left",
+    ).filter(
+        ~(
+            F.coalesce(F.col("__q_in_idx"), F.lit(False))
+            & F.coalesce(F.col("__i_in_new"), F.lit(False))
+        )
+        | (F.col("new_doc_id") < F.col("doc_id"))
+    ).select("new_doc_id", "doc_id", "sim_q", "sim_i")
+    # within-batch duplicates — ONLY pairs where NEITHER endpoint is
+    # indexed yet: a pair with an indexed endpoint already surfaces
+    # through the vs-index term (query side = the un-indexed doc)
+    q2 = nb.select(
+        F.col("doc_id").alias("doc_id"),
+        F.col("simhash").alias("sim_i"),
+        "blk",
+        "val",
+    )
+    within = (
+        q.join(q2, ["blk", "val"])
+        .filter(F.col("new_doc_id") < F.col("doc_id"))
+        .join(
+            idx_ids.select(F.col("__iid").alias("doc_id")),
+            "doc_id",
+            "left_anti",
+        )
+        .join(
+            idx_ids.select(F.col("__iid").alias("new_doc_id")),
+            "new_doc_id",
+            "left_anti",
+        )
+        .select("new_doc_id", "doc_id", "sim_q", "sim_i")
+    )
+    cand = vs_index.unionByName(within).distinct()
+    hamming = F.bit_count(F.col("sim_q").bitwiseXOR(F.col("sim_i")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("new_doc_id", "doc_id", "hamming")
+    )
+
+
 def simhash_hamming_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
@@ -577,53 +756,9 @@ def simhash_hamming_pairs(
     2^8 partitions of the corpus at the default 32/4 split, the same
     self-balancing property the sign-bucket ANN relies on. Output is
     (doc_a, doc_b, hamming), doc_a < doc_b."""
-    assert 0 <= max_hamming < nbits
-    b = max_hamming + 1
-    widths = [nbits // b + (1 if i < nbits % b else 0) for i in range(b)]
-    sig = simhash(docs, id_col, text_col, nbits)
-    block_structs = []
-    off = 0
-    for i, w in enumerate(widths):
-        block_structs.append(
-            F.struct(
-                F.lit(i).alias("blk"),
-                F.shiftright(F.col("simhash"), off)
-                .bitwiseAND(F.lit((1 << w) - 1))
-                .alias("val"),
-            )
-        )
-        off += w
-    blocks = sig.select(
-        "doc_id", "simhash", F.explode(F.array(*block_structs)).alias("bb")
-    ).select(
-        "doc_id",
-        "simhash",
-        F.col("bb.blk").alias("blk"),
-        F.col("bb.val").alias("val"),
-    )
-    a = blocks.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("simhash").alias("sim_a"),
-        "blk",
-        "val",
-    )
-    b_ = blocks.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("simhash").alias("sim_b"),
-        "blk",
-        "val",
-    )
-    cand = (
-        a.join(b_, ["blk", "val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (
-        cand.withColumn("hamming", hamming.cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+    return hamming_pairs_from_blocks(
+        simhash_blocks(docs, max_hamming, nbits, id_col, text_col),
+        max_hamming,
     )
 
 

@@ -1490,3 +1490,77 @@ def incremental_band_index_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def incremental_block_index_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    max_hamming: int = 3,
+    nbits: int = 32,
+    schema: str = "doc_id long, text string",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    retention_epochs: int | None = None,
+    compact_every: int = 8,
+):
+    """Stream document files → incrementally-maintained SimHash BLOCK
+    index via foreachBatch — the exact-cover sibling of
+    ``incremental_band_index_stream`` for the Manku Hamming-distance
+    dedup class (operators/dedup.py:simhash_blocks). The maintained
+    key set is (doc_id, blk, val, simhash): a pure function of the
+    (immutable) document text, so the index is append-only per doc,
+    SET UNION is the invariant, and same-epoch replays / later
+    re-deliveries merge into themselves exactly as the band index
+    does. Unlike MinHash banding the block cover is COMPLETE, so
+    ingest-time scoring carries NO recall contract: candidates from
+    ``new_doc_hamming_candidates(table.read(), batch)`` (delta-only
+    blocking, equi-join on (blk, val)) are verified by one
+    bit_count(XOR) and equal the batch join's answer exactly
+    (parity pytest-pinned under any file split). Full pair extraction
+    over the index is ``hamming_pairs_from_blocks(table.read())``.
+    ``retention_epochs``/``compact_every`` arm the same sliding-window
+    horizon contract as the band index (``last_epoch`` MAX-merged)."""
+    from ..operators.dedup import simhash_blocks
+
+    table = IncrementalCountTable(
+        spark,
+        table_path,
+        ["doc_id", "blk", "val", "simhash"],
+        max_measures=("last_epoch",),
+    )
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        delta = (
+            simhash_blocks(
+                batch_df, max_hamming, nbits,
+                id_col=id_col, text_col=text_col,
+            )
+            .groupBy("doc_id", "blk", "val", "simhash")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.lit(int(epoch_id)).cast("long").alias("last_epoch"),
+            )
+        )
+        table.merge_batch(delta, epoch_id)
+        if (
+            retention_epochs is not None
+            and epoch_id > 0
+            and epoch_id % compact_every == 0
+        ):
+            table.compact(
+                F.col("last_epoch")
+                >= F.lit(int(epoch_id) - int(retention_epochs))
+            )
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(docs_dir)
+    )
+    return (
+        src.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -1714,3 +1714,123 @@ def test_bulk_backfill_fallback_parity(spark, tmp_path):
     assert sorted({r.hour for r in bulk.read().collect()}) == [
         "h03", "h04", "h05", "h06", "h07", "h08",
     ]
+
+
+def test_incremental_block_index_parity_with_batch_hamming(spark, tmp_path):
+    """Round-9 dedup-on-ingest for the SimHash class: the streamed
+    block index, scored with hamming_pairs_from_blocks, must equal
+    batch simhash_hamming_pairs over the same documents — under a
+    2-file split and again after a late third file with a cross-file
+    near-dup (the exact-cover property means EQUALITY, not a recall
+    floor)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+        hamming_pairs_from_blocks,
+        simhash_hamming_pairs,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        IncrementalCountTable,
+        incremental_block_index_stream,
+    )
+
+    A = "the quick brown fox jumps over the lazy dog and runs far away today"
+    A2 = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    B = "completely different text about spark query engines and big data systems"
+    schema = "doc_id long, text string"
+    b1 = [(1, A), (3, B)]
+    b2 = [(4, A)]            # exact dup of 1, lands in a LATER file
+    b3 = [(2, A2), (10, B)]  # late near-dup of 1 + exact dup of 3
+    src = str(tmp_path / "docs")
+    H = 6
+
+    def batch_pairs(rows):
+        return sorted(
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_hamming_pairs(
+                spark.createDataFrame(rows, schema), max_hamming=H
+            ).collect()
+        )
+
+    def index_pairs():
+        table = IncrementalCountTable(
+            spark, str(tmp_path / "tbl"), ["doc_id", "blk", "val", "simhash"]
+        )
+        return sorted(
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in hamming_pairs_from_blocks(
+                table.read(), max_hamming=H
+            ).collect()
+        )
+
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    q = incremental_block_index_stream(
+        spark, src, str(tmp_path / "tbl"), str(tmp_path / "ckpt"),
+        max_hamming=H,
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        assert index_pairs() == batch_pairs(b1 + b2)
+        assert any(p[:2] == (1, 4) and p[2] == 0 for p in index_pairs())
+        spark.createDataFrame(b3, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = index_pairs()
+    assert got == batch_pairs(b1 + b2 + b3)
+    assert any(p[:2] == (1, 2) for p in got)
+    assert any(p[:2] == (3, 10) and p[2] == 0 for p in got)
+
+
+def test_new_doc_hamming_candidates_against_streamed_index(spark, tmp_path):
+    """Ingest-time scoring for the block index: blocking ONLY the new
+    batch against the maintained index finds its duplicates exactly.
+    Contract asserted: every qualifying pair with >= 1 new-batch
+    endpoint appears EXACTLY ONCE (unordered), the first column is
+    always a new-batch doc, self-matches are excluded — covering
+    vs-index pairs, within-batch pairs (neither indexed), and a
+    replayed already-indexed doc (mirror collapse)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+        new_doc_hamming_candidates,
+        simhash_blocks,
+        simhash_hamming_pairs,
+    )
+
+    A = "the quick brown fox jumps over the lazy dog and runs far away today"
+    A2 = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    B = "completely different text about spark query engines and big data systems"
+    schema = "doc_id long, text string"
+    H = 6
+    indexed = [(1, A), (3, B)]
+    index = simhash_blocks(
+        spark.createDataFrame(indexed, schema), max_hamming=H
+    )
+    # new batch: near-dup of an indexed doc, a within-batch dup pair
+    # (neither indexed), and a replayed already-indexed doc
+    new = [(2, A2), (20, B), (21, B), (1, A)]
+    new_df = spark.createDataFrame(new, schema)
+    got = sorted(
+        (r.new_doc_id, r.doc_id, r.hamming)
+        for r in new_doc_hamming_candidates(
+            index, new_df, max_hamming=H
+        ).collect()
+    )
+    new_ids = {2, 20, 21, 1}
+    # ground truth: qualifying pairs over the union corpus, restricted
+    # to >= 1 new endpoint (unordered)
+    union_rows = sorted(set(indexed) | set(new))
+    want_rel = {
+        frozenset((r.doc_a, r.doc_b)): r.hamming
+        for r in simhash_hamming_pairs(
+            spark.createDataFrame(union_rows, schema), max_hamming=H
+        ).collect()
+        if r.doc_a in new_ids or r.doc_b in new_ids
+    }
+    got_rel = {frozenset((n, d)): h for n, d, h in got}
+    assert got_rel == want_rel                      # exact coverage
+    assert len(got) == len(got_rel)                 # once per pair
+    assert all(n in new_ids for n, d, h in got)     # new doc first
+    assert all(n != d for n, d, _ in got)           # no self-matches
+    assert frozenset((1, 2)) in got_rel             # vs-index near-dup
+    assert frozenset((20, 21)) in got_rel           # within-batch dup
+    assert got_rel[frozenset((20, 3))] == 0         # new vs indexed exact
