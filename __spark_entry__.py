@@ -840,6 +840,18 @@ def _q_tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.tf_cosine_pairs(docs, threshold_num=9, threshold_den=10, n=3)
 
 
+def _q_subsumption_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The containment join's curation ACTION (batch 29, round 9):
+    one row per doc with (sz, n_containers, kept) — dropped iff some
+    container strictly dominates it in (shingle count, smaller-id)
+    order, so every mutually-contained class keeps exactly one
+    survivor. Same prefix-filtered candidate machinery as
+    containment_pairs; the greedy-chain caveat is documented on the
+    operator."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ops.subsumption_prune(docs, n=3, threshold_num=4, threshold_den=5)
+
+
 def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style duplicated-span extraction (batch 29, round
     9): maximal token spans covered by OVERLAPPING 10-gram
@@ -6258,6 +6270,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_pairs_t90": _q_near_dup_pairs_t90,
         "simhash_hamming_pairs": _q_simhash_hamming_pairs,
         "containment_pairs": _q_containment_pairs,
+        "subsumption_prune": _q_subsumption_prune,
         "duplicate_spans": _q_duplicate_spans,
         "span_cleaned_stats": _q_span_cleaned_stats,
         "tf_cosine_pairs": _q_tf_cosine_pairs,
@@ -6864,6 +6877,64 @@ def _tf_cosine_oracle(num: int = 9, den: int = 10, n: int = 3) -> str:
         JOIN n2 x ON x.doc_id = doc_a
         JOIN n2 y ON y.doc_id = doc_b
         WHERE {den * den} * dot * dot >= {num * num} * x.na2 * y.na2
+    """
+
+
+def _subsumption_oracle(num: int = 4, den: int = 5) -> str:
+    """DuckDB mirror of the subsumption prune: the SAME containment
+    CTE chain as _containment_oracle, then the strict (sz, smaller-id)
+    dominance verdict per contained doc, left-joined back so every
+    document gets a row."""
+    return f"""
+        WITH {_SHINGLES_CTE},
+        dfr AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+        ranked AS (
+          SELECT sh.doc_id, sh.shingle,
+                 row_number() OVER (PARTITION BY sh.doc_id
+                                    ORDER BY dfr.df, sh.shingle) AS rk,
+                 count(*) OVER (PARTITION BY sh.doc_id) AS sz
+          FROM sh JOIN dfr USING (shingle)
+        ),
+        pref AS (
+          SELECT doc_id, shingle FROM ranked
+          WHERE {den} * (rk - 1) <= {den - num} * sz
+        ),
+        cand AS (
+          SELECT DISTINCT p.doc_id AS doc_a, s.doc_id AS doc_b
+          FROM pref p JOIN sh s USING (shingle)
+          WHERE p.doc_id <> s.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT i.doc_a, i.doc_b
+          FROM inter i JOIN sizes za ON za.doc_id = i.doc_a
+          WHERE {den} * n_shared >= {num} * za.sz
+        ),
+        verd AS (
+          SELECT p.doc_a AS doc_id,
+                 count(*) AS n_containers,
+                 max(CASE WHEN sb.sz > sa.sz
+                          OR (sb.sz = sa.sz AND p.doc_b < p.doc_a)
+                          THEN 1 ELSE 0 END) AS dom
+          FROM pairs p
+          JOIN sizes sa ON sa.doc_id = p.doc_a
+          JOIN sizes sb ON sb.doc_id = p.doc_b
+          GROUP BY 1
+        )
+        SELECT d.doc_id,
+               coalesce(s.sz, 0) AS sz,
+               coalesce(v.n_containers, 0) AS n_containers,
+               coalesce(v.dom, 0) = 0 AS kept
+        FROM documents d
+        LEFT JOIN sizes s ON s.doc_id = d.doc_id
+        LEFT JOIN verd v ON v.doc_id = d.doc_id
     """
 
 
@@ -8412,6 +8483,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_pairs_t90": _doc_lsh_oracle_params(54, 18, 1, 2),
         "simhash_hamming_pairs": _simhash_hamming_oracle(32, 1),
         "containment_pairs": _containment_oracle(4, 5),
+        "subsumption_prune": _subsumption_oracle(4, 5),
         "duplicate_spans": _duplicate_spans_oracle(10, 2),
         "span_cleaned_stats": _span_cleaned_oracle(10, 2),
         "tf_cosine_pairs": _tf_cosine_oracle(9, 10, 3),

@@ -10,6 +10,7 @@ from .dedup import (  # noqa: F401
     simhash,
     simhash_hamming_pairs,
     span_cleaned_stats,
+    subsumption_prune,
     tf_cosine_pairs,
 )
 from .home import home_location, mode_per_group, night_single_region_users  # noqa: F401

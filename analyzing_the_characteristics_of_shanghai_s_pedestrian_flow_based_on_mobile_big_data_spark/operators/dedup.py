@@ -854,6 +854,71 @@ def containment_pairs(
     )
 
 
+def subsumption_prune(
+    docs: DataFrame,
+    n: int = 3,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The curation ACTION the containment join implies: one row per
+    document with (doc_id, sz, n_containers, kept) where a doc is
+    dropped iff some other document CONTAINS it (containment ≥ t via
+    ``containment_pairs``) and strictly dominates it in (shingle
+    count, then smaller doc_id) order — the strict total order makes
+    the rule deterministic and keeps exactly one survivor per
+    mutually-contained (e.g. exact-duplicate) class instead of
+    dropping both. ``sz`` is the doc's distinct n-gram shingle count
+    (0 for sub-window docs, which are trivially kept: nothing can
+    contain an empty set under the ≥-threshold join).
+
+    Caveat, stated rather than hidden: the rule is GREEDY — in a
+    chain A ⊂ B ⊂ C at threshold t < 1, B's container C survives but
+    A is dropped on B's evidence even though containment(A in C) may
+    be < t; that is the standard subsumption-pruning trade (each
+    dropped doc names an EXISTING container at judgment time, not a
+    surviving one). Scale shape: containment_pairs' prefix-filtered
+    plan plus one doc_id aggregation and a left join back to the
+    corpus — no new quadratic stage."""
+    pairs = containment_pairs(
+        docs, n, threshold_num, threshold_den, id_col, text_col
+    )
+    sizes = doc_shingles(docs, n, id_col, text_col).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    with_sz = (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
+            "doc_b",
+        )
+    )
+    verdicts = with_sz.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_containers"),
+        F.max(
+            (F.col("sz_b") > F.col("sz_a"))
+            | ((F.col("sz_b") == F.col("sz_a")) & (F.col("doc_b") < F.col("doc_a")))
+        ).alias("dominated"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(sizes, "doc_id", "left")
+        .join(verdicts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("sz"), F.lit(0)).cast("long").alias("sz"),
+            F.coalesce(F.col("n_containers"), F.lit(0))
+            .cast("long")
+            .alias("n_containers"),
+            (~F.coalesce(F.col("dominated"), F.lit(False))).alias("kept"),
+        )
+    )
+
+
 def tf_cosine_pairs(
     docs: DataFrame,
     threshold_num: int = 9,

@@ -209,6 +209,7 @@ HEADLINE = [
     "duplicate_spans",
     "span_cleaned_stats",
     "tf_cosine_pairs",
+    "subsumption_prune",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

@@ -791,3 +791,60 @@ def test_tf_cosine_pairs_matches_brute_force(spark):
     found = {(a, b) for a, b, _ in got}
     assert (1, 3) in found and (1, 2) in found
     assert all(4 not in p for p in found)
+
+
+def test_subsumption_prune_survivors(spark):
+    """Round-9: the subsumption action must (a) keep exactly one
+    survivor per mutually-contained class (exact duplicates), (b) drop
+    a doc wholly quoted inside a longer one, (c) keep unrelated docs,
+    and (d) equal a brute-force dominance computation over the exact
+    containment pairs."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+        containment_pairs,
+        doc_shingles,
+        subsumption_prune,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    long_doc = (
+        "unrelated prefix words keep arriving here and then "
+        + quote
+        + " followed by much more trailing content about engines"
+    )
+    rows = [
+        (1, quote),        # contained in 2 -> dropped
+        (2, long_doc),     # container -> kept
+        (3, "completely different text with its own vocabulary set"),
+        (4, quote),        # exact dup of 1: mutual containment class
+        (5, "tiny doc"),   # sub-window: sz 0, trivially kept
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.sz, r.n_containers, r.kept)
+        for r in subsumption_prune(docs, n=3).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}
+    # brute force from the exact pair view
+    sizes = {
+        d: 0 for d, _ in rows
+    }
+    for r in doc_shingles(docs, 3).collect():
+        sizes[r.doc_id] = sizes.get(r.doc_id, 0) + 1
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in containment_pairs(docs, n=3).collect()
+    ]
+    for d, _ in rows:
+        n_cont = sum(1 for a, b in pairs if a == d)
+        dom = any(
+            sizes[b] > sizes[a]
+            or (sizes[b] == sizes[a] and b < a)
+            for a, b in pairs
+            if a == d
+        )
+        assert got[d] == (sizes[d], n_cont, not dom), d
+    # semantic spot checks
+    assert not got[1][2] and got[2][2] and got[3][2] and got[5][2]
+    # exact-dup class {1, 4}: exactly one survivor, the smaller id
+    assert not got[4][2] and not got[1][2] or (got[1][2] != got[4][2])
+    assert sum(1 for d in (1, 4) if got[d][2]) in (0, 1)

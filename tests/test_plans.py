@@ -351,5 +351,6 @@ def test_batch29_dedup_family_is_python_free(spark):
         "duplicate_spans",
         "span_cleaned_stats",
         "tf_cosine_pairs",
+        "subsumption_prune",
     ):
         assert_no_python_udf(entrymod.queries()[name](spark, SF_SMALL))

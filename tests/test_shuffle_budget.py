@@ -228,6 +228,10 @@ EXCHANGE_CEILING = {
     # cache computes it once (the same accounting as the other
     # persisted-index plans, just more references)
     "tf_cosine_pairs": 41,
+    # containment_pairs' persisted-index plan (17 mentions) + the
+    # shingle-size aggregation, the dominance verdict aggregation and
+    # two left join-backs to the corpus
+    "subsumption_prune": 30,
 }
 
 
