@@ -787,22 +787,26 @@ def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-distance near-dup pairs (batch 29, round 9) —
-    the Manku block LSH: candidates from an equi self-join on
-    (block, 16-bit block value) — by pigeonhole a COMPLETE cover of
-    every pair within Hamming 1 of the 32-bit signature, so unlike
-    MinHash banding there is no recall contract to carry: zero misses
-    and zero false positives w.r.t. the signature, verified by one
-    bit_count(XOR). The oracle mirrors signature, blocking, and
-    verification (DuckDB xor/bit_count), so the cover property itself
-    is engine-differentially checked. Budget 1 (not Manku's 3-of-64):
-    the synthetic corpus's docs share one token distribution, so a
-    32-bit simhash concentrates — hamming ≤ 3 matches 28% of ALL
-    pairs here (a signature-resolution fact, not an operator bug);
-    ≤ 1 keeps the registered output at genuine near-dup scale while
-    the operator stays parametric for wider signatures."""
+    """SimHash Hamming-distance near-dup pairs (batch 29, round 9;
+    widened to 64 bits in round 10 per VERDICT r9 #1) — the Manku
+    block LSH at the classic 3-of-64 budget: candidates from an equi
+    self-join on (block, 16-bit block value) — by pigeonhole a
+    COMPLETE cover of every pair within Hamming 3 of the 64-bit
+    signature, so unlike MinHash banding there is no recall contract
+    to carry: zero misses and zero false positives w.r.t. the
+    signature, verified by one bit_count(XOR). The oracle mirrors
+    signature (two md5 nibble-lanes), blocking (the same
+    simhash_banding call generates both sides), and verification
+    (DuckDB xor/bit_count), so the cover property itself is
+    engine-differentially checked. Resolution note: on this shared
+    token distribution the old 32-bit signature concentrated so hard
+    that hamming ≤ 3 matched 28% of ALL pairs — a saturation failure
+    no in-engine check could catch; at 64 bits the same budget
+    matches 4% (sf0.01), and block keys stay ≥ 16 bits at every
+    supported budget (h ≤ 3 single-block, h = 4..6 via 2-block
+    combinations)."""
     docs = load_table(spark, sf_dir, "documents")
-    return ops.simhash_hamming_pairs(docs, max_hamming=1)
+    return ops.simhash_hamming_pairs(docs, max_hamming=3)
 
 
 def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -880,6 +884,18 @@ def _q_span_cleaned_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join → ordered rebuild."""
     docs = load_table(spark, sf_dir, "documents")
     return ops.span_cleaned_stats(docs, window_words=10, min_docs=2)
+
+
+def _q_span_cleaned_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaned corpus ITSELF (round 10, VERDICT r9 #3): one row
+    per document with (n_tokens, n_removed, cleaned_text) — the
+    ExactSubstr cut executed and the surviving text returned in
+    original token order (empty string for docs cut whole). Writing
+    this DataFrame is the curated-corpus write path; the oracle twin
+    is span_cleaned_stats' with the string un-hashed, so the VALUE
+    compare pins the actual characters, not just their digest."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ops.span_cleaned_text(docs, window_words=10, min_docs=2)
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6273,6 +6289,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subsumption_prune": _q_subsumption_prune,
         "duplicate_spans": _q_duplicate_spans,
         "span_cleaned_stats": _q_span_cleaned_stats,
+        "span_cleaned_text": _q_span_cleaned_text,
         "tf_cosine_pairs": _q_tf_cosine_pairs,
         "cluster_size_histogram": _q_cluster_size_histogram,
     }
@@ -6684,15 +6701,37 @@ def _cluster_size_histogram_oracle() -> str:
     """
 
 
-def _simhash_oracle(nbits: int = 32) -> str:
+def _simhash_votes_sig_sql(nbits: int) -> tuple[str, str]:
+    """Shared vote/signature SQL for the SimHash twins — the EXACT
+    mirror of operators/dedup.py:simhash's two md5 nibble-lanes: bits
+    0–31 test the top bit of hex nibble j (value ≥ 8), bits 32–63 the
+    second bit of nibble j−32 (value in {4..7, c..f}); bit 63's place
+    value is −2⁶³ so the signature is the same two's-complement
+    BIGINT in both engines (partial sums stay in [−2⁶³, 2⁶³−1] —
+    positive places total 2⁶³−1, so no evaluation order overflows)."""
+    hi = "('8','9','a','b','c','d','e','f')"
+    mid = "('4','5','6','7','c','d','e','f')"
     votes = ",\n         ".join(
-        f"sum(CASE WHEN substr(h, {j + 1}, 1) IN "
-        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v_{j}"
+        (
+            f"sum(CASE WHEN substr(h, {j + 1}, 1) IN {hi} "
+            f"THEN 1 ELSE -1 END) AS v_{j}"
+            if j < 32
+            else f"sum(CASE WHEN substr(h, {j - 31}, 1) IN {mid} "
+            f"THEN 1 ELSE -1 END) AS v_{j}"
+        )
         for j in range(nbits)
     )
     sig = " + ".join(
-        f"(CASE WHEN v_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(nbits)
+        f"(CASE WHEN v_{j} > 0 THEN CAST("
+        + (str(1 << j) if j < 63 else "-9223372036854775807 - 1")
+        + f" AS BIGINT) ELSE 0 END)"
+        for j in range(nbits)
     )
+    return votes, sig
+
+
+def _simhash_oracle(nbits: int = 64) -> str:
+    votes, sig = _simhash_votes_sig_sql(nbits)
     return f"""
         WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
         tok AS (
@@ -6705,29 +6744,36 @@ def _simhash_oracle(nbits: int = 32) -> str:
     """
 
 
-def _simhash_hamming_oracle(nbits: int = 32, max_hamming: int = 3) -> str:
-    """DuckDB mirror of the Manku block-LSH hamming join: the SAME
-    vote/signature arithmetic as _simhash_oracle, block values by
-    shift/mask, candidate equi-join on (block, value), verification
-    via bit_count(xor) — the complete-cover property is what the twin
-    checks (a missing pair on either side fails the hash compare)."""
-    votes = ",\n         ".join(
-        f"sum(CASE WHEN substr(h, {j + 1}, 1) IN "
-        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v_{j}"
-        for j in range(nbits)
-    )
-    sig = " + ".join(
-        f"(CASE WHEN v_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(nbits)
-    )
-    b = max_hamming + 1
-    widths = [nbits // b + (1 if i < nbits % b else 0) for i in range(b)]
-    block_rows, off = [], 0
-    for i, w in enumerate(widths):
+def _simhash_hamming_oracle(nbits: int = 64, max_hamming: int = 3) -> str:
+    """DuckDB mirror of the Manku multi-block-LSH hamming join: the
+    SAME vote/signature arithmetic as _simhash_oracle, the SAME
+    combination blocking as operators/dedup.py:simhash_banding
+    (imported, so the twin can never drift from the engine), packed
+    values by shift/mask/concat — (sig >> off) & mask yields
+    identical low bits under DuckDB's logical and Spark's arithmetic
+    shift — candidate equi-join on (combination, packed value),
+    verification via bit_count(xor). The complete-cover property is
+    what the twin checks (a missing pair on either side fails the
+    hash compare)."""
+    votes, sig = _simhash_votes_sig_sql(nbits)
+    widths, combos = ops.simhash_banding(max_hamming, nbits)
+    offsets = [sum(widths[:i]) for i in range(len(widths))]
+
+    def _extract(i: int) -> str:
+        w = widths[i]
+        if w >= 64:
+            return "simhash"
+        return f"((simhash >> {offsets[i]}) & {(1 << w) - 1})"
+
+    block_rows = []
+    for ci, combo in enumerate(combos):
+        val = None
+        for i in combo:
+            piece = _extract(i)
+            val = piece if val is None else f"(({val} << {widths[i]}) + {piece})"
         block_rows.append(
-            f"SELECT doc_id, simhash, {i} AS blk, "
-            f"(simhash >> {off}) & {(1 << w) - 1} AS val FROM sig"
+            f"SELECT doc_id, simhash, {ci} AS blk, {val} AS val FROM sig"
         )
-        off += w
     blocks = "\n          UNION ALL\n          ".join(block_rows)
     return f"""
         WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
@@ -6938,12 +6984,26 @@ def _subsumption_oracle(num: int = 4, den: int = 5) -> str:
     """
 
 
-def _span_cleaned_oracle(window_words: int = 10, min_docs: int = 2) -> str:
+def _span_cleaned_oracle(
+    window_words: int = 10, min_docs: int = 2, hashed: bool = True
+) -> str:
     """DuckDB mirror of the span-cut manifest: the SAME span CTE chain
     as _duplicate_spans_oracle, exploded back to covered positions,
     anti-joined against per-position tokens, rebuilt in pos order and
-    md5'd — token-level engine agreement of the whole composition."""
+    md5'd — token-level engine agreement of the whole composition.
+    ``hashed=False`` is the span_cleaned_text twin: the identical
+    rebuild with the surviving STRING returned instead of its md5."""
     w = int(window_words)
+    out_col = (
+        "md5(string_agg(tok, ' ' ORDER BY pos)) AS cleaned"
+        if hashed
+        else "string_agg(tok, ' ' ORDER BY pos) AS cleaned"
+    )
+    final = (
+        "coalesce(rebuilt.cleaned, md5('')) AS cleaned_md5"
+        if hashed
+        else "coalesce(rebuilt.cleaned, '') AS cleaned_text"
+    )
     return f"""
         WITH ws AS (
           SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -6994,7 +7054,7 @@ def _span_cleaned_oracle(window_words: int = 10, min_docs: int = 2) -> str:
         ),
         rebuilt AS (
           SELECT doc_id, count(*) AS n_kept,
-                 md5(string_agg(tok, ' ' ORDER BY pos)) AS cleaned_md5
+                 {out_col}
           FROM kept GROUP BY doc_id
         ),
         totals AS (SELECT doc_id, len(w) AS n_tokens FROM ws)
@@ -7002,7 +7062,7 @@ def _span_cleaned_oracle(window_words: int = 10, min_docs: int = 2) -> str:
                CAST(totals.n_tokens AS INTEGER) AS n_tokens,
                CAST(totals.n_tokens - coalesce(rebuilt.n_kept, 0)
                     AS INTEGER) AS n_removed,
-               coalesce(rebuilt.cleaned_md5, md5('')) AS cleaned_md5
+               {final}
         FROM totals LEFT JOIN rebuilt USING (doc_id)
     """
 
@@ -7970,7 +8030,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # ---- batch 2: text / similarity / multimodal / streaming --------
         "minhash_lsh_pairs": _minhash_oracle(k=8, bands=4),
-        "simhash_docs": _simhash_oracle(nbits=32),
+        "simhash_docs": _simhash_oracle(nbits=64),
         "ngram_jaccard_pairs": f"""
             WITH {_SHINGLES_CTE},
             sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -8128,7 +8188,8 @@ def oracle_sql() -> dict[str, str]:
                      AS max_list_share,
                    round(CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 4)
                      AS mean_assigned_cos,
-                   (CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE)) > 0.125
+                   (CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE)) >
+                     2.0 / (SELECT count(*) FROM cent)
                      AS recenter
             FROM lists
         """,
@@ -8481,11 +8542,12 @@ def oracle_sql() -> dict[str, str]:
         "user_covisit_lsh_t90": _covisit_lsh_oracle_params(50, 25),
         # doc-level contract banding: choose_lsh_params(1,2,0.9) — same pin
         "near_dup_pairs_t90": _doc_lsh_oracle_params(54, 18, 1, 2),
-        "simhash_hamming_pairs": _simhash_hamming_oracle(32, 1),
+        "simhash_hamming_pairs": _simhash_hamming_oracle(64, 3),
         "containment_pairs": _containment_oracle(4, 5),
         "subsumption_prune": _subsumption_oracle(4, 5),
         "duplicate_spans": _duplicate_spans_oracle(10, 2),
         "span_cleaned_stats": _span_cleaned_oracle(10, 2),
+        "span_cleaned_text": _span_cleaned_oracle(10, 2, hashed=False),
         "tf_cosine_pairs": _tf_cosine_oracle(9, 10, 3),
         "cluster_size_histogram": _cluster_size_histogram_oracle(),
         "value_histogram": """

@@ -8,10 +8,15 @@ from .dedup import (  # noqa: F401
     near_dup_pairs_auto,
     ngram_jaccard_pairs,
     simhash,
+    simhash_banding,
     simhash_hamming_pairs,
     span_cleaned_stats,
+    span_cleaned_text,
     subsumption_prune,
+    subsumption_prune_fixpoint,
+    tf_cosine_dense_stats,
     tf_cosine_pairs,
+    tf_cosine_pairs_auto,
 )
 from .home import home_location, mode_per_group, night_single_region_users  # noqa: F401
 from .occupancy import occupancy, occupancy_approx  # noqa: F401

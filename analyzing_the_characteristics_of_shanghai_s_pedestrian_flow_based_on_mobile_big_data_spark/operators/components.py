@@ -170,6 +170,7 @@ def near_dup_components(
     collapse_signatures: bool = True,
     materialize: str = "persist",
     star_gate: bool | None = None,
+    star_stats: dict | None = None,
 ) -> DataFrame:
     """(doc_id, component) over the MinHash near-dup graph — result
     IDENTICAL to ``connected_components(minhash_lsh_pairs(docs))``
@@ -233,7 +234,14 @@ def near_dup_components(
     the zero-cost route for callers that know their corpus, the same
     contract shape as set_similarity_join_auto's ``stats=``. Either
     route changes only the physical plan: labels are identical by
-    the pinned equivalence.
+    the pinned equivalence. ``star_stats`` (round 10, VERDICT r9 #6)
+    pre-seeds the FIRST decision from catalog-class statistics — the
+    set_similarity_stats dict shape over a one-row-per-doc
+    (doc_id, digest) table, where cand_pairs = Σ C(df,2) is exactly
+    the clique-pair savings — so a cold corpus with ANALYZE TABLE
+    NDVs never pays the probe job either; precedence is star_gate >
+    memo > star_stats > probe, and a stats-seeded decision enters
+    the memo.
 
     ``hot_bucket_cap`` can additionally arm the hot-bucket quotient in
     :func:`~.dedup.lsh_pairs_from_bands` on the candidate join (pair
@@ -343,6 +351,25 @@ def near_dup_components(
             cache_key = _star_gate_key(d, k, bands, n)
             if cache_key is not None:
                 use_star = _STAR_GATE_CACHE.get(cache_key)
+        if use_star is None and star_stats is not None:
+            # Catalog-stats pre-seed (round 10, VERDICT r9 #6): the
+            # memo kills the repeat-invocation probe; this kills the
+            # FIRST one. Same dict shape as set_similarity_stats /
+            # set_similarity_stats_from_catalog computed over a
+            # one-row-per-doc (doc_id, signature-or-text-digest)
+            # table: cand_pairs = Σ C(df,2) IS the clique-pair
+            # savings and n_rows the signed-doc count, so the rule
+            # below is the probe's own inequality on supplied
+            # numbers — zero jobs. The decision is seeded into the
+            # memo so later un-seeded invocations stay probe-free.
+            use_star = bool(
+                float(star_stats["cand_pairs"])
+                > 2.0 * float(star_stats["n_rows"])
+            )
+            if cache_key is not None:
+                if len(_STAR_GATE_CACHE) >= _STAR_GATE_CACHE_MAX:
+                    _STAR_GATE_CACHE.clear()
+                _STAR_GATE_CACHE[cache_key] = use_star
         if use_star is None:
             stats = _class_table().agg(
                 F.coalesce(

@@ -524,14 +524,24 @@ def minhash_lsh_pairs(
 
 
 def simhash(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", nbits: int = 32
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", nbits: int = 64
 ) -> DataFrame:
-    """32-bit SimHash over distinct tokens: bit j of the signature is
-    the majority vote of bit j across token digests, where token bit j
-    is the top bit of the j-th hex nibble of md5(token). Hex-nibble
-    representation keeps the whole computation portable SQL (no
-    hex→int conversion builtins needed)."""
-    assert nbits <= 32
+    """64-bit SimHash over distinct tokens (round 10 — the 32-bit
+    signature SATURATES at crawl scale: birthday-paired false
+    near-dups that no downstream verification can catch, because the
+    Hamming check is against the saturated signature itself). Bit j
+    of the signature is the majority vote of bit j across token
+    digests; token bits come from TWO md5 nibble-lanes — bits 0–31
+    are the top bit (value ≥ 8) of hex nibble j, bits 32–63 the
+    second bit (value in {4..7, c..f}) of hex nibble j−32 — so the 64
+    token bits are 64 distinct independent md5 bits while the whole
+    computation stays portable SQL (substr + IN over the hex string,
+    no hex→int builtins). Bit 63's place value is −2⁶³ (two's
+    complement), making the signature an ordinary BIGINT in both
+    engines."""
+    assert nbits <= 64
+    hi = ("8", "9", "a", "b", "c", "d", "e", "f")
+    mid = ("4", "5", "6", "7", "c", "d", "e", "f")
     tok = (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok"))
         .distinct()
@@ -539,51 +549,117 @@ def simhash(
     )
     votes = [
         F.sum(
-            F.when(F.substring("h", j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)
+            F.when(
+                F.substring("h", j + 1, 1).isin(*hi)
+                if j < 32
+                else F.substring("h", j - 31, 1).isin(*mid),
+                1,
+            ).otherwise(-1)
         ).alias(f"v_{j}")
         for j in range(nbits)
     ]
     voted = tok.groupBy("doc_id").agg(*votes)
     sig = None
     for j in range(nbits):
-        bit = F.when(F.col(f"v_{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+        place = 2**j if j < 63 else -(2**63)
+        bit = F.when(F.col(f"v_{j}") > 0, F.lit(place).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = bit if sig is None else sig + bit
     return voted.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_banding(
+    max_hamming: int,
+    nbits: int = 64,
+    min_key_bits: int = 16,
+    max_bands: int = 256,
+) -> tuple[list[int], list[tuple[int, ...]]]:
+    """Choose the Manku blocking for a Hamming budget: split ``nbits``
+    into B = ``max_hamming`` + m near-equal blocks and key candidates
+    on every m-combination of blocks (C(B, m) "virtual bands"). By
+    pigeonhole, hamming ≤ h leaves ≥ B − h = m blocks EXACTLY equal,
+    so some combination matches — the cover is complete at every m.
+    m is the SMALLEST value whose worst-case key (the m narrowest
+    blocks) carries ≥ ``min_key_bits`` bits: under the ~uniform
+    signatures real corpora produce, a w-bit key splits the corpus
+    into ~2^w buckets, so the candidate join is Θ(C(B,m)·n²/2^w) —
+    sub-16-bit keys (the old 32-bit path's 8-bit blocks at h=3) go
+    effectively quadratic at crawl scale, which is the failure this
+    selector exists to refuse. Returns (block widths, combinations).
+
+    h ≤ 3 at 64 bits keeps the classic one-block-per-band cover
+    (m=1); h = 4..6 move to m=2 (15/21/28 combinations), h = 7 to
+    m=3 (120); beyond that C(B, m) blows past ``max_bands`` (storage
+    and join fan-out scale linearly with it — 2⁵⁶-row index tables
+    are not a blocking strategy) and this raises rather than quietly
+    degrading on either axis."""
+    if not 0 <= max_hamming < nbits:
+        raise ValueError(f"max_hamming must be in [0, {nbits}): {max_hamming}")
+    import itertools
+    import math
+
+    for m in range(1, nbits + 1):
+        B = max_hamming + m
+        if B > nbits or math.comb(B, m) > max_bands:
+            break
+        widths = [nbits // B + (1 if i < nbits % B else 0) for i in range(B)]
+        if sum(sorted(widths)[:m]) >= min(min_key_bits, nbits):
+            return widths, list(itertools.combinations(range(B), m))
+    raise ValueError(
+        f"no blocking of {nbits} bits meets min_key_bits={min_key_bits} "
+        f"within max_bands={max_bands} at max_hamming={max_hamming} — "
+        "lower the budget or the key floor"
+    )
 
 
 def simhash_blocks(
     docs: DataFrame,
     max_hamming: int = 3,
-    nbits: int = 32,
+    nbits: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_key_bits: int = 16,
 ) -> DataFrame:
-    """(doc_id, simhash, blk, val) — the Manku block decomposition of
-    each document's SimHash signature: ``max_hamming``+1 contiguous
-    blocks whose widths differ by at most one bit. A pure function of
-    the document text, so the row set is append-only per doc and SET
-    UNION is a valid maintenance invariant — the same property the
-    MinHash band index exploits for dedup-on-ingest
+    """(doc_id, simhash, blk, val) — the Manku multi-block
+    decomposition of each document's SimHash signature under
+    :func:`simhash_banding`: ``blk`` is the COMBINATION index, ``val``
+    the big-endian concatenation of that combination's block values
+    (≥ ``min_key_bits`` wide by construction, so candidate buckets
+    keep shrinking as h grows instead of collapsing to 2⁸ slices). A
+    pure function of the document text, so the row set is append-only
+    per doc and SET UNION is a valid maintenance invariant — the same
+    property the MinHash band index exploits for dedup-on-ingest
     (streaming/incremental.py:incremental_block_index_stream).
     Shared by the batch join (simhash_hamming_pairs), the ingest
     index, and delta-vs-index scoring, so all three agree on the
-    blocking by construction."""
-    assert 0 <= max_hamming < nbits
-    b = max_hamming + 1
-    widths = [nbits // b + (1 if i < nbits % b else 0) for i in range(b)]
+    blocking by construction. Extraction is (sig >> off) & mask —
+    identical low-bit results under arithmetic (Spark) and logical
+    (DuckDB) shifts, so the twin needs no sign gymnastics; the one
+    full-width block (h=0) is the signature itself."""
+    widths, combos = simhash_banding(max_hamming, nbits, min_key_bits)
+    offsets = [sum(widths[:i]) for i in range(len(widths))]
     sig = simhash(docs, id_col, text_col, nbits)
-    block_structs = []
-    off = 0
-    for i, w in enumerate(widths):
-        block_structs.append(
-            F.struct(
-                F.lit(i).alias("blk"),
-                F.shiftright(F.col("simhash"), off)
-                .bitwiseAND(F.lit((1 << w) - 1))
-                .alias("val"),
-            )
+
+    def _extract(i: int):
+        w = widths[i]
+        if w >= 64:
+            return F.col("simhash")
+        return F.shiftright(F.col("simhash"), offsets[i]).bitwiseAND(
+            F.lit((1 << w) - 1)
         )
-        off += w
+
+    block_structs = []
+    for ci, combo in enumerate(combos):
+        val = None
+        for i in combo:
+            piece = _extract(i)
+            val = (
+                piece
+                if val is None
+                else F.shiftleft(val, widths[i]) + piece
+            )
+        block_structs.append(
+            F.struct(F.lit(ci).alias("blk"), val.cast("long").alias("val"))
+        )
     return sig.select(
         "doc_id", "simhash", F.explode(F.array(*block_structs)).alias("bb")
     ).select(
@@ -634,7 +710,7 @@ def new_doc_hamming_candidates(
     index_blocks: DataFrame,
     new_docs: DataFrame,
     max_hamming: int = 3,
-    nbits: int = 32,
+    nbits: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -733,31 +809,35 @@ def new_doc_hamming_candidates(
 def simhash_hamming_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
-    nbits: int = 32,
+    nbits: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_key_bits: int = 16,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance — the Manku-style
     block LSH (the web-crawl dedup classic; reference analogue: the
     all-pairs text comparisons in cal_user_trace.py, re-expressed
-    sub-quadratically): split the ``nbits`` signature into
-    ``max_hamming``+1 contiguous blocks; by pigeonhole, any pair
-    within the Hamming budget agrees EXACTLY on at least one block,
-    so candidates come from an equi self-join on (block, block_value)
-    — never an all-pairs loop — and one ``bit_count(a XOR b)``
-    verifies. Unlike MinHash banding, the block cover is COMPLETE:
-    zero misses and zero false positives w.r.t. the simhash itself
-    (recall loss lives only in how well simhash approximates token
-    overlap), so no recall contract is needed.
+    sub-quadratically): :func:`simhash_banding` splits the ``nbits``
+    signature into max_hamming + m near-equal blocks and keys
+    candidates on every m-combination; by pigeonhole, any pair within
+    the Hamming budget agrees EXACTLY on at least one combination, so
+    candidates come from an equi self-join on (combination,
+    packed_value) — never an all-pairs loop — and one
+    ``bit_count(a XOR b)`` verifies. Unlike MinHash banding, the
+    cover is COMPLETE: zero misses and zero false positives w.r.t.
+    the simhash itself (recall loss lives only in how well simhash
+    approximates token overlap), so no recall contract is needed.
 
-    Scale shape: the signature table is 8 B/doc; block rows are
-    (max_hamming+1)×16 B/doc; the join shuffles block values only and
-    each bucket holds docs agreeing on an ⌈nbits/(h+1)⌉-bit slice —
-    2^8 partitions of the corpus at the default 32/4 split, the same
-    self-balancing property the sign-bucket ANN relies on. Output is
+    Scale shape (round 10 — widened from 32 to 64 bits): the
+    signature table is 8 B/doc; block rows are C(max_hamming+m, m)
+    ×16 B/doc (4 rows at the default h=3, 28 at h=6); the join
+    shuffles packed keys only and every key carries ≥ ``min_key_bits``
+    bits — ≥ 2¹⁶ partitions of the corpus at every supported budget,
+    so buckets hold n/65536-scale doc sets instead of the old 8-bit
+    n/256 slices that went quadratic at crawl scale. Output is
     (doc_a, doc_b, hamming), doc_a < doc_b."""
     return hamming_pairs_from_blocks(
-        simhash_blocks(docs, max_hamming, nbits, id_col, text_col),
+        simhash_blocks(docs, max_hamming, nbits, id_col, text_col, min_key_bits),
         max_hamming,
     )
 
@@ -878,7 +958,10 @@ def subsumption_prune(
     A is dropped on B's evidence even though containment(A in C) may
     be < t; that is the standard subsumption-pruning trade (each
     dropped doc names an EXISTING container at judgment time, not a
-    surviving one). Scale shape: containment_pairs' prefix-filtered
+    surviving one). :func:`subsumption_prune_fixpoint` is the kernel
+    variant that reinstates A — divergence measured on the planted
+    chain (pytest) and the synthetic corpus (SCALE.md §10).
+    Scale shape: containment_pairs' prefix-filtered
     plan plus one doc_id aggregation and a left join back to the
     corpus — no new quadratic stage."""
     pairs = containment_pairs(
@@ -919,6 +1002,283 @@ def subsumption_prune(
     )
 
 
+def _tf_term_table(
+    docs: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc_id, term) WITH multiplicity — the word-``n``-gram term
+    table under tf_cosine_pairs and its dense-regime probe (one
+    definition, so the probe can never judge a different vocabulary
+    than the join uses). Grams via the codegen'd posexplode+lead
+    formulation (array-lambda shingling runs interpreted — the
+    measured-2×-slower path doc_shingles already documents); the
+    inline split stays equivalent to functions.text.tokens()."""
+    from pyspark.sql import Window
+
+    toks0 = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tok_tbl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(toks0).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    if n == 1:
+        return tok_tbl.select("doc_id", F.col("tok").alias("term"))
+    w_lead = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", i).over(w_lead) for i in range(1, n)
+    ]
+    return (
+        tok_tbl.select(
+            "doc_id",
+            parts[-1].alias("__last"),
+            F.concat_ws(" ", *parts).alias("term"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .select("doc_id", "term")
+    )
+
+
+def tf_cosine_dense_stats(
+    docs: DataFrame,
+    n: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pairs_per_key_budget: int = 64,
+    min_keys: int = 4096,
+) -> dict:
+    """Dense-regime probe for :func:`tf_cosine_pairs` (round 10,
+    VERDICT r9 #2) — the same candidate-volume statistics and
+    decision rule the set-similarity router uses
+    (similarity.set_similarity_stats / choose_set_similarity_path),
+    computed over the DISTINCT (doc, term) table at gram size ``n``:
+    Σ_term C(df,2) upper-bounds the suffix⋈index candidate rows, so
+    when it says the average document would meet more than
+    ``pairs_per_key_budget`` partners, the vocabulary is too
+    degenerate for the Bayardo maxweight prefix bound to bite
+    (every doc shares every term — the Ω(U²) dense regime the
+    operator's docstring documents) and no prefix ordering can fix
+    it. Two scalar-only aggregate jobs; at 100 TB feed the same dict
+    shape from catalog NDVs (set_similarity_stats_from_catalog).
+    Returns the stats dict plus ``path`` ∈ {"exact", "lsh"} ("lsh"
+    here meaning: do NOT run the exact join at this ``n``)."""
+    from .similarity import choose_set_similarity_path, set_similarity_stats
+
+    terms = _tf_term_table(docs, int(n), id_col, text_col).distinct()
+    stats = set_similarity_stats(terms, "doc_id", "term")
+    stats["path"] = choose_set_similarity_path(
+        stats, pairs_per_key_budget, min_keys
+    )
+    return stats
+
+
+def tf_cosine_pairs_auto(
+    docs: DataFrame,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    n: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_n: int = 5,
+    on_dense: str = "raise",
+    pairs_per_key_budget: int = 64,
+    min_keys: int = 4096,
+    stats: dict | None = None,
+) -> DataFrame:
+    """:func:`tf_cosine_pairs` behind the dense-regime guard: probe
+    the term-frequency tail at gram size ``n`` first; run the exact
+    APSS join only where the maxweight prefix bound can bite.
+
+    On a vocabulary-degenerate corpus (unigram bag-of-words over a
+    ~30-word vocabulary — this repo's synthetic documents table) the
+    exact join is inherently near-quadratic no matter the prefix
+    order. ``on_dense`` decides the response, mirroring
+    near_dup_pairs_auto's stats-first routing:
+
+    - ``"raise"`` (default): fail loudly with the measured stats in
+      the message — never silently run an Ω(U²) plan;
+    - ``"escalate"``: increase ``n`` (word n-grams re-establish the
+      rare-term tail the filter needs — the reason the registered
+      query uses n=3) until the probe passes or ``max_n`` is
+      exhausted, then raise. Escalation CHANGES the similarity
+      semantics from unigram to n-gram cosine, which is why it is
+      opt-in, and the chosen n is discoverable via
+      tf_cosine_dense_stats.
+
+    ``stats`` pre-seeds the probe for the chosen ``n`` (the catalog
+    path: pass set_similarity_stats_from_catalog output and no probe
+    job runs at that n)."""
+    if on_dense not in ("raise", "escalate"):
+        raise ValueError(f"on_dense must be raise|escalate: {on_dense!r}")
+    tried = []
+    nn = int(n)
+    while nn <= max_n:
+        s = (
+            dict(stats, path=None)
+            if stats is not None and nn == int(n)
+            else None
+        )
+        if s is not None:
+            from .similarity import choose_set_similarity_path
+
+            s["path"] = choose_set_similarity_path(
+                s, pairs_per_key_budget, min_keys
+            )
+        else:
+            s = tf_cosine_dense_stats(
+                docs, nn, id_col, text_col, pairs_per_key_budget, min_keys
+            )
+        tried.append((nn, s["path"], s["cand_pairs"], s["n_keys"]))
+        if s["path"] == "exact":
+            return tf_cosine_pairs(
+                docs, threshold_num, threshold_den, nn, id_col, text_col
+            )
+        if on_dense == "raise":
+            break
+        nn += 1
+    raise ValueError(
+        "tf_cosine_pairs_auto: dense regime — the candidate bound "
+        f"exceeds {pairs_per_key_budget} partners per document and the "
+        "maxweight prefix filter cannot prune it (degenerate "
+        "vocabulary). Tried (n, verdict, cand_pairs, n_docs): "
+        f"{tried}. Raise n (word n-grams restore the rare-term "
+        "tail), pass on_dense='escalate', or use the MinHash-LSH "
+        "near-dup path for set semantics."
+    )
+
+
+def subsumption_prune_fixpoint(
+    docs: DataFrame,
+    n: int = 3,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """The FIXPOINT (kernel) variant of :func:`subsumption_prune`
+    (round 10, VERDICT r9 #5): a doc is dropped iff some SURVIVING
+    container dominates it — so in a chain A ⊂ B ⊂ C at t < 1, B
+    falls to C, and A (whose only container was B, and
+    containment(A in C) < t) is REINSTATED, where the greedy rule
+    drops it on B's now-moot evidence. Because domination follows the
+    strict total order (shingle count, then smaller doc_id), the
+    "dominates" digraph is a DAG and its kernel is unique: survivors
+    S are exactly the set with no internal domination edge and every
+    outsider dominated from inside.
+
+    Scale shape — containment is a PAIRWISE property, independent of
+    who else survives, so the expensive prefix-filtered join runs
+    ONCE (the same plan as subsumption_prune); the fixpoint iterates
+    only id-membership over the materialized (victim, container)
+    edge list: each round decides every doc whose containers are all
+    decided (newly dropped = a KEPT container exists; newly kept =
+    all containers dropped), so rounds = longest domination chain
+    depth, each one two equi-joins on a table no wider than two ids.
+    Edge and membership tables are localCheckpoint'd per round to cut
+    lineage. Raises if ``max_rounds`` is exhausted (cannot happen on
+    a DAG shorter than 2^64 — the guard exists for bugs, not data).
+
+    Output schema matches subsumption_prune: (doc_id, sz,
+    n_containers, kept) with n_containers still counted over the FULL
+    corpus (the evidence seen, not the evidence that stuck)."""
+    pairs = containment_pairs(
+        docs, n, threshold_num, threshold_den, id_col, text_col
+    )
+    sizes = doc_shingles(docs, n, id_col, text_col).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    # ONE materialization of the expensive prefix-filtered join feeds
+    # both the domination edges and the evidence count
+    with_sz = (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", "sz_a", "sz_b")
+        .localCheckpoint(eager=True)
+    )
+    edges = with_sz.filter(
+        (F.col("sz_b") > F.col("sz_a"))
+        | ((F.col("sz_b") == F.col("sz_a")) & (F.col("doc_b") < F.col("doc_a")))
+    ).select(
+        F.col("doc_a").alias("victim"), F.col("doc_b").alias("container")
+    )
+    # evidence-seen count over ALL containers (dominating or not) —
+    # the same definition subsumption_prune reports
+    n_containers = with_sz.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_containers")
+    )
+    und = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = docs.sparkSession
+    kept = spark.createDataFrame([], "doc_id " + dict(und.dtypes)["doc_id"])
+    dropped = spark.createDataFrame([], kept.schema)
+    for _ in range(max_rounds):
+        if und.isEmpty():
+            break
+        live_edges = edges.join(
+            und.select(F.col("doc_id").alias("victim")), "victim"
+        )
+        # a KEPT container condemns immediately; an UNDECIDED one
+        # postpones; only all-dropped (or no) containers acquit
+        newly_dropped = (
+            live_edges.join(
+                kept.select(F.col("doc_id").alias("container")), "container"
+            )
+            .select(F.col("victim").alias("doc_id"))
+            .distinct()
+        )
+        blocked = (
+            live_edges.join(
+                und.unionByName(kept).select(
+                    F.col("doc_id").alias("container")
+                ),
+                "container",
+            )
+            .select(F.col("victim").alias("doc_id"))
+            .distinct()
+        )
+        newly_kept = und.join(blocked, "doc_id", "left_anti")
+        progress = newly_kept.unionByName(newly_dropped).distinct()
+        if progress.isEmpty():
+            raise RuntimeError(
+                "subsumption_prune_fixpoint: no progress — domination "
+                "order violated (non-DAG edges); this is a bug, not a "
+                "data property"
+            )
+        kept = kept.unionByName(newly_kept).localCheckpoint(eager=True)
+        dropped = (
+            dropped.unionByName(newly_dropped).localCheckpoint(eager=True)
+        )
+        und = und.join(progress, "doc_id", "left_anti").localCheckpoint(
+            eager=True
+        )
+    if not und.isEmpty():
+        raise RuntimeError(
+            f"subsumption_prune_fixpoint: not stable after {max_rounds} "
+            "rounds"
+        )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(sizes, "doc_id", "left")
+        .join(n_containers, "doc_id", "left")
+        .join(dropped.withColumn("__dropped", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("sz"), F.lit(0)).cast("long").alias("sz"),
+            F.coalesce(F.col("n_containers"), F.lit(0))
+            .cast("long")
+            .alias("n_containers"),
+            (~F.coalesce(F.col("__dropped"), F.lit(False))).alias("kept"),
+        )
+    )
+
+
 def tf_cosine_pairs(
     docs: DataFrame,
     threshold_num: int = 9,
@@ -939,10 +1299,14 @@ def tf_cosine_pairs(
     cross-multiplied into integer arithmetic (den²·dot² ≥
     num²·na2·nb2) — no float ever decides membership. The reported
     ``cosine`` is one correctly-rounded sqrt + one IEEE division over
-    exact integers, bit-identical on any IEEE-754 engine. (The
-    cross-multiplied longs are overflow-free while den²·na2·nb2 <
-    2⁶³ — docs up to ~10M tokens at den ≤ 10; widen to DECIMAL beyond
-    that.)
+    exact integers, bit-identical on any IEEE-754 engine. The
+    cross-multiplied comparison runs in DECIMAL(38,0) (int64 would
+    wrap silently under ANSI-off Spark once na2·nb2 > 2⁶³/den² —
+    token-repetitive ~60k-token docs at den=10 already cross it), and
+    an in-plan ``assert_true`` guard RAISES when na2·nb2 reaches the
+    decimal envelope 10³⁸/den² (≈10¹⁸-scale norms, ~10⁹-token docs)
+    instead of letting decimal overflow null out the row — membership
+    is exact or loud, never silently wrong.
 
     Scale shape — Bayardo's prefix bound, batch/asymmetric form: with
     terms in a fixed global order (df DESC, term — hot terms first),
@@ -975,31 +1339,7 @@ def tf_cosine_pairs(
         raise ValueError(f"cosine threshold must be in (0,1]: {num}/{den}")
     tau = num / den
     n = int(n)
-    # grams WITH multiplicity via the codegen'd posexplode+lead
-    # formulation (array-lambda shingling runs interpreted — the
-    # measured-2×-slower path doc_shingles already documents); the
-    # inline split stays equivalent to functions.text.tokens()
-    toks0 = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    tok_tbl = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(toks0).alias("pos", "tok"),
-    ).filter(F.col("tok") != "")
-    if n == 1:
-        term_tbl = tok_tbl.select("doc_id", F.col("tok").alias("term"))
-    else:
-        w_lead = Window.partitionBy("doc_id").orderBy("pos")
-        parts = [F.col("tok")] + [
-            F.lead("tok", i).over(w_lead) for i in range(1, n)
-        ]
-        term_tbl = (
-            tok_tbl.select(
-                "doc_id",
-                parts[-1].alias("__last"),
-                F.concat_ws(" ", *parts).alias("term"),
-            )
-            .filter(F.col("__last").isNotNull())
-            .select("doc_id", "term")
-        )
+    term_tbl = _tf_term_table(docs, n, id_col, text_col)
     # doc_id hash partitioning from the lead window already satisfies
     # the (doc_id, term) grouping — no extra exchange
     tf = term_tbl.groupBy("doc_id", "term").agg(
@@ -1045,13 +1385,37 @@ def tf_cosine_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
     )
+    # DECIMAL(38,0) membership: exact while den²·dot² and
+    # num²·na2_a·na2_b stay under 10³⁸; the assert_true guard fires
+    # BEFORE that envelope (na2_a·na2_b < 10³⁸/den² implies both
+    # products fit, since dot² ≤ na2_a·na2_b and num ≤ den) so a
+    # decimal overflow can never silently null a row out of the
+    # filter. Literals go through str() — den² at large den exceeds
+    # the int64 F.lit range.
+    dec = lambda c: c.cast("decimal(38,0)")
+    dec_lit = lambda v: F.lit(str(int(v))).cast("decimal(38,0)")
+    na2_limit = (10**38) // (den * den)
+    # ONE predicate (a when/otherwise chain cannot be split or
+    # reordered by the optimizer the way an AND of conjuncts can), so
+    # the raise branch is guaranteed to be reached before the
+    # membership decimal could overflow.
+    membership = F.when(
+        dec(F.col("na2_a")) * dec(F.col("na2_b")) < dec_lit(na2_limit),
+        dec_lit(den * den) * dec(F.col("dot")) * dec(F.col("dot"))
+        >= dec_lit(num * num) * dec(F.col("na2_a")) * dec(F.col("na2_b")),
+    ).otherwise(
+        F.assert_true(
+            F.lit(False),
+            f"tf_cosine_pairs: na2_a*na2_b >= 10^38/den^2 (= {na2_limit}) "
+            "exceeds the DECIMAL(38,0) exactness envelope of the "
+            "cross-multiplied threshold; shard the offending documents "
+            "or lower the term multiplicity before joining",
+        ).cast("boolean")
+    )
     out = (
         inter.join(norms.select(F.col("doc_id").alias("doc_a"), F.col("na2").alias("na2_a")), "doc_a")
         .join(norms.select(F.col("doc_id").alias("doc_b"), F.col("na2").alias("na2_b")), "doc_b")
-        .filter(
-            F.lit(den * den) * F.col("dot") * F.col("dot")
-            >= F.lit(num * num) * F.col("na2_a") * F.col("na2_b")
-        )
+        .filter(membership)
         .select(
             "doc_a",
             "doc_b",
@@ -1175,6 +1539,37 @@ def span_cleaned_stats(
     equi-keyed, and the rebuild is one per-doc sort_array over
     surviving tokens — the only wide rows are each doc's own tokens,
     the same cardinality the tokenizer already touches."""
+    totals, rebuilt = _span_cut_rebuild(
+        docs, window_words, min_docs, id_col, text_col
+    )
+    empty_md5 = "d41d8cd98f00b204e9800998ecf8427e"  # md5("")
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+            F.coalesce(F.md5(F.col("cleaned_text")), F.lit(empty_md5)).alias(
+                "cleaned_md5"
+            ),
+        )
+    )
+
+
+def _span_cut_rebuild(
+    docs: DataFrame,
+    window_words: int,
+    min_docs: int,
+    id_col: str,
+    text_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """(totals, rebuilt): per-doc token totals and the post-cut
+    surviving text (doc_id, n_kept, cleaned_text) — the shared tail
+    of :func:`span_cleaned_stats` (which fingerprints the string) and
+    :func:`span_cleaned_text` (which RETURNS it). One definition, so
+    manifest and corpus can never disagree about what was cut."""
     spans = duplicate_spans(docs, window_words, min_docs, id_col, text_col)
     covered = spans.select(
         "doc_id",
@@ -1189,23 +1584,47 @@ def span_cleaned_stats(
     kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_kept"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(F.struct("pos", "tok"))
-                    ),
-                    lambda s: s["tok"],
-                ),
-                " ",
-            )
-        ).alias("cleaned_md5"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
     )
     totals = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
     )
-    empty_md5 = "d41d8cd98f00b204e9800998ecf8427e"  # md5("")
+    return totals, rebuilt
+
+
+def span_cleaned_text(
+    docs: DataFrame,
+    window_words: int = 10,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The CLEANED CORPUS itself (round 10, VERDICT r9 #3):
+    (doc_id, n_tokens, n_removed, cleaned_text) — every token inside
+    a :func:`duplicate_spans` extent removed, survivors space-joined
+    in original order; empty string when a doc is cut whole (exact
+    duplicates), untouched docs pass through verbatim-equivalent
+    (single-space token join of the split). Exactly one row per input
+    document, so ``.write.parquet(...)`` of this DataFrame IS the
+    curated-corpus write path — the manifest twin
+    (:func:`span_cleaned_stats`) is the same plan with an md5 on top,
+    pinned equal by construction through :func:`_span_cut_rebuild`.
+
+    Scale shape: identical to span_cleaned_stats (covered positions
+    are output-bounded, the anti-join is doc_id+pos equi-keyed, the
+    rebuild's only wide rows are each doc's own tokens) — returning
+    the string instead of its hash adds no shuffle: the tokens
+    already travel to the per-doc rebuild either way."""
+    totals, rebuilt = _span_cut_rebuild(
+        docs, window_words, min_docs, id_col, text_col
+    )
     return (
         totals.join(rebuilt, "doc_id", "left")
         .select(
@@ -1214,8 +1633,8 @@ def span_cleaned_stats(
             (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
             .cast("int")
             .alias("n_removed"),
-            F.coalesce(F.col("cleaned_md5"), F.lit(empty_md5)).alias(
-                "cleaned_md5"
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias(
+                "cleaned_text"
             ),
         )
     )

@@ -35,6 +35,7 @@ from __future__ import annotations
 import contextlib
 import json
 import os
+import re
 import shutil
 import socket
 import time
@@ -80,6 +81,21 @@ class IncrementalCountTable:
         min_measures: tuple[str, ...] = (),
         max_measures: tuple[str, ...] = (),
     ):
+        scheme = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*)://", path)
+        if scheme and scheme.group(1).lower() != "file":
+            raise ValueError(
+                f"IncrementalCountTable path {path!r}: the writer "
+                "lock's O_EXCL/rename/link protocol is atomic only on "
+                "local/POSIX and NFSv4-class filesystems; object "
+                f"stores ({scheme.group(1)}://) need a "
+                "conditional-PUT lock service this class does not "
+                "implement — refusing rather than handing out a lock "
+                "that does not lock"
+            )
+        if scheme:
+            # file:// URI -> strip to a plain local path so os.* lock
+            # calls and Spark reads address the same directory
+            path = path[len("file://"):] or "/"
         self.spark = spark
         self.path = path
         self.keys = keys
@@ -139,7 +155,25 @@ class IncrementalCountTable:
         schedule to arbitrate. Stale-lock handling: the lock records
         (pid, host); if the host matches and the pid is dead, the lock
         is broken and re-acquired (a streaming restart after a
-        mid-merge crash must not wedge), one retry only."""
+        mid-merge crash must not wedge), one retry only. The break is
+        ATOMIC (round 10, ADVICE r9): the stale lock is os.rename()d
+        to a per-process tombstone — exactly one racing breaker can
+        win the inode — and the tombstone is re-verified against the
+        owner record the breaker decided on; a FRESH lock stolen by a
+        lost race is restored via os.link (same inode, so the real
+        owner's open fd and the path stay coherent) and the thief
+        falls back to normal contention. A plain os.remove here could
+        delete a lock a faster breaker had already re-acquired,
+        silently re-admitting the lost-delta race this lock exists to
+        prevent.
+
+        FILESYSTEM CONTRACT: O_EXCL create, rename and link are
+        atomic on local/POSIX and NFSv4-class filesystems ONLY.
+        Object stores (s3://, gs://, abfs://...) have no atomic
+        create-if-absent at this API level — running the generation
+        chain there needs a conditional-PUT/DynamoDB-style lock
+        instead, so the constructor REFUSES non-file URI paths
+        outright rather than handing out a lock that does not lock."""
         os.makedirs(self.path, exist_ok=True)
         lock = self._lock_path()
         for attempt in range(2):
@@ -163,8 +197,28 @@ class IncrementalCountTable:
                     except PermissionError:
                         pass  # alive, owned by another user
                 if stale and attempt == 0:
+                    # Atomic break: claim the inode via rename (one
+                    # winner among racing breakers), then verify the
+                    # tombstone still holds the dead-owner record we
+                    # read — if not, we stole a fresh lock created by
+                    # a faster breaker; restore it (link keeps the
+                    # owner's fd and the path on one inode) and
+                    # contend normally on the retry.
+                    tomb = f"{lock}.tomb.{os.getpid()}.{uuid.uuid4().hex}"
+                    try:
+                        os.rename(lock, tomb)
+                    except OSError:
+                        continue  # another breaker got there first
+                    try:
+                        with open(tomb) as f:
+                            claimed = json.load(f)
+                    except (OSError, json.JSONDecodeError):
+                        claimed = None
+                    if claimed != owner:
+                        with contextlib.suppress(OSError):
+                            os.link(tomb, lock)
                     with contextlib.suppress(OSError):
-                        os.remove(lock)
+                        os.remove(tomb)
                     continue
                 raise ConcurrentWriterError(
                     f"{self.path} is being written by "
@@ -1498,7 +1552,7 @@ def incremental_block_index_stream(
     table_path: str,
     checkpoint_dir: str,
     max_hamming: int = 3,
-    nbits: int = 32,
+    nbits: int = 64,
     schema: str = "doc_id long, text string",
     id_col: str = "doc_id",
     text_col: str = "text",

@@ -269,12 +269,23 @@ def main() -> None:
 
     here = os.path.dirname(os.path.abspath(__file__))
     seed_env = os.environ.get("BENCH_SEED")
+    seed_file = os.path.join(here, "BENCH_SEED")
     if seed_env is not None:
         # the driver-protocol path (round 9, VERDICT r8 #5): explicit,
         # reproducible, no prose parsing — the recorded seed +
         # seed_source round-trip through the output JSON
         seed = int(seed_env)
         seed_source = "env"
+    elif os.path.exists(seed_file):
+        # the COMMITTED explicit path (round 10, VERDICT r9 #7: the
+        # driver does not export BENCH_SEED, so the explicit protocol
+        # moves into the repo — a bare-int file, bumped per round,
+        # reproducible from any clean checkout, no prose parsing; the
+        # VERDICT-header fallback below goes dormant while this file
+        # exists)
+        with open(seed_file) as fh:
+            seed = int(fh.readline().strip())
+        seed_source = "file"
     else:
         seed = 1
         seed_source = "frozen"

