@@ -809,6 +809,20 @@ def _q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.simhash_hamming_pairs(docs, max_hamming=3)
 
 
+def _q_simhash_hamming_pairs_h6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MULTI-block combination cover, engine-checked (round 10):
+    at budget 6 the 64-bit signature splits into 8 blocks keyed on
+    all C(8,2)=28 two-block combinations (16-bit keys — the single
+    blocks would be 9 bits, below the floor simhash_banding refuses
+    to cross). Pigeonhole still covers exactly: hamming ≤ 6 leaves
+    ≥ 2 of 8 blocks intact, so some combination matches. The DuckDB
+    twin is generated from the SAME simhash_banding call, so what
+    the hash compare pins is the multi-block cover itself — the
+    blocking regime h=3 never enters."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ops.simhash_hamming_pairs(docs, max_hamming=6)
+
+
 def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment join (batch 29, round 9): ordered
     (doc_a, doc_b, containment) where |A∩B|/|A| ≥ 4/5 over 3-gram
@@ -6285,6 +6299,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_pairs_auto": _q_near_dup_pairs_auto,
         "near_dup_pairs_t90": _q_near_dup_pairs_t90,
         "simhash_hamming_pairs": _q_simhash_hamming_pairs,
+        "simhash_hamming_pairs_h6": _q_simhash_hamming_pairs_h6,
         "containment_pairs": _q_containment_pairs,
         "subsumption_prune": _q_subsumption_prune,
         "duplicate_spans": _q_duplicate_spans,
@@ -8543,6 +8558,7 @@ def oracle_sql() -> dict[str, str]:
         # doc-level contract banding: choose_lsh_params(1,2,0.9) — same pin
         "near_dup_pairs_t90": _doc_lsh_oracle_params(54, 18, 1, 2),
         "simhash_hamming_pairs": _simhash_hamming_oracle(64, 3),
+        "simhash_hamming_pairs_h6": _simhash_hamming_oracle(64, 6),
         "containment_pairs": _containment_oracle(4, 5),
         "subsumption_prune": _subsumption_oracle(4, 5),
         "duplicate_spans": _duplicate_spans_oracle(10, 2),

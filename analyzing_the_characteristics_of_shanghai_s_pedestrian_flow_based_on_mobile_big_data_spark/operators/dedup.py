@@ -336,10 +336,15 @@ def minhash_bands(
 
 def signature_digest(bands_df: DataFrame) -> DataFrame:
     """(doc_id, __sig): the whole-signature class key — the doc's
-    band-ordered band_hash chain, md5'd. Same digest ⟺ identical band
-    rows (struct sort orders by band first, so row order is
-    irrelevant). THE shared definition for every signature-class
-    quotient — lsh_pairs_from_bands' hot-bucket path,
+    band-ordered (band, band_hash) chain, md5'd. Same digest ⟺
+    identical band ROW SET: the band id is part of each chain link
+    (round 10 — chaining hashes alone made two docs with different
+    PARTIAL band sets but equal hash values collide, e.g. {(0,h)} vs
+    {(1,h)}; full minhash_bands output always carries every band per
+    doc, so complete signatures were never affected, but the
+    hot-bucket quotient accepts arbitrary materialized band tables —
+    hypothesis found the hole). THE shared definition for every
+    signature-class quotient — lsh_pairs_from_bands' hot-bucket path,
     near_dup_components' star expansion, and the scale probes — whose
     equivalence arguments all require the class key to be the same
     function everywhere."""
@@ -350,7 +355,9 @@ def signature_digest(bands_df: DataFrame) -> DataFrame:
                     F.array_sort(
                         F.collect_list(F.struct("band", "band_hash"))
                     ),
-                    lambda s: s["band_hash"],
+                    lambda s: F.concat_ws(
+                        ":", s["band"].cast("string"), s["band_hash"]
+                    ),
                 ),
                 "|",
             )
