@@ -818,7 +818,12 @@ def _q_simhash_hamming_pairs_h6(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ 2 of 8 blocks intact, so some combination matches. The DuckDB
     twin is generated from the SAME simhash_banding call, so what
     the hash compare pins is the multi-block cover itself — the
-    blocking regime h=3 never enters."""
+    blocking regime h=3 never enters. Wall-clock note: on this
+    shared-token-distribution corpus a budget of 6 qualifies 18% of
+    ALL pairs at sf0.1 (2.3M rows) — the ~15 s bench wall is the
+    OUTPUT contract (every qualifying pair is the answer), not
+    candidate waste; the twin's sig CTE is MATERIALIZED so DuckDB
+    computes the 64 votes once, not once per union branch."""
     docs = load_table(spark, sf_dir, "documents")
     return ops.simhash_hamming_pairs(docs, max_hamming=6)
 
@@ -6798,7 +6803,8 @@ def _simhash_hamming_oracle(nbits: int = 64, max_hamming: int = 3) -> str:
         ),
         h AS (SELECT doc_id, md5(tok) AS h FROM tok),
         v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
-        sig AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM v),
+        sig AS MATERIALIZED (
+          SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM v),
         blocks AS (
           {blocks}
         ),

@@ -205,9 +205,11 @@ HEADLINE = [
     "near_dup_pairs_t90",
     "ivf_health_report",
     "simhash_hamming_pairs",
+    "simhash_hamming_pairs_h6",
     "containment_pairs",
     "duplicate_spans",
     "span_cleaned_stats",
+    "span_cleaned_text",
     "tf_cosine_pairs",
     "subsumption_prune",
 ]

@@ -205,6 +205,15 @@ EXCHANGE_CEILING = {
     # signature groupBy + block self-join + candidate distinct — all
     # narrow (doc_id, 8B signature) rows
     "simhash_hamming_pairs": 8,
+    # round 10: the 64-bit multi-block banding changes band COUNT
+    # (rows per doc), never the exchange structure — h=6's 28
+    # two-block combinations ride the same signature groupBy + block
+    # self-join + candidate distinct as h=3's 4 single blocks
+    "simhash_hamming_pairs_h6": 8,
+    # span_cleaned_stats minus the md5 (same plan, string returned):
+    # the digest moved outside the rebuild agg in round 10, exchanges
+    # unchanged
+    "span_cleaned_text": 8,
     # the ngram_jaccard-style persisted augmented index (shingle +
     # doc_id window exchanges) + prefix-vs-index candidate join +
     # two count-verification joins: more exchange MENTIONS than the
