@@ -875,6 +875,29 @@ def _q_subsumption_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.subsumption_prune(docs, n=3, threshold_num=4, threshold_den=5)
 
 
+def _q_subsumption_prune_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KERNEL variant (round 10, VERDICT r9 #5): a doc is dropped
+    only when a SURVIVING container dominates it — the unique kernel
+    of the domination DAG, computed by iterating id-only membership
+    over the once-materialized containment edges (rounds = longest
+    chain depth). NO ORACLE BY DESIGN: the kernel is defined by
+    non-monotone well-founded recursion (kept(d) ⟺ every dominating
+    container of d is dropped), which no single SQL statement or
+    monotone recursive CTE can express — this is the same
+    rows-only class as the sketch queries. Correctness is pinned
+    instead by (a) the planted A⊂B⊂C chain pytest (greedy keeps {C},
+    fixpoint {A,C}) and (b) measured EQUALITY with the oracle-paired
+    greedy query on chain-free corpora — which this synthetic corpus
+    is (zero divergence at sf0.001/sf0.01, SCALE.md Round 10); that
+    equality is deliberately NOT used as an oracle, because a corpus
+    regeneration that introduces a partial chain would make it wrong
+    rather than fail it."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ops.subsumption_prune_fixpoint(
+        docs, n=3, threshold_num=4, threshold_den=5
+    )
+
+
 def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style duplicated-span extraction (batch 29, round
     9): maximal token spans covered by OVERLAPPING 10-gram
@@ -6307,6 +6330,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_hamming_pairs_h6": _q_simhash_hamming_pairs_h6,
         "containment_pairs": _q_containment_pairs,
         "subsumption_prune": _q_subsumption_prune,
+        "subsumption_prune_fixpoint": _q_subsumption_prune_fixpoint,
         "duplicate_spans": _q_duplicate_spans,
         "span_cleaned_stats": _q_span_cleaned_stats,
         "span_cleaned_text": _q_span_cleaned_text,

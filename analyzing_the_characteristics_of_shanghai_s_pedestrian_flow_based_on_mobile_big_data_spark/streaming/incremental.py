@@ -1454,6 +1454,38 @@ def incremental_ivf_index_stream(
     )
 
 
+def _pin_index_scheme(table_path: str, scheme: dict) -> None:
+    """Refuse to extend a signature index built under a DIFFERENT
+    blocking/banding scheme (round 10). The maintained key set is a
+    pure function of the text AND the scheme — (k, bands, n) for
+    MinHash bands, (nbits, widths, combinations) for SimHash blocks —
+    so merging rows from two schemes silently corrupts both the
+    set-union invariant and scoring parity: the concrete hazard is a
+    32-bit-era block index extended with 64-bit deltas after the
+    round-10 widening, where every old row stops matching every new
+    row and near-dups quietly vanish. The scheme is stamped into
+    ``_scheme.json`` beside the generation chain on first build and
+    must match exactly forever after; a scheme change means REBUILD
+    (new table path or delete+replay), never extend."""
+    os.makedirs(table_path, exist_ok=True)
+    p = os.path.join(table_path, "_scheme.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            existing = json.load(f)
+        if existing != scheme:
+            raise ValueError(
+                f"signature index at {table_path} was built under "
+                f"scheme {existing}, refusing to extend it under "
+                f"{scheme}: rows from two schemes never match each "
+                "other and the index silently loses near-dups — "
+                "rebuild the index (new path, or delete + replay) "
+                "instead"
+            )
+    else:
+        with open(p, "w") as f:
+            json.dump(scheme, f, sort_keys=True)
+
+
 def incremental_band_index_stream(
     spark: SparkSession,
     docs_dir: str,
@@ -1509,6 +1541,10 @@ def incremental_band_index_stream(
         table_path,
         ["doc_id", "band", "band_hash"],
         max_measures=("last_epoch",),
+    )
+    _pin_index_scheme(
+        table.path,
+        {"kind": "minhash_bands", "k": int(k), "bands": int(bands), "n": int(n)},
     )
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
@@ -1576,13 +1612,24 @@ def incremental_block_index_stream(
     over the index is ``hamming_pairs_from_blocks(table.read())``.
     ``retention_epochs``/``compact_every`` arm the same sliding-window
     horizon contract as the band index (``last_epoch`` MAX-merged)."""
-    from ..operators.dedup import simhash_blocks
+    from ..operators.dedup import simhash_banding, simhash_blocks
 
     table = IncrementalCountTable(
         spark,
         table_path,
         ["doc_id", "blk", "val", "simhash"],
         max_measures=("last_epoch",),
+    )
+    widths, combos = simhash_banding(max_hamming, nbits)
+    _pin_index_scheme(
+        table.path,
+        {
+            "kind": "simhash_blocks",
+            "nbits": int(nbits),
+            "max_hamming": int(max_hamming),
+            "widths": widths,
+            "n_combos": len(combos),
+        },
     )
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:

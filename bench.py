@@ -212,6 +212,7 @@ HEADLINE = [
     "span_cleaned_text",
     "tf_cosine_pairs",
     "subsumption_prune",
+    "subsumption_prune_fixpoint",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

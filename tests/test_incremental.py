@@ -1822,6 +1822,60 @@ def test_bulk_backfill_fallback_parity(spark, tmp_path):
     ]
 
 
+def test_index_scheme_pin_refuses_cross_scheme_extension(spark, tmp_path):
+    """Round-10: a signature index is a pure function of text AND its
+    blocking scheme — extending a table built under one scheme with
+    deltas from another (the 32→64-bit widening is the live hazard)
+    must be REFUSED at stream construction, not silently merged into
+    an index whose old and new rows never match. Same-scheme restart
+    must keep working."""
+    import pytest
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        incremental_band_index_stream,
+        incremental_block_index_stream,
+    )
+
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    q = incremental_block_index_stream(
+        spark, src, str(tmp_path / "blk"), str(tmp_path / "c1"),
+        max_hamming=3, nbits=64,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # same scheme: restart fine
+    q = incremental_block_index_stream(
+        spark, src, str(tmp_path / "blk"), str(tmp_path / "c1b"),
+        max_hamming=3, nbits=64,
+    )
+    q.stop()
+    # different budget (hence different banding): refused before any
+    # batch runs
+    with pytest.raises(ValueError, match="refusing to extend"):
+        incremental_block_index_stream(
+            spark, src, str(tmp_path / "blk"), str(tmp_path / "c2"),
+            max_hamming=6, nbits=64,
+        )
+    # band index: banding params pinned the same way
+    q = incremental_band_index_stream(
+        spark, src, str(tmp_path / "band"), str(tmp_path / "c3"),
+        k=8, bands=4, n=3,
+    )
+    q.stop()
+    with pytest.raises(ValueError, match="refusing to extend"):
+        incremental_band_index_stream(
+            spark, src, str(tmp_path / "band"), str(tmp_path / "c4"),
+            k=8, bands=2, n=3,
+        )
+
+
 def test_incremental_block_index_parity_with_batch_hamming(spark, tmp_path):
     """Round-9 dedup-on-ingest for the SimHash class: the streamed
     block index, scored with hamming_pairs_from_blocks, must equal

@@ -347,9 +347,11 @@ def test_batch29_dedup_family_is_python_free(spark):
     merges and the positional cut are all built-in expressions."""
     for name in (
         "simhash_hamming_pairs",
+        "simhash_hamming_pairs_h6",
         "containment_pairs",
         "duplicate_spans",
         "span_cleaned_stats",
+        "span_cleaned_text",
         "tf_cosine_pairs",
         "subsumption_prune",
     ):
