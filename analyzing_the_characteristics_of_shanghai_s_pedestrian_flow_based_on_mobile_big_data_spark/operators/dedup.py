@@ -1268,7 +1268,9 @@ def subsumption_prune_fixpoint(
     if not und.isEmpty():
         raise RuntimeError(
             f"subsumption_prune_fixpoint: not stable after {max_rounds} "
-            "rounds"
+            "rounds — the corpus holds a domination chain deeper than "
+            "the budget (legitimate on version-nested corpora); raise "
+            "max_rounds (cost is two id-only joins per extra round)"
         )
     return (
         docs.select(F.col(id_col).alias("doc_id"))

@@ -24,9 +24,14 @@ def test_rows_only_queries_are_intentional():
     q, o = entrymod.queries(), entrymod.oracle_sql()
     # Only these may lack an oracle (approx results / no SQL equivalent);
     # geohash_cells graduated to an oracle pair when the encode went
-    # JVM-native with a generated SQL twin.
+    # JVM-native with a generated SQL twin. subsumption_prune_fixpoint
+    # (round 10) is rows-only BY DESIGN: the domination-DAG kernel is
+    # non-monotone well-founded recursion no single SQL statement or
+    # monotone recursive CTE can express; its correctness is pinned by
+    # the planted-chain pytest and greedy-parity on chain-free corpora.
     assert sorted(set(q) - set(o)) == [
         "occupancy_approx",
+        "subsumption_prune_fixpoint",
         "value_percentiles_approx",
     ]
 
