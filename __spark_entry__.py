@@ -6963,11 +6963,12 @@ def _tf_cosine_oracle(num: int = 9, den: int = 10, n: int = 3) -> str:
           GROUP BY 1, 2
         )
         SELECT doc_a, doc_b,
-               dot / sqrt(CAST(x.na2 * y.na2 AS DOUBLE)) AS cosine
+               dot / sqrt(CAST(x.na2 AS DOUBLE) * CAST(y.na2 AS DOUBLE)) AS cosine
         FROM dots
         JOIN n2 x ON x.doc_id = doc_a
         JOIN n2 y ON y.doc_id = doc_b
-        WHERE {den * den} * dot * dot >= {num * num} * x.na2 * y.na2
+        WHERE CAST({den * den} AS HUGEINT) * dot * dot
+              >= CAST({num * num} AS HUGEINT) * x.na2 * y.na2
     """
 
 

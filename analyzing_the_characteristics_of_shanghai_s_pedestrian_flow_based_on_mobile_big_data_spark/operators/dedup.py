@@ -594,10 +594,11 @@ def simhash_banding(
     selector exists to refuse. Returns (block widths, combinations).
 
     h ≤ 3 at 64 bits keeps the classic one-block-per-band cover
-    (m=1); h = 4..6 move to m=2 (15/21/28 combinations), h = 7 to
-    m=3 (120); beyond that C(B, m) blows past ``max_bands`` (storage
-    and join fan-out scale linearly with it — 2⁵⁶-row index tables
-    are not a blocking strategy) and this raises rather than quietly
+    (m=1); h = 4..6 move to m=2 (15/21/28 combinations), h = 7..8 to
+    m=3 (120/165); at h ≥ 9 no m under ``max_bands`` = 256 clears the
+    key floor — C(B, m) blows past it (storage and join fan-out scale
+    linearly with the combination count — 2⁵⁶-row index tables are
+    not a blocking strategy) and this raises rather than quietly
     degrading on either axis."""
     if not 0 <= max_hamming < nbits:
         raise ValueError(f"max_hamming must be in [0, {nbits}): {max_hamming}")
@@ -941,6 +942,52 @@ def containment_pairs(
     )
 
 
+def _dominates():
+    """THE domination predicate over a sized ordered pair row
+    (doc_a = victim, doc_b = container): strictly larger shingle set,
+    ties to the smaller doc_id — a strict total order, so the
+    domination digraph is a DAG. One definition shared by the greedy
+    and fixpoint subsumption variants; their divergence must come
+    from survival semantics alone, never from drifting order rules."""
+    return (F.col("sz_b") > F.col("sz_a")) | (
+        (F.col("sz_b") == F.col("sz_a")) & (F.col("doc_b") < F.col("doc_a"))
+    )
+
+
+def _containment_dominance(
+    docs: DataFrame,
+    n: int,
+    threshold_num: int,
+    threshold_den: int,
+    id_col: str,
+    text_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """(sizes, with_sz): per-doc distinct shingle counts and the
+    ordered containment pairs joined with both endpoints' sizes — the
+    shared evidence base of :func:`subsumption_prune` (greedy) and
+    :func:`subsumption_prune_fixpoint` (kernel). Both variants derive
+    their verdicts from THIS table and :func:`_dominates`, so a
+    change to the evidence or the order applies to both or neither
+    (the greedy/fixpoint parity tests rely on that)."""
+    pairs = containment_pairs(
+        docs, n, threshold_num, threshold_den, id_col, text_col
+    )
+    sizes = doc_shingles(docs, n, id_col, text_col).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    with_sz = (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
+            "doc_b",
+        )
+    )
+    return sizes, with_sz
+
+
 def subsumption_prune(
     docs: DataFrame,
     n: int = 3,
@@ -971,28 +1018,12 @@ def subsumption_prune(
     Scale shape: containment_pairs' prefix-filtered
     plan plus one doc_id aggregation and a left join back to the
     corpus — no new quadratic stage."""
-    pairs = containment_pairs(
+    sizes, with_sz = _containment_dominance(
         docs, n, threshold_num, threshold_den, id_col, text_col
-    )
-    sizes = doc_shingles(docs, n, id_col, text_col).groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("sz")
-    )
-    with_sz = (
-        pairs.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
-            "doc_b",
-        )
     )
     verdicts = with_sz.groupBy(F.col("doc_a").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("n_containers"),
-        F.max(
-            (F.col("sz_b") > F.col("sz_a"))
-            | ((F.col("sz_b") == F.col("sz_a")) & (F.col("doc_b") < F.col("doc_a")))
-        ).alias("dominated"),
+        F.max(_dominates()).alias("dominated"),
     )
     return (
         docs.select(F.col(id_col).alias("doc_id"))
@@ -1116,6 +1147,9 @@ def tf_cosine_pairs_auto(
         raise ValueError(f"on_dense must be raise|escalate: {on_dense!r}")
     tried = []
     nn = int(n)
+    # the requested n is always probed — a caller's n above max_n
+    # must not be misdiagnosed as a measured data property
+    max_n = max(int(max_n), nn)
     while nn <= max_n:
         s = (
             dict(stats, path=None)
@@ -1144,7 +1178,7 @@ def tf_cosine_pairs_auto(
         "tf_cosine_pairs_auto: dense regime — the candidate bound "
         f"exceeds {pairs_per_key_budget} partners per document and the "
         "maxweight prefix filter cannot prune it (degenerate "
-        "vocabulary). Tried (n, verdict, cand_pairs, n_docs): "
+        "vocabulary). Tried (n, verdict, cand_pairs, n_keys): "
         f"{tried}. Raise n (word n-grams restore the rare-term "
         "tail), pass on_dense='escalate', or use the MinHash-LSH "
         "near-dup path for set semantics."
@@ -1186,30 +1220,16 @@ def subsumption_prune_fixpoint(
     Output schema matches subsumption_prune: (doc_id, sz,
     n_containers, kept) with n_containers still counted over the FULL
     corpus (the evidence seen, not the evidence that stuck)."""
-    pairs = containment_pairs(
+    sizes, with_sz_lazy = _containment_dominance(
         docs, n, threshold_num, threshold_den, id_col, text_col
-    )
-    sizes = doc_shingles(docs, n, id_col, text_col).groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("sz")
     )
     # ONE materialization of the expensive prefix-filtered join feeds
     # both the domination edges and the evidence count
     with_sz = (
-        pairs.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
-            "doc_b",
-        )
-        .select("doc_a", "doc_b", "sz_a", "sz_b")
+        with_sz_lazy.select("doc_a", "doc_b", "sz_a", "sz_b")
         .localCheckpoint(eager=True)
     )
-    edges = with_sz.filter(
-        (F.col("sz_b") > F.col("sz_a"))
-        | ((F.col("sz_b") == F.col("sz_a")) & (F.col("doc_b") < F.col("doc_a")))
-    ).select(
+    edges = with_sz.filter(_dominates()).select(
         F.col("doc_a").alias("victim"), F.col("doc_b").alias("container")
     )
     # evidence-seen count over ALL containers (dominating or not) —
@@ -1429,8 +1449,16 @@ def tf_cosine_pairs(
             "doc_a",
             "doc_b",
             (
+                # per-factor double cast: the int64 PRODUCT na2_a*na2_b
+                # wraps negative past 2^63 (NaN cosine) in exactly the
+                # beyond-int64 regime the decimal membership handles;
+                # double*double is the same correctly-rounded value on
+                # both engines (round 10, review finding)
                 F.col("dot")
-                / F.sqrt((F.col("na2_a") * F.col("na2_b")).cast("double"))
+                / F.sqrt(
+                    F.col("na2_a").cast("double")
+                    * F.col("na2_b").cast("double")
+                )
             ).alias("cosine"),
         )
     )

@@ -81,7 +81,11 @@ class IncrementalCountTable:
         min_measures: tuple[str, ...] = (),
         max_measures: tuple[str, ...] = (),
     ):
-        scheme = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*)://", path)
+        # Catch BOTH URI spellings Hadoop accepts — file:///p and the
+        # single-slash file:/p — so the os.* lock calls and Spark's
+        # URI resolution can never address different directories
+        # (2+ char scheme keeps Windows drive letters like C:/ out).
+        scheme = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]+):/", path)
         if scheme and scheme.group(1).lower() != "file":
             raise ValueError(
                 f"IncrementalCountTable path {path!r}: the writer "
@@ -93,9 +97,20 @@ class IncrementalCountTable:
                 "that does not lock"
             )
         if scheme:
-            # file:// URI -> strip to a plain local path so os.* lock
-            # calls and Spark reads address the same directory
-            path = path[len("file://"):] or "/"
+            rest = path[len("file:"):]
+            if rest.startswith("//"):
+                rest = rest[2:]
+                # an authority (file://host/p) would make the os.*
+                # lock path cwd-relative garbage — only the empty
+                # authority form is a local path
+                if not rest.startswith("/"):
+                    raise ValueError(
+                        f"IncrementalCountTable path {path!r} carries "
+                        "an authority component — a remote file URI "
+                        "is not a local filesystem; use a plain path "
+                        "or file:///..."
+                    )
+            path = rest or "/"
         self.spark = spark
         self.path = path
         self.keys = keys
@@ -165,7 +180,19 @@ class IncrementalCountTable:
         falls back to normal contention. A plain os.remove here could
         delete a lock a faster breaker had already re-acquired,
         silently re-admitting the lost-delta race this lock exists to
-        prevent.
+        prevent. Residual window, stated honestly: between a thief's
+        rename of a fresh lock and its link-restore, the path is
+        briefly free — a THIRD writer's O_EXCL can land there, and
+        rename/link primitives alone cannot close that (it needs
+        every breaker racing crash recovery of the same dead pid
+        within microseconds, plus a third live writer on a table
+        whose contract is one writer — already a deployment error
+        two of them will report loudly). Full closure requires an
+        advisory-lock (flock) or conditional-PUT protocol; on the
+        local/NFSv4 filesystems this class accepts, the tombstone
+        protocol narrows the practical exposure to that triple race
+        and never DESTROYS a live lock record (a failed restore
+        keeps the tombstone as evidence).
 
         FILESYSTEM CONTRACT: O_EXCL create, rename and link are
         atomic on local/POSIX and NFSv4-class filesystems ONLY.
@@ -214,9 +241,22 @@ class IncrementalCountTable:
                             claimed = json.load(f)
                     except (OSError, json.JSONDecodeError):
                         claimed = None
-                    if claimed != owner:
+                    if claimed == owner:
+                        # the dead lock we decided on — break it
                         with contextlib.suppress(OSError):
-                            os.link(tomb, lock)
+                            os.remove(tomb)
+                        continue
+                    # stolen FRESH lock: restore it. If a third
+                    # writer's O_EXCL slipped into the freed path
+                    # first, the link fails — KEEP the tombstone then
+                    # (it is the real owner's only surviving lock
+                    # record; deleting it would erase the evidence of
+                    # the three-writer interleaving the next raise
+                    # reports).
+                    try:
+                        os.link(tomb, lock)
+                    except OSError:
+                        continue
                     with contextlib.suppress(OSError):
                         os.remove(tomb)
                     continue
@@ -1466,12 +1506,26 @@ def _pin_index_scheme(table_path: str, scheme: dict) -> None:
     row and near-dups quietly vanish. The scheme is stamped into
     ``_scheme.json`` beside the generation chain on first build and
     must match exactly forever after; a scheme change means REBUILD
-    (new table path or delete+replay), never extend."""
+    (new table path or delete+replay), never extend. A table that
+    already holds generations but carries NO stamp (pre-stamping era)
+    is also refused — silently adopting the CURRENT scheme is exactly
+    the corruption this pin exists to stop; if the legacy table is
+    verifiably of this scheme, write its ``_scheme.json`` by hand.
+    The stamp itself is written via temp-file + atomic rename, so a
+    crash mid-first-build can never leave torn JSON wedging every
+    later construction."""
     os.makedirs(table_path, exist_ok=True)
     p = os.path.join(table_path, "_scheme.json")
     if os.path.exists(p):
-        with open(p) as f:
-            existing = json.load(f)
+        try:
+            with open(p) as f:
+                existing = json.load(f)
+        except (OSError, json.JSONDecodeError) as e:
+            raise ValueError(
+                f"unreadable scheme stamp {p} ({e}); refusing to "
+                "extend an index whose blocking scheme cannot be "
+                "verified — restore or rewrite _scheme.json"
+            ) from e
         if existing != scheme:
             raise ValueError(
                 f"signature index at {table_path} was built under "
@@ -1481,9 +1535,19 @@ def _pin_index_scheme(table_path: str, scheme: dict) -> None:
                 "rebuild the index (new path, or delete + replay) "
                 "instead"
             )
+    elif os.path.exists(os.path.join(table_path, "CURRENT")):
+        raise ValueError(
+            f"signature index at {table_path} predates scheme "
+            "stamping (generations exist, no _scheme.json): refusing "
+            "to guess its blocking — if it was verifiably built under "
+            f"exactly {scheme}, write that to _scheme.json by hand; "
+            "otherwise rebuild"
+        )
     else:
-        with open(p, "w") as f:
+        tmp = p + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
             json.dump(scheme, f, sort_keys=True)
+        os.replace(tmp, p)
 
 
 def incremental_band_index_stream(

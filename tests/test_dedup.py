@@ -857,7 +857,7 @@ def test_simhash_banding_invariants():
         simhash_banding,
     )
 
-    for h in range(0, 7):
+    for h in range(0, 9):
         widths, combos = simhash_banding(h, 64)
         B = len(widths)
         m = len(combos[0])
@@ -870,8 +870,12 @@ def test_simhash_banding_invariants():
         # avoids all of them
         for bad in combinations(range(B), min(h, B)):
             assert any(not set(c) & set(bad) for c in combos), (h, bad)
-        # expected band counts: single-block through h=3, 2-block 4..6
-        assert m == (1 if h <= 3 else 2)
+        # expected band counts: single-block through h=3, 2-block
+        # 4..6, 3-block 7..8 (the documented ladder)
+        assert m == (1 if h <= 3 else 2 if h <= 6 else 3)
+    # h=9 is the refusal edge: no m under max_bands clears the floor
+    with pytest.raises(ValueError, match="min_key_bits"):
+        simhash_banding(9, 64)
     with pytest.raises(ValueError, match="min_key_bits"):
         # h=48 leaves <16 usable bits per combination at any m
         simhash_banding(48, 64)
@@ -1007,6 +1011,18 @@ def test_tf_cosine_pairs_decimal_membership_beyond_int64(spark):
     }
     assert (1, 2) in got and abs(got[(1, 2)] - 1.0) < 1e-12
     assert (1, 3) not in got and (2, 3) not in got
+    # review finding: the REPORTED cosine must also survive past the
+    # point where na2_a*na2_b itself exceeds 2^63 (70k-token docs:
+    # na2 = 4.9e9 each, product 2.4e19) — the old int64 product
+    # wrapped negative and sqrt returned NaN
+    huge = ("x " * 70000).strip()
+    docs2 = spark.createDataFrame(
+        [(1, huge), (2, huge)], "doc_id long, text string"
+    )
+    out2 = tf_cosine_pairs(docs2, 9, 10).collect()
+    assert len(out2) == 1
+    c = out2[0].cosine
+    assert c == c and abs(c - 1.0) < 1e-12  # not NaN, exactly 1
 
 
 def test_tf_cosine_pairs_envelope_guard_raises(spark):

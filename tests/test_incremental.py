@@ -1670,6 +1670,17 @@ def test_non_file_uri_path_refused(spark, tmp_path):
     d = spark.createDataFrame([("a", 1)], "k string, cnt long")
     t.merge_batch(d, 0)
     assert {r.cnt for r in t.read().collect()} == {1}
+    # the single-slash Hadoop spelling normalizes to the same path
+    # (review finding: it used to bypass both the refusal and the
+    # strip, putting the lock and the data in different directories)
+    t2 = IncrementalCountTable(spark, "file:" + str(tmp_path / "m"), ["k"])
+    assert t2.path == str(tmp_path / "m")
+    # an authority component is not a local path — refused
+    with pytest.raises(ValueError, match="authority"):
+        IncrementalCountTable(spark, "file://localhost/data/tbl", ["k"])
+    # single-slash object-store spelling refused like the // form
+    with pytest.raises(ValueError, match="does not lock"):
+        IncrementalCountTable(spark, "s3:/bucket/tbl", ["k"])
 
 
 def test_sum_measure_upgrade_refused(spark, tmp_path):
@@ -1873,6 +1884,24 @@ def test_index_scheme_pin_refuses_cross_scheme_extension(spark, tmp_path):
         incremental_band_index_stream(
             spark, src, str(tmp_path / "band"), str(tmp_path / "c4"),
             k=8, bands=2, n=3,
+        )
+    # legacy pre-stamping table (generations, no _scheme.json):
+    # refused, never silently adopted under the current scheme
+    import os as _os
+
+    _os.remove(str(tmp_path / "blk" / "_scheme.json"))
+    with pytest.raises(ValueError, match="predates scheme stamping"):
+        incremental_block_index_stream(
+            spark, src, str(tmp_path / "blk"), str(tmp_path / "c5"),
+            max_hamming=3, nbits=64,
+        )
+    # torn stamp: clear refusal, not a raw JSONDecodeError
+    with open(str(tmp_path / "band" / "_scheme.json"), "w") as f:
+        f.write('{"kind": "minhash_b')
+    with pytest.raises(ValueError, match="unreadable scheme stamp"):
+        incremental_band_index_stream(
+            spark, src, str(tmp_path / "band"), str(tmp_path / "c6"),
+            k=8, bands=4, n=3,
         )
 
 
