@@ -661,12 +661,19 @@ def test_simhash_hamming_pairs_complete_cover(spark):
     rows.append((100, "totally different words about spark engines here"))
     rows.append((101, "another unrelated short document sample text"))
     docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # mask to 64 bits before popcount: signatures are two's-complement
+    # BIGINTs (bit 63 = -2^63), and Python's bin() on a NEGATIVE xor
+    # counts magnitude bits, not two's-complement bits — without the
+    # mask this brute force is wrong whenever exactly one signature
+    # of a pair has bit 63 set (round-10 fix; h=8 exercises the
+    # 3-block combination cover)
     sig = {r.doc_id: r.simhash for r in simhash(docs).collect()}
-    for h in (0, 1, 3, 6):
+    pop = lambda a, b: bin((sig[a] ^ sig[b]) & ((1 << 64) - 1)).count("1")
+    for h in (0, 1, 3, 6, 8):
         want = sorted(
-            (a, b, bin(sig[a] ^ sig[b]).count("1"))
+            (a, b, pop(a, b))
             for a, b in combinations(sorted(sig), 2)
-            if bin(sig[a] ^ sig[b]).count("1") <= h
+            if pop(a, b) <= h
         )
         got = sorted(
             map(

@@ -64,10 +64,13 @@ def test_pair_operators_match_brute_force_on_dense_corpora(spark, corpus):
 
     # --- simhash hamming (h=3) ------------------------------------
     sig = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    # 64-bit mask before popcount: bin() on a negative xor counts
+    # magnitude bits, not two's-complement bits (round-10 fix)
+    pop = lambda a, b: bin((sig[a] ^ sig[b]) & ((1 << 64) - 1)).count("1")
     want_h = sorted(
-        (a, b, bin(sig[a] ^ sig[b]).count("1"))
+        (a, b, pop(a, b))
         for a, b in combinations(sorted(sig), 2)
-        if bin(sig[a] ^ sig[b]).count("1") <= 3
+        if pop(a, b) <= 3
     )
     got_h = sorted(
         map(tuple, simhash_hamming_pairs(docs, max_hamming=3).collect())
