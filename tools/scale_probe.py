@@ -1498,8 +1498,14 @@ def probe_simhash_width(spark, sf_dir: str, n: int) -> dict:
     sdocs = spark.read.parquet(dout)
     n_docs = sdocs.count()
     results = {"family": "simhash_width", "replication": n, "docs": n_docs}
-    h = 3
-    for width, min_key in ((32, 8), (64, 16)):
+    # third config (round 10): the multi-block h=6 cover — 28 two-block
+    # 16-bit combinations — so the combination fan-out's candidate
+    # growth is probed, not just the classic h=3 single-block bands
+    for tag, h, width, min_key in (
+        ("w32", 3, 32, 8),
+        ("w64", 3, 64, 16),
+        ("w64h6", 6, 64, 16),
+    ):
         t0 = time.perf_counter()
         blocks = simhash_blocks(
             sdocs, max_hamming=h, nbits=width, min_key_bits=min_key
@@ -1513,9 +1519,9 @@ def probe_simhash_width(spark, sf_dir: str, n: int) -> dict:
             .distinct()
         )
         n_cand = cand.count()
-        results[f"w{width}_s"] = round(time.perf_counter() - t0, 2)
-        results[f"w{width}_candidates"] = n_cand
-        results[f"w{width}_cand_per_n2"] = round(
+        results[f"{tag}_s"] = round(time.perf_counter() - t0, 2)
+        results[f"{tag}_candidates"] = n_cand
+        results[f"{tag}_cand_per_n2"] = round(
             n_cand / (n_docs * (n_docs - 1) / 2), 8
         )
         blocks.unpersist()
