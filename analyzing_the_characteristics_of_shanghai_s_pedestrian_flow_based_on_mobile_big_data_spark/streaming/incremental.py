@@ -192,7 +192,21 @@ class IncrementalCountTable:
         local/NFSv4 filesystems this class accepts, the tombstone
         protocol narrows the practical exposure to that triple race
         and never DESTROYS a live lock record (a failed restore
-        keeps the tombstone as evidence).
+        keeps the tombstone as evidence). Second residual window
+        (round-11 ADVICE, stated honestly): if the FRESH lock's owner
+        finishes its merge and releases (os.remove finds the path
+        already renamed away — ENOENT, suppressed) while the thief
+        holds the inode as a tombstone, the link-restore resurrects a
+        lock record for a pid that is alive but no longer writing;
+        every later writer then raises ConcurrentWriterError until
+        that pid exits. The record cannot distinguish mid-merge from
+        done-and-released by pid liveness alone, so rename/link
+        primitives cannot close this either — ``force_unlock()`` is
+        the documented recovery (safe here by construction: the named
+        owner has already released, so no merge is in flight), and
+        the raise message names it. Both windows require a breaker
+        racing crash recovery against a concurrent second writer —
+        already a broken deployment of a single-writer table.
 
         FILESYSTEM CONTRACT: O_EXCL create, rename and link are
         atomic on local/POSIX and NFSv4-class filesystems ONLY.
@@ -261,10 +275,12 @@ class IncrementalCountTable:
                         os.remove(tomb)
                     continue
                 raise ConcurrentWriterError(
-                    f"{self.path} is being written by "
-                    f"pid={pid} host={host!r} (started "
-                    f"{owner.get('ts')}); this table is single-writer "
-                    "— if that writer is dead, call force_unlock()"
+                    f"{self.path} is locked by pid={pid} host={host!r} "
+                    f"(started {owner.get('ts')}); this table is "
+                    "single-writer — if that writer is dead, or alive "
+                    "but verifiably no longer writing this table (a "
+                    "crash-recovery race can resurrect a released "
+                    "lock; see _writer_lock), call force_unlock()"
                 )
         try:
             os.write(
@@ -1550,6 +1566,28 @@ def _pin_index_scheme(table_path: str, scheme: dict) -> None:
         os.replace(tmp, p)
 
 
+def read_index_scheme(table_path: str) -> dict:
+    """Load a signature index's ``_scheme.json`` stamp — the blocking/
+    banding contract every batch-path consumer must query under
+    (round 11): pass the result to
+    ``operators/dedup.py:hamming_pairs_from_blocks(scheme=...)`` or
+    ``new_doc_hamming_candidates(scheme=...)`` so a parameter drift
+    raises BEFORE any job runs instead of silently losing the
+    pigeonhole cover. Raises on a missing or torn stamp — guessing a
+    scheme is exactly the corruption the pin exists to stop."""
+    p = os.path.join(table_path, "_scheme.json")
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError) as e:
+        raise ValueError(
+            f"no readable scheme stamp at {p} ({e}): if the index was "
+            "built before scheme stamping and its parameters are "
+            "verifiably known, write _scheme.json by hand; otherwise "
+            "rebuild the index"
+        ) from e
+
+
 def incremental_band_index_stream(
     spark: SparkSession,
     docs_dir: str,
@@ -1658,6 +1696,7 @@ def incremental_block_index_stream(
     text_col: str = "text",
     retention_epochs: int | None = None,
     compact_every: int = 8,
+    min_key_bits: int = 16,
 ):
     """Stream document files → incrementally-maintained SimHash BLOCK
     index via foreachBatch — the exact-cover sibling of
@@ -1676,7 +1715,7 @@ def incremental_block_index_stream(
     over the index is ``hamming_pairs_from_blocks(table.read())``.
     ``retention_epochs``/``compact_every`` arm the same sliding-window
     horizon contract as the band index (``last_epoch`` MAX-merged)."""
-    from ..operators.dedup import simhash_banding, simhash_blocks
+    from ..operators.dedup import hamming_block_scheme, simhash_blocks
 
     table = IncrementalCountTable(
         spark,
@@ -1684,16 +1723,11 @@ def incremental_block_index_stream(
         ["doc_id", "blk", "val", "simhash"],
         max_measures=("last_epoch",),
     )
-    widths, combos = simhash_banding(max_hamming, nbits)
+    # the stamp is derived by the SAME helper the batch-path check
+    # uses (operators/dedup.py:hamming_block_scheme), so ingest and
+    # batch can never describe one blocking two ways
     _pin_index_scheme(
-        table.path,
-        {
-            "kind": "simhash_blocks",
-            "nbits": int(nbits),
-            "max_hamming": int(max_hamming),
-            "widths": widths,
-            "n_combos": len(combos),
-        },
+        table.path, hamming_block_scheme(max_hamming, nbits, min_key_bits)
     )
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
@@ -1701,6 +1735,7 @@ def incremental_block_index_stream(
             simhash_blocks(
                 batch_df, max_hamming, nbits,
                 id_col=id_col, text_col=text_col,
+                min_key_bits=min_key_bits,
             )
             .groupBy("doc_id", "blk", "val", "simhash")
             .agg(
