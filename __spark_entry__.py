@@ -863,6 +863,28 @@ def _q_tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.tf_cosine_pairs(docs, threshold_num=9, threshold_den=10, n=3)
 
 
+def _q_tf_cosine_pairs_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APSS join behind its dense-regime guard (round 11, VERDICT
+    r10 #3 — the near_dup_pairs_auto precedent applied to the
+    tf-cosine leg): `tf_cosine_pairs_auto` probes the term-frequency
+    tail at n=3 with the set-sim router's Σ C(df,2) statistics FIRST
+    and only then runs the exact Bayardo join. At the correctness
+    scales (sf0.001/sf0.01: 500 docs, rare 3-gram tail) the probe
+    verdict is "exact" — pinned in tests/test_plans.py, so a corpus
+    regeneration that flips the route fails the pin before the
+    oracle row silently changes meaning — and the output is exactly
+    `tf_cosine_pairs` at the same integer threshold, so the oracle is
+    the same deliberately UNPRUNED brute-force twin. On the dense
+    regime (unigrams over this corpus's ~30-word vocabulary) the same
+    surface raises with measured stats instead of silently running
+    the Ω(U²) plan — the refusal path is pytest-pinned
+    (operators/dedup.py:tf_cosine_pairs_auto)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ops.tf_cosine_pairs_auto(
+        docs, threshold_num=9, threshold_den=10, n=3
+    )
+
+
 def _q_subsumption_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The containment join's curation ACTION (batch 29, round 9):
     one row per doc with (sz, n_containers, kept) — dropped iff some
@@ -938,6 +960,98 @@ def _q_span_cleaned_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare pins the actual characters, not just their digest."""
     docs = load_table(spark, sf_dir, "documents")
     return ops.span_cleaned_text(docs, window_words=10, min_docs=2)
+
+
+def _plant_pii(docs: DataFrame) -> DataFrame:
+    """Deterministically append synthetic PII tokens to the committed
+    corpus (round 11, VERDICT r10 #4): docs with doc_id ≡ 0/1/2
+    (mod 7) gain an email / a dashed phone / a 9-digit id, each a pure
+    string function of doc_id. The planting is PART OF THE QUERY
+    DEFINITION, expressed identically in the DuckDB twin
+    (_PLANT_PII_CTE), so the oracle checks the whole pipeline —
+    plant → match → redact — and stays non-vacuous on a corpus whose
+    organic text contains no PII shapes. /root/testdata is read-only;
+    deriving the planted corpus in-plan is the only way to get ground
+    truth without synthesizing side files."""
+    plant = (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 1,
+            F.concat(
+                F.lit(" call +86-21-555"),
+                F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+                F.lit(" soon"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 2,
+            F.concat(
+                F.lit(" ref 9"),
+                F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+                F.lit(" end"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    return docs.withColumn("text", F.concat(F.col("text"), plant))
+
+
+_PLANT_PII_CTE = """
+        planted AS (
+          SELECT doc_id,
+                 text || CASE CAST(doc_id % 7 AS INTEGER)
+                   WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                               || '@example.com now'
+                   WHEN 1 THEN ' call +86-21-555'
+                               || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+                               || ' soon'
+                   WHEN 2 THEN ' ref 9'
+                               || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+                               || ' end'
+                   ELSE '' END AS text
+          FROM documents
+        )"""
+
+
+def _q_pii_pattern_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-driven sensitive-span extraction (round 11, VERDICT r10
+    #4): whole-token-anchored email/phone/id regexes over the
+    PII-planted corpus, emitted in duplicate_spans' 1-based token-
+    extent shape so both span sources feed one curation cut. Map-only
+    (posexplode + CASE rlike in codegen, no shuffle, no Python); the
+    twin mirrors tokenization, the first-match-wins CASE, and the RE2/
+    Java-portable patterns (operators/dedup.py:pattern_spans)."""
+    docs = _plant_pii(load_table(spark, sf_dir, "documents"))
+    return ops.pattern_spans(docs)
+
+
+def _q_pii_redacted_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The redaction stage executed (round 11): matched tokens replaced
+    by <KIND> placeholders, one row per doc with (n_tokens,
+    n_redacted, redacted_text) — the VALUE compare pins the masked
+    characters themselves. Zero-shuffle: one transform/filter over the
+    split array (operators/dedup.py:redacted_text)."""
+    docs = _plant_pii(load_table(spark, sf_dir, "documents"))
+    return ops.redacted_text(docs)
+
+
+def _q_redacted_cleaned_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation tail (round 11): ExactSubstr duplicate
+    spans REMOVED and surviving PII tokens MASKED in one pass over the
+    planted corpus — the write-path DataFrame a curated training
+    corpus ships after both cuts. n_redacted counts surviving masked
+    tokens only (PII inside a removed span is gone, not masked);
+    equality with redacted_text∘span_cleaned_text is pytest-pinned
+    (operators/dedup.py:redact_and_clean_text)."""
+    docs = _plant_pii(load_table(spark, sf_dir, "documents"))
+    return ops.redact_and_clean_text(docs, window_words=10, min_docs=2)
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1104,6 +1218,32 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.ivf_topk(
         emb, queries_df, k=3, n_centroids=16, nprobe=4, dim=64, centroids=cent
     )
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shape within-cluster embedding dedup (round 11,
+    VERDICT r10 #5): the corpus clustered under the SAME 16-centroid
+    hash-stratified codebook ivf_topk serves from (cluster id = the
+    blocking key — the cosine join is equi on it, never all-pairs),
+    then every vector with a smaller-id same-cluster neighbor at
+    round-6 cosine ≥ 0.35 dropped, keep-min like exact_dedup. One row
+    per vector (vec_id, cluster, kept). 0.35, not the ~0.9 a real
+    near-dup text corpus would use: this synthetic table is isotropic
+    (within-cluster cosines top out ≈ 0.49 at every sf — measured),
+    so the production threshold would gate nothing and the oracle row
+    would be vacuously all-kept. The twin recomputes centroid choice,
+    assignment tie-breaks, and the pairwise prune in SQL
+    (operators/similarity.py:semantic_dedup)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        ivf_centroid_rows,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = _dataset_fingerprint(sf_dir, "embeddings")
+    cent = _IVF_CODEBOOKS.get(key)
+    if cent is None:
+        cent = _IVF_CODEBOOKS[key] = ivf_centroid_rows(emb, 16)
+    return ops.semantic_dedup(emb, threshold=0.35, dim=64, centroids=cent)
 
 
 def _q_ivf_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6137,6 +6277,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "ivf_health_report": _q_ivf_health_report,
         "ivf_topk_kmeans": _q_ivf_topk_kmeans,
+        "semantic_dedup": _q_semantic_dedup,
         "label_centroids": _q_label_centroids,
         "q3_shipping_priority": _q_q3_shipping_priority,
         "q10_returned_items": _q_q10_returned_items,
@@ -6334,7 +6475,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": _q_duplicate_spans,
         "span_cleaned_stats": _q_span_cleaned_stats,
         "span_cleaned_text": _q_span_cleaned_text,
+        "pii_pattern_spans": _q_pii_pattern_spans,
+        "pii_redacted_text": _q_pii_redacted_text,
+        "redacted_cleaned_text": _q_redacted_cleaned_text,
         "tf_cosine_pairs": _q_tf_cosine_pairs,
+        "tf_cosine_pairs_auto": _q_tf_cosine_pairs_auto,
         "cluster_size_histogram": _q_cluster_size_histogram,
     }
 
@@ -7109,6 +7254,137 @@ def _span_cleaned_oracle(
                CAST(totals.n_tokens - coalesce(rebuilt.n_kept, 0)
                     AS INTEGER) AS n_removed,
                {final}
+        FROM totals LEFT JOIN rebuilt USING (doc_id)
+    """
+
+
+def _pii_kind_case_sql(tok: str) -> str:
+    """DuckDB CASE chain mirroring operators/dedup.py:_pii_kind —
+    generated from the SAME PII_PATTERNS dict in the same order, so
+    precedence cannot drift between engines. The patterns use only
+    the Java/RE2-common regex subset (anchored classes + bounded
+    quantifiers), which is what makes one pattern string serve both
+    rlike and regexp_matches."""
+    branches = " ".join(
+        f"WHEN regexp_matches({tok}, '{pat}') THEN '{kind}'"
+        for kind, pat in ops.PII_PATTERNS.items()
+    )
+    return f"CASE {branches} END"
+
+
+def _pii_placeholder_case_sql(tok: str) -> str:
+    branches = " ".join(
+        f"WHEN regexp_matches({tok}, '{pat}') THEN '<{kind.upper()}>'"
+        for kind, pat in ops.PII_PATTERNS.items()
+    )
+    return f"CASE {branches} ELSE {tok} END"
+
+
+def _pii_match_sql(tok: str) -> str:
+    return " OR ".join(
+        f"regexp_matches({tok}, '{pat}')" for pat in ops.PII_PATTERNS.values()
+    )
+
+
+def _pii_pattern_spans_oracle() -> str:
+    return f"""
+        WITH {_PLANT_PII_CTE},
+        ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM planted),
+        toks AS (
+          SELECT ws.doc_id, t.pos, ws.w[t.pos] AS tok
+          FROM ws, unnest(generate_series(1, len(ws.w))) AS t(pos)
+        )
+        SELECT doc_id, CAST(pos AS INTEGER) AS span_start,
+               CAST(pos AS INTEGER) AS span_end,
+               {_pii_kind_case_sql('tok')} AS kind
+        FROM toks
+        WHERE {_pii_match_sql('tok')}
+    """
+
+
+def _pii_redacted_oracle() -> str:
+    return f"""
+        WITH {_PLANT_PII_CTE},
+        ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM planted)
+        SELECT doc_id,
+               CAST(len(w) AS INTEGER) AS n_tokens,
+               CAST(len(list_filter(w, t -> {_pii_match_sql('t')}))
+                    AS INTEGER) AS n_redacted,
+               array_to_string(
+                 list_transform(w, t -> {_pii_placeholder_case_sql('t')}),
+                 ' ') AS redacted_text
+        FROM ws
+    """
+
+
+def _redact_clean_oracle(window_words: int = 10, min_docs: int = 2) -> str:
+    """DuckDB twin of the fused curation tail: the _span_cleaned_oracle
+    CTE chain over the PII-PLANTED corpus, with the surviving tokens
+    run through the placeholder CASE — pins span removal, masking, and
+    their one-pass composition at the character level."""
+    w = int(window_words)
+    return f"""
+        WITH {_PLANT_PII_CTE},
+        ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM planted),
+        grams AS (
+          SELECT ws.doc_id, t.p,
+                 md5(array_to_string(ws.w[t.p : t.p + {w - 1}], ' '))
+                   AS digest
+          FROM ws, unnest(generate_series(1, len(ws.w) - {w - 1})) AS t(p)
+        ),
+        dup AS (
+          SELECT digest FROM grams
+          GROUP BY digest
+          HAVING count(DISTINCT doc_id) >= {int(min_docs)}
+        ),
+        covg AS (
+          SELECT g.doc_id, g.p FROM grams g JOIN dup USING (digest)
+        ),
+        brk AS (
+          SELECT doc_id, p,
+                 CASE WHEN p > lag(p) OVER
+                          (PARTITION BY doc_id ORDER BY p) + {w}
+                      THEN 1 ELSE 0 END AS b
+          FROM covg
+        ),
+        isl AS (
+          SELECT doc_id, p,
+                 sum(b) OVER (PARTITION BY doc_id ORDER BY p
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS island
+          FROM brk
+        ),
+        spans AS (
+          SELECT doc_id, min(p) AS s, max(p) + {w - 1} AS e
+          FROM isl GROUP BY doc_id, island
+        ),
+        cut AS (
+          SELECT spans.doc_id, t.pos
+          FROM spans, unnest(generate_series(spans.s, spans.e)) AS t(pos)
+        ),
+        toks AS (
+          SELECT ws.doc_id, t.pos, ws.w[t.pos] AS tok
+          FROM ws, unnest(generate_series(1, len(ws.w))) AS t(pos)
+        ),
+        kept AS (
+          SELECT toks.doc_id, toks.pos,
+                 {_pii_placeholder_case_sql('toks.tok')} AS tok,
+                 CASE WHEN {_pii_match_sql('toks.tok')}
+                      THEN 1 ELSE 0 END AS red
+          FROM toks ANTI JOIN cut USING (doc_id, pos)
+        ),
+        rebuilt AS (
+          SELECT doc_id, count(*) AS n_kept, sum(red) AS n_red,
+                 string_agg(tok, ' ' ORDER BY pos) AS cleaned
+          FROM kept GROUP BY doc_id
+        ),
+        totals AS (SELECT doc_id, len(w) AS n_tokens FROM ws)
+        SELECT totals.doc_id,
+               CAST(totals.n_tokens AS INTEGER) AS n_tokens,
+               CAST(totals.n_tokens - coalesce(rebuilt.n_kept, 0)
+                    AS INTEGER) AS n_removed,
+               CAST(coalesce(rebuilt.n_red, 0) AS INTEGER) AS n_redacted,
+               coalesce(rebuilt.cleaned, '') AS cleaned_text
         FROM totals LEFT JOIN rebuilt USING (doc_id)
     """
 
@@ -8209,6 +8485,29 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY cos_r DESC, vec_id ASC) AS INTEGER) AS rank
             FROM pairs QUALIFY rank <= 3
         """,
+        "semantic_dedup": f"""
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c_emb FROM embeddings
+            ),
+            cent AS (
+              SELECT vec_id AS centroid_id, c_emb AS cent_emb
+              FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+            ),
+            assign AS (
+              SELECT e.vec_id, cent.centroid_id AS cluster, e.c_emb
+              FROM e CROSS JOIN cent
+              QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY {_cos_ab('cent_emb', 'c_emb')} DESC, centroid_id ASC) = 1
+            ),
+            drops AS (
+              SELECT DISTINCT b.vec_id
+              FROM assign a JOIN assign b
+                ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+              WHERE {_cos_ab('a.c_emb', 'b.c_emb')} >= 0.35
+            )
+            SELECT a.vec_id, a.cluster, d.vec_id IS NULL AS kept
+            FROM assign a LEFT JOIN drops d USING (vec_id)
+        """,
         "ivf_health_report": f"""
             WITH e AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c_emb FROM embeddings
@@ -8595,7 +8894,15 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_spans": _duplicate_spans_oracle(10, 2),
         "span_cleaned_stats": _span_cleaned_oracle(10, 2),
         "span_cleaned_text": _span_cleaned_oracle(10, 2, hashed=False),
+        "pii_pattern_spans": _pii_pattern_spans_oracle(),
+        "pii_redacted_text": _pii_redacted_oracle(),
+        "redacted_cleaned_text": _redact_clean_oracle(10, 2),
         "tf_cosine_pairs": _tf_cosine_oracle(9, 10, 3),
+        # tf_cosine_pairs_auto routes to the EXACT path on the
+        # committed corpus at n=3 (probe verdict pinned in
+        # tests/test_plans.py), so its oracle is the same unpruned
+        # brute force — the near_dup_pairs_auto precedent
+        "tf_cosine_pairs_auto": _tf_cosine_oracle(9, 10, 3),
         "cluster_size_histogram": _cluster_size_histogram_oracle(),
         "value_histogram": """
             SELECT event_type,

@@ -1,5 +1,6 @@
 from .cascade import cascade_join  # noqa: F401
 from .dedup import (  # noqa: F401
+    PII_PATTERNS,
     containment_pairs,
     duplicate_spans,
     exact_dedup,
@@ -7,6 +8,9 @@ from .dedup import (  # noqa: F401
     minhash_lsh_pairs,
     near_dup_pairs_auto,
     ngram_jaccard_pairs,
+    pattern_spans,
+    redact_and_clean_text,
+    redacted_text,
     simhash,
     simhash_banding,
     simhash_hamming_pairs,
@@ -30,7 +34,12 @@ from .region_build import (  # noqa: F401
     nearest_poi_type,
 )
 from .sessions import session_stats, sessionize  # noqa: F401
-from .similarity import brute_force_topk, bucketed_ann_topk, ivf_topk  # noqa: F401
+from .similarity import (  # noqa: F401
+    brute_force_topk,
+    bucketed_ann_topk,
+    ivf_topk,
+    semantic_dedup,
+)
 from .skew import salted_count  # noqa: F401
 from .trajectory import (  # noqa: F401
     gap_fill_edges,

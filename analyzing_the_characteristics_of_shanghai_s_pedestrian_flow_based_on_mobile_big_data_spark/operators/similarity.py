@@ -276,6 +276,83 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    centroids: list | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup-shape within-cluster embedding dedup (round 11,
+    VERDICT r10 #5): cluster the corpus under coarse centroids, prune
+    near-identical embeddings WITHIN each cluster — the standard
+    curation stage composing this repo's two existing pieces (coarse
+    assignment from the IVF machinery; pairwise-cosine prune) into
+    the "cluster, then drop semantic duplicates inside the cluster"
+    operator of Abbas et al., *SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication* (arXiv:2303.09540).
+
+    The CLUSTER ID IS THE BLOCKING KEY — the cosine self-join is equi
+    on ``cluster``, never all-pairs: candidate volume is
+    Σ_c C(n_c, 2), tracking cluster sizes, and the 100 TB contract is
+    the IVF one — grow ``n_centroids`` ~√N (or pass a trained
+    codebook via ``centroids``) so per-list sizes stay flat and the
+    join stays linear-ish; assignment itself is map-only over literal
+    centroids (no shuffle to build the blocking). Survivor rule
+    mirrors ``exact_dedup``'s keep-min: a vector is dropped iff a
+    SMALLER-id same-cluster vector has round-6 cosine ≥ ``threshold``
+    (deterministic, engine-portable; like the greedy id rule
+    everywhere else, a transitive chain keeps only its minimum).
+    Returns one row per vector: (vec_id, cluster, kept).
+
+    ``centroids`` defaults to the deterministic md5-stratified sample
+    (:func:`ivf_centroid_rows`) — oracle-reproducible, the ivf_topk
+    pattern; pass ``kmeans_fit``'s codebook when cluster QUALITY
+    matters more than twin-checkability. ``threshold`` is
+    corpus-dependent: ~0.9 on real near-dup text embeddings; an
+    isotropic random corpus (this repo's synthetic table) tops out
+    near √(2·ln n_pairs / dim) ≈ 0.5, so the registered query uses a
+    lower cut to keep the oracle non-vacuous."""
+    if centroids is None:
+        centroids = ivf_centroid_rows(emb, n_centroids)
+    if not centroids:
+        return emb.select(
+            "vec_id",
+            F.lit(None).cast("long").alias("cluster"),
+            F.lit(True).alias("kept"),
+        ).filter(F.lit(False))
+    assigned = (
+        ivf_assign(emb, centroids, dim)
+        .select("vec_id", "c_emb", F.col("centroid_id").alias("cluster"))
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("va"), F.col("c_emb").alias("ea"), "cluster"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vb"), F.col("c_emb").alias("eb"), "cluster"
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("va") < F.col("vb"))
+        .withColumn(
+            "cos_r", F.round(_cos(dim)(F.col("ea"), F.col("eb")), 6)
+        )
+        .filter(F.col("cos_r") >= float(threshold))
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped.withColumn("__dropped", F.lit(True)), "vec_id", "left"
+        )
+        .select(
+            "vec_id",
+            "cluster",
+            (~F.coalesce(F.col("__dropped"), F.lit(False))).alias("kept"),
+        )
+    )
+
+
 def label_centroids(emb: DataFrame, ordered: bool = False) -> DataFrame:
     """Per-class embedding centroids (class prototypes — what real IVF
     training averages). Long-form shape: posexplode to (label, pos,

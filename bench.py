@@ -213,6 +213,13 @@ HEADLINE = [
     "tf_cosine_pairs",
     "subsumption_prune",
     "subsumption_prune_fixpoint",
+    # batch-30 additions (round 11): guard-routed APSS, the redaction
+    # curation stage, and its one-pass composition with the span cut
+    "tf_cosine_pairs_auto",
+    "pii_pattern_spans",
+    "pii_redacted_text",
+    "redacted_cleaned_text",
+    "semantic_dedup",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

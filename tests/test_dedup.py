@@ -1378,3 +1378,60 @@ def test_simhash_weighted_vote_matches_brute_force(spark):
     # 'alpha' — every bit where alpha disagrees with the set vote
     # CAN flip; at minimum the two modes disagree somewhere
     assert ref_sig(rows[1][1], True) != ref_sig(rows[1][1], False)
+
+
+def test_redaction_composes_with_span_cut_in_one_pass(spark):
+    """Round 11 (VERDICT r10 #4): the fused redact_and_clean_text must
+    equal redacted_text applied AFTER span_cleaned_text (per-token
+    masking commutes with positional removal), and the pattern
+    precedence must be deterministic: email > phone > id, dashed
+    shapes are phones, bare long digit runs are ids."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+        pattern_spans,
+        redact_and_clean_text,
+        redacted_text,
+        span_cleaned_text,
+    )
+
+    rows = [
+        (
+            1,
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "contact user1@example.com or +86-21-5550001 ref 900000001",
+        ),
+        (
+            2,
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "with mail two2@test.org trailing words here",
+        ),
+        (3, "short doc 12345678 not an id and 555 not a phone"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # pattern classification, including the disjoint shapes
+    kinds = {
+        (r.doc_id, r.span_start): r.kind for r in pattern_spans(docs).collect()
+    }
+    assert kinds == {
+        (1, 12): "email",
+        (1, 14): "phone",
+        (1, 16): "id",
+        (2, 13): "email",
+    }
+    fused = {
+        r.doc_id: (r.n_removed, r.n_redacted, r.cleaned_text)
+        for r in redact_and_clean_text(docs, window_words=5, min_docs=2).collect()
+    }
+    staged_txt = {
+        r.doc_id: r.redacted_text
+        for r in redacted_text(
+            span_cleaned_text(docs, window_words=5, min_docs=2),
+            text_col="cleaned_text",
+        ).collect()
+    }
+    assert {d: t for d, (_, _, t) in fused.items()} == staged_txt
+    # the shared 10-token prefix is a duplicated span (window 5): both
+    # docs lose it; doc 1's PII tokens survive the cut and are masked
+    assert fused[1][0] >= 10 and fused[1][1] == 3
+    assert "<EMAIL>" in fused[1][2] and "<PHONE>" in fused[1][2]
+    assert "<ID>" in fused[1][2]
+    assert fused[3] == (0, 0, rows[2][1])

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from conftest import SF_SMALL
+from conftest import SF_MED, SF_SMALL
 
 import __spark_entry__ as entrymod
 
@@ -340,6 +340,30 @@ def test_registered_path_selections_pinned(spark):
     assert (meta["k"], meta["bands"]) == (54, 18)
     assert meta["expected_recall_at_threshold"] >= 0.9
 
+    # 7) tf_cosine_pairs_auto (round 11): the registered APSS query
+    # runs behind the dense-regime guard — the probe verdict must be
+    # EXACT at n=3 on the committed corpus at BOTH correctness scales
+    # (its oracle is the unpruned brute force at the same threshold;
+    # a corpus regeneration that flips the verdict would turn the
+    # oracle row into a refusal, and must fail HERE first), and the
+    # unigram dense regime must REFUSE, not silently run quadratic.
+    import pytest as _pytest
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+        tf_cosine_dense_stats,
+        tf_cosine_pairs_auto,
+    )
+
+    for sf in (SF_SMALL, SF_MED):
+        d = load_table(spark, sf, "documents")
+        assert tf_cosine_dense_stats(d, n=3)["path"] == "exact", sf
+    # the unigram dense regime refuses once the small-corpus floor is
+    # out of the way (min_keys=0 — at 500 docs the default floor
+    # routes everything exact, which is itself part of the pin above)
+    docs_small = load_table(spark, SF_SMALL, "documents")
+    with _pytest.raises(ValueError, match="dense regime"):
+        tf_cosine_pairs_auto(docs_small, n=1, min_keys=0)
+
 
 def test_batch29_dedup_family_is_python_free(spark):
     """Round-9 batch 29: the new dedup operators must stay entirely
@@ -354,5 +378,12 @@ def test_batch29_dedup_family_is_python_free(spark):
         "span_cleaned_text",
         "tf_cosine_pairs",
         "subsumption_prune",
+        # round 11: the guard-routed APSS join and the redaction stage
+        # (anchored rlike CASE chains — JVM regex, zero Python)
+        "tf_cosine_pairs_auto",
+        "pii_pattern_spans",
+        "pii_redacted_text",
+        "redacted_cleaned_text",
+        "semantic_dedup",
     ):
         assert_no_python_udf(entrymod.queries()[name](spark, SF_SMALL))

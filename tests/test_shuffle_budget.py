@@ -241,6 +241,21 @@ EXCHANGE_CEILING = {
     # shingle-size aggregation, the dominance verdict aggregation and
     # two left join-backs to the corpus
     "subsumption_prune": 30,
+    # round 11: the redaction stage is pure map — posexplode/transform
+    # + anchored rlike CASE inside codegen, zero shuffles
+    "pii_pattern_spans": 0,
+    "pii_redacted_text": 0,
+    # span_cleaned_text's chain (8) — the placeholder CASE rides the
+    # existing positional anti-join + rebuild, no new exchange
+    "redacted_cleaned_text": 8,
+    # map-side centroid assignment + the within-cluster equi-join +
+    # drop distinct + survivor join-back — cluster id keys throughout,
+    # never an all-pairs stage
+    "semantic_dedup": 4,
+    # tf_cosine_pairs' plan (41 textual mentions, same persisted-index
+    # accounting) behind the dense-regime probe, which runs as two
+    # separate scalar jobs before this plan is even built
+    "tf_cosine_pairs_auto": 41,
 }
 
 

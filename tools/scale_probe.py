@@ -1531,8 +1531,70 @@ def probe_simhash_width(spark, sf_dir: str, n: int) -> dict:
     return results
 
 
+def probe_semdedup(spark, sf_dir: str, n: int) -> dict:
+    """SemDeDup family (round 11): candidate volume must track CLUSTER
+    SIZES, not n². The corpus is perturbed-replicated n× and
+    semantic_dedup's within-cluster join is measured two ways:
+
+    - ``fixed16``: the codebook held at 16 centroids while the corpus
+      grows — candidates scale ~n²/k (the quadratic-per-list regime
+      the docstring warns about), the NEGATIVE control;
+    - ``sqrt_n``: centroids grown ~√N (16·√n — the documented 100 TB
+      contract, list sizes ~√N) — candidate density per n² must FALL
+      as the corpus grows.
+
+    Published per arm: Σ_c C(n_c, 2) exact candidate count, its ratio
+    to C(rows, 2), max list share, wall time of the full prune, and
+    the drop count (the prune's output is also a saturation check:
+    perturbed replicas of one base vector land in one cluster and the
+    keep-min rule keeps exactly the smallest id when noise keeps them
+    above the cut)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroid_rows,
+        perturbed_replicas,
+        semantic_dedup,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = perturbed_replicas(emb, n, noise=0.3)
+    out = os.path.join(tempfile.gettempdir(), f"semdedup_x{n}.parquet")
+    copies.write.mode("overwrite").parquet(out)
+    scaled = spark.read.parquet(out)
+    rows = scaled.count()
+    results = {"family": "semdedup", "replication": n, "rows": rows}
+    arms = {"fixed16": 16, "sqrt_n": max(16, int(round(16 * n ** 0.5)))}
+    for label, k in arms.items():
+        cent = ivf_centroid_rows(scaled, k)
+        sizes = (
+            ivf_assign(scaled, cent, dim=64)
+            .groupBy("centroid_id")
+            .count()
+            .collect()
+        )
+        cand = sum(r["count"] * (r["count"] - 1) // 2 for r in sizes)
+        t0 = time.perf_counter()
+        pruned = semantic_dedup(scaled, threshold=0.35, centroids=cent, dim=64)
+        n_dropped = pruned.filter(~F.col("kept")).count()
+        results[label] = {
+            "k": k,
+            "cand_pairs": cand,
+            "cand_per_n2": round(cand / (rows * (rows - 1) / 2), 6),
+            "max_list_share": round(
+                max(r["count"] for r in sizes) / rows, 4
+            ),
+            "n_dropped": n_dropped,
+            "prune_s": round(time.perf_counter() - t0, 2),
+        }
+    return results
+
+
 FAMILIES = {
     "graph": probe_graph,
+    "semdedup": probe_semdedup,
     "simhash_width": probe_simhash_width,
     "ann": probe_ann,
     "setsim": probe_setsim,
