@@ -786,6 +786,18 @@ def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.simhash(docs)
 
 
+def _q_simhash_docs_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manku tf-WEIGHTED SimHash (round 11, VERDICT r10 #6): bit
+    tallies are Σ tf·(±1) — every token occurrence votes — vs the
+    default distinct-token set-vote `simhash_docs` pins. Same
+    two-nibble-lane 64-bit scheme; the twin differs from
+    _simhash_oracle only by dropping the DISTINCT before the vote,
+    exactly as the engine drops its distinct()
+    (operators/dedup.py:simhash weighted=True)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ops.simhash(docs, weighted=True)
+
+
 def _q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-distance near-dup pairs (batch 29, round 9;
     widened to 64 bits in round 10 per VERDICT r9 #1) — the Manku
@@ -874,14 +886,22 @@ def _q_tf_cosine_pairs_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     regeneration that flips the route fails the pin before the
     oracle row silently changes meaning — and the output is exactly
     `tf_cosine_pairs` at the same integer threshold, so the oracle is
-    the same deliberately UNPRUNED brute-force twin. On the dense
-    regime (unigrams over this corpus's ~30-word vocabulary) the same
-    surface raises with measured stats instead of silently running
-    the Ω(U²) plan — the refusal path is pytest-pinned
+    the same deliberately UNPRUNED brute-force twin. At the sf0.1
+    BENCH scale (5 000 docs, past the 4 096-key floor) the n=3 bound
+    measures 253 candidate partners/doc — the guard fires — and the
+    registered `on_dense="escalate"` walks n up until the rare-term
+    tail reappears (n=4 routes exact, pinned): the bench number
+    tracks the path a real corpus would take, exactly as
+    near_dup_pairs_auto's LSH handoff does, rather than the harness
+    crashing on the refusal. On the truly degenerate regime (unigrams
+    over this ~30-word vocabulary at ANY n up to max_n) the surface
+    still raises with measured stats instead of silently running the
+    Ω(U²) plan — pytest-pinned
     (operators/dedup.py:tf_cosine_pairs_auto)."""
     docs = load_table(spark, sf_dir, "documents")
     return ops.tf_cosine_pairs_auto(
-        docs, threshold_num=9, threshold_den=10, n=3
+        docs, threshold_num=9, threshold_den=10, n=3,
+        on_dense="escalate", max_n=5,
     )
 
 
@@ -6267,6 +6287,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 2 — text / similarity / multimodal / streaming
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_docs": _q_simhash_docs,
+        "simhash_docs_weighted": _q_simhash_docs_weighted,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "doc_fingerprint": _q_doc_fingerprint,
         "lang_id": _q_lang_id,
@@ -6919,12 +6940,18 @@ def _simhash_votes_sig_sql(nbits: int) -> tuple[str, str]:
     return votes, sig
 
 
-def _simhash_oracle(nbits: int = 64) -> str:
+def _simhash_oracle(nbits: int = 64, weighted: bool = False) -> str:
+    """``weighted=True`` drops the DISTINCT before the vote — every
+    occurrence tallies, i.e. Σ tf·(±1) per bit — mirroring
+    operators/dedup.py:simhash(weighted=True) dropping its
+    distinct(); everything else (nibble lanes, vote sign, bit-63
+    two's-complement place value) is shared."""
     votes, sig = _simhash_votes_sig_sql(nbits)
+    distinct = "" if weighted else "DISTINCT "
     return f"""
         WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
         tok AS (
-          SELECT DISTINCT doc_id, tok FROM (
+          SELECT {distinct}doc_id, tok FROM (
             SELECT doc_id, unnest(t) AS tok FROM toks)
         ),
         h AS (SELECT doc_id, md5(tok) AS h FROM tok),
@@ -8353,6 +8380,7 @@ def oracle_sql() -> dict[str, str]:
         # ---- batch 2: text / similarity / multimodal / streaming --------
         "minhash_lsh_pairs": _minhash_oracle(k=8, bands=4),
         "simhash_docs": _simhash_oracle(nbits=64),
+        "simhash_docs_weighted": _simhash_oracle(nbits=64, weighted=True),
         "ngram_jaccard_pairs": f"""
             WITH {_SHINGLES_CTE},
             sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),

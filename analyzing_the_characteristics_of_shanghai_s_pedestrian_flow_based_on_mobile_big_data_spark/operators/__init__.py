@@ -1,6 +1,7 @@
 from .cascade import cascade_join  # noqa: F401
 from .dedup import (  # noqa: F401
     PII_PATTERNS,
+    apply_span_cut,
     containment_pairs,
     duplicate_spans,
     exact_dedup,

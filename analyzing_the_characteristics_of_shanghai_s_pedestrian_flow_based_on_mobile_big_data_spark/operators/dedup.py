@@ -2082,6 +2082,63 @@ def redact_and_clean_text(
     )
 
 
+def apply_span_cut(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cut ARBITRARY spans out of a corpus (round 11): remove every
+    token inside a caller-provided (doc_id, span_start, span_end)
+    extent table — the generic form of the rebuild
+    :func:`span_cleaned_text` hard-wires to :func:`duplicate_spans`.
+    Any span source in the shared 1-based-inclusive token-extent
+    shape composes: :func:`pattern_spans` (cut PII instead of masking
+    it), :func:`duplicate_spans`, a hand-curated blocklist table, or
+    a UNION of several. Output: (doc_id, n_tokens, n_removed,
+    cleaned_text), one row per input doc; overlapping spans are safe
+    (covered positions are deduplicated by the anti-join semantics).
+
+    Scale shape: identical to span_cleaned_text — spans explode to
+    covered (doc_id, pos) rows (output-bounded), one doc_id+pos
+    equi-keyed anti-join, one per-doc ordered rebuild."""
+    # the span table's contract columns are fixed (doc_id, span_start,
+    # span_end) — id_col renames only the CORPUS side
+    covered = spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end"))
+        ).alias("pos"),
+    ).distinct()
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("p0", "tok"),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    totals = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("int")
+        .alias("n_removed"),
+        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+    )
+
+
 def duplicated_block_stats(
     docs: DataFrame,
     block_words: int = 10,

@@ -91,6 +91,34 @@ def curate_stream(
     )
 
 
+def curate_redact_stream(
+    doc_stream: DataFrame,
+    bench_grams: DataFrame,
+    patterns: dict[str, str] | None = None,
+    n: int = 8,
+    **gates,
+) -> DataFrame:
+    """The curation gate PLUS the redaction stage in one micro-batch
+    plan (round 11): survivors of :func:`curate_stream` joined back to
+    their PII-masked text — (doc_id, n_tokens, quality, n_grams,
+    n_hit, n_redacted, redacted_text), the row a training-data sink
+    actually writes. Redaction is a stateless per-row map
+    (operators/dedup.py:redacted_text — placeholder masking, zero
+    shuffles), so composing it here adds no state store, no
+    watermark, and no cross-batch context: the same foreachBatch
+    shape, one definition of clean-and-masked for both latency
+    regimes (batch/stream parity pytested). Like curate_stream, apply
+    to a static corpus directly or drive with
+    :func:`run_curation_stream`-style foreachBatch."""
+    from ..operators.dedup import redacted_text
+
+    verdicts = curate_stream(doc_stream, bench_grams, n=n, **gates)
+    red = redacted_text(doc_stream, patterns).select(
+        "doc_id", "n_redacted", "redacted_text"
+    )
+    return verdicts.join(red, "doc_id")
+
+
 def run_curation_stream(
     doc_stream: DataFrame,
     bench_grams: DataFrame,

@@ -1435,3 +1435,54 @@ def test_redaction_composes_with_span_cut_in_one_pass(spark):
     assert "<EMAIL>" in fused[1][2] and "<PHONE>" in fused[1][2]
     assert "<ID>" in fused[1][2]
     assert fused[3] == (0, 0, rows[2][1])
+
+
+def test_apply_span_cut_generic_span_sources(spark):
+    """Round 11: the generic cut accepts ANY (doc_id, span_start,
+    span_end) table — pattern spans (cut PII instead of masking),
+    hand blocklists, unions, overlapping extents — and must equal a
+    positional reference; wired to duplicate_spans it must reproduce
+    span_cleaned_text exactly."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+        apply_span_cut,
+        duplicate_spans,
+        pattern_spans,
+        span_cleaned_text,
+    )
+
+    rows = [
+        (1, "keep1 keep2 bob@x.org keep3 900000001 keep4"),
+        (2, "one two three four five six seven eight nine ten"),
+        (3, "one two three four five six seven eight nine ten"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # PII spans cut out entirely (positions 3 and 5 of doc 1)
+    cut = {
+        r.doc_id: (r.n_removed, r.cleaned_text)
+        for r in apply_span_cut(docs, pattern_spans(docs)).collect()
+    }
+    assert cut[1] == (2, "keep1 keep2 keep3 keep4")
+    assert cut[2] == (0, rows[1][1]) and cut[3] == (0, rows[2][1])
+    # overlapping + out-of-order spans dedupe via covered positions
+    spans = spark.createDataFrame(
+        [(2, 2, 5), (2, 4, 7), (2, 4, 5)],
+        "doc_id long, span_start int, span_end int",
+    )
+    got2 = apply_span_cut(docs, spans).filter("doc_id = 2").collect()[0]
+    assert (got2.n_removed, got2.cleaned_text) == (6, "one eight nine ten")
+    # generic cut ∘ duplicate_spans ≡ the hard-wired span_cleaned_text
+    a = sorted(
+        map(
+            tuple,
+            apply_span_cut(
+                docs, duplicate_spans(docs, window_words=5, min_docs=2)
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            span_cleaned_text(docs, window_words=5, min_docs=2).collect(),
+        )
+    )
+    assert a == b

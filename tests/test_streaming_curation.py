@@ -54,3 +54,64 @@ def test_stream_matches_batch(spark, tmp_path):
         assert got[k].n_grams == batch_out[k].n_grams
     # sub-shingle-width doc is kept as uncontaminated, not exploded away
     assert got[5].n_grams == 0 and got[5].n_tokens == 6
+
+
+def test_redacted_stream_matches_batch(spark, tmp_path):
+    """Round 11: the curation gate composed with the PII redaction map
+    must produce identical survivor rows (verdict + masked text) batch
+    vs foreachBatch under file splits — redaction is stateless, so
+    parity is structural, and the test pins that the composition
+    keeps it so."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.curation import (
+        curate_redact_stream,
+    )
+
+    bench = benchmark_gram_set(spark.createDataFrame(BENCH, SCHEMA))
+    rows_1 = [
+        (1, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),  # contaminated -> dropped
+        (2, " ".join(f"a{i}" for i in range(18)) + " mail bob@x.org"),
+    ]
+    rows_2 = [
+        (3, " ".join(f"b{i}" for i in range(18)) + " call +86-21-5550001"),
+        (4, "tiny"),  # below token floor -> dropped
+    ]
+    src = str(tmp_path / "docs")
+    for rows in (rows_1, rows_2):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    batch_out = {
+        r.doc_id: (r.n_redacted, r.redacted_text, r.n_hit)
+        for r in curate_redact_stream(
+            spark.read.parquet(src), bench, min_quality=0.0
+        ).collect()
+    }
+
+    got = {}
+
+    def sink(df, epoch_id):
+        for r in df.collect():
+            got[r.doc_id] = (r.n_redacted, r.redacted_text, r.n_hit)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+    def _process(batch_df, epoch_id):
+        sink(curate_redact_stream(batch_df, bench, min_quality=0.0), epoch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert set(got) == set(batch_out) == {2, 3}
+    assert got == batch_out
+    assert got[2][1].endswith("mail <EMAIL>")
+    assert got[3][1].endswith("call <PHONE>")
