@@ -1062,6 +1062,18 @@ def _q_pii_redacted_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.redacted_text(docs)
 
 
+def _q_pii_cut_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generic span cut driven by the pattern source (round 11):
+    PII tokens REMOVED (not masked) — `apply_span_cut` over
+    `pattern_spans`' extents on the planted corpus, the policy a
+    pipeline picks when placeholders themselves are unwanted. Engine-
+    checks the un-hard-wired rebuild end to end: any (doc_id,
+    span_start, span_end) table cuts
+    (operators/dedup.py:apply_span_cut)."""
+    docs = _plant_pii(load_table(spark, sf_dir, "documents"))
+    return ops.apply_span_cut(docs, ops.pattern_spans(docs))
+
+
 def _q_redacted_cleaned_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation tail (round 11): ExactSubstr duplicate
     spans REMOVED and surviving PII tokens MASKED in one pass over the
@@ -6498,6 +6510,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_cleaned_text": _q_span_cleaned_text,
         "pii_pattern_spans": _q_pii_pattern_spans,
         "pii_redacted_text": _q_pii_redacted_text,
+        "pii_cut_text": _q_pii_cut_text,
         "redacted_cleaned_text": _q_redacted_cleaned_text,
         "tf_cosine_pairs": _q_tf_cosine_pairs,
         "tf_cosine_pairs_auto": _q_tf_cosine_pairs_auto,
@@ -7341,6 +7354,39 @@ def _pii_redacted_oracle() -> str:
                  list_transform(w, t -> {_pii_placeholder_case_sql('t')}),
                  ' ') AS redacted_text
         FROM ws
+    """
+
+
+def _pii_cut_oracle() -> str:
+    """DuckDB twin of apply_span_cut ∘ pattern_spans on the planted
+    corpus: matched token positions anti-joined out, survivors
+    rebuilt in order — the generic cut engine-checked."""
+    return f"""
+        WITH {_PLANT_PII_CTE},
+        ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM planted),
+        toks AS (
+          SELECT ws.doc_id, t.pos, ws.w[t.pos] AS tok
+          FROM ws, unnest(generate_series(1, len(ws.w))) AS t(pos)
+        ),
+        cut AS (
+          SELECT doc_id, pos FROM toks WHERE {_pii_match_sql('tok')}
+        ),
+        kept AS (
+          SELECT toks.doc_id, toks.pos, toks.tok
+          FROM toks ANTI JOIN cut USING (doc_id, pos)
+        ),
+        rebuilt AS (
+          SELECT doc_id, count(*) AS n_kept,
+                 string_agg(tok, ' ' ORDER BY pos) AS cleaned
+          FROM kept GROUP BY doc_id
+        ),
+        totals AS (SELECT doc_id, len(w) AS n_tokens FROM ws)
+        SELECT totals.doc_id,
+               CAST(totals.n_tokens AS INTEGER) AS n_tokens,
+               CAST(totals.n_tokens - coalesce(rebuilt.n_kept, 0)
+                    AS INTEGER) AS n_removed,
+               coalesce(rebuilt.cleaned, '') AS cleaned_text
+        FROM totals LEFT JOIN rebuilt USING (doc_id)
     """
 
 
@@ -8924,6 +8970,7 @@ def oracle_sql() -> dict[str, str]:
         "span_cleaned_text": _span_cleaned_oracle(10, 2, hashed=False),
         "pii_pattern_spans": _pii_pattern_spans_oracle(),
         "pii_redacted_text": _pii_redacted_oracle(),
+        "pii_cut_text": _pii_cut_oracle(),
         "redacted_cleaned_text": _redact_clean_oracle(10, 2),
         "tf_cosine_pairs": _tf_cosine_oracle(9, 10, 3),
         # tf_cosine_pairs_auto routes to the EXACT path on the

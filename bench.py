@@ -218,6 +218,7 @@ HEADLINE = [
     "tf_cosine_pairs_auto",
     "pii_pattern_spans",
     "pii_redacted_text",
+    "pii_cut_text",
     "redacted_cleaned_text",
     "semantic_dedup",
 ]

@@ -389,6 +389,7 @@ def test_batch29_dedup_family_is_python_free(spark):
         "tf_cosine_pairs_auto",
         "pii_pattern_spans",
         "pii_redacted_text",
+        "pii_cut_text",
         "redacted_cleaned_text",
         "semantic_dedup",
     ):

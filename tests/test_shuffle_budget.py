@@ -245,6 +245,9 @@ EXCHANGE_CEILING = {
     # + anchored rlike CASE inside codegen, zero shuffles
     "pii_pattern_spans": 0,
     "pii_redacted_text": 0,
+    # the generic cut: covered-position distinct + positional anti-join
+    # + per-doc rebuild + totals join-back — no gram stages
+    "pii_cut_text": 4,
     # span_cleaned_text's chain (8) — the placeholder CASE rides the
     # existing positional anti-join + rebuild, no new exchange
     "redacted_cleaned_text": 8,
