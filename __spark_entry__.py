@@ -1342,6 +1342,39 @@ def _q_ivf_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup on the TRAINED codebook (round 11): the same
+    within-cluster keep-min prune as `semantic_dedup`, blocked by the
+    3-round Lloyd quantizer `ivf_topk_kmeans` serves from (shared
+    cache key, so one training run feeds both queries) — the
+    quality-over-twin-simplicity variant a production curation run
+    uses, still fully engine-checked because the Lloyd rounds unroll
+    to deterministic SQL (operators/kmeans.py:kmeans_oracle_ctes).
+    Data-adaptive centroids balance list sizes, which for SemDeDup is
+    not just recall but COST: the prune is Σ_c C(n_c,2), so the
+    max-list share the IVF health report watches is exactly this
+    query's skew bound."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.vectors import (
+        as_double_array,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.kmeans import (
+        kmeans_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = _dataset_fingerprint(sf_dir, "embeddings") + ("kmeans16x3",)
+    cent = _IVF_CODEBOOKS.get(key)
+    if cent is None:
+        vec = emb.select(
+            "vec_id", as_double_array(F.col("embedding")).alias("vec")
+        )
+        cents, _ = kmeans_fit(vec, k=16, iterations=3)
+        cent = _IVF_CODEBOOKS[key] = sorted(
+            (int(c), list(v)) for c, v in cents.items()
+        )
+    return ops.semantic_dedup(emb, threshold=0.35, dim=64, centroids=cent)
+
+
 def _q_ann_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OR-amplified LSH top-k: 4 independent sign-hash tables over
     disjoint dimension slices; candidates = bucket match in ANY table.
@@ -6311,6 +6344,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_health_report": _q_ivf_health_report,
         "ivf_topk_kmeans": _q_ivf_topk_kmeans,
         "semantic_dedup": _q_semantic_dedup,
+        "semantic_dedup_kmeans": _q_semantic_dedup_kmeans,
         "label_centroids": _q_label_centroids,
         "q3_shipping_priority": _q_q3_shipping_priority,
         "q10_returned_items": _q_q10_returned_items,
@@ -7726,6 +7760,44 @@ def _ivf_kmeans_oracle() -> str:
                  PARTITION BY query_id
                  ORDER BY cos_r DESC, vec_id ASC) AS INTEGER) AS rank
         FROM pairs QUALIFY rank <= 3
+    """
+
+
+def _semantic_dedup_kmeans_oracle() -> str:
+    """semantic_dedup's assignment + keep-min prune SQL on top of the
+    unrolled Lloyd CTE chain — the trained-codebook twin, composed
+    structurally like _ivf_kmeans_oracle."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.kmeans import (
+        kmeans_oracle_ctes,
+    )
+
+    emb_cte = """
+        e AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings
+        )"""
+    ctes = kmeans_oracle_ctes(emb_cte, k=16, iterations=3)
+    return f"""
+        WITH {ctes},
+        cent AS (
+          SELECT cluster AS centroid_id, c AS cent_emb FROM cent3
+        ),
+        corpus AS (SELECT vec_id, emb AS c_emb FROM e),
+        assign AS MATERIALIZED (
+          SELECT c2.vec_id, cent.centroid_id AS cluster, c2.c_emb
+          FROM corpus c2 CROSS JOIN cent
+          QUALIFY row_number() OVER (PARTITION BY c2.vec_id
+            ORDER BY {_cos_ab('cent_emb', 'c_emb')} DESC, centroid_id ASC) = 1
+        ),
+        drops AS (
+          SELECT DISTINCT b.vec_id
+          FROM assign a JOIN assign b
+            ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          WHERE {_cos_ab('a.c_emb', 'b.c_emb')} >= 0.35
+        )
+        SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+               d.vec_id IS NULL AS kept
+        FROM assign a LEFT JOIN drops d USING (vec_id)
     """
 
 
@@ -9659,6 +9731,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kmeans_embeddings": _kmeans_oracle(),
         "ivf_topk_kmeans": _ivf_kmeans_oracle(),
+        "semantic_dedup_kmeans": _semantic_dedup_kmeans_oracle(),
         # ---- batch 6 (round 5) ----
         "od_two_hop": (
             "WITH "

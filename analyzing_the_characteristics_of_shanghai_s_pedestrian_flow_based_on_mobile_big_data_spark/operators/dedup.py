@@ -639,7 +639,10 @@ def simhash_banding(
 
 
 def hamming_block_scheme(
-    max_hamming: int = 3, nbits: int = 64, min_key_bits: int = 16
+    max_hamming: int = 3,
+    nbits: int = 64,
+    min_key_bits: int = 16,
+    weighted: bool = False,
 ) -> dict:
     """The canonical scheme stamp for a SimHash block table — the SAME
     dict shape ``streaming/incremental.py:_pin_index_scheme`` writes to
@@ -647,25 +650,38 @@ def hamming_block_scheme(
     the ingest path can never describe one blocking two ways. ``widths``
     + ``max_hamming`` fully determine the combination banding (B =
     len(widths) blocks, m = B − max_hamming keys per doc), so comparing
-    stamps is an EXACT blocking-equality check — no table scan needed."""
+    stamps is an EXACT blocking-equality check — no table scan needed.
+    ``weighted`` (the tf-vote signature variant) adds a ``"vote": "tf"``
+    key — set-vote stamps stay byte-identical to the round-10 form, so
+    existing indexes keep matching — because the VOTE MODE is part of
+    the scheme too: a weighted-signature index queried with set-vote
+    signatures never matches (same silent near-dup-loss class as a
+    width change)."""
     widths, combos = simhash_banding(max_hamming, nbits, min_key_bits)
-    return {
+    scheme = {
         "kind": "simhash_blocks",
         "nbits": int(nbits),
         "max_hamming": int(max_hamming),
         "widths": widths,
         "n_combos": len(combos),
     }
+    if weighted:
+        scheme["vote"] = "tf"
+    return scheme
 
 
 def _require_block_scheme(
-    scheme: dict, max_hamming: int, nbits: int, min_key_bits: int
+    scheme: dict,
+    max_hamming: int,
+    nbits: int,
+    min_key_bits: int,
+    weighted: bool = False,
 ) -> None:
     """Raise unless ``scheme`` (a parsed ``_scheme.json`` stamp) is
     EXACTLY the blocking the caller's (max_hamming, nbits,
-    min_key_bits) parameters produce — the free, scan-less form of the
-    blocking-consistency check (round 11, VERDICT r10 #1)."""
-    expected = hamming_block_scheme(max_hamming, nbits, min_key_bits)
+    min_key_bits, weighted) parameters produce — the free, scan-less
+    form of the blocking-consistency check (round 11, VERDICT r10 #1)."""
+    expected = hamming_block_scheme(max_hamming, nbits, min_key_bits, weighted)
     if scheme != expected:
         raise ValueError(
             f"block-table scheme mismatch: table stamped {scheme}, "
@@ -734,6 +750,7 @@ def simhash_blocks(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_key_bits: int = 16,
+    weighted: bool = False,
 ) -> DataFrame:
     """(doc_id, simhash, blk, val) — the Manku multi-block
     decomposition of each document's SimHash signature under
@@ -753,7 +770,7 @@ def simhash_blocks(
     full-width block (h=0) is the signature itself."""
     widths, combos = simhash_banding(max_hamming, nbits, min_key_bits)
     offsets = [sum(widths[:i]) for i in range(len(widths))]
-    sig = simhash(docs, id_col, text_col, nbits)
+    sig = simhash(docs, id_col, text_col, nbits, weighted)
 
     def _extract(i: int):
         w = widths[i]
@@ -793,6 +810,7 @@ def hamming_pairs_from_blocks(
     min_key_bits: int = 16,
     scheme: dict | None = None,
     verify_blocking: bool = True,
+    weighted: bool = False,
 ) -> DataFrame:
     """Pair extraction over an ALREADY-MATERIALIZED block table (the
     ingest index's read() or any simhash_blocks output): equi
@@ -815,7 +833,11 @@ def hamming_pairs_from_blocks(
     ``verify_blocking=False`` only where the same session built the
     table moments earlier with the same parameters."""
     if scheme is not None:
-        _require_block_scheme(scheme, max_hamming, nbits, min_key_bits)
+        # ``weighted`` matters only to the stamp equality — the pair
+        # extraction itself is vote-agnostic (signatures are opaque
+        # 64-bit values here), but a vote-mode mismatch between table
+        # and caller is the same silent-loss class as a width change
+        _require_block_scheme(scheme, max_hamming, nbits, min_key_bits, weighted)
     elif verify_blocking:
         verify_block_table(blocks, max_hamming, nbits, min_key_bits)
     a = blocks.select(
@@ -853,6 +875,7 @@ def new_doc_hamming_candidates(
     text_col: str = "text",
     min_key_bits: int = 16,
     scheme: dict | None = None,
+    weighted: bool = False,
 ) -> DataFrame:
     """Ingest-time scoring for the simhash block index: (new_doc_id,
     doc_id, hamming) pairs between a batch of NEW documents and the
@@ -876,9 +899,9 @@ def new_doc_hamming_candidates(
     duplicates surface through a batch self-join term so scoring
     never requires the merge to land first."""
     if scheme is not None:
-        _require_block_scheme(scheme, max_hamming, nbits, min_key_bits)
+        _require_block_scheme(scheme, max_hamming, nbits, min_key_bits, weighted)
     nb = simhash_blocks(
-        new_docs, max_hamming, nbits, id_col, text_col, min_key_bits
+        new_docs, max_hamming, nbits, id_col, text_col, min_key_bits, weighted
     ).localCheckpoint(eager=True)
     idx = index_blocks.select("doc_id", "simhash", "blk", "val")
     q = nb.select(
@@ -964,6 +987,7 @@ def simhash_hamming_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_key_bits: int = 16,
+    weighted: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance — the Manku-style
     block LSH (the web-crawl dedup classic; reference analogue: the
@@ -990,8 +1014,12 @@ def simhash_hamming_pairs(
     # verify_blocking=False: the block table is built HERE with the
     # very parameters the pair extraction uses — the consistency the
     # round-11 guard exists to enforce holds by construction.
+    # ``weighted`` selects the tf-vote signature (simhash weighted=True)
+    # — the Hamming geometry, banding and cover are vote-agnostic.
     return hamming_pairs_from_blocks(
-        simhash_blocks(docs, max_hamming, nbits, id_col, text_col, min_key_bits),
+        simhash_blocks(
+            docs, max_hamming, nbits, id_col, text_col, min_key_bits, weighted
+        ),
         max_hamming,
         nbits,
         min_key_bits,

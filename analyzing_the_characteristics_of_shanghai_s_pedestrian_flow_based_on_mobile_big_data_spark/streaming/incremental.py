@@ -1697,6 +1697,7 @@ def incremental_block_index_stream(
     retention_epochs: int | None = None,
     compact_every: int = 8,
     min_key_bits: int = 16,
+    weighted: bool = False,
 ):
     """Stream document files → incrementally-maintained SimHash BLOCK
     index via foreachBatch — the exact-cover sibling of
@@ -1725,9 +1726,12 @@ def incremental_block_index_stream(
     )
     # the stamp is derived by the SAME helper the batch-path check
     # uses (operators/dedup.py:hamming_block_scheme), so ingest and
-    # batch can never describe one blocking two ways
+    # batch can never describe one blocking two ways; the vote mode
+    # (set vs tf-weighted) is part of the scheme — mixed-vote rows
+    # never match each other
     _pin_index_scheme(
-        table.path, hamming_block_scheme(max_hamming, nbits, min_key_bits)
+        table.path,
+        hamming_block_scheme(max_hamming, nbits, min_key_bits, weighted),
     )
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
@@ -1735,7 +1739,7 @@ def incremental_block_index_stream(
             simhash_blocks(
                 batch_df, max_hamming, nbits,
                 id_col=id_col, text_col=text_col,
-                min_key_bits=min_key_bits,
+                min_key_bits=min_key_bits, weighted=weighted,
             )
             .groupBy("doc_id", "blk", "val", "simhash")
             .agg(

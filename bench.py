@@ -221,6 +221,7 @@ HEADLINE = [
     "pii_cut_text",
     "redacted_cleaned_text",
     "semantic_dedup",
+    "semantic_dedup_kmeans",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

@@ -1486,3 +1486,71 @@ def test_apply_span_cut_generic_span_sources(spark):
         )
     )
     assert a == b
+
+
+def test_weighted_vote_threads_through_hamming_stack(spark):
+    """Round 11: weighted= reaches every layer of the blocking stack —
+    the pair join runs on tf-vote signatures and equals the brute
+    force over them, and the vote mode is part of the scheme stamp so
+    a set-vote query against a weighted index REFUSES instead of
+    silently matching nothing."""
+    import pytest
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+        hamming_block_scheme,
+        hamming_pairs_from_blocks,
+        new_doc_hamming_candidates,
+        simhash,
+        simhash_blocks,
+        simhash_hamming_pairs,
+    )
+
+    # repetition separates the modes: doc 2's flood of 'alpha' moves
+    # only the weighted signature
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha alpha alpha alpha alpha alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "totally different words about engines and planners"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for weighted in (False, True):
+        sig = {
+            r.doc_id: r.simhash
+            for r in simhash(docs, weighted=weighted).collect()
+        }
+        pop = lambda a, b: bin((sig[a] ^ sig[b]) & ((1 << 64) - 1)).count("1")
+        for h in (1, 4, 8):
+            want = sorted(
+                (a, b, pop(a, b))
+                for a in sig
+                for b in sig
+                if a < b and pop(a, b) <= h
+            )
+            got = sorted(
+                map(
+                    tuple,
+                    simhash_hamming_pairs(
+                        docs, max_hamming=h, weighted=weighted
+                    ).collect(),
+                )
+            )
+            assert got == want, (weighted, h)
+    # the two modes genuinely diverge on this corpus
+    s_set = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    s_tf = {r.doc_id: r.simhash for r in simhash(docs, weighted=True).collect()}
+    assert s_set[2] != s_tf[2]
+    # vote mode is scheme: weighted stamp vs set-vote query refuses,
+    # and the weighted stamp round-trips
+    blocks_w = simhash_blocks(docs, max_hamming=3, weighted=True)
+    stamp_w = hamming_block_scheme(3, weighted=True)
+    assert stamp_w["vote"] == "tf" and "vote" not in hamming_block_scheme(3)
+    with pytest.raises(ValueError, match="scheme mismatch"):
+        hamming_pairs_from_blocks(blocks_w, max_hamming=3, scheme=stamp_w)
+    ok = hamming_pairs_from_blocks(
+        blocks_w, max_hamming=3, scheme=stamp_w, weighted=True
+    )
+    assert ok.columns == ["doc_a", "doc_b", "hamming"]
+    with pytest.raises(ValueError, match="scheme mismatch"):
+        new_doc_hamming_candidates(
+            blocks_w, docs.filter("doc_id = 3"), max_hamming=3, scheme=stamp_w
+        )

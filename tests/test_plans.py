@@ -392,5 +392,6 @@ def test_batch29_dedup_family_is_python_free(spark):
         "pii_cut_text",
         "redacted_cleaned_text",
         "semantic_dedup",
+        "semantic_dedup_kmeans",
     ):
         assert_no_python_udf(entrymod.queries()[name](spark, SF_SMALL))

@@ -255,6 +255,9 @@ EXCHANGE_CEILING = {
     # drop distinct + survivor join-back — cluster id keys throughout,
     # never an all-pairs stage
     "semantic_dedup": 4,
+    # trained-codebook variant: identical serving plan (literal
+    # centroids in-plan), training runs BEFORE this plan exists
+    "semantic_dedup_kmeans": 4,
     # tf_cosine_pairs' plan (41 textual mentions, same persisted-index
     # accounting) behind the dense-regime probe, which runs as two
     # separate scalar jobs before this plan is even built
