@@ -1843,6 +1843,70 @@ def span_cleaned_stats(
     )
 
 
+def _covered_positions(spans: DataFrame) -> DataFrame:
+    """(doc_id, pos) rows for every token inside a span-table extent —
+    the shared explode of all the positional-cut entry points."""
+    return spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end"))
+        ).alias("pos"),
+    )
+
+
+def _positional_rebuild(
+    docs: DataFrame,
+    covered: DataFrame,
+    id_col: str,
+    text_col: str,
+    patterns: dict[str, str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(totals, rebuilt): per-doc token totals and the text rebuilt
+    from every token whose 1-based position is NOT in ``covered``,
+    original order — THE positional-cut core every span consumer
+    shares (:func:`span_cleaned_stats`/:func:`span_cleaned_text` via
+    `_span_cut_rebuild`, :func:`apply_span_cut`,
+    :func:`redact_and_clean_text`), so no two of them can disagree
+    about cut semantics. ``rebuilt`` carries (doc_id, n_kept,
+    cleaned_text) plus ``n_redacted`` when ``patterns`` is given —
+    surviving tokens matching a pattern are replaced by their
+    placeholder and counted, in the same pass."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("p0", "tok"),
+    ).select("doc_id", (F.col("p0") + F.lit(1)).alias("pos"), "tok")
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    aggs = [F.count(F.lit(1)).alias("n_kept")]
+    if patterns is not None:
+        kept = kept.select(
+            "doc_id",
+            "pos",
+            F.coalesce(
+                _pii_placeholder(F.col("tok"), patterns), F.col("tok")
+            ).alias("tok"),
+            _pii_kind(F.col("tok"), patterns)
+            .isNotNull()
+            .cast("int")
+            .alias("red"),
+        )
+        aggs.append(F.sum("red").alias("n_redacted"))
+    aggs.append(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("cleaned_text")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(*aggs)
+    totals = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
+    )
+    return totals, rebuilt
+
+
 def _span_cut_rebuild(
     docs: DataFrame,
     window_words: int,
@@ -1856,32 +1920,9 @@ def _span_cut_rebuild(
     :func:`span_cleaned_text` (which RETURNS it). One definition, so
     manifest and corpus can never disagree about what was cut."""
     spans = duplicate_spans(docs, window_words, min_docs, id_col, text_col)
-    covered = spans.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.col("span_start"), F.col("span_end"))
-        ).alias("pos"),
+    return _positional_rebuild(
+        docs, _covered_positions(spans), id_col, text_col
     )
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("p0", "tok"),
-    ).select("doc_id", (F.col("p0") + F.lit(1)).alias("pos"), "tok")
-    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("cleaned_text"),
-    )
-    totals = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
-    )
-    return totals, rebuilt
 
 
 def span_cleaned_text(
@@ -2064,38 +2105,8 @@ def redact_and_clean_text(
     free map-side CASE on the surviving tokens."""
     pats = PII_PATTERNS if patterns is None else patterns
     spans = duplicate_spans(docs, window_words, min_docs, id_col, text_col)
-    covered = spans.select(
-        "doc_id",
-        F.explode(F.sequence(F.col("span_start"), F.col("span_end"))).alias(
-            "pos"
-        ),
-    )
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("p0", "tok"),
-    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
-    kept = toks.join(covered, ["doc_id", "pos"], "left_anti").select(
-        "doc_id",
-        "pos",
-        F.coalesce(_pii_placeholder(F.col("tok"), pats), F.col("tok")).alias(
-            "tok"
-        ),
-        _pii_kind(F.col("tok"), pats).isNotNull().cast("int").alias("red"),
-    )
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.sum("red").alias("n_redacted"),
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("cleaned_text"),
-    )
-    totals = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
+    totals, rebuilt = _positional_rebuild(
+        docs, _covered_positions(spans), id_col, text_col, pats
     )
     return totals.join(rebuilt, "doc_id", "left").select(
         "doc_id",
@@ -2131,32 +2142,12 @@ def apply_span_cut(
     covered (doc_id, pos) rows (output-bounded), one doc_id+pos
     equi-keyed anti-join, one per-doc ordered rebuild."""
     # the span table's contract columns are fixed (doc_id, span_start,
-    # span_end) — id_col renames only the CORPUS side
-    covered = spans.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.col("span_start"), F.col("span_end"))
-        ).alias("pos"),
-    ).distinct()
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("p0", "tok"),
-    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
-    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("cleaned_text"),
-    )
-    totals = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
-    )
+    # span_end) — id_col renames only the CORPUS side; distinct()
+    # because arbitrary caller spans may overlap (duplicate_spans'
+    # are maximal-disjoint by construction, so the other entry points
+    # skip it)
+    covered = _covered_positions(spans).distinct()
+    totals, rebuilt = _positional_rebuild(docs, covered, id_col, text_col)
     return totals.join(rebuilt, "doc_id", "left").select(
         "doc_id",
         "n_tokens",

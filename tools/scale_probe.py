@@ -1559,6 +1559,13 @@ def probe_semdedup(spark, sf_dir: str, n: int) -> dict:
         load_table,
     )
 
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.vectors import (
+        as_double_array,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.kmeans import (
+        kmeans_fit,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     copies = perturbed_replicas(emb, n, noise=0.3)
     out = os.path.join(tempfile.gettempdir(), f"semdedup_x{n}.parquet")
@@ -1566,9 +1573,22 @@ def probe_semdedup(spark, sf_dir: str, n: int) -> dict:
     scaled = spark.read.parquet(out)
     rows = scaled.count()
     results = {"family": "semdedup", "replication": n, "rows": rows}
-    arms = {"fixed16": 16, "sqrt_n": max(16, int(round(16 * n ** 0.5)))}
+    k_sqrt = max(16, int(round(16 * n ** 0.5)))
+    arms = {"fixed16": 16, "sqrt_n": k_sqrt, "kmeans_sqrt_n": k_sqrt}
     for label, k in arms.items():
-        cent = ivf_centroid_rows(scaled, k)
+        if label == "kmeans_sqrt_n":
+            # trained codebook at the SAME k as the sampled √N arm —
+            # isolates what Lloyd balancing buys: Σ C(n_c,2) is
+            # Schur-convex in the list-size vector, so flatter lists
+            # mean fewer candidates at equal k (and a tighter
+            # max-list straggler bound for the prune join)
+            vec = scaled.select(
+                "vec_id", as_double_array(F.col("embedding")).alias("vec")
+            )
+            cents, _ = kmeans_fit(vec, k=k, iterations=3)
+            cent = sorted((int(c), list(v)) for c, v in cents.items())
+        else:
+            cent = ivf_centroid_rows(scaled, k)
         sizes = (
             ivf_assign(scaled, cent, dim=64)
             .groupBy("centroid_id")
