@@ -1982,10 +1982,34 @@ PII_PATTERNS: dict[str, str] = {
 }
 
 
+def _check_portable_patterns(patterns: dict[str, str]) -> None:
+    """Refuse regex constructs outside the Java∩RE2 common subset the
+    redaction family's engine-parity rests on: Spark's rlike is Java
+    regex (has lookaround/backrefs), DuckDB's regexp_matches is
+    RE2-based (has neither) — a pattern using them would MATCH in one
+    engine and ERROR or silently differ in the other, turning every
+    derived oracle row into a lie. Character classes, alternation,
+    anchors and bounded quantifiers are identical in both; that is the
+    contract PII_PATTERNS keeps and custom patterns must too."""
+    import re as _re
+
+    for kind, pat in patterns.items():
+        bad = _re.search(r"\(\?[=!<]|\\[1-9]", pat)
+        if bad:
+            raise ValueError(
+                f"pattern {kind!r} uses {bad.group(0)!r} — lookaround/"
+                "backreferences are not in the Java∩RE2-portable regex "
+                "subset this operator family guarantees (Spark rlike "
+                "vs DuckDB regexp_matches would diverge); rewrite with "
+                "classes, alternation, anchors and bounded quantifiers"
+            )
+
+
 def _pii_kind(tok, patterns: dict[str, str]):
     """First-match-wins CASE chain: token column → kind literal (NULL
     when no pattern matches) — one definition shared by the span
     extractor, the redactor, and the composed curation pass."""
+    _check_portable_patterns(patterns)
     expr = None
     for kind, pat in patterns.items():
         branch = F.when(tok.rlike(pat), F.lit(kind))

@@ -1554,3 +1554,29 @@ def test_weighted_vote_threads_through_hamming_stack(spark):
         new_doc_hamming_candidates(
             blocks_w, docs.filter("doc_id = 3"), max_hamming=3, scheme=stamp_w
         )
+
+
+def test_redaction_refuses_nonportable_regex(spark):
+    """Round 11: lookaround/backreference patterns would silently
+    diverge between Spark's Java regex and DuckDB's RE2 — the
+    redaction family refuses them up front instead of shipping an
+    oracle row that lies."""
+    import pytest
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+        pattern_spans,
+        redacted_text,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    for bad in (
+        {"x": r"^(?=a).*$"},          # lookahead
+        {"x": r"^(?<!b)a$"},          # lookbehind
+        {"x": r"^(a)\1$"},            # backreference
+    ):
+        with pytest.raises(ValueError, match="portable regex subset"):
+            pattern_spans(docs, bad)
+        with pytest.raises(ValueError, match="portable regex subset"):
+            redacted_text(docs, bad).collect()
+    # the shipped defaults and plain custom patterns pass
+    assert pattern_spans(docs, {"x": r"^[ab]{1,2}$"}).count() == 2
