@@ -292,6 +292,35 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_band_scheme(k: int = 8, bands: int = 4, n: int = 3) -> dict:
+    """The canonical scheme stamp for a MinHash band table — the SAME
+    dict ``streaming/incremental.py:_pin_index_scheme`` writes for the
+    band ingest index, derived here so batch scoring can check a
+    loaded index's stamp scan-lessly (the simhash
+    :func:`hamming_block_scheme` pattern): band hashes are comparable
+    only within one (k, bands, n) scheme — a drifted parameter makes
+    the (band, band_hash) equi-join silently return zero candidates,
+    the same near-dup-loss class the block-side guard closes."""
+    return {
+        "kind": "minhash_bands",
+        "k": int(k),
+        "bands": int(bands),
+        "n": int(n),
+    }
+
+
+def _require_band_scheme(scheme: dict, k: int, bands: int, n: int) -> None:
+    expected = minhash_band_scheme(k, bands, n)
+    if scheme != expected:
+        raise ValueError(
+            f"band-index scheme mismatch: index stamped {scheme}, "
+            f"scoring parameters imply {expected} — band hashes from "
+            "two schemes never match each other, so candidates would "
+            "silently vanish; score with the index's own parameters "
+            "or rebuild the index"
+        )
+
+
 def minhash_bands(
     docs: DataFrame,
     k: int = 8,
@@ -2294,6 +2323,7 @@ def new_doc_dup_candidates(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    scheme: dict | None = None,
 ) -> DataFrame:
     """Ingest-time dedup scoring: candidate (new_doc_id, doc_id) pairs
     between a batch of NEW documents and the maintained band index
@@ -2314,7 +2344,14 @@ def new_doc_dup_candidates(
     neither indexed yet) surface through a batch self-join term — so
     scoring does NOT require the batch to be merged into the index
     first. The k/bands/n parameters MUST match the ones the index was
-    built with — band hashes are only comparable within one scheme."""
+    built with — band hashes are only comparable within one scheme;
+    round 11 ENFORCES that where a stamp exists: pass the index's
+    ``_scheme.json`` (streaming/incremental.py:read_index_scheme) via
+    ``scheme=`` and a parameter drift raises scan-lessly before any
+    job runs, instead of the equi-join silently returning zero
+    candidates (the same guard class as the simhash block side)."""
+    if scheme is not None:
+        _require_band_scheme(scheme, k, bands, n)
     # Materialized ONCE via eager localCheckpoint (|delta|·bands rows —
     # tiny): nb feeds the index probe AND both sides of the
     # within-batch self-join; un-materialized, the tokenize/shingle/

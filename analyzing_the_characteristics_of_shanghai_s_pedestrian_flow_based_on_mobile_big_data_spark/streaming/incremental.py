@@ -1636,7 +1636,7 @@ def incremental_band_index_stream(
     (measured: scale_probe --family ingest_compact; mid-stream parity
     pytest-pinned: compacted index ≡ batch bands over in-horizon
     docs). Default None keeps the full-history contract."""
-    from ..operators.dedup import minhash_bands
+    from ..operators.dedup import minhash_band_scheme, minhash_bands
 
     table = IncrementalCountTable(
         spark,
@@ -1644,10 +1644,10 @@ def incremental_band_index_stream(
         ["doc_id", "band", "band_hash"],
         max_measures=("last_epoch",),
     )
-    _pin_index_scheme(
-        table.path,
-        {"kind": "minhash_bands", "k": int(k), "bands": int(bands), "n": int(n)},
-    )
+    # derived by the SAME helper batch scoring checks against
+    # (operators/dedup.py:minhash_band_scheme) — dict value unchanged,
+    # so existing stamps keep matching
+    _pin_index_scheme(table.path, minhash_band_scheme(k, bands, n))
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
         delta = (

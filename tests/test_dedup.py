@@ -1580,3 +1580,40 @@ def test_redaction_refuses_nonportable_regex(spark):
             redacted_text(docs, bad).collect()
     # the shipped defaults and plain custom patterns pass
     assert pattern_spans(docs, {"x": r"^[ab]{1,2}$"}).count() == 2
+
+
+def test_band_index_scheme_gates_batch_scoring(spark, tmp_path):
+    """Round 11: the MinHash twin of the block-side guard — scoring a
+    batch against a band index stamped under different (k, bands, n)
+    refuses scan-lessly instead of silently matching nothing."""
+    import pytest
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+        minhash_band_scheme,
+        minhash_bands,
+        new_doc_dup_candidates,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        _pin_index_scheme,
+        read_index_scheme,
+    )
+
+    docs = _docs(spark)
+    idx = minhash_bands(docs.filter("doc_id <= 2"), k=8, bands=4, n=3)
+    new = docs.filter("doc_id >= 3")
+    path = str(tmp_path / "band_idx")
+    _pin_index_scheme(path, minhash_band_scheme(8, 4, 3))
+    stamp = read_index_scheme(path)
+    # matching parameters pass and find the near-dup pair (3? no —
+    # doc 4 duplicates doc 1)
+    got = {
+        (r.new_doc_id, r.doc_id)
+        for r in new_doc_dup_candidates(
+            idx, new, k=8, bands=4, n=3, scheme=stamp
+        ).collect()
+    }
+    assert (4, 1) in got
+    # any drifted parameter refuses before a job runs
+    for kk, bb, nn in ((16, 4, 3), (8, 2, 3), (8, 4, 2)):
+        with pytest.raises(ValueError, match="band-index scheme mismatch"):
+            new_doc_dup_candidates(idx, new, k=kk, bands=bb, n=nn, scheme=stamp)
