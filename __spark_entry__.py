@@ -7110,46 +7110,15 @@ def _duplicate_spans_oracle(window_words: int = 10, min_docs: int = 2) -> str:
     identical gram fingerprints (md5 of the space-joined w-slice),
     identical ≥min_docs distinct-document filter, identical
     gaps-and-islands merge (lag-NULL on the first covered position
-    falls into the no-break branch in BOTH engines)."""
-    w = int(window_words)
+    falls into the no-break branch in BOTH engines). Built on the
+    shared _span_cut_ctes chain (its spans CTE IS this query)."""
     return f"""
-        WITH ws AS (
-          SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        ),
-        grams AS (
-          SELECT ws.doc_id, t.p,
-                 md5(array_to_string(ws.w[t.p : t.p + {w - 1}], ' '))
-                   AS digest
-          FROM ws, unnest(generate_series(1, len(ws.w) - {w - 1})) AS t(p)
-        ),
-        dup AS (
-          SELECT digest FROM grams
-          GROUP BY digest
-          HAVING count(DISTINCT doc_id) >= {int(min_docs)}
-        ),
-        cov AS (
-          SELECT g.doc_id, g.p FROM grams g JOIN dup USING (digest)
-        ),
-        brk AS (
-          SELECT doc_id, p,
-                 CASE WHEN p > lag(p) OVER
-                          (PARTITION BY doc_id ORDER BY p) + {w}
-                      THEN 1 ELSE 0 END AS b
-          FROM cov
-        ),
-        isl AS (
-          SELECT doc_id, p,
-                 sum(b) OVER (PARTITION BY doc_id ORDER BY p
-                              ROWS BETWEEN UNBOUNDED PRECEDING
-                              AND CURRENT ROW) AS island
-          FROM brk
-        )
+        WITH {_span_cut_ctes('documents', window_words, min_docs)}
         SELECT doc_id,
-               CAST(min(p) AS INTEGER) AS span_start,
-               CAST(max(p) + {w - 1} AS INTEGER) AS span_end,
-               CAST(max(p) + {w} - min(p) AS INTEGER) AS span_tokens
-        FROM isl
-        GROUP BY doc_id, island
+               CAST(s AS INTEGER) AS span_start,
+               CAST(e AS INTEGER) AS span_end,
+               CAST(e - s + 1 AS INTEGER) AS span_tokens
+        FROM spans
     """
 
 
@@ -7249,30 +7218,27 @@ def _subsumption_oracle(num: int = 4, den: int = 5) -> str:
     """
 
 
-def _span_cleaned_oracle(
-    window_words: int = 10, min_docs: int = 2, hashed: bool = True
-) -> str:
-    """DuckDB mirror of the span-cut manifest: the SAME span CTE chain
-    as _duplicate_spans_oracle, exploded back to covered positions,
-    anti-joined against per-position tokens, rebuilt in pos order and
-    md5'd — token-level engine agreement of the whole composition.
-    ``hashed=False`` is the span_cleaned_text twin: the identical
-    rebuild with the surviving STRING returned instead of its md5."""
-    w = int(window_words)
-    out_col = (
-        "md5(string_agg(tok, ' ' ORDER BY pos)) AS cleaned"
-        if hashed
-        else "string_agg(tok, ' ' ORDER BY pos) AS cleaned"
-    )
-    final = (
-        "coalesce(rebuilt.cleaned, md5('')) AS cleaned_md5"
-        if hashed
-        else "coalesce(rebuilt.cleaned, '') AS cleaned_text"
-    )
+def _ws_toks_ctes(source: str) -> str:
+    """ws (split token arrays) + toks (per-position tokens) CTE block
+    over ``source`` (doc_id, text) — the tokenization every positional
+    oracle shares."""
     return f"""
-        WITH ws AS (
-          SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        ),
+        ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM {source}),
+        toks AS (
+          SELECT ws.doc_id, t.pos, ws.w[t.pos] AS tok
+          FROM ws, unnest(generate_series(1, len(ws.w))) AS t(pos)
+        )"""
+
+
+def _span_cut_ctes(source: str, window_words: int, min_docs: int) -> str:
+    """ws → grams → dup → covg → brk → isl → spans → cut → toks CTE
+    block (no WITH) over ``source`` (doc_id, text) — THE duplicated-
+    span extent definition, shared by the manifest, cleaned-text, and
+    redact+cut oracles so a fix to the island logic lands in all of
+    them at once (round-11 review finding: three verbatim copies)."""
+    w = int(window_words)
+    return f"""
+        {_ws_toks_ctes(source)},
         grams AS (
           SELECT ws.doc_id, t.p,
                  md5(array_to_string(ws.w[t.p : t.p + {w - 1}], ' '))
@@ -7308,11 +7274,30 @@ def _span_cleaned_oracle(
         cut AS (
           SELECT spans.doc_id, t.pos
           FROM spans, unnest(generate_series(spans.s, spans.e)) AS t(pos)
-        ),
-        toks AS (
-          SELECT ws.doc_id, t.pos, ws.w[t.pos] AS tok
-          FROM ws, unnest(generate_series(1, len(ws.w))) AS t(pos)
-        ),
+        )"""
+
+
+def _span_cleaned_oracle(
+    window_words: int = 10, min_docs: int = 2, hashed: bool = True
+) -> str:
+    """DuckDB mirror of the span-cut manifest: the shared span CTE
+    chain, exploded back to covered positions, anti-joined against
+    per-position tokens, rebuilt in pos order and md5'd — token-level
+    engine agreement of the whole composition. ``hashed=False`` is the
+    span_cleaned_text twin: the identical rebuild with the surviving
+    STRING returned instead of its md5."""
+    out_col = (
+        "md5(string_agg(tok, ' ' ORDER BY pos)) AS cleaned"
+        if hashed
+        else "string_agg(tok, ' ' ORDER BY pos) AS cleaned"
+    )
+    final = (
+        "coalesce(rebuilt.cleaned, md5('')) AS cleaned_md5"
+        if hashed
+        else "coalesce(rebuilt.cleaned, '') AS cleaned_text"
+    )
+    return f"""
+        WITH {_span_cut_ctes('documents', window_words, min_docs)},
         kept AS (
           SELECT toks.doc_id, toks.pos, toks.tok
           FROM toks ANTI JOIN cut USING (doc_id, pos)
@@ -7363,11 +7348,7 @@ def _pii_match_sql(tok: str) -> str:
 def _pii_pattern_spans_oracle() -> str:
     return f"""
         WITH {_PLANT_PII_CTE},
-        ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM planted),
-        toks AS (
-          SELECT ws.doc_id, t.pos, ws.w[t.pos] AS tok
-          FROM ws, unnest(generate_series(1, len(ws.w))) AS t(pos)
-        )
+        {_ws_toks_ctes('planted')}
         SELECT doc_id, CAST(pos AS INTEGER) AS span_start,
                CAST(pos AS INTEGER) AS span_end,
                {_pii_kind_case_sql('tok')} AS kind
@@ -7397,11 +7378,7 @@ def _pii_cut_oracle() -> str:
     rebuilt in order — the generic cut engine-checked."""
     return f"""
         WITH {_PLANT_PII_CTE},
-        ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM planted),
-        toks AS (
-          SELECT ws.doc_id, t.pos, ws.w[t.pos] AS tok
-          FROM ws, unnest(generate_series(1, len(ws.w))) AS t(pos)
-        ),
+        {_ws_toks_ctes('planted')},
         cut AS (
           SELECT doc_id, pos FROM toks WHERE {_pii_match_sql('tok')}
         ),
@@ -7425,54 +7402,15 @@ def _pii_cut_oracle() -> str:
 
 
 def _redact_clean_oracle(window_words: int = 10, min_docs: int = 2) -> str:
-    """DuckDB twin of the fused curation tail: the _span_cleaned_oracle
-    CTE chain over the PII-PLANTED corpus, with the surviving tokens
-    run through the placeholder CASE — pins span removal, masking, and
-    their one-pass composition at the character level."""
-    w = int(window_words)
+    """DuckDB twin of the fused curation tail: the SHARED span-cut CTE
+    chain (_span_cut_ctes) over the PII-PLANTED corpus, with the
+    surviving tokens run through the placeholder CASE — pins span
+    removal, masking, and their one-pass composition at the character
+    level. One extent definition serves this, the manifest, the
+    cleaned-text, and the duplicate_spans oracles."""
     return f"""
         WITH {_PLANT_PII_CTE},
-        ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM planted),
-        grams AS (
-          SELECT ws.doc_id, t.p,
-                 md5(array_to_string(ws.w[t.p : t.p + {w - 1}], ' '))
-                   AS digest
-          FROM ws, unnest(generate_series(1, len(ws.w) - {w - 1})) AS t(p)
-        ),
-        dup AS (
-          SELECT digest FROM grams
-          GROUP BY digest
-          HAVING count(DISTINCT doc_id) >= {int(min_docs)}
-        ),
-        covg AS (
-          SELECT g.doc_id, g.p FROM grams g JOIN dup USING (digest)
-        ),
-        brk AS (
-          SELECT doc_id, p,
-                 CASE WHEN p > lag(p) OVER
-                          (PARTITION BY doc_id ORDER BY p) + {w}
-                      THEN 1 ELSE 0 END AS b
-          FROM covg
-        ),
-        isl AS (
-          SELECT doc_id, p,
-                 sum(b) OVER (PARTITION BY doc_id ORDER BY p
-                              ROWS BETWEEN UNBOUNDED PRECEDING
-                              AND CURRENT ROW) AS island
-          FROM brk
-        ),
-        spans AS (
-          SELECT doc_id, min(p) AS s, max(p) + {w - 1} AS e
-          FROM isl GROUP BY doc_id, island
-        ),
-        cut AS (
-          SELECT spans.doc_id, t.pos
-          FROM spans, unnest(generate_series(spans.s, spans.e)) AS t(pos)
-        ),
-        toks AS (
-          SELECT ws.doc_id, t.pos, ws.w[t.pos] AS tok
-          FROM ws, unnest(generate_series(1, len(ws.w))) AS t(pos)
-        ),
+        {_span_cut_ctes('planted', window_words, min_docs)},
         kept AS (
           SELECT toks.doc_id, toks.pos,
                  {_pii_placeholder_case_sql('toks.tok')} AS tok,

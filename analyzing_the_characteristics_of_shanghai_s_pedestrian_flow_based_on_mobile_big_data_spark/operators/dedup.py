@@ -703,23 +703,39 @@ def _require_block_scheme(
     scheme: dict,
     max_hamming: int,
     nbits: int,
-    min_key_bits: int,
     weighted: bool = False,
-) -> None:
-    """Raise unless ``scheme`` (a parsed ``_scheme.json`` stamp) is
-    EXACTLY the blocking the caller's (max_hamming, nbits,
-    min_key_bits, weighted) parameters produce — the free, scan-less
-    form of the blocking-consistency check (round 11, VERDICT r10 #1)."""
-    expected = hamming_block_scheme(max_hamming, nbits, min_key_bits, weighted)
-    if scheme != expected:
-        raise ValueError(
-            f"block-table scheme mismatch: table stamped {scheme}, "
-            f"query parameters imply {expected} — keys from two "
-            "blockings never match each other, so the pigeonhole "
-            "cover would be silently lost (missed near-dups, no "
-            "error); query with the table's own parameters or "
-            "rebuild the table"
+) -> tuple[list[int], list[tuple[int, ...]]]:
+    """Validate a parsed ``_scheme.json`` stamp against the caller's
+    SEMANTIC parameters (max_hamming = the Hamming budget, nbits, the
+    vote mode) and return the stamp's own (widths, combinations) — the
+    free, scan-less form of the blocking-consistency check (round 11,
+    VERDICT r10 #1). The stamp is the AUTHORITY for the banding
+    itself: ``min_key_bits`` is a build-time selector input the stamp
+    already encodes as ``widths``, so scheme-driven callers never
+    restate it (restating it wrongly was just another way to lose the
+    cover)."""
+    widths, combos = _banding_from_scheme(scheme)  # validates shape
+    mism = []
+    if int(scheme["max_hamming"]) != int(max_hamming):
+        mism.append(
+            f"max_hamming: stamp {scheme['max_hamming']}, caller {max_hamming}"
         )
+    if int(scheme["nbits"]) != int(nbits):
+        mism.append(f"nbits: stamp {scheme['nbits']}, caller {nbits}")
+    if bool(weighted) != (scheme.get("vote") == "tf"):
+        mism.append(
+            f"vote: stamp {scheme.get('vote', 'set')!r}, caller "
+            f"{'tf' if weighted else 'set'!r}"
+        )
+    if mism:
+        raise ValueError(
+            f"block-table scheme mismatch ({'; '.join(mism)}) — keys "
+            "or signatures from two schemes never match each other, "
+            "so the pigeonhole cover would be silently lost (missed "
+            "near-dups, no error); query with the table's own "
+            "parameters or rebuild the table"
+        )
+    return widths, combos
 
 
 def verify_block_table(
@@ -780,6 +796,7 @@ def simhash_blocks(
     text_col: str = "text",
     min_key_bits: int = 16,
     weighted: bool = False,
+    banding: tuple[list[int], list[tuple[int, ...]]] | None = None,
 ) -> DataFrame:
     """(doc_id, simhash, blk, val) — the Manku multi-block
     decomposition of each document's SimHash signature under
@@ -796,8 +813,16 @@ def simhash_blocks(
     blocking by construction. Extraction is (sig >> off) & mask —
     identical low-bit results under arithmetic (Spark) and logical
     (DuckDB) shifts, so the twin needs no sign gymnastics; the one
-    full-width block (h=0) is the signature itself."""
-    widths, combos = simhash_banding(max_hamming, nbits, min_key_bits)
+    full-width block (h=0) is the signature itself. ``banding``
+    overrides the selector with an explicit (widths, combinations) —
+    the scheme-driven path (:func:`_banding_from_scheme` on a table's
+    stamp), where ``min_key_bits`` is irrelevant because the widths
+    are already decided."""
+    widths, combos = (
+        banding
+        if banding is not None
+        else simhash_banding(max_hamming, nbits, min_key_bits)
+    )
     offsets = [sum(widths[:i]) for i in range(len(widths))]
     sig = simhash(docs, id_col, text_col, nbits, weighted)
 
@@ -858,15 +883,22 @@ def hamming_pairs_from_blocks(
     ``verify_blocking=True`` (the default) runs one scalar
     column-pruned max(blk) aggregate and raises when the table's
     combination count disagrees with the parameters (necessary-not-
-    sufficient — see :func:`verify_block_table`). Set
-    ``verify_blocking=False`` only where the same session built the
-    table moments earlier with the same parameters."""
+    sufficient — see :func:`verify_block_table`). The scalar check is
+    a bounded column-pruned scan on a MATERIALIZED table (the ingest
+    index's read(), a parquet block table); on a LAZY in-session
+    `simhash_blocks` composition it would recompute the whole
+    signature pipeline once for the check and again for the join —
+    pass ``verify_blocking=False`` there (consistency holds by
+    construction, which is what the internal callers do) or
+    localCheckpoint the table first."""
     if scheme is not None:
         # ``weighted`` matters only to the stamp equality — the pair
         # extraction itself is vote-agnostic (signatures are opaque
         # 64-bit values here), but a vote-mode mismatch between table
-        # and caller is the same silent-loss class as a width change
-        _require_block_scheme(scheme, max_hamming, nbits, min_key_bits, weighted)
+        # and caller is the same silent-loss class as a width change.
+        # min_key_bits is NOT checked: the stamp's widths already
+        # encode the banding (it was only ever the selector's input).
+        _require_block_scheme(scheme, max_hamming, nbits, weighted)
     elif verify_blocking:
         verify_block_table(blocks, max_hamming, nbits, min_key_bits)
     a = blocks.select(
@@ -905,6 +937,7 @@ def new_doc_hamming_candidates(
     min_key_bits: int = 16,
     scheme: dict | None = None,
     weighted: bool = False,
+    verify_blocking: bool = True,
 ) -> DataFrame:
     """Ingest-time scoring for the simhash block index: (new_doc_id,
     doc_id, hamming) pairs between a batch of NEW documents and the
@@ -920,17 +953,28 @@ def new_doc_hamming_candidates(
     silently returns zero candidates (round-11 ADVICE fix:
     ``min_key_bits`` is now threaded rather than silently defaulted).
     Pass the index's ``_scheme.json`` stamp via ``scheme=``
-    (streaming/incremental.py:read_index_scheme) to enforce the match
-    scan-lessly before any job runs. Orientation rules mirror
+    (streaming/incremental.py:read_index_scheme): it is checked
+    scan-lessly before any job runs AND becomes the authority for the
+    delta's banding (``min_key_bits`` need not be restated — the
+    stamp's widths already encode it). Without a stamp,
+    ``verify_blocking=True`` (the default — this is the path where
+    the silent-zero-candidates failure actually bites) runs one
+    scalar max(blk) aggregate against the INDEX and refuses a
+    combination-count mismatch; per-batch ingest loops that built the
+    index in the same session may pass False. Orientation rules mirror
     new_doc_dup_candidates: self-matches excluded, the mirrored pair
     a replayed file would create (both endpoints in new batch ∩
     index) collapses to the smaller-id orientation, and WITHIN-batch
     duplicates surface through a batch self-join term so scoring
     never requires the merge to land first."""
+    banding = None
     if scheme is not None:
-        _require_block_scheme(scheme, max_hamming, nbits, min_key_bits, weighted)
+        banding = _require_block_scheme(scheme, max_hamming, nbits, weighted)
+    elif verify_blocking:
+        verify_block_table(index_blocks, max_hamming, nbits, min_key_bits)
     nb = simhash_blocks(
-        new_docs, max_hamming, nbits, id_col, text_col, min_key_bits, weighted
+        new_docs, max_hamming, nbits, id_col, text_col, min_key_bits,
+        weighted, banding,
     ).localCheckpoint(eager=True)
     idx = index_blocks.select("doc_id", "simhash", "blk", "val")
     q = nb.select(
@@ -2022,12 +2066,18 @@ def _check_portable_patterns(patterns: dict[str, str]) -> None:
     contract PII_PATTERNS keeps and custom patterns must too."""
     import re as _re
 
+    if not patterns:
+        raise ValueError("patterns must be non-empty")
     for kind, pat in patterns.items():
-        bad = _re.search(r"\(\?[=!<]|\\[1-9]", pat)
+        # lookaround (?= (?! (?<, atomic groups (?>, backrefs \1-\9,
+        # and possessive quantifiers *+/++/?+/{m,n}+ (quantifier char
+        # not itself backslash-escaped) — all Java-only
+        bad = _re.search(r"\(\?[=!<>]|\\[1-9]|(?<!\\)[*+?}]\+", pat)
         if bad:
             raise ValueError(
                 f"pattern {kind!r} uses {bad.group(0)!r} — lookaround/"
-                "backreferences are not in the Java∩RE2-portable regex "
+                "atomic groups/backreferences/possessive quantifiers "
+                "are not in the Java∩RE2-portable regex "
                 "subset this operator family guarantees (Spark rlike "
                 "vs DuckDB regexp_matches would diverge); rewrite with "
                 "classes, alternation, anchors and bounded quantifiers"
@@ -2043,14 +2093,13 @@ def _pii_kind(tok, patterns: dict[str, str]):
     for kind, pat in patterns.items():
         branch = F.when(tok.rlike(pat), F.lit(kind))
         expr = branch if expr is None else expr.when(tok.rlike(pat), F.lit(kind))
-    if expr is None:
-        raise ValueError("patterns must be non-empty")
     return expr
 
 
 def _pii_placeholder(tok, patterns: dict[str, str]):
     """Token column → replacement placeholder (``<EMAIL>``…, NULL when
     no pattern matches)."""
+    _check_portable_patterns(patterns)
     expr = None
     for kind, pat in patterns.items():
         ph = F.lit(f"<{kind.upper()}>")

@@ -1266,11 +1266,20 @@ def test_new_doc_hamming_candidates_min_key_bits_threaded(spark):
     )
     assert got == want
     # the old silent failure: default min_key_bits against the 8-bit
-    # index — with the stamp wired through, it REFUSES instead
-    with pytest.raises(ValueError, match="scheme mismatch"):
-        new_doc_hamming_candidates(
+    # index — with the stamp wired through, the STAMP drives the
+    # delta's banding (min_key_bits never restated), so the scored
+    # pairs come out right without knowing the build-time selector
+    got_scheme = sorted(
+        (r.new_doc_id, r.doc_id, r.hamming)
+        for r in new_doc_hamming_candidates(
             idx, new, max_hamming=4, scheme=hamming_block_scheme(4, 64, 8)
-        )
+        ).collect()
+    )
+    assert got_scheme == want
+    # and without a stamp, the default index verification catches the
+    # banding drift the defaults would otherwise silently cause
+    with pytest.raises(ValueError, match="combination ids"):
+        new_doc_hamming_candidates(idx, new, max_hamming=4)  # default 16
 
 
 def test_subsumption_fixpoint_deep_chain_exercises_loop(spark):
@@ -1573,13 +1582,23 @@ def test_redaction_refuses_nonportable_regex(spark):
         {"x": r"^(?=a).*$"},          # lookahead
         {"x": r"^(?<!b)a$"},          # lookbehind
         {"x": r"^(a)\1$"},            # backreference
+        {"x": r"^[0-9]*+$"},          # possessive quantifier
+        {"x": r"^(?>ab)c$"},          # atomic group
+        {"x": r"^a{1,2}+$"},          # possessive bounded quantifier
     ):
         with pytest.raises(ValueError, match="portable regex subset"):
             pattern_spans(docs, bad)
         with pytest.raises(ValueError, match="portable regex subset"):
             redacted_text(docs, bad).collect()
-    # the shipped defaults and plain custom patterns pass
+    # empty patterns refuse with the clear error, not a py4j crash
+    with pytest.raises(ValueError, match="non-empty"):
+        pattern_spans(docs, {})
+    with pytest.raises(ValueError, match="non-empty"):
+        redacted_text(docs, {})
+    # the shipped defaults, escaped-plus quantifiers, and plain custom
+    # patterns pass (escaped + followed by a quantifier is portable)
     assert pattern_spans(docs, {"x": r"^[ab]{1,2}$"}).count() == 2
+    assert pattern_spans(docs, {"x": r"^a\+*$"}).count() == 1
 
 
 def test_band_index_scheme_gates_batch_scoring(spark, tmp_path):

@@ -2064,13 +2064,20 @@ def test_read_index_scheme_round_trips_and_gates_batch_queries(tmp_path):
     stamp = hamming_block_scheme(6, 64, 16)
     _pin_index_scheme(path, stamp)
     assert read_index_scheme(path) == stamp
-    # the loaded stamp gates: matching params pass, drifted budget or
-    # key floor refuse before any Spark job exists
-    _require_block_scheme(read_index_scheme(path), 6, 64, 16)
+    # the loaded stamp gates: matching params pass (and hand back the
+    # stamp's own banding — min_key_bits is never restated), while a
+    # drifted budget or vote mode refuses before any Spark job exists
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+        simhash_banding,
+    )
+
+    assert _require_block_scheme(read_index_scheme(path), 6, 64) == (
+        simhash_banding(6, 64, 16)
+    )
     with pytest.raises(ValueError, match="scheme mismatch"):
-        _require_block_scheme(read_index_scheme(path), 3, 64, 16)
+        _require_block_scheme(read_index_scheme(path), 3, 64)
     with pytest.raises(ValueError, match="scheme mismatch"):
-        _require_block_scheme(read_index_scheme(path), 6, 64, 8)
+        _require_block_scheme(read_index_scheme(path), 6, 64, weighted=True)
     # missing and torn stamps refuse rather than guess
     with pytest.raises(ValueError, match="no readable scheme stamp"):
         read_index_scheme(str(tmp_path / "nowhere"))
@@ -2083,5 +2090,5 @@ def test_read_index_scheme_round_trips_and_gates_batch_queries(tmp_path):
     # a minhash-band stamp is not a simhash blocking
     band = str(tmp_path / "band_idx")
     _pin_index_scheme(band, {"kind": "minhash_bands", "k": 8, "bands": 4, "n": 3})
-    with pytest.raises(ValueError, match="scheme mismatch"):
-        _require_block_scheme(read_index_scheme(band), 3, 64, 16)
+    with pytest.raises(ValueError, match="not a simhash block scheme"):
+        _require_block_scheme(read_index_scheme(band), 3, 64)
