@@ -321,6 +321,28 @@ def _require_band_scheme(scheme: dict, k: int, bands: int, n: int) -> None:
         )
 
 
+def verify_band_table(index_bands: DataFrame, bands: int) -> None:
+    """Stamp-less fallback check for a materialized band table: the
+    band ids must span exactly ``bands`` values (one scalar
+    column-pruned max aggregate — bounded even at index scale).
+    NECESSARY, not sufficient: a ``k`` or ``n`` drift at equal
+    ``bands`` produces incomparable band HASHES this cannot see —
+    the ``_scheme.json`` stamp (``scheme=``) is the exact check and
+    the one to prefer wherever the index came from the ingest
+    stream."""
+    row = index_bands.agg(F.max("band").alias("mx")).collect()[0]
+    if row.mx is None:
+        return  # empty index: no banding evidence either way
+    if int(row.mx) + 1 != int(bands):
+        raise ValueError(
+            f"band index carries {int(row.mx) + 1} band ids but the "
+            f"scoring parameters say bands={bands}: the index was "
+            "built under a different banding and candidates would "
+            "silently vanish — score with the index's own parameters "
+            "(see its _scheme.json stamp) or rebuild"
+        )
+
+
 def minhash_bands(
     docs: DataFrame,
     k: int = 8,
@@ -2373,6 +2395,7 @@ def new_doc_dup_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     scheme: dict | None = None,
+    verify_banding: bool = True,
 ) -> DataFrame:
     """Ingest-time dedup scoring: candidate (new_doc_id, doc_id) pairs
     between a batch of NEW documents and the maintained band index
@@ -2398,9 +2421,16 @@ def new_doc_dup_candidates(
     ``_scheme.json`` (streaming/incremental.py:read_index_scheme) via
     ``scheme=`` and a parameter drift raises scan-lessly before any
     job runs, instead of the equi-join silently returning zero
-    candidates (the same guard class as the simhash block side)."""
+    candidates (the same guard class as the simhash block side).
+    Without a stamp, ``verify_banding=True`` (the default) runs one
+    scalar max(band) aggregate against the index — it catches a
+    ``bands`` drift but NOT a k/n drift at equal bands (band hashes
+    are opaque), so the stamp remains the real contract; in-session
+    ingest loops that built the index themselves may pass False."""
     if scheme is not None:
         _require_band_scheme(scheme, k, bands, n)
+    elif verify_banding:
+        verify_band_table(index_bands, bands)
     # Materialized ONCE via eager localCheckpoint (|delta|·bands rows —
     # tiny): nb feeds the index probe AND both sides of the
     # within-batch self-join; un-materialized, the tokenize/shingle/

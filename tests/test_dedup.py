@@ -1636,3 +1636,7 @@ def test_band_index_scheme_gates_batch_scoring(spark, tmp_path):
     for kk, bb, nn in ((16, 4, 3), (8, 2, 3), (8, 4, 2)):
         with pytest.raises(ValueError, match="band-index scheme mismatch"):
             new_doc_dup_candidates(idx, new, k=kk, bands=bb, n=nn, scheme=stamp)
+    # stamp-less fallback: the default max(band) check catches a
+    # bands drift (the k/n blind spot is documented on the function)
+    with pytest.raises(ValueError, match="band ids"):
+        new_doc_dup_candidates(idx, new, k=8, bands=8, n=3)
