@@ -7317,6 +7317,14 @@ def _span_cleaned_oracle(
     """
 
 
+def _sq(s: str) -> str:
+    """Escape a string for embedding in a single-quoted SQL literal
+    (round-11 ADVICE: a pattern carrying a quote would break — or
+    inject into — the generated oracle SQL; the shipped PII_PATTERNS
+    are quote-free, but the generator should not depend on that)."""
+    return s.replace("'", "''")
+
+
 def _pii_kind_case_sql(tok: str) -> str:
     """DuckDB CASE chain mirroring operators/dedup.py:_pii_kind —
     generated from the SAME PII_PATTERNS dict in the same order, so
@@ -7325,7 +7333,7 @@ def _pii_kind_case_sql(tok: str) -> str:
     quantifiers), which is what makes one pattern string serve both
     rlike and regexp_matches."""
     branches = " ".join(
-        f"WHEN regexp_matches({tok}, '{pat}') THEN '{kind}'"
+        f"WHEN regexp_matches({tok}, '{_sq(pat)}') THEN '{_sq(kind)}'"
         for kind, pat in ops.PII_PATTERNS.items()
     )
     return f"CASE {branches} END"
@@ -7333,7 +7341,7 @@ def _pii_kind_case_sql(tok: str) -> str:
 
 def _pii_placeholder_case_sql(tok: str) -> str:
     branches = " ".join(
-        f"WHEN regexp_matches({tok}, '{pat}') THEN '<{kind.upper()}>'"
+        f"WHEN regexp_matches({tok}, '{_sq(pat)}') THEN '<{_sq(kind.upper())}>'"
         for kind, pat in ops.PII_PATTERNS.items()
     )
     return f"CASE {branches} ELSE {tok} END"
@@ -7341,7 +7349,8 @@ def _pii_placeholder_case_sql(tok: str) -> str:
 
 def _pii_match_sql(tok: str) -> str:
     return " OR ".join(
-        f"regexp_matches({tok}, '{pat}')" for pat in ops.PII_PATTERNS.values()
+        f"regexp_matches({tok}, '{_sq(pat)}')"
+        for pat in ops.PII_PATTERNS.values()
     )
 
 

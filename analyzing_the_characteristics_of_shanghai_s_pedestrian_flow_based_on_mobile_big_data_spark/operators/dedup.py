@@ -310,14 +310,29 @@ def minhash_band_scheme(k: int = 8, bands: int = 4, n: int = 3) -> dict:
 
 
 def _require_band_scheme(scheme: dict, k: int, bands: int, n: int) -> None:
+    """Per-field comparison of the KNOWN scheme keys (round-11 ADVICE:
+    whole-dict equality broke forward compatibility — a stamp carrying
+    any extra metadata key written by a future version failed even
+    when kind/k/bands/n matched, mirroring _require_block_scheme's
+    per-field checks instead)."""
     expected = minhash_band_scheme(k, bands, n)
-    if scheme != expected:
+    mism = []
+    for field in ("kind", "k", "bands", "n"):
+        got = scheme.get(field)
+        want = expected[field]
+        if field != "kind":
+            try:
+                got = int(got)
+            except (TypeError, ValueError):
+                pass
+        if got != want:
+            mism.append(f"{field}: stamp {scheme.get(field)!r}, caller {want!r}")
+    if mism:
         raise ValueError(
-            f"band-index scheme mismatch: index stamped {scheme}, "
-            f"scoring parameters imply {expected} — band hashes from "
-            "two schemes never match each other, so candidates would "
-            "silently vanish; score with the index's own parameters "
-            "or rebuild the index"
+            f"band-index scheme mismatch ({'; '.join(mism)}) — band "
+            "hashes from two schemes never match each other, so "
+            "candidates would silently vanish; score with the index's "
+            "own parameters or rebuild the index"
         )
 
 
@@ -806,6 +821,11 @@ def _banding_from_scheme(scheme: dict) -> tuple[list[int], list[tuple[int, ...]]
     B = len(widths)
     m = B - int(scheme["max_hamming"])
     if m < 1 or math.comb(B, m) != int(scheme["n_combos"]):
+        raise ValueError(f"inconsistent block scheme stamp: {scheme}")
+    # a corrupted stamp whose widths don't tile the signature would
+    # silently extract wrong bit extents (round-11 ADVICE): the widths
+    # must be positive and sum exactly to nbits
+    if any(w < 1 for w in widths) or sum(widths) != int(scheme["nbits"]):
         raise ValueError(f"inconsistent block scheme stamp: {scheme}")
     return widths, list(itertools.combinations(range(B), m))
 
@@ -2077,6 +2097,71 @@ PII_PATTERNS: dict[str, str] = {
 }
 
 
+def _portability_violation(pat: str) -> str | None:
+    """Scan ``pat`` with ESCAPE PARITY and CHARACTER-CLASS state (round
+    12 — the round-11 single-regex guard had both failure directions:
+    ``\\\\*+`` passed because the lookbehind saw a backslash it did not
+    know was itself escaped, and ``^[*+]+$`` was refused although the
+    quantifier chars sit inside a class where they are literals).
+    Returns the offending construct, or None when the pattern stays in
+    the Java∩RE2-portable subset. Rules, applied only where a char is
+    an actual metacharacter (unescaped, outside a class):
+
+    - ``(?=`` ``(?!`` ``(?<`` ``(?>`` — lookaround / Java named groups
+      / atomic groups;
+    - ``\\1``–``\\9`` where the backslash starts an escape —
+      backreferences (rejected inside classes too: Java reads octal,
+      RE2 errors);
+    - a quantifier (``*`` ``+`` ``?`` or a well-formed ``{m[,n]}``)
+      followed by ``+`` — possessive, Java-only (RE2 errors). Lazy
+      ``*?``/``+?``/``??``/``{m,n}?`` are portable and pass."""
+    import re as _re
+
+    i, n = 0, len(pat)
+    in_class = False
+    while i < n:
+        c = pat[i]
+        if c == "\\":
+            nxt = pat[i + 1] if i + 1 < n else ""
+            if nxt.isdigit() and nxt != "0":
+                return pat[i : i + 2]  # backreference
+            i += 2  # escaped char: literal, never a metacharacter
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            i += 1
+            # a leading ^ and/or ] is part of the class, not its end
+            if i < n and pat[i] == "^":
+                i += 1
+            if i < n and pat[i] == "]":
+                i += 1
+            continue
+        if c == "(" and pat[i + 1 : i + 2] == "?" and pat[
+            i + 2 : i + 3
+        ] in ("=", "!", "<", ">"):
+            return pat[i : i + 3]
+        if c in "*+?":
+            if pat[i + 1 : i + 2] == "+":
+                return pat[i : i + 2]  # possessive quantifier
+            i += 2 if pat[i + 1 : i + 2] == "?" else 1  # lazy is portable
+            continue
+        if c == "{":
+            m = _re.match(r"\{[0-9]+(,[0-9]*)?\}", pat[i:])
+            if m:  # a well-formed bounded quantifier
+                j = i + m.end()
+                if pat[j : j + 1] == "+":
+                    return pat[i : j + 1]  # possessive {m,n}+
+                i = j + 1 if pat[j : j + 1] == "?" else j
+                continue
+        i += 1
+    return None
+
+
 def _check_portable_patterns(patterns: dict[str, str]) -> None:
     """Refuse regex constructs outside the Java∩RE2 common subset the
     redaction family's engine-parity rests on: Spark's rlike is Java
@@ -2085,19 +2170,17 @@ def _check_portable_patterns(patterns: dict[str, str]) -> None:
     engine and ERROR or silently differ in the other, turning every
     derived oracle row into a lie. Character classes, alternation,
     anchors and bounded quantifiers are identical in both; that is the
-    contract PII_PATTERNS keeps and custom patterns must too."""
-    import re as _re
-
+    contract PII_PATTERNS keeps and custom patterns must too. The
+    check tracks escape parity and class state
+    (:func:`_portability_violation`), so a literal ``\\\\`` before a
+    quantifier or quantifier chars inside a class never mislead it."""
     if not patterns:
         raise ValueError("patterns must be non-empty")
     for kind, pat in patterns.items():
-        # lookaround (?= (?! (?<, atomic groups (?>, backrefs \1-\9,
-        # and possessive quantifiers *+/++/?+/{m,n}+ (quantifier char
-        # not itself backslash-escaped) — all Java-only
-        bad = _re.search(r"\(\?[=!<>]|\\[1-9]|(?<!\\)[*+?}]\+", pat)
-        if bad:
+        bad = _portability_violation(pat)
+        if bad is not None:
             raise ValueError(
-                f"pattern {kind!r} uses {bad.group(0)!r} — lookaround/"
+                f"pattern {kind!r} uses {bad!r} — lookaround/"
                 "atomic groups/backreferences/possessive quantifiers "
                 "are not in the Java∩RE2-portable regex "
                 "subset this operator family guarantees (Spark rlike "
@@ -2396,6 +2479,7 @@ def new_doc_dup_candidates(
     text_col: str = "text",
     scheme: dict | None = None,
     verify_banding: bool = True,
+    trust_banding: bool = False,
 ) -> DataFrame:
     """Ingest-time dedup scoring: candidate (new_doc_id, doc_id) pairs
     between a batch of NEW documents and the maintained band index
@@ -2422,13 +2506,36 @@ def new_doc_dup_candidates(
     ``scheme=`` and a parameter drift raises scan-lessly before any
     job runs, instead of the equi-join silently returning zero
     candidates (the same guard class as the simhash block side).
-    Without a stamp, ``verify_banding=True`` (the default) runs one
-    scalar max(band) aggregate against the index — it catches a
-    ``bands`` drift but NOT a k/n drift at equal bands (band hashes
-    are opaque), so the stamp remains the real contract; in-session
-    ingest loops that built the index themselves may pass False."""
+    Round 12 (VERDICT r11 #5): a STAMP-LESS call now REFUSES by
+    default — the fallback max(band) scalar check catches a ``bands``
+    drift but is blind to a k/n drift at equal bands (band hashes are
+    opaque), a documented hole a production ingest loop would only
+    discover as silently-missed near-dups. Recovery is named in the
+    error: pass ``scheme=read_index_scheme(table_path)`` for a
+    stream-built index (streaming/incremental.py stamps
+    ``_scheme.json`` on first build), or write
+    ``minhash_band_scheme(k, bands, n)`` to the table's
+    ``_scheme.json`` by hand after verifying how it was built. Callers
+    that hold the (in-session, un-persisted) band table they JUST
+    built may pass ``trust_banding=True`` — mirroring the simhash
+    side's ``verify_blocking=False`` — which still runs the max(band)
+    scalar check unless ``verify_banding=False`` also says the eager
+    aggregate is not wanted (e.g. per-batch loops over a lazy index
+    pipeline, round-11 ADVICE)."""
     if scheme is not None:
         _require_band_scheme(scheme, k, bands, n)
+    elif not trust_banding:
+        raise ValueError(
+            "stamp-less band index refused: without its _scheme.json "
+            "stamp a k or n drift at equal bands is undetectable and "
+            "the (band, band_hash) equi-join would silently return "
+            "zero candidates — pass scheme=read_index_scheme(<table "
+            "path>) (streaming/incremental.py) for a stream-built "
+            f"index, write minhash_band_scheme({k}, {bands}, {n}) to "
+            "the table's _scheme.json after verifying its build "
+            "parameters, or pass trust_banding=True if this session "
+            "built the band table itself"
+        )
     elif verify_banding:
         verify_band_table(index_bands, bands)
     # Materialized ONCE via eager localCheckpoint (|delta|·bands rows —

@@ -925,6 +925,7 @@ def test_new_doc_dup_candidates_against_streamed_index(spark, tmp_path):
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
         IncrementalCountTable,
         incremental_band_index_stream,
+        read_index_scheme,
     )
 
     A = "the quick brown fox jumps over the lazy dog and runs far away today"
@@ -946,10 +947,13 @@ def test_new_doc_dup_candidates_against_streamed_index(spark, tmp_path):
         spark, str(tmp_path / "tbl"), ["doc_id", "band", "band_hash"]
     )
     index = table.read()
+    # round 12: stamp-less calls refuse by default — the stream-built
+    # index carries its _scheme.json, so scoring passes the stamp
+    stamp = read_index_scheme(str(tmp_path / "tbl"))
     new = spark.createDataFrame([(20, A2), (21, "unrelated fresh text")], schema)
     got = sorted(
         (r.new_doc_id, r.doc_id)
-        for r in new_doc_dup_candidates(index, new).collect()
+        for r in new_doc_dup_candidates(index, new, scheme=stamp).collect()
     )
     assert got == [(20, 1)]
     # consistency with the full-pair view over index ∪ new bands
@@ -977,7 +981,7 @@ def test_new_doc_dup_candidates_against_streamed_index(spark, tmp_path):
     replay = spark.createDataFrame([(1, A), (30, A2)], schema)
     got2 = sorted(
         (r.new_doc_id, r.doc_id)
-        for r in new_doc_dup_candidates(index, replay).collect()
+        for r in new_doc_dup_candidates(index, replay, scheme=stamp).collect()
     )
     assert got2 == [(30, 1)], got2
     # (b) grow the index to hold near-dups 1 and 2, then replay BOTH:
@@ -988,7 +992,9 @@ def test_new_doc_dup_candidates_against_streamed_index(spark, tmp_path):
     both = spark.createDataFrame([(1, A), (2, A2)], schema)
     got3 = sorted(
         (r.new_doc_id, r.doc_id)
-        for r in new_doc_dup_candidates(idx2, both).collect()
+        for r in new_doc_dup_candidates(
+            idx2, both, trust_banding=True
+        ).collect()
     )
     assert got3 == [(1, 2)], got3
     # (c) two near-dups arriving in the SAME batch, neither indexed:
@@ -997,7 +1003,9 @@ def test_new_doc_dup_candidates_against_streamed_index(spark, tmp_path):
     empty_ix = index.filter("1 = 0").select("doc_id", "band", "band_hash")
     got4 = sorted(
         (r.new_doc_id, r.doc_id)
-        for r in new_doc_dup_candidates(empty_ix, fresh).collect()
+        for r in new_doc_dup_candidates(
+            empty_ix, fresh, trust_banding=True
+        ).collect()
     )
     assert got4 == [(50, 51)], got4
 
