@@ -1086,6 +1086,148 @@ def _q_redacted_cleaned_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.redact_and_clean_text(docs, window_words=10, min_docs=2)
 
 
+def _plant_urls(docs: DataFrame) -> DataFrame:
+    """Deterministically attach a synthetic ABSOLUTE URL to every doc
+    (round 12, VERDICT r11 #2 — the documents table carries no URL
+    column; /root/testdata is read-only, so ground truth is derived
+    in-plan, the _plant_pii pattern): host cycles through five shapes
+    exercising every extraction branch — www prefix, multi-part
+    ccTLD suffix (.co.uk), an explicit port, a two-level subdomain,
+    and an UPPERCASED host (lowercasing) — with ~13 distinct sites per
+    shape so per-domain caps and mixes are non-vacuous at sf0.01. The
+    planting is PART OF THE QUERY DEFINITION, restated identically in
+    the DuckDB twin (_PLANT_URL_CTE)."""
+    site = F.concat(F.lit("site"), (F.col("doc_id") % 13).cast("string"))
+    v = (F.col("doc_id") % 5).cast("int")
+    scheme = F.when(F.col("doc_id") % 2 == 0, F.lit("https")).otherwise(
+        F.lit("http")
+    )
+    hostport = (
+        F.when(v == 0, F.concat(F.lit("www."), site, F.lit(".com")))
+        .when(v == 1, F.concat(F.lit("blog."), site, F.lit(".co.uk")))
+        .when(v == 2, F.concat(site, F.lit(".org:8080")))
+        .when(v == 3, F.concat(F.lit("cdn.media."), site, F.lit(".net")))
+        .otherwise(F.upper(F.concat(site, F.lit(".io"))))
+    )
+    url = F.concat(
+        scheme,
+        F.lit("://"),
+        hostport,
+        F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    return docs.withColumn("url", url)
+
+
+_PLANT_URL_CTE = """
+        planted_urls AS (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+                 || '://' ||
+                 (CASE CAST(doc_id % 5 AS INTEGER)
+                   WHEN 0 THEN 'www.site' || CAST(doc_id % 13 AS VARCHAR)
+                               || '.com'
+                   WHEN 1 THEN 'blog.site' || CAST(doc_id % 13 AS VARCHAR)
+                               || '.co.uk'
+                   WHEN 2 THEN 'site' || CAST(doc_id % 13 AS VARCHAR)
+                               || '.org:8080'
+                   WHEN 3 THEN 'cdn.media.site' || CAST(doc_id % 13 AS VARCHAR)
+                               || '.net'
+                   ELSE upper('site' || CAST(doc_id % 13 AS VARCHAR) || '.io')
+                  END)
+                 || '/p/' || CAST(doc_id AS VARCHAR) AS url
+          FROM documents
+        )"""
+
+# TLD-level mixture recipe for url_suffix_mix_counts: .io is absent →
+# default_rate 0.0 drops it, pinning the unknown-domain branch
+_URL_MIX_RATES = {"com": 0.9, "co.uk": 0.5, "org": 0.25, "net": 0.1}
+
+
+def _q_url_domain_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL → host → registered-domain extraction (round 12, VERDICT
+    r11 #2): the key derivation every domain-aware curation stage
+    (caps, blocklists, domain mixes) hangs off. Host = authority minus
+    userinfo/port, lowercased; registered domain = last two labels, or
+    three over a known multi-part suffix (functions/urls.py — the
+    pluggable Public-Suffix-List subset). Pure map-side expressions in
+    the Java∩RE2-portable regex subset; zero exchanges."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.urls import (
+        url_host,
+        url_registered_domain,
+    )
+
+    docs = _plant_urls(load_table(spark, sf_dir, "documents"))
+    host = url_host(F.col("url"))
+    return docs.select(
+        "doc_id",
+        "url",
+        host.alias("host"),
+        url_registered_domain(host).alias("reg_domain"),
+    )
+
+
+def _q_per_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain dedup cap (round 12): at most 5 docs survive per
+    registered domain, chosen by md5(doc_id) hash order so the pick is
+    deterministic, engine-portable, and uncorrelated with crawl order.
+    The row_number()<=cap filter is the WindowGroupLimit shape — Spark
+    pre-limits every domain to its top-5 BEFORE the shuffle, so a hot
+    domain ships ~cap rows per map task instead of its full page set
+    (functions/urls.py:cap_per_domain; plan-pinned)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.urls import (
+        cap_per_domain,
+        url_host,
+        url_registered_domain,
+    )
+
+    docs = _plant_urls(load_table(spark, sf_dir, "documents"))
+    keyed = docs.select(
+        "doc_id",
+        url_registered_domain(url_host(F.col("url"))).alias("reg_domain"),
+    )
+    return cap_per_domain(keyed, "reg_domain", cap=5).select(
+        "doc_id", "reg_domain", F.col("rk").cast("int").alias("rk")
+    )
+
+
+def _q_url_suffix_mix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-keyed mixture realization (round 12): the TLD-suffix of
+    each doc's registered domain drives the keep rate (com 0.9 /
+    co.uk 0.5 / org 0.25 / net 0.1, unknown suffixes → 0.0), decided
+    per row by the stable md5 coin — domain_mix_keep re-keyed from
+    the free-text source column onto the URL-derived key a real web
+    corpus mixes on. One scan + one tiny suffix-keyed aggregate."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.sampling import (
+        domain_mix_keep,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.urls import (
+        url_host,
+        url_registered_domain,
+        url_suffix,
+    )
+
+    docs = _plant_urls(load_table(spark, sf_dir, "documents"))
+    suffix = url_suffix(url_registered_domain(url_host(F.col("url"))))
+    keep = domain_mix_keep(
+        F.col("doc_id"), suffix, _URL_MIX_RATES, salt="urlmix"
+    )
+    return (
+        docs.select(suffix.alias("suffix"), keep.alias("keep"))
+        .groupBy("suffix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .withColumn(
+            "achieved_rate",
+            F.round(F.col("n_kept").cast("double") / F.col("n_docs"), 6),
+        )
+    )
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ops.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
@@ -6545,6 +6687,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_pattern_spans": _q_pii_pattern_spans,
         "pii_redacted_text": _q_pii_redacted_text,
         "pii_cut_text": _q_pii_cut_text,
+        # batch 31 (round 12) — URL/domain-aware curation
+        "url_domain_extract": _q_url_domain_extract,
+        "per_domain_caps": _q_per_domain_caps,
+        "url_suffix_mix_counts": _q_url_suffix_mix_counts,
         "redacted_cleaned_text": _q_redacted_cleaned_text,
         "tf_cosine_pairs": _q_tf_cosine_pairs,
         "tf_cosine_pairs_auto": _q_tf_cosine_pairs_auto,
@@ -7315,6 +7461,39 @@ def _span_cleaned_oracle(
                {final}
         FROM totals LEFT JOIN rebuilt USING (doc_id)
     """
+
+
+def _url_domain_ctes() -> str:
+    """CTE block (without the WITH keyword) deriving host and
+    registered domain from the planted URLs — the DuckDB restatement
+    of functions/urls.py:url_host/url_registered_domain, generated
+    from the SAME DEFAULT_MULTI_TLDS tuple so the suffix set can never
+    drift between engines. Ends at ``doms(doc_id, url, host,
+    reg_domain)``."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.urls import (
+        DEFAULT_MULTI_TLDS,
+    )
+
+    multi = ", ".join(f"'{t}'" for t in DEFAULT_MULTI_TLDS)
+    host = (
+        "lower(regexp_replace(regexp_extract(url, "
+        "'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)', 1), "
+        "':[0-9]+$', ''))"
+    )
+    return f"""{_PLANT_URL_CTE},
+        hosts AS (
+          SELECT doc_id, url, {host} AS host FROM planted_urls
+        ),
+        doms AS (
+          SELECT doc_id, url, host,
+                 CASE WHEN len(l) >= 3
+                           AND (l[-2] || '.' || l[-1]) IN ({multi})
+                      THEN l[-3] || '.' || l[-2] || '.' || l[-1]
+                      WHEN len(l) >= 2 THEN l[-2] || '.' || l[-1]
+                      ELSE host END AS reg_domain
+          FROM (SELECT doc_id, url, host, string_split(host, '.') AS l
+                FROM hosts)
+        )"""
 
 
 def _sq(s: str) -> str:
@@ -8990,6 +9169,45 @@ def oracle_sql() -> dict[str, str]:
         "pii_pattern_spans": _pii_pattern_spans_oracle(),
         "pii_redacted_text": _pii_redacted_oracle(),
         "pii_cut_text": _pii_cut_oracle(),
+        # batch 31 (round 12) — URL/domain-aware curation
+        "url_domain_extract": f"""
+            WITH {_url_domain_ctes()}
+            SELECT doc_id, url, host, reg_domain FROM doms
+        """,
+        "per_domain_caps": f"""
+            WITH {_url_domain_ctes()},
+            ranked AS (
+              SELECT doc_id, reg_domain,
+                     CAST(row_number() OVER (
+                       PARTITION BY reg_domain
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                       AS INTEGER) AS rk
+              FROM doms
+            )
+            SELECT doc_id, reg_domain, rk FROM ranked WHERE rk <= 5
+        """,
+        "url_suffix_mix_counts": f"""
+            WITH {_url_domain_ctes()},
+            sfx AS (
+              SELECT doc_id,
+                     regexp_replace(reg_domain, '^[^.]*[.]', '') AS suffix,
+                     md5('urlmix' || CAST(doc_id AS VARCHAR)) AS hx
+              FROM doms
+            ),
+            decided AS (
+              SELECT suffix,
+                     CASE WHEN ({_HEX8_SQL}) / 4294967296.0 <
+                       (CASE {' '.join(f"WHEN suffix = '{k}' THEN {v!r}" for k, v in _URL_MIX_RATES.items())}
+                             ELSE 0.0 END)
+                     THEN 1 ELSE 0 END AS kept
+              FROM sfx
+            )
+            SELECT suffix, count(*) AS n_docs,
+                   CAST(sum(kept) AS BIGINT) AS n_kept,
+                   round(CAST(sum(kept) AS DOUBLE) / count(*), 6)
+                     AS achieved_rate
+            FROM decided GROUP BY 1
+        """,
         "redacted_cleaned_text": _redact_clean_oracle(10, 2),
         "tf_cosine_pairs": _tf_cosine_oracle(9, 10, 3),
         # tf_cosine_pairs_auto routes to the EXACT path on the

@@ -224,3 +224,68 @@ def test_langid_shared_token_counts_both_lanes(spark):
     assert row.s_fr == 0.5 and row.s_es == 0.5
     assert row.s_en == 0.0 and row.s_de == 0.0
     assert row.pred == "es"
+
+
+def test_url_host_and_registered_domain(spark):
+    """Round 12 (VERDICT r11 #2): host extraction strips scheme,
+    userinfo and port and lowercases; registered-domain takes the last
+    two labels, or three over a known multi-part suffix; degenerate
+    inputs degrade to '' / pass-through instead of erroring (ANSI
+    mode)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.urls import (
+        url_host,
+        url_registered_domain,
+        url_suffix,
+    )
+
+    cases = [
+        ("https://www.site3.com/p/1", "www.site3.com", "site3.com", "com"),
+        ("http://blog.site4.co.uk/p/2", "blog.site4.co.uk", "site4.co.uk", "co.uk"),
+        ("https://site5.org:8080/p/3", "site5.org", "site5.org", "org"),
+        ("http://cdn.media.site6.net/x?q=1", "cdn.media.site6.net", "site6.net", "net"),
+        ("https://SITE7.IO/p/4", "site7.io", "site7.io", "io"),
+        ("ftp://user:pw@files.site8.com:21/a#frag", "files.site8.com", "site8.com", "com"),
+        ("https://localhost/x", "localhost", "localhost", "localhost"),
+        ("not a url", "", "", ""),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _, _ in cases], "url string")
+    host = url_host(F.col("url"))
+    dom = url_registered_domain(host)
+    got = {
+        r.url: (r.host, r.dom, r.sfx)
+        for r in df.select(
+            "url",
+            host.alias("host"),
+            dom.alias("dom"),
+            url_suffix(dom).alias("sfx"),
+        ).collect()
+    }
+    for u, h, d, s in cases:
+        assert got[u] == (h, d, s), (u, got[u])
+
+
+def test_cap_per_domain_window_group_limit(spark):
+    """cap_per_domain keeps exactly cap rows per domain by md5 order,
+    and its executed plan carries the Partial WindowGroupLimit below
+    the exchange — the map-side pre-limit that makes a hot domain ship
+    ~cap rows per task at 100 TB."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.urls import (
+        cap_per_domain,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 3 else "cold") for i in range(60)],
+        "doc_id long, dom string",
+    )
+    out = cap_per_domain(df, "dom", cap=4)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.dom, []).append(r.rk)
+    assert sorted(per["hot"]) == [1, 2, 3, 4]
+    assert sorted(per["cold"]) == [1, 2, 3, 4]
+    # deterministic: rerun yields the same doc_ids
+    again = {(r.dom, r.doc_id) for r in cap_per_domain(df, "dom", cap=4).collect()}
+    assert again == {(r.dom, r.doc_id) for r in rows}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan
