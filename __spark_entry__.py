@@ -2589,6 +2589,76 @@ def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_linear_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier scoring (round 12, VERDICT r11 #3):
+    the fastText-shape stage after heuristic floors — hashed
+    unigram+bigram features scored against a literal weight vector,
+    margin = mean bucket weight + bias, keep = margin >= 0. Map-only
+    (one codegen fold per doc, weights in-plan, zero exchanges before
+    the sink); the md5 bucket hash, 0.0-seeded document-order fold and
+    floor-form rounding make the DuckDB twin bit-exact
+    (functions/scorer.py)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.scorer import (
+        demo_weights,
+        doc_features,
+        linear_quality_margin,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    margin = linear_quality_margin(F.col("text"), demo_weights(64))
+    return docs.select(
+        "doc_id",
+        F.size(doc_features(tx.tokens(F.col("text")))).cast("int").alias(
+            "n_feats"
+        ),
+        margin.alias("margin"),
+        (margin >= 0.0).alias("keep"),
+    )
+
+
+def _q_curation_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_curation with the linear scorer composed in as an
+    additional floor (round 12): language-ID -> heuristic quality ->
+    length -> CLASSIFIER MARGIN >= 0 -> exact dedup keep-min. Still a
+    single documents scan plus the one digest-keyed exchange — the
+    margin is another map-side column on the same projection, which
+    is the whole point of the fastText shape at 100 TB."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.langid import (
+        predict_lang,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.scorer import (
+        demo_weights,
+        linear_quality_margin,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "text",
+        tx.token_count(F.col("text")).alias("n_tokens"),
+        tx.quality_score(F.col("text")).alias("quality"),
+        predict_lang(toks).alias("pred_lang"),
+        linear_quality_margin(F.col("text"), demo_weights(64)).alias(
+            "margin"
+        ),
+    )
+    kept = scored.filter(
+        (F.col("pred_lang") == "en")
+        & (F.col("quality") >= 0.5)
+        & (F.col("n_tokens") >= 5)
+        & (F.col("margin") >= 0.0)
+    ).select(
+        F.md5("text").alias("digest"), "doc_id", "n_tokens", "quality", "margin"
+    )
+    min_id = F.min("doc_id").over(Window.partitionBy("digest"))
+    return (
+        kept.withColumn("min_id", min_id)
+        .filter(F.col("doc_id") == F.col("min_id"))
+        .select("doc_id", "digest", "n_tokens", "quality", "margin")
+    )
+
+
 def _q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: every 50th doc_id plays the held-out
     benchmark; each remaining document reports how many of its distinct
@@ -6691,6 +6761,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domain_extract": _q_url_domain_extract,
         "per_domain_caps": _q_per_domain_caps,
         "url_suffix_mix_counts": _q_url_suffix_mix_counts,
+        "linear_quality_scores": _q_linear_quality_scores,
+        "curation_scored": _q_curation_scored,
         "redacted_cleaned_text": _q_redacted_cleaned_text,
         "tf_cosine_pairs": _q_tf_cosine_pairs,
         "tf_cosine_pairs_auto": _q_tf_cosine_pairs_auto,
@@ -7622,7 +7694,54 @@ def _redact_clean_oracle(window_words: int = 10, min_docs: int = 2) -> str:
     """
 
 
-def _curation_oracle() -> str:
+def _quality_margin_ctes(salt: str = "qs", bias: float = 0.0) -> str:
+    """CTE block (without the WITH keyword) computing the linear
+    quality-classifier margin — the DuckDB restatement of
+    functions/scorer.py:linear_quality_margin, generated from the SAME
+    demo_weights list so classifier and twin can never drift. Expects
+    an upstream CTE ``t(doc_id, toks)``; ends at ``marg(doc_id,
+    n_feats, margin)``. Same 0.0-seeded document-order fold
+    (list_prepend seeds list_reduce) and floor-form rounding as the
+    Spark side."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.scorer import (
+        demo_weights,
+    )
+
+    ws = demo_weights(64)
+    nb = len(ws)
+    wlit = "CAST([" + ", ".join(repr(w) for w in ws) + "] AS DOUBLE[])"
+    hex8 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5('{salt}:' || x), "
+        f"{i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"""
+        feats AS (
+          SELECT doc_id,
+                 toks || (CASE WHEN len(toks) >= 2
+                          THEN list_transform(
+                                 generate_series(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i + 1])
+                          ELSE CAST([] AS VARCHAR[]) END) AS f
+          FROM t
+        ),
+        marg AS (
+          SELECT doc_id, CAST(len(f) AS INTEGER) AS n_feats,
+                 floor((CASE WHEN len(f) > 0
+                        THEN list_reduce(
+                               list_prepend(CAST(0.0 AS DOUBLE),
+                                 list_transform(f, x ->
+                                   ({wlit})[CAST(({hex8}) % {nb}
+                                            AS INTEGER) + 1])),
+                               (a, b) -> a + b) / len(f)
+                             + CAST({float(bias)!r} AS DOUBLE)
+                        ELSE CAST({float(bias)!r} AS DOUBLE) END)
+                       * 1000000.0 + 0.5) / 1000000.0 AS margin
+          FROM feats
+        )"""
+
+
+def _curation_oracle(margin_floor: bool = False) -> str:
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.langid import (
         LANG_PROFILES,
     )
@@ -7646,12 +7765,18 @@ def _curation_oracle() -> str:
                  + (1.0 - (CASE WHEN length(text) > 0
                            THEN length(stripped) / length(text)
                            ELSE 0.0 END))) / 3.0"""
+    margin_ctes = f"{_quality_margin_ctes()}," if margin_floor else ""
+    margin_join = "JOIN marg m USING (doc_id)" if margin_floor else ""
+    margin_pred = "AND m.margin >= 0.0" if margin_floor else ""
+    margin_col = ", m.margin" if margin_floor else ""
+    margin_out = ", k.margin" if margin_floor else ""
     return f"""
         WITH t AS (
           SELECT doc_id, text, {_TOKENS_SQL} AS toks,
                  regexp_replace(lower(text), '[a-z0-9 ]', '', 'g') AS stripped
           FROM documents
         ),
+        {margin_ctes}
         s AS (
           SELECT doc_id, text,
                  CAST(len(toks) AS INTEGER) AS n_tokens,
@@ -7669,15 +7794,16 @@ def _curation_oracle() -> str:
             PARTITION BY doc_id ORDER BY score DESC, cand ASC) = 1
         ),
         kept AS (
-          SELECT s.doc_id, s.text, s.n_tokens, s.quality
-          FROM s JOIN pred p USING (doc_id)
+          SELECT s.doc_id, s.text, s.n_tokens, s.quality{margin_col}
+          FROM s JOIN pred p USING (doc_id) {margin_join}
           WHERE p.pred_lang = 'en' AND s.quality >= 0.5 AND s.n_tokens >= 5
+            {margin_pred}
         ),
         canon AS (
           SELECT md5(text) AS digest, min(doc_id) AS doc_id
           FROM kept GROUP BY 1
         )
-        SELECT k.doc_id, c.digest, k.n_tokens, k.quality
+        SELECT k.doc_id, c.digest, k.n_tokens, k.quality{margin_out}
         FROM kept k JOIN canon c ON k.doc_id = c.doc_id
     """
 
@@ -9186,6 +9312,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, reg_domain, rk FROM ranked WHERE rk <= 5
         """,
+        "linear_quality_scores": f"""
+            WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+            {_quality_margin_ctes()}
+            SELECT doc_id, n_feats, margin, margin >= 0.0 AS keep
+            FROM marg
+        """,
+        "curation_scored": _curation_oracle(margin_floor=True),
         "url_suffix_mix_counts": f"""
             WITH {_url_domain_ctes()},
             sfx AS (

