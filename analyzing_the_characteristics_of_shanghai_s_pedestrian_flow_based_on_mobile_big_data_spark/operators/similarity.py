@@ -353,6 +353,188 @@ def semantic_dedup(
     )
 
 
+def ivf_codebook_scheme(centroids: list) -> dict:
+    """The canonical scheme stamp for an IVF/SemDeDup codebook — the
+    dict ``streaming/incremental.py:_pin_index_scheme`` writes beside
+    a maintained assignment table (round 12, VERDICT r11 #6): cluster
+    ids are comparable only under ONE codebook, so scoring a delta
+    against an index assigned under different centroids silently
+    mis-blocks every pair (the minhash/simhash guard class, with
+    "retrained codebook" as the drift mode). ``digest`` is md5 over
+    the canonical (id, repr-exact coords) rendering, so any retrain —
+    even one that keeps k and dim — produces a different stamp."""
+    import hashlib
+
+    parts = "|".join(
+        f"{int(c)}:" + ",".join(repr(float(v)) for v in vec)
+        for c, vec in centroids
+    )
+    return {
+        "kind": "ivf_codebook",
+        "k": len(centroids),
+        "dim": len(centroids[0][1]) if centroids else 0,
+        "digest": hashlib.md5(parts.encode()).hexdigest(),
+    }
+
+
+def _require_codebook_scheme(scheme: dict, centroids: list) -> None:
+    """Per-field comparison of the known codebook-scheme keys (the
+    _require_band_scheme form — extra stamp metadata from future
+    versions must not break matching)."""
+    expected = ivf_codebook_scheme(centroids)
+    mism = []
+    for field in ("kind", "k", "dim", "digest"):
+        got = scheme.get(field)
+        want = expected[field]
+        if field in ("k", "dim"):
+            try:
+                got = int(got)
+            except (TypeError, ValueError):
+                pass
+        if got != want:
+            mism.append(f"{field}: stamp {scheme.get(field)!r}, caller {want!r}")
+    if mism:
+        raise ValueError(
+            f"codebook scheme mismatch ({'; '.join(mism)}) — cluster "
+            "ids from two codebooks never mean the same list, so the "
+            "cluster-blocked join would silently miss semantic "
+            "near-dups; score with the codebook the index was "
+            "assigned under, or rebuild the index after a retrain"
+        )
+
+
+def new_doc_semantic_candidates(
+    index_assigned: DataFrame,
+    new_emb: DataFrame,
+    centroids: list,
+    threshold: float = 0.9,
+    dim: int | None = None,
+    scheme: dict | None = None,
+    trust_codebook: bool = False,
+) -> DataFrame:
+    """Ingest-time SemDeDup scoring (round 12, VERDICT r11 #6):
+    candidate (new_vec_id, vec_id, cluster, cos_r) pairs between a
+    batch of NEW embeddings and the maintained cluster-assignment
+    index (streaming/incremental.py:ivf_index_table /
+    incremental_ivf_index_stream) — the read-side half of semantic
+    dedup-on-ingest. Only the delta is assigned (map-only over
+    literal centroids); the join is equi on ``cluster`` against the
+    linear-size index, so scoring a batch never rescans the corpus.
+    Pairs carry the round-6 cosine and only those ≥ ``threshold``
+    return; a downstream keep-min policy drops a delta vector iff a
+    smaller-id partner exists (exactly :func:`semantic_dedup`'s rule —
+    parity pytest in tests/test_incremental.py).
+
+    The CODEBOOK IS THE SCHEME: cluster ids are only comparable under
+    the centroids the index was assigned with — a retrained codebook
+    re-lists every vector, so scoring a delta assigned under new
+    centroids against old assignments silently mis-blocks every pair.
+    Pass the index's ``_scheme.json`` (incremental_ivf_index_stream
+    stamps it at first build; read via read_index_scheme) as
+    ``scheme=`` and any drift — including a same-shape retrain, via
+    the coordinate digest — refuses scan-lessly. Stamp-less calls
+    refuse by default; ``trust_codebook=True`` is the in-session
+    escape hatch (the trust_banding form).
+
+    Orientation rules mirror new_doc_dup_candidates: self-matches
+    excluded; the mirrored pair a replayed delta would create (both
+    endpoints in new batch ∩ index) collapses to the smaller-id
+    orientation; WITHIN-batch duplicates surface through a batch
+    self-join term (neither endpoint indexed), so scoring never
+    requires the merge to land first."""
+    if not centroids:
+        raise ValueError("empty codebook: nothing to assign clusters with")
+    if scheme is not None:
+        _require_codebook_scheme(scheme, centroids)
+    elif not trust_codebook:
+        raise ValueError(
+            "stamp-less semantic index refused: without its "
+            "_scheme.json codebook stamp a retrained codebook is "
+            "undetectable and the cluster-blocked join would "
+            "silently miss semantic near-dups — pass "
+            "scheme=read_index_scheme(<table path>) "
+            "(streaming/incremental.py; incremental_ivf_index_stream "
+            "stamps it at first build), or pass trust_codebook=True "
+            "if this session assigned the index itself"
+        )
+    delta = (
+        ivf_assign(new_emb, centroids, dim)
+        .select("vec_id", "c_emb", F.col("centroid_id").alias("cluster"))
+        .localCheckpoint(eager=True)
+    )
+    idx = index_assigned.select(
+        "vec_id", "c_emb", F.col("centroid_id").alias("cluster")
+    )
+    q = delta.select(
+        F.col("vec_id").alias("new_vec_id"),
+        F.col("c_emb").alias("q_emb"),
+        "cluster",
+    )
+    ix = idx.select(
+        "vec_id", F.col("c_emb").alias("i_emb"), "cluster"
+    )
+    new_ids = delta.select(F.col("vec_id").alias("__nid")).distinct()
+    idx_ids = idx.select(F.col("vec_id").alias("__iid")).distinct()
+    both = new_ids.join(
+        idx_ids, F.col("__nid") == F.col("__iid")
+    ).select(F.col("__nid").alias("__both_id"))
+    vs_index = (
+        q.join(ix, "cluster")
+        .filter(F.col("new_vec_id") != F.col("vec_id"))
+        .withColumn(
+            "cos_r", F.round(_cos(dim)(F.col("q_emb"), F.col("i_emb")), 6)
+        )
+        .filter(F.col("cos_r") >= float(threshold))
+        .join(
+            both.select(F.col("__both_id").alias("new_vec_id")).withColumn(
+                "__q_in_idx", F.lit(True)
+            ),
+            "new_vec_id",
+            "left",
+        )
+        .join(
+            both.select(F.col("__both_id").alias("vec_id")).withColumn(
+                "__i_in_new", F.lit(True)
+            ),
+            "vec_id",
+            "left",
+        )
+        .filter(
+            ~(
+                F.coalesce(F.col("__q_in_idx"), F.lit(False))
+                & F.coalesce(F.col("__i_in_new"), F.lit(False))
+            )
+            | (F.col("new_vec_id") < F.col("vec_id"))
+        )
+        .select("new_vec_id", "vec_id", "cluster", "cos_r")
+    )
+    b = delta.select(
+        F.col("vec_id").alias("vec_id"),
+        F.col("c_emb").alias("i_emb"),
+        "cluster",
+    )
+    within = (
+        q.join(b, "cluster")
+        .filter(F.col("new_vec_id") < F.col("vec_id"))
+        .join(
+            idx_ids.select(F.col("__iid").alias("new_vec_id")),
+            "new_vec_id",
+            "left_anti",
+        )
+        .join(
+            idx_ids.select(F.col("__iid").alias("vec_id")),
+            "vec_id",
+            "left_anti",
+        )
+        .withColumn(
+            "cos_r", F.round(_cos(dim)(F.col("q_emb"), F.col("i_emb")), 6)
+        )
+        .filter(F.col("cos_r") >= float(threshold))
+        .select("new_vec_id", "vec_id", "cluster", "cos_r")
+    )
+    return vs_index.unionByName(within)
+
+
 def label_centroids(emb: DataFrame, ordered: bool = False) -> DataFrame:
     """Per-class embedding centroids (class prototypes — what real IVF
     training averages). Long-form shape: posexplode to (label, pos,

@@ -1492,7 +1492,16 @@ def incremental_ivf_index_stream(
     """Stream embedding-delta files → maintained IVF inverted file via
     foreachBatch (exactly-once on the generation chain, out-of-order
     and replay safe by max-struct merge). Returns the StreamingQuery;
-    serve queries any time from ``ivf_index_table(...).read()``."""
+    serve queries any time from ``ivf_index_table(...).read()``.
+    Round 12: the CODEBOOK is stamped into ``_scheme.json`` at first
+    build (coordinate digest included), so (a) extending the index
+    under a retrained codebook refuses — re-listing is a rebuild by
+    definition — and (b) batch scorers
+    (``new_doc_semantic_candidates(scheme=read_index_scheme(...))``)
+    can verify cluster-id comparability scan-lessly."""
+    from ..operators.similarity import ivf_codebook_scheme
+
+    _pin_index_scheme(table_path, ivf_codebook_scheme(centroids))
     table = ivf_index_table(spark, table_path)
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:

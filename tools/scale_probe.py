@@ -1612,8 +1612,114 @@ def probe_semdedup(spark, sf_dir: str, n: int) -> dict:
     return results
 
 
+def probe_pq(spark, sf_dir: str, n: int) -> dict:
+    """PQ storage/serve contraction (round 12, VERDICT r11 #1): on the
+    perturbed-replicated corpus, materialize the FLAT IVF index
+    (vec_id, centroid_id, float32 embedding) and the IVF-PQ index
+    (vec_id, centroid_id, 8 tinyint codes, float32 anorm) and compare
+    on-disk bytes — the ~dim·4/m contraction the brief asks to
+    measure — then score recall@3 vs brute force for raw ADC, the
+    refined (ADC top-16 → exact rerank) path, and IVF-PQ, with serve
+    times. Bytes are parquet directory sizes (same codec both sides),
+    so the ratio understates the raw-row contraction only by the
+    shared per-file overhead."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.pq import (
+        ivf_pq_topk,
+        pq_code_expr,
+        pq_codebooks,
+        pq_norm_expr,
+        pq_refine,
+        pq_topk,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_centroid_rows,
+        perturbed_replicas,
+        recall_against,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        load_table,
+    )
+
+    def _dir_bytes(path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = perturbed_replicas(emb, n, noise=0.3)
+    out = os.path.join(tempfile.gettempdir(), f"embeddings_pq_x{n}.parquet")
+    copies.write.mode("overwrite").parquet(out)
+    scaled = spark.read.parquet(out)
+    results = {"family": "pq", "replication": n, "rows": scaled.count()}
+    queries = scaled.filter(F.col("vec_id") < 5)
+
+    cent = ivf_centroid_rows(scaled, 16)
+    cbs = pq_codebooks(scaled, m=8, ksub=16, dim=64)
+    assigned = ivf_assign(scaled, cent, dim=64)
+
+    # flat IVF index: float32 vectors (the fair baseline width)
+    flat_dir = os.path.join(tempfile.gettempdir(), f"pq_flat_x{n}.parquet")
+    t0 = time.perf_counter()
+    assigned.select(
+        "vec_id",
+        "centroid_id",
+        F.col("c_emb").cast("array<float>").alias("emb32"),
+    ).write.mode("overwrite").parquet(flat_dir)
+    results["flat_build_s"] = round(time.perf_counter() - t0, 2)
+    results["flat_bytes"] = _dir_bytes(flat_dir)
+
+    # PQ index: 8 one-byte codes + float32 reconstructed norm
+    pq_dir = os.path.join(tempfile.gettempdir(), f"pq_codes_x{n}.parquet")
+    t0 = time.perf_counter()
+    assigned.select(
+        "vec_id",
+        "centroid_id",
+        pq_code_expr("c_emb", cbs).cast("array<tinyint>").alias("codes"),
+    ).withColumn(
+        "anorm", pq_norm_expr("codes", cbs).cast("float")
+    ).write.mode("overwrite").parquet(pq_dir)
+    results["pq_build_s"] = round(time.perf_counter() - t0, 2)
+    results["pq_bytes"] = _dir_bytes(pq_dir)
+    results["bytes_ratio"] = round(
+        results["flat_bytes"] / max(1, results["pq_bytes"]), 2
+    )
+
+    bf = brute_force_topk(scaled, queries, k=3, dim=64).persist()
+    bf.count()
+    t0 = time.perf_counter()
+    adc = pq_topk(scaled, queries, k=3, codebooks=cbs)
+    results["adc_recall"] = recall_against(bf, adc)
+    results["adc_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    short = pq_topk(scaled, queries, k=16, codebooks=cbs)
+    refined = pq_refine(scaled, short, queries, k=3, dim=64)
+    results["refined_recall"] = recall_against(bf, refined)
+    results["refined_s"] = round(time.perf_counter() - t0, 2)
+    # IVF-PQ served from the materialized codes index (double-width
+    # norms recomputed at read for scoring parity with the operator)
+    index = spark.read.parquet(pq_dir).select(
+        "vec_id",
+        "centroid_id",
+        F.col("codes").cast("array<int>").alias("codes"),
+    ).withColumn("anorm", pq_norm_expr("codes", cbs))
+    t0 = time.perf_counter()
+    ivfpq = ivf_pq_topk(
+        scaled, queries, k=3, nprobe=4, codebooks=cbs, coarse=cent,
+        dim=64, indexed=index,
+    )
+    results["ivf_pq_recall"] = recall_against(bf, ivfpq)
+    results["ivf_pq_serve_s"] = round(time.perf_counter() - t0, 2)
+    bf.unpersist()
+    return results
+
+
 FAMILIES = {
     "graph": probe_graph,
+    "pq": probe_pq,
     "semdedup": probe_semdedup,
     "simhash_width": probe_simhash_width,
     "ann": probe_ann,
