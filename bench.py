@@ -222,6 +222,16 @@ HEADLINE = [
     "redacted_cleaned_text",
     "semantic_dedup",
     "semantic_dedup_kmeans",
+    # batch-31 additions (round 12): URL/domain curation, the linear
+    # quality scorer (alone + composed), and the PQ serving family
+    "url_domain_extract",
+    "per_domain_caps",
+    "url_suffix_mix_counts",
+    "linear_quality_scores",
+    "curation_scored",
+    "pq_adc_topk",
+    "pq_topk_refined",
+    "ivf_pq_topk",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the
