@@ -1375,19 +1375,12 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid vectors (no shuffle to index the corpus); the probe join
     broadcasts the query side. The data-adaptive complement to the
     sign-bucket LSH family (`ann_bucketed`/`ann_banded`)."""
-    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
-        ivf_centroid_rows,
-    )
-
     emb = load_table(spark, sf_dir, "embeddings")
-    # the codebook is an index artifact of the (static) dataset: build
-    # it once per dataset STATE and reuse across invocations, the way
-    # any IVF index is built once and served many times; keyed on the
-    # parquet fingerprint so an in-process regeneration invalidates it
-    key = _dataset_fingerprint(sf_dir, "embeddings")
-    cent = _IVF_CODEBOOKS.get(key)
-    if cent is None:
-        cent = _IVF_CODEBOOKS[key] = ivf_centroid_rows(emb, 16)
+    # the codebook is an index artifact of the (static) dataset: built
+    # once per dataset STATE (parquet fingerprint) and reused across
+    # invocations, the way any IVF index is built once and served many
+    # times — _coarse_centroids_cached
+    cent = _coarse_centroids_cached(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 5)
     return ops.ivf_topk(
         emb, queries_df, k=3, n_centroids=16, nprobe=4, dim=64, centroids=cent
@@ -1408,15 +1401,8 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     would be vacuously all-kept. The twin recomputes centroid choice,
     assignment tie-breaks, and the pairwise prune in SQL
     (operators/similarity.py:semantic_dedup)."""
-    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
-        ivf_centroid_rows,
-    )
-
     emb = load_table(spark, sf_dir, "embeddings")
-    key = _dataset_fingerprint(sf_dir, "embeddings")
-    cent = _IVF_CODEBOOKS.get(key)
-    if cent is None:
-        cent = _IVF_CODEBOOKS[key] = ivf_centroid_rows(emb, 16)
+    cent = _coarse_centroids_cached(spark, sf_dir)
     return ops.semantic_dedup(emb, threshold=0.35, dim=64, centroids=cent)
 
 
@@ -1433,15 +1419,11 @@ def _q_ivf_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     over literal centroids + a k_c-bounded aggregate — the corpus
     never shuffles."""
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
-        ivf_centroid_rows,
         ivf_health_report_df,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    key = _dataset_fingerprint(sf_dir, "embeddings")
-    cent = _IVF_CODEBOOKS.get(key)
-    if cent is None:
-        cent = _IVF_CODEBOOKS[key] = ivf_centroid_rows(emb, 16)
+    cent = _coarse_centroids_cached(spark, sf_dir)
     return ivf_health_report_df(emb, centroids=cent)
 
 
@@ -1460,24 +1442,8 @@ def _q_ivf_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     any IVF index artifact. Oracle: the unrolled Lloyd CTE chain
     (kmeans_oracle_ctes) feeding the same probe/rank SQL as
     ivf_topk's twin."""
-    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.vectors import (
-        as_double_array,
-    )
-    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.kmeans import (
-        kmeans_fit,
-    )
-
     emb = load_table(spark, sf_dir, "embeddings")
-    key = _dataset_fingerprint(sf_dir, "embeddings") + ("kmeans16x3",)
-    cent = _IVF_CODEBOOKS.get(key)
-    if cent is None:
-        vec = emb.select(
-            "vec_id", as_double_array(F.col("embedding")).alias("vec")
-        )
-        cents, _ = kmeans_fit(vec, k=16, iterations=3)
-        cent = _IVF_CODEBOOKS[key] = sorted(
-            (int(c), list(v)) for c, v in cents.items()
-        )
+    cent = _kmeans_centroids_cached(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 5)
     return ops.ivf_topk(
         emb, queries_df, k=3, n_centroids=16, nprobe=4, dim=64, centroids=cent
@@ -1496,24 +1462,8 @@ def _q_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     not just recall but COST: the prune is Σ_c C(n_c,2), so the
     max-list share the IVF health report watches is exactly this
     query's skew bound."""
-    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.vectors import (
-        as_double_array,
-    )
-    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.kmeans import (
-        kmeans_fit,
-    )
-
     emb = load_table(spark, sf_dir, "embeddings")
-    key = _dataset_fingerprint(sf_dir, "embeddings") + ("kmeans16x3",)
-    cent = _IVF_CODEBOOKS.get(key)
-    if cent is None:
-        vec = emb.select(
-            "vec_id", as_double_array(F.col("embedding")).alias("vec")
-        )
-        cents, _ = kmeans_fit(vec, k=16, iterations=3)
-        cent = _IVF_CODEBOOKS[key] = sorted(
-            (int(c), list(v)) for c, v in cents.items()
-        )
+    cent = _kmeans_centroids_cached(spark, sf_dir)
     return ops.semantic_dedup(emb, threshold=0.35, dim=64, centroids=cent)
 
 
@@ -2871,6 +2821,49 @@ def _q_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _coarse_centroids_cached(spark: SparkSession, sf_dir: str):
+    """The 16 md5-stratified coarse centroids shared by the IVF/SemDeDup
+    query family — built once per dataset STATE (parquet fingerprint)
+    and reused, the way any IVF index artifact is built once and served
+    many times (round-12 review: this block existed in four inlined
+    copies that could drift)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        ivf_centroid_rows,
+    )
+
+    key = _dataset_fingerprint(sf_dir, "embeddings")
+    cent = _IVF_CODEBOOKS.get(key)
+    if cent is None:
+        cent = _IVF_CODEBOOKS[key] = ivf_centroid_rows(
+            load_table(spark, sf_dir, "embeddings"), 16
+        )
+    return cent
+
+
+def _kmeans_centroids_cached(spark: SparkSession, sf_dir: str):
+    """The trained (3-round Lloyd) 16-way codebook shared by
+    ivf_topk_kmeans and semantic_dedup_kmeans — one training run feeds
+    both (shared cache key)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.vectors import (
+        as_double_array,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.kmeans import (
+        kmeans_fit,
+    )
+
+    key = _dataset_fingerprint(sf_dir, "embeddings") + ("kmeans16x3",)
+    cent = _IVF_CODEBOOKS.get(key)
+    if cent is None:
+        vec = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double_array(F.col("embedding")).alias("vec")
+        )
+        cents, _ = kmeans_fit(vec, k=16, iterations=3)
+        cent = _IVF_CODEBOOKS[key] = sorted(
+            (int(c), list(v)) for c, v in cents.items()
+        )
+    return cent
+
+
 def _pq_codebooks_cached(spark: SparkSession, sf_dir: str):
     """Per-subspace PQ codebooks (m=8, ksub=16 over dim 64) from the
     md5-stratified sample — an index artifact of the (static) dataset,
@@ -2940,15 +2933,9 @@ def _q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.pq import (
         ivf_pq_topk,
     )
-    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
-        ivf_centroid_rows,
-    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    key = _dataset_fingerprint(sf_dir, "embeddings")
-    coarse = _IVF_CODEBOOKS.get(key)
-    if coarse is None:
-        coarse = _IVF_CODEBOOKS[key] = ivf_centroid_rows(emb, 16)
+    coarse = _coarse_centroids_cached(spark, sf_dir)
     cbs = _pq_codebooks_cached(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 5)
     return ivf_pq_topk(

@@ -115,8 +115,9 @@ def cap_per_domain(
     exchange — each map task pre-limits every domain to its top-cap
     rows BEFORE the shuffle, so a hot domain ships ~cap rows per
     input partition instead of its full page set (plan-pinned in
-    tests/test_plans.py). Emitting only kept rows (not an all-rows
-    boolean) is what makes that pushdown legal."""
+    tests/test_functions.py:test_cap_per_domain_window_group_limit).
+    Emitting only kept rows (not an all-rows boolean) is what makes
+    that pushdown legal."""
     w = Window.partitionBy(domain_col).orderBy(
         F.md5(F.col(id_col).cast("string")), F.col(id_col)
     )

@@ -2143,7 +2143,11 @@ def _portability_violation(pat: str) -> str | None:
             continue
         if c == "(" and pat[i + 1 : i + 2] == "?" and pat[
             i + 2 : i + 3
-        ] in ("=", "!", "<", ">"):
+        ] in ("=", "!", "<", ">", "P"):
+            # =/!/< lookaround + Java named groups, > atomic (all
+            # Java-only); P = RE2/PCRE named groups (RE2-only) — each
+            # side errors on the other's named-group spelling, so
+            # neither is portable
             return pat[i : i + 3]
         if c in "*+?":
             if pat[i + 1 : i + 2] == "+":

@@ -67,6 +67,8 @@ def pq_codebooks(
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
     rows = ivf_centroid_rows(emb, ksub)  # ordered by (md5(vec_id), vec_id)
+    if not rows:
+        return []  # empty corpus: no codebook (callers emit empty results)
     return [
         [list(vec[j * dsub : (j + 1) * dsub]) for _vid, vec in rows]
         for j in range(m)
@@ -218,6 +220,11 @@ def pq_topk(
     rank≤k window)."""
     if codebooks is None:
         codebooks = pq_codebooks(emb, m, ksub, dim)
+    if not codebooks:
+        # empty corpus → no codebook; contract-schema empty result
+        # (an untyped empty literal array cannot be analyzed — the
+        # ivf_topk guard pattern)
+        return _empty_topk(emb)
     ksub = len(codebooks[0])
     if encoded is None:
         encoded = pq_encode(emb, codebooks)
@@ -227,6 +234,16 @@ def pq_topk(
         .withColumn("cos_r", _adc_cos_expr(ksub, len(codebooks)))
     )
     return _pq_ranked(pairs, k)
+
+
+def _empty_topk(emb: DataFrame) -> DataFrame:
+    """Contract-schema empty top-k result for empty-corpus guards."""
+    return emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec_id"),
+        F.lit(0.0).alias("cos_r"),
+        F.lit(1).cast("int").alias("rank"),
+    ).filter(F.lit(False))
 
 
 def pq_refine(
@@ -296,14 +313,9 @@ def ivf_pq_topk(
         coarse = ivf_centroid_rows(emb, n_centroids)
     if codebooks is None:
         codebooks = pq_codebooks(emb, m, ksub, dim)
+    if not coarse or not codebooks:
+        return _empty_topk(emb)
     ksub = len(codebooks[0])
-    if not coarse:
-        return emb.select(
-            F.col("vec_id").alias("query_id"),
-            F.col("vec_id"),
-            F.lit(0.0).alias("cos_r"),
-            F.lit(1).cast("int").alias("rank"),
-        ).filter(F.lit(False))
     if indexed is None:
         assigned = ivf_assign(emb, coarse, dim)
         indexed = assigned.select(

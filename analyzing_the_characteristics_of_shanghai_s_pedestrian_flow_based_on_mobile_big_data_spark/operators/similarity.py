@@ -403,6 +403,32 @@ def _require_codebook_scheme(scheme: dict, centroids: list) -> None:
         )
 
 
+def verify_cluster_ids(index_assigned: DataFrame, centroids: list) -> None:
+    """Stamp-less fallback check for a maintained assignment table: the
+    index's distinct cluster ids must all exist in the caller's
+    codebook (one bounded aggregate — k_index rows cross the wire, at
+    most k_c for a healthy index). NECESSARY, not sufficient: a
+    retrained codebook reusing the same id labels passes (only the
+    digest stamp sees coordinate drift) — the verify_band_table class
+    of check, for the trust_codebook path."""
+    want = {int(c) for c, _ in centroids}
+    got = [
+        int(r.centroid_id)
+        for r in index_assigned.select("centroid_id").distinct().collect()
+        if r.centroid_id is not None
+    ]
+    orphans = sorted(set(got) - want)
+    if orphans:
+        raise ValueError(
+            f"assignment index carries cluster ids {orphans[:8]} absent "
+            "from the caller's codebook: the index was assigned under "
+            "different centroids and the cluster-blocked join would "
+            "silently miss semantic near-dups — score with the "
+            "codebook the index was built with (see its _scheme.json "
+            "stamp) or rebuild"
+        )
+
+
 def new_doc_semantic_candidates(
     index_assigned: DataFrame,
     new_emb: DataFrame,
@@ -411,6 +437,7 @@ def new_doc_semantic_candidates(
     dim: int | None = None,
     scheme: dict | None = None,
     trust_codebook: bool = False,
+    verify_clusters: bool = True,
 ) -> DataFrame:
     """Ingest-time SemDeDup scoring (round 12, VERDICT r11 #6):
     candidate (new_vec_id, vec_id, cluster, cos_r) pairs between a
@@ -434,7 +461,10 @@ def new_doc_semantic_candidates(
     ``scheme=`` and any drift — including a same-shape retrain, via
     the coordinate digest — refuses scan-lessly. Stamp-less calls
     refuse by default; ``trust_codebook=True`` is the in-session
-    escape hatch (the trust_banding form).
+    escape hatch (the trust_banding form), which still runs the
+    :func:`verify_cluster_ids` bounded id-set check (catches a
+    codebook whose ID SET differs; coordinate-only drift under reused
+    ids needs the stamp) unless ``verify_clusters=False``.
 
     Orientation rules mirror new_doc_dup_candidates: self-matches
     excluded; the mirrored pair a replayed delta would create (both
@@ -446,7 +476,10 @@ def new_doc_semantic_candidates(
         raise ValueError("empty codebook: nothing to assign clusters with")
     if scheme is not None:
         _require_codebook_scheme(scheme, centroids)
-    elif not trust_codebook:
+    elif trust_codebook:
+        if verify_clusters:
+            verify_cluster_ids(index_assigned, centroids)
+    else:
         raise ValueError(
             "stamp-less semantic index refused: without its "
             "_scheme.json codebook stamp a retrained codebook is "

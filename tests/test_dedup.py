@@ -1728,3 +1728,17 @@ def test_block_scheme_stamp_width_validation():
     ws[0], ws[1] = 0, ws[0] + ws[1]
     with pytest.raises(ValueError, match="inconsistent"):
         _banding_from_scheme(dict(good, widths=ws))
+
+
+def test_portable_pattern_guard_rejects_re2_named_groups():
+    """Round-12 review: (?P<name>...) is RE2/PCRE-only — Java rlike
+    errors on it at runtime, so the guard must refuse it up front like
+    the Java-only constructs."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+        _portability_violation,
+    )
+
+    assert _portability_violation(r"(?P<d>[0-9]+)") is not None
+    # non-capturing groups and inline flags stay portable
+    assert _portability_violation(r"(?:ab)+c") is None
+    assert _portability_violation(r"(?i)abc") is None

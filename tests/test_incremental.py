@@ -2241,3 +2241,49 @@ def test_new_doc_semantic_candidates_parity_and_scheme(spark, tmp_path):
         ).collect()
     )
     assert trusted == got
+
+
+def test_semantic_trusted_path_verifies_cluster_ids(spark):
+    """Round-12 review: trust_codebook=True still runs the bounded
+    id-set check — an index carrying cluster ids absent from the
+    caller's codebook refuses instead of silently matching nothing."""
+    import math
+
+    import pytest
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroid_rows,
+        new_doc_semantic_candidates,
+    )
+
+    def vec(seed: float):
+        return [math.sin((seed + 1.3) * (j + 1) * 0.7) for j in range(8)]
+
+    emb = spark.createDataFrame(
+        [(i, vec(float(i))) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    cent = ivf_centroid_rows(emb, 3)
+    index = ivf_assign(emb, cent, dim=8)
+    new = spark.createDataFrame(
+        [(20, vec(3.0))], "vec_id long, embedding array<double>"
+    )
+    # matching codebook passes the trusted check
+    ok = new_doc_semantic_candidates(
+        index, new, cent, threshold=0.9, dim=8, trust_codebook=True
+    )
+    assert ok.count() >= 0
+    # an index assigned under a codebook with DIFFERENT ids refuses
+    other = [(c + 100, v) for c, v in cent]
+    bad_index = ivf_assign(emb, other, dim=8)
+    with pytest.raises(ValueError, match="absent"):
+        new_doc_semantic_candidates(
+            bad_index, new, cent, threshold=0.9, dim=8, trust_codebook=True
+        )
+    # opt-out skips the scan for lazy in-session compositions
+    skipped = new_doc_semantic_candidates(
+        bad_index, new, cent, threshold=0.9, dim=8,
+        trust_codebook=True, verify_clusters=False,
+    )
+    assert skipped.count() == 0

@@ -262,6 +262,23 @@ EXCHANGE_CEILING = {
     # accounting) behind the dense-regime probe, which runs as two
     # separate scalar jobs before this plan is even built
     "tf_cosine_pairs_auto": 41,
+    # round 12. URL extraction and the scorer are pure projections —
+    # zero exchanges is the contract, not an accident
+    "url_domain_extract": 0,
+    "linear_quality_scores": 0,
+    # one domain-keyed window exchange (WindowGroupLimit partials
+    # below it) / one suffix-keyed aggregate
+    "per_domain_caps": 2,
+    "url_suffix_mix_counts": 2,
+    # corpus_curation's digest exchange — the margin floor adds NO
+    # exchange (map-side column on the same projection)
+    "curation_scored": 2,
+    # ADC pairs: codes scan + broadcast LUT probe + final rank window
+    "pq_adc_topk": 4,
+    # + the shortlist->float join-backs for the exact rerank
+    "pq_topk_refined": 8,
+    # list-pruned variant: assignment map-only, probe broadcast
+    "ivf_pq_topk": 4,
 }
 
 
