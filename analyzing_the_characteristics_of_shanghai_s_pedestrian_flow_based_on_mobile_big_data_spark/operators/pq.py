@@ -236,6 +236,62 @@ def pq_topk(
     return _pq_ranked(pairs, k)
 
 
+def pq_scheme(coarse: list, codebooks: list[list[list[float]]]) -> dict:
+    """The canonical scheme stamp for a maintained IVF-PQ index
+    (round 12): BOTH quantizers pin it — the coarse codebook (cluster
+    ids comparable only under one centroid set) and the per-subspace
+    PQ codebooks (codes are indices INTO a codebook; re-trained
+    sub-codebooks silently re-mean every code). Digests are md5 over
+    repr-exact coordinate renderings, so any retrain refuses even at
+    equal shapes (the ivf_codebook_scheme form)."""
+    import hashlib
+
+    from .similarity import ivf_codebook_scheme
+
+    coarse_s = ivf_codebook_scheme(coarse)
+    parts = "|".join(
+        f"{j}:{c}:" + ",".join(repr(float(v)) for v in sub)
+        for j, cb in enumerate(codebooks)
+        for c, sub in enumerate(cb)
+    )
+    return {
+        "kind": "ivf_pq",
+        "k_coarse": coarse_s["k"],
+        "coarse_digest": coarse_s["digest"],
+        "m": len(codebooks),
+        "ksub": len(codebooks[0]) if codebooks else 0,
+        "pq_digest": hashlib.md5(parts.encode()).hexdigest(),
+    }
+
+
+def _require_pq_scheme(
+    scheme: dict, coarse: list, codebooks: list[list[list[float]]]
+) -> None:
+    """Per-known-field comparison (the _require_band_scheme form)."""
+    expected = pq_scheme(coarse, codebooks)
+    mism = []
+    for field in (
+        "kind", "k_coarse", "coarse_digest", "m", "ksub", "pq_digest"
+    ):
+        got = scheme.get(field)
+        want = expected[field]
+        if field in ("k_coarse", "m", "ksub"):
+            try:
+                got = int(got)
+            except (TypeError, ValueError):
+                pass
+        if got != want:
+            mism.append(f"{field}: stamp {scheme.get(field)!r}, caller {want!r}")
+    if mism:
+        raise ValueError(
+            f"IVF-PQ scheme mismatch ({'; '.join(mism)}) — codes and "
+            "cluster ids are only meaningful under the quantizers the "
+            "index was encoded with; serve with the index's own "
+            "codebooks (see its _scheme.json stamp) or rebuild after "
+            "a retrain"
+        )
+
+
 def _empty_topk(emb: DataFrame) -> DataFrame:
     """Contract-schema empty top-k result for empty-corpus guards."""
     return emb.select(
@@ -295,6 +351,7 @@ def ivf_pq_topk(
     ksub: int = 16,
     dim: int = 64,
     indexed: DataFrame | None = None,
+    scheme: dict | None = None,
 ) -> DataFrame:
     """IVF-PQ: inverted lists prune WHICH candidates are scored
     (ivf_topk's coarse quantizer — map-only assignment over literal
@@ -306,7 +363,12 @@ def ivf_pq_topk(
     tests/test_similarity.py. Pass ``indexed`` (a materialized
     assignment+encode table) to serve a prebuilt index; ``coarse``
     and ``codebooks`` are the two codebook artifacts, both
-    dimension-table sized."""
+    dimension-table sized. When serving a MAINTAINED index
+    (streaming/incremental.py:pq_index_table), pass its
+    ``_scheme.json`` via ``scheme=`` — codes and cluster ids are only
+    meaningful under the quantizers the index was encoded with, so a
+    retrained codebook refuses scan-lessly (:func:`_require_pq_scheme`)
+    instead of ADC silently scoring against the wrong sub-means."""
     from .similarity import ivf_assign
 
     if coarse is None:
@@ -315,6 +377,8 @@ def ivf_pq_topk(
         codebooks = pq_codebooks(emb, m, ksub, dim)
     if not coarse or not codebooks:
         return _empty_topk(emb)
+    if scheme is not None:
+        _require_pq_scheme(scheme, coarse, codebooks)
     ksub = len(codebooks[0])
     if indexed is None:
         assigned = ivf_assign(emb, coarse, dim)

@@ -1519,6 +1519,115 @@ def incremental_ivf_index_stream(
     )
 
 
+def pq_index_table(
+    spark: SparkSession, table_path: str
+) -> IncrementalUpsertTable:
+    """The maintained IVF-PQ serving index: (vec_id, seq, centroid_id,
+    codes, anorm, deleted) — :func:`operators.pq.pq_encode` output plus
+    the coarse list id, version and tombstone. The float vector never
+    enters the table (the whole point: ~(m+16) bytes/row); serve with
+    ``ivf_pq_topk(..., indexed=table.read(), coarse=..., codebooks=...,
+    scheme=read_index_scheme(table_path))``."""
+    return IncrementalUpsertTable(
+        spark,
+        table_path,
+        keys=["vec_id"],
+        seq_col="seq",
+        payload_cols=["centroid_id", "codes", "anorm", "deleted"],
+        tombstone_col="deleted",
+    )
+
+
+def pq_index_upsert(
+    table: IncrementalUpsertTable,
+    delta_emb: DataFrame,
+    coarse: list,
+    codebooks: list,
+    epoch_id: int,
+    dim: int | None = None,
+) -> None:
+    """Merge an embedding delta (vec_id, seq, embedding[, deleted])
+    into the maintained IVF-PQ index — the ivf_index_upsert shape with
+    the PQ encode fused in: only the delta is assigned AND encoded
+    (both map-only literal-codebook expressions — no shuffle, no
+    join), and the MERGE touches only its keys. BOTH quantizers stay
+    FIXED across upserts; retraining either one re-means every code /
+    re-lists every vector and is a rebuild by definition (the stream
+    stamps them via :func:`operators.pq.pq_scheme`)."""
+    from ..functions.vectors import as_double_array
+    from ..operators.pq import pq_code_expr, pq_norm_expr
+    from ..operators.similarity import _centroid_sims
+
+    has_del = "deleted" in delta_emb.columns
+    c = delta_emb.select(
+        "vec_id",
+        "seq",
+        as_double_array(F.col("embedding")).alias("c_emb"),
+        (F.col("deleted") if has_del else F.lit(False)).alias("deleted"),
+    )
+    assigned = c.withColumn(
+        "centroid_id",
+        F.when(
+            F.col("deleted"), F.lit(None).cast("long")
+        ).otherwise(
+            (
+                -F.array_max(
+                    _centroid_sims("c_emb", coarse, dim)
+                ).getField("negid")
+            ).cast("long")
+        ),
+    ).withColumn(
+        "codes",
+        F.when(
+            F.col("deleted"), F.lit(None).cast("array<int>")
+        ).otherwise(pq_code_expr("c_emb", codebooks)),
+    ).withColumn(
+        "anorm",
+        F.when(
+            F.col("deleted"), F.lit(None).cast("double")
+        ).otherwise(pq_norm_expr("codes", codebooks)),
+    ).select("vec_id", "seq", "centroid_id", "codes", "anorm", "deleted")
+    table.merge_batch(assigned, epoch_id)
+
+
+def incremental_pq_index_stream(
+    spark: SparkSession,
+    emb_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    coarse: list,
+    codebooks: list,
+    dim: int | None = None,
+    schema: str = "vec_id long, seq long, embedding array<float>",
+):
+    """Stream embedding-delta files → maintained IVF-PQ serving index
+    via foreachBatch (exactly-once on the generation chain, replay and
+    out-of-order safe by max-struct merge). Both quantizers are
+    stamped into ``_scheme.json`` at first build
+    (operators/pq.py:pq_scheme — coordinate digests), so extending the
+    index under a retrained coarse or sub-codebook refuses, and
+    serving (``ivf_pq_topk(scheme=read_index_scheme(...))``) verifies
+    comparability scan-lessly."""
+    from ..operators.pq import pq_scheme
+
+    _pin_index_scheme(table_path, pq_scheme(coarse, codebooks))
+    table = pq_index_table(spark, table_path)
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        pq_index_upsert(table, batch_df, coarse, codebooks, epoch_id, dim)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(emb_dir)
+    )
+    return (
+        src.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def _pin_index_scheme(table_path: str, scheme: dict) -> None:
     """Refuse to extend a signature index built under a DIFFERENT
     blocking/banding scheme (round 10). The maintained key set is a

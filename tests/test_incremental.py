@@ -2287,3 +2287,119 @@ def test_semantic_trusted_path_verifies_cluster_ids(spark):
         trust_codebook=True, verify_clusters=False,
     )
     assert skipped.count() == 0
+
+
+def test_incremental_pq_index_stream_parity_and_scheme(spark, tmp_path):
+    """Round 12: the maintained IVF-PQ serving index. Streamed
+    micro-batches (initial corpus, then update+insert) must leave the
+    table equal to a fresh assign+encode of the final corpus; serving
+    ivf_pq_topk from the maintained index (scheme-checked) must equal
+    the batch plan; a retrained codebook refuses at both the extend
+    and the serve boundary."""
+    import math
+
+    import pytest
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.pq import (
+        ivf_pq_topk,
+        pq_code_expr,
+        pq_codebooks,
+        pq_norm_expr,
+        pq_scheme,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroid_rows,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        incremental_pq_index_stream,
+        pq_index_table,
+        read_index_scheme,
+    )
+
+    def vec(seed: float):
+        return [math.sin((seed + 1.3) * (j + 1) * 0.7) for j in range(16)]
+
+    schema = "vec_id long, seq long, embedding array<double>"
+    src = str(tmp_path / "emb_files")
+    base_rows = [(i, 0, vec(float(i))) for i in range(12)]
+    base = spark.createDataFrame(base_rows, schema)
+    spark.createDataFrame(base_rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    coarse = ivf_centroid_rows(base, 3)
+    cbs = pq_codebooks(base, m=4, ksub=4, dim=16)
+
+    q = incremental_pq_index_stream(
+        spark, src, str(tmp_path / "pqix"), str(tmp_path / "ckpt"),
+        coarse, cbs, dim=16, schema=schema,
+    )
+    try:
+        q.processAllAvailable()
+        upd = [(4, 1, vec(44.0)), (50, 1, vec(50.0))]
+        spark.createDataFrame(upd, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    final = spark.createDataFrame(
+        [r for r in base_rows if r[0] != 4] + upd, schema
+    )
+    fresh = (
+        ivf_assign(final, coarse, dim=16)
+        .select(
+            "vec_id", "centroid_id",
+            pq_code_expr("c_emb", cbs).alias("codes"),
+        )
+        .withColumn("anorm", pq_norm_expr("codes", cbs))
+    )
+    want = sorted(
+        (r.vec_id, r.centroid_id, tuple(r.codes), r.anorm)
+        for r in fresh.collect()
+    )
+    table = pq_index_table(spark, str(tmp_path / "pqix"))
+    got = sorted(
+        (r.vec_id, r.centroid_id, tuple(r.codes), r.anorm)
+        for r in table.read().collect()
+    )
+    assert got == want and len(got) == 13
+
+    # serve from the maintained index under the stamp == batch plan
+    stamp = read_index_scheme(str(tmp_path / "pqix"))
+    queries = final.select("vec_id", "embedding").filter("vec_id < 3")
+    emb_final = final.select("vec_id", "embedding")
+    served = sorted(
+        (r.query_id, r.vec_id, r.cos_r, r.rank)
+        for r in ivf_pq_topk(
+            emb_final, queries, k=3, nprobe=2, codebooks=cbs,
+            coarse=coarse, dim=16,
+            indexed=table.read().select(
+                "vec_id", "centroid_id", "codes", "anorm"
+            ),
+            scheme=stamp,
+        ).collect()
+    )
+    batch = sorted(
+        (r.query_id, r.vec_id, r.cos_r, r.rank)
+        for r in ivf_pq_topk(
+            emb_final, queries, k=3, nprobe=2, codebooks=cbs,
+            coarse=coarse, dim=16,
+        ).collect()
+    )
+    assert served == batch and len(served) > 0
+
+    # retrained sub-codebook refuses at the serve boundary
+    cbs2 = [[[v * 1.001 for v in sub] for sub in cb] for cb in cbs]
+    with pytest.raises(ValueError, match="IVF-PQ scheme mismatch"):
+        ivf_pq_topk(
+            emb_final, queries, k=3, nprobe=2, codebooks=cbs2,
+            coarse=coarse, dim=16, indexed=table.read(), scheme=stamp,
+        )
+    # ...and at the extend boundary (second stream, same path)
+    with pytest.raises(ValueError, match="was built under"):
+        incremental_pq_index_stream(
+            spark, src, str(tmp_path / "pqix"), str(tmp_path / "ckpt2"),
+            coarse, cbs2, dim=16, schema=schema,
+        )
