@@ -1228,6 +1228,32 @@ def _q_url_suffix_mix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_domain_blocklist_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist applied (round 12 — the third leg of the
+    caps/blocklists/mixes triple): the blocklist is the distinct
+    registered domains of every 10th document (derived
+    deterministically from the data so both engines see the same dim
+    table), and survivors come from a BROADCAST LEFT-ANTI join — the
+    shape a multi-million-row production blocklist needs (a dim table,
+    never an isin literal). Corpus side: zero shuffles
+    (functions/urls.py:apply_domain_blocklist)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.urls import (
+        apply_domain_blocklist,
+        url_host,
+        url_registered_domain,
+    )
+
+    docs = _plant_urls(load_table(spark, sf_dir, "documents"))
+    keyed = docs.select(
+        "doc_id",
+        url_registered_domain(url_host(F.col("url"))).alias("reg_domain"),
+    )
+    blocklist = keyed.filter(F.col("doc_id") % 10 == 0).select(
+        "reg_domain"
+    )
+    return apply_domain_blocklist(keyed, "reg_domain", blocklist)
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ops.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
@@ -6833,6 +6859,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domain_extract": _q_url_domain_extract,
         "per_domain_caps": _q_per_domain_caps,
         "url_suffix_mix_counts": _q_url_suffix_mix_counts,
+        "domain_blocklist_kept": _q_domain_blocklist_kept,
         "linear_quality_scores": _q_linear_quality_scores,
         "curation_scored": _q_curation_scored,
         "pq_adc_topk": _q_pq_adc_topk,
@@ -9468,6 +9495,14 @@ def oracle_sql() -> dict[str, str]:
               FROM doms
             )
             SELECT doc_id, reg_domain, rk FROM ranked WHERE rk <= 5
+        """,
+        "domain_blocklist_kept": f"""
+            WITH {_url_domain_ctes()},
+            bl AS (
+              SELECT DISTINCT reg_domain FROM doms WHERE doc_id % 10 = 0
+            )
+            SELECT d.doc_id, d.reg_domain
+            FROM doms d ANTI JOIN bl USING (reg_domain)
         """,
         "linear_quality_scores": f"""
             WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),

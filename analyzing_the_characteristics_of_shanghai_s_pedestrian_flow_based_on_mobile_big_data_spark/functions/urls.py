@@ -96,6 +96,24 @@ def url_suffix(reg_domain: Column) -> Column:
     return F.regexp_replace(reg_domain, r"^[^.]*[.]", "")
 
 
+def apply_domain_blocklist(
+    df: DataFrame, domain_col: str, blocklist: DataFrame
+) -> DataFrame:
+    """Drop rows whose domain appears in ``blocklist`` (a one-column
+    DataFrame of domains) via a BROADCAST LEFT-ANTI join — the 100 TB
+    shape: a real blocklist is millions of registered domains, a dim
+    table to broadcast, not an ``isin`` literal to inline into the
+    plan (a multi-MB IN-list blows up codegen and re-ships with every
+    task binary anyway). The corpus side never shuffles; NULL/''
+    domains in the blocklist never match anything (anti-join NULL
+    semantics), so a sloppy blocklist row cannot nuke the
+    scheme-less-URL rows."""
+    bl = blocklist.select(
+        F.col(blocklist.columns[0]).alias(domain_col)
+    ).distinct()
+    return df.join(F.broadcast(bl), domain_col, "left_anti")
+
+
 def cap_per_domain(
     df: DataFrame,
     domain_col: str,

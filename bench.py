@@ -227,6 +227,7 @@ HEADLINE = [
     "url_domain_extract",
     "per_domain_caps",
     "url_suffix_mix_counts",
+    "domain_blocklist_kept",
     "linear_quality_scores",
     "curation_scored",
     "pq_adc_topk",

@@ -270,6 +270,9 @@ EXCHANGE_CEILING = {
     # below it) / one suffix-keyed aggregate
     "per_domain_caps": 2,
     "url_suffix_mix_counts": 2,
+    # broadcast-anti blocklist: 2 broadcast-exchange mentions (the dim
+    # side) + the blocklist-derivation aggregate; corpus side 0
+    "domain_blocklist_kept": 4,
     # corpus_curation's digest exchange — the margin floor adds NO
     # exchange (map-side column on the same projection)
     "curation_scored": 2,
