@@ -35,10 +35,18 @@ from .region_build import (  # noqa: F401
     nearest_poi_type,
 )
 from .sessions import session_stats, sessionize  # noqa: F401
+from .pq import (  # noqa: F401
+    ivf_pq_topk,
+    pq_codebooks,
+    pq_encode,
+    pq_refine,
+    pq_topk,
+)
 from .similarity import (  # noqa: F401
     brute_force_topk,
     bucketed_ann_topk,
     ivf_topk,
+    new_doc_semantic_candidates,
     semantic_dedup,
 )
 from .skew import salted_count  # noqa: F401
