@@ -1228,6 +1228,164 @@ def _q_url_suffix_mix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _plant_messy_urls(docs: DataFrame) -> DataFrame:
+    """Click-tracking crawl variants of shared resources, derived from
+    doc_id (round 12): site = doc_id%13, page = doc_id%17, four crawl
+    shapes — uppercase host + default port + tracking param + fragment
+    + trailing slash (v0), tracking param appended (v1), default https
+    port + trailing slash + mixed-case www (v2), already-canonical
+    (v3). Canonically v0≡v3 (http) and v1≡v2 (https) at equal
+    (site, page), so the canonical-dedup oracle is non-vacuous: many
+    doc_ids share one canonical URL. Restated verbatim in
+    _PLANT_MESSY_URL_CTE."""
+    site = (F.col("doc_id") % 13).cast("string")
+    page = (F.col("doc_id") % 17).cast("string")
+    v = (F.col("doc_id") % 4).cast("int")
+    url = (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit("HTTP://WWW.SITE"), site,
+                F.lit(".COM:80/p/"), page,
+                F.lit("/?utm_source=feed&id="), page, F.lit("#top"),
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("https://www.site"), site,
+                F.lit(".com/p/"), page,
+                F.lit("?id="), page, F.lit("&utm_campaign=x"),
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("https://WWW.site"), site,
+                F.lit(".com:443/p/"), page,
+                F.lit("/?id="), page,
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://www.site"), site,
+                F.lit(".com/p/"), page,
+                F.lit("?id="), page,
+            ),
+        )
+    )
+    return docs.withColumn("url", url)
+
+
+_PLANT_MESSY_URL_CTE = """
+        planted_messy AS (
+          SELECT doc_id,
+                 CASE CAST(doc_id % 4 AS INTEGER)
+                   WHEN 0 THEN 'HTTP://WWW.SITE' || CAST(doc_id % 13 AS VARCHAR)
+                     || '.COM:80/p/' || CAST(doc_id % 17 AS VARCHAR)
+                     || '/?utm_source=feed&id=' || CAST(doc_id % 17 AS VARCHAR)
+                     || '#top'
+                   WHEN 1 THEN 'https://www.site' || CAST(doc_id % 13 AS VARCHAR)
+                     || '.com/p/' || CAST(doc_id % 17 AS VARCHAR)
+                     || '?id=' || CAST(doc_id % 17 AS VARCHAR)
+                     || '&utm_campaign=x'
+                   WHEN 2 THEN 'https://WWW.site' || CAST(doc_id % 13 AS VARCHAR)
+                     || '.com:443/p/' || CAST(doc_id % 17 AS VARCHAR)
+                     || '/?id=' || CAST(doc_id % 17 AS VARCHAR)
+                   ELSE 'http://www.site' || CAST(doc_id % 13 AS VARCHAR)
+                     || '.com/p/' || CAST(doc_id % 17 AS VARCHAR)
+                     || '?id=' || CAST(doc_id % 17 AS VARCHAR)
+                 END AS url
+          FROM documents
+        )"""
+
+
+def _q_url_canonicalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (round 12): the normalize-before-dedup
+    step — lowercased scheme/host, userinfo and default ports and
+    fragments stripped, tracking params dropped and the rest sorted,
+    trailing slash normalized (functions/urls.py:url_canonicalize;
+    the not-done list is part of the contract). Map-only, zero
+    exchanges; the twin restates every step over the same planted
+    crawl variants."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.urls import (
+        url_canonicalize,
+    )
+
+    docs = _plant_messy_urls(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id", "url", url_canonicalize(F.col("url")).alias("canon_url")
+    )
+
+
+def _q_canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level exact dedup AFTER canonicalization (round 12): the
+    crawl variants of one resource merge into one group; keep-min
+    doc_id survives with the group size. One narrow
+    (canon_url, doc_id) exchange — the dedup key is the canonical
+    string, text never shuffles."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.urls import (
+        url_canonicalize,
+    )
+
+    docs = _plant_messy_urls(load_table(spark, sf_dir, "documents"))
+    keyed = docs.select(
+        "doc_id", url_canonicalize(F.col("url")).alias("canon_url")
+    )
+    return (
+        keyed.groupBy("canon_url")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+        )
+        .select("doc_id", "canon_url", "n_dups")
+    )
+
+
+def _q_per_domain_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ordered per-domain cap (round 12): keep the BEST 3 docs
+    per registered domain by classifier margin (tie: doc_id) — the cap
+    policy a production crawl actually wants, composing this round's
+    URL keys with its scorer. Same WindowGroupLimit shape as
+    per_domain_caps (rank<=cap over kept rows only): a hot domain
+    pre-limits map-side regardless of the ordering expression."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.scorer import (
+        bucket_weights,
+        demo_weights,
+        doc_features,
+        margin_from_weights,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.urls import (
+        url_host,
+        url_registered_domain,
+    )
+
+    docs = _plant_urls(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        url_registered_domain(url_host(F.col("url"))).alias("reg_domain"),
+        tx.tokens(F.col("text")).alias("toks"),
+    )
+    staged = base.select(
+        "doc_id",
+        "reg_domain",
+        bucket_weights(
+            doc_features(F.col("toks")), demo_weights(64)
+        ).alias("wv"),
+    )
+    scored = staged.select(
+        "doc_id", "reg_domain", margin_from_weights(F.col("wv")).alias("margin")
+    )
+    w = Window.partitionBy("reg_domain").orderBy(
+        F.col("margin").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "reg_domain", "margin", "rk")
+    )
+
+
 def _q_domain_blocklist_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain blocklist applied (round 12 — the third leg of the
     caps/blocklists/mixes triple): the blocklist is the distinct
@@ -6903,6 +7061,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_domain_caps": _q_per_domain_caps,
         "url_suffix_mix_counts": _q_url_suffix_mix_counts,
         "domain_blocklist_kept": _q_domain_blocklist_kept,
+        "url_canonicalized": _q_url_canonicalized,
+        "canonical_url_dedup": _q_canonical_url_dedup,
+        "per_domain_best": _q_per_domain_best,
         "linear_quality_scores": _q_linear_quality_scores,
         "curation_scored": _q_curation_scored,
         "pq_adc_topk": _q_pq_adc_topk,
@@ -7792,6 +7953,55 @@ def _pq_oracle_ctes(m: int = 8, ksub: int = 16, dsub: int = 8) -> str:
           JOIN qv q USING (query_id)
           JOIN vnorm v USING (vec_id)
           WHERE a.vec_id <> a.query_id
+        )"""
+
+
+def _url_canon_ctes() -> str:
+    """CTE block (without WITH) of the URL canonicalizer over the
+    planted crawl variants — the DuckDB restatement of
+    functions/urls.py:url_canonicalize, step for step (shared regex
+    PATTERNS; only the replacement-string dialect differs, $1 vs \\1).
+    Ends at ``canon(doc_id, url, canon_url)``."""
+    strip_scheme = (
+        "regexp_replace(regexp_replace(url, "
+        "'^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '')"
+    )
+    return f"""{_PLANT_MESSY_URL_CTE},
+        parts AS (
+          SELECT doc_id, url,
+                 lower(regexp_extract(url,
+                   '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                 lower(regexp_replace(regexp_extract({strip_scheme},
+                   '^([^/?#]*)', 1), '^[^@]*@', '')) AS hostport,
+                 regexp_extract(regexp_replace({strip_scheme},
+                   '^[^/?#]*', ''), '^([^?]*)', 1) AS path,
+                 regexp_replace(regexp_replace({strip_scheme},
+                   '^[^/?#]*', ''), '^[^?]*\\??', '') AS query
+          FROM planted_messy
+        ),
+        normd AS (
+          SELECT doc_id, url, scheme,
+                 CASE WHEN scheme = 'http'
+                      THEN regexp_replace(hostport, ':80$', '')
+                      WHEN scheme = 'https'
+                      THEN regexp_replace(hostport, ':443$', '')
+                      ELSE hostport END AS host,
+                 regexp_replace(path, '(.)/$', '\\1') AS path_s,
+                 list_sort(list_filter(string_split(query, '&'),
+                   p -> p <> '' AND NOT regexp_matches(p,
+                     '^(utm_[a-z]+|gclid|fbclid|ref)='))) AS params
+          FROM parts
+        ),
+        canon AS (
+          SELECT doc_id, url,
+                 CASE WHEN scheme = '' THEN NULL
+                      ELSE scheme || '://' || host
+                        || (CASE WHEN path_s = '' THEN '/' ELSE path_s END)
+                        || (CASE WHEN len(params) > 0
+                            THEN '?' || array_to_string(params, '&')
+                            ELSE '' END)
+                 END AS canon_url
+          FROM normd
         )"""
 
 
@@ -9546,6 +9756,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, d.reg_domain
             FROM doms d ANTI JOIN bl USING (reg_domain)
+        """,
+        "url_canonicalized": f"""
+            WITH {_url_canon_ctes()}
+            SELECT doc_id, url, canon_url FROM canon
+        """,
+        "canonical_url_dedup": f"""
+            WITH {_url_canon_ctes()}
+            SELECT min(doc_id) AS doc_id, canon_url,
+                   count(*) AS n_dups
+            FROM canon GROUP BY canon_url
+        """,
+        "per_domain_best": f"""
+            WITH {_url_domain_ctes()},
+            t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+            {_quality_margin_ctes()},
+            ranked AS (
+              SELECT d.doc_id, d.reg_domain, m.margin,
+                     CAST(row_number() OVER (
+                       PARTITION BY d.reg_domain
+                       ORDER BY m.margin DESC, d.doc_id ASC)
+                       AS INTEGER) AS rk
+              FROM doms d JOIN marg m USING (doc_id)
+            )
+            SELECT doc_id, reg_domain, margin, rk
+            FROM ranked WHERE rk <= 3
         """,
         "linear_quality_scores": f"""
             WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),

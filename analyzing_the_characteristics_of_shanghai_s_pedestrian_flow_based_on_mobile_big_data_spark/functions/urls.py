@@ -96,6 +96,66 @@ def url_suffix(reg_domain: Column) -> Column:
     return F.regexp_replace(reg_domain, r"^[^.]*[.]", "")
 
 
+# Query parameters stripped by canonicalization: tracking/session ids
+# that vary per click while pointing at the same resource — the reason
+# a crawl holds N copies of one page under N urls.
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|gclid|fbclid|ref)="
+
+
+def url_canonicalize(url: Column) -> Column:
+    """Canonical form of an ABSOLUTE URL — the normalize-before-dedup
+    step a web corpus runs so url-level exact dedup actually merges
+    the same page crawled under click-tracking variants:
+
+    - scheme and host lowercased; userinfo stripped;
+    - default ports dropped (``:80`` for http, ``:443`` for https;
+      other ports kept — they address different services);
+    - fragment dropped (never sent to the server);
+    - tracking query params dropped (``TRACKING_PARAM_RE``), the
+      remainder SORTED so param order cannot split a dedup group;
+      the ``?`` disappears with the last param;
+    - empty path normalized to ``/``; one trailing slash stripped
+      from non-root paths.
+
+    Deliberately NOT done (each changes meaning for some sites, so a
+    corpus pipeline must opt in explicitly): %-encoding
+    normalization, path dot-segment resolution, www-stripping, and
+    scheme upgrades. Pure portable string/array expressions — the
+    DuckDB twin restates every step; the only dialect split is the
+    replacement-string syntax ($1 vs \\1), the PATTERNS are shared."""
+    scheme = F.lower(
+        F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    rest = F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    rest = F.regexp_replace(rest, r"#.*$", "")  # fragment
+    authority = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    pathq = F.regexp_replace(rest, r"^[^/?#]*", "")
+    hostport = F.lower(F.regexp_replace(authority, r"^[^@]*@", ""))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    query = F.regexp_replace(pathq, r"^[^?]*\??", "")
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    canon_q = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    path_n = F.regexp_replace(path, r"(.)/$", r"$1")
+    path_n = F.when(path_n == "", F.lit("/")).otherwise(path_n)
+    canon = F.concat(scheme, F.lit("://"), host, path_n, canon_q)
+    # scheme-less strings are not canonicalizable — NULL, explicitly,
+    # so a dedup keyed on the canonical form can isolate them instead
+    # of merging every malformed row into one '://...' group
+    return F.when(scheme != "", canon).otherwise(F.lit(None))
+
+
 def apply_domain_blocklist(
     df: DataFrame, domain_col: str, blocklist: DataFrame
 ) -> DataFrame:

@@ -228,6 +228,9 @@ HEADLINE = [
     "per_domain_caps",
     "url_suffix_mix_counts",
     "domain_blocklist_kept",
+    "url_canonicalized",
+    "canonical_url_dedup",
+    "per_domain_best",
     "linear_quality_scores",
     "curation_scored",
     "pq_adc_topk",

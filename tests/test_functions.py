@@ -289,3 +289,35 @@ def test_cap_per_domain_window_group_limit(spark):
     assert again == {(r.dom, r.doc_id) for r in rows}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_url_canonicalize_cases(spark):
+    """Round 12: canonicalization pins — case folding, userinfo strip,
+    default-port drop (non-default kept), fragment drop, tracking-param
+    strip + param sort, trailing-slash and empty-path normalization,
+    NULL for scheme-less input."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.urls import (
+        url_canonicalize,
+    )
+
+    cases = [
+        ("HTTP://WWW.Site3.COM:80/a/b/?utm_source=x&id=7#frag",
+         "http://www.site3.com/a/b?id=7"),
+        ("http://www.site3.com/a/b?id=7", "http://www.site3.com/a/b?id=7"),
+        ("https://Site3.com:443/a/b?z=1&a=2&utm_campaign=y",
+         "https://site3.com/a/b?a=2&z=1"),
+        ("https://user:pw@site9.io:8443/p/", "https://site9.io:8443/p"),
+        ("https://site9.io", "https://site9.io/"),
+        ("http://site1.com/?gclid=abc&fbclid=def&ref=hn",
+         "http://site1.com/"),
+        ("not a url", None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {
+        r.url: r.c
+        for r in df.select(
+            "url", url_canonicalize(F.col("url")).alias("c")
+        ).collect()
+    }
+    for u, want in cases:
+        assert got[u] == want, (u, got[u], want)

@@ -273,6 +273,12 @@ EXCHANGE_CEILING = {
     # broadcast-anti blocklist: 2 broadcast-exchange mentions (the dim
     # side) + the blocklist-derivation aggregate; corpus side 0
     "domain_blocklist_kept": 4,
+    # canonicalization is a pure projection; the dedup adds one
+    # canon-keyed aggregate; the quality-ordered cap is the same
+    # WindowGroupLimit shape as per_domain_caps
+    "url_canonicalized": 0,
+    "canonical_url_dedup": 2,
+    "per_domain_best": 2,
     # corpus_curation's digest exchange — the margin floor adds NO
     # exchange (map-side column on the same projection)
     "curation_scored": 2,
