@@ -7,6 +7,14 @@ from .geohash import (  # noqa: F401
     geohash_encode_native as geohash_encode,
     geohash_neighbors_native as geohash_neighbors,
 )
+from .scorer import (  # noqa: F401
+    bucket_weights,
+    demo_weights,
+    doc_features,
+    linear_quality_margin,
+    margin_from_features,
+    margin_from_weights,
+)
 from .text import (  # noqa: F401
     punct_ratio,
     quality_score,
@@ -14,5 +22,13 @@ from .text import (  # noqa: F401
     token_count,
     tokens,
     word_shingles,
+)
+from .urls import (  # noqa: F401
+    apply_domain_blocklist,
+    cap_per_domain,
+    url_canonicalize,
+    url_host,
+    url_registered_domain,
+    url_suffix,
 )
 from .vectors import cosine_similarity, dot, l2_norm  # noqa: F401
