@@ -41,7 +41,7 @@ import socket
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -321,6 +321,29 @@ class IncrementalCountTable:
             return None
         self._check_monolithic(ptr["gen"])
         return self.spark.read.parquet(os.path.join(self.path, ptr["gen"]))
+
+    def read_for_epoch(self, epoch_id: int) -> DataFrame | None:
+        """The state an epoch's delta must be DERIVED from: the PARENT
+        generation when this epoch already committed, else the current
+        one. For state-dependent deltas (the per-domain admission
+        budget — unlike the band/block indexes, whose deltas are pure
+        functions of the batch), a foreachBatch replay that read the
+        CURRENT state would see its own output and derive a different
+        (empty) delta; merge_batch would then rebuild the epoch from
+        the parent with that empty delta and silently lose the
+        original admissions. Replay happens only as the immediately
+        retried epoch, so the parent generation is always within the
+        retain horizon."""
+        ptr = self._pointer()
+        if ptr is None:
+            return None
+        self._check_monolithic(ptr["gen"])
+        gen = ptr["gen"]
+        if ptr.get("epoch") == epoch_id:
+            gen = ptr.get("parent")
+            if gen is None:
+                return None  # replaying the very first epoch
+        return self.spark.read.parquet(os.path.join(self.path, gen))
 
     def _union_upgrading(self, existing: DataFrame, delta: DataFrame):
         """Union that tolerates a SCHEMA UPGRADE of the table: columns
@@ -1511,6 +1534,116 @@ def incremental_ivf_index_stream(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(emb_dir)
+    )
+    return (
+        src.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def domain_cap_table(
+    spark: SparkSession, table_path: str
+) -> IncrementalUpsertTable:
+    """Admitted-docs table for the per-domain crawl budget:
+    (doc_id, seq, reg_domain). read() is the admitted corpus manifest;
+    counts per domain derive from it (a production deployment
+    additionally maintains an additive per-domain counts sidecar so
+    admission never rescans the manifest — at the scales tested the
+    one groupBy per batch is the simpler honest form)."""
+    return IncrementalUpsertTable(
+        spark,
+        table_path,
+        keys=["doc_id"],
+        seq_col="seq",
+        payload_cols=["reg_domain"],
+    )
+
+
+def domain_cap_admit(
+    table: IncrementalUpsertTable,
+    batch_docs: DataFrame,
+    cap: int,
+    epoch_id: int,
+    id_col: str = "doc_id",
+    domain_col: str = "reg_domain",
+) -> None:
+    """Admit one micro-batch under the per-domain budget (round 12 —
+    the ingest-time counterpart of functions/urls.py:cap_per_domain):
+    a doc is admitted iff already-admitted(domain) + its md5-hash rank
+    within the batch's new docs for that domain ≤ ``cap``. A crawl
+    budget is FIRST-COME by nature, so admission is arrival-order
+    dependent across batches by design; WITHIN a batch the md5 coin
+    decides (ingest-order-uncorrelated), and the whole decision is a
+    pure function of (parent state, batch content): the delta derives
+    from ``read_for_epoch`` — a foreachBatch replay re-admits exactly
+    the same docs instead of deriving an empty delta from its own
+    output. Already-admitted docs re-arriving (replayed source files)
+    are recognized by the anti-join and never double-admitted or
+    double-counted."""
+    batch = batch_docs.select(
+        F.col(id_col).alias("doc_id"), F.col(domain_col).alias("reg_domain")
+    ).dropDuplicates(["doc_id"])
+    base = table.read_for_epoch(epoch_id)
+    if base is not None:
+        batch = batch.join(base.select("doc_id"), "doc_id", "left_anti")
+        counts = base.groupBy("reg_domain").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        batch = batch.join(counts, "reg_domain", "left")
+    else:
+        batch = batch.withColumn("__n", F.lit(None).cast("long"))
+    w = Window.partitionBy("reg_domain").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    admits = (
+        batch.withColumn("__rk", F.row_number().over(w))
+        .filter(
+            F.coalesce(F.col("__n"), F.lit(0)) + F.col("__rk")
+            <= F.lit(int(cap))
+        )
+        .select(
+            "doc_id",
+            F.lit(int(epoch_id)).cast("long").alias("seq"),
+            "reg_domain",
+        )
+    )
+    table.merge_batch(admits, epoch_id)
+
+
+def incremental_domain_cap_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    cap: int = 5,
+    schema: str = "doc_id long, url string",
+    id_col: str = "doc_id",
+    url_col: str = "url",
+):
+    """Stream document files → per-domain crawl budget via foreachBatch:
+    each doc's registered domain derives from its URL
+    (functions/urls.py), and at most ``cap`` docs per domain are ever
+    admitted — the ingest-time form of the per-domain dedup cap.
+    Serve the admitted manifest any time from
+    ``domain_cap_table(...).read()``."""
+    from ..functions.urls import url_host, url_registered_domain
+
+    table = domain_cap_table(spark, table_path)
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        keyed = batch_df.select(
+            F.col(id_col).alias("doc_id"),
+            url_registered_domain(url_host(F.col(url_col))).alias(
+                "reg_domain"
+            ),
+        )
+        domain_cap_admit(table, keyed, cap, epoch_id)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(docs_dir)
     )
     return (
         src.writeStream.foreachBatch(upsert)

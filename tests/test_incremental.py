@@ -2403,3 +2403,83 @@ def test_incremental_pq_index_stream_parity_and_scheme(spark, tmp_path):
             spark, src, str(tmp_path / "pqix"), str(tmp_path / "ckpt2"),
             coarse, cbs2, dim=16, schema=schema,
         )
+
+
+def test_incremental_domain_cap_stream(spark, tmp_path):
+    """Round 12: the per-domain crawl budget on ingest. At most cap
+    docs per registered domain are ever admitted across micro-batches
+    (first-come across batches, md5-ranked within a batch); replayed
+    docs are never double-admitted; a same-epoch replay derives the
+    SAME admissions from the parent state (read_for_epoch) instead of
+    an empty delta from its own output."""
+    import hashlib
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        domain_cap_admit,
+        domain_cap_table,
+        incremental_domain_cap_stream,
+    )
+
+    def url(dom: str, i: int) -> str:
+        return f"https://www.{dom}/p/{i}"
+
+    schema = "doc_id long, url string"
+    src = str(tmp_path / "docs")
+    f1 = [(i, url("alpha.com", i)) for i in range(7)] + [
+        (100, url("beta.org", 0)), (101, url("beta.org", 1)),
+    ]
+    f2 = [(10 + i, url("alpha.com", 10 + i)) for i in range(3)] + [
+        (102 + i, url("beta.org", 2 + i)) for i in range(4)
+    ] + [(0, url("alpha.com", 0))]  # replayed doc 0
+    spark.createDataFrame(f1, schema).coalesce(1).write.mode("append").parquet(src)
+    q = incremental_domain_cap_stream(
+        spark, src, str(tmp_path / "cap"), str(tmp_path / "ckpt"), cap=5,
+        schema=schema,
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(f2, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    table = domain_cap_table(spark, str(tmp_path / "cap"))
+    rows = table.read().collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.reg_domain, set()).add(r.doc_id)
+    # sequential simulation: batch 1 admits the 5 smallest-md5 alpha
+    # docs and both beta docs; batch 2 fills beta to 5 and admits no
+    # alpha (budget already spent); the replayed doc 0 never
+    # double-admits
+    def md5rank(ids):
+        return sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+
+    alpha1 = set(md5rank(range(7))[:5])
+    beta_all = {100, 101}
+    beta2 = set(md5rank([102, 103, 104, 105])[:3])
+    assert got["alpha.com"] == alpha1, got
+    assert got["beta.org"] == beta_all | beta2, got
+    assert all(len(v) <= 5 for v in got.values())
+    # same-epoch replay determinism: re-admitting the LAST epoch's
+    # batch content yields an identical table (read_for_epoch derives
+    # the same delta from the parent state)
+    last_epoch = max(r.seq for r in rows)
+    # rebuild the keyed batch exactly as the stream's upsert does
+    from pyspark.sql import functions as F
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.urls import (
+        url_host,
+        url_registered_domain,
+    )
+
+    keyed2 = spark.createDataFrame(f2, schema).select(
+        F.col("doc_id"),
+        url_registered_domain(url_host(F.col("url"))).alias("reg_domain"),
+    )
+    domain_cap_admit(table, keyed2, cap=5, epoch_id=int(last_epoch))
+    again = {
+        (r.doc_id, r.reg_domain) for r in table.read().collect()
+    }
+    assert again == {(r.doc_id, r.reg_domain) for r in rows}
