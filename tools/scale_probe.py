@@ -1625,6 +1625,7 @@ def probe_pq(spark, sf_dir: str, n: int) -> dict:
     shared per-file overhead."""
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.pq import (
         ivf_pq_topk,
+        ivf_pq_topk_refined,
         pq_code_expr,
         pq_codebooks,
         pq_norm_expr,
@@ -1713,13 +1714,82 @@ def probe_pq(spark, sf_dir: str, n: int) -> dict:
     )
     results["ivf_pq_recall"] = recall_against(bf, ivfpq)
     results["ivf_pq_serve_s"] = round(time.perf_counter() - t0, 2)
+    # round 13: the COMPOSED serving query (IVF probe -> ADC top-16
+    # shortlist -> exact rerank) — must hold recall where raw ADC
+    # decays (r12 measured 1.0 @8k -> 0.4 @32k)
+    t0 = time.perf_counter()
+    ivfpq_ref = ivf_pq_topk_refined(
+        scaled, queries, k=3, r=16, nprobe=4, codebooks=cbs,
+        coarse=cent, dim=64, indexed=index,
+    )
+    results["ivf_pq_refined_recall"] = recall_against(bf, ivfpq_ref)
+    results["ivf_pq_refined_serve_s"] = round(time.perf_counter() - t0, 2)
     bf.unpersist()
+    return results
+
+
+def probe_pq_encode(spark, sf_dir: str, n: int) -> dict:
+    """PQ encode throughput (round 13, VERDICT r12 #2): ms/row of the
+    native Catalyst argmin tree vs the Arrow-batched numpy kernel at
+    the test width (ksub=16) and the production one-byte width
+    (ksub=256), on the perturbed-replicated corpus. The native
+    ksub=256 leg runs on a 200-row slice (measured ~123 ms/row — a
+    full pass would be minutes); the others run the full corpus.
+    Bit-exactness of kernel vs native is pinned separately in
+    tests/test_similarity.py — this family records only cost."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.pq import (
+        pq_codebooks,
+        pq_encode,
+        pq_encode_arrow,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        perturbed_replicas,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = perturbed_replicas(emb, n, noise=0.3)
+    out = os.path.join(tempfile.gettempdir(), f"emb_pqenc_x{n}.parquet")
+    copies.write.mode("overwrite").parquet(out)
+    scaled = spark.read.parquet(out)
+    rows = scaled.count()
+    results = {"family": "pq_encode", "replication": n, "rows": rows}
+    cbs16 = pq_codebooks(scaled, m=8, ksub=16, dim=64)
+    cbs256 = pq_codebooks(scaled, m=8, ksub=256, dim=64)
+
+    def ms_per_row(df, nrows):
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        return round((time.perf_counter() - t0) * 1000 / nrows, 4)
+
+    results["native_k16_ms_row"] = ms_per_row(
+        pq_encode(scaled, cbs16), rows
+    )
+    results["arrow_k16_ms_row"] = ms_per_row(
+        pq_encode_arrow(scaled, cbs16), rows
+    )
+    sl = scaled.filter(F.col("vec_id") < 200).persist()
+    n_sl = sl.count()
+    results["native_k256_slice_rows"] = n_sl
+    results["native_k256_ms_row"] = ms_per_row(pq_encode(sl, cbs256), n_sl)
+    sl.unpersist()
+    results["arrow_k256_ms_row"] = ms_per_row(
+        pq_encode_arrow(scaled, cbs256), rows
+    )
+    results["arrow_vs_native_k16"] = round(
+        results["arrow_k256_ms_row"]
+        / max(results["native_k16_ms_row"], 1e-9),
+        3,
+    )
     return results
 
 
 FAMILIES = {
     "graph": probe_graph,
     "pq": probe_pq,
+    "pq_encode": probe_pq_encode,
     "semdedup": probe_semdedup,
     "simhash_width": probe_simhash_width,
     "ann": probe_ann,
