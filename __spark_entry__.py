@@ -3170,6 +3170,77 @@ def _q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The PSL slice the psl_registered_domains query serves under — exact,
+# wildcard and exception rules; the oracle twin is generated from this
+# SAME list (parsed by the same rules), so the two engines can never
+# disagree about which suffixes exist.
+_PSL_RULES = (
+    "com",
+    "org",
+    "uk",
+    "co.uk",
+    "cn",
+    "gov.cn",
+    "jp",
+    "br",
+    "*.nom.br",
+    "*.kawasaki.jp",
+    "!city.kawasaki.jp",
+)
+
+
+def _plant_psl_hosts(docs: DataFrame) -> DataFrame:
+    """Hosts exercising every PSL rule class, derived from doc_id
+    (site = doc_id%13, v = doc_id%7): plain gTLD (v0, v5), in-subset
+    multi-part (v1 — both paths agree), NON-subset multi-part (v2 —
+    the literal path collapses every .gov.cn site into one bucket),
+    wildcard rule (v3 — *.nom.br makes site{m}.nom.br itself the
+    public suffix), wildcard+exception pair (v4 — !city.kawasaki.jp
+    is registrable under *.kawasaki.jp), and a public-suffix-only
+    host (v6 — co.uk has NO registrable part: NULL). Restated in the
+    twin's hosts CTE."""
+    site = F.concat(F.lit("site"), (F.col("doc_id") % 13).cast("string"))
+    v = (F.col("doc_id") % 7).cast("int")
+    host = (
+        F.when(v == 0, F.concat(F.lit("www."), site, F.lit(".com")))
+        .when(v == 1, F.concat(F.lit("deep.blog."), site, F.lit(".co.uk")))
+        .when(v == 2, F.concat(site, F.lit(".gov.cn")))
+        .when(v == 3, F.concat(F.lit("a."), site, F.lit(".nom.br")))
+        .when(v == 4, F.lit("x.city.kawasaki.jp"))
+        .when(v == 5, F.concat(F.lit("cdn."), site, F.lit(".org")))
+        .otherwise(F.lit("co.uk"))
+    )
+    return docs.select("doc_id", host.alias("host"))
+
+
+def _q_psl_registered_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain extraction against the FULL Public-Suffix-List
+    algorithm as a broadcast dim (round 13, VERDICT r12 #4): distinct
+    hosts explode into trailing label-suffix candidates, equi-join the
+    broadcast rules (exact/exception on the candidate, wildcard on its
+    tail), the prevailing rule is exception-first-then-longest, and
+    the mapping joins back — the corpus side never explodes
+    (functions/urls.py:psl_host_mapping). Output carries BOTH paths'
+    answers so the divergence rows are the result: the literal-subset
+    path mis-groups .gov.cn / *.nom.br / kawasaki.jp hosts where the
+    dim path keys them registrably."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.urls import (
+        psl_rules_dim,
+        url_registered_domain,
+        url_registered_domain_psl,
+    )
+
+    docs = _plant_psl_hosts(load_table(spark, sf_dir, "documents"))
+    rules = psl_rules_dim(spark, _PSL_RULES)
+    out = url_registered_domain_psl(docs, rules, out_col="reg_psl")
+    return out.select(
+        "doc_id",
+        "host",
+        "reg_psl",
+        url_registered_domain(F.col("host")).alias("reg_subset"),
+    )
+
+
 def _q_pq_codes_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-width PQ encode (round 13, VERDICT r12 #2): the
     one-byte-code index build (m=8, ksub=256) through the Arrow-batched
@@ -7123,6 +7194,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_topk": _q_ivf_pq_topk,
         "ivf_pq_topk_refined": _q_ivf_pq_topk_refined,
         "pq_codes_production": _q_pq_codes_production,
+        "psl_registered_domains": _q_psl_registered_domains,
         "redacted_cleaned_text": _q_redacted_cleaned_text,
         "tf_cosine_pairs": _q_tf_cosine_pairs,
         "tf_cosine_pairs_auto": _q_tf_cosine_pairs_auto,
@@ -7926,6 +7998,93 @@ def _url_domain_ctes() -> str:
           FROM (SELECT doc_id, url, host, string_split(host, '.') AS l
                 FROM hosts)
         )"""
+
+
+def _psl_oracle() -> str:
+    """Full SQL twin of psl_registered_domains: the planted hosts, the
+    rules dim GENERATED FROM THE SAME _PSL_RULES tuple (parsed by the
+    same marker rules — '*.'/'!' — as functions/urls.py:psl_rules_dim),
+    the candidate explode, the exact/wildcard match, the
+    exception-first-then-longest prevail, and both paths' registered
+    domains; the subset path reuses DEFAULT_MULTI_TLDS verbatim."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.urls import (
+        DEFAULT_MULTI_TLDS,
+    )
+
+    rows = []
+    for r in _PSL_RULES:
+        r = r.strip()
+        is_exc = r.startswith("!")
+        is_wild = r.startswith("*.")
+        base = r[1:] if is_exc else (r[2:] if is_wild else r)
+        rows.append(
+            f"('{base}', {'TRUE' if is_wild else 'FALSE'}, "
+            f"{'TRUE' if is_exc else 'FALSE'}, {base.count('.') + 1})"
+        )
+    multi = ", ".join(f"'{t}'" for t in DEFAULT_MULTI_TLDS)
+    return f"""
+        WITH hosts AS (
+          SELECT doc_id,
+            CASE CAST(doc_id % 7 AS INTEGER)
+              WHEN 0 THEN 'www.site' || CAST(doc_id % 13 AS VARCHAR)
+                          || '.com'
+              WHEN 1 THEN 'deep.blog.site' || CAST(doc_id % 13 AS VARCHAR)
+                          || '.co.uk'
+              WHEN 2 THEN 'site' || CAST(doc_id % 13 AS VARCHAR)
+                          || '.gov.cn'
+              WHEN 3 THEN 'a.site' || CAST(doc_id % 13 AS VARCHAR)
+                          || '.nom.br'
+              WHEN 4 THEN 'x.city.kawasaki.jp'
+              WHEN 5 THEN 'cdn.site' || CAST(doc_id % 13 AS VARCHAR)
+                          || '.org'
+              ELSE 'co.uk' END AS host
+          FROM documents
+        ),
+        rules(base, is_wild, is_exc, n_labels) AS (
+          VALUES {', '.join(rows)}
+        ),
+        lab AS (SELECT doc_id, host, string_split(host, '.') AS l
+                FROM hosts),
+        cands AS (
+          SELECT doc_id, host,
+                 array_to_string(l[i:], '.') AS cand,
+                 CASE WHEN i > 1 THEN l[i-1] END AS prev_label,
+                 CASE WHEN i < len(l)
+                      THEN array_to_string(l[i+1:], '.') END AS cand_tail,
+                 len(l) - i + 1 AS cand_labels
+          FROM lab, UNNEST(generate_series(greatest(1, len(l) - 7),
+                                           len(l))) AS t(i)
+        ),
+        matched AS (
+          SELECT c.doc_id, r.is_exc,
+                 CASE WHEN r.is_exc THEN c.cand_labels - 1
+                      ELSE c.cand_labels END AS ps_labels,
+                 CASE WHEN r.is_exc THEN c.cand_tail
+                      ELSE c.cand END AS ps,
+                 CASE WHEN r.is_exc THEN c.cand
+                      WHEN c.prev_label IS NOT NULL
+                      THEN c.prev_label || '.' || c.cand
+                 END AS reg
+          FROM cands c JOIN rules r
+            ON (NOT r.is_wild AND c.cand = r.base)
+            OR (r.is_wild AND c.cand_tail = r.base)
+        ),
+        prevail AS (
+          SELECT doc_id, reg FROM matched
+          QUALIFY row_number() OVER (PARTITION BY doc_id
+            ORDER BY is_exc DESC, ps_labels DESC, ps DESC) = 1
+        )
+        SELECT l.doc_id, l.host,
+               CASE WHEN p.doc_id IS NOT NULL THEN p.reg
+                    WHEN len(l.l) >= 2 THEN l.l[-2] || '.' || l.l[-1]
+               END AS reg_psl,
+               CASE WHEN len(l.l) >= 3
+                         AND (l.l[-2] || '.' || l.l[-1]) IN ({multi})
+                    THEN l.l[-3] || '.' || l.l[-2] || '.' || l.l[-1]
+                    WHEN len(l.l) >= 2 THEN l.l[-2] || '.' || l.l[-1]
+                    ELSE l.host END AS reg_subset
+        FROM lab l LEFT JOIN prevail p ON l.doc_id = p.doc_id
+    """
 
 
 def _pq_oracle_ctes(m: int = 8, ksub: int = 16, dsub: int = 8) -> str:
@@ -9917,6 +10076,7 @@ def oracle_sql() -> dict[str, str]:
               ON pp.query_id = c.query_id AND pp.vec_id = c.vec_id
             QUALIFY rank <= 3
         """,
+        "psl_registered_domains": _psl_oracle(),
         "pq_codes_production": f"""
             WITH {_pq_encode_ctes(m=8, ksub=256, dsub=8)}
             SELECT c.vec_id,

