@@ -3269,6 +3269,32 @@ def _q_pq_codes_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pq_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-k under TRAINED sub-codebooks (round 13, VERDICT r12
+    #5): one kmeans_fit Lloyd chain per subspace over the subvector
+    slices (operators/pq.py:pq_codebooks_trained) instead of the
+    md5-stratified sample rows — the ivf_topk_kmeans pattern at PQ
+    grain. Tiny m=2, ksub=4, 2 Lloyd rounds keep the twin's unrolled
+    chains affordable; the recall question training actually answers
+    (does it lift refined recall at the cheap R<16 shortlist?) is
+    measured in the SCALE_PROBE_r13 pq_trained family, where
+    production widths run through the Arrow encode."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.pq import (
+        pq_codebooks_trained,
+        pq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = _dataset_fingerprint(sf_dir, "embeddings") + ("pqtrain2x4",)
+    cbs = _IVF_CODEBOOKS.get(key)
+    if cbs is None:
+        cbs = _IVF_CODEBOOKS[key] = pq_codebooks_trained(
+            emb, m=2, ksub=4, dim=64, iterations=2
+        )
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return pq_topk(emb, queries_df, k=3, codebooks=cbs)
+
+
 def _q_ivf_pq_topk_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production IVF-PQ serving path (round 13, VERDICT r12 #1):
     IVF probe (nprobe=4 of 16 lists) → codes-only ADC top-16 shortlist
@@ -7195,6 +7221,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_topk_refined": _q_ivf_pq_topk_refined,
         "pq_codes_production": _q_pq_codes_production,
         "psl_registered_domains": _q_psl_registered_domains,
+        "pq_topk_trained": _q_pq_topk_trained,
         "redacted_cleaned_text": _q_redacted_cleaned_text,
         "tf_cosine_pairs": _q_tf_cosine_pairs,
         "tf_cosine_pairs_auto": _q_tf_cosine_pairs_auto,
@@ -8000,6 +8027,61 @@ def _url_domain_ctes() -> str:
         )"""
 
 
+def _pq_trained_oracle(m: int = 2, ksub: int = 4, dim: int = 64) -> str:
+    """Twin of pq_topk_trained: per-subspace unrolled Lloyd chains
+    (operators/kmeans.py:kmeans_oracle_ctes, nested WITH so each
+    subspace's chain owns its ``e``) produce the codebooks — code c =
+    c-th centroid in ascending cluster-label order, exactly
+    pq_codebooks_trained's sorted(cents.items()) — then the shared
+    encode tail and ADC-pairs CTEs rank top-3."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.kmeans import (
+        kmeans_oracle_ctes,
+    )
+
+    dsub = dim // m
+    iters = 2
+    parts = [
+        """esrc AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings
+        ),
+        e AS (SELECT vec_id, emb FROM esrc)"""
+    ]
+    for j in range(m):
+        sub_cte = f"""
+        e AS MATERIALIZED (
+          SELECT vec_id, emb[{j * dsub + 1}:{(j + 1) * dsub}] AS emb
+          FROM esrc
+        )"""
+        parts.append(
+            f"""cb{j} AS MATERIALIZED (
+          WITH {kmeans_oracle_ctes(sub_cte, k=ksub, iterations=iters)}
+          SELECT cluster, c FROM cent{iters}
+        )"""
+        )
+    subs_rows = "\n          UNION ALL\n          ".join(
+        f"SELECT {j} AS j, row_number() OVER (ORDER BY cluster) - 1 "
+        f"AS code, c AS sv FROM cb{j}"
+        for j in range(m)
+    )
+    parts.append(
+        f"""subs AS MATERIALIZED (
+          {subs_rows}
+        ),{_pq_codes_ctes(dsub)},{_pq_pairs_ctes(dsub)}"""
+    )
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + """
+        SELECT query_id, vec_id, cos_r,
+               CAST(row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cos_r DESC, vec_id ASC) AS INTEGER) AS rank
+        FROM pq_pairs QUALIFY rank <= 3
+    """
+    )
+
+
 def _psl_oracle() -> str:
     """Full SQL twin of psl_registered_domains: the planted hosts, the
     rules dim GENERATED FROM THE SAME _PSL_RULES tuple (parsed by the
@@ -8096,7 +8178,16 @@ def _pq_oracle_ctes(m: int = 8, ksub: int = 16, dsub: int = 8) -> str:
     ``qlut``, ``vnorm`` available for the IVF/refine compositions.
     Every float fold is 0.0-seeded (list_prepend) in the same order as
     the Spark expressions, so cos_r is bit-identical."""
-    return _pq_encode_ctes(m, ksub, dsub) + f""",
+    return _pq_encode_ctes(m, ksub, dsub) + "," + _pq_pairs_ctes(dsub)
+
+
+def _pq_pairs_ctes(dsub: int = 8) -> str:
+    """The QUERY half of the PQ twin (per-query LUTs → ADC cosine),
+    composable over any upstream that defines ``e``, ``subs``,
+    ``codes`` and ``vnorm`` — the sample-codebook chain
+    (:func:`_pq_encode_ctes`) or the trained per-subspace Lloyd
+    chains (pq_topk_trained's twin)."""
+    return f"""
         qv AS MATERIALIZED (
           SELECT vec_id AS query_id, emb AS q_emb,
                  sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -8149,7 +8240,16 @@ def _pq_encode_ctes(m: int = 8, ksub: int = 16, dsub: int = 8) -> str:
           SELECT js.j, cb.code,
                  cb.emb[js.j * {dsub} + 1 : (js.j + 1) * {dsub}] AS sv
           FROM cb CROSS JOIN js
-        ),
+        ),""" + _pq_codes_ctes(dsub)
+
+
+def _pq_codes_ctes(dsub: int = 8) -> str:
+    """The ENCODE tail (per-(subspace, code) squared norms → argmin
+    codes → reconstructed vector norms) over any upstream defining
+    ``e(vec_id, emb)`` and ``subs(j, code, sv)`` — shared by the
+    sample-codebook chain and pq_topk_trained's per-subspace Lloyd
+    twin."""
+    return f"""
         subn AS (
           SELECT j, code,
                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -10077,6 +10177,7 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rank <= 3
         """,
         "psl_registered_domains": _psl_oracle(),
+        "pq_topk_trained": _pq_trained_oracle(),
         "pq_codes_production": f"""
             WITH {_pq_encode_ctes(m=8, ksub=256, dsub=8)}
             SELECT c.vec_id,

@@ -1786,10 +1786,66 @@ def probe_pq_encode(spark, sf_dir: str, n: int) -> dict:
     return results
 
 
+def probe_pq_trained(spark, sf_dir: str, n: int) -> dict:
+    """Trained vs sample codebooks (round 13, VERDICT r12 #5): does
+    per-subspace Lloyd training lift REFINED recall at the cheap
+    shortlist (R < 16)? At R=16 both codebooks already refine to 1.0
+    on this corpus (r12 measured raw-ADC parity), so the interesting
+    regime is the smaller R where shortlist quality is the binding
+    constraint. m=8, ksub=16, dim=64; training = 2 Lloyd rounds per
+    subspace (pq_codebooks_trained)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.pq import (
+        pq_codebooks,
+        pq_codebooks_trained,
+        pq_refine,
+        pq_topk,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        brute_force_topk,
+        perturbed_replicas,
+        recall_against,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = perturbed_replicas(emb, n, noise=0.3)
+    out = os.path.join(tempfile.gettempdir(), f"emb_pqtr_x{n}.parquet")
+    copies.write.mode("overwrite").parquet(out)
+    scaled = spark.read.parquet(out)
+    results = {"family": "pq_trained", "replication": n,
+               "rows": scaled.count()}
+    queries = scaled.filter(F.col("vec_id") < 5)
+    t0 = time.perf_counter()
+    cbs_sample = pq_codebooks(scaled, m=8, ksub=16, dim=64)
+    results["sample_cb_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    cbs_trained = pq_codebooks_trained(
+        scaled, m=8, ksub=16, dim=64, iterations=2
+    )
+    results["train_cb_s"] = round(time.perf_counter() - t0, 2)
+    bf = brute_force_topk(scaled, queries, k=3, dim=64).persist()
+    bf.count()
+    for label, cbs in (("sample", cbs_sample), ("trained", cbs_trained)):
+        results[f"adc_recall_{label}"] = recall_against(
+            bf, pq_topk(scaled, queries, k=3, codebooks=cbs)
+        )
+        for r in (4, 8, 16):
+            short = pq_topk(scaled, queries, k=r, codebooks=cbs)
+            refined = pq_refine(scaled, short, queries, k=3, dim=64)
+            results[f"refined_recall_{label}_r{r}"] = recall_against(
+                bf, refined
+            )
+    bf.unpersist()
+    return results
+
+
 FAMILIES = {
     "graph": probe_graph,
     "pq": probe_pq,
     "pq_encode": probe_pq_encode,
+    "pq_trained": probe_pq_trained,
     "semdedup": probe_semdedup,
     "simhash_width": probe_simhash_width,
     "ann": probe_ann,
