@@ -1841,11 +1841,104 @@ def probe_pq_trained(spark, sf_dir: str, n: int) -> dict:
     return results
 
 
+def probe_od_fine(spark, sf_dir: str, n: int) -> dict:
+    """OD family at the reference's commented-out FINE grain (round
+    13, VERDICT r12 #6): 5081 regions instead of the shipped 356/20 —
+    the ~200× key-cardinality stress on od_matrix/od_fractions/
+    pagerank (/root/reference/cal_mobility_matrix.py:161,176 keeps the
+    5081×5081 variant commented because driver-side scipy assembly
+    can't hold it; the long-form DataFrame has no such cap). Records:
+    - od key cardinality and build time at the fine grain;
+    - the sentinel-region skew (gap-fill's out-of-observation region 0
+      is the hot orig at any grain): hot-key edge share, plus the
+      max/mean (hour, orig) group size that od_fractions' window must
+      hold — the skew lever, bounded by dest-cardinality by design;
+    - AQE shuffle coalescing: output partitions of the od aggregate vs
+      the static spark.sql.shuffle.partitions;
+    - pagerank at 5081 nodes: time + replication-invariant fingerprint
+      (fractions, not counts, so ×n replication cancels)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.pagerank import (
+        normalized_edges,
+        pagerank,
+    )
+
+    base = load_events(spark, sf_dir)
+    copies = base.crossJoin(
+        spark.range(n).select(F.col("id").alias("rep"))
+    ).select(
+        (F.col("user_id") + F.col("rep") * 1_000_000).alias("user_id"),
+        "ts",
+        "value",
+        "event_id",
+    )
+    out = os.path.join(tempfile.gettempdir(), f"events_odf_x{n}.parquet")
+    copies.write.mode("overwrite").parquet(out)
+    scaled = spark.read.parquet(out)
+    grain = 5081
+    pings = scaled.select(
+        "user_id",
+        "ts",
+        F.date_trunc("hour", "ts").alias("hour"),
+        (
+            F.pmod(
+                F.hash(F.floor("value").cast("long"), F.col("event_id")),
+                F.lit(grain - 1),
+            )
+            + 1
+        ).cast("int").alias("region_id"),
+        "event_id",
+    )
+    results = {"family": "od_fine", "replication": n, "grain": grain,
+               "rows": scaled.count()}
+
+    t0 = time.perf_counter()
+    pos = ops.hourly_positions(pings)
+    od = ops.od_matrix(ops.gap_fill_edges(pos)).persist()
+    n_edges = od.count()
+    results["od_keys"] = n_edges
+    results["od_build_s"] = round(time.perf_counter() - t0, 2)
+    results["od_out_partitions"] = od.rdd.getNumPartitions()
+    results["static_shuffle_partitions"] = int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    tot = od.agg(F.sum("cnt")).collect()[0][0]
+    hot = (
+        od.filter(F.col("orig") == 0).agg(F.sum("cnt")).collect()[0][0]
+        or 0
+    )
+    results["sentinel_edge_share"] = round(hot / tot, 4)
+    grp = od.groupBy("hour", "orig").agg(F.count("*").alias("g")).agg(
+        F.max("g").alias("mx"), F.avg("g").alias("avg")
+    ).collect()[0]
+    results["frac_window_max_group"] = int(grp.mx)
+    results["frac_window_avg_group"] = round(float(grp.avg), 2)
+    t0 = time.perf_counter()
+    fr = ops.od_fractions(od)
+    results["od_fractions_rows"] = fr.count()
+    results["od_fractions_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    pr = pagerank(
+        normalized_edges(
+            od.select(
+                F.col("orig").alias("src"), F.col("dest").alias("dst"),
+                "cnt",
+            )
+        ),
+        iterations=10,
+    )
+    results["pagerank_nodes"] = pr.count()
+    results["pagerank_fp"] = _fingerprint(pr)
+    results["pagerank_s"] = round(time.perf_counter() - t0, 2)
+    od.unpersist()
+    return results
+
+
 FAMILIES = {
     "graph": probe_graph,
     "pq": probe_pq,
     "pq_encode": probe_pq_encode,
     "pq_trained": probe_pq_trained,
+    "od_fine": probe_od_fine,
     "semdedup": probe_semdedup,
     "simhash_width": probe_simhash_width,
     "ann": probe_ann,
