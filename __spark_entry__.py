@@ -3269,6 +3269,108 @@ def _q_pq_codes_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_domain_mixture_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture (round 13): per-domain
+    sampling shares ∝ n_d^α at α = 0.5 — the multilingual-sampling
+    rebalance (upweight the tail, damp the head) every production mix
+    applies above the hard per-domain caps. α is exactly 0.5 so the
+    power IS ``sqrt`` (IEEE-exact, no transcendental drift); per-domain
+    sqrt weights are rounded to 9dp and summed as DECIMAL(38,9) — the
+    repo's decimal-exact-grouped-sum rule — so the normalizing total is
+    order-free and distributed, never an ordered driver fold. Rate =
+    min(1, share_α · (N/2) / n_d); expected_kept floors rate·n_d.
+    All on the registered-domain dim (domain-cardinality rows)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.urls import (
+        url_host,
+        url_registered_domain,
+    )
+
+    docs = _plant_urls(load_table(spark, sf_dir, "documents"))
+    doms = docs.select(
+        "doc_id",
+        url_registered_domain(url_host(F.col("url"))).alias("reg_domain"),
+    )
+    per = doms.groupBy("reg_domain").agg(F.count("*").alias("n_docs"))
+    sq = F.round(F.sqrt(F.col("n_docs").cast("double")), 9)
+    per = per.withColumn("sq", sq.cast("decimal(38,9)"))
+    w = Window.partitionBy()
+    per = per.withColumn("tot_sq", F.sum("sq").over(w)).withColumn(
+        "tot_n", F.sum("n_docs").over(w)
+    )
+    share_alpha = F.col("sq").cast("double") / F.col("tot_sq").cast("double")
+    rate = F.least(
+        F.lit(1.0),
+        share_alpha
+        * (F.col("tot_n").cast("double") / 2.0)
+        / F.col("n_docs").cast("double"),
+    )
+    return per.select(
+        "reg_domain",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.col("tot_n").cast("double"), 6
+        ).alias("share_raw"),
+        F.round(share_alpha, 6).alias("share_alpha"),
+        F.round(rate, 6).alias("rate"),
+        F.floor(rate * F.col("n_docs").cast("double"))
+        .cast("long")
+        .alias("expected_kept"),
+    )
+
+
+def _q_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-class LM quality scoring (round 13; Wenzek et al. 2020):
+    a char-trigram model trained ON THE CORPUS in one
+    bounded-cardinality aggregate (trigram keys are integer indexes
+    over a fixed 28-symbol alphabet — at most 28³ rows whatever the
+    corpus size), then every doc scored MAP-SIDE against the
+    constant-folded probability array: O(1) element_at per position,
+    ascending fold, zero exchanges in the scoring plan (plan-pinned).
+    The score is the mean smoothed trigram probability —
+    transcendental-free by design so the twin reproduces every value
+    bit-for-bit (ln's last ulp is not contractually portable; see
+    functions/charlm.py). min_p is the gibberish-spike detector."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.charlm import (
+        char_trigram_lm,
+        charlm_doc_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = _dataset_fingerprint(sf_dir, "documents") + ("charlm3",)
+    table = _IVF_CODEBOOKS.get(key)
+    if table is None:
+        table = _IVF_CODEBOOKS[key] = char_trigram_lm(docs)
+    return charlm_doc_scores(spark, docs, table=table)
+
+
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-class repetition filters (round 13; Rae et al. 2021
+    §A1.1 adapted to word-stream docs): per-doc most-frequent-token
+    share, duplicate 2/3-gram occurrence fractions, top-2-gram share,
+    and the combined pass flag at thresholds that split this corpus
+    non-vacuously (0.12 / 0.05 / 0.02). The Spark side is ENTIRELY
+    map-side — array_sort + run-length aggregate folds, zero
+    exchanges (plan-pinned in tests/test_functions.py): repetition
+    filtering at 100 TB is a streamed scan, where the relational
+    formulation would shuffle every n-gram twice. The twin uses the
+    relational form — same values, different plan
+    (functions/text.py:repetition_stats)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.text import (
+        repetition_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    st = docs.select(
+        "doc_id", repetition_stats(F.col("text")).alias("s")
+    ).select("doc_id", "s.*")
+    return st.withColumn(
+        "repetition_pass",
+        (F.col("top_word_frac") <= 0.12)
+        & (F.col("dup_2gram_frac") <= 0.05)
+        & (F.col("dup_3gram_frac") <= 0.02),
+    )
+
+
 def _q_pq_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ADC top-k under TRAINED sub-codebooks (round 13, VERDICT r12
     #5): one kmeans_fit Lloyd chain per subspace over the subvector
@@ -7222,6 +7324,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes_production": _q_pq_codes_production,
         "psl_registered_domains": _q_psl_registered_domains,
         "pq_topk_trained": _q_pq_topk_trained,
+        "repetition_stats": _q_repetition_stats,
+        "charlm_quality": _q_charlm_quality,
+        "domain_mixture_alpha": _q_domain_mixture_alpha,
         "redacted_cleaned_text": _q_redacted_cleaned_text,
         "tf_cosine_pairs": _q_tf_cosine_pairs,
         "tf_cosine_pairs_auto": _q_tf_cosine_pairs_auto,
@@ -8080,6 +8185,60 @@ def _pq_trained_oracle(m: int = 2, ksub: int = 4, dim: int = 64) -> str:
         FROM pq_pairs QUALIFY rank <= 3
     """
     )
+
+
+def _charlm_oracle() -> str:
+    """Twin of charlm_quality: trains the SAME trigram table in SQL
+    (integer indexes over the fixed 28-symbol alphabet, add-one
+    smoothing over bigram-context counts — one double division per
+    cell, no transcendentals) and scores per position with the
+    identical ascending 0.0-seeded fold, so mean_p/min_p are
+    bit-identical to the Spark literal-array path."""
+    code = (
+        "CASE WHEN {a} BETWEEN 97 AND 122 THEN {a} - 96 "
+        "WHEN {a} = 32 THEN 27 ELSE 0 END"
+    )
+    c1 = code.format(a="ascii(substr(s, i, 1))")
+    c2 = code.format(a="ascii(substr(s, i + 1, 1))")
+    c3 = code.format(a="ascii(substr(s, i + 2, 1))")
+    return f"""
+        WITH norm AS (SELECT doc_id, lower(text) AS s FROM documents),
+        pos AS MATERIALIZED (
+          SELECT doc_id, i,
+                 ({c1}) * 784 + ({c2}) * 28 + ({c3}) + 1 AS idx
+          FROM norm, UNNEST(generate_series(1, len(s) - 2)) AS u(i)
+          WHERE len(s) >= 3
+        ),
+        tri AS MATERIALIZED (
+          SELECT idx, count(*) AS cnt FROM pos GROUP BY 1
+        ),
+        ctxc AS (
+          SELECT (idx - 1) // 28 AS ctx, sum(cnt) AS c
+          FROM tri GROUP BY 1
+        ),
+        scored AS (
+          SELECT p.doc_id, p.i,
+                 CAST(coalesce(t.cnt, 0) + 1 AS DOUBLE)
+                 / CAST(coalesce(c.c, 0) + 28 AS DOUBLE) AS prob
+          FROM pos p
+          LEFT JOIN tri t USING (idx)
+          LEFT JOIN ctxc c ON c.ctx = (p.idx - 1) // 28
+        ),
+        agg AS (
+          SELECT doc_id, count(*) AS n,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(prob ORDER BY i)), (a, b) -> a + b) AS tot,
+                 min(prob) AS mn
+          FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(a.n, 0) AS BIGINT) AS n_trigrams,
+               CASE WHEN coalesce(a.n, 0) > 0
+                    THEN round(a.tot / a.n, 6) ELSE 0.0 END AS mean_p,
+               CASE WHEN coalesce(a.n, 0) > 0
+                    THEN round(a.mn, 6) ELSE 0.0 END AS min_p
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
 
 
 def _psl_oracle() -> str:
@@ -10178,6 +10337,94 @@ def oracle_sql() -> dict[str, str]:
         """,
         "psl_registered_domains": _psl_oracle(),
         "pq_topk_trained": _pq_trained_oracle(),
+        "charlm_quality": _charlm_oracle(),
+        "domain_mixture_alpha": f"""
+            WITH {_url_domain_ctes()},
+            per AS (
+              SELECT reg_domain, count(*) AS n_docs,
+                     CAST(round(sqrt(CAST(count(*) AS DOUBLE)), 9)
+                          AS DECIMAL(38,9)) AS sq
+              FROM doms GROUP BY 1
+            ),
+            tot AS (
+              SELECT sum(sq) AS tot_sq, sum(n_docs) AS tot_n FROM per
+            )
+            SELECT p.reg_domain, p.n_docs,
+                   round(CAST(p.n_docs AS DOUBLE)
+                         / CAST(t.tot_n AS DOUBLE), 6) AS share_raw,
+                   round(CAST(p.sq AS DOUBLE)
+                         / CAST(t.tot_sq AS DOUBLE), 6) AS share_alpha,
+                   round(least(1.0,
+                     CAST(p.sq AS DOUBLE) / CAST(t.tot_sq AS DOUBLE)
+                     * (CAST(t.tot_n AS DOUBLE) / 2.0)
+                     / CAST(p.n_docs AS DOUBLE)), 6) AS rate,
+                   CAST(floor(least(1.0,
+                     CAST(p.sq AS DOUBLE) / CAST(t.tot_sq AS DOUBLE)
+                     * (CAST(t.tot_n AS DOUBLE) / 2.0)
+                     / CAST(p.n_docs AS DOUBLE))
+                     * CAST(p.n_docs AS DOUBLE)) AS BIGINT)
+                     AS expected_kept
+            FROM per p CROSS JOIN tot t
+        """,
+        "repetition_stats": f"""
+            WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t
+                          FROM documents),
+            w AS (
+              SELECT doc_id, max(c) AS topw FROM (
+                SELECT doc_id, tok, count(*) AS c
+                FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+                GROUP BY 1, 2
+              ) GROUP BY 1
+            ),
+            g2 AS (
+              SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+              FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+              WHERE len(t) >= 2
+            ),
+            g3 AS (
+              SELECT doc_id,
+                     t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS g
+              FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+              WHERE len(t) >= 3
+            ),
+            a2 AS (
+              SELECT doc_id, sum(c) AS tot, count(*) AS dst,
+                     max(c) AS top
+              FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
+              GROUP BY 1
+            ),
+            a3 AS (
+              SELECT doc_id, sum(c) AS tot, count(*) AS dst
+              FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2)
+              GROUP BY 1
+            ),
+            stats AS (
+              SELECT t.doc_id,
+                     CAST(len(t.t) AS BIGINT) AS n_tokens,
+                     CASE WHEN len(t.t) > 0
+                          THEN round(CAST(w.topw AS DOUBLE) / len(t.t), 6)
+                          ELSE 0.0 END AS top_word_frac,
+                     CASE WHEN coalesce(a2.tot, 0) > 0
+                          THEN round(CAST(a2.tot - a2.dst AS DOUBLE)
+                                     / a2.tot, 6)
+                          ELSE 0.0 END AS dup_2gram_frac,
+                     CASE WHEN coalesce(a3.tot, 0) > 0
+                          THEN round(CAST(a3.tot - a3.dst AS DOUBLE)
+                                     / a3.tot, 6)
+                          ELSE 0.0 END AS dup_3gram_frac,
+                     CASE WHEN coalesce(a2.tot, 0) > 0
+                          THEN round(CAST(a2.top AS DOUBLE) / a2.tot, 6)
+                          ELSE 0.0 END AS top_2gram_frac
+              FROM toks t
+              LEFT JOIN w USING (doc_id)
+              LEFT JOIN a2 USING (doc_id)
+              LEFT JOIN a3 USING (doc_id)
+            )
+            SELECT *,
+                   (top_word_frac <= 0.12 AND dup_2gram_frac <= 0.05
+                    AND dup_3gram_frac <= 0.02) AS repetition_pass
+            FROM stats
+        """,
         "pq_codes_production": f"""
             WITH {_pq_encode_ctes(m=8, ksub=256, dsub=8)}
             SELECT c.vec_id,

@@ -1,0 +1,156 @@
+"""Corpus-trained character-trigram LM quality scoring — the CCNet
+idea (Wenzek et al. 2020: score text by a language model trained on a
+reference corpus; keep what scores typical) at engine grain.
+
+Two passes, both Spark-shaped for 100 TB:
+
+- **Train** (:func:`char_trigram_counts` → :func:`char_trigram_lm`):
+  one streamed scan explodes each doc's character trigrams to an
+  INTEGER index over a fixed 28-symbol alphabet ([a-z] → 1..26,
+  space → 27, everything else → 0), so the aggregate key space is
+  bounded at 28³ = 21,952 regardless of corpus size — the count
+  table is dimension-sized by construction and collects to the
+  driver like a codebook.
+- **Score** (:func:`charlm_score_expr`): the smoothed probability
+  table becomes ONE constant-folded literal array indexed by the
+  same trigram index — each position is an O(1) ``element_at``, the
+  whole score a map-side ascending fold; no join, no shuffle, no
+  per-row map scan (a literal ``create_map`` lookup is O(|map|) in
+  interpreted eval — the indexed array is the same lesson as the PQ
+  ADC LUT).
+
+**Deliberately transcendental-free**: the score is the MEAN SMOOTHED
+TRIGRAM PROBABILITY (add-one smoothing over the 28-symbol alphabet),
+not CCNet's log-perplexity — ``ln`` is the one operation whose last
+ulp is not contractually identical across engines, and this repo's
+oracle gate is bit-exact value hashing. Mean probability orders docs
+differently from mean log-probability in general, but serves the same
+curation purpose (rare-trigram gibberish scores low, typical text
+scores high) and keeps every arithmetic step — integer counts, one
+double division per table cell, an ascending 0.0-seeded fold — exactly
+reproducible in the DuckDB twin. ``min_p`` (the rarest trigram's
+probability) is the gibberish spike detector.
+
+No counterpart in the reference — engine breadth for the curation
+stack (SURVEY.md §2 extensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ALPHABET = 28  # 0 = other, 1..26 = a-z, 27 = space
+
+
+def _char_code(c: Column) -> Column:
+    """Fixed alphabet code of a single character (already lowercased):
+    [a-z] → 1..26, space → 27, anything else → 0."""
+    a = F.ascii(c)
+    return (
+        F.when((a >= 97) & (a <= 122), a - 96)
+        .when(a == 32, F.lit(27))
+        .otherwise(F.lit(0))
+    )
+
+
+def trigram_indexes(text: Column) -> Column:
+    """Array of trigram indexes (1-based: idx = c₁·28² + c₂·28 + c₃ + 1)
+    over the lowercased text — empty for texts shorter than 3 chars.
+    Pure map-side expression."""
+    norm = F.lower(text)
+    n = F.length(norm)
+    return F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: (
+                _char_code(F.substring(norm, i, 1)) * (ALPHABET * ALPHABET)
+                + _char_code(F.substring(norm, i + 1, 1)) * ALPHABET
+                + _char_code(F.substring(norm, i + 2, 1))
+                + 1
+            ).cast("int"),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def char_trigram_counts(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The training pass: (idx, cnt) trigram occurrence counts over the
+    corpus — key space bounded at 28³ rows however large the corpus,
+    so the shuffle is a bounded-cardinality hash aggregate with
+    map-side partials and the result is a dim table."""
+    return (
+        docs.select(
+            F.explode(trigram_indexes(F.col(text_col))).alias("idx")
+        )
+        .groupBy("idx")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def char_trigram_lm(
+    docs: DataFrame, text_col: str = "text"
+) -> list[float]:
+    """Train the LM and materialize the full smoothed probability
+    table: p[idx] = (cnt(idx) + 1) / (ctx(idx) + 28), where ctx is the
+    count of the trigram's leading bigram (the sum of its 28 possible
+    completions — exactly the occurrences of that bigram followed by
+    any char). Returns the dense 28³ list (codebook-sized); every
+    value is one integer-ratio double division, reproduced bit-for-bit
+    by the twin."""
+    k3 = ALPHABET**3
+    cnt = [0] * (k3 + 1)
+    for r in char_trigram_counts(docs, text_col).collect():
+        cnt[int(r.idx)] = int(r.cnt)
+    ctx = [0] * (ALPHABET * ALPHABET)
+    for idx in range(1, k3 + 1):
+        ctx[(idx - 1) // ALPHABET] += cnt[idx]
+    return [
+        (cnt[idx] + 1) / (ctx[(idx - 1) // ALPHABET] + ALPHABET)
+        for idx in range(1, k3 + 1)
+    ]
+
+
+def charlm_score_expr(text: Column, table: list[float]) -> Column:
+    """Struct(n_trigrams, mean_p, min_p) for a doc under a trained
+    probability table: probs = element_at(LITERAL_ARRAY, idx) per
+    position (O(1) — the array is one constant-folded literal), mean =
+    ascending 0.0-seeded fold / count, both rounded to 6dp. Map-only;
+    a doc with < 3 chars scores (0, 0.0, 0.0)."""
+    arr = F.expr(
+        "array(" + ", ".join(f"{float(p)!r}D" for p in table) + ")"
+    )
+    idxs = trigram_indexes(text)
+    probs = F.transform(idxs, lambda i: F.element_at(arr, i))
+    n = F.size(idxs)
+    total = F.aggregate(
+        probs, F.lit(0.0), lambda acc, p: acc + p
+    )
+    return F.struct(
+        n.cast("long").alias("n_trigrams"),
+        F.round(
+            F.when(n > 0, total / n.cast("double")).otherwise(F.lit(0.0)), 6
+        ).alias("mean_p"),
+        F.round(
+            F.when(n > 0, F.array_min(probs)).otherwise(F.lit(0.0)), 6
+        ).alias("min_p"),
+    )
+
+
+def charlm_doc_scores(
+    spark: SparkSession,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    table: list[float] | None = None,
+) -> DataFrame:
+    """End-to-end: train on ``docs`` (unless a table is supplied —
+    production scores a crawl against a REFERENCE-corpus table, the
+    CCNet shape) and score every doc map-side."""
+    if table is None:
+        table = char_trigram_lm(docs, text_col)
+    return docs.select(
+        id_col, charlm_score_expr(F.col(text_col), table).alias("s")
+    ).select(id_col, "s.*")

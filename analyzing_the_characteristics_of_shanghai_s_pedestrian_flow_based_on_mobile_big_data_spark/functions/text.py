@@ -93,3 +93,75 @@ def doc_fingerprint(text: Column) -> Column:
     near-dup detection below MinHash."""
     toks = F.array_sort(F.array_distinct(tokens(text)))
     return F.md5(F.concat_ws(" ", toks))
+
+
+def sorted_run_max(arr: Column) -> Column:
+    """Count of the most frequent element of a SORTED array — the
+    longest run of equal neighbors, via one aggregate fold with a
+    (prev, run, best) struct accumulator. Map-only: the per-doc
+    repetition signals stay inside the scan (zero exchanges), where
+    the relational formulation (explode → groupBy(doc, gram) →
+    groupBy(doc)) would shuffle every n-gram of a 100 TB corpus
+    twice; the DuckDB twin uses the relational form — same values,
+    different plan. 0 for an empty array."""
+    step = lambda acc, x: F.struct(  # noqa: E731
+        x.alias("prev"),
+        F.when(x == acc.getField("prev"), acc.getField("run") + 1)
+        .otherwise(F.lit(1))
+        .alias("run"),
+        F.greatest(
+            acc.getField("best"),
+            F.when(x == acc.getField("prev"), acc.getField("run") + 1)
+            .otherwise(F.lit(1)),
+        ).alias("best"),
+    )
+    return F.aggregate(
+        arr,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        step,
+        lambda acc: acc.getField("best"),
+    )
+
+
+def repetition_stats(text: Column) -> Column:
+    """Gopher-class repetition signals (Rae et al. 2021 §A1.1,
+    adapted to single-line word-stream docs): a struct of
+    - ``n_tokens``;
+    - ``top_word_frac`` — most frequent token's share;
+    - ``dup_2gram_frac`` / ``dup_3gram_frac`` — share of n-gram
+      OCCURRENCES whose gram occurs more than once (1 − distinct/total,
+      the 'duplicate n-gram fraction');
+    - ``top_2gram_frac`` — most frequent 2-gram's share.
+    Fractions are 0.0 when the doc has no such grams, rounded to 6dp
+    for engine parity. Entirely map-side expressions (array_sort +
+    run-length folds) — repetition filtering at 100 TB is a streamed
+    scan, not a shuffle."""
+    t = tokens(text)
+    n = F.size(t)
+    g2 = word_shingles(t, 2)
+    g3 = word_shingles(t, 3)
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.round(
+            F.when(den > 0, num.cast("double") / den.cast("double"))
+            .otherwise(F.lit(0.0)),
+            6,
+        )
+
+    return F.struct(
+        n.cast("long").alias("n_tokens"),
+        frac(sorted_run_max(F.array_sort(t)), n).alias("top_word_frac"),
+        frac(F.size(g2) - F.size(F.array_distinct(g2)), F.size(g2)).alias(
+            "dup_2gram_frac"
+        ),
+        frac(F.size(g3) - F.size(F.array_distinct(g3)), F.size(g3)).alias(
+            "dup_3gram_frac"
+        ),
+        frac(sorted_run_max(F.array_sort(g2)), F.size(g2)).alias(
+            "top_2gram_frac"
+        ),
+    )

@@ -383,3 +383,65 @@ def test_psl_registered_domain_semantics(spark):
     # the distinct-host dim, not the corpus
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_repetition_and_charlm_scoring_map_only(spark):
+    """Round 13: the per-doc curation scorers must be streamed scans —
+    zero Exchange in the scoring plans (repetition signals via
+    array_sort + run-length folds; charlm via the constant-folded
+    indexed probability array, O(1) element_at per position, never a
+    per-row map scan or an n-gram shuffle). Also pins the fold
+    semantics on known inputs."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.charlm import (
+        char_trigram_lm,
+        charlm_score_expr,
+        trigram_indexes,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.text import (
+        repetition_stats,
+        sorted_run_max,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.plans import (
+        physical_plan,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),            # top word 3/4; 2-grams: 'a a'x2,'a b'
+            (2, "x y z w"),            # all unique
+            (3, ""),                   # empty
+        ],
+        "doc_id long, text string",
+    )
+    st = docs.select("doc_id", repetition_stats(F.col("text")).alias("s")) \
+        .select("doc_id", "s.*")
+    assert physical_plan(st).count("Exchange") == 0
+    got = {r.doc_id: r.asDict() for r in st.collect()}
+    assert got[1]["n_tokens"] == 4 and got[1]["top_word_frac"] == 0.75
+    assert got[1]["dup_2gram_frac"] == round(1 / 3, 6)  # 'a a' twice of 3
+    assert got[2]["dup_2gram_frac"] == 0.0
+    assert got[3]["n_tokens"] == 0 and got[3]["top_word_frac"] == 0.0
+
+    # run-length fold directly
+    one = spark.range(1).select(
+        sorted_run_max(F.array(*[F.lit(x) for x in
+                                 ["a", "a", "b", "b", "b", "c"]])).alias("m")
+    ).collect()[0].m
+    assert one == 3
+
+    # charlm: trigram indexing and scoring stay in the scan
+    lm = char_trigram_lm(docs.filter("doc_id < 3"))
+    assert len(lm) == 28 ** 3
+    scored = docs.select(
+        "doc_id", charlm_score_expr(F.col("text"), lm).alias("s")
+    ).select("doc_id", "s.*")
+    assert physical_plan(scored).count("Exchange") == 0
+    rows = {r.doc_id: r for r in scored.collect()}
+    assert rows[1].n_trigrams == 5  # len('a a a b')=7 -> 5 trigrams
+    assert rows[3].n_trigrams == 0 and rows[3].mean_p == 0.0
+    assert 0.0 < rows[1].min_p <= rows[1].mean_p <= 1.0
+    # smoothing floor: an unseen trigram still gets 1/(ctx+28) > 0
+    idx = spark.range(1).select(
+        trigram_indexes(F.lit("qqq")).alias("ix")
+    ).collect()[0].ix
+    assert len(idx) == 1 and lm[idx[0] - 1] > 0.0
