@@ -3269,6 +3269,69 @@ def _q_pq_codes_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-13 composed curation pipeline — every per-doc gate in
+    ONE scan: language-ID (en) → quality floor → token floor →
+    Gopher repetition pass (0.12/0.05/0.02) → charlm mean-probability
+    floor (0.62, corpus-trained table) → exact dedup keeping the
+    lowest doc_id per digest. All gates are map-side expressions
+    (langid packed lanes, run-length folds, the constant-folded LM
+    array); the single exchange is the digest-keyed dedup window
+    carrying 6 narrow columns — at 100 TB the whole quality stack
+    rides the scan and only survivors' digests shuffle."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.charlm import (
+        char_trigram_lm,
+        charlm_score_expr,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.langid import (
+        predict_lang,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.text import (
+        repetition_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = _dataset_fingerprint(sf_dir, "documents") + ("charlm3",)
+    table = _IVF_CODEBOOKS.get(key)
+    if table is None:
+        table = _IVF_CODEBOOKS[key] = char_trigram_lm(docs)
+    toks = tx.tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "text",
+        tx.token_count(F.col("text")).alias("n_tokens"),
+        tx.quality_score(F.col("text")).alias("quality"),
+        predict_lang(toks).alias("pred_lang"),
+        repetition_stats(F.col("text")).alias("rep"),
+        charlm_score_expr(F.col("text"), table).alias("lm"),
+    )
+    kept = scored.filter(
+        (F.col("pred_lang") == "en")
+        & (F.col("quality") >= 0.5)
+        & (F.col("n_tokens") >= 5)
+        & (F.col("rep.top_word_frac") <= 0.12)
+        & (F.col("rep.dup_2gram_frac") <= 0.05)
+        & (F.col("rep.dup_3gram_frac") <= 0.02)
+        & (F.col("lm.mean_p") >= 0.62)
+    ).select(
+        F.md5("text").alias("digest"),
+        "doc_id",
+        "n_tokens",
+        "quality",
+        F.col("rep.top_word_frac").alias("top_word_frac"),
+        F.col("lm.mean_p").alias("mean_p"),
+    )
+    min_id = F.min("doc_id").over(Window.partitionBy("digest"))
+    return (
+        kept.withColumn("min_id", min_id)
+        .filter(F.col("doc_id") == F.col("min_id"))
+        .select(
+            "doc_id", "digest", "n_tokens", "quality",
+            "top_word_frac", "mean_p",
+        )
+    )
+
+
 def _q_domain_mixture_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled domain mixture (round 13): per-domain
     sampling shares ∝ n_d^α at α = 0.5 — the multilingual-sampling
@@ -7327,6 +7390,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "charlm_quality": _q_charlm_quality,
         "domain_mixture_alpha": _q_domain_mixture_alpha,
+        "curation_full": _q_curation_full,
         "redacted_cleaned_text": _q_redacted_cleaned_text,
         "tf_cosine_pairs": _q_tf_cosine_pairs,
         "tf_cosine_pairs_auto": _q_tf_cosine_pairs_auto,
@@ -8658,7 +8722,120 @@ def _quality_margin_ctes(salt: str = "qs", bias: float = 0.0) -> str:
         )"""
 
 
-def _curation_oracle(margin_floor: bool = False) -> str:
+def _repetition_ctes() -> str:
+    """CTE block (without WITH) of the Gopher repetition signals —
+    relational restatement of functions/text.py:repetition_stats
+    (same values; the Spark side is the map-only fold form). Ends at
+    ``repstats(doc_id, n_tokens, top_word_frac, dup_2gram_frac,
+    dup_3gram_frac, top_2gram_frac)``."""
+    return f"""rtoks AS (SELECT doc_id, {_TOKENS_SQL} AS t
+                          FROM documents),
+            rw AS (
+              SELECT doc_id, max(c) AS topw FROM (
+                SELECT doc_id, tok, count(*) AS c
+                FROM (SELECT doc_id, unnest(t) AS tok FROM rtoks)
+                GROUP BY 1, 2
+              ) GROUP BY 1
+            ),
+            rg2 AS (
+              SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+              FROM rtoks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+              WHERE len(t) >= 2
+            ),
+            rg3 AS (
+              SELECT doc_id,
+                     t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS g
+              FROM rtoks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+              WHERE len(t) >= 3
+            ),
+            ra2 AS (
+              SELECT doc_id, sum(c) AS tot, count(*) AS dst,
+                     max(c) AS top
+              FROM (SELECT doc_id, g, count(*) AS c FROM rg2 GROUP BY 1, 2)
+              GROUP BY 1
+            ),
+            ra3 AS (
+              SELECT doc_id, sum(c) AS tot, count(*) AS dst
+              FROM (SELECT doc_id, g, count(*) AS c FROM rg3 GROUP BY 1, 2)
+              GROUP BY 1
+            ),
+            repstats AS (
+              SELECT t.doc_id,
+                     CAST(len(t.t) AS BIGINT) AS n_tokens,
+                     CASE WHEN len(t.t) > 0
+                          THEN round(CAST(w.topw AS DOUBLE) / len(t.t), 6)
+                          ELSE 0.0 END AS top_word_frac,
+                     CASE WHEN coalesce(a2.tot, 0) > 0
+                          THEN round(CAST(a2.tot - a2.dst AS DOUBLE)
+                                     / a2.tot, 6)
+                          ELSE 0.0 END AS dup_2gram_frac,
+                     CASE WHEN coalesce(a3.tot, 0) > 0
+                          THEN round(CAST(a3.tot - a3.dst AS DOUBLE)
+                                     / a3.tot, 6)
+                          ELSE 0.0 END AS dup_3gram_frac,
+                     CASE WHEN coalesce(a2.tot, 0) > 0
+                          THEN round(CAST(a2.top AS DOUBLE) / a2.tot, 6)
+                          ELSE 0.0 END AS top_2gram_frac
+              FROM rtoks t
+              LEFT JOIN rw w USING (doc_id)
+              LEFT JOIN ra2 a2 USING (doc_id)
+              LEFT JOIN ra3 a3 USING (doc_id)
+            )"""
+
+
+def _charlm_ctes() -> str:
+    """CTE block (without WITH) of the char-trigram LM — train + score
+    (see _charlm_oracle's docstring for the parity argument). Ends at
+    ``lmfinal(doc_id, n_trigrams, mean_p, min_p)`` over ALL docs."""
+    code = (
+        "CASE WHEN {a} BETWEEN 97 AND 122 THEN {a} - 96 "
+        "WHEN {a} = 32 THEN 27 ELSE 0 END"
+    )
+    c1 = code.format(a="ascii(substr(s, i, 1))")
+    c2 = code.format(a="ascii(substr(s, i + 1, 1))")
+    c3 = code.format(a="ascii(substr(s, i + 2, 1))")
+    return f"""lmnorm AS (SELECT doc_id, lower(text) AS s
+                           FROM documents),
+        lmpos AS MATERIALIZED (
+          SELECT doc_id, i,
+                 ({c1}) * 784 + ({c2}) * 28 + ({c3}) + 1 AS idx
+          FROM lmnorm, UNNEST(generate_series(1, len(s) - 2)) AS u(i)
+          WHERE len(s) >= 3
+        ),
+        lmtri AS MATERIALIZED (
+          SELECT idx, count(*) AS cnt FROM lmpos GROUP BY 1
+        ),
+        lmctx AS (
+          SELECT (idx - 1) // 28 AS ctx, sum(cnt) AS c
+          FROM lmtri GROUP BY 1
+        ),
+        lmscored AS (
+          SELECT p.doc_id, p.i,
+                 CAST(coalesce(t.cnt, 0) + 1 AS DOUBLE)
+                 / CAST(coalesce(c.c, 0) + 28 AS DOUBLE) AS prob
+          FROM lmpos p
+          LEFT JOIN lmtri t USING (idx)
+          LEFT JOIN lmctx c ON c.ctx = (p.idx - 1) // 28
+        ),
+        lmagg AS (
+          SELECT doc_id, count(*) AS n,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(prob ORDER BY i)), (a, b) -> a + b) AS tot,
+                 min(prob) AS mn
+          FROM lmscored GROUP BY doc_id
+        ),
+        lmfinal AS (
+          SELECT d.doc_id,
+                 CAST(coalesce(a.n, 0) AS BIGINT) AS n_trigrams,
+                 CASE WHEN coalesce(a.n, 0) > 0
+                      THEN round(a.tot / a.n, 6) ELSE 0.0 END AS mean_p,
+                 CASE WHEN coalesce(a.n, 0) > 0
+                      THEN round(a.mn, 6) ELSE 0.0 END AS min_p
+          FROM documents d LEFT JOIN lmagg a USING (doc_id)
+        )"""
+
+
+def _curation_oracle(margin_floor: bool = False, full: bool = False) -> str:
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.langid import (
         LANG_PROFILES,
     )
@@ -8687,8 +8864,22 @@ def _curation_oracle(margin_floor: bool = False) -> str:
     margin_pred = "AND m.margin >= 0.0" if margin_floor else ""
     margin_col = ", m.margin" if margin_floor else ""
     margin_out = ", k.margin" if margin_floor else ""
+    full_ctes = f"{_repetition_ctes()},\n        {_charlm_ctes()}," if full else ""
+    full_join = (
+        "JOIN repstats r USING (doc_id) JOIN lmfinal lm USING (doc_id)"
+        if full
+        else ""
+    )
+    full_pred = (
+        "AND r.top_word_frac <= 0.12 AND r.dup_2gram_frac <= 0.05 "
+        "AND r.dup_3gram_frac <= 0.02 AND lm.mean_p >= 0.62"
+        if full
+        else ""
+    )
+    full_col = ", r.top_word_frac, lm.mean_p" if full else ""
+    full_out = ", k.top_word_frac, k.mean_p" if full else ""
     return f"""
-        WITH t AS (
+        WITH {full_ctes} t AS (
           SELECT doc_id, text, {_TOKENS_SQL} AS toks,
                  regexp_replace(lower(text), '[a-z0-9 ]', '', 'g') AS stripped
           FROM documents
@@ -8711,16 +8902,16 @@ def _curation_oracle(margin_floor: bool = False) -> str:
             PARTITION BY doc_id ORDER BY score DESC, cand ASC) = 1
         ),
         kept AS (
-          SELECT s.doc_id, s.text, s.n_tokens, s.quality{margin_col}
-          FROM s JOIN pred p USING (doc_id) {margin_join}
+          SELECT s.doc_id, s.text, s.n_tokens, s.quality{margin_col}{full_col}
+          FROM s JOIN pred p USING (doc_id) {margin_join} {full_join}
           WHERE p.pred_lang = 'en' AND s.quality >= 0.5 AND s.n_tokens >= 5
-            {margin_pred}
+            {margin_pred} {full_pred}
         ),
         canon AS (
           SELECT md5(text) AS digest, min(doc_id) AS doc_id
           FROM kept GROUP BY 1
         )
-        SELECT k.doc_id, c.digest, k.n_tokens, k.quality{margin_out}
+        SELECT k.doc_id, c.digest, k.n_tokens, k.quality{margin_out}{full_out}
         FROM kept k JOIN canon c ON k.doc_id = c.doc_id
     """
 
@@ -10338,6 +10529,7 @@ def oracle_sql() -> dict[str, str]:
         "psl_registered_domains": _psl_oracle(),
         "pq_topk_trained": _pq_trained_oracle(),
         "charlm_quality": _charlm_oracle(),
+        "curation_full": _curation_oracle(full=True),
         "domain_mixture_alpha": f"""
             WITH {_url_domain_ctes()},
             per AS (
