@@ -140,3 +140,54 @@ def run_curation_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def full_gate_stream(
+    doc_stream: DataFrame,
+    charlm_table: list[float],
+    min_quality: float = 0.5,
+    min_tokens: int = 5,
+    max_top_word_frac: float = 0.12,
+    max_dup_2gram_frac: float = 0.05,
+    max_dup_3gram_frac: float = 0.02,
+    min_mean_p: float = 0.62,
+    lang: str = "en",
+) -> DataFrame:
+    """The round-13 full per-doc gate set (the batch `curation_full`
+    query minus its cross-batch dedup window) as a stateless
+    micro-batch transformation: language-ID, quality floor, token
+    floor, Gopher repetition pass, and the charlm mean-probability
+    floor against a PRE-TRAINED table (production trains on a
+    reference corpus once — the CCNet shape — never on the stream
+    itself, which would make verdicts batch-order-dependent). Every
+    gate is a map-side expression, so each micro-batch is one streamed
+    scan: no state store, no watermark, no join. Cross-batch dedup
+    stays the band/digest index path (incremental.py). Batch/stream
+    parity is the test contract."""
+    from ..functions.charlm import charlm_score_expr
+    from ..functions.langid import predict_lang
+    from ..functions.text import repetition_stats, tokens
+
+    scored = doc_stream.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+        predict_lang(tokens(F.col("text"))).alias("pred_lang"),
+        repetition_stats(F.col("text")).alias("rep"),
+        charlm_score_expr(F.col("text"), charlm_table).alias("lm"),
+    )
+    return scored.filter(
+        (F.col("pred_lang") == lang)
+        & (F.col("quality") >= min_quality)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("rep.top_word_frac") <= max_top_word_frac)
+        & (F.col("rep.dup_2gram_frac") <= max_dup_2gram_frac)
+        & (F.col("rep.dup_3gram_frac") <= max_dup_3gram_frac)
+        & (F.col("lm.mean_p") >= min_mean_p)
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        F.col("rep.top_word_frac").alias("top_word_frac"),
+        F.col("lm.mean_p").alias("mean_p"),
+    )

@@ -2688,3 +2688,16 @@ def test_pq_index_delete_not_served(spark, tmp_path):
         dim=8, indexed=table.read(),
     )
     assert {r.vec_id for r in served3.collect()} == after_ids
+    # the PRODUCTION serving composition over the maintained index:
+    # refined rerank fetches floats only for the shortlist, and the
+    # tombstoned vector stays invisible through it
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.pq import (
+        ivf_pq_topk_refined,
+    )
+
+    refined = ivf_pq_topk_refined(
+        base, queries, k=5, r=8, nprobe=4, codebooks=cbs, coarse=coarse,
+        dim=8, indexed=table.read(),
+    )
+    ref_ids = {r.vec_id for r in refined.collect()}
+    assert ref_ids and victim not in ref_ids

@@ -115,3 +115,61 @@ def test_redacted_stream_matches_batch(spark, tmp_path):
     assert got == batch_out
     assert got[2][1].endswith("mail <EMAIL>")
     assert got[3][1].endswith("call <PHONE>")
+
+
+def test_full_gate_stream_batch_parity(spark, tmp_path):
+    """Round 13: the full per-doc gate set (langid + quality +
+    repetition + charlm) must produce the SAME kept set whether run
+    as one batch plan or driven file-by-file through foreachBatch
+    with a pre-trained charlm table — stateless gates, so any split
+    of the corpus into micro-batches is invisible."""
+    from pyspark.sql import functions as F
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.charlm import (
+        char_trigram_lm,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        load_table,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.curation import (
+        full_gate_stream,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    table = char_trigram_lm(docs)
+
+    batch_kept = {
+        r.doc_id: (r.n_tokens, r.quality, r.top_word_frac, r.mean_p)
+        for r in full_gate_stream(docs, table).collect()
+    }
+    assert 0 < len(batch_kept) < docs.count()  # non-vacuous gates
+
+    src = str(tmp_path / "docs")
+    rows = docs.collect()
+    third = max(1, len(rows) // 3)
+    for i in range(0, len(rows), third):
+        spark.createDataFrame(
+            rows[i : i + third], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    got = {}
+
+    def sink(batch_df, epoch_id):
+        for r in full_gate_stream(batch_df, table).collect():
+            got[r.doc_id] = (r.n_tokens, r.quality, r.top_word_frac, r.mean_p)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert got == batch_kept
