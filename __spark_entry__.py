@@ -3332,27 +3332,12 @@ def _q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_domain_mixture_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-scaled domain mixture (round 13): per-domain
-    sampling shares ∝ n_d^α at α = 0.5 — the multilingual-sampling
-    rebalance (upweight the tail, damp the head) every production mix
-    applies above the hard per-domain caps. α is exactly 0.5 so the
-    power IS ``sqrt`` (IEEE-exact, no transcendental drift); per-domain
-    sqrt weights are rounded to 9dp and summed as DECIMAL(38,9) — the
-    repo's decimal-exact-grouped-sum rule — so the normalizing total is
-    order-free and distributed, never an ordered driver fold. Rate =
-    min(1, share_α · (N/2) / n_d); expected_kept floors rate·n_d.
-    All on the registered-domain dim (domain-cardinality rows)."""
-    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.urls import (
-        url_host,
-        url_registered_domain,
-    )
-
-    docs = _plant_urls(load_table(spark, sf_dir, "documents"))
-    doms = docs.select(
-        "doc_id",
-        url_registered_domain(url_host(F.col("url"))).alias("reg_domain"),
-    )
+def _domain_alpha_rates(doms: DataFrame) -> DataFrame:
+    """Per-domain α=0.5 mixture table over a (doc_id, reg_domain)
+    frame: (reg_domain, n_docs, share_raw, share_alpha, rate,
+    expected_kept) — see _q_domain_mixture_alpha for the exactness
+    rules (sqrt is IEEE-exact; the normalizing total is a
+    DECIMAL(38,9) sum of 9dp-rounded weights, order-free)."""
     per = doms.groupBy("reg_domain").agg(F.count("*").alias("n_docs"))
     sq = F.round(F.sqrt(F.col("n_docs").cast("double")), 9)
     per = per.withColumn("sq", sq.cast("decimal(38,9)"))
@@ -3378,6 +3363,69 @@ def _q_domain_mixture_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(rate * F.col("n_docs").cast("double"))
         .cast("long")
         .alias("expected_kept"),
+    )
+
+
+def _planted_doms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, reg_domain) over the planted URL corpus — the shared
+    input of the mixture queries."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.urls import (
+        url_host,
+        url_registered_domain,
+    )
+
+    docs = _plant_urls(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        url_registered_domain(url_host(F.col("url"))).alias("reg_domain"),
+    )
+
+
+def _q_domain_mixture_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture (round 13): per-domain
+    sampling shares ∝ n_d^α at α = 0.5 — the multilingual-sampling
+    rebalance (upweight the tail, damp the head) every production mix
+    applies above the hard per-domain caps. α is exactly 0.5 so the
+    power IS ``sqrt`` (IEEE-exact, no transcendental drift); per-domain
+    sqrt weights are rounded to 9dp and summed as DECIMAL(38,9) — the
+    repo's decimal-exact-grouped-sum rule — so the normalizing total is
+    order-free and distributed, never an ordered driver fold. Rate =
+    min(1, share_α · (N/2) / n_d); expected_kept floors rate·n_d.
+    All on the registered-domain dim (domain-cardinality rows)."""
+    return _domain_alpha_rates(_planted_doms(spark, sf_dir))
+
+
+def _q_mixture_sampled_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The α-mixture REALIZED (round 13): every doc flips the stable
+    md5 coin against its domain's computed rate (broadcast join of the
+    domain-cardinality rate dim — rates are DATA here, where
+    url_suffix_mix_counts' rates are a literal recipe), and the
+    per-domain achieved counts come back next to the expectation. The
+    corpus side is one streamed scan + one broadcast join; only the
+    tiny per-domain aggregate shuffles. Decisions compare the
+    6dp-ROUNDED rate on both engines, so the coin threshold is
+    bit-identical."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.sampling import (
+        hash_fraction,
+    )
+
+    doms = _planted_doms(spark, sf_dir)
+    rates = _domain_alpha_rates(doms).select(
+        "reg_domain", "rate", "expected_kept"
+    )
+    keep = hash_fraction(F.col("doc_id"), salt="alpha") < F.col("rate")
+    return (
+        doms.join(F.broadcast(rates), "reg_domain")
+        .select(
+            "reg_domain",
+            "expected_kept",
+            F.when(keep, 1).otherwise(0).alias("kept"),
+        )
+        .groupBy("reg_domain", "expected_kept")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").cast("long").alias("n_kept"),
+        )
     )
 
 
@@ -7391,6 +7439,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charlm_quality": _q_charlm_quality,
         "domain_mixture_alpha": _q_domain_mixture_alpha,
         "curation_full": _q_curation_full,
+        "mixture_sampled_counts": _q_mixture_sampled_counts,
         "redacted_cleaned_text": _q_redacted_cleaned_text,
         "tf_cosine_pairs": _q_tf_cosine_pairs,
         "tf_cosine_pairs_auto": _q_tf_cosine_pairs_auto,
@@ -10530,6 +10579,44 @@ def oracle_sql() -> dict[str, str]:
         "pq_topk_trained": _pq_trained_oracle(),
         "charlm_quality": _charlm_oracle(),
         "curation_full": _curation_oracle(full=True),
+        "mixture_sampled_counts": f"""
+            WITH {_url_domain_ctes()},
+            per AS (
+              SELECT reg_domain, count(*) AS n_docs,
+                     CAST(round(sqrt(CAST(count(*) AS DOUBLE)), 9)
+                          AS DECIMAL(38,9)) AS sq
+              FROM doms GROUP BY 1
+            ),
+            tot AS (
+              SELECT sum(sq) AS tot_sq, sum(n_docs) AS tot_n FROM per
+            ),
+            rates AS (
+              SELECT p.reg_domain,
+                     round(least(1.0,
+                       CAST(p.sq AS DOUBLE) / CAST(t.tot_sq AS DOUBLE)
+                       * (CAST(t.tot_n AS DOUBLE) / 2.0)
+                       / CAST(p.n_docs AS DOUBLE)), 6) AS rate,
+                     CAST(floor(least(1.0,
+                       CAST(p.sq AS DOUBLE) / CAST(t.tot_sq AS DOUBLE)
+                       * (CAST(t.tot_n AS DOUBLE) / 2.0)
+                       / CAST(p.n_docs AS DOUBLE))
+                       * CAST(p.n_docs AS DOUBLE)) AS BIGINT)
+                       AS expected_kept
+              FROM per p CROSS JOIN tot t
+            ),
+            decided AS (
+              SELECT d.reg_domain, r.expected_kept,
+                     CASE WHEN ({_HEX8_SQL}) / 4294967296.0 < r.rate
+                          THEN 1 ELSE 0 END AS kept
+              FROM (SELECT doc_id, reg_domain,
+                           md5('alpha' || CAST(doc_id AS VARCHAR)) AS hx
+                    FROM doms) d
+              JOIN rates r USING (reg_domain)
+            )
+            SELECT reg_domain, expected_kept, count(*) AS n_docs,
+                   CAST(sum(kept) AS BIGINT) AS n_kept
+            FROM decided GROUP BY 1, 2
+        """,
         "domain_mixture_alpha": f"""
             WITH {_url_domain_ctes()},
             per AS (

@@ -236,6 +236,19 @@ HEADLINE = [
     "pq_adc_topk",
     "pq_topk_refined",
     "ivf_pq_topk",
+    # round-13 additions: the composed IVF-PQ serving path, the Arrow
+    # production-width encode, trained sub-codebooks, PSL
+    # registered-domain extraction, and the new curation gates (alone
+    # + fully composed)
+    "ivf_pq_topk_refined",
+    "pq_codes_production",
+    "pq_topk_trained",
+    "psl_registered_domains",
+    "repetition_stats",
+    "charlm_quality",
+    "domain_mixture_alpha",
+    "mixture_sampled_counts",
+    "curation_full",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the
