@@ -57,20 +57,29 @@ def _char_code(c: Column) -> Column:
 def trigram_indexes(text: Column) -> Column:
     """Array of trigram indexes (1-based: idx = c₁·28² + c₂·28 + c₃ + 1)
     over the lowercased text — empty for texts shorter than 3 chars.
-    Pure map-side expression."""
-    norm = F.lower(text)
-    n = F.length(norm)
+    Pure map-side expression.
+
+    Body-safe construction (the round-12 scorer lesson, measured here
+    as charlm scoring going 117 s → ~1 s at sf0.1): chars split once,
+    per-char codes via a lambda that touches only its variable, then
+    the three shifted code slices combine through ``zip_with`` lambdas
+    over lambda variables alone — never ``substring(norm, i, …)`` in a
+    body, which interpreted HOF eval would recompute (lower(text) and
+    all) per POSITION, an O(len²) trap that alias re-inlining can
+    reintroduce even after attribute staging."""
+    chars = F.split(F.lower(text), "")
+    codes = F.transform(chars, _char_code)
+    n = F.size(codes)
+    length = n - 2
+    c1 = F.slice(codes, 1, length)
+    c2 = F.slice(codes, 2, length)
+    c3 = F.slice(codes, 3, length)
+    t12 = F.zip_with(
+        c1, c2, lambda a, b: a * (ALPHABET * ALPHABET) + b * ALPHABET
+    )
     return F.when(
         n >= 3,
-        F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: (
-                _char_code(F.substring(norm, i, 1)) * (ALPHABET * ALPHABET)
-                + _char_code(F.substring(norm, i + 1, 1)) * ALPHABET
-                + _char_code(F.substring(norm, i + 2, 1))
-                + 1
-            ).cast("int"),
-        ),
+        F.zip_with(t12, c3, lambda a, b: (a + b + 1).cast("int")),
     ).otherwise(F.array().cast("array<int>"))
 
 
@@ -119,23 +128,47 @@ def charlm_score_expr(text: Column, table: list[float]) -> Column:
     position (O(1) — the array is one constant-folded literal), mean =
     ascending 0.0-seeded fold / count, both rounded to 6dp. Map-only;
     a doc with < 3 chars scores (0, 0.0, 0.0)."""
-    arr = F.expr(
-        "array(" + ", ".join(f"{float(p)!r}D" for p in table) + ")"
+    # a TRUE Literal (F.lit of the list), not a CreateArray of 28³
+    # literal nodes: the lookup lambda's body references it, and an
+    # interpreted HOF re-evaluates body children per element —
+    # re-building a 21,952-node CreateArray per POSITION (measured:
+    # the difference between ~117 s and ~1 s at sf0.1); a Literal
+    # "re-evaluates" by returning its stored ArrayData. ONE fold over
+    # the index array carries (count, ascending 0.0-seeded sum, min)
+    # together, so the trigram pipeline is evaluated once per row —
+    # a separate size/sum/min would re-run it per occurrence.
+    arr = F.lit([float(p) for p in table])
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("n"),
+        F.lit(0.0).alias("tot"),
+        F.lit(2.0).alias("mn"),  # probabilities are ≤ 1
     )
-    idxs = trigram_indexes(text)
-    probs = F.transform(idxs, lambda i: F.element_at(arr, i))
-    n = F.size(idxs)
-    total = F.aggregate(
-        probs, F.lit(0.0), lambda acc, p: acc + p
-    )
-    return F.struct(
-        n.cast("long").alias("n_trigrams"),
-        F.round(
-            F.when(n > 0, total / n.cast("double")).otherwise(F.lit(0.0)), 6
-        ).alias("mean_p"),
-        F.round(
-            F.when(n > 0, F.array_min(probs)).otherwise(F.lit(0.0)), 6
-        ).alias("min_p"),
+    def finish(acc):
+        n = acc.getField("n")
+        return F.struct(
+            n.alias("n_trigrams"),
+            F.round(
+                F.when(n > 0, acc.getField("tot") / n.cast("double"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("mean_p"),
+            F.round(
+                F.when(n > 0, acc.getField("mn")).otherwise(F.lit(0.0)), 6
+            ).alias("min_p"),
+        )
+
+    # the finish lambda derives every output from the accumulator
+    # VARIABLE, so the whole score is ONE expression occurrence —
+    # separate n/mean/min columns would each re-run the fold per row
+    return F.aggregate(
+        trigram_indexes(text),
+        acc0,
+        lambda acc, i: F.struct(
+            (acc.getField("n") + 1).alias("n"),
+            (acc.getField("tot") + F.element_at(arr, i)).alias("tot"),
+            F.least(acc.getField("mn"), F.element_at(arr, i)).alias("mn"),
+        ),
+        finish,
     )
 
 
