@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import tempfile
 import time
@@ -1933,12 +1934,87 @@ def probe_od_fine(spark, sf_dir: str, n: int) -> dict:
     return results
 
 
+def probe_ingest_deletes(spark, sf_dir: str, n: int) -> dict:
+    """Delete-path cost shape (round 13, VERDICT r12 #3): stream-build
+    a band index over n× replicated docs, tombstone 20% of doc ids,
+    and measure (a) serve-time overhead of the broadcast anti-join vs
+    the raw read, (b) fold-out compaction time and the physical row
+    shrink, (c) that post-fold serving equals pre-fold serving (the
+    anti-join and the fold are two implementations of one contract).
+    The sidecar stays delete-history sized (one row per deleted id)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+        minhash_bands,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        load_table,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        IncrementalCountTable,
+        fold_out_dead_docs,
+        serving_signature_rows,
+        signature_tombstone_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scaled = docs.crossJoin(
+        spark.range(n).select(F.col("id").alias("rep"))
+    ).select(
+        (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"), "text"
+    )
+    base = os.path.join(tempfile.gettempdir(), f"band_del_x{n}")
+    shutil.rmtree(base, ignore_errors=True)
+    table = IncrementalCountTable(
+        spark, os.path.join(base, "tbl"), ["doc_id", "band", "band_hash"]
+    )
+    t0 = time.perf_counter()
+    bands = minhash_bands(scaled, k=8, bands=4, n=3).groupBy(
+        "doc_id", "band", "band_hash"
+    ).agg(F.count("*").alias("cnt"))
+    table.merge_batch(bands, epoch_id=0)
+    results = {"family": "ingest_deletes", "replication": n,
+               "rows": scaled.count(),
+               "index_rows": table.read().count(),
+               "build_s": round(time.perf_counter() - t0, 2)}
+    tomb = signature_tombstone_table(spark, table.path)
+    marks = scaled.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.lit(1).cast("long").alias("seq"),
+        F.lit(True).alias("dead"),
+    )
+    t0 = time.perf_counter()
+    tomb.merge_batch(marks, epoch_id=1)
+    results["mark_s"] = round(time.perf_counter() - t0, 2)
+    results["n_dead"] = int(marks.count())
+
+    t0 = time.perf_counter()
+    raw_rows = table.read().count()
+    results["raw_read_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    served = serving_signature_rows(table, tomb)
+    served_rows = served.count()
+    results["serve_antijoin_s"] = round(time.perf_counter() - t0, 2)
+    results["served_rows"] = served_rows
+    t0 = time.perf_counter()
+    fold_out_dead_docs(table, tomb)
+    results["fold_out_s"] = round(time.perf_counter() - t0, 2)
+    after = table.read().count()
+    results["index_rows_after_fold"] = after
+    results["fold_dropped_rows"] = raw_rows - after
+    # contract: fold-out changes storage, not the served set
+    results["serve_equals_fold"] = bool(
+        after == served_rows
+        and serving_signature_rows(table, tomb).count() == served_rows
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return results
+
+
 FAMILIES = {
     "graph": probe_graph,
     "pq": probe_pq,
     "pq_encode": probe_pq_encode,
     "pq_trained": probe_pq_trained,
     "od_fine": probe_od_fine,
+    "ingest_deletes": probe_ingest_deletes,
     "semdedup": probe_semdedup,
     "simhash_width": probe_simhash_width,
     "ann": probe_ann,
