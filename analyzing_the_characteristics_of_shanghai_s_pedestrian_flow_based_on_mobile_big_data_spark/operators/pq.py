@@ -110,6 +110,8 @@ def pq_codebooks_trained(
             "vec_id", F.slice("vec", j * dsub + 1, dsub).alias("vec")
         )
         cents, _ = kmeans_fit(sub, k=ksub, iterations=iterations)
+        if not cents:
+            return []  # empty corpus: no codebook (pq_codebooks contract)
         books.append([[float(x) for x in v] for _c, v in sorted(cents.items())])
     return books
 
@@ -216,6 +218,14 @@ def pq_encode_arrow(
     the corpus still never shuffles (mapInPandas is map-only)."""
     import pandas as pd  # noqa: F401 — worker-side import check
 
+    if not codebooks or not codebooks[0]:
+        # empty corpus ⟹ no codebook (the _empty_topk guard class):
+        # contract-schema empty index
+        return emb.select(
+            "vec_id",
+            F.array().cast("array<int>").alias("codes"),
+            F.lit(0.0).alias("anorm"),
+        ).filter(F.lit(False))
     m = len(codebooks)
     ksub = len(codebooks[0])
     dsub = len(codebooks[0][0])
