@@ -3440,10 +3440,16 @@ def _q_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     The score is the mean smoothed trigram probability —
     transcendental-free by design so the twin reproduces every value
     bit-for-bit (ln's last ulp is not contractually portable; see
-    functions/charlm.py). min_p is the gibberish-spike detector."""
+    functions/charlm.py). min_p is the gibberish-spike detector.
+    Served through the Arrow kernel (charlm_scores_arrow — Spark-side
+    lowering and rounding, cumsum fold: BIT-EXACT with the expression
+    path, pinned in pytest over the whole sf0.1 corpus), which prices
+    at ~0.4 ms/doc where the interpreted HOF pipeline costs ~2.8;
+    charlm_score_expr remains the composable column form
+    curation_full gates on."""
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.charlm import (
         char_trigram_lm,
-        charlm_doc_scores,
+        charlm_scores_arrow,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3451,7 +3457,7 @@ def _q_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = _IVF_CODEBOOKS.get(key)
     if table is None:
         table = _IVF_CODEBOOKS[key] = char_trigram_lm(docs)
-    return charlm_doc_scores(spark, docs, table=table)
+    return charlm_scores_arrow(docs, table)
 
 
 def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -172,6 +172,86 @@ def charlm_score_expr(text: Column, table: list[float]) -> Column:
     )
 
 
+def charlm_scores_arrow(
+    docs: DataFrame,
+    table: list[float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow-batched scoring kernel — the third justified
+    executor-Python escape (after the multimodal codecs and
+    pq_encode_arrow), and like the PQ kernel it is **bit-exact** with
+    the expression path, so the registered query stays under the
+    value-hash gate:
+
+    - LOWERING HAPPENS IN SPARK (`F.lower` before mapInPandas):
+      Python's and the JVM's unicode lowercasing can disagree (and
+      even change string length — 'İ' → 'i̇'), so the kernel never
+      lowercases; it consumes pre-lowered text and maps code points
+      exactly as the expression's ascii() CASE does.
+    - The mean's fold is ``np.cumsum`` (sequential ascending
+      accumulation by definition — never ``np.sum``, whose pairwise
+      reassociation breaks bit-parity); min is order-free.
+    - ROUNDING HAPPENS IN SPARK (`F.round` on the kernel's raw
+      doubles): Python's round is half-even, Spark's is HALF_UP.
+
+    Cost: the interpreted HOF path prices at ~7 ms/doc (≈1,500
+    per-element interpreter steps — measured as charlm_quality's
+    14 s at sf0.1); the kernel is a per-char table lookup plus three
+    vectorized ops per doc. Parity with charlm_score_expr pinned in
+    pytest over the real corpus."""
+    tbl = [float(p) for p in table]
+    out_schema = (
+        f"{id_col} long, n_trigrams long, __mean_raw double, "
+        "__min_raw double"
+    )
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        t = np.asarray(tbl, dtype=np.float64)
+        lut = np.zeros(128, dtype=np.int64)
+        for o in range(97, 123):
+            lut[o] = o - 96
+        lut[32] = 27
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ns, means, mins = [], [], []
+            for s in pdf["__lt"]:
+                if s is None or len(s) < 3:
+                    ns.append(0)
+                    means.append(0.0)
+                    mins.append(0.0)
+                    continue
+                codes = [
+                    int(lut[o]) if (o := ord(ch)) < 128 else 0 for ch in s
+                ]
+                c = np.asarray(codes, dtype=np.int64)
+                idx = c[:-2] * (ALPHABET * ALPHABET) + c[1:-1] * ALPHABET + c[2:] + 1
+                p = t[idx - 1]
+                ns.append(len(p))
+                means.append(float(np.cumsum(p)[-1]) / len(p))
+                mins.append(float(p.min()))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_trigrams": np.asarray(ns, dtype="int64"),
+                    "__mean_raw": means,
+                    "__min_raw": mins,
+                }
+            )
+
+    src = docs.select(id_col, F.lower(F.col(text_col)).alias("__lt"))
+    return src.mapInPandas(score, out_schema).select(
+        id_col,
+        "n_trigrams",
+        F.round("__mean_raw", 6).alias("mean_p"),
+        F.round("__min_raw", 6).alias("min_p"),
+    )
+
+
 def charlm_doc_scores(
     spark: SparkSession,
     docs: DataFrame,

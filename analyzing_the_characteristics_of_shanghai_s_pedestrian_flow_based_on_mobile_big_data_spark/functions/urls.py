@@ -144,6 +144,11 @@ def psl_host_mapping(
     labels = F.split(F.col(host_col), r"\.")
     n = F.size(labels)
     lo = F.greatest(F.lit(0), n - F.lit(int(max_labels)))
+    # the candidate lambda's body references `labels` (re-evaluated per
+    # element in interpreted HOF eval — the round-12/13 lesson); here
+    # that is ≤ max_labels re-splits of ONE host string per DISTINCT
+    # host (dim-sized input, variable-length slices that don't zip), so
+    # the body-safe restructure would buy nothing measurable
     cand_structs = F.transform(
         F.sequence(lo + 1, n),
         lambda i: F.struct(

@@ -445,3 +445,46 @@ def test_repetition_and_charlm_scoring_map_only(spark):
         trigram_indexes(F.lit("qqq")).alias("ix")
     ).collect()[0].ix
     assert len(idx) == 1 and lm[idx[0] - 1] > 0.0
+
+
+def test_charlm_arrow_kernel_bit_exact(spark):
+    """Round 13: charlm_scores_arrow must be BIT-identical to the
+    expression path — Spark-side lowering (Python/JVM unicode
+    lowercasing can disagree and even change length), cumsum fold
+    (sequential by definition; np.sum pairwise-reassociates),
+    Spark-side rounding (Python round is half-even, Spark's HALF_UP).
+    Pinned on the real corpus plus planted edge docs (empty, <3 chars,
+    non-ascii, null)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.charlm import (
+        char_trigram_lm,
+        charlm_doc_scores,
+        charlm_scores_arrow,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        load_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    extra = spark.createDataFrame(
+        [
+            (100001, ""),
+            (100002, "ab"),
+            (100003, "İstanbul ß ﬁve straße çok"),
+            (100004, None),
+            (100005, "normal ascii words here"),
+        ],
+        "doc_id long, text string",
+    )
+    full = docs.unionByName(extra)
+    table = char_trigram_lm(docs)
+
+    def as_map(df):
+        return {
+            r.doc_id: (r.n_trigrams, r.mean_p, r.min_p) for r in df.collect()
+        }
+
+    assert as_map(charlm_doc_scores(spark, full, table=table)) == as_map(
+        charlm_scores_arrow(full, table)
+    )
