@@ -1891,6 +1891,7 @@ def serving_signature_rows(
     index_table: IncrementalCountTable,
     tomb: IncrementalUpsertTable,
     id_col: str = "doc_id",
+    broadcast: bool = True,
 ) -> DataFrame | None:
     """The rows a scorer may serve: current index state LEFT-ANTI
     joined against the currently-dead ids — a broadcast-able
@@ -1898,14 +1899,21 @@ def serving_signature_rows(
     take effect at the NEXT read without waiting for compaction.
     Feed the result to ``lsh_pairs_from_bands`` /
     ``new_doc_dup_candidates`` / ``hamming_pairs_from_blocks`` /
-    ``new_doc_hamming_candidates`` exactly like the raw table read."""
+    ``new_doc_hamming_candidates`` exactly like the raw table read.
+    ``broadcast=False`` drops the hint for a takedown history too
+    large to ship to every executor (regular fold-out keeps the LIVE
+    dead set small — the x64 probe broadcasts 64k ids in ~2 s — but a
+    long-unfolded index with a nine-figure delete history should let
+    AQE pick the join); correctness is identical either way."""
     rows = index_table.read()
     if rows is None:
         return None
     dead = dead_ids(tomb, id_col)
     if dead is None:
         return rows
-    return rows.join(F.broadcast(dead), id_col, "left_anti")
+    if broadcast:
+        dead = F.broadcast(dead)
+    return rows.join(dead, id_col, "left_anti")
 
 
 def fold_out_dead_docs(
