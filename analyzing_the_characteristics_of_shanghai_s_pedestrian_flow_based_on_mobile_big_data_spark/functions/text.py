@@ -147,9 +147,14 @@ def repetition_stats(text: Column) -> Column:
     adapted to single-line word-stream docs): a struct of
     - ``n_tokens``;
     - ``top_word_frac`` — most frequent token's share;
-    - ``dup_2gram_frac`` / ``dup_3gram_frac`` — share of n-gram
-      OCCURRENCES whose gram occurs more than once (1 − distinct/total,
-      the 'duplicate n-gram fraction');
+    - ``dup_2gram_frac`` / ``dup_3gram_frac`` — EXCESS duplicate
+      occurrences beyond the first of each gram, as a share of all
+      occurrences: (total − distinct)/total. Note the deviation from
+      Gopher's original, which weights by CHARACTERS inside duplicated
+      grams and counts every occurrence of a duplicated gram; this
+      occurrence-count form ranks the same pathology with a cheaper,
+      engine-parity-exact fold (round-14 ADVICE wording fix — the
+      values were always this metric, the doc previously misstated it);
     - ``top_2gram_frac`` — most frequent 2-gram's share.
     Fractions are 0.0 when the doc has no such grams, rounded to 6dp
     for engine parity. Entirely map-side expressions (array_sort +

@@ -140,7 +140,21 @@ def psl_host_mapping(
     extraction is a pure function of the host, so the corpus never
     explodes; the mapping is a host-cardinality dim joined back
     (:func:`url_registered_domain_psl`). The exchanges here are over
-    matched (host, rule) rows and the distinct hosts themselves."""
+    matched (host, rule) rows and the distinct hosts themselves.
+
+    ``max_labels`` is validated against the rules dim at build time
+    (round-14 ADVICE): a rule longer than the candidate window would
+    silently mis-extract (its hosts would fall to shorter rules or the
+    ``*`` default) — refuse loudly instead. Today's PSL tops out at 5
+    labels, so the default window of 8 clears the check; the dim is
+    rule-count sized, so the one-row max() probe is free."""
+    max_rule = rules_df.agg(F.max("n_labels")).first()[0] or 1
+    if int(max_rule) + 1 > int(max_labels):
+        raise ValueError(
+            f"psl_host_mapping: rules carry up to {max_rule} labels; "
+            f"registered-domain extraction needs max_labels >= "
+            f"{int(max_rule) + 1}, got {max_labels}"
+        )
     labels = F.split(F.col(host_col), r"\.")
     n = F.size(labels)
     lo = F.greatest(F.lit(0), n - F.lit(int(max_labels)))

@@ -1920,6 +1920,7 @@ def fold_out_dead_docs(
     index_table: IncrementalCountTable,
     tomb: IncrementalUpsertTable,
     id_col: str = "doc_id",
+    broadcast: bool = True,
 ) -> None:
     """Compaction half of the delete path: physically rewrite the
     index's current generation WITHOUT the dead ids' rows (anti-join
@@ -1930,12 +1931,19 @@ def fold_out_dead_docs(
     resurrect it if the mark were dropped with the rows. Drop marks
     separately via ``tomb.compact_tombstones(horizon_seq)`` once the
     ingest watermark guarantees no delta below that epoch will ever
-    arrive (the same horizon contract as upsert-table tombstones)."""
+    arrive (the same horizon contract as upsert-table tombstones).
+    ``broadcast=False`` drops the anti-join hint for the same reason
+    ``serving_signature_rows`` grew the knob (round 14 ADVICE): a
+    long-unfolded index with a nine-figure delete history should let
+    AQE pick the join strategy rather than force-ship the dead set to
+    every executor; correctness is identical either way."""
     dead = dead_ids(tomb, id_col)
     if dead is None:
         return
+    if broadcast:
+        dead = F.broadcast(dead)
     index_table.compact(
-        transform=lambda df: df.join(F.broadcast(dead), id_col, "left_anti")
+        transform=lambda df: df.join(dead, id_col, "left_anti")
     )
 
 
@@ -1953,15 +1961,21 @@ def incremental_band_index_stream(
     retention_epochs: int | None = None,
     compact_every: int = 8,
     fold_out_every: int | None = None,
+    deleted_col: str | None = None,
+    fold_out_broadcast: bool = True,
 ):
     """Stream document files → incrementally-maintained MinHash band
     index via foreachBatch — dedup-on-ingest for the corpus pipeline.
     ``schema``/``id_col``/``text_col`` travel together: a custom
     source schema must name its id/text columns here too.
 
-    **Deletes** (round 13, VERDICT r12 #3): when ``schema`` carries a
-    ``deleted boolean`` column, rows with ``deleted`` NOT NULL are
-    takedown/un-delete MARKS, upserted (id, epoch, deleted) into the
+    **Deletes** (round 13, VERDICT r12 #3): when ``deleted_col`` names
+    a boolean mark column in ``schema`` (EXPLICIT opt-in — round-14
+    ADVICE: the old schema-string sniff armed the takedown path for
+    any source that happened to carry a 'deleted' DATA column,
+    silently excluding its rows from indexing), rows with that column
+    NOT NULL are takedown/un-delete MARKS, upserted (id, epoch, dead)
+    into the
     :func:`signature_tombstone_table` sidecar instead of being banded
     (their text may be NULL — a takedown carries no body). Serve
     through :func:`serving_signature_rows` (anti-join, effective at
@@ -2012,7 +2026,7 @@ def incremental_band_index_stream(
     # (operators/dedup.py:minhash_band_scheme) — dict value unchanged,
     # so existing stamps keep matching
     _pin_index_scheme(table.path, minhash_band_scheme(k, bands, n))
-    has_marks = re.search(r"\bdeleted\b", schema) is not None
+    has_marks = deleted_col is not None
     tomb = (
         signature_tombstone_table(spark, table_path) if has_marks else None
     )
@@ -2020,12 +2034,16 @@ def incremental_band_index_stream(
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
         docs = batch_df
         if has_marks:
-            marks = batch_df.filter(F.col("deleted").isNotNull()).select(
+            marks = batch_df.filter(
+                F.col(deleted_col).isNotNull()
+            ).select(
                 F.col(id_col).alias("doc_id"),
                 F.lit(int(epoch_id)).cast("long").alias("seq"),
-                F.col("deleted").alias("dead"),
+                F.col(deleted_col).alias("dead"),
             )
-            docs = batch_df.filter(F.col("deleted").isNull()).drop("deleted")
+            docs = batch_df.filter(F.col(deleted_col).isNull()).drop(
+                deleted_col
+            )
         delta = (
             minhash_bands(
                 docs, k=k, bands=bands, n=n,
@@ -2055,7 +2073,7 @@ def incremental_band_index_stream(
             and epoch_id > 0
             and epoch_id % fold_out_every == 0
         ):
-            fold_out_dead_docs(table, tomb)
+            fold_out_dead_docs(table, tomb, broadcast=fold_out_broadcast)
 
     src = (
         spark.readStream.schema(schema)
@@ -2084,6 +2102,8 @@ def incremental_block_index_stream(
     min_key_bits: int = 16,
     weighted: bool = False,
     fold_out_every: int | None = None,
+    deleted_col: str | None = None,
+    fold_out_broadcast: bool = True,
 ):
     """Stream document files → incrementally-maintained SimHash BLOCK
     index via foreachBatch — the exact-cover sibling of
@@ -2102,9 +2122,10 @@ def incremental_block_index_stream(
     over the index is ``hamming_pairs_from_blocks(table.read())``.
     ``retention_epochs``/``compact_every`` arm the same sliding-window
     horizon contract as the band index (``last_epoch`` MAX-merged),
-    and a ``deleted boolean`` schema column + ``fold_out_every`` arm
-    the same takedown path (tombstone sidecar, serve-time anti-join,
-    physical fold-out — see :func:`incremental_band_index_stream`)."""
+    and ``deleted_col`` (explicit opt-in, round-14 ADVICE — never
+    schema-sniffed) + ``fold_out_every`` arm the same takedown path
+    (tombstone sidecar, serve-time anti-join, physical fold-out — see
+    :func:`incremental_band_index_stream`)."""
     from ..operators.dedup import hamming_block_scheme, simhash_blocks
 
     table = IncrementalCountTable(
@@ -2122,7 +2143,7 @@ def incremental_block_index_stream(
         table.path,
         hamming_block_scheme(max_hamming, nbits, min_key_bits, weighted),
     )
-    has_marks = re.search(r"\bdeleted\b", schema) is not None
+    has_marks = deleted_col is not None
     tomb = (
         signature_tombstone_table(spark, table_path) if has_marks else None
     )
@@ -2130,12 +2151,16 @@ def incremental_block_index_stream(
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
         docs = batch_df
         if has_marks:
-            marks = batch_df.filter(F.col("deleted").isNotNull()).select(
+            marks = batch_df.filter(
+                F.col(deleted_col).isNotNull()
+            ).select(
                 F.col(id_col).alias("doc_id"),
                 F.lit(int(epoch_id)).cast("long").alias("seq"),
-                F.col("deleted").alias("dead"),
+                F.col(deleted_col).alias("dead"),
             )
-            docs = batch_df.filter(F.col("deleted").isNull()).drop("deleted")
+            docs = batch_df.filter(F.col(deleted_col).isNull()).drop(
+                deleted_col
+            )
         delta = (
             simhash_blocks(
                 docs, max_hamming, nbits,
@@ -2166,7 +2191,7 @@ def incremental_block_index_stream(
             and epoch_id > 0
             and epoch_id % fold_out_every == 0
         ):
-            fold_out_dead_docs(table, tomb)
+            fold_out_dead_docs(table, tomb, broadcast=fold_out_broadcast)
 
     src = (
         spark.readStream.schema(schema)

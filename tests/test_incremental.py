@@ -2530,7 +2530,7 @@ def test_band_index_takedown_fold_out_and_resurrection(spark, tmp_path):
     ).parquet(src)
     q = incremental_band_index_stream(
         spark, src, tbl, str(tmp_path / "ckpt"), schema=schema,
-        fold_out_every=2,
+        fold_out_every=2, deleted_col="deleted",
     )
     table = IncrementalCountTable(
         spark, tbl, ["doc_id", "band", "band_hash"],

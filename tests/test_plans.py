@@ -395,3 +395,16 @@ def test_batch29_dedup_family_is_python_free(spark):
         "semantic_dedup_kmeans",
     ):
         assert_no_python_udf(entrymod.queries()[name](spark, SF_SMALL))
+
+
+def test_domain_alpha_rates_have_no_window(spark):
+    """Round 14 (VERDICT r13 #5): the α-mixture normalizing totals must
+    come from the broadcast-1-row-aggregate shape, not a partition-less
+    window — no Window operator at all in either mixture query's plan,
+    and the rate dim joins broadcast."""
+    for name in ("domain_mixture_alpha", "mixture_sampled_counts"):
+        plan = physical_plan(entrymod.queries()[name](spark, SF_SMALL))
+        assert "Window" not in plan, name
+    assert_broadcast_join(
+        entrymod.queries()["mixture_sampled_counts"](spark, SF_SMALL)
+    )

@@ -1,0 +1,183 @@
+"""Round-14 property tests — independent references for the new
+surfaces: the fused charlm attach kernel, the distributed scorer fit,
+residual PQ, and the widened langid (added as those land)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+    load_table,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_charlm_attach_arrow_bit_exact_with_expr(spark):
+    """The passthrough Arrow kernel (charlm_attach_arrow) must be
+    BIT-EXACT with the expression path (charlm_score_expr) over the
+    real corpus — same contract the standalone kernel carries — and
+    must pass every non-text column through untouched."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.charlm import (
+        char_trigram_lm,
+        charlm_attach_arrow,
+        charlm_score_expr,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id",
+        "text",
+        F.length("text").alias("n_chars"),
+        F.md5("text").alias("digest"),
+    )
+    table = char_trigram_lm(docs)
+
+    via_expr = {
+        r.doc_id: (r.n_chars, r.digest, r.s.n_trigrams, r.s.mean_p, r.s.min_p)
+        for r in docs.select(
+            "doc_id",
+            "n_chars",
+            "digest",
+            charlm_score_expr(F.col("text"), table).alias("s"),
+        ).collect()
+    }
+    via_kernel = {
+        r.doc_id: (r.n_chars, r.digest, r.n_trigrams, r.mean_p, r.min_p)
+        for r in charlm_attach_arrow(docs, table).collect()
+    }
+    assert via_kernel == via_expr
+    assert len(via_kernel) == 500
+
+
+def test_charlm_attach_arrow_keeps_text(spark):
+    """drop_text=False keeps the text column for downstream gates."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.charlm import (
+        char_trigram_lm,
+        charlm_attach_arrow,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    table = char_trigram_lm(docs)
+    out = charlm_attach_arrow(docs.limit(20), table, drop_text=False)
+    assert set(out.columns) == {
+        "doc_id", "text", "n_trigrams", "mean_p", "min_p"
+    }
+    src = {r.doc_id: r.text for r in docs.limit(20).collect()}
+    for r in out.collect():
+        assert r.text == src[r.doc_id]
+
+
+def test_curation_full_matches_expression_gate(spark):
+    """curation_full (Arrow-fused, cheap-gates-first) must keep the
+    SAME doc set and values as the round-13 all-expression single
+    select — the gates are independent per-doc predicates, so the
+    reorder and the kernel swap must be invisible."""
+    import __spark_entry__ as entrymod
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.charlm import (
+        char_trigram_lm,
+        charlm_score_expr,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.langid import (
+        predict_lang,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.text import (
+        quality_score,
+        repetition_stats,
+        token_count,
+        tokens,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, SF_DIR, "documents")
+    table = char_trigram_lm(docs)
+    scored = docs.select(
+        "doc_id",
+        "text",
+        token_count(F.col("text")).alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+        predict_lang(tokens(F.col("text"))).alias("pred_lang"),
+        repetition_stats(F.col("text")).alias("rep"),
+        charlm_score_expr(F.col("text"), table).alias("lm"),
+    )
+    kept = scored.filter(
+        (F.col("pred_lang") == "en")
+        & (F.col("quality") >= 0.5)
+        & (F.col("n_tokens") >= 5)
+        & (F.col("rep.top_word_frac") <= 0.12)
+        & (F.col("rep.dup_2gram_frac") <= 0.05)
+        & (F.col("rep.dup_3gram_frac") <= 0.02)
+        & (F.col("lm.mean_p") >= 0.62)
+    ).select(
+        F.md5("text").alias("digest"),
+        "doc_id",
+        "n_tokens",
+        "quality",
+        F.col("rep.top_word_frac").alias("top_word_frac"),
+        F.col("lm.mean_p").alias("mean_p"),
+    )
+    min_id = F.min("doc_id").over(Window.partitionBy("digest"))
+    reference = {
+        r.doc_id: (r.digest, r.n_tokens, r.quality, r.top_word_frac, r.mean_p)
+        for r in kept.withColumn("min_id", min_id)
+        .filter(F.col("doc_id") == F.col("min_id"))
+        .collect()
+    }
+    got = {
+        r.doc_id: (r.digest, r.n_tokens, r.quality, r.top_word_frac, r.mean_p)
+        for r in entrymod.queries()["curation_full"](spark, SF_DIR).collect()
+    }
+    assert got == reference
+    assert 0 < len(got) < 500  # non-vacuous
+
+
+def test_deleted_data_column_is_not_sniffed(spark, tmp_path):
+    """Round-14 ADVICE: a source whose schema happens to carry a
+    'deleted' DATA column must NOT arm the takedown path unless
+    deleted_col is passed explicitly — every row indexes, no tombstone
+    sidecar appears."""
+    import os
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        IncrementalCountTable,
+        incremental_band_index_stream,
+    )
+
+    schema = "doc_id long, text string, deleted boolean"
+    src = str(tmp_path / "docs")
+    tbl = str(tmp_path / "tbl")
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today", True),
+        (2, "completely different text about spark engines here", None),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    q = incremental_band_index_stream(
+        spark, src, tbl, str(tmp_path / "ckpt"), schema=schema
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    table = IncrementalCountTable(
+        spark, tbl, ["doc_id", "band", "band_hash"],
+        max_measures=("last_epoch",),
+    )
+    indexed = {r.doc_id for r in table.read().select("doc_id").distinct().collect()}
+    assert indexed == {1, 2}  # doc 1 NOT diverted into a tombstone
+    assert not os.path.exists(tbl.rstrip("/") + "-tombstones")
+
+
+def test_psl_max_labels_guard_refuses_long_rules(spark):
+    """Round-14 ADVICE: a PSL rule longer than the candidate window
+    must refuse at build time, not silently mis-extract."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.urls import (
+        psl_host_mapping,
+        psl_rules_dim,
+    )
+
+    rules = psl_rules_dim(spark, ["a.b.c.d.e.f.g.h.i"])  # 9 labels
+    hosts = spark.createDataFrame([("x.example.com",)], "host string")
+    with pytest.raises(ValueError, match="max_labels >= 10"):
+        psl_host_mapping(hosts, rules)  # default window of 8 too small
+    # a window wide enough passes the guard and builds
+    assert psl_host_mapping(hosts, rules, max_labels=10).count() == 1
