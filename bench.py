@@ -374,7 +374,51 @@ def main() -> None:
         spread[name] = round(samples[-1] - samples[0], 3)
 
     total = round(sum(timings.values()), 3)
-    common14 = round(sum(timings[n] for n in COMMON14 if n in timings), 3)
+    common14_session = round(
+        sum(timings[n] for n in COMMON14 if n in timings), 3
+    )
+    # Isolated common-14 pass (round 14, VERDICT r13 #2): the
+    # in-session subtotal drifted 9.8 → 14.0 s across rounds 12→13
+    # while THREE independent fresh-JVM measurements of the same
+    # commit sat at 10.3–11.4 s — cumulative JVM/codegen/GC state from
+    # the ever-growing full-registry session, not a plan change (no
+    # common-14 code path moved). The comparable number must not
+    # depend on how many OTHER queries the registry has grown, so the
+    # headline `common14_total` is now measured in its OWN fresh JVM
+    # (a subprocess re-invoking this script with BENCH_ONLY=<the 14>,
+    # same iters/stat/warmup protocol, order fixed as always), and the
+    # in-session subtotal is kept alongside as
+    # `common14_total_session` for continuity with earlier rounds.
+    # BENCH_NO_ISOLATED=1 skips the subprocess (quick local loops).
+    common14 = common14_session
+    common14_mode = "session"
+    ran_full_set = not only and all(n in timings for n in COMMON14)
+    if ran_full_set and not os.environ.get("BENCH_NO_ISOLATED"):
+        import subprocess
+
+        env = dict(os.environ)
+        env["BENCH_ONLY"] = ",".join(COMMON14)
+        env["BENCH_ITERS"] = str(iters)
+        env["BENCH_SEED"] = str(seed)
+        env["SPARK_GRAFT_SF_DIR"] = sf_dir
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=3600,
+            )
+            line = [
+                ln
+                for ln in proc.stdout.strip().splitlines()
+                if ln.startswith("{")
+            ][-1]
+            common14 = float(json.loads(line)["common14_total"])
+            common14_mode = "isolated"
+        except Exception as e:  # fall back to the session number
+            print(f"bench: isolated common-14 pass failed: {e}",
+                  file=sys.stderr)
     result = {
         "metric": "headline_queries_total",
         "value": total,
@@ -388,9 +432,11 @@ def main() -> None:
             "order_seed": seed,
             "seed_source": seed_source,
             "order": names,
+            "common14_mode": common14_mode,
         },
         "spread": spread,
         "common14_total": common14,
+        "common14_total_session": common14_session,
     }
     # full detail goes to a file (committed per round); stdout carries
     # the one-line contract LAST, after spark.stop(), so a tail-capture
