@@ -3485,6 +3485,102 @@ def _q_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return charlm_scores_arrow(docs, table)
 
 
+_SCORER_PLANT = "premium verified badge exclusive"
+_SCORER_NB = 256
+_SCORER_EPOCHS = 8
+_SCORER_ETA = 4000.0
+
+
+def _plant_scored_docs(docs: DataFrame) -> DataFrame:
+    """Planted-label training corpus for the in-engine classifier fit:
+    docs with doc_id % 3 == 0 get four marker tokens appended and
+    label y=1; the rest keep their text with y=0. The label derives
+    from doc_id — NOT from the text — so the classifier must DISCOVER
+    the planted vocabulary through the hashed feature space (the
+    _plant_urls planting precedent: the synthetic corpus carries no
+    naturally learnable signal — its real `lang`/`source` columns are
+    independent of the text by construction, measured: a fitted model
+    on those labels learns exactly the majority bias)."""
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" " + _SCORER_PLANT)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        (F.col("doc_id") % 3 == 0).cast("int").alias("y"),
+    )
+
+
+def _scorer_fit_cached(spark: SparkSession, sf_dir: str):
+    """One fit feeds both scorer_trained queries (the
+    _kmeans_centroids_cached sharing pattern). Returns
+    (weights, bias, cv frame)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.scorer import (
+        hashed_count_rows,
+        scorer_fit_ls,
+    )
+
+    docs = _plant_scored_docs(load_table(spark, sf_dir, "documents"))
+    cv = hashed_count_rows(
+        docs, F.col("y"), n_buckets=_SCORER_NB
+    )
+    key = _dataset_fingerprint(sf_dir, "documents") + (
+        f"scorerfit{_SCORER_NB}x{_SCORER_EPOCHS}",
+    )
+    fit = _IVF_CODEBOOKS.get(key)
+    if fit is None:
+        fit = _IVF_CODEBOOKS[key] = scorer_fit_ls(
+            cv,
+            n_buckets=_SCORER_NB,
+            epochs=_SCORER_EPOCHS,
+            eta=_SCORER_ETA,
+        )
+    w, bias = fit
+    return w, bias, cv
+
+
+def _q_scorer_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine distributed classifier training (round 14, VERDICT
+    r13 #3): the 256-bucket hashed-ngram linear quality scorer FITTED
+    on labeled data by 8 full-batch GD epochs on centered least
+    squares (functions/scorer.py:scorer_fit_ls) — output is the
+    trained parameter vector itself, (bucket, weight) plus the bias
+    as bucket −1, under the full value-hash gate: the DuckDB twin
+    re-runs the entire training loop as unrolled CTEs (the
+    kmeans_oracle_ctes precedent) and must land on bit-identical
+    weights. Training is transcendental-free by design (least squares,
+    not logistic: no exp/log whose last ulp differs across engines);
+    every gradient sum is a DECIMAL sum of floor-rounded addends
+    (order-free ⇒ partitioning-independent), every per-doc score an
+    ascending fold. Per epoch the corpus pays one map-only residual
+    pass plus one bounded bucket-cell aggregate — the kmeans iteration
+    shape, so a 100 TB fit is epochs × (scan + codebook-sized
+    shuffle)."""
+    w, bias, _ = _scorer_fit_cached(spark, sf_dir)
+    rows = [(b, float(w[b])) for b in range(_SCORER_NB)] + [
+        (-1, float(bias))
+    ]
+    return spark.createDataFrame(rows, "bucket int, weight double")
+
+
+def _q_scorer_trained_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained classifier APPLIED (round 14): per-doc margin under
+    the weights _q_scorer_trained fitted, with the planted ground
+    truth alongside — (doc_id, y, pred, keep). Scoring is map-only
+    (literal weight array, ascending fold — margin_from_weights'
+    shape); non-vacuity is pytest-pinned: trained accuracy beats the
+    majority class by a wide margin where the untrained model cannot
+    (tests/test_round14_properties.py)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.scorer import (
+        scorer_predict,
+    )
+
+    w, bias, cv = _scorer_fit_cached(spark, sf_dir)
+    return scorer_predict(cv, w, bias)
+
+
 def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-class repetition filters (round 13; Rae et al. 2021
     §A1.1 adapted to word-stream docs): per-doc most-frequent-token
@@ -7468,6 +7564,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk_trained": _q_pq_topk_trained,
         "repetition_stats": _q_repetition_stats,
         "charlm_quality": _q_charlm_quality,
+        "scorer_trained": _q_scorer_trained,
+        "scorer_trained_scores": _q_scorer_trained_scores,
         "domain_mixture_alpha": _q_domain_mixture_alpha,
         "curation_full": _q_curation_full,
         "mixture_sampled_counts": _q_mixture_sampled_counts,
@@ -8800,6 +8898,146 @@ def _quality_margin_ctes(salt: str = "qs", bias: float = 0.0) -> str:
                        * 1000000.0 + 0.5) / 1000000.0 AS margin
           FROM feats
         )"""
+
+
+def _scorer_fit_ctes(
+    nb: int = None,
+    epochs: int = None,
+    eta: float = None,
+    salt: str = "qs",
+) -> str:
+    """CTE block (without WITH) re-running the ENTIRE distributed
+    classifier fit of functions/scorer.py:scorer_fit_ls in DuckDB —
+    the kmeans_oracle_ctes precedent at GD grain. Ends at
+    ``wfin(b, w)`` (trained weights), ``biasx(bias)``, plus ``cv``/
+    ``wlf`` for scoring. Parity rules restated relationally:
+    12dp floor-rounded addends summed as DECIMAL(38,12), ascending
+    0.0-seeded list_reduce folds for every per-doc score and the μ·w
+    scalar, floor-form 9dp weight rounding per epoch — pure IEEE ops
+    on identical inputs, so each epoch's weights (and therefore the
+    final vector) are bit-identical to the Spark fit."""
+    nb = nb if nb is not None else _SCORER_NB
+    epochs = epochs if epochs is not None else _SCORER_EPOCHS
+    eta = eta if eta is not None else _SCORER_ETA
+    m9 = f"{10**9}.0"
+    m12 = f"{10**12}.0"
+    hex8 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5('{salt}:' || x), "
+        f"{i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {nb}), i -> {{terms}})), "
+        "(a, b) -> a + b)"
+    )
+    cv_fold = fold.format(terms="CAST(cvec[i] AS DOUBLE) * wl[i]")
+    mw_fold = fold.format(terms="ml[i] * wl[i]")
+    parts = [
+        f"""
+        d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN text || ' {_SCORER_PLANT}' ELSE text END AS text,
+                 CAST(doc_id % 3 = 0 AS INTEGER) AS y
+          FROM documents
+        ),
+        t AS (SELECT doc_id, y, {_TOKENS_SQL} AS toks FROM d),
+        f0 AS (
+          SELECT doc_id, y,
+                 toks || (CASE WHEN len(toks) >= 2
+                          THEN list_transform(
+                                 generate_series(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i + 1])
+                          ELSE CAST([] AS VARCHAR[]) END) AS f
+          FROM t
+        ),
+        fb AS MATERIALIZED (
+          SELECT doc_id, y, CAST(len(f) AS INTEGER) AS k,
+                 list_transform(f, x ->
+                   CAST(({hex8}) % {nb} AS INTEGER)) AS bidx
+          FROM f0 WHERE len(f) > 0
+        ),
+        fx AS MATERIALIZED (
+          SELECT doc_id, k, b, CAST(count(*) AS INTEGER) AS c
+          FROM (SELECT doc_id, k, unnest(bidx) AS b FROM fb)
+          GROUP BY 1, 2, 3
+        ),
+        dims AS MATERIALIZED (
+          SELECT unnest(generate_series(0, {nb - 1})) AS b
+        ),
+        cv AS MATERIALIZED (
+          SELECT fb.doc_id, fb.y, fb.k,
+                 list(coalesce(fx.c, 0) ORDER BY dims.b) AS cvec
+          FROM fb CROSS JOIN dims
+          LEFT JOIN fx ON fx.doc_id = fb.doc_id AND fx.b = dims.b
+          GROUP BY 1, 2, 3
+        ),
+        nn AS MATERIALIZED (
+          SELECT count(*) AS n, CAST(sum(y) AS DOUBLE) / count(*) AS ybar
+          FROM cv
+        ),
+        mu0 AS (
+          SELECT b,
+                 sum(CAST(floor((CAST(c AS DOUBLE) / CAST(k AS DOUBLE))
+                       * {m12} + 0.5) / {m12} AS DECIMAL(38,12))) AS s
+          FROM fx GROUP BY 1
+        ),
+        mus AS MATERIALIZED (
+          SELECT dims.b,
+                 floor((CAST(coalesce(mu0.s, 0) AS DOUBLE) / nn.n)
+                       * {m9} + 0.5) / {m9} AS mu
+          FROM dims CROSS JOIN nn
+          LEFT JOIN mu0 ON mu0.b = dims.b
+        ),
+        mul AS MATERIALIZED (SELECT list(mu ORDER BY b) AS ml FROM mus),
+        w0 AS MATERIALIZED (SELECT b, CAST(0.0 AS DOUBLE) AS w FROM dims)"""
+    ]
+    for r in range(1, epochs + 1):
+        p = r - 1
+        parts.append(
+            f"""
+        wl{p} AS (SELECT list(w ORDER BY b) AS wl FROM w{p}),
+        mw{p} AS (SELECT {mw_fold} AS mw FROM mul, wl{p}),
+        mg{r} AS MATERIALIZED (
+          SELECT doc_id, k, cvec,
+                 (CAST(y AS DOUBLE) - nn.ybar)
+                 - ({cv_fold} / CAST(k AS DOUBLE) - mw{p}.mw) AS r
+          FROM cv, wl{p}, mw{p}, nn
+        ),
+        tt{r} AS (
+          SELECT CAST(sum(CAST(floor(r * {m12} + 0.5) / {m12}
+                   AS DECIMAL(38,12))) AS DOUBLE) AS t
+          FROM mg{r}
+        ),
+        ss{r} AS MATERIALIZED (
+          SELECT dims.b,
+                 CAST(sum(CAST(floor(((m.r * CAST(m.cvec[dims.b + 1]
+                       AS DOUBLE)) / CAST(m.k AS DOUBLE))
+                       * {m12} + 0.5) / {m12}
+                   AS DECIMAL(38,12))) AS DOUBLE) AS s
+          FROM mg{r} m CROSS JOIN dims GROUP BY 1
+        ),
+        w{r} AS MATERIALIZED (
+          SELECT p.b,
+                 floor((p.w + {float(eta)!r} * ((ss{r}.s - mus.mu * tt{r}.t)
+                       / nn.n)) * {m9} + 0.5) / {m9} AS w
+          FROM w{p} p
+          JOIN ss{r} ON ss{r}.b = p.b
+          JOIN mus ON mus.b = p.b, tt{r}, nn
+        )"""
+        )
+    parts.append(
+        f"""
+        wfin AS MATERIALIZED (SELECT b, w FROM w{epochs}),
+        wlf AS MATERIALIZED (SELECT list(w ORDER BY b) AS wl FROM wfin),
+        mwf AS (SELECT {mw_fold} AS mw FROM mul, wlf),
+        biasx AS (
+          SELECT floor((nn.ybar - mwf.mw) * {m9} + 0.5) / {m9} AS bias
+          FROM nn, mwf
+        )"""
+    )
+    return ",".join(parts)
 
 
 def _repetition_ctes() -> str:
@@ -10609,6 +10847,25 @@ def oracle_sql() -> dict[str, str]:
         "psl_registered_domains": _psl_oracle(),
         "pq_topk_trained": _pq_trained_oracle(),
         "charlm_quality": _charlm_oracle(),
+        "scorer_trained": f"""
+            WITH {_scorer_fit_ctes()}
+            SELECT CAST(b AS INTEGER) AS bucket, w AS weight FROM wfin
+            UNION ALL
+            SELECT -1 AS bucket, bias AS weight FROM biasx
+        """,
+        "scorer_trained_scores": f"""
+            WITH {_scorer_fit_ctes()},
+            scored AS (
+              SELECT cv.doc_id, cv.y,
+                     floor((list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         list_transform(generate_series(1, {_SCORER_NB}),
+                           i -> CAST(cvec[i] AS DOUBLE) * wl[i])),
+                       (a, b) -> a + b) / CAST(k AS DOUBLE) + biasx.bias)
+                       * 1000000.0 + 0.5) / 1000000.0 AS pred
+              FROM cv, wlf, biasx
+            )
+            SELECT doc_id, y, pred, pred >= 0.5 AS keep FROM scored
+        """,
         "curation_full": _curation_oracle(full=True),
         "mixture_sampled_counts": f"""
             WITH {_url_domain_ctes()},

@@ -29,8 +29,9 @@ stack (SURVEY.md §2 extensions).
 from __future__ import annotations
 
 import hashlib
+import math
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import tokens
@@ -157,3 +158,241 @@ def linear_quality_margin(
     per-element re-evaluation of inline children inside HOF lambdas
     (see :func:`doc_features`)."""
     return margin_from_features(doc_features(tokens(text)), weights, bias, salt)
+
+
+# Distributed training (round 14, VERDICT r13 #3) -----------------------
+#
+# The scorer above is inference-only; a real curation stack TRAINS its
+# quality classifier. scorer_fit_ls fits the same mean-of-bucket-weights
+# linear model by full-batch gradient descent on centered least squares —
+# chosen over logistic IRLS because every step is +,*,/ and floor-form
+# rounding (no exp/log, whose last ulp is not contractually identical
+# across engines), so the ENTIRE training run is reproducible bit-for-bit
+# by an unrolled DuckDB twin (the kmeans_oracle_ctes precedent) and the
+# trained weights sit under the full value-hash oracle gate.
+#
+# Why centered: the raw bucket-fraction design matrix is dominated by the
+# rank-one "average document" direction (every doc's fractions sum to 1),
+# which makes plain GD crawl and Jacobi-preconditioned GD diverge
+# (measured on the real corpus; see tests). Subtracting the per-bucket
+# means μ removes that bulk direction; GD on (X−μ, y−ȳ) converges in
+# single-digit epochs at a step size governed by the residual spectrum
+# (η < 2n/σ₁²; the registered query pins η=4000, validated against the
+# measured σ₁ at every shipped SF — doc-length distribution, and hence
+# the bound, is SF-invariant in this corpus family).
+#
+# Scale shape, per epoch (the kmeans iteration template):
+# - margins/residuals are MAP-ONLY over the checkpointed (y, k, cvec)
+#   frame: current weights enter as a literal array, the per-doc score is
+#   one ascending zip_with/aggregate fold — no join, no broadcast;
+# - the gradient is ONE bounded aggregate: posexplode(cvec) → groupBy
+#   bucket → DECIMAL sum of 12dp-floor-rounded addends (order-free ⇒
+#   partitioning-independent), n_buckets rows per partition after
+#   map-side combine;
+# - driver state is the n_buckets weight vector — codebook-sized, the
+#   same budget class as kmeans centroids / the charlm table.
+
+
+def _flr(col: Column, scale: int) -> Column:
+    """Floor-form rounding (multiply+add+floor+divide) — the engine-
+    portable rounding used everywhere bit-parity matters (kmeans.py's
+    lesson on library round())."""
+    m = float(10**scale)
+    return F.floor(col * F.lit(m) + F.lit(0.5)) / F.lit(m)
+
+
+def _flr_py(x: float, scale: int) -> float:
+    m = float(10**scale)
+    return math.floor(x * m + 0.5) / m
+
+
+def hashed_count_rows(
+    docs: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    salt: str = "qs",
+) -> DataFrame:
+    """Training frame: (id, y, k, cvec) per document with at least one
+    feature — y the 0/1 label, k the feature count, cvec the DENSE
+    n_buckets-wide bucket-count vector (int). Built once and
+    checkpointed by the fit; every training epoch reuses the dense
+    rows map-side.
+
+    The ONE exchange here is a repartition of the RAW doc rows by id,
+    up front: it clusters every downstream groupBy (doc-subset keys ⇒
+    no further exchange — Spark's HashPartitioning(id) satisfies
+    ClusteredDistribution for any key set containing id), so the
+    doc×bucket count and the map re-group run exchange-free on rows
+    k× wider than the input. Shuffling 3.4M exploded feature rows
+    instead (the naive plan) costs ~60× the bytes at this corpus's
+    ~680 features/doc — and locally it also unlocks parallelism for
+    the md5 bucketize, which otherwise runs in the input file's 1-2
+    splits (measured: 22 s → 2.5 s at sf0.1)."""
+    toks_df = docs.repartition(F.col(id_col)).select(
+        F.col(id_col), label.alias("y"), tokens(F.col(text_col)).alias("toks")
+    )
+    f = toks_df.select(
+        id_col, "y", doc_features(F.col("toks")).alias("f")
+    ).select(
+        id_col,
+        "y",
+        F.size("f").alias("k"),
+        F.transform(
+            F.col("f"),
+            lambda t: feature_bucket(t, n_buckets, salt).cast("int"),
+        ).alias("bidx"),
+    )
+    # explode_OUTER, not explode, and no explicit k>0 filter: a plain
+    # explode triggers InferFiltersFromGenerate, whose inferred
+    # size(bidx)>0 predicate gets pushed below the repartition exchange
+    # with the WHOLE tokenize→features→md5 chain substituted in —
+    # re-evaluating the pipeline once per row just for the size check
+    # (measured: 15 s vs 6 s for the full build at sf0.1). Zero-feature
+    # docs surface as one null-bucket row instead and are dropped by
+    # the cheap post-aggregate isNotNull filter on the materialized
+    # bucket column.
+    ex = (
+        f.select(id_col, "y", "k", F.explode_outer("bidx").alias("b"))
+        .groupBy(id_col, "y", "k", "b")
+        .agg(F.count("*").cast("int").alias("c"))
+        .filter(F.col("b").isNotNull())
+    )
+    cv = ex.groupBy(id_col, "y", "k").agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "c"))).alias("m")
+    )
+    return cv.select(
+        F.col(id_col).alias("doc_id") if id_col != "doc_id" else F.col(id_col),
+        "y",
+        "k",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(int(n_buckets) - 1)),
+            lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0)),
+        ).alias("cvec"),
+    )
+
+
+def _wlit_sql(ws: list[float]) -> str:
+    return "array(" + ", ".join(f"{float(w)!r}D" for w in ws) + ")"
+
+
+def _score_fold_sql(cvec_col: str, ws: list[float]) -> str:
+    """Σ_b cvec[b]·w[b] as ONE SQL string (the _sq_dist_sql lesson:
+    Column-built HOFs cost py4j round trips per lambda × epochs):
+    ascending zip_with product then 0.0-seeded sequential fold —
+    the exact association order of the DuckDB twin's list_reduce."""
+    return (
+        f"aggregate(zip_with({cvec_col}, {_wlit_sql(ws)}, "
+        "(c, w) -> CAST(c AS DOUBLE) * w), 0.0D, (acc, t) -> acc + t)"
+    )
+
+
+def scorer_fit_ls(
+    cv: DataFrame,
+    n_buckets: int = 256,
+    epochs: int = 8,
+    eta: float = 4000.0,
+    round_scale: int = 9,
+    addend_scale: int = 12,
+) -> tuple[list[float], float]:
+    """Fit (weights, bias) on a :func:`hashed_count_rows` frame by
+    ``epochs`` full-batch GD steps on centered least squares:
+
+        μ_b  = flr₉(Σᵢ dec₁₂(c_ib/k_i) / n)        (one-time pass)
+        r_i  = (y_i − ȳ) − (Σ_b c_ib·w_b / k_i − μ·w)
+        S_b  = Σᵢ dec₁₂((r_i·c_ib)/k_i);  T = Σᵢ dec₁₂(r_i)
+        w_b ← flr₉(w_b + η·((S_b − μ_b·T)/n))
+        bias = flr₉(ȳ − μ·w_final)
+
+    Every sum is a DECIMAL sum of floor-rounded addends (order-free),
+    every fold is ascending, every rounding is floor-form — the DuckDB
+    twin reproduces the weights bit-for-bit. Prediction is
+    ``score/k + bias`` (:func:`scorer_predict`), the exact shape
+    :func:`margin_from_weights` serves."""
+    cv = cv.localCheckpoint(eager=False)
+    n = cv.count()
+    if n == 0:
+        return [0.0] * n_buckets, 0.0
+    dec = f"decimal(38,{addend_scale})"
+    npos = cv.agg(F.sum("y")).first()[0] or 0
+    ybar = float(npos) / float(n)
+    mu = [0.0] * n_buckets
+    for row in (
+        cv.select(F.posexplode("cvec").alias("b", "c"), "k")
+        .select(
+            "b",
+            _flr(
+                F.col("c").cast("double") / F.col("k").cast("double"),
+                addend_scale,
+            ).alias("a"),
+        )
+        .groupBy("b")
+        .agg(F.sum(F.col("a").cast(dec)).alias("s"))
+        .collect()
+    ):
+        mu[int(row.b)] = _flr_py(float(row.s) / n, round_scale)
+
+    w = [0.0] * n_buckets
+    for _ in range(int(epochs)):
+        mw = 0.0
+        for b in range(n_buckets):
+            mw = mw + mu[b] * w[b]
+        s_over_k = F.expr(_score_fold_sql("cvec", w)) / F.col("k").cast(
+            "double"
+        )
+        resid = (F.col("y").cast("double") - F.lit(ybar)) - (
+            s_over_k - F.lit(mw)
+        )
+        marg = cv.select("k", "cvec", resid.alias("r"))
+        t_val = float(
+            marg.agg(
+                F.sum(_flr(F.col("r"), addend_scale).cast(dec))
+            ).first()[0]
+            or 0
+        )
+        s_vec = [0.0] * n_buckets
+        for row in (
+            marg.select("r", "k", F.posexplode("cvec").alias("b", "c"))
+            .select(
+                "b",
+                _flr(
+                    (F.col("r") * F.col("c").cast("double"))
+                    / F.col("k").cast("double"),
+                    addend_scale,
+                ).alias("a"),
+            )
+            .groupBy("b")
+            .agg(F.sum(F.col("a").cast(dec)).alias("s"))
+            .collect()
+        ):
+            s_vec[int(row.b)] = float(row.s)
+        w = [
+            _flr_py(w[b] + eta * ((s_vec[b] - mu[b] * t_val) / n), round_scale)
+            for b in range(n_buckets)
+        ]
+    mw = 0.0
+    for b in range(n_buckets):
+        mw = mw + mu[b] * w[b]
+    bias = _flr_py(ybar - mw, round_scale)
+    return w, bias
+
+
+def scorer_predict(
+    cv: DataFrame, weights: list[float], bias: float
+) -> DataFrame:
+    """Score a :func:`hashed_count_rows` frame under trained weights:
+    (doc_id, y, pred, keep) with pred = flr₆(Σ c·w/k + bias) — map-only
+    (literal weight array), keep = pred ≥ 0.5."""
+    pred = _flr(
+        F.expr(_score_fold_sql("cvec", weights))
+        / F.col("k").cast("double")
+        + F.lit(float(bias)),
+        6,
+    )
+    return cv.select(
+        "doc_id",
+        "y",
+        pred.alias("pred"),
+        (pred >= 0.5).alias("keep"),
+    )

@@ -249,6 +249,9 @@ HEADLINE = [
     "domain_mixture_alpha",
     "mixture_sampled_counts",
     "curation_full",
+    # round-14 additions: in-engine classifier training (fit + apply)
+    "scorer_trained",
+    "scorer_trained_scores",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

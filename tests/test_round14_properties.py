@@ -181,3 +181,65 @@ def test_psl_max_labels_guard_refuses_long_rules(spark):
         psl_host_mapping(hosts, rules)  # default window of 8 too small
     # a window wide enough passes the guard and builds
     assert psl_host_mapping(hosts, rules, max_labels=10).count() == 1
+
+
+def test_scorer_fit_learns_planted_signal(spark):
+    """The distributed LS-GD fit must actually LEARN: on the planted
+    corpus the trained classifier separates far above the majority
+    class, while the untrained model (w=0) can only predict the
+    majority — and the planted tokens' buckets carry the largest
+    trained weights."""
+    import __spark_entry__ as entrymod
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.scorer import (
+        scorer_predict,
+    )
+
+    w, bias, cv = entrymod._scorer_fit_cached(spark, SF_DIR)
+    rows = scorer_predict(cv, w, bias).collect()
+    n = len(rows)
+    acc = sum(1 for r in rows if bool(r.keep) == (r.y == 1)) / n
+    majority = max(
+        sum(1 for r in rows if r.y == 1), sum(1 for r in rows if r.y == 0)
+    ) / n
+    assert acc >= majority + 0.15, (acc, majority)
+    assert acc >= 0.9
+
+    # untrained (w=0, bias=ybar-ish) cannot beat majority
+    base = scorer_predict(cv, [0.0] * len(w), 0.0).collect()
+    base_acc = sum(1 for r in base if bool(r.keep) == (r.y == 1)) / n
+    assert base_acc <= majority + 1e-9
+
+    # the planted vocabulary's buckets dominate the weight vector:
+    # every planted unigram bucket must rank in the top decile
+    import hashlib
+
+    planted = entrymod._SCORER_PLANT.split()
+    buckets = {
+        int(hashlib.md5(f"qs:{t}".encode()).hexdigest()[:8], 16) % len(w)
+        for t in planted
+    }
+    order = sorted(range(len(w)), key=lambda b: -w[b])
+    top = set(order[: max(1, len(w) // 10)])
+    assert buckets <= top, (buckets, [w[b] for b in buckets])
+
+
+def test_scorer_fit_empty_and_determinism(spark):
+    """Edge + replay contracts: an empty frame fits zeros; refitting
+    the same frame reproduces identical parameters (no RNG state)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.scorer import (
+        hashed_count_rows,
+        scorer_fit_ls,
+    )
+    from pyspark.sql import functions as F
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    cv0 = hashed_count_rows(empty, F.lit(0), n_buckets=16)
+    w0, b0 = scorer_fit_ls(cv0, n_buckets=16, epochs=2)
+    assert w0 == [0.0] * 16 and b0 == 0.0
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    cv = hashed_count_rows(docs, (F.col("doc_id") % 2 == 0).cast("int"),
+                           n_buckets=32)
+    fit1 = scorer_fit_ls(cv, n_buckets=32, epochs=3, eta=100.0)
+    fit2 = scorer_fit_ls(cv, n_buckets=32, epochs=3, eta=100.0)
+    assert fit1 == fit2
