@@ -3485,6 +3485,79 @@ def _q_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return charlm_scores_arrow(docs, table)
 
 
+_LANG_SNIPPETS: dict[str, str] = {
+    # lowercase natural-text snippets, one per CHAR_PROFILES language —
+    # the planted multilingual corpus for lang_id_ngram (the synthetic
+    # documents share one English-ish vocabulary, so breadth needs
+    # planted text; the _plant_urls precedent)
+    "en": "the quick study of the river is one thing that you have seen with the wind and the morning light",
+    "de": "der alte mann ging durch die stadt und sprach mit einem freund über die schönen zeiten die nicht wiederkommen",
+    "fr": "le petit garçon est dans les rues de la ville pour chercher une chanson que les gens aiment toujours",
+    "es": "el estado de la ciudad es una cuestión que los vecinos quieren discutir para mejorar la situación",
+    "pt": "a canção do verão não é uma tradição da região mas tem uma emoção que os corações entendem",
+    "it": "il ragazzo di napoli che canta per la strada non ha mai visto una stagione della vita così bella",
+    "nl": "de jongen fietst door het dorp en ziet dat een oude vrouw niet over de gracht kan komen vandaag",
+    "sv": "det är en vacker dag och att kunna springa till skogen för att se solen är något som alla vill ha",
+    "da": "det var også en hemmelighed af den slags som han i et øjeblik havde glemt alt om da han gik hjem fra arbejde",
+    "no": "det er ikke lett å være den som alltid skal bære alt til de andre i norge når vinteren kommer",
+    "fi": "talvella järvessä uiminen on hyväksi terveydelle mutta kaikki eivät halua kokeilla sitä koskaan",
+    "hu": "egy szép napon a magyar emberek elmentek a városba hogy megnézzék az új hidat a folyó felett",
+    "pl": "nie wszyscy ludzie w polsce wiedzą że przyroda się zmienia i trzeba ją chronić przez cały rok",
+    "cs": "někteří lidé v české republice byli přesvědčeni že nová historická výstava je nejlepší ze všech",
+    "ro": "orașul este foarte frumos în această perioadă și mulți oameni preferă să meargă pe jos în parcul mare",
+    "tr": "bir gün istanbulda yaşayan insanlar denize bakmak için sahile gidiyorlar ve orada çay içiyorlardı",
+    "id": "orang yang tinggal di kota itu akan pergi ke pasar untuk membeli makanan dan bertemu dengan teman",
+    "vi": "một người việt nam đang đi trên đường phố và nghĩ về những ngày được sống cùng gia đình của mình",
+    "sw": "watu wa kijiji wanataka kwenda sokoni kununua chakula cha jioni na kuzungumza na marafiki zao",
+    "ca": "el noi de la ciutat vella camina amb els seus amics per la plaça i parla de la festa que ve aquest estiu",
+}
+
+
+def _plant_multilingual(docs: DataFrame) -> DataFrame:
+    """(doc_id, true_lang, text) — every doc REPLACED by the snippet of
+    language doc_id % 20 (replacement, not append: the English-ish
+    synthetic soup would swamp any planted signal)."""
+    langs = sorted(_LANG_SNIPPETS)
+    lang_expr = F.element_at(
+        F.lit(langs), (F.col("doc_id") % len(langs)).cast("int") + 1
+    )
+    text_expr = F.element_at(
+        F.lit([_LANG_SNIPPETS[lg] for lg in langs]),
+        (F.col("doc_id") % len(langs)).cast("int") + 1,
+    )
+    return docs.select(
+        "doc_id", lang_expr.alias("true_lang"), text_expr.alias("text")
+    )
+
+
+def _q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide language-ID (round 14, VERDICT r13 #6): the 20-language
+    char-trigram classifier over a planted multilingual corpus, with
+    the legacy 4-language stopword path alongside — the divergence
+    rows ARE the result (the psl_registered_domains dual-output
+    shape): every non-{de,en,es,fr} document is structurally beyond
+    the stopword lanes, and the ngram path must get it right (100%
+    planted accuracy pytest-pinned). Scoring is map-only, HOF-free
+    whole-stage codegen: each language's score is the
+    replace()-length-diff occurrence mass of its profile trigrams
+    (functions/langid.py:lang_score_ngram — the hashed-table and
+    per-trigram-filter designs both lost to plan/interp overheads,
+    see the module notes); the twin is the same replace() arithmetic,
+    integer-exact, identical argmax/tie-break."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.langid import (
+        predict_lang,
+        predict_lang_ngram,
+    )
+
+    docs = _plant_multilingual(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        "true_lang",
+        predict_lang_ngram(F.col("text")).alias("pred_ngram"),
+        predict_lang(tx.tokens(F.col("text"))).alias("pred_stopword"),
+    )
+
+
 _SCORER_PLANT = "premium verified badge exclusive"
 _SCORER_NB = 256
 _SCORER_EPOCHS = 8
@@ -7566,6 +7639,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charlm_quality": _q_charlm_quality,
         "scorer_trained": _q_scorer_trained,
         "scorer_trained_scores": _q_scorer_trained_scores,
+        "lang_id_ngram": _q_lang_id_ngram,
         "domain_mixture_alpha": _q_domain_mixture_alpha,
         "curation_full": _q_curation_full,
         "mixture_sampled_counts": _q_mixture_sampled_counts,
@@ -9267,6 +9341,79 @@ def _langid_oracle() -> str:
     """
 
 
+def _lang_ngram_oracle() -> str:
+    """Twin of lang_id_ngram: the SAME planted corpus (language and
+    snippet indexed by doc_id % 20 from the sorted snippet table),
+    per-language scores by the SAME replace()-length-diff occurrence
+    arithmetic over the lowercased text, and both argmaxes as
+    integer-count row_number with the DESC-count, ASC-code order that
+    mirrors array_min((−score, lang)) / the first-strictly-greater
+    scan. Integer values only — bit-exact by construction."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.langid import (
+        CHAR_PROFILES,
+        LANG_PROFILES,
+    )
+
+    langs = sorted(CHAR_PROFILES)
+    nl = len(langs)
+    lang_arr = "['" + "', '".join(langs) + "']"
+    snip_arr = "['" + "', '".join(_LANG_SNIPPETS[lg] for lg in langs) + "']"
+
+    def score_sql(lang: str) -> str:
+        return " + ".join(
+            f"(length(s) - length(replace(s, '{t}', '')))"
+            for t in sorted(set(CHAR_PROFILES[lang]))
+        )
+
+    ng_rows = "\n          UNION ALL\n".join(
+        f"          SELECT doc_id, '{lang}' AS cand,"
+        f" {score_sql(lang)} AS h FROM base"
+        for lang in langs
+    )
+    sw_rows = "\n          UNION ALL\n".join(
+        "          SELECT doc_id, '{lang}' AS cand,"
+        " len(list_filter(toks, x -> list_contains({lst}, x))) AS h"
+        " FROM base".format(
+            lang=lang,
+            lst="['" + "', '".join(LANG_PROFILES[lang]) + "']",
+        )
+        for lang in sorted(LANG_PROFILES)
+    )
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 ({lang_arr})[CAST(doc_id % {nl} AS INTEGER) + 1] AS true_lang,
+                 ({snip_arr})[CAST(doc_id % {nl} AS INTEGER) + 1] AS text
+          FROM documents
+        ),
+        base AS MATERIALIZED (
+          SELECT doc_id, true_lang, lower(coalesce(text, '')) AS s,
+                 {_TOKENS_SQL} AS toks
+          FROM d
+        ),
+        ng AS (
+{ng_rows}
+        ),
+        ngp AS (
+          SELECT doc_id, cand AS pred_ngram FROM ng
+          QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY h DESC, cand ASC) = 1
+        ),
+        sw AS (
+{sw_rows}
+        ),
+        swp AS (
+          SELECT doc_id, cand AS pred_stopword FROM sw
+          QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY h DESC, cand ASC) = 1
+        )
+        SELECT b.doc_id, b.true_lang, ngp.pred_ngram, swp.pred_stopword
+        FROM base b
+        JOIN ngp USING (doc_id)
+        JOIN swp USING (doc_id)
+    """
+
+
 def _triangles_oracle() -> str:
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.triangles import (
         TRIANGLE_ORACLE_TEMPLATE,
@@ -10847,6 +10994,7 @@ def oracle_sql() -> dict[str, str]:
         "psl_registered_domains": _psl_oracle(),
         "pq_topk_trained": _pq_trained_oracle(),
         "charlm_quality": _charlm_oracle(),
+        "lang_id_ngram": _lang_ngram_oracle(),
         "scorer_trained": f"""
             WITH {_scorer_fit_ctes()}
             SELECT CAST(b AS INTEGER) AS bucket, w AS weight FROM wfin

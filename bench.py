@@ -250,8 +250,10 @@ HEADLINE = [
     "mixture_sampled_counts",
     "curation_full",
     # round-14 additions: in-engine classifier training (fit + apply)
+    # and the 20-language char-trigram language-ID
     "scorer_trained",
     "scorer_trained_scores",
+    "lang_id_ngram",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

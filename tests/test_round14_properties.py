@@ -243,3 +243,56 @@ def test_scorer_fit_empty_and_determinism(spark):
     fit1 = scorer_fit_ls(cv, n_buckets=32, epochs=3, eta=100.0)
     fit2 = scorer_fit_ls(cv, n_buckets=32, epochs=3, eta=100.0)
     assert fit1 == fit2
+
+
+def test_lang_id_ngram_planted_accuracy(spark):
+    """The 20-language char-trigram classifier must classify EVERY
+    planted snippet correctly, where the 4-language stopword path is
+    structurally wrong on the 16 languages beyond its lanes — the
+    round-14 'done' contract for langid breadth."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["lang_id_ngram"](
+        spark, SF_DIR
+    ).collect()
+    assert len(rows) == 500
+    wrong_ngram = [
+        (r.true_lang, r.pred_ngram) for r in rows
+        if r.pred_ngram != r.true_lang
+    ]
+    assert wrong_ngram == []
+    # the stopword path only knows {de,en,es,fr}: every other planted
+    # language is necessarily misclassified by it
+    legacy = {"de", "en", "es", "fr"}
+    beyond = [r for r in rows if r.true_lang not in legacy]
+    assert beyond and all(r.pred_stopword != r.true_lang for r in beyond)
+
+
+def test_predict_lang_ngram_edges(spark):
+    """Empty/short text ties break to the smallest code; trigram
+    profiles are well-formed (3 chars, lowercase, Latin-script only)."""
+    import unicodedata
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.langid import (
+        CHAR_PROFILES,
+        predict_lang_ngram,
+    )
+    from pyspark.sql import functions as F
+
+    for lang, tris in CHAR_PROFILES.items():
+        for t in tris:
+            assert len(t) == 3, (lang, t)
+            assert t == t.lower(), (lang, t)
+            for ch in t:
+                assert "CYRILLIC" not in unicodedata.name(ch, "?"), (lang, t)
+    df = spark.createDataFrame(
+        [(1, ""), (2, "ab"), (3, None)], "id long, text string"
+    )
+    got = {
+        r.id: r.p
+        for r in df.select(
+            "id", predict_lang_ngram(F.col("text")).alias("p")
+        ).collect()
+    }
+    assert got[1] == sorted(CHAR_PROFILES)[0]
+    assert got[2] == sorted(CHAR_PROFILES)[0]
