@@ -26,13 +26,18 @@ Design choices, all Spark-first:
   PQ approximation of BOTH dot and candidate norm, so the served
   index needs only (vec_id, codes) — the reconstructed norm is a
   code-determined constant folded at encode time.
-- **No residual encoding** in the IVF composition (codes quantize the
-  raw vector, not x − coarse_centroid): residuals buy recall at the
-  cost of coupling codes to the coarse assignment (re-encoding on
-  every recenter, m Lloyd chains per list in the twin); the
-  composition below keeps index maintenance Θ(delta) and is the
-  standard "IVFPQ without residuals" simplification. Documented,
-  measured (recall pinned in tests/test_similarity.py).
+- **No residual encoding** in the DEFAULT IVF composition (codes
+  quantize the raw vector, not x − coarse_centroid): residuals buy
+  recall at the cost of coupling codes to the coarse assignment
+  (re-encoding on every recenter, m Lloyd chains per list in the
+  twin); the composition below keeps index maintenance Θ(delta).
+  Round 14 implemented the full residual family
+  (:func:`pq_residual_codebooks` / :func:`ivf_pq_topk_residual`) and
+  MEASURED it (SCALE_PROBE_r14 pq_residual): on this cosine-metric
+  unit-norm corpus with sampled global residual codebooks, residual
+  encoding LOSES to raw at every shortlist width — the raw default
+  stands on evidence, not simplification (see the residual section's
+  notes for the full numbers and why).
 
 Engine parity: every distance/dot is a 0.0-seeded sequential left
 fold; the ADC sum folds subspaces in ascending-j order; codebook
@@ -590,3 +595,280 @@ def ivf_pq_topk(
         .withColumn("cos_r", _adc_cos_expr(ksub, len(codebooks)))
     )
     return _pq_ranked(pairs, k)
+
+
+# Residual encoding (round 14, VERDICT r13 #4) ---------------------------
+#
+# FAISS's IVFPQ default encodes the RESIDUAL x − c(x) rather than the
+# raw vector: residual mass is much smaller than vector mass, so the
+# same m·log2(ksub) bits quantize finer and ADC recall-per-byte rises.
+# The trade the non-residual docstring records still holds — codes
+# couple to the coarse assignment (a recenter forces re-encode) and
+# the scoring algebra grows a per-(centroid, code) term — so this
+# family lives alongside the raw path and SCALE_PROBE_r14's pq_residual
+# family measures whether the recall lift pays for it on this corpus.
+#
+# MEASURED ANSWER (SCALE_PROBE_r14.jsonl, pq_residual family — the
+# pq_topk_trained honest-negative precedent): residual encoding is
+# WORSE than raw on this corpus at every shortlist width — raw-ADC
+# recall@3 1.0 vs 0.73 at 8k rows, refined R=16 1.0 vs 0.93 at 32k,
+# refined R=4 0.53 vs 0.27 at 32k. The FAISS residual win assumes L2
+# assignment and PER-LIST Lloyd-trained residual codebooks; here
+# assignment is cosine on an already-unit-norm corpus and the residual
+# codebook is a GLOBAL md5-stratified sample, so a list's residual
+# distribution (tight noise=0.3 cluster around its centroid) is
+# quantized by other clusters' residual directions — cross-cluster
+# junk. ivf_pq_topk_refined therefore KEEPS raw encoding; the residual
+# family stays as the measured capability (per-list trained residual
+# codebooks would be the next experiment, at m Lloyd chains per list
+# of twin cost).
+#
+# Scoring algebra (cosine): the reconstruction is x̂ = c + r̂, so
+#   dot(q, x̂)  = dot(q, c) + Σ_j LUT_j[code_j]        (LUT on residual
+#                 codebooks — the same adc_lut_expr),
+#   ‖x̂‖²       = Σ_j ‖c_j + r̂_j‖²                      (block-diagonal),
+# with dot(q, c) computed once per PROBE row (nprobe per query) and
+# ‖c_j + cb_j[code]‖² a per-(centroid, subspace, code) constant folded
+# into literal tables at index build — the served row stays
+# (vec_id, centroid_id, codes, anorm), byte-identical width to the
+# raw-encode index.
+
+
+def _arr_sql(vec: list[float]) -> str:
+    return "array(" + ", ".join(f"{float(v)!r}D" for v in vec) + ")"
+
+
+def _py_assign_cosine(vec: list[float], coarse: list) -> int:
+    """Driver-side twin of ivf_assign's argmax (round-6 cosine via the
+    floor form, ties to the smallest centroid id) — used only to pick
+    the residual codebook sample's lists."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc += x * x
+    rn = math.sqrt(acc)
+    best = None
+    for cid, cvec in coarse:
+        a = 0.0
+        for v in cvec:
+            a += v * v
+        cn = math.sqrt(a)
+        dot = 0.0
+        for x, y in zip(cvec, vec):
+            dot += x * y
+        sim = math.floor(dot / (cn * rn) * 1e6 + 0.5) / 1e6
+        key = (sim, -int(cid))
+        if best is None or key > best[0]:
+            best = (key, int(cid))
+    return best[1]
+
+
+def pq_residual_codebooks(
+    emb: DataFrame,
+    coarse: list,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+) -> list[list[list[float]]]:
+    """Residual codebooks: ksub md5-stratified sample rows' residuals
+    vs their assigned coarse centroid, sliced per subspace — the same
+    deterministic sampling story as :func:`pq_codebooks`, on the
+    residual distribution the codes will actually quantize.
+
+    The sample EXCLUDES the coarse-centroid rows themselves: coarse
+    and codebook sampling share the md5 order, so the first ksub rows
+    ARE the centroids and their residuals are identically zero — an
+    all-zero codebook that maps every vector to code 0 (the bug the
+    first probe run caught: every candidate scored identically). The
+    sample is therefore the next ksub rows in md5 order after the
+    centroid ids."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    if not coarse:
+        return []
+    coarse_ids = {int(cid) for cid, _vec in coarse}
+    rows = [
+        (vid, vec)
+        for vid, vec in ivf_centroid_rows(emb, ksub + len(coarse_ids))
+        if int(vid) not in coarse_ids
+    ][:ksub]
+    if len(rows) < ksub:
+        return []  # corpus smaller than coarse+ksub: no usable sample
+    cents = {int(cid): [float(v) for v in vec] for cid, vec in coarse}
+    res_vecs = []
+    for _vid, vec in rows:
+        cid = _py_assign_cosine([float(v) for v in vec], coarse)
+        cvec = cents[cid]
+        res_vecs.append([float(a) - float(b) for a, b in zip(vec, cvec)])
+    return [
+        [list(rv[j * dsub : (j + 1) * dsub]) for rv in res_vecs]
+        for j in range(m)
+    ]
+
+
+def residual_expr(c_emb_col: str, coarse: list):
+    """x − c(x) as one CASE over the literal coarse centroids, keyed by
+    the row's centroid_id (centroid ids are sample vec_ids, not
+    positions, so element_at indexing cannot apply)."""
+    branches = " ".join(
+        f"WHEN {int(cid)}L THEN zip_with({c_emb_col}, {_arr_sql(vec)}, "
+        "(x, y) -> x - y)"
+        for cid, vec in coarse
+    )
+    return F.expr(f"CASE centroid_id {branches} END")
+
+
+def residual_norm_expr(codes_col: str, coarse: list, codebooks):
+    """‖c + r̂‖ from (centroid_id, codes) alone: per centroid, the
+    ascending-j fold over literal ‖c_j + cb_j[code]‖² tables — the
+    code-determined-constant property of pq_norm_expr, now
+    per-(centroid, subspace, code)."""
+    m = len(codebooks)
+    branches = []
+    for cid, cvec in coarse:
+        cv = [float(v) for v in cvec]
+        terms = []
+        off = 0
+        for j in range(m):
+            dsub = len(codebooks[j][0])
+            csub = cv[off : off + dsub]
+            vals = []
+            for sub in codebooks[j]:
+                acc = 0.0
+                for a, b in zip(csub, sub):
+                    s = a + b
+                    acc += s * s
+                vals.append(acc)
+            terms.append(
+                f"element_at({_arr_sql(vals)}, "
+                f"element_at({codes_col}, {j + 1}) + 1)"
+            )
+            off += dsub
+        branches.append(f"WHEN {int(cid)}L THEN {' + '.join(terms)}")
+    return F.expr(f"sqrt(CASE centroid_id {' '.join(branches)} END)")
+
+
+def _qdotc_sql(q_col: str, coarse: list) -> str:
+    """dot(q, c) per probe row — CASE over literal centroids."""
+    branches = " ".join(
+        f"WHEN {int(cid)}L THEN aggregate(zip_with({_arr_sql(vec)}, "
+        f"{q_col}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+        for cid, vec in coarse
+    )
+    return f"CASE centroid_id {branches} END"
+
+
+def ivf_pq_residual_index(
+    emb: DataFrame,
+    coarse: list,
+    codebooks,
+    dim: int = 64,
+) -> DataFrame:
+    """(vec_id, centroid_id, codes, anorm) under residual encoding —
+    map-only over literal tables, same width as the raw-encode index."""
+    from .similarity import ivf_assign
+
+    assigned = ivf_assign(emb, coarse, dim)
+    return (
+        assigned.withColumn("res", residual_expr("c_emb", coarse))
+        .select(
+            "vec_id",
+            "centroid_id",
+            pq_code_expr("res", codebooks).alias("codes"),
+        )
+        .withColumn("anorm", residual_norm_expr("codes", coarse, codebooks))
+    )
+
+
+def ivf_pq_topk_residual(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    coarse: list | None = None,
+    codebooks=None,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    indexed: DataFrame | None = None,
+) -> DataFrame:
+    """IVF + residual-PQ codes-only stage: identical plan shape to
+    :func:`ivf_pq_topk` (map-only assignment/encode, broadcast probe
+    join, no all-pairs), with dot(q, c) added probe-side and the
+    residual anorm candidate-side."""
+    if coarse is None:
+        coarse = ivf_centroid_rows(emb, n_centroids)
+    if codebooks is None:
+        codebooks = pq_residual_codebooks(emb, coarse, m, ksub, dim)
+    if not coarse or not codebooks:
+        return _empty_topk(emb)
+    ksub = len(codebooks[0])
+    m = len(codebooks)
+    if indexed is None:
+        indexed = ivf_pq_residual_index(emb, coarse, codebooks, dim)
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        as_double_array(F.col("embedding")).alias("q_emb"),
+    )
+    probes = (
+        q.withColumn(
+            "probe_list",
+            F.slice(
+                F.reverse(F.array_sort(_centroid_sims("q_emb", coarse, dim))),
+                1,
+                nprobe,
+            ),
+        )
+        .withColumn("probe", F.explode("probe_list"))
+        .select(
+            "query_id",
+            (-F.col("probe.negid")).cast("long").alias("centroid_id"),
+            adc_lut_expr("q_emb", codebooks).alias("lut"),
+            F.expr(
+                "sqrt(aggregate(q_emb, 0.0D, (acc, x) -> acc + x * x))"
+            ).alias("q_norm"),
+            F.col("q_emb"),
+        )
+        .withColumn("qc", F.expr(_qdotc_sql("q_emb", coarse)))
+        .drop("q_emb")
+    )
+    adc = (
+        f"aggregate(transform(sequence(0, {m - 1}), j -> "
+        f"element_at(lut, j * {ksub} + element_at(codes, j + 1) + 1)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+    pairs = (
+        indexed.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos_r", F.expr(f"round((qc + ({adc})) / (q_norm * anorm), 6)")
+        )
+    )
+    return _pq_ranked(pairs, k)
+
+
+def ivf_pq_topk_residual_refined(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    r: int = 16,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    coarse: list | None = None,
+    codebooks=None,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    indexed: DataFrame | None = None,
+) -> DataFrame:
+    """Residual shortlist + exact rerank — the serving composition of
+    the residual family (the ivf_pq_topk_refined shape)."""
+    shortlist = ivf_pq_topk_residual(
+        emb, queries, k=r, n_centroids=n_centroids, nprobe=nprobe,
+        coarse=coarse, codebooks=codebooks, m=m, ksub=ksub, dim=dim,
+        indexed=indexed,
+    )
+    return pq_refine(emb, shortlist, queries, k=k, dim=dim)

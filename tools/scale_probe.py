@@ -2008,9 +2008,93 @@ def probe_ingest_deletes(spark, sf_dir: str, n: int) -> dict:
     return results
 
 
+def probe_pq_residual(spark, sf_dir: str, n: int) -> dict:
+    """Residual vs raw PQ encoding (round 14, VERDICT r13 #4): on the
+    perturbed-replicated corpus, build BOTH indexes from the same
+    coarse quantizer and measure raw-ADC recall@3 and refined recall@3
+    at R ∈ {4, 8, 16} plus serve times — the recall-per-R comparison
+    that decides whether FAISS-default residual encoding earns its
+    assignment coupling on this corpus. Index widths are identical
+    ((vec_id, centroid_id, codes, anorm)), so recall-at-equal-R is
+    recall-at-equal-bytes."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.pq import (
+        ivf_pq_residual_index,
+        ivf_pq_topk,
+        ivf_pq_topk_residual,
+        pq_codebooks,
+        pq_refine,
+        pq_residual_codebooks,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_centroid_rows,
+        perturbed_replicas,
+        recall_against,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = perturbed_replicas(emb, n, noise=0.3)
+    out = os.path.join(
+        tempfile.gettempdir(), f"embeddings_pqres_x{n}.parquet"
+    )
+    copies.write.mode("overwrite").parquet(out)
+    scaled = spark.read.parquet(out)
+    results = {
+        "family": "pq_residual",
+        "replication": n,
+        "rows": scaled.count(),
+    }
+    queries = scaled.filter(F.col("vec_id") < 5)
+    cent = ivf_centroid_rows(scaled, 16)
+    cbs_raw = pq_codebooks(scaled, m=8, ksub=16, dim=64)
+    cbs_res = pq_residual_codebooks(scaled, cent, m=8, ksub=16, dim=64)
+    res_index = ivf_pq_residual_index(scaled, cent, cbs_res, dim=64)
+    res_index = res_index.persist()
+    res_index.count()
+
+    bf = brute_force_topk(scaled, queries, k=3, dim=64).persist()
+    bf.count()
+    t0 = time.perf_counter()
+    raw3 = ivf_pq_topk(
+        scaled, queries, k=3, nprobe=4, codebooks=cbs_raw, coarse=cent,
+        dim=64,
+    )
+    results["raw_adc_recall"] = recall_against(bf, raw3)
+    results["raw_adc_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    res3 = ivf_pq_topk_residual(
+        scaled, queries, k=3, nprobe=4, coarse=cent, codebooks=cbs_res,
+        dim=64, indexed=res_index,
+    )
+    results["res_adc_recall"] = recall_against(bf, res3)
+    results["res_adc_s"] = round(time.perf_counter() - t0, 2)
+    for r in (4, 8, 16):
+        short = ivf_pq_topk(
+            scaled, queries, k=r, nprobe=4, codebooks=cbs_raw,
+            coarse=cent, dim=64,
+        )
+        results[f"raw_refined_recall_r{r}"] = recall_against(
+            bf, pq_refine(scaled, short, queries, k=3, dim=64)
+        )
+        short_res = ivf_pq_topk_residual(
+            scaled, queries, k=r, nprobe=4, coarse=cent,
+            codebooks=cbs_res, dim=64, indexed=res_index,
+        )
+        results[f"res_refined_recall_r{r}"] = recall_against(
+            bf, pq_refine(scaled, short_res, queries, k=3, dim=64)
+        )
+    bf.unpersist()
+    res_index.unpersist()
+    return results
+
+
 FAMILIES = {
     "graph": probe_graph,
     "pq": probe_pq,
+    "pq_residual": probe_pq_residual,
     "pq_encode": probe_pq_encode,
     "pq_trained": probe_pq_trained,
     "od_fine": probe_od_fine,
