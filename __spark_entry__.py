@@ -3654,6 +3654,51 @@ def _q_scorer_trained_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scorer_predict(cv, w, bias)
 
 
+def _q_curation_scored_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation gated by the TRAINED classifier (round 14 — the
+    closing half of VERDICT r13 #3): the planted corpus flows through
+    quality floor → token floor → the margin of the weights
+    scorer_trained FITTED IN-ENGINE (pred ≥ 0.5) → exact dedup
+    keep-min. The trained gate is map-only at serve time (literal
+    weight array over the shared feature frame); the oracle re-runs
+    the whole GD fit in CTEs and then applies the same gates, so the
+    kept set is hash-verified end-to-end: training AND its downstream
+    use in one differential. Output carries the planted label so the
+    result exhibits what the gate did (mostly y=1 survives)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.scorer import (
+        scorer_predict,
+    )
+
+    w, bias, cv = _scorer_fit_cached(spark, sf_dir)
+    docs = _plant_scored_docs(load_table(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "doc_id",
+        "text",
+        "y",
+        tx.token_count(F.col("text")).alias("n_tokens"),
+        tx.quality_score(F.col("text")).alias("quality"),
+    )
+    preds = scorer_predict(cv, w, bias).select("doc_id", "pred")
+    kept = (
+        scored.join(preds, "doc_id")
+        .filter(
+            (F.col("quality") >= 0.5)
+            & (F.col("n_tokens") >= 5)
+            & (F.col("pred") >= 0.5)
+        )
+        .select(
+            F.md5("text").alias("digest"),
+            "doc_id", "y", "n_tokens", "quality", "pred",
+        )
+    )
+    min_id = F.min("doc_id").over(Window.partitionBy("digest"))
+    return (
+        kept.withColumn("min_id", min_id)
+        .filter(F.col("doc_id") == F.col("min_id"))
+        .select("doc_id", "digest", "y", "n_tokens", "quality", "pred")
+    )
+
+
 def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-class repetition filters (round 13; Rae et al. 2021
     §A1.1 adapted to word-stream docs): per-doc most-frequent-token
@@ -7640,6 +7685,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scorer_trained": _q_scorer_trained,
         "scorer_trained_scores": _q_scorer_trained_scores,
         "lang_id_ngram": _q_lang_id_ngram,
+        "curation_scored_trained": _q_curation_scored_trained,
         "domain_mixture_alpha": _q_domain_mixture_alpha,
         "curation_full": _q_curation_full,
         "mixture_sampled_counts": _q_mixture_sampled_counts,
@@ -11013,6 +11059,45 @@ def oracle_sql() -> dict[str, str]:
               FROM cv, wlf, biasx
             )
             SELECT doc_id, y, pred, pred >= 0.5 AS keep FROM scored
+        """,
+        "curation_scored_trained": f"""
+            WITH {_scorer_fit_ctes()},
+            qual AS (
+              SELECT t.doc_id, d.text,
+                     CAST(len(t.toks) AS INTEGER) AS n_tokens,
+                     (least(len(t.toks) / 100.0, 1.0)
+                      + least((CASE WHEN len(t.toks) > 0
+                               THEN len(list_filter(t.toks,
+                                     x -> list_contains({_STOPWORDS_SQL}, x)))
+                                    / len(t.toks)
+                               ELSE 0.0 END) * 5.0, 1.0)
+                      + (1.0 - (CASE WHEN length(d.text) > 0
+                                THEN length(regexp_replace(lower(d.text),
+                                       '[a-z0-9 ]', '', 'g')) / length(d.text)
+                                ELSE 0.0 END))) / 3.0 AS quality
+              FROM t JOIN d USING (doc_id)
+            ),
+            scored AS (
+              SELECT cv.doc_id, cv.y,
+                     floor((list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         list_transform(generate_series(1, {_SCORER_NB}),
+                           i -> CAST(cvec[i] AS DOUBLE) * wl[i])),
+                       (a, b) -> a + b) / CAST(k AS DOUBLE) + biasx.bias)
+                       * 1000000.0 + 0.5) / 1000000.0 AS pred
+              FROM cv, wlf, biasx
+            ),
+            kept AS (
+              SELECT md5(q.text) AS digest, q.doc_id, s.y, q.n_tokens,
+                     q.quality, s.pred
+              FROM qual q JOIN scored s USING (doc_id)
+              WHERE q.quality >= 0.5 AND q.n_tokens >= 5 AND s.pred >= 0.5
+            ),
+            canon AS (
+              SELECT digest, min(doc_id) AS doc_id FROM kept GROUP BY 1
+            )
+            SELECT k.doc_id, k.digest, k.y, k.n_tokens, k.quality, k.pred
+            FROM kept k JOIN canon c
+              ON k.doc_id = c.doc_id AND k.digest = c.digest
         """,
         "curation_full": _curation_oracle(full=True),
         "mixture_sampled_counts": f"""

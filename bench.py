@@ -254,6 +254,7 @@ HEADLINE = [
     "scorer_trained",
     "scorer_trained_scores",
     "lang_id_ngram",
+    "curation_scored_trained",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

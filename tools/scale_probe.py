@@ -2091,10 +2091,72 @@ def probe_pq_residual(spark, sf_dir: str, n: int) -> dict:
     return results
 
 
+def probe_scorer_fit(spark, sf_dir: str, n: int) -> dict:
+    """Distributed classifier-fit scaling (round 14): replicate the
+    planted corpus N× in disjoint doc_id spaces — replica docs keep
+    doc_id % 3, so labels, bucket counts, k and ȳ are all
+    replication-invariant and the FIT must land on (near-)identical
+    weights at every N while cost scales with the corpus. Measures
+    feature-frame build, the fixed 8-epoch GD, and records the
+    trained bias + top-weight fingerprint for the invariance check.
+    The per-epoch cost is one map-only residual pass plus one
+    n_buckets-cell decimal aggregate — the kmeans iteration shape —
+    so fit time should grow ~linearly in rows with a flat driver
+    footprint (256 doubles per epoch)."""
+    import __spark_entry__ as entry
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.scorer import (
+        hashed_count_rows,
+        scorer_fit_ls,
+        scorer_predict,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # replicate in multiples of 3 so doc_id % 3 labels stay aligned
+    dcopies = docs.crossJoin(
+        spark.range(n).select(F.col("id").alias("rep"))
+    ).select(
+        (F.col("doc_id") + F.col("rep") * 9_999_999).alias("doc_id"),
+        "text",
+    )
+    dout = os.path.join(
+        tempfile.gettempdir(), f"documents_fit_x{n}.parquet"
+    )
+    dcopies.write.mode("overwrite").parquet(dout)
+    sdocs = spark.read.parquet(dout)
+    planted = entry._plant_scored_docs(sdocs)
+    results = {
+        "family": "scorer_fit",
+        "replication": n,
+        "rows": sdocs.count(),
+    }
+    t0 = time.perf_counter()
+    cv = hashed_count_rows(planted, F.col("y"), n_buckets=256)
+    cv = cv.persist()
+    cv.count()
+    results["features_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    w, bias = scorer_fit_ls(cv, n_buckets=256, epochs=8, eta=4000.0)
+    results["fit8_s"] = round(time.perf_counter() - t0, 2)
+    results["bias"] = bias
+    top = sorted(range(256), key=lambda b: -w[b])[:8]
+    results["top_buckets"] = top
+    pred = scorer_predict(cv, w, bias)
+    ok = pred.select(
+        (F.col("keep") == (F.col("y") == 1)).cast("int").alias("ok")
+    ).agg(F.avg("ok")).first()[0]
+    results["train_acc"] = round(float(ok), 4)
+    cv.unpersist()
+    return results
+
+
 FAMILIES = {
     "graph": probe_graph,
     "pq": probe_pq,
     "pq_residual": probe_pq_residual,
+    "scorer_fit": probe_scorer_fit,
     "pq_encode": probe_pq_encode,
     "pq_trained": probe_pq_trained,
     "od_fine": probe_od_fine,
