@@ -3604,14 +3604,18 @@ def _scorer_fit_cached(spark: SparkSession, sf_dir: str):
     )
     fit = _IVF_CODEBOOKS.get(key)
     if fit is None:
-        fit = _IVF_CODEBOOKS[key] = scorer_fit_ls(
+        w, bias = scorer_fit_ls(
             cv,
             n_buckets=_SCORER_NB,
             epochs=_SCORER_EPOCHS,
             eta=_SCORER_ETA,
         )
-    w, bias = fit
-    return w, bias, cv
+        # n rides the cache so the parameter query can distinguish
+        # "trained on an empty corpus" (no model — emit zero rows,
+        # the empty-input contract) from a legitimate all-zero fit
+        fit = _IVF_CODEBOOKS[key] = (w, bias, cv.count())
+    w, bias, n = fit
+    return w, bias, n, cv
 
 
 def _q_scorer_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3631,7 +3635,9 @@ def _q_scorer_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass plus one bounded bucket-cell aggregate — the kmeans iteration
     shape, so a 100 TB fit is epochs × (scan + codebook-sized
     shuffle)."""
-    w, bias, _ = _scorer_fit_cached(spark, sf_dir)
+    w, bias, n, _cv = _scorer_fit_cached(spark, sf_dir)
+    if n == 0:  # no training rows → no model (empty-input contract)
+        return spark.createDataFrame([], "bucket int, weight double")
     rows = [(b, float(w[b])) for b in range(_SCORER_NB)] + [
         (-1, float(bias))
     ]
@@ -3650,7 +3656,7 @@ def _q_scorer_trained_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         scorer_predict,
     )
 
-    w, bias, cv = _scorer_fit_cached(spark, sf_dir)
+    w, bias, _n, cv = _scorer_fit_cached(spark, sf_dir)
     return scorer_predict(cv, w, bias)
 
 
@@ -3669,7 +3675,7 @@ def _q_curation_scored_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         scorer_predict,
     )
 
-    w, bias, cv = _scorer_fit_cached(spark, sf_dir)
+    w, bias, _n, cv = _scorer_fit_cached(spark, sf_dir)
     docs = _plant_scored_docs(load_table(spark, sf_dir, "documents"))
     scored = docs.select(
         "doc_id",

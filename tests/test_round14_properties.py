@@ -194,7 +194,7 @@ def test_scorer_fit_learns_planted_signal(spark):
         scorer_predict,
     )
 
-    w, bias, cv = entrymod._scorer_fit_cached(spark, SF_DIR)
+    w, bias, _n, cv = entrymod._scorer_fit_cached(spark, SF_DIR)
     rows = scorer_predict(cv, w, bias).collect()
     n = len(rows)
     acc = sum(1 for r in rows if bool(r.keep) == (r.y == 1)) / n
