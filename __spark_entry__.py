@@ -3595,26 +3595,31 @@ def _scorer_fit_cached(spark: SparkSession, sf_dir: str):
         scorer_fit_ls,
     )
 
-    docs = _plant_scored_docs(load_table(spark, sf_dir, "documents"))
-    cv = hashed_count_rows(
-        docs, F.col("y"), n_buckets=_SCORER_NB
-    )
     key = _dataset_fingerprint(sf_dir, "documents") + (
         f"scorerfit{_SCORER_NB}x{_SCORER_EPOCHS}",
     )
     fit = _IVF_CODEBOOKS.get(key)
     if fit is None:
+        docs = _plant_scored_docs(load_table(spark, sf_dir, "documents"))
+        # the CHECKPOINTED feature frame rides the cache next to the
+        # parameters (the S11 hot-DF pattern): three queries consume
+        # it, and rebuilding the tokenize→hash→densify pipeline per
+        # materialization cost ~6 s/pass at sf0.1 where the
+        # checkpointed rows re-scan in ~0.2 s. n rides along so the
+        # parameter query can distinguish "trained on an empty
+        # corpus" (no model — emit zero rows, the empty-input
+        # contract) from a legitimate all-zero fit.
+        cv = hashed_count_rows(
+            docs, F.col("y"), n_buckets=_SCORER_NB
+        ).localCheckpoint(eager=False)
         w, bias = scorer_fit_ls(
             cv,
             n_buckets=_SCORER_NB,
             epochs=_SCORER_EPOCHS,
             eta=_SCORER_ETA,
         )
-        # n rides the cache so the parameter query can distinguish
-        # "trained on an empty corpus" (no model — emit zero rows,
-        # the empty-input contract) from a legitimate all-zero fit
-        fit = _IVF_CODEBOOKS[key] = (w, bias, cv.count())
-    w, bias, n = fit
+        fit = _IVF_CODEBOOKS[key] = (w, bias, cv.count(), cv)
+    w, bias, n, cv = fit
     return w, bias, n, cv
 
 
