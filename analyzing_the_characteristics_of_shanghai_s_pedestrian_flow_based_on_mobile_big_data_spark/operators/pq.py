@@ -619,9 +619,14 @@ def ivf_pq_topk(
 # distribution (tight noise=0.3 cluster around its centroid) is
 # quantized by other clusters' residual directions — cross-cluster
 # junk. ivf_pq_topk_refined therefore KEEPS raw encoding; the residual
-# family stays as the measured capability (per-list trained residual
-# codebooks would be the next experiment, at m Lloyd chains per list
-# of twin cost).
+# family stays as the measured capability. FOLLOW-UP also measured:
+# TRAINING the global residual codebook (pq_residual_codebooks_trained,
+# 2 Lloyd rounds per subspace over the corpus residuals) narrows but
+# does not close the gap — ADC 0.87 vs sampled-res 0.73 vs raw 1.0 at
+# 8k; refined R=16 0.80 vs raw 1.0 at 32k (res_t_* probe rows). The
+# negative result therefore covers BOTH global constructions; per-list
+# residual codebooks (FAISS's actual default, m Lloyd chains per list)
+# remain the one untested hypothesis.
 #
 # Scoring algebra (cosine): the reconstruction is x̂ = c + r̂, so
 #   dot(q, x̂)  = dot(q, c) + Σ_j LUT_j[code_j]        (LUT on residual
@@ -872,3 +877,48 @@ def ivf_pq_topk_residual_refined(
         indexed=indexed,
     )
     return pq_refine(emb, shortlist, queries, k=k, dim=dim)
+
+
+def pq_residual_codebooks_trained(
+    emb: DataFrame,
+    coarse: list,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    iterations: int = 2,
+) -> list[list[list[float]]]:
+    """TRAINED residual codebooks: one kmeans_fit Lloyd chain per
+    subspace over the corpus's RESIDUAL slices (x − c(x), computed
+    map-side via :func:`residual_expr`) — the strongest GLOBAL
+    residual quantizer short of FAISS's per-list training. Exists to
+    complete the round-14 residual measurement: the sampled residual
+    codebook lost to raw encoding (SCALE_PROBE_r14 pq_residual); this
+    answers whether TRAINING the global residual codebook closes the
+    gap, isolating 'sampling vs training' from 'global vs per-list'
+    (probed in the same family, rows res_t_*)."""
+    from .kmeans import kmeans_fit
+    from .similarity import ivf_assign
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    if not coarse:
+        return []
+    dsub = dim // m
+    res = (
+        ivf_assign(emb, coarse, dim)
+        .withColumn("res", residual_expr("c_emb", coarse))
+        .select("vec_id", "res")
+        .localCheckpoint(eager=False)
+    )
+    books = []
+    for j in range(m):
+        sub = res.select(
+            "vec_id", F.slice("res", j * dsub + 1, dsub).alias("vec")
+        )
+        cents, _ = kmeans_fit(sub, k=ksub, iterations=iterations)
+        if not cents:
+            return []
+        books.append(
+            [[float(x) for x in v] for _c, v in sorted(cents.items())]
+        )
+    return books

@@ -2086,6 +2086,34 @@ def probe_pq_residual(spark, sf_dir: str, n: int) -> dict:
         results[f"res_refined_recall_r{r}"] = recall_against(
             bf, pq_refine(scaled, short_res, queries, k=3, dim=64)
         )
+    # trained GLOBAL residual codebooks (round 14 follow-up): isolates
+    # 'sampling vs training' from 'global vs per-list' in the residual
+    # negative result
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.pq import (
+        pq_residual_codebooks_trained,
+    )
+
+    t0 = time.perf_counter()
+    cbs_rt = pq_residual_codebooks_trained(
+        scaled, cent, m=8, ksub=16, dim=64, iterations=2
+    )
+    results["res_t_train_s"] = round(time.perf_counter() - t0, 2)
+    rt_index = ivf_pq_residual_index(scaled, cent, cbs_rt, dim=64).persist()
+    rt_index.count()
+    rt3 = ivf_pq_topk_residual(
+        scaled, queries, k=3, nprobe=4, coarse=cent, codebooks=cbs_rt,
+        dim=64, indexed=rt_index,
+    )
+    results["res_t_adc_recall"] = recall_against(bf, rt3)
+    for r in (4, 8, 16):
+        short_rt = ivf_pq_topk_residual(
+            scaled, queries, k=r, nprobe=4, coarse=cent,
+            codebooks=cbs_rt, dim=64, indexed=rt_index,
+        )
+        results[f"res_t_refined_recall_r{r}"] = recall_against(
+            bf, pq_refine(scaled, short_rt, queries, k=3, dim=64)
+        )
+    rt_index.unpersist()
     bf.unpersist()
     res_index.unpersist()
     return results
