@@ -624,9 +624,18 @@ def ivf_pq_topk(
 # 2 Lloyd rounds per subspace over the corpus residuals) narrows but
 # does not close the gap — ADC 0.87 vs sampled-res 0.73 vs raw 1.0 at
 # 8k; refined R=16 0.80 vs raw 1.0 at 32k (res_t_* probe rows). The
-# negative result therefore covers BOTH global constructions; per-list
-# residual codebooks (FAISS's actual default, m Lloyd chains per list)
-# remain the one untested hypothesis.
+# negative result now covers ALL THREE constructions: PER-LIST
+# residual books (pq_residual_codebooks_per_list — FAISS's actual
+# default, n_lists × m Lloyd chains, 55-69 s train at the probe
+# scales) recover raw's recall at 8k rows (ADC 1.0) but still LOSE at
+# 32k (ADC 0.2 vs raw 0.4; refined R=4 0.33 vs 0.53; R=16 both 1.0).
+# Interpretation: under cosine scoring on a unit-norm corpus the
+# probe-side dot(q, c) term dominates and within-list ordering rides
+# on the residual codes alone, where raw codes keep cross-list
+# resolution; as lists grow mixed (replicas of different seeds
+# sharing a list at 32k) residual quantization noise hurts the
+# ordering more than raw quantization noise. Raw encoding stays the
+# serving default — now against the strongest residual variant.
 #
 # Scoring algebra (cosine): the reconstruction is x̂ = c + r̂, so
 #   dot(q, x̂)  = dot(q, c) + Σ_j LUT_j[code_j]        (LUT on residual
@@ -922,3 +931,197 @@ def pq_residual_codebooks_trained(
             [[float(x) for x in v] for _c, v in sorted(cents.items())]
         )
     return books
+
+
+def pq_residual_codebooks_per_list(
+    emb: DataFrame,
+    coarse: list,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    iterations: int = 2,
+) -> dict[int, list[list[list[float]]]]:
+    """PER-LIST residual codebooks — FAISS's actual IVFPQ default and
+    the last untested hypothesis of the round-14 residual measurement:
+    each inverted list trains its own per-subspace Lloyd chains over
+    ITS residual distribution ({centroid_id: codebooks}). Lists
+    smaller than ksub yield fewer centroids; the books are padded with
+    zero codewords (a zero residual codeword reconstructs the centroid
+    itself — a valid, inert entry). Training cost is n_lists × m Lloyd
+    chains: the documented reason the global books were tried first."""
+    from .kmeans import kmeans_fit
+    from .similarity import ivf_assign
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    if not coarse:
+        return {}
+    dsub = dim // m
+    res = (
+        ivf_assign(emb, coarse, dim)
+        .withColumn("res", residual_expr("c_emb", coarse))
+        .select("vec_id", "centroid_id", "res")
+        .localCheckpoint(eager=False)
+    )
+    res.count()
+    out: dict[int, list[list[list[float]]]] = {}
+    for cid, _vec in coarse:
+        lst = res.filter(F.col("centroid_id") == int(cid))
+        books = []
+        for j in range(m):
+            sub = lst.select(
+                "vec_id", F.slice("res", j * dsub + 1, dsub).alias("vec")
+            )
+            cents, _ = kmeans_fit(sub, k=ksub, iterations=iterations)
+            cb = [[float(x) for x in v] for _c, v in sorted(cents.items())]
+            while len(cb) < ksub:
+                cb.append([0.0] * dsub)
+            books.append(cb)
+        out[int(cid)] = books
+    return out
+
+
+def _per_list_code_sql(res_col: str, books: dict) -> str:
+    """codes via CASE over lists, each branch the standard argmin tree
+    under that list's codebooks."""
+    branches = []
+    for cid, cbs in books.items():
+        parts = []
+        off = 0
+        for cb in cbs:
+            structs = ", ".join(
+                f"named_struct('d', {_sub_sq_dist_sql(res_col, off, sub)}, "
+                f"'c', {c})"
+                for c, sub in enumerate(cb)
+            )
+            parts.append(f"int(array_min(array({structs})).c)")
+            off += len(cb[0])
+        branches.append(
+            f"WHEN {int(cid)}L THEN array({', '.join(parts)})"
+        )
+    return f"CASE centroid_id {' '.join(branches)} END"
+
+
+def ivf_pq_residual_index_per_list(
+    emb: DataFrame, coarse: list, books: dict, dim: int = 64
+) -> DataFrame:
+    """(vec_id, centroid_id, codes, anorm) under per-list residual
+    encoding — one CASE-fused map-only pass."""
+    from .similarity import ivf_assign
+
+    cents = {int(cid): [float(v) for v in vec] for cid, vec in coarse}
+    assigned = ivf_assign(emb, coarse, dim).withColumn(
+        "res", residual_expr("c_emb", coarse)
+    )
+    coded = assigned.select(
+        "vec_id",
+        "centroid_id",
+        F.expr(_per_list_code_sql("res", books)).alias("codes"),
+    )
+    # per-(list, subspace, code) squared-norm tables for anorm
+    branches = []
+    for cid, cbs in books.items():
+        cv = cents[int(cid)]
+        terms = []
+        off = 0
+        for j, cb in enumerate(cbs):
+            dsub = len(cb[0])
+            csub = cv[off : off + dsub]
+            vals = []
+            for sub in cb:
+                acc = 0.0
+                for a, b in zip(csub, sub):
+                    s = a + b
+                    acc += s * s
+                vals.append(acc)
+            terms.append(
+                f"element_at({_arr_sql(vals)}, "
+                f"element_at(codes, {j + 1}) + 1)"
+            )
+            off += dsub
+        branches.append(f"WHEN {int(cid)}L THEN {' + '.join(terms)}")
+    return coded.withColumn(
+        "anorm",
+        F.expr(f"sqrt(CASE centroid_id {' '.join(branches)} END)"),
+    )
+
+
+def ivf_pq_topk_residual_per_list(
+    emb: DataFrame,
+    queries: DataFrame,
+    books: dict,
+    coarse: list,
+    k: int = 3,
+    nprobe: int = 4,
+    dim: int = 64,
+    indexed: DataFrame | None = None,
+) -> DataFrame:
+    """Codes-only serving under per-list residual books: the probe row
+    carries the LUT of ITS list's codebooks (CASE over lists), plus
+    dot(q, c) — same broadcast-join plan shape as the other ADC
+    stages."""
+    if not coarse or not books:
+        return _empty_topk(emb)
+    m = len(next(iter(books.values())))
+    ksub = len(next(iter(books.values()))[0])
+    if indexed is None:
+        indexed = ivf_pq_residual_index_per_list(emb, coarse, books, dim)
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        as_double_array(F.col("embedding")).alias("q_emb"),
+    )
+    lut_branches = []
+    for cid, cbs in books.items():
+        entries = []
+        off = 0
+        for cb in cbs:
+            dsub = len(cb[0])
+            for sub in cb:
+                arr = _arr_sql(sub)
+                entries.append(
+                    f"aggregate(zip_with(slice(q_emb, {off + 1}, {dsub}), "
+                    f"{arr}, (x, y) -> x * y), 0.0D, (acc, t) -> acc + t)"
+                )
+            off += dsub
+        lut_branches.append(
+            f"WHEN {int(cid)}L THEN array({', '.join(entries)})"
+        )
+    probes = (
+        q.withColumn(
+            "probe_list",
+            F.slice(
+                F.reverse(F.array_sort(_centroid_sims("q_emb", coarse, dim))),
+                1,
+                nprobe,
+            ),
+        )
+        .withColumn("probe", F.explode("probe_list"))
+        .select(
+            "query_id",
+            (-F.col("probe.negid")).cast("long").alias("centroid_id"),
+            F.col("q_emb"),
+        )
+        .withColumn(
+            "lut",
+            F.expr(f"CASE centroid_id {' '.join(lut_branches)} END"),
+        )
+        .withColumn("qc", F.expr(_qdotc_sql("q_emb", coarse)))
+        .withColumn(
+            "q_norm",
+            F.expr("sqrt(aggregate(q_emb, 0.0D, (acc, x) -> acc + x * x))"),
+        )
+        .drop("q_emb")
+    )
+    adc = (
+        f"aggregate(transform(sequence(0, {m - 1}), j -> "
+        f"element_at(lut, j * {ksub} + element_at(codes, j + 1) + 1)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+    pairs = (
+        indexed.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos_r", F.expr(f"round((qc + ({adc})) / (q_norm * anorm), 6)")
+        )
+    )
+    return _pq_ranked(pairs, k)

@@ -389,3 +389,43 @@ def test_residual_pq_exact_on_codebook_rows(spark):
     # every sampled row reconstructs itself (its own residual is the
     # nearest codeword — distance 0)
     assert exact == len(sample_ids), (exact, len(sample_ids))
+
+
+def test_per_list_residual_reconstruction(spark):
+    """Per-list residual invariants: every list owns its own books
+    (padded with zero codewords when the list is smaller than ksub),
+    codes select within the OWNING list's books, and the stored anorm
+    equals the per-list reconstruction norm exactly."""
+    import math
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.pq import (
+        ivf_pq_residual_index_per_list,
+        pq_residual_codebooks_per_list,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        ivf_centroid_rows,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").filter(
+        F.col("vec_id") < 300
+    )
+    coarse = ivf_centroid_rows(emb, 4)
+    books = pq_residual_codebooks_per_list(
+        emb, coarse, m=8, ksub=8, dim=64, iterations=1
+    )
+    assert set(books) == {int(c) for c, _ in coarse}
+    for cid, cbs in books.items():
+        assert len(cbs) == 8 and all(len(cb) == 8 for cb in cbs)
+    idx = ivf_pq_residual_index_per_list(emb, coarse, books, dim=64)
+    rows = idx.filter(F.col("vec_id") < 30).collect()
+    assert rows and len({tuple(r.codes) for r in rows}) > 1
+    cents = {int(c): [float(x) for x in v] for c, v in coarse}
+    for r in rows[:8]:
+        c = cents[r.centroid_id]
+        cbs = books[int(r.centroid_id)]
+        rec = []
+        for j in range(8):
+            rec += [
+                c[j * 8 + t] + cbs[j][r.codes[j]][t] for t in range(8)
+            ]
+        assert abs(r.anorm - math.sqrt(sum(v * v for v in rec))) < 1e-9

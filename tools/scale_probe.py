@@ -2114,6 +2114,38 @@ def probe_pq_residual(spark, sf_dir: str, n: int) -> dict:
             bf, pq_refine(scaled, short_rt, queries, k=3, dim=64)
         )
     rt_index.unpersist()
+    # PER-LIST residual codebooks — FAISS's actual default, the last
+    # hypothesis: n_lists × m Lloyd chains (the cost that kept it for
+    # last), CASE-fused encode/LUT
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.pq import (
+        ivf_pq_residual_index_per_list,
+        ivf_pq_topk_residual_per_list,
+        pq_residual_codebooks_per_list,
+    )
+
+    t0 = time.perf_counter()
+    books_pl = pq_residual_codebooks_per_list(
+        scaled, cent, m=8, ksub=16, dim=64, iterations=2
+    )
+    results["res_pl_train_s"] = round(time.perf_counter() - t0, 2)
+    pl_index = ivf_pq_residual_index_per_list(
+        scaled, cent, books_pl, dim=64
+    ).persist()
+    pl_index.count()
+    pl3 = ivf_pq_topk_residual_per_list(
+        scaled, queries, books_pl, cent, k=3, nprobe=4, dim=64,
+        indexed=pl_index,
+    )
+    results["res_pl_adc_recall"] = recall_against(bf, pl3)
+    for r in (4, 8, 16):
+        short_pl = ivf_pq_topk_residual_per_list(
+            scaled, queries, books_pl, cent, k=r, nprobe=4, dim=64,
+            indexed=pl_index,
+        )
+        results[f"res_pl_refined_recall_r{r}"] = recall_against(
+            bf, pq_refine(scaled, short_pl, queries, k=3, dim=64)
+        )
+    pl_index.unpersist()
     bf.unpersist()
     res_index.unpersist()
     return results
