@@ -3710,6 +3710,105 @@ def _q_curation_scored_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dsir_ratios_cached(spark: SparkSession, sf_dir: str) -> list[float]:
+    """One DSIR table build feeds both dsir queries: target = the
+    planted marker class (docs with y=1), raw = the whole planted
+    corpus (DSIR's raw pool CONTAINS the target-like docs — that is
+    the point of selection)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.dsir import (
+        dsir_ratio_table,
+        hashed_bucket_counts,
+    )
+
+    key = _dataset_fingerprint(sf_dir, "documents") + ("dsir256",)
+    tab = _IVF_CODEBOOKS.get(key)
+    if tab is None:
+        docs = _plant_scored_docs(load_table(spark, sf_dir, "documents"))
+        ct, tt = hashed_bucket_counts(docs.filter(F.col("y") == 1))
+        cr, tr = hashed_bucket_counts(docs)
+        tab = _IVF_CODEBOOKS[key] = dsir_ratio_table(ct, tt, cr, tr)
+    return tab
+
+
+def _q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped importance scoring (round 14; Xie et al. 2023
+    adapted to the engine's bit-exact rules — functions/dsir.py): the
+    per-doc mean p_target/p_raw feature ratio over hashed
+    unigram+bigram buckets, target = the planted marker class. Both
+    distribution tables are bounded hash aggregates (codebook-sized
+    collects); scoring is the map-only literal-weight margin fold.
+    The twin recomputes counts, smoothing, ratios, and the
+    document-order fold from the same integers — hash-exact. Planted
+    docs must score visibly above the rest (pytest pins the
+    separation)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.dsir import (
+        dsir_score,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.scorer import (
+        doc_features,
+    )
+
+    ratios = _dsir_ratios_cached(spark, sf_dir)
+    docs = _plant_scored_docs(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", "y", tx.tokens(F.col("text")).alias("toks"))
+    feats = toks.select(
+        "doc_id", "y", doc_features(F.col("toks")).alias("feats")
+    )
+    return feats.select(
+        "doc_id",
+        "y",
+        F.size("feats").cast("int").alias("n_feats"),
+        dsir_score(F.col("feats"), ratios).alias("score"),
+    )
+
+
+def _q_dsir_resampled_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance RESAMPLING realized (round 14): every doc flips
+    the stable md5 coin against rate = flr₆((score − min) /
+    (max − min)) — min/max are ONE 1-row aggregate broadcast back
+    (the repo's normalizing-scalar shape, never a driver fold or a
+    global window; a degenerate constant-score corpus keeps
+    everything). The min-max affine map is monotone in the importance
+    weight and spreads this corpus's tight mean-ratio band so the
+    selection pressure is visible: the per-class kept counts land
+    next to the class sizes and must upweight the target class
+    markedly (pytest pins the gap). Same decision arithmetic on both
+    engines (6dp-rounded rate, identical coin)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.sampling import (
+        hash_fraction,
+    )
+
+    scores = _q_dsir_scores(spark, sf_dir)
+    maxs = scores.agg(
+        F.max("score").alias("max_score"),
+        F.min("score").alias("min_score"),
+    )
+    rate = F.when(
+        F.col("max_score") == F.col("min_score"), F.lit(1.0)
+    ).otherwise(
+        F.floor(
+            (F.col("score") - F.col("min_score"))
+            / (F.col("max_score") - F.col("min_score"))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6)
+    )
+    keep = hash_fraction(F.col("doc_id"), salt="dsir") < F.col("rate")
+    return (
+        scores.crossJoin(F.broadcast(maxs))
+        .withColumn("rate", rate)
+        .select(
+            "y", F.when(keep, 1).otherwise(0).alias("kept")
+        )
+        .groupBy("y")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").cast("long").alias("n_kept"),
+        )
+    )
+
+
 def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-class repetition filters (round 13; Rae et al. 2021
     §A1.1 adapted to word-stream docs): per-doc most-frequent-token
@@ -7697,6 +7796,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scorer_trained_scores": _q_scorer_trained_scores,
         "lang_id_ngram": _q_lang_id_ngram,
         "curation_scored_trained": _q_curation_scored_trained,
+        "dsir_scores": _q_dsir_scores,
+        "dsir_resampled_counts": _q_dsir_resampled_counts,
         "domain_mixture_alpha": _q_domain_mixture_alpha,
         "curation_full": _q_curation_full,
         "mixture_sampled_counts": _q_mixture_sampled_counts,
@@ -9169,6 +9270,83 @@ def _scorer_fit_ctes(
         )"""
     )
     return ",".join(parts)
+
+
+def _dsir_ctes(nb: int = 256, salt: str = "qs") -> str:
+    """CTE block (without WITH) restating the DSIR table build and
+    scoring of functions/dsir.py: planted corpus → hashed feature
+    buckets → per-bucket add-one-smoothed p_target/p_raw ratios
+    (integer counts, the same double divisions) → per-doc mean-ratio
+    score as the document-order fold with 6dp floor rounding. Ends at
+    ``marg(doc_id, y, n_feats, score)``."""
+    hex8 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5('{salt}:' || x), "
+        f"{i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"""
+        d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN text || ' {_SCORER_PLANT}' ELSE text END AS text,
+                 CAST(doc_id % 3 = 0 AS INTEGER) AS y
+          FROM documents
+        ),
+        t AS (SELECT doc_id, y, {_TOKENS_SQL} AS toks FROM d),
+        f0 AS (
+          SELECT doc_id, y,
+                 toks || (CASE WHEN len(toks) >= 2
+                          THEN list_transform(
+                                 generate_series(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i + 1])
+                          ELSE CAST([] AS VARCHAR[]) END) AS f
+          FROM t
+        ),
+        fb AS MATERIALIZED (
+          SELECT doc_id, y, f,
+                 list_transform(f, x ->
+                   CAST(({hex8}) % {nb} AS INTEGER)) AS bidx
+          FROM f0
+        ),
+        ddims AS MATERIALIZED (
+          SELECT unnest(generate_series(0, {nb - 1})) AS b
+        ),
+        cr0 AS (
+          SELECT b, count(*) AS c
+          FROM (SELECT unnest(bidx) AS b FROM fb) GROUP BY 1
+        ),
+        ct0 AS (
+          SELECT b, count(*) AS c
+          FROM (SELECT unnest(bidx) AS b FROM fb WHERE y = 1) GROUP BY 1
+        ),
+        tots AS (
+          SELECT (SELECT coalesce(sum(c), 0) FROM cr0) AS tr,
+                 (SELECT coalesce(sum(c), 0) FROM ct0) AS tt
+        ),
+        rl0 AS (
+          SELECT ddims.b,
+                 (CAST(coalesce(ct0.c, 0) + 1 AS DOUBLE)
+                  / CAST(tots.tt + {nb} AS DOUBLE))
+                 / (CAST(coalesce(cr0.c, 0) + 1 AS DOUBLE)
+                    / CAST(tots.tr + {nb} AS DOUBLE)) AS r
+          FROM ddims CROSS JOIN tots
+          LEFT JOIN ct0 ON ct0.b = ddims.b
+          LEFT JOIN cr0 ON cr0.b = ddims.b
+        ),
+        rl AS MATERIALIZED (SELECT list(r ORDER BY b) AS rl FROM rl0),
+        marg AS MATERIALIZED (
+          SELECT fb.doc_id, fb.y, CAST(len(f) AS INTEGER) AS n_feats,
+                 floor((CASE WHEN len(f) > 0
+                        THEN list_reduce(
+                               list_prepend(CAST(0.0 AS DOUBLE),
+                                 list_transform(f, x ->
+                                   rl[CAST(({hex8}) % {nb}
+                                      AS INTEGER) + 1])),
+                               (a, b) -> a + b) / len(f) + 0.0
+                        ELSE 0.0 END) * 1000000.0 + 0.5)
+                   / 1000000.0 AS score
+          FROM fb, rl
+        )"""
 
 
 def _repetition_ctes() -> str:
@@ -11052,6 +11230,32 @@ def oracle_sql() -> dict[str, str]:
         "pq_topk_trained": _pq_trained_oracle(),
         "charlm_quality": _charlm_oracle(),
         "lang_id_ngram": _lang_ngram_oracle(),
+        "dsir_scores": f"""
+            WITH {_dsir_ctes()}
+            SELECT doc_id, y, n_feats, score FROM marg
+        """,
+        "dsir_resampled_counts": f"""
+            WITH {_dsir_ctes()},
+            mx AS (
+              SELECT max(score) AS maxs, min(score) AS mins FROM marg
+            ),
+            dec AS (
+              SELECT m.y,
+                     CASE WHEN ({_HEX8_SQL}) / 4294967296.0 <
+                               (CASE WHEN mx.maxs = mx.mins THEN 1.0
+                                ELSE floor((m.score - mx.mins)
+                                       / (mx.maxs - mx.mins)
+                                       * 1000000.0 + 0.5) / 1000000.0
+                                END)
+                          THEN 1 ELSE 0 END AS kept
+              FROM (SELECT y, score,
+                           md5('dsir' || CAST(doc_id AS VARCHAR)) AS hx
+                    FROM marg) m, mx
+            )
+            SELECT y, count(*) AS n_docs,
+                   CAST(sum(kept) AS BIGINT) AS n_kept
+            FROM dec GROUP BY 1
+        """,
         "scorer_trained": f"""
             WITH {_scorer_fit_ctes()}
             SELECT CAST(b AS INTEGER) AS bucket, w AS weight FROM wfin

@@ -255,6 +255,8 @@ HEADLINE = [
     "scorer_trained_scores",
     "lang_id_ngram",
     "curation_scored_trained",
+    "dsir_scores",
+    "dsir_resampled_counts",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

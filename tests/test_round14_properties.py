@@ -429,3 +429,70 @@ def test_per_list_residual_reconstruction(spark):
                 c[j * 8 + t] + cbs[j][r.codes[j]][t] for t in range(8)
             ]
         assert abs(r.anorm - math.sqrt(sum(v * v for v in rec))) < 1e-9
+
+
+def test_dsir_scores_separate_and_resample_upweights(spark):
+    """DSIR invariants on the planted corpus: target-class docs score
+    strictly above every non-target doc's mean band (separation), the
+    ratio table matches an independent pure-Python recomputation, and
+    min-max importance resampling keeps a visibly larger fraction of
+    the target class."""
+    import hashlib
+    import re as _re
+
+    import __spark_entry__ as entrymod
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.dsir import (
+        dsir_ratio_table,
+    )
+
+    ratios = entrymod._dsir_ratios_cached(spark, SF_DIR)
+
+    # independent reference: recompute counts/ratios in pure Python
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    nb = 256
+
+    def feats_of(text):
+        toks = [t for t in _re.split(r"\s+", text.lower().strip()) if t]
+        return toks + [
+            toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
+        ]
+
+    def bucket(f):
+        return int(
+            hashlib.md5(("qs:" + f).encode()).hexdigest()[:8], 16
+        ) % nb
+
+    ct, cr = [0] * nb, [0] * nb
+    tt = tr = 0
+    for r in docs:
+        text = (
+            r.text + " " + entrymod._SCORER_PLANT
+            if r.doc_id % 3 == 0
+            else r.text
+        )
+        for f in feats_of(text):
+            b = bucket(f)
+            cr[b] += 1
+            tr += 1
+            if r.doc_id % 3 == 0:
+                ct[b] += 1
+                tt += 1
+    assert ratios == dsir_ratio_table(ct, tt, cr, tr)
+
+    rows = entrymod.queries()["dsir_scores"](spark, SF_DIR).collect()
+    pos = [r.score for r in rows if r.y == 1]
+    neg = [r.score for r in rows if r.y == 0]
+    assert min(pos) > sum(neg) / len(neg)  # every target above raw mean
+    assert sum(pos) / len(pos) > sum(neg) / len(neg) + 0.05
+
+    counts = {
+        r.y: (r.n_docs, r.n_kept)
+        for r in entrymod.queries()["dsir_resampled_counts"](
+            spark, SF_DIR
+        ).collect()
+    }
+    kept_t = counts[1][1] / counts[1][0]
+    kept_r = counts[0][1] / counts[0][0]
+    assert kept_t > kept_r * 1.5, (kept_t, kept_r)
