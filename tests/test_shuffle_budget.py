@@ -288,6 +288,33 @@ EXCHANGE_CEILING = {
     "pq_topk_refined": 8,
     # list-pruned variant: assignment map-only, probe broadcast
     "ivf_pq_topk": 4,
+    # round 14. The Arrow-fused curation keeps exactly the digest
+    # window exchange (every quality gate rides the scan; the LM
+    # kernel is a map stage)
+    "curation_full": 2,
+    # 20-language char-trigram ID is a pure projection — zero
+    # exchanges is the contract (replace()-arithmetic scoring, both
+    # prediction paths map-side)
+    "lang_id_ngram": 0,
+    # DSIR scoring = literal-ratio margin fold over a projection; the
+    # distribution tables are built BEFORE this plan exists (bounded
+    # aggregates, codebook-sized collects)
+    "dsir_scores": 0,
+    # + the broadcast 1-row min/max normalizer and the per-class
+    # report aggregate
+    "dsir_resampled_counts": 6,
+    # served from the checkpointed feature frame: scoring itself is a
+    # map-only literal-weight fold
+    "scorer_trained_scores": 0,
+    # docs-side quality projection joined to the checkpointed scored
+    # frame + the digest dedup window
+    "curation_scored_trained": 4,
+    # the broadcast-1-row-agg normalizing shape (VERDICT r13 #5 —
+    # replaced the partition-less window): per-domain agg + the 1-row
+    # total + broadcast back; the realized variant re-derives the
+    # rate dim and adds the coin/report aggregates
+    "domain_mixture_alpha": 8,
+    "mixture_sampled_counts": 12,
 }
 
 
