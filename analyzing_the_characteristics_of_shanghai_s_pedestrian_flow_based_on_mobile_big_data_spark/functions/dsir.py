@@ -103,3 +103,53 @@ def dsir_score(feats: Column, ratios: list[float], salt: str = "qs") -> Column:
     with the ratio table as the literal weight vector. Stage ``feats``
     as a materialized column (the doc_features HOF rules)."""
     return margin_from_weights(bucket_weights(feats, ratios, salt))
+
+
+def dsir_select(
+    docs: DataFrame,
+    ratios: list[float],
+    min_score: float,
+    max_score: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "dsir",
+) -> DataFrame:
+    """Selection decisions under a PRE-BUILT DSIR table and FROZEN
+    normalizers: (id, n_feats, score, rate, keep) for every doc, keep
+    iff the stable md5 coin < flr₆((score − min)/(max − min)) clamped
+    to [0, 1]. min/max are the TRAINING-time corpus scales — frozen
+    like the charlm table, which is what makes this a stateless
+    per-doc map usable unchanged on a stream (a batch-local max would
+    make verdicts depend on micro-batch boundaries). Degenerate
+    max == min keeps everything."""
+    from .sampling import hash_fraction
+
+    toks_df = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("toks")
+    )
+    feats = toks_df.select(
+        id_col, doc_features(F.col("toks")).alias("feats")
+    )
+    score = dsir_score(F.col("feats"), ratios)
+    lo, hi = float(min_score), float(max_score)
+    if hi == lo:
+        rate = F.lit(1.0)
+    else:
+        raw = (
+            F.floor(
+                (F.col("score") - F.lit(lo))
+                / F.lit(hi - lo)
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        )
+        rate = F.least(F.lit(1.0), F.greatest(F.lit(0.0), raw))
+    scored = feats.select(
+        F.col(id_col),
+        F.size("feats").cast("int").alias("n_feats"),
+        score.alias("score"),
+    ).withColumn("rate", rate)
+    return scored.withColumn(
+        "keep", hash_fraction(F.col(id_col), salt=salt) < F.col("rate")
+    )

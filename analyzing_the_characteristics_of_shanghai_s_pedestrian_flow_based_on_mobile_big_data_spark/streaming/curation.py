@@ -191,3 +191,26 @@ def full_gate_stream(
         F.col("rep.top_word_frac").alias("top_word_frac"),
         F.col("lm.mean_p").alias("mean_p"),
     )
+
+
+def dsir_select_stream(
+    doc_stream: DataFrame,
+    ratios: list[float],
+    min_score: float,
+    max_score: float,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR selection on a document stream (round 14): the batch
+    decision (functions/dsir.py:dsir_select) applied per micro-batch
+    under a PRE-BUILT ratio table and TRAINING-TIME min/max — all
+    three frozen, the full_gate_stream charlm-table shape, so a doc's
+    verdict is a pure function of the doc and any split of the corpus
+    into micro-batches is invisible (parity pytested). No state
+    store, no watermark, no join: the importance score is a literal-
+    weight margin fold, the coin a stable md5 — selection-on-ingest
+    rides the scan exactly like the quality gates."""
+    from ..functions.dsir import dsir_select
+
+    return dsir_select(
+        doc_stream, ratios, min_score, max_score, salt=salt
+    )

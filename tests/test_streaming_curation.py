@@ -173,3 +173,72 @@ def test_full_gate_stream_batch_parity(spark, tmp_path):
     finally:
         q.stop()
     assert got == batch_kept
+
+
+def test_dsir_select_stream_batch_parity(spark, tmp_path):
+    """Round 14: DSIR selection-on-ingest must produce the SAME
+    (score, rate, keep) verdicts whether run as one batch plan or
+    driven file-by-file through foreachBatch — the ratio table and
+    the min/max normalizers are frozen at training time, so verdicts
+    are per-doc pure functions and micro-batch boundaries are
+    invisible."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.dsir import (
+        dsir_select,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        load_table,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.curation import (
+        dsir_select_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = entrymod._plant_scored_docs(load_table(spark, sf, "documents"))
+    ratios = entrymod._dsir_ratios_cached(spark, sf)
+    stats = (
+        entrymod.queries()["dsir_scores"](spark, sf)
+        .agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+        .first()
+    )
+
+    batch = {
+        r.doc_id: (r.n_feats, r.score, r.rate, r.keep)
+        for r in dsir_select(
+            docs, ratios, stats.lo, stats.hi
+        ).collect()
+    }
+    assert batch and any(v[3] for v in batch.values())
+    assert any(not v[3] for v in batch.values())  # non-vacuous both ways
+
+    src = str(tmp_path / "docs")
+    rows = docs.select("doc_id", "text").collect()
+    third = max(1, len(rows) // 3)
+    for i in range(0, len(rows), third):
+        spark.createDataFrame(
+            rows[i : i + third], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    got = {}
+
+    def sink(batch_df, epoch_id):
+        for r in dsir_select_stream(
+            batch_df, ratios, stats.lo, stats.hi
+        ).collect():
+            got[r.doc_id] = (r.n_feats, r.score, r.rate, r.keep)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert got == batch
