@@ -3809,6 +3809,63 @@ def _q_dsir_resampled_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_K = 8
+_BPE_TOPV = 1024
+
+
+def _bpe_cached(spark: SparkSession, sf_dir: str):
+    """One BPE training run feeds both bpe queries. Returns
+    (merge table rows, {word: n_subwords})."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.bpe import (
+        bpe_train,
+        vocab_with_freq,
+    )
+
+    key = _dataset_fingerprint(sf_dir, "documents") + (
+        f"bpe{_BPE_K}x{_BPE_TOPV}",
+    )
+    out = _IVF_CODEBOOKS.get(key)
+    if out is None:
+        docs = load_table(spark, sf_dir, "documents")
+        vocab = vocab_with_freq(docs, top_v=_BPE_TOPV)
+        out = _IVF_CODEBOOKS[key] = bpe_train(vocab, k_merges=_BPE_K)
+    return out
+
+
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine BPE tokenizer training (round 14; Sennrich et al.
+    2016 — functions/bpe.py): the learned merge table itself, 8
+    merges over the corpus's top-1024 word-frequency vocabulary,
+    under the full value-hash gate — the DuckDB twin re-runs the
+    whole trainer as unrolled CTE rounds (pair counting by freq,
+    highest-count/lexicographic tie-break, merges applied by
+    non-overlapping left-to-right replace over separator-padded
+    symbol strings — the one primitive both engines define
+    identically). The corpus pays ONE vocabulary-bounded aggregate;
+    the merge loop runs on the codebook-sized vocab table."""
+    merges, _segs = _bpe_cached(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, pair_count long"
+    )
+
+
+def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained segmentation APPLIED (round 14): per-doc word /
+    subword / OOV counts under the learned merges — the token-budget
+    accounting a packing pipeline runs before batching. The
+    segmentation dim is top_v rows broadcast; OOV words fall back to
+    their character count (the untrained upper bound; exercised in
+    pytest with a truncated dim — the full-vocab run has none)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.bpe import (
+        bpe_token_stats,
+        subword_count_dim,
+    )
+
+    _merges, segs = _bpe_cached(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_token_stats(docs, subword_count_dim(spark, segs))
+
+
 def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-class repetition filters (round 13; Rae et al. 2021
     §A1.1 adapted to word-stream docs): per-doc most-frequent-token
@@ -7798,6 +7855,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_scored_trained": _q_curation_scored_trained,
         "dsir_scores": _q_dsir_scores,
         "dsir_resampled_counts": _q_dsir_resampled_counts,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_token_stats": _q_bpe_token_stats,
         "domain_mixture_alpha": _q_domain_mixture_alpha,
         "curation_full": _q_curation_full,
         "mixture_sampled_counts": _q_mixture_sampled_counts,
@@ -9269,6 +9328,69 @@ def _scorer_fit_ctes(
           FROM nn, mwf
         )"""
     )
+    return ",".join(parts)
+
+
+def _bpe_ctes(k: int = None, top_v: int = None) -> str:
+    """CTE block (without WITH) re-running the BPE trainer of
+    functions/bpe.py in DuckDB: top-``top_v`` word-frequency vocab,
+    then ``k`` unrolled merge rounds — pair counts as integer
+    freq-weighted sums over each word's current symbol list, the best
+    pair by (count DESC, lhs ASC, rhs ASC), merges applied by
+    replace() over chr(1)-padded symbol strings (identical
+    non-overlapping left-to-right semantics in both engines). Ends at
+    ``bws{k}(w, c, syms)`` and ``best1..best{k}``."""
+    k = k if k is not None else _BPE_K
+    top_v = top_v if top_v is not None else _BPE_TOPV
+    parts = [
+        f"""
+        bwords AS MATERIALIZED (
+          SELECT w, c FROM (
+            SELECT w, count(*) AS c
+            FROM (SELECT unnest({_TOKENS_SQL}) AS w FROM documents)
+            GROUP BY 1
+          ) ORDER BY c DESC, w ASC LIMIT {top_v}
+        ),
+        bws0 AS MATERIALIZED (
+          SELECT w, c,
+                 chr(1) || array_to_string(
+                   list_transform(generate_series(1, length(w)),
+                                  i -> substr(w, i, 1)), chr(1))
+                 || chr(1) AS syms
+          FROM bwords
+        )"""
+    ]
+    for r in range(1, k + 1):
+        p = r - 1
+        parts.append(
+            f"""
+        prs{r} AS (
+          SELECT a, b, sum(c) AS pc FROM (
+            SELECT c, s[i] AS a, s[i + 1] AS b FROM (
+              SELECT c, s, unnest(generate_series(1, len(s) - 1)) AS i
+              FROM (
+                SELECT c, list_filter(string_split(syms, chr(1)),
+                                      x -> x <> '') AS s
+                FROM bws{p}
+              )
+            )
+          ) GROUP BY 1, 2
+        ),
+        best{r} AS (
+          SELECT a, b, pc FROM prs{r}
+          ORDER BY pc DESC, a ASC, b ASC LIMIT 1
+        ),
+        bws{r} AS MATERIALIZED (
+          SELECT w.w, w.c,
+                 CASE WHEN b.a IS NULL THEN w.syms
+                      ELSE replace(replace(w.syms,
+                             chr(1) || b.a || chr(1) || b.b || chr(1),
+                             chr(1) || b.a || b.b || chr(1)),
+                             chr(1) || b.a || chr(1) || b.b || chr(1),
+                             chr(1) || b.a || b.b || chr(1)) END AS syms
+          FROM bws{p} w LEFT JOIN best{r} b ON TRUE
+        )"""
+        )
     return ",".join(parts)
 
 
@@ -11233,6 +11355,34 @@ def oracle_sql() -> dict[str, str]:
         "dsir_scores": f"""
             WITH {_dsir_ctes()}
             SELECT doc_id, y, n_feats, score FROM marg
+        """,
+        "bpe_merges": f"""
+            WITH {_bpe_ctes()}
+            {" UNION ALL ".join(
+                f"SELECT CAST({r} AS INTEGER) AS step, a AS lhs, b AS rhs, "
+                f"CAST(pc AS BIGINT) AS pair_count FROM best{r}"
+                for r in range(1, _BPE_K + 1)
+            )}
+        """,
+        "bpe_token_stats": f"""
+            WITH {_bpe_ctes()},
+            segn AS (
+              SELECT w,
+                     CAST((length(syms)
+                           - length(replace(syms, chr(1), ''))) - 1
+                          AS INTEGER) AS n_sub
+              FROM bws{_BPE_K}
+            ),
+            btok AS (
+              SELECT doc_id, unnest({_TOKENS_SQL}) AS w FROM documents
+            )
+            SELECT doc_id, CAST(count(*) AS INTEGER) AS n_words,
+                   CAST(sum(coalesce(s.n_sub, length(t.w))) AS BIGINT)
+                     AS n_subwords,
+                   CAST(sum(CASE WHEN s.n_sub IS NULL THEN 1 ELSE 0 END)
+                        AS INTEGER) AS n_oov
+            FROM btok t LEFT JOIN segn s USING (w)
+            GROUP BY 1
         """,
         "dsir_resampled_counts": f"""
             WITH {_dsir_ctes()},

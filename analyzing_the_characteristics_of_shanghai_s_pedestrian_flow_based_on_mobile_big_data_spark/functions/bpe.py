@@ -1,0 +1,150 @@
+"""BPE tokenizer training — in-engine merge learning.
+
+The tokenizer-training half of a training-data pipeline (Sennrich et
+al. 2016, *Neural Machine Translation of Rare Words with Subword
+Units*): start from characters, repeatedly merge the most frequent
+adjacent symbol pair, keep the merge table. Production trainers run
+on word-frequency tables, not raw text — and that is what makes this
+Spark-shaped at 100 TB:
+
+- **The corpus pays one bounded aggregate**: token → (word, freq)
+  counts, capped to the ``top_v`` most frequent words (freq DESC,
+  word ASC — deterministic). The merge loop then runs on that
+  codebook-sized table (the charlm/kmeans driver-budget class);
+  the corpus is never rescanned per merge round.
+- **Merge semantics are defined by non-overlapping left-to-right
+  string replacement over a separator-padded symbol string**
+  (``\\x01 a \\x01 b \\x01`` → ``\\x01 ab \\x01``): both engines own
+  exactly this primitive (Spark ``replace``, DuckDB ``replace``), so
+  the DuckDB twin re-runs the whole trainer as unrolled CTE rounds
+  and lands on the identical merge table — integer counts, binary
+  string comparisons, no floats anywhere.
+- **Tie-break**: highest pair count, then lexicographically smallest
+  (left, right) — ORDER BY c DESC, a ASC, b ASC in the twin, the
+  same tuple ordering in the driver loop.
+- **Application is a broadcast dim**: the final segmentation maps
+  word → subword count; scoring a corpus is one exploded-token join
+  against the top_v-row dim with a character-count fallback for
+  out-of-vocabulary words (production BPE applies merges to OOV
+  words too; the count fallback keeps the STATS query exact and
+  bounded — apply-time segmentation of OOV words is the documented
+  non-goal here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+SEP = "\x01"
+
+
+def vocab_with_freq(
+    docs: DataFrame, text_col: str = "text", top_v: int = 1024
+) -> list[tuple[str, int]]:
+    """(word, freq) rows for the ``top_v`` most frequent tokens —
+    ONE vocabulary-bounded aggregate over the corpus, ordered
+    freq DESC, word ASC (deterministic under any partitioning)."""
+    rows = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(int(top_v))
+        .collect()
+    )
+    return [(r.w, int(r.c)) for r in rows]
+
+
+def _merge_once(syms: list[str], a: str, b: str) -> list[str]:
+    """Merge every adjacent (a, b) occurrence via TWO passes of
+    non-overlapping left-to-right replace() over the separator-padded
+    symbol string — THE defining semantics of this trainer, chosen
+    because it is the exact operation both engines own natively and
+    so the SQL twin reproduces every round bit-for-bit.
+
+    Two passes are a provable fixpoint: pass 1 misses exactly the
+    occurrences whose LEADING separator a preceding match consumed;
+    those survivors are never adjacent to each other (a skip is
+    always immediately after a consumed match), so pass 2 merges all
+    of them, and no pass can mint new (a, b) adjacencies (the merged
+    symbol a+b is longer than either side, hence equal to neither).
+    Fuzz-pinned against a 4-pass run in tests.
+
+    Deviation from the classic single left-to-right scan (Sennrich's
+    reference loop): only inside same-symbol runs of length ≥ 5,
+    where the two group the pairs at different positions (same merge
+    COUNT, different neighbors for later rounds) — deterministic,
+    documented, linguistically immaterial."""
+    s = SEP + SEP.join(syms) + SEP
+    pat = SEP + a + SEP + b + SEP
+    rep = SEP + a + b + SEP
+    s = s.replace(pat, rep).replace(pat, rep)
+    return [x for x in s.split(SEP) if x]
+
+
+def bpe_train(
+    vocab: list[tuple[str, int]], k_merges: int = 8
+) -> tuple[list[tuple[int, str, str, int]], dict[str, int]]:
+    """Learn ``k_merges`` merges over a (word, freq) vocabulary.
+    Returns (merge table [(step, left, right, pair_count)], final
+    {word: n_subwords}). Pure driver arithmetic over the bounded
+    vocab — integer counts, tuple tie-breaks — mirrored 1:1 by the
+    unrolled SQL twin. Stops early if no adjacent pair remains."""
+    syms = {w: list(w) for w, _f in vocab}
+    freqs = dict(vocab)
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, int(k_merges) + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, s in syms.items():
+            f = freqs[w]
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (a, b), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, a, b, int(c)))
+        for w in syms:
+            syms[w] = _merge_once(syms[w], a, b)
+    return merges, {w: len(s) for w, s in syms.items()}
+
+
+def subword_count_dim(
+    spark, seg_counts: dict[str, int]
+) -> DataFrame:
+    """The broadcastable word → n_subwords dim from a trained
+    segmentation (top_v rows)."""
+    rows = sorted(seg_counts.items())
+    return spark.createDataFrame(rows, "w string, n_sub int")
+
+
+def bpe_token_stats(
+    docs: DataFrame,
+    seg_dim: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc token and subword counts under a trained segmentation:
+    exploded tokens broadcast-join the dim; out-of-vocabulary words
+    fall back to their character count (the untrained upper bound).
+    One corpus scan + one doc-keyed aggregate."""
+    ex = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
+    )
+    joined = ex.join(F.broadcast(seg_dim), "w", "left")
+    per_tok = F.coalesce(F.col("n_sub"), F.length("w").cast("int"))
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_words"),
+            F.sum(per_tok).cast("long").alias("n_subwords"),
+            F.sum(F.when(F.col("n_sub").isNull(), 1).otherwise(0))
+            .cast("int")
+            .alias("n_oov"),
+        )
+    )

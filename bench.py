@@ -257,6 +257,8 @@ HEADLINE = [
     "curation_scored_trained",
     "dsir_scores",
     "dsir_resampled_counts",
+    "bpe_merges",
+    "bpe_token_stats",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

@@ -496,3 +496,105 @@ def test_dsir_scores_separate_and_resample_upweights(spark):
     kept_t = counts[1][1] / counts[1][0]
     kept_r = counts[0][1] / counts[0][0]
     assert kept_t > kept_r * 1.5, (kept_t, kept_r)
+
+
+def test_bpe_train_hand_computed():
+    """The trainer on a hand-checkable vocabulary: 'low'×5, 'lower'×2,
+    'new'×6 — first merges follow the frequency order with the
+    documented tie-break, and merged symbols participate in later
+    merges (the multi-level property)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.bpe import (
+        bpe_train,
+    )
+
+    vocab = [("new", 6), ("low", 5), ("lower", 2)]
+    merges, segs = bpe_train(vocab, k_merges=4)
+    # pair counts round 1: (n,e)=6 (e,w)=6 (l,o)=7 (o,w)=7 (w,e)=2 (e,r)=2
+    # → best (l,o) over (o,w) by lexicographic tie at 7
+    assert merges[0][1:3] == ("l", "o")
+    # round 2: (lo,w)=7 now the max (n,e)=6 (e,w)=6 ...
+    assert merges[1][1:3] == ("lo", "w")
+    # round 3: (n,e)=6 (e,w)=6 → (e,w) loses the a-ASC tie
+    assert merges[2][1:3] == ("e", "w")
+    assert merges[3][1:3] == ("n", "ew")
+    assert segs["new"] == 1 and segs["low"] == 1 and segs["lower"] == 3
+
+
+def test_bpe_merge_two_pass_semantics():
+    """The merge primitive's contract: two replace passes are a
+    FIXPOINT (fuzz vs a 4-pass run), every adjacent occurrence merges
+    (equal to the classic left-to-right scan wherever no same-symbol
+    run of length ≥ 5 exists — the documented deviation boundary),
+    and no false match fires inside a multi-char symbol."""
+    import random
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.bpe import (
+        SEP,
+        _merge_once,
+    )
+
+    def classic_scan(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    def n_pass(syms, a, b, passes):
+        s = SEP + SEP.join(syms) + SEP
+        pat, rep = SEP + a + SEP + b + SEP, SEP + a + b + SEP
+        for _ in range(passes):
+            s = s.replace(pat, rep)
+        return [x for x in s.split(SEP) if x]
+
+    assert _merge_once(["a", "b", "a", "b"], "a", "b") == ["ab", "ab"]
+    assert _merge_once(["ab", "b", "c"], "b", "c") == ["ab", "bc"]
+    rng = random.Random(3)
+    alpha = ["a", "b", "ab", "x", "y"]
+    pairs = [("a", "b"), ("a", "a"), ("x", "x"), ("ab", "a"), ("y", "x")]
+    for _ in range(4000):
+        syms = [rng.choice(alpha) for _ in range(rng.randint(2, 14))]
+        a, b = rng.choice(pairs)
+        got = _merge_once(syms, a, b)
+        assert got == n_pass(syms, a, b, 4), (syms, a, b)  # fixpoint
+        # outside long same-symbol runs the classic scan agrees
+        max_run = 1
+        run = 1
+        for i in range(1, len(syms)):
+            run = run + 1 if syms[i] == syms[i - 1] else 1
+            max_run = max(max_run, run)
+        if not (a == b and max_run >= 5):
+            assert got == classic_scan(syms, a, b), (syms, a, b)
+
+
+def test_bpe_token_stats_oov_fallback(spark):
+    """A truncated segmentation dim exercises the OOV path: unseen
+    words count as characters and are reported in n_oov; subword
+    counts never drop below word counts."""
+    import __spark_entry__ as entrymod
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.bpe import (
+        bpe_token_stats,
+        subword_count_dim,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    _merges, segs = entrymod._bpe_cached(spark, SF_DIR)
+    truncated = dict(sorted(segs.items())[: len(segs) // 2])
+    out = bpe_token_stats(docs, subword_count_dim(spark, truncated))
+    rows = out.collect()
+    assert rows
+    assert any(r.n_oov > 0 for r in rows)
+    assert all(r.n_subwords >= r.n_words for r in rows)
+    # the full-vocab run has no OOV and stays ≥ words
+    full = {
+        r.doc_id: r
+        for r in entrymod.queries()["bpe_token_stats"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert all(r.n_oov == 0 for r in full.values())
+    assert all(r.n_subwords >= r.n_words for r in full.values())
