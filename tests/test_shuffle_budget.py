@@ -315,6 +315,12 @@ EXCHANGE_CEILING = {
     # rate dim and adds the coin/report aggregates
     "domain_mixture_alpha": 8,
     "mixture_sampled_counts": 12,
+    # the merge table is a driver artifact (createDataFrame) — the
+    # training aggregate ran before this plan exists
+    "bpe_merges": 0,
+    # exploded-token broadcast join against the segmentation dim +
+    # the doc-keyed report aggregate
+    "bpe_token_stats": 4,
 }
 
 

@@ -2212,11 +2212,83 @@ def probe_scorer_fit(spark, sf_dir: str, n: int) -> dict:
     return results
 
 
+def probe_text_train(spark, sf_dir: str, n: int) -> dict:
+    """Text-side training ops at scale (round 14): DSIR table build
+    and BPE merge training on an N×-replicated corpus (disjoint
+    doc_id spaces in label-aligned multiples of 3, identical text).
+    Replication design: word frequencies and feature counts all
+    multiply by exactly N, so the BPE MERGE TABLE is
+    replication-INVARIANT (pair counts scale, the argmax doesn't) and
+    the DSIR bucket counts must divide exactly by N (the smoothed
+    RATIOS are only asymptotically invariant — the +1 smoothing sees
+    (Nc+1)/(NT+256), which moves with N by design; the count
+    fingerprint is the exact invariant). The fingerprints make the
+    scale run a correctness check while build cost stays dominated by
+    the one bounded corpus aggregate each."""
+    import hashlib
+
+    import __spark_entry__ as entry
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.bpe import (
+        bpe_train,
+        vocab_with_freq,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.dsir import (
+        dsir_ratio_table,
+        hashed_bucket_counts,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dcopies = docs.crossJoin(
+        spark.range(n).select(F.col("id").alias("rep"))
+    ).select(
+        (F.col("doc_id") + F.col("rep") * 9_999_999).alias("doc_id"),
+        "text",
+    )
+    dout = os.path.join(
+        tempfile.gettempdir(), f"documents_tt_x{n}.parquet"
+    )
+    dcopies.write.mode("overwrite").parquet(dout)
+    sdocs = spark.read.parquet(dout)
+    results = {
+        "family": "text_train",
+        "replication": n,
+        "rows": sdocs.count(),
+    }
+    t0 = time.perf_counter()
+    vocab = vocab_with_freq(sdocs, top_v=1024)
+    results["bpe_vocab_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    merges, segs = bpe_train(vocab, k_merges=8)
+    results["bpe_train_s"] = round(time.perf_counter() - t0, 2)
+    results["bpe_merge_fp"] = hashlib.md5(
+        repr([(m[1], m[2]) for m in merges]).encode()
+    ).hexdigest()[:12]
+    planted = entry._plant_scored_docs(sdocs)
+    t0 = time.perf_counter()
+    ct, tt = hashed_bucket_counts(planted.filter(F.col("y") == 1))
+    cr, tr = hashed_bucket_counts(planted)
+    dsir_ratio_table(ct, tt, cr, tr)  # builds without error
+    results["dsir_build_s"] = round(time.perf_counter() - t0, 2)
+    results["dsir_counts_divisible"] = all(
+        c % n == 0 for c in ct + cr
+    ) and tt % n == 0 and tr % n == 0
+    results["dsir_count_fp"] = hashlib.md5(
+        repr(
+            ([c // n for c in ct], tt // n, [c // n for c in cr], tr // n)
+        ).encode()
+    ).hexdigest()[:12]
+    return results
+
+
 FAMILIES = {
     "graph": probe_graph,
     "pq": probe_pq,
     "pq_residual": probe_pq_residual,
     "scorer_fit": probe_scorer_fit,
+    "text_train": probe_text_train,
     "pq_encode": probe_pq_encode,
     "pq_trained": probe_pq_trained,
     "od_fine": probe_od_fine,
