@@ -3866,6 +3866,61 @@ def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_stats(docs, subword_count_dim(spark, segs))
 
 
+def _sq8_cached(spark: SparkSession, sf_dir: str):
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.pq import (
+        sq8_train,
+    )
+
+    key = _dataset_fingerprint(sf_dir, "embeddings") + ("sq8",)
+    out = _IVF_CODEBOOKS.get(key)
+    if out is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        out = _IVF_CODEBOOKS[key] = sq8_train(emb, dim=64)
+    return out
+
+
+def _q_sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized index build (round 14 — FAISS's
+    IndexScalarQuantizer point on the bytes-vs-recall curve): every
+    vector affine-coded to one byte per DIMENSION against per-dim
+    min/max trained in one bounded aggregate — 64 B/vector between
+    the flat float index (512 B) and PQ codes (8 B). Encoding and the
+    code-determined norm are floor-form affine arithmetic in
+    ascending-dim folds, so the full code table sits under the
+    value-hash gate (operators/pq.py:sq8_encode)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.pq import (
+        sq8_encode,
+    )
+
+    mins, scales = _sq8_cached(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sq8_encode(emb, mins, scales).select(
+        "vec_id",
+        F.array_join("codes", ",").alias("codes_s"),
+        "anorm",
+    )
+
+
+def _q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k served from SQ8 codes (round 14): the brute-force
+    scan at 1/8 the bytes — each candidate pays one ascending-dim
+    dequantize-and-dot fold against the broadcast query row. Near-
+    exact recall is the POINT of the SQ tier (8 bits/dim preserves
+    geometry PQ's 1 byte/subspace cannot — recall vs brute force
+    pinned in pytest and measured against PQ in the probe); the twin
+    restates train/encode/serve with the identical folds."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.pq import (
+        sq8_topk,
+    )
+
+    mins, scales = _sq8_cached(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return sq8_topk(
+        emb, queries_df, k=3, mins=mins, scales=scales, dim=64
+    )
+
+
 def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-class repetition filters (round 13; Rae et al. 2021
     §A1.1 adapted to word-stream docs): per-doc most-frequent-token
@@ -7857,6 +7912,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resampled_counts": _q_dsir_resampled_counts,
         "bpe_merges": _q_bpe_merges,
         "bpe_token_stats": _q_bpe_token_stats,
+        "sq8_codes": _q_sq8_codes,
+        "sq8_topk": _q_sq8_topk,
         "domain_mixture_alpha": _q_domain_mixture_alpha,
         "curation_full": _q_curation_full,
         "mixture_sampled_counts": _q_mixture_sampled_counts,
@@ -9329,6 +9386,67 @@ def _scorer_fit_ctes(
         )"""
     )
     return ",".join(parts)
+
+
+def _sq8_ctes(dim: int = 64) -> str:
+    """CTE block (without WITH) of the SQ8 pipeline — per-dim min/max
+    training, floor-form affine encoding (clamped, constant dims → 0),
+    code-determined norms, and the dequantize-and-dot pairs. Every
+    fold ascending-dim and 0.0-seeded; ends at ``spairs(query_id,
+    vec_id, cos_r)`` with ``scodes``/``svn``/``sml`` available."""
+    return f"""
+        e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        ),
+        sdims AS MATERIALIZED (
+          SELECT unnest(generate_series(1, {dim})) AS d
+        ),
+        sdim AS MATERIALIZED (
+          SELECT d, min(emb[d]) AS mn,
+                 (max(emb[d]) - min(emb[d])) / 255.0 AS sc
+          FROM e CROSS JOIN sdims GROUP BY 1
+        ),
+        sml AS MATERIALIZED (
+          SELECT list(mn ORDER BY d) AS ml, list(sc ORDER BY d) AS sl
+          FROM sdim
+        ),
+        scodes AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(generate_series(1, {dim}), i ->
+                   CASE WHEN sl[i] = 0.0 THEN 0
+                        ELSE CAST(least(255.0, greatest(0.0,
+                          floor((emb[i] - ml[i]) / sl[i] + 0.5)))
+                          AS INTEGER) END) AS codes
+          FROM e, sml
+        ),
+        svn AS MATERIALIZED (
+          SELECT vec_id,
+                 sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(generate_series(1, {dim}), i ->
+                     (ml[i] + CAST(codes[i] AS DOUBLE) * sl[i])
+                     * (ml[i] + CAST(codes[i] AS DOUBLE) * sl[i]))),
+                   (p, q) -> p + q)) AS anorm
+          FROM scodes, sml
+        ),
+        squ AS MATERIALIZED (
+          SELECT vec_id AS query_id, emb AS q_emb,
+                 sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(emb, x -> x * x)), (p, q) -> p + q))
+                   AS q_norm
+          FROM e WHERE vec_id < 5
+        ),
+        spairs AS (
+          SELECT q.query_id, c.vec_id,
+                 round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(generate_series(1, {dim}), i ->
+                     q.q_emb[i] * (ml[i]
+                       + CAST(c.codes[i] AS DOUBLE) * sl[i]))),
+                   (p, q) -> p + q) / (q.q_norm * v.anorm), 6) AS cos_r
+          FROM scodes c
+          JOIN svn v USING (vec_id)
+          CROSS JOIN squ q, sml
+          WHERE c.vec_id <> q.query_id
+        )"""
 
 
 def _bpe_ctes(k: int = None, top_v: int = None) -> str:
@@ -11355,6 +11473,20 @@ def oracle_sql() -> dict[str, str]:
         "dsir_scores": f"""
             WITH {_dsir_ctes()}
             SELECT doc_id, y, n_feats, score FROM marg
+        """,
+        "sq8_codes": f"""
+            WITH {_sq8_ctes()}
+            SELECT c.vec_id, array_to_string(c.codes, ',') AS codes_s,
+                   v.anorm
+            FROM scodes c JOIN svn v USING (vec_id)
+        """,
+        "sq8_topk": f"""
+            WITH {_sq8_ctes()}
+            SELECT query_id, vec_id, cos_r,
+                   CAST(row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY cos_r DESC, vec_id ASC) AS INTEGER) AS rank
+            FROM spairs QUALIFY rank <= 3
         """,
         "bpe_merges": f"""
             WITH {_bpe_ctes()}

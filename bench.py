@@ -259,6 +259,8 @@ HEADLINE = [
     "dsir_resampled_counts",
     "bpe_merges",
     "bpe_token_stats",
+    "sq8_codes",
+    "sq8_topk",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

@@ -598,3 +598,51 @@ def test_bpe_token_stats_oov_fallback(spark):
     }
     assert all(r.n_oov == 0 for r in full.values())
     assert all(r.n_subwords >= r.n_words for r in full.values())
+
+
+def test_sq8_recall_and_reconstruction(spark):
+    """SQ8 invariants: recall@3 vs brute force is near-exact (8
+    bits/dim preserves geometry PQ's byte/subspace cannot — measured
+    raw-PQ ADC is far below this on the same corpus), and the stored
+    anorm equals the dequantized reconstruction norm exactly."""
+    import math
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.vectors import (
+        as_double_array,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.pq import (
+        sq8_encode,
+        sq8_topk,
+        sq8_train,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        brute_force_topk,
+        recall_against,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    mins, scales = sq8_train(emb, dim=64)
+    bf = brute_force_topk(emb, q, k=3, dim=64)
+    approx = sq8_topk(emb, q, k=3, mins=mins, scales=scales, dim=64)
+    assert recall_against(bf, approx) >= 0.9
+
+    idx = sq8_encode(emb, mins, scales)
+    for r in idx.filter(F.col("vec_id") < 10).collect():
+        rec = [
+            mins[i] + float(r.codes[i]) * scales[i] for i in range(64)
+        ]
+        assert abs(r.anorm - math.sqrt(sum(v * v for v in rec))) < 1e-9
+        assert all(0 <= c <= 255 for c in r.codes)
+    # quantization error is bounded by half a step per dimension
+    vecs = {
+        r.vec_id: [float(x) for x in r.e]
+        for r in emb.select(
+            "vec_id", as_double_array(F.col("embedding")).alias("e")
+        ).filter(F.col("vec_id") < 10).collect()
+    }
+    for r in idx.filter(F.col("vec_id") < 10).collect():
+        x = vecs[r.vec_id]
+        for i in range(64):
+            rec_i = mins[i] + float(r.codes[i]) * scales[i]
+            assert abs(rec_i - x[i]) <= scales[i] / 2 + 1e-12

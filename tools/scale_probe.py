@@ -1725,6 +1725,52 @@ def probe_pq(spark, sf_dir: str, n: int) -> dict:
     )
     results["ivf_pq_refined_recall"] = recall_against(bf, ivfpq_ref)
     results["ivf_pq_refined_serve_s"] = round(time.perf_counter() - t0, 2)
+    # SQ8 tier (round 14): one byte per DIMENSION — the middle point
+    # of the bytes-vs-recall curve (flat 256B float32 / SQ8 64B /
+    # PQ 8B at this dim/m)
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.pq import (
+        sq8_encode,
+        sq8_topk,
+        sq8_train,
+    )
+
+    mins, scales = sq8_train(scaled, dim=64)
+    sq_dir = os.path.join(tempfile.gettempdir(), f"sq8_codes_x{n}.parquet")
+    t0 = time.perf_counter()
+    # storage codes shift to signed range (tinyint is -128..127);
+    # the serve-side read shifts back — representation only
+    sq8_encode(scaled, mins, scales).select(
+        "vec_id",
+        F.expr("transform(codes, c -> cast(c - 128 as tinyint))").alias(
+            "codes"
+        ),
+        F.col("anorm").cast("float").alias("anorm32"),
+    ).write.mode("overwrite").parquet(sq_dir)
+    results["sq8_build_s"] = round(time.perf_counter() - t0, 2)
+    results["sq8_bytes"] = _dir_bytes(sq_dir)
+    sq_index = (
+        spark.read.parquet(sq_dir)
+        .select(
+            "vec_id",
+            F.expr("transform(codes, c -> cast(c as int) + 128)").alias(
+                "codes"
+            ),
+        )
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.pq import (
+        sq8_norm_expr,
+    )
+
+    sq_index = sq_index.withColumn(
+        "anorm", sq8_norm_expr("codes", mins, scales)
+    )
+    t0 = time.perf_counter()
+    sq3 = sq8_topk(
+        scaled, queries, k=3, mins=mins, scales=scales, dim=64,
+        indexed=sq_index,
+    )
+    results["sq8_recall"] = recall_against(bf, sq3)
+    results["sq8_serve_s"] = round(time.perf_counter() - t0, 2)
     bf.unpersist()
     return results
 
