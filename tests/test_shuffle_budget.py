@@ -321,6 +321,11 @@ EXCHANGE_CEILING = {
     # exploded-token broadcast join against the segmentation dim +
     # the doc-keyed report aggregate
     "bpe_token_stats": 4,
+    # SQ8 encoding is a pure projection over literal mins/scales
+    # (training's bounded aggregate ran before this plan exists)
+    "sq8_codes": 0,
+    # broadcast query side + the final rank window
+    "sq8_topk": 4,
 }
 
 
