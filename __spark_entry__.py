@@ -3558,6 +3558,105 @@ def _q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LANG_SNIPPETS_NONLATIN: dict[str, str] = {
+    # lowercase natural-text snippets for the 12 non-Latin-script
+    # languages (round 15, VERDICT r14 #1) — merged with
+    # _LANG_SNIPPETS into the 32-language planted corpus of
+    # lang_id_script. All pre-lowercased so cross-engine case mapping
+    # never enters the hash.
+    "ru": "в москве сегодня хорошая погода и многие люди гуляют в парке чтобы посмотреть на осенние листья и это приятно",
+    "uk": "в україні багато людей розмовляють українською мовою і пишаються своєю культурою та історією що є важливим",
+    "bg": "в българия хората обичат да се разхождат в планината през лятото и да говорят за времето и живота",
+    "ar": "في المدينة القديمة يذهب الناس إلى السوق لشراء الطعام والحديث مع الأصدقاء في المساء عن الحياة",
+    "fa": "در شهر تهران مردم به بازار می روند تا غذا بخرند و با دوستان خود صحبت کنند که خوب است",
+    "hi": "भारत में लोग सुबह उठकर बाजार जाते हैं और अपने दोस्तों के साथ चाय पीते हैं",
+    "zh": "在上海这个城市里很多人每天早上都会去公园散步然后喝茶聊天看看风景",
+    "ja": "東京の街では多くの人が朝早く起きて公園を散歩してお茶を飲みながら話をしています",
+    "ko": "서울의 거리에서 많은 사람들이 아침에 일어나 공원을 산책하고 차를 마시며 이야기를 나눕니다",
+    "el": "στην αθήνα οι άνθρωποι περπατούν στους δρόμους και μιλούν για τον καιρό και τη ζωή τους",
+    "he": "בעיר הגדולה אנשים הולכים לשוק כדי לקנות אוכל ולדבר עם חברים על החיים",
+    "th": "ในกรุงเทพผู้คนเดินไปตลาดเพื่อซื้ออาหารและพูดคุยกับเพื่อนในตอนเช้า",
+}
+
+
+def _multiscript_corpus() -> tuple[list[str], list[str]]:
+    """(langs, snippets) for the 32-language planted corpus, sorted by
+    language code — the single source both the Spark planting and the
+    oracle's literal arrays derive from."""
+    merged = {**_LANG_SNIPPETS, **_LANG_SNIPPETS_NONLATIN}
+    langs = sorted(merged)
+    return langs, [merged[lg] for lg in langs]
+
+
+def _plant_multiscript(docs: DataFrame) -> DataFrame:
+    """(doc_id, true_lang, text) — every doc replaced by the snippet of
+    language doc_id % 32 (the _plant_multilingual shape, widened to the
+    non-Latin scripts)."""
+    langs, snippets = _multiscript_corpus()
+    idx = (F.col("doc_id") % len(langs)).cast("int") + 1
+    return docs.select(
+        "doc_id",
+        F.element_at(F.lit(langs), idx).alias("true_lang"),
+        F.element_at(F.lit(snippets), idx).alias("text"),
+    )
+
+
+def _q_lang_id_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-script language ID (round 15, VERDICT r14 #1): the
+    combined 32-language classifier — Unicode-script-block routing
+    (regexp_replace code-point counts, probed bit-equal across engines
+    on combining-mark scripts) over trigram-profile argmaxes per
+    family — against the Latin-only 20-language path alongside. The
+    divergence rows ARE the result (the lang_id_ngram dual-output
+    shape): every CJK/Cyrillic/Arabic/Devanagari/… document
+    argmax-ties to 'ca' on the Latin-only path (all its profiles score
+    0 beyond Latin) and must classify correctly on the script path —
+    100% planted accuracy pytest-pinned for all 32 languages. Map-only,
+    HOF-free beyond two bounded array_min argmaxes: 0 exchanges.
+
+    Staged across three projections (functions/langid.py docstrings,
+    measured this round): the Latin 20-profile argmax once (shared by
+    the output column and the routing fallback), the script argmax +
+    family argmaxes once (the ``sb`` struct is multi-referenced so
+    CollapseProject keeps the split), and a tiny assembly CASE — the
+    naive single expression duplicated the 9-regex script argmax
+    across all CASE branches, blew janino's 64 KB per-method limit,
+    and silently fell back to interpreted eval."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.langid import (
+        assemble_script_pred,
+        predict_lang_ngram,
+        script_profile_cols,
+    )
+
+    docs = _plant_multiscript(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        "true_lang",
+        "text",
+        predict_lang_ngram(F.col("text")).alias("pred_latin_only"),
+    )
+    cols = script_profile_cols(F.col("text"))
+    staged = base.select(
+        "doc_id",
+        "true_lang",
+        "pred_latin_only",
+        cols["sb"].alias("_sb"),
+        cols["cyr"].alias("_cyr"),
+        cols["arb"].alias("_arb"),
+    )
+    return staged.select(
+        "doc_id",
+        "true_lang",
+        assemble_script_pred(
+            F.col("_sb"),
+            F.col("_cyr"),
+            F.col("_arb"),
+            F.col("pred_latin_only"),
+        ).alias("pred"),
+        "pred_latin_only",
+    )
+
+
 _SCORER_PLANT = "premium verified badge exclusive"
 _SCORER_NB = 256
 _SCORER_EPOCHS = 8
@@ -7907,6 +8006,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scorer_trained": _q_scorer_trained,
         "scorer_trained_scores": _q_scorer_trained_scores,
         "lang_id_ngram": _q_lang_id_ngram,
+        "lang_id_script": _q_lang_id_script,
         "curation_scored_trained": _q_curation_scored_trained,
         "dsir_scores": _q_dsir_scores,
         "dsir_resampled_counts": _q_dsir_resampled_counts,
@@ -9889,6 +9989,109 @@ def _lang_ngram_oracle() -> str:
     """
 
 
+def _lang_script_oracle() -> str:
+    """Twin of lang_id_script: the SAME 32-language planted corpus,
+    script-block code-point counts by the SAME
+    length − length(regexp_replace(s, class, '', 'g')) arithmetic
+    (RE2 and Java regex agree on BMP \\x{....} classes — probed on
+    combining-mark scripts before adoption), the script argmax and all
+    three profile argmaxes as integer-count row_number with the
+    DESC-count, ASC-code order that mirrors array_min((−count, key)),
+    and the SAME routing CASE. Integer values only — bit-exact by
+    construction."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.langid import (
+        ARABIC_PROFILES,
+        CHAR_PROFILES,
+        CYRILLIC_PROFILES,
+        SCRIPT_CLASSES,
+    )
+
+    langs, snippets = _multiscript_corpus()
+    nl = len(langs)
+    lang_arr = "['" + "', '".join(langs) + "']"
+    snip_arr = "['" + "', '".join(snippets) + "']"
+    counts = ",\n                 ".join(
+        f"length(s) - length(regexp_replace(s, '{cls}', '', 'g'))"
+        f" AS c_{scr}"
+        for scr, cls in sorted(SCRIPT_CLASSES.items())
+    )
+    nonlatin = sorted(k for k in SCRIPT_CLASSES if k != "latin")
+    scl_rows = "\n          UNION ALL\n".join(
+        f"          SELECT doc_id, '{scr}' AS scr, c_{scr} AS h FROM sc"
+        for scr in nonlatin
+    )
+
+    def score_sql(tris: list[str]) -> str:
+        return " + ".join(
+            f"(length(s) - length(replace(s, '{t}', '')))"
+            for t in sorted(set(tris))
+        )
+
+    def family_ctes(name: str, profiles: dict[str, list[str]]) -> str:
+        rows = "\n          UNION ALL\n".join(
+            f"          SELECT doc_id, '{lang}' AS cand,"
+            f" {score_sql(profiles[lang])} AS h FROM base"
+            for lang in sorted(profiles)
+        )
+        return (
+            f"{name}l AS (\n{rows}\n        ),\n"
+            f"        {name} AS (\n"
+            f"          SELECT doc_id, cand AS pred FROM {name}l\n"
+            f"          QUALIFY row_number() OVER (\n"
+            f"            PARTITION BY doc_id ORDER BY h DESC, cand ASC"
+            f") = 1\n        )"
+        )
+
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 ({lang_arr})[CAST(doc_id % {nl} AS INTEGER) + 1] AS true_lang,
+                 ({snip_arr})[CAST(doc_id % {nl} AS INTEGER) + 1] AS text
+          FROM documents
+        ),
+        base AS MATERIALIZED (
+          SELECT doc_id, true_lang, lower(coalesce(text, '')) AS s
+          FROM d
+        ),
+        sc AS (
+          SELECT doc_id,
+                 {counts}
+          FROM base
+        ),
+        scl AS (
+{scl_rows}
+        ),
+        scp AS (
+          SELECT doc_id, scr, h FROM scl
+          QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY h DESC, scr ASC) = 1
+        ),
+        {family_ctes('lat', CHAR_PROFILES)},
+        {family_ctes('cyr', CYRILLIC_PROFILES)},
+        {family_ctes('arb', ARABIC_PROFILES)}
+        SELECT b.doc_id, b.true_lang,
+               CASE WHEN scp.h > sc.c_latin THEN
+                 CASE WHEN scp.scr = 'kana' THEN 'ja'
+                      WHEN scp.scr = 'han' THEN
+                        CASE WHEN sc.c_kana > 0 THEN 'ja' ELSE 'zh' END
+                      WHEN scp.scr = 'hangul' THEN 'ko'
+                      WHEN scp.scr = 'devanagari' THEN 'hi'
+                      WHEN scp.scr = 'thai' THEN 'th'
+                      WHEN scp.scr = 'greek' THEN 'el'
+                      WHEN scp.scr = 'hebrew' THEN 'he'
+                      WHEN scp.scr = 'cyrillic' THEN cyr.pred
+                      ELSE arb.pred END
+               ELSE lat.pred END AS pred,
+               lat.pred AS pred_latin_only
+        FROM base b
+        JOIN sc USING (doc_id)
+        JOIN scp USING (doc_id)
+        JOIN lat USING (doc_id)
+        JOIN cyr USING (doc_id)
+        JOIN arb USING (doc_id)
+    """
+
+
 def _triangles_oracle() -> str:
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.triangles import (
         TRIANGLE_ORACLE_TEMPLATE,
@@ -11470,6 +11673,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_topk_trained": _pq_trained_oracle(),
         "charlm_quality": _charlm_oracle(),
         "lang_id_ngram": _lang_ngram_oracle(),
+        "lang_id_script": _lang_script_oracle(),
         "dsir_scores": f"""
             WITH {_dsir_ctes()}
             SELECT doc_id, y, n_feats, score FROM marg

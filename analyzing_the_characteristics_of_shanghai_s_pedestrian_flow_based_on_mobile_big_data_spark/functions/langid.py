@@ -190,7 +190,7 @@ CHAR_PROFILES: dict[str, list[str]] = {
            "ică", "ilo", "pre", "con", "tat", "rea", "ntr", "est",
            "ună", "fos", "ost", "tre"],
     "tr": ["lar", "ler", "bir", "da ", "de ", "yor", "mak", "tır",
-           "ını", "arı", "eri", "nda", "nde", "ile", "ını", "ır ",
+           "ını", "arı", "eri", "nda", "nde", "ile", "lık", "ır ",
            "an ", "en ", "iyo", "dır"],
     "id": ["ang", "yan", "kan", "ber", "men", "nya", "ada", "ter",
            "per", "an ", "ah ", "ini", "itu", "dan", "ara", "eng",
@@ -234,18 +234,47 @@ def lang_score_ngram(s: Column, lang: str) -> Column:
     paid ~1 µs of interpreted-lambda eval per (trigram × language) —
     10M evals at sf0.1 — where this is 20 replace() scans of a short
     string per language per doc; measured 10.4 s → sub-second).
-    Non-overlapping differs from the sliding-window count only on
-    self-overlapping patterns ("aaa"-likes, absent from every
-    profile); the DuckDB twin is the same replace() arithmetic, so
-    values are integer-exact."""
+    NON-OVERLAPPING occurrence counting is the DEFINING semantics of
+    this score, not an approximation of a sliding-window count: for
+    bordered trigrams like "ere"/"ana" (which several profiles do
+    contain — "ere" in en, "ana" in sw) the two counts differ on
+    inputs like "erere", and this operator is specified as the
+    replace() arithmetic (ADVICE r14: the earlier docstring wrongly
+    claimed such trigrams were absent). The DuckDB twin is the same
+    replace() arithmetic, so values are integer-exact either way."""
+    return profile_score(s, CHAR_PROFILES[lang])
+
+
+def profile_score(s: Column, trigrams: list[str]) -> Column:
+    """Occurrence mass of one trigram profile over a lowercased text
+    column — the engine under :func:`lang_score_ngram`, factored out
+    so the Cyrillic/Arabic profile families (round 15) share the exact
+    same arithmetic (and thus the same DuckDB twin shape)."""
     terms = [
         F.length(s) - F.length(F.replace(s, F.lit(t), F.lit("")))
-        for t in sorted(set(CHAR_PROFILES[lang]))
+        for t in sorted(set(trigrams))
     ]
     total = terms[0]
     for t in terms[1:]:
         total = total + t
     return total
+
+
+def profile_argmax(s: Column, profiles: dict[str, list[str]]) -> Column:
+    """argmax language over a profile family; ties (incl. all-zero)
+    break to the lexicographically smallest code via one array_min
+    over (−score, lang) structs — HOF-free codegen (the
+    predict_lang_ngram mechanism, generalized)."""
+    cands = F.array(
+        *[
+            F.struct(
+                (-profile_score(s, profiles[lang])).cast("long").alias("nh"),
+                F.lit(lang).alias("l"),
+            )
+            for lang in sorted(profiles)
+        ]
+    )
+    return F.array_min(cands).getField("l")
 
 
 def lang_scores_ngram(s: Column) -> dict[str, Column]:
@@ -270,15 +299,208 @@ def predict_lang_ngram(text: Column) -> Column:
     codegen subexpression elimination for the shared lowered text
     (each replace() references the same lower(coalesce(text, ''))
     subtree)."""
-    langs = sorted(CHAR_PROFILES)
     s = F.lower(F.coalesce(text, F.lit("")))
-    cands = F.array(
-        *[
-            F.struct(
-                (-lang_score_ngram(s, lang)).cast("long").alias("nh"),
-                F.lit(lang).alias("l"),
-            )
-            for lang in langs
-        ]
+    return profile_argmax(s, CHAR_PROFILES)
+
+
+# Multi-script language ID (round 15, VERDICT r14 #1) --------------------
+#
+# All 20 CHAR_PROFILES above are Latin-script, so before this section a
+# CJK/Cyrillic/Arabic/Devanagari document — most of the non-English
+# web — scored ~0 on every profile and argmax-tied to "ca". The
+# replace()-mass mechanism is script-agnostic; what was missing is a
+# ROUTER and non-Latin profiles:
+#
+# 1. Count characters per Unicode script block with
+#    length(s) − length(regexp_replace(s, '[block]', '')) — one
+#    compiled-regex scan per script, still whole-stage codegen, and
+#    bit-exact in DuckDB (both engines count code points and both
+#    regex dialects accept \x{....} classes over the BMP — probed
+#    this round on Thai combining marks, Devanagari matras, Hangul
+#    syllables before adoption).
+# 2. Route: if the best non-Latin script count exceeds the [a-z]
+#    count, the script decides — single-language scripts map directly
+#    (hangul→ko, devanagari→hi, thai→th, greek→el, hebrew→he, any
+#    kana→ja, kana-free han→zh); multi-language scripts fall to a
+#    trigram-profile argmax within the family (Cyrillic ru/uk/bg,
+#    Arabic-script ar/fa — Persian is separable for free because its
+#    ی U+06CC / ک U+06A9 / گ U+06AF differ from Arabic's ي U+064A /
+#    ك U+0643 at the codepoint level). Otherwise the 20-language
+#    Latin path above decides.
+#
+# BMP ranges only (no supplementary planes): Java regex works over
+# UTF-16 and a surrogate-pair range inside a class would diverge from
+# RE2's codepoint semantics; CJK Extension B+ is the only casualty and
+# real zh/ja text is overwhelmingly in the unified block + Ext A.
+
+SCRIPT_CLASSES: dict[str, str] = {
+    "arabic": "[\\x{0600}-\\x{06FF}]",
+    "cyrillic": "[\\x{0400}-\\x{04FF}]",
+    "devanagari": "[\\x{0900}-\\x{097F}]",
+    "greek": "[\\x{0370}-\\x{03FF}]",
+    "han": "[\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]",
+    "hangul": "[\\x{AC00}-\\x{D7AF}]",
+    "hebrew": "[\\x{0590}-\\x{05FF}]",
+    "kana": "[\\x{3040}-\\x{30FF}]",
+    "latin": "[a-z]",
+    "thai": "[\\x{0E00}-\\x{0E7F}]",
+}
+
+# Hand-curated public linguistic knowledge, like CHAR_PROFILES: common
+# function-word / morphology trigrams, boundary spaces meaningful.
+# Within-family discrimination leans on alphabet differences — "ы"/"э"
+# are Russian-only, "і"/"ї"/"є" Ukrainian-only, "ъ" productive only in
+# Bulgarian; Persian ی/ک/گ vs Arabic ي/ك (distinct codepoints).
+CYRILLIC_PROFILES: dict[str, list[str]] = {
+    "ru": ["ого", "его", "ени", "ост", "ств", "что", "ать", "тся",
+           "ние", "это", "ый ", "ых ", "ет ", "при", "ной", "ами",
+           "ему", "ает", "ько", "ишь"],
+    "uk": ["ння", "ськ", "від", "ть ", "ій ", "ої ", "ів ", "що ",
+           "аїн", "ють", "ися", "ної", "ні ", "ати", "ує ", "єть",
+           "ься", "іст", "ідн", "ків"],
+    "bg": ["ът ", "ите", "ата", "ото", "да ", "се ", "ва ", "ски",
+           "ият", "ърх", "ъде", "ъщо", "ува", "ено", "ани", "та ",
+           "то ", "ето", "ред", "ало"],
+}
+
+ARABIC_PROFILES: dict[str, list[str]] = {
+    "ar": [" ال", "الم", "الت", "الع", "ين ", "ان ", "ات ", "من ",
+           " في", "في ", "لى ", "ها ", "ون ", "ية ", "ما ", "لا ",
+           "عن ", "الق", "ذلك", "هذا"],
+    "fa": ["می ", " می", "که ", " که", "ای ", "ها ", "است", "در ",
+           " در", "ده ", "ند ", "ود ", "ان ", "ران", "گی ", "پیش",
+           "چه ", "خود", "شود", "ید "],
+}
+
+#: every language the combined classifier can emit
+ALL_LANGS: list[str] = sorted(
+    set(CHAR_PROFILES)
+    | set(CYRILLIC_PROFILES)
+    | set(ARABIC_PROFILES)
+    | {"ja", "zh", "ko", "hi", "th", "el", "he"}
+)
+
+
+def script_count(s: Column, script: str) -> Column:
+    """Code-point count of one script block over a lowercased text
+    column: length(s) − length(regexp_replace(s, class, '')). One
+    compiled-regex scan, codegen; DuckDB twin is the same arithmetic
+    with the 'g' flag (probed bit-equal on combining-mark scripts)."""
+    return F.length(s) - F.length(
+        F.regexp_replace(s, SCRIPT_CLASSES[script], "")
     )
-    return F.array_min(cands).getField("l")
+
+
+def predict_lang_script(text: Column) -> Column:
+    """Combined multi-script argmax language over 32 languages.
+
+    Routing: the dominant NON-LATIN script (argmax count, lexicographic
+    script-name tie-break via array_min) decides iff its count strictly
+    exceeds the [a-z] count; otherwise (including empty/NULL text) the
+    20-language Latin trigram path decides — so a Latin document
+    quoting a stray Cyrillic word still routes Latin. Kana-dominant
+    text is ja; han-dominant text with ANY kana present is also ja
+    (Japanese prose always carries kana; Chinese never does), han
+    without kana is zh. Everything is scalar CASE over codegen
+    string arithmetic: no HOF in the hot path beyond the two bounded
+    array_min argmaxes, no join, no shuffle, no Python.
+
+    GENERATED-CODE SIZE (measured this round): the naive single
+    expression duplicates the 9-regex script argmax across all CASE
+    branches (CaseWhen branches get no subexpression elimination) and
+    blows janino's 64 KB per-method limit — Spark then silently falls
+    back to interpreted eval. This function binds every heavy subtree
+    exactly once via a transform-over-1-element-array lambda (the
+    predict_lang packed-counter idiom at :func:`predict_lang`);
+    multi-column callers (lang_id_script) should instead stage
+    :func:`script_profile_cols` into their own projection and assemble
+    with :func:`assemble_script_pred`, which also lets the Latin
+    argmax column be shared with a pred_latin_only output."""
+    s = F.lower(F.coalesce(text, F.lit("")))
+    cols = script_profile_cols(text)
+    inner = F.struct(
+        cols["sb"].alias("sb"),
+        cols["cyr"].alias("cyr"),
+        cols["arb"].alias("arb"),
+        profile_argmax(s, CHAR_PROFILES).alias("lat"),
+    )
+    return F.element_at(
+        F.transform(
+            F.array(inner),
+            lambda x: assemble_script_pred(
+                x.getField("sb"),
+                x.getField("cyr"),
+                x.getField("arb"),
+                x.getField("lat"),
+            ),
+        ),
+        1,
+    )
+
+
+def script_profile_cols(text: Column) -> dict[str, Column]:
+    """The stageable intermediates of the multi-script classifier:
+
+    - ``sb``: struct(nh, scr, kana, latin) — negated count and name of
+      the dominant non-Latin script (array_min tie-break), plus the
+      kana and [a-z] counts the routing CASE needs;
+    - ``cyr`` / ``arb``: the within-family trigram argmaxes.
+
+    Callers put these in their OWN projection and feed
+    :func:`assemble_script_pred` from the resulting columns — ``sb``
+    is referenced many times downstream, so CollapseProject keeps the
+    projection split and the 9-regex argmax is evaluated (and
+    codegen'd) once instead of once per CASE branch."""
+    s = F.lower(F.coalesce(text, F.lit("")))
+    nonlatin = sorted(k for k in SCRIPT_CLASSES if k != "latin")
+    counts = {k: script_count(s, k) for k in SCRIPT_CLASSES}
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    (-counts[k]).cast("long").alias("nh"),
+                    F.lit(k).alias("scr"),
+                )
+                for k in nonlatin
+            ]
+        )
+    )
+    sb = F.struct(
+        best.getField("nh").alias("nh"),
+        best.getField("scr").alias("scr"),
+        counts["kana"].cast("long").alias("kana"),
+        counts["latin"].cast("long").alias("latin"),
+    )
+    return {
+        "sb": sb,
+        "cyr": profile_argmax(s, CYRILLIC_PROFILES),
+        "arb": profile_argmax(s, ARABIC_PROFILES),
+    }
+
+
+def assemble_script_pred(
+    sb: Column, cyr: Column, arb: Column, latin_fallback: Column
+) -> Column:
+    """Routing CASE over the staged intermediates of
+    :func:`script_profile_cols` — all inputs are (fields of) plain
+    columns, so this expression is tiny and codegen-safe anywhere."""
+    scr = sb.getField("scr")
+    script_pred = (
+        F.when(scr == "kana", F.lit("ja"))
+        .when(
+            scr == "han",
+            F.when(sb.getField("kana") > 0, F.lit("ja")).otherwise(
+                F.lit("zh")
+            ),
+        )
+        .when(scr == "hangul", F.lit("ko"))
+        .when(scr == "devanagari", F.lit("hi"))
+        .when(scr == "thai", F.lit("th"))
+        .when(scr == "greek", F.lit("el"))
+        .when(scr == "hebrew", F.lit("he"))
+        .when(scr == "cyrillic", cyr)
+        .otherwise(arb)
+    )
+    return F.when(
+        -sb.getField("nh") > sb.getField("latin"), script_pred
+    ).otherwise(latin_fallback)

@@ -261,6 +261,8 @@ HEADLINE = [
     "bpe_token_stats",
     "sq8_codes",
     "sq8_topk",
+    # round-15 additions
+    "lang_id_script",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the
@@ -405,6 +407,24 @@ def main() -> None:
     common14 = common14_session
     common14_mode = "session"
     ran_full_set = not only and all(n in timings for n in COMMON14)
+    # Stop the parent session BEFORE spawning the isolated subprocess
+    # (VERDICT r14 "What's wrong" #1 / ADVICE r14): with the
+    # 180+-query parent JVM still alive, the "isolated" number carried
+    # CPU/memory contention from the very session it was built to
+    # escape (driver r14: 14.695 s isolated-under-load vs 10.3-11.7 s
+    # in genuinely fresh JVMs). Nothing after the timing loop needs
+    # the session, so stop it — and shut the Py4J gateway down so the
+    # local[32] JVM actually exits — then measure.
+    spark.stop()
+    try:  # best-effort: let the JVM process die, not just the context
+        from pyspark import SparkContext
+
+        if SparkContext._gateway is not None:
+            SparkContext._gateway.shutdown()
+            SparkContext._gateway = None
+            SparkContext._jvm = None
+    except Exception:
+        pass
     if ran_full_set and not os.environ.get("BENCH_NO_ISOLATED"):
         import subprocess
 
@@ -457,7 +477,6 @@ def main() -> None:
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
         json.dump(result, fh, indent=1)
         fh.write("\n")
-    spark.stop()
     print(json.dumps(result))
     sys.stdout.flush()
 

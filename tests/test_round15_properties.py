@@ -1,0 +1,127 @@
+"""Round-15 property tests — the multi-script language ID (Unicode
+script-block routing + Cyrillic/Arabic trigram families) and the other
+round-15 surfaces as they land."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.langid import (
+    ALL_LANGS,
+    ARABIC_PROFILES,
+    CHAR_PROFILES,
+    CYRILLIC_PROFILES,
+    SCRIPT_CLASSES,
+    predict_lang_ngram,
+    predict_lang_script,
+    script_count,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _planted(spark):
+    import __spark_entry__ as em
+
+    return em.queries()["lang_id_script"](spark, SF_DIR)
+
+
+def test_multiscript_planted_accuracy_100(spark):
+    """Every one of the 32 planted languages must classify correctly
+    on the script path — 100% accuracy, not a threshold."""
+    rows = _planted(spark).collect()
+    assert len(rows) == 500
+    wrong = [(r.true_lang, r.pred) for r in rows if r.pred != r.true_lang]
+    assert wrong == []
+    assert {r.true_lang for r in rows} == set(ALL_LANGS)
+    assert len(ALL_LANGS) == 32
+
+
+def test_latin_only_path_structurally_wrong_on_nonlatin(spark):
+    """The pre-round-15 Latin-only path must argmax-tie to 'ca' on
+    EVERY non-Latin document (all its profiles score 0 beyond Latin) —
+    the planted divergence that motivated the script router."""
+    latin = set(CHAR_PROFILES)
+    rows = _planted(spark).collect()
+    nonlatin_rows = [r for r in rows if r.true_lang not in latin]
+    assert len(nonlatin_rows) > 0
+    assert all(r.pred_latin_only == "ca" for r in nonlatin_rows)
+    # and on Latin documents the two paths agree exactly
+    for r in rows:
+        if r.true_lang in latin:
+            assert r.pred == r.pred_latin_only == r.true_lang
+
+
+def test_script_count_codepoint_exact(spark):
+    """Script-block counts are code-point exact on combining-mark
+    scripts (Thai vowels, Devanagari matras) and mixed text — the
+    cross-engine parity precondition probed before adoption."""
+    df = spark.createDataFrame(
+        [("abcที่ผู้xyz", "приветhello", "में हैं", "사람들이")],
+        "a string, b string, c string, d string",
+    )
+    r = df.select(
+        script_count(F.col("a"), "thai").alias("thai"),
+        script_count(F.col("a"), "latin").alias("lat"),
+        script_count(F.col("b"), "cyrillic").alias("cyr"),
+        script_count(F.col("c"), "devanagari").alias("deva"),
+        script_count(F.col("d"), "hangul").alias("han"),
+    ).collect()[0]
+    assert (r.thai, r.lat, r.cyr, r.deva, r.han) == (6, 6, 6, 6, 4)
+
+
+def test_predict_lang_script_edge_inputs(spark):
+    """NULL/empty/stray-char routing: NULL and empty take the Latin
+    tie-break ('ca'); a Latin document quoting one Cyrillic character
+    still routes Latin; kana presence splits ja from zh."""
+    df = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "the of and is that with д"),
+            (4, "在上海这个城市里很多人"),
+            (5, "東京の街では多くの人が"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.p
+        for r in df.select(
+            "doc_id", predict_lang_script(F.col("text")).alias("p")
+        ).collect()
+    }
+    assert got == {1: "ca", 2: "ca", 3: "en", 4: "zh", 5: "ja"}
+
+
+def test_profile_invariants():
+    """All family profiles are strict trigrams over their own script,
+    and the emitted language set is exactly the documented 32."""
+    for fam in (CHAR_PROFILES, CYRILLIC_PROFILES, ARABIC_PROFILES):
+        for lang, tris in fam.items():
+            assert all(len(t) == 3 for t in tris), (lang, tris)
+            assert len(tris) == len(set(tris)) == 20, lang
+    assert set(SCRIPT_CLASSES) == {
+        "arabic",
+        "cyrillic",
+        "devanagari",
+        "greek",
+        "han",
+        "hangul",
+        "hebrew",
+        "kana",
+        "latin",
+        "thai",
+    }
+
+
+def test_lang_id_script_plan_zero_exchanges(spark):
+    """Map-only contract: the multi-script classifier is a pure
+    projection over the scan — no exchange anywhere in the plan."""
+    plan = (
+        _planted(spark)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 0

@@ -296,6 +296,10 @@ EXCHANGE_CEILING = {
     # exchanges is the contract (replace()-arithmetic scoring, both
     # prediction paths map-side)
     "lang_id_ngram": 0,
+    # round 15: multi-script routing stays a pure projection — script
+    # counts, family argmaxes, and the routing CASE are all map-side
+    # (staged across projections only for codegen method size)
+    "lang_id_script": 0,
     # DSIR scoring = literal-ratio margin fold over a projection; the
     # distribution tables are built BEFORE this plan exists (bounded
     # aggregates, codebook-sized collects)
