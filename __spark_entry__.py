@@ -3965,6 +3965,49 @@ def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_stats(docs, subword_count_dim(spark, segs))
 
 
+_BPE_PLANT_WORDS = ["plasterer", "stinger", "winnower", "perforator"]
+
+
+def _plant_bpe_oov(docs: DataFrame) -> DataFrame:
+    """Append one deterministic out-of-vocabulary word per doc
+    (doc_id % 4 into _BPE_PLANT_WORDS) AFTER training — the planted
+    words never enter the top-1024 vocabulary (the synthetic corpus
+    has ~31 distinct tokens; pytest re-checks), so they exercise the
+    apply-time path on words the trainer never saw."""
+    idx = (F.col("doc_id") % len(_BPE_PLANT_WORDS)).cast("int") + 1
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" "),
+            F.element_at(F.lit(_BPE_PLANT_WORDS), idx),
+        ).alias("text"),
+    )
+
+
+def _q_bpe_token_stats_applied(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Apply-time BPE segmentation (round 15, VERDICT r14 #3): the
+    learned merge table replayed IN ORDER over EVERY word — planted
+    out-of-vocabulary words included — as a chain of 2·k literal
+    replace() calls per word (functions/bpe.py:apply_merges_expr),
+    replacing the r14 char-count OOV fallback. One corpus scan + one
+    doc-keyed aggregate, no joins; the twin re-derives the merge rows
+    with the same unrolled trainer CTEs and replays the identical
+    replace chain per round. Training sees the UNPLANTED corpus (the
+    plant happens after), so the merge table is byte-identical to
+    bpe_merges."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.bpe import (
+        bpe_token_stats_applied,
+    )
+
+    merge_rows, _segs = _bpe_cached(spark, sf_dir)
+    merges = [(a, b) for _step, a, b, _c in merge_rows]
+    docs = _plant_bpe_oov(load_table(spark, sf_dir, "documents"))
+    return bpe_token_stats_applied(docs, merges)
+
+
 def _sq8_cached(spark: SparkSession, sf_dir: str):
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.pq import (
         sq8_train,
@@ -8007,6 +8050,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scorer_trained_scores": _q_scorer_trained_scores,
         "lang_id_ngram": _q_lang_id_ngram,
         "lang_id_script": _q_lang_id_script,
+        "bpe_token_stats_applied": _q_bpe_token_stats_applied,
         "curation_scored_trained": _q_curation_scored_trained,
         "dsir_scores": _q_dsir_scores,
         "dsir_resampled_counts": _q_dsir_resampled_counts,
@@ -9610,6 +9654,58 @@ def _bpe_ctes(k: int = None, top_v: int = None) -> str:
         )"""
         )
     return ",".join(parts)
+
+
+def _bpe_applied_oracle() -> str:
+    """Twin of bpe_token_stats_applied: merges re-derived by the SAME
+    unrolled trainer CTEs (_bpe_ctes → best1..best{k}, on the UNPLANTED
+    corpus), the planted OOV word appended per doc, and the merge list
+    replayed over EVERY token as k rounds of the identical two-pass
+    padded replace (LEFT JOIN best{r} ON TRUE — the bws-round shape,
+    over the token table instead of the vocab). Integer counts only —
+    bit-exact by construction."""
+    k = _BPE_K
+    plant_arr = "['" + "', '".join(_BPE_PLANT_WORDS) + "']"
+    np = len(_BPE_PLANT_WORDS)
+    rounds = []
+    for r in range(1, k + 1):
+        p = r - 1
+        rounds.append(
+            f"""
+        aseg{r} AS MATERIALIZED (
+          SELECT s.doc_id, s.w,
+                 CASE WHEN b.a IS NULL THEN s.seg
+                      ELSE replace(replace(s.seg,
+                             chr(1) || b.a || chr(1) || b.b || chr(1),
+                             chr(1) || b.a || b.b || chr(1)),
+                             chr(1) || b.a || chr(1) || b.b || chr(1),
+                             chr(1) || b.a || b.b || chr(1)) END AS seg
+          FROM aseg{p} s LEFT JOIN best{r} b ON TRUE
+        )"""
+        )
+    return f"""
+        WITH {_bpe_ctes()},
+        apdocs AS (
+          SELECT doc_id,
+                 text || ' ' ||
+                 ({plant_arr})[CAST(doc_id % {np} AS INTEGER) + 1] AS text
+          FROM documents
+        ),
+        aseg0 AS MATERIALIZED (
+          SELECT doc_id, w,
+                 regexp_replace(w, '(.)', chr(1) || '\\1', 'g')
+                   || chr(1) AS seg
+          FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS w FROM apdocs)
+        ),
+        {",".join(rounds)}
+        SELECT doc_id, CAST(count(*) AS INTEGER) AS n_words,
+               CAST(sum(greatest(
+                 length(seg) - length(replace(seg, chr(1), '')) - 1, 0))
+                 AS BIGINT) AS n_subwords,
+               CAST(sum(length(w)) AS BIGINT) AS n_chars
+        FROM aseg{k}
+        GROUP BY 1
+    """
 
 
 def _dsir_ctes(nb: int = 256, salt: str = "qs") -> str:
@@ -11720,6 +11816,7 @@ def oracle_sql() -> dict[str, str]:
             FROM btok t LEFT JOIN segn s USING (w)
             GROUP BY 1
         """,
+        "bpe_token_stats_applied": _bpe_applied_oracle(),
         "dsir_resampled_counts": f"""
             WITH {_dsir_ctes()},
             mx AS (

@@ -263,6 +263,7 @@ HEADLINE = [
     "sq8_topk",
     # round-15 additions
     "lang_id_script",
+    "bpe_token_stats_applied",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

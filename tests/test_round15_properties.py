@@ -115,6 +115,62 @@ def test_profile_invariants():
     }
 
 
+def test_bpe_apply_expr_matches_training_segmentation(spark):
+    """Replaying the merge list via apply_merges_expr must reproduce
+    the TRAINING segmentation bit-for-bit on every trained word —
+    classic BPE application is 'replay the merges in learned order',
+    and both paths share the two-pass padded replace semantics."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.bpe import (
+        SEP,
+        apply_merges_expr,
+        bpe_train,
+        subword_count_expr,
+        vocab_with_freq,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    vocab = vocab_with_freq(docs, top_v=64)
+    merge_rows, segs = bpe_train(vocab, k_merges=8)
+    merges = [(a, b) for _s, a, b, _c in merge_rows]
+    wdf = spark.createDataFrame([(w,) for w, _f in vocab], "w string")
+    got = {
+        r.w: (r.seg, r.n)
+        for r in wdf.select(
+            "w",
+            apply_merges_expr(F.col("w"), merges).alias("seg"),
+            subword_count_expr(F.col("w"), merges).alias("n"),
+        ).collect()
+    }
+    for w, _f in vocab:
+        seg, n = got[w]
+        assert n == segs[w], (w, n, segs[w])
+        assert seg.strip(SEP).count(SEP) + 1 == n or n == 0
+
+
+def test_bpe_planted_words_are_oov_and_compress(spark):
+    """The planted words must be absent from the trained vocabulary
+    (true OOV) AND must segment into FEWER subwords than characters —
+    i.e. learned merges genuinely apply to unseen words."""
+    import __spark_entry__ as em
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.bpe import (
+        subword_count_expr,
+    )
+
+    merge_rows, segs = em._bpe_cached(spark, SF_DIR)
+    merges = [(a, b) for _s, a, b, _c in merge_rows]
+    assert not set(em._BPE_PLANT_WORDS) & set(segs)
+    wdf = spark.createDataFrame(
+        [(w,) for w in em._BPE_PLANT_WORDS], "w string"
+    )
+    rows = wdf.select(
+        "w", subword_count_expr(F.col("w"), merges).alias("n")
+    ).collect()
+    assert all(0 < r.n < len(r.w) for r in rows), rows
+
+
 def test_lang_id_script_plan_zero_exchanges(spark):
     """Map-only contract: the multi-script classifier is a pure
     projection over the scan — no exchange anywhere in the plan."""

@@ -300,6 +300,10 @@ EXCHANGE_CEILING = {
     # counts, family argmaxes, and the routing CASE are all map-side
     # (staged across projections only for codegen method size)
     "lang_id_script": 0,
+    # apply-time BPE segmentation is a pure expression per token —
+    # the only exchanges are the doc-keyed aggregate (partial+final;
+    # no join, the r14 dim join is gone on this path)
+    "bpe_token_stats_applied": 2,
     # DSIR scoring = literal-ratio margin fold over a projection; the
     # distribution tables are built BEFORE this plan exists (bounded
     # aggregates, codebook-sized collects)
