@@ -2003,6 +2003,28 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_meta(synth_media_payloads(docs))
 
 
+def _q_multimodal_decode_png(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COMPRESSED media decode (round 15, VERDICT r14 #4): synthesize
+    one real PNG per doc (zlib-deflated IDAT, CRC-32 on every chunk,
+    scanline filters cycling Sub/Up/Average/Paeth), land as a binary
+    column, decode with the stdlib-only codec in operators.multimodal
+    (chunk walk + CRC verify + inflate + generic unfiltering of all
+    five filter types). The oracle predicts width/height/channels and
+    the pixel mean arithmetically from doc_id — recoverable from the
+    payload only through correct decompression AND unfiltering, so a
+    decoder that skips either breaks the hash. Same Arrow-batched
+    mapInPandas shape as multimodal_decode."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.multimodal import (
+        decode_media_meta,
+        synth_png_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media_meta(synth_png_payloads(docs))
+
+
 def _q_user_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 (combineByKey→collect_list) re-expressed: per-user ordered
     distinct event types, emitted as a join-stable string."""
@@ -7842,6 +7864,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split_counts": _q_corpus_split_counts,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_decode": _q_multimodal_decode,
+        "multimodal_decode_png": _q_multimodal_decode_png,
         "streaming_occupancy": _q_streaming_occupancy,
         "user_event_type_profile": _q_user_event_type_profile,
         "type_occupancy": _q_type_occupancy,
@@ -11466,6 +11489,18 @@ def oracle_sql() -> dict[str, str]:
                              / (8000 + (doc_id % 5) * 1000)
                    END AS duration_ms,
                    CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_byte
+            FROM documents
+        """,
+        "multimodal_decode_png": """
+            SELECT doc_id,
+                   'png' AS kind,
+                   CAST(1 + doc_id % 29 AS INTEGER) AS width,
+                   CAST(1 + doc_id % 13 AS INTEGER) AS height,
+                   CAST(3 AS INTEGER) AS n_channels,
+                   CAST(NULL AS INTEGER) AS sample_rate,
+                   CAST(NULL AS BIGINT) AS n_samples,
+                   CAST(NULL AS DOUBLE) AS duration_ms,
+                   CAST((doc_id * 11) % 256 AS DOUBLE) AS mean_byte
             FROM documents
         """,
         "streaming_occupancy": """

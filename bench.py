@@ -264,6 +264,7 @@ HEADLINE = [
     # round-15 additions
     "lang_id_script",
     "bpe_token_stats_applied",
+    "multimodal_decode_png",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

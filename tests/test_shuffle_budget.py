@@ -304,6 +304,9 @@ EXCHANGE_CEILING = {
     # the only exchanges are the doc-keyed aggregate (partial+final;
     # no join, the r14 dim join is gone on this path)
     "bpe_token_stats_applied": 2,
+    # PNG decode is two chained mapInPandas stages over the scan —
+    # map-only like multimodal_decode
+    "multimodal_decode_png": 0,
     # DSIR scoring = literal-ratio margin fold over a projection; the
     # distribution tables are built BEFORE this plan exists (bounded
     # aggregates, codebook-sized collects)
