@@ -3786,6 +3786,72 @@ def _q_scorer_trained_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scorer_predict(cv, w, bias)
 
 
+_SCORER_SIG_ETA = 16000.0
+_SCORER_SIG_ETA_B = 4.0
+
+
+def _scorer_sig_cached(spark: SparkSession, sf_dir: str):
+    """One sigmoid-link fit feeds both scorer_sig queries — reuses the
+    checkpointed feature frame of _scorer_fit_cached (same corpus,
+    same hashing), so the sig fit pays only its epochs."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.scorer import (
+        scorer_fit_sig,
+    )
+
+    key = _dataset_fingerprint(sf_dir, "documents") + (
+        f"scorersig{_SCORER_NB}x{_SCORER_EPOCHS}",
+    )
+    fit = _IVF_CODEBOOKS.get(key)
+    if fit is None:
+        _w_ls, _b_ls, n, cv = _scorer_fit_cached(spark, sf_dir)
+        w, bias = scorer_fit_sig(
+            cv,
+            n_buckets=_SCORER_NB,
+            epochs=_SCORER_EPOCHS,
+            eta=_SCORER_SIG_ETA,
+            eta_bias=_SCORER_SIG_ETA_B,
+        )
+        fit = _IVF_CODEBOOKS[key] = (w, bias, n, cv)
+    return fit
+
+
+def _q_scorer_trained_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATED in-engine classifier training (round 15, VERDICT r14
+    #5): the same 256-bucket hashed-ngram model fitted by 8 full-batch
+    GD epochs on MSE over ALGEBRAIC-sigmoid probabilities
+    (functions/scorer.py:scorer_fit_sig) — the sigmoid link the
+    production gate wants, with the exp() obstruction to a bit-exact
+    twin removed by construction: σ̃(z) = 0.5 + 0.5·z/(1+|z|) is
+    +,−,×,÷,abs only, every op IEEE-exact, so the trained weights AND
+    the jointly-trained intercept sit under the full value-hash gate
+    (the DuckDB twin unrolls the whole loop, _scorer_sig_ctes). Output
+    (bucket, weight) plus serving bias as bucket −1. Same per-epoch
+    scale shape as scorer_trained: one map-only gradient pass + one
+    bounded bucket-cell DECIMAL aggregate. Accuracy on the planted
+    corpus beats both the majority class and the LS fit
+    (pytest-pinned), with genuinely separated probabilities."""
+    w, bias, n, _cv = _scorer_sig_cached(spark, sf_dir)
+    if n == 0:  # no training rows → no model (empty-input contract)
+        return spark.createDataFrame([], "bucket int, weight double")
+    rows = [(b, float(w[b])) for b in range(_SCORER_NB)] + [
+        (-1, float(bias))
+    ]
+    return spark.createDataFrame(rows, "bucket int, weight double")
+
+
+def _q_scorer_sig_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The calibrated classifier APPLIED (round 15): per-doc
+    probability p = σ̃(margin) ∈ (0,1) under the sig-fit parameters,
+    planted truth alongside — (doc_id, y, p, keep). Map-only serving,
+    literal weight array."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.scorer import (
+        scorer_predict_sig,
+    )
+
+    w, bias, _n, cv = _scorer_sig_cached(spark, sf_dir)
+    return scorer_predict_sig(cv, w, bias)
+
+
 def _q_curation_scored_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation gated by the TRAINED classifier (round 14 — the
     closing half of VERDICT r13 #3): the planted corpus flows through
@@ -8071,6 +8137,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charlm_quality": _q_charlm_quality,
         "scorer_trained": _q_scorer_trained,
         "scorer_trained_scores": _q_scorer_trained_scores,
+        "scorer_trained_sig": _q_scorer_trained_sig,
+        "scorer_sig_scores": _q_scorer_sig_scores,
         "lang_id_ngram": _q_lang_id_ngram,
         "lang_id_script": _q_lang_id_script,
         "bpe_token_stats_applied": _q_bpe_token_stats_applied,
@@ -9550,6 +9618,159 @@ def _scorer_fit_ctes(
         biasx AS (
           SELECT floor((nn.ybar - mwf.mw) * {m9} + 0.5) / {m9} AS bias
           FROM nn, mwf
+          WHERE nn.n > 0
+        )"""
+    )
+    return ",".join(parts)
+
+
+def _scorer_sig_ctes(
+    nb: int = None,
+    epochs: int = None,
+    eta: float = None,
+    eta_bias: float = None,
+    salt: str = "qs",
+) -> str:
+    """CTE block (without WITH) re-running the CALIBRATED sigmoid-link
+    fit of functions/scorer.py:scorer_fit_sig — the _scorer_fit_ctes
+    clone with the algebraic-sigmoid gradient and a jointly-trained
+    intercept. σ̃ and σ̃′ are +,−,×,÷,abs only (no exp), so every
+    epoch's weights AND bias are bit-identical across engines; the
+    expression text mirrors the Spark operator order exactly
+    (0.5 + 0.5·z/az parses left-assoc in both). Ends at ``wfin(b, w)``
+    and ``biasx(bias)`` (serving bias b₀ − μ·w, zero rows on an empty
+    corpus — the Spark empty-input contract), plus ``cv``/``wlf`` for
+    scoring."""
+    nb = nb if nb is not None else _SCORER_NB
+    epochs = epochs if epochs is not None else _SCORER_EPOCHS
+    eta = eta if eta is not None else _SCORER_SIG_ETA
+    eta_bias = eta_bias if eta_bias is not None else _SCORER_SIG_ETA_B
+    m9 = f"{10**9}.0"
+    m12 = f"{10**12}.0"
+    hex8 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5('{salt}:' || x), "
+        f"{i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {nb}), i -> {{terms}})), "
+        "(a, b) -> a + b)"
+    )
+    cv_fold = fold.format(terms="CAST(cvec[i] AS DOUBLE) * wl[i]")
+    mw_fold = fold.format(terms="ml[i] * wl[i]")
+    parts = [
+        f"""
+        d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN text || ' {_SCORER_PLANT}' ELSE text END AS text,
+                 CAST(doc_id % 3 = 0 AS INTEGER) AS y
+          FROM documents
+        ),
+        t AS (SELECT doc_id, y, {_TOKENS_SQL} AS toks FROM d),
+        f0 AS (
+          SELECT doc_id, y,
+                 toks || (CASE WHEN len(toks) >= 2
+                          THEN list_transform(
+                                 generate_series(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i + 1])
+                          ELSE CAST([] AS VARCHAR[]) END) AS f
+          FROM t
+        ),
+        fb AS MATERIALIZED (
+          SELECT doc_id, y, CAST(len(f) AS INTEGER) AS k,
+                 list_transform(f, x ->
+                   CAST(({hex8}) % {nb} AS INTEGER)) AS bidx
+          FROM f0 WHERE len(f) > 0
+        ),
+        fx AS MATERIALIZED (
+          SELECT doc_id, k, b, CAST(count(*) AS INTEGER) AS c
+          FROM (SELECT doc_id, k, unnest(bidx) AS b FROM fb)
+          GROUP BY 1, 2, 3
+        ),
+        dims AS MATERIALIZED (
+          SELECT unnest(generate_series(0, {nb - 1})) AS b
+        ),
+        cv AS MATERIALIZED (
+          SELECT fb.doc_id, fb.y, fb.k,
+                 list(coalesce(fx.c, 0) ORDER BY dims.b) AS cvec
+          FROM fb CROSS JOIN dims
+          LEFT JOIN fx ON fx.doc_id = fb.doc_id AND fx.b = dims.b
+          GROUP BY 1, 2, 3
+        ),
+        nn AS MATERIALIZED (
+          SELECT count(*) AS n FROM cv
+        ),
+        mu0 AS (
+          SELECT b,
+                 sum(CAST(floor((CAST(c AS DOUBLE) / CAST(k AS DOUBLE))
+                       * {m12} + 0.5) / {m12} AS DECIMAL(38,12))) AS s
+          FROM fx GROUP BY 1
+        ),
+        mus AS MATERIALIZED (
+          SELECT dims.b,
+                 floor((CAST(coalesce(mu0.s, 0) AS DOUBLE) / nn.n)
+                       * {m9} + 0.5) / {m9} AS mu
+          FROM dims CROSS JOIN nn
+          LEFT JOIN mu0 ON mu0.b = dims.b
+        ),
+        mul AS MATERIALIZED (SELECT list(mu ORDER BY b) AS ml FROM mus),
+        w0 AS MATERIALIZED (SELECT b, CAST(0.0 AS DOUBLE) AS w FROM dims),
+        bb0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0)"""
+    ]
+    for r in range(1, epochs + 1):
+        p = r - 1
+        parts.append(
+            f"""
+        wl{p} AS (SELECT list(w ORDER BY b) AS wl FROM w{p}),
+        mw{p} AS (SELECT {mw_fold} AS mw FROM mul, wl{p}),
+        mg{r} AS MATERIALIZED (
+          SELECT doc_id, k, cvec,
+                 ((0.5 + 0.5 * z / (1.0 + abs(z)))
+                   - CAST(y AS DOUBLE))
+                 * (0.5 / ((1.0 + abs(z)) * (1.0 + abs(z)))) AS g
+          FROM (
+            SELECT doc_id, y, k, cvec,
+                   {cv_fold} / CAST(k AS DOUBLE) - mw{p}.mw + bb{p}.b0 AS z
+            FROM cv, wl{p}, mw{p}, bb{p}
+          )
+        ),
+        tt{r} AS (
+          SELECT CAST(sum(CAST(floor(g * {m12} + 0.5) / {m12}
+                   AS DECIMAL(38,12))) AS DOUBLE) AS t
+          FROM mg{r}
+        ),
+        ss{r} AS MATERIALIZED (
+          SELECT dims.b,
+                 CAST(sum(CAST(floor(((m.g * CAST(m.cvec[dims.b + 1]
+                       AS DOUBLE)) / CAST(m.k AS DOUBLE))
+                       * {m12} + 0.5) / {m12}
+                   AS DECIMAL(38,12))) AS DOUBLE) AS s
+          FROM mg{r} m CROSS JOIN dims GROUP BY 1
+        ),
+        w{r} AS MATERIALIZED (
+          SELECT p.b,
+                 floor((p.w - {float(eta)!r} * (ss{r}.s / nn.n))
+                       * {m9} + 0.5) / {m9} AS w
+          FROM w{p} p
+          JOIN ss{r} ON ss{r}.b = p.b, tt{r}, nn
+        ),
+        bb{r} AS (
+          SELECT floor((bb{p}.b0 - {float(eta_bias)!r} * (tt{r}.t / nn.n))
+                       * {m9} + 0.5) / {m9} AS b0
+          FROM bb{p}, tt{r}, nn
+        )"""
+        )
+    parts.append(
+        f"""
+        wfin AS MATERIALIZED (SELECT b, w FROM w{epochs}),
+        wlf AS MATERIALIZED (SELECT list(w ORDER BY b) AS wl FROM wfin),
+        mwf AS (SELECT {mw_fold} AS mw FROM mul, wlf),
+        biasx AS (
+          SELECT floor((bb{epochs}.b0 - mwf.mw) * {m9} + 0.5) / {m9} AS bias
+          FROM bb{epochs}, mwf, nn
+          WHERE nn.n > 0
         )"""
     )
     return ",".join(parts)
@@ -11892,6 +12113,30 @@ def oracle_sql() -> dict[str, str]:
               FROM cv, wlf, biasx
             )
             SELECT doc_id, y, pred, pred >= 0.5 AS keep FROM scored
+        """,
+        "scorer_trained_sig": f"""
+            WITH {_scorer_sig_ctes()}
+            SELECT CAST(b AS INTEGER) AS bucket, w AS weight FROM wfin
+            UNION ALL
+            SELECT -1 AS bucket, bias AS weight FROM biasx
+        """,
+        "scorer_sig_scores": f"""
+            WITH {_scorer_sig_ctes()},
+            scored AS (
+              SELECT cv.doc_id, cv.y,
+                     floor((0.5 + 0.5 * z / (1.0 + abs(z)))
+                           * 1000000.0 + 0.5) / 1000000.0 AS p
+              FROM (
+                SELECT cv.doc_id, cv.y,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list_transform(generate_series(1, {_SCORER_NB}),
+                             i -> CAST(cvec[i] AS DOUBLE) * wl[i])),
+                         (a, b) -> a + b) / CAST(k AS DOUBLE)
+                       + biasx.bias AS z
+                FROM cv, wlf, biasx
+              ) cv
+            )
+            SELECT doc_id, y, p, p >= 0.5 AS keep FROM scored
         """,
         "curation_scored_trained": f"""
             WITH {_scorer_fit_ctes()},

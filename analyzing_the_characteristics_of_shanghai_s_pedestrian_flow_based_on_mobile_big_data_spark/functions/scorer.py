@@ -396,3 +396,148 @@ def scorer_predict(
         pred.alias("pred"),
         (pred >= 0.5).alias("keep"),
     )
+
+
+# Calibrated sigmoid-link fit (round 15, VERDICT r14 #5) -----------------
+#
+# scorer_fit_ls emits an uncalibrated margin; production quality gates
+# threshold a PROBABILITY. The classic obstruction to a bit-exact
+# logistic twin is exp(): libm's last ulp is not contractually
+# identical across engines. This fit removes the obstruction instead
+# of giving up on it — the link is the ALGEBRAIC sigmoid
+#
+#     σ̃(z) = 0.5 + 0.5·z/(1 + |z|)        σ̃′(z) = 0.5/(1 + |z|)²
+#
+# (the "fast sigmoid": same shape, range (0,1), σ̃(0)=0.5, monotone),
+# built from +, −, ×, ÷, abs only — every one an IEEE-754-exact
+# operation on identical inputs, so the full-batch GD loop on MSE over
+# probabilities unrolls into DuckDB CTEs bit-for-bit exactly like the
+# least-squares fit. Same centered design (the μ-subtraction that
+# fixes the rank-one bulk direction), same per-epoch cost: one
+# map-only gradient pass + one bounded bucket-cell DECIMAL aggregate;
+# the bias is trained jointly (intercept gradient = mean residual
+# derivative) rather than derived from centering.
+
+
+def sig_alg(z: Column) -> Column:
+    """The algebraic sigmoid surrogate σ̃(z) = 0.5 + 0.5·z/(1+|z|) —
+    (0,1)-valued, engine-portable to the bit (no transcendentals)."""
+    return F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z))
+
+
+def scorer_fit_sig(
+    cv: DataFrame,
+    n_buckets: int = 256,
+    epochs: int = 8,
+    eta: float = 16000.0,
+    eta_bias: float = 4.0,
+    round_scale: int = 9,
+    addend_scale: int = 12,
+) -> tuple[list[float], float]:
+    """Fit (weights, serving_bias) on a :func:`hashed_count_rows`
+    frame by ``epochs`` full-batch GD steps on MSE over σ̃-link
+    probabilities:
+
+        z_i  = Σ_b c_ib·w_b / k_i − μ·w + b₀
+        g_i  = (σ̃(z_i) − y_i) · σ̃′(z_i)
+        S_b  = Σᵢ dec₁₂(g_i·c_ib/k_i);  T = Σᵢ dec₁₂(g_i)
+        w_b ← flr₉(w_b − η·S_b/n);  b₀ ← flr₉(b₀ − η_b·T/n)
+
+    The intercept takes its OWN step size η_b: its implicit feature
+    is 1.0 where the centered bucket fractions are O(1/n_buckets), so
+    a shared η that moves the weights also slingshots the bias
+    (measured: b₀ → −655 in one epoch at η=8000); curvature in the
+    intercept direction is mean σ̃′² ≈ 1/16..1/4, putting the stable
+    ceiling near η_b < 8.
+
+    serving_bias = flr₉(b₀ − μ·w_final), so serving is the SAME
+    map-only fold scorer_predict uses, with the prediction passed
+    through σ̃ (:func:`scorer_predict_sig`). Every sum is a DECIMAL
+    sum of floor-rounded addends, every per-doc score an ascending
+    fold, every op in σ̃/σ̃′ IEEE-exact — the DuckDB twin lands on
+    bit-identical parameters. Default η is 4× the LS fit's: σ̃′ ≤ 1/2
+    and the MSE-on-p residual halves again near p≈0.5, so the first-
+    step gradient is ~¼ of the least-squares one."""
+    cv = cv.localCheckpoint(eager=False)
+    n = cv.count()
+    if n == 0:
+        return [0.0] * n_buckets, 0.0
+    dec = f"decimal(38,{addend_scale})"
+    mu = [0.0] * n_buckets
+    for row in (
+        cv.select(F.posexplode("cvec").alias("b", "c"), "k")
+        .select(
+            "b",
+            _flr(
+                F.col("c").cast("double") / F.col("k").cast("double"),
+                addend_scale,
+            ).alias("a"),
+        )
+        .groupBy("b")
+        .agg(F.sum(F.col("a").cast(dec)).alias("s"))
+        .collect()
+    ):
+        mu[int(row.b)] = _flr_py(float(row.s) / n, round_scale)
+
+    w = [0.0] * n_buckets
+    b0 = 0.0
+    for _ in range(int(epochs)):
+        mw = 0.0
+        for b in range(n_buckets):
+            mw = mw + mu[b] * w[b]
+        z = (
+            F.expr(_score_fold_sql("cvec", w)) / F.col("k").cast("double")
+            - F.lit(mw)
+            + F.lit(b0)
+        )
+        az = F.lit(1.0) + F.abs(z)
+        g = (sig_alg(z) - F.col("y").cast("double")) * (
+            F.lit(0.5) / (az * az)
+        )
+        marg = cv.select("k", "cvec", g.alias("g"))
+        t_val = float(
+            marg.agg(
+                F.sum(_flr(F.col("g"), addend_scale).cast(dec))
+            ).first()[0]
+            or 0
+        )
+        s_vec = [0.0] * n_buckets
+        for row in (
+            marg.select("g", "k", F.posexplode("cvec").alias("b", "c"))
+            .select(
+                "b",
+                _flr(
+                    (F.col("g") * F.col("c").cast("double"))
+                    / F.col("k").cast("double"),
+                    addend_scale,
+                ).alias("a"),
+            )
+            .groupBy("b")
+            .agg(F.sum(F.col("a").cast(dec)).alias("s"))
+            .collect()
+        ):
+            s_vec[int(row.b)] = float(row.s)
+        w = [
+            _flr_py(w[b] - eta * (s_vec[b] / n), round_scale)
+            for b in range(n_buckets)
+        ]
+        b0 = _flr_py(b0 - eta_bias * (t_val / n), round_scale)
+    mw = 0.0
+    for b in range(n_buckets):
+        mw = mw + mu[b] * w[b]
+    return w, _flr_py(b0 - mw, round_scale)
+
+
+def scorer_predict_sig(
+    cv: DataFrame, weights: list[float], bias: float
+) -> DataFrame:
+    """Calibrated scoring of a :func:`hashed_count_rows` frame:
+    (doc_id, y, p, keep) with p = flr₆(σ̃(Σ c·w/k + bias)) ∈ (0,1)
+    and keep = p ≥ 0.5 — map-only, literal weight array."""
+    z = F.expr(_score_fold_sql("cvec", weights)) / F.col("k").cast(
+        "double"
+    ) + F.lit(float(bias))
+    p = _flr(sig_alg(z), 6)
+    return cv.select(
+        "doc_id", "y", p.alias("p"), (p >= F.lit(0.5)).alias("keep")
+    )

@@ -265,6 +265,8 @@ HEADLINE = [
     "lang_id_script",
     "bpe_token_stats_applied",
     "multimodal_decode_png",
+    "scorer_trained_sig",
+    "scorer_sig_scores",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

@@ -171,6 +171,42 @@ def test_bpe_planted_words_are_oov_and_compress(spark):
     assert all(0 < r.n < len(r.w) for r in rows), rows
 
 
+def test_sig_fit_calibrated_and_beats_majority(spark):
+    """The sigmoid-link fit must (a) emit genuine probabilities in
+    (0,1), (b) separate the planted classes by a wide calibrated gap,
+    and (c) beat the majority class on thresholded accuracy — the
+    planted-recovery bar the LS fit set, now with a calibrated
+    output."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["scorer_sig_scores"](spark, SF_DIR).collect()
+    assert all(0.0 < r.p < 1.0 for r in rows)
+    n1 = sum(1 for r in rows if r.y == 1)
+    n0 = len(rows) - n1
+    mean_p1 = sum(r.p for r in rows if r.y == 1) / n1
+    mean_p0 = sum(r.p for r in rows if r.y == 0) / n0
+    assert mean_p1 - mean_p0 > 0.3, (mean_p1, mean_p0)
+    acc = sum(1 for r in rows if r.keep == (r.y == 1)) / len(rows)
+    maj = max(n0, n1) / len(rows)
+    assert acc > maj + 0.15, (acc, maj)
+
+
+def test_sig_alg_is_transcendental_free_sigmoid():
+    """σ̃ sanity on the driver: range (0,1), σ̃(0)=0.5, odd symmetry
+    around 0.5, monotone — the properties the calibration story rests
+    on (the bit-exactness itself is carried by the oracle hash)."""
+    def s(z):
+        return 0.5 + 0.5 * z / (1.0 + abs(z))
+
+    assert s(0.0) == 0.5
+    zs = [-1e9, -3.0, -0.5, 0.0, 0.5, 3.0, 1e9]
+    vals = [s(z) for z in zs]
+    assert all(0.0 < v < 1.0 for v in vals)
+    assert vals == sorted(vals)
+    for z in (0.25, 1.0, 7.5):
+        assert abs((s(z) - 0.5) + (s(-z) - 0.5)) < 1e-15
+
+
 def test_lang_id_script_plan_zero_exchanges(spark):
     """Map-only contract: the multi-script classifier is a pure
     projection over the scan — no exchange anywhere in the plan."""

@@ -317,6 +317,9 @@ EXCHANGE_CEILING = {
     # served from the checkpointed feature frame: scoring itself is a
     # map-only literal-weight fold
     "scorer_trained_scores": 0,
+    # round 15: calibrated serving is the same map-only literal-weight
+    # fold with the algebraic sigmoid on top
+    "scorer_sig_scores": 0,
     # docs-side quality projection joined to the checkpointed scored
     # frame + the digest dedup window
     "curation_scored_trained": 4,
