@@ -3373,6 +3373,103 @@ def _q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_curation_full_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WEB curation pipeline (round 15, VERDICT r14 #6): domain
+    hygiene composed INTO the flagship text pipeline — one documents
+    scan through blocklist anti-join (broadcast; the planted blocklist
+    is every 10th doc's registered domain, 13 of the 65 planted
+    domains) → the full curation_full text stack (lang-ID en → quality
+    floor → token floor → Gopher repetition → Arrow charlm floor) →
+    exact dedup keeping the lowest doc_id per digest → per-domain cap
+    (≤5 survivors per registered domain, md5-hash pick,
+    WindowGroupLimit pre-limits before the shuffle). Corpus side: the
+    URL gates are map-side (reg_domain extraction) + one broadcast
+    anti-join; the only exchanges are the blocklist dim build (tiny,
+    filtered side), the digest dedup window, and the domain-cap
+    window — plan-pinned. Real curation runs text and domain gates in
+    one pass; this is that pass."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.charlm import (
+        char_trigram_lm,
+        charlm_attach_arrow,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.langid import (
+        predict_lang,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.text import (
+        repetition_stats,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.urls import (
+        apply_domain_blocklist,
+        cap_per_domain,
+        url_host,
+        url_registered_domain,
+    )
+
+    docs = _plant_urls(load_table(spark, sf_dir, "documents"))
+    key = _dataset_fingerprint(sf_dir, "documents") + ("charlm3",)
+    table = _IVF_CODEBOOKS.get(key)
+    if table is None:
+        table = _IVF_CODEBOOKS[key] = char_trigram_lm(
+            load_table(spark, sf_dir, "documents")
+        )
+    keyed = docs.select(
+        "doc_id",
+        "text",
+        url_registered_domain(url_host(F.col("url"))).alias("reg_domain"),
+    )
+    blocklist = keyed.filter(F.col("doc_id") % 10 == 0).select("reg_domain")
+    unblocked = apply_domain_blocklist(keyed, "reg_domain", blocklist)
+    toks = tx.tokens(F.col("text"))
+    scored = unblocked.select(
+        "doc_id",
+        "text",
+        "reg_domain",
+        tx.token_count(F.col("text")).alias("n_tokens"),
+        tx.quality_score(F.col("text")).alias("quality"),
+        predict_lang(toks).alias("pred_lang"),
+    ).filter(
+        (F.col("pred_lang") == "en")
+        & (F.col("quality") >= 0.5)
+        & (F.col("n_tokens") >= 5)
+    )
+    survivors = (
+        scored.withColumn("rep", repetition_stats(F.col("text")))
+        .filter(
+            (F.col("rep.top_word_frac") <= 0.12)
+            & (F.col("rep.dup_2gram_frac") <= 0.05)
+            & (F.col("rep.dup_3gram_frac") <= 0.02)
+        )
+        .select(
+            "doc_id",
+            "reg_domain",
+            F.md5("text").alias("digest"),
+            "n_tokens",
+            "quality",
+            "text",
+        )
+    )
+    kept = (
+        charlm_attach_arrow(survivors, table)
+        .filter(F.col("mean_p") >= 0.62)
+        .select("digest", "doc_id", "reg_domain", "n_tokens", "quality", "mean_p")
+    )
+    min_id = F.min("doc_id").over(Window.partitionBy("digest"))
+    deduped = (
+        kept.withColumn("min_id", min_id)
+        .filter(F.col("doc_id") == F.col("min_id"))
+        .select("doc_id", "reg_domain", "digest", "n_tokens", "quality", "mean_p")
+    )
+    return cap_per_domain(deduped, "reg_domain", cap=5).select(
+        "doc_id",
+        "reg_domain",
+        "digest",
+        "n_tokens",
+        "quality",
+        "mean_p",
+        F.col("rk").cast("int").alias("rk"),
+    )
+
+
 def _domain_alpha_rates(doms: DataFrame) -> DataFrame:
     """Per-domain α=0.5 mixture table over a (doc_id, reg_domain)
     frame: (reg_domain, n_docs, share_raw, share_alpha, rate,
@@ -8151,6 +8248,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_topk": _q_sq8_topk,
         "domain_mixture_alpha": _q_domain_mixture_alpha,
         "curation_full": _q_curation_full,
+        "curation_full_web": _q_curation_full_web,
         "mixture_sampled_counts": _q_mixture_sampled_counts,
         "redacted_cleaned_text": _q_redacted_cleaned_text,
         "tf_cosine_pairs": _q_tf_cosine_pairs,
@@ -10142,7 +10240,9 @@ def _charlm_ctes() -> str:
         )"""
 
 
-def _curation_oracle(margin_floor: bool = False, full: bool = False) -> str:
+def _curation_oracle(
+    margin_floor: bool = False, full: bool = False, web: bool = False
+) -> str:
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.langid import (
         LANG_PROFILES,
     )
@@ -10185,8 +10285,45 @@ def _curation_oracle(margin_floor: bool = False, full: bool = False) -> str:
     )
     full_col = ", r.top_word_frac, lm.mean_p" if full else ""
     full_out = ", k.top_word_frac, k.mean_p" if full else ""
+    web_ctes = (
+        f"""{_url_domain_ctes()},
+        bl AS (
+          SELECT DISTINCT reg_domain FROM doms WHERE doc_id % 10 = 0
+        ),
+        webkeep AS (
+          SELECT d.doc_id, d.reg_domain
+          FROM doms d ANTI JOIN bl USING (reg_domain)
+        ),"""
+        if web
+        else ""
+    )
+    web_join = "JOIN webkeep wk USING (doc_id)" if web else ""
+    web_col = ", wk.reg_domain" if web else ""
+    if web:
+        # dedup winners then the per-domain cap, exactly the Spark
+        # cap_per_domain order (md5 hash pick, id tie-break)
+        final = f"""
+        sel AS (
+          SELECT k.doc_id, k.reg_domain, c.digest, k.n_tokens,
+                 k.quality{full_out}
+          FROM kept k JOIN canon c ON k.doc_id = c.doc_id
+        ),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY reg_domain
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                 AS INTEGER) AS rk
+          FROM sel
+        )
+        SELECT doc_id, reg_domain, digest, n_tokens, quality,
+               mean_p, rk
+        FROM ranked WHERE rk <= 5"""
+    else:
+        final = f"""
+        SELECT k.doc_id, c.digest, k.n_tokens, k.quality{margin_out}{full_out}
+        FROM kept k JOIN canon c ON k.doc_id = c.doc_id"""
     return f"""
-        WITH {full_ctes} t AS (
+        WITH {web_ctes} {full_ctes} t AS (
           SELECT doc_id, text, {_TOKENS_SQL} AS toks,
                  regexp_replace(lower(text), '[a-z0-9 ]', '', 'g') AS stripped
           FROM documents
@@ -10209,17 +10346,16 @@ def _curation_oracle(margin_floor: bool = False, full: bool = False) -> str:
             PARTITION BY doc_id ORDER BY score DESC, cand ASC) = 1
         ),
         kept AS (
-          SELECT s.doc_id, s.text, s.n_tokens, s.quality{margin_col}{full_col}
-          FROM s JOIN pred p USING (doc_id) {margin_join} {full_join}
+          SELECT s.doc_id, s.text, s.n_tokens, s.quality{margin_col}{full_col}{web_col}
+          FROM s JOIN pred p USING (doc_id) {margin_join} {full_join} {web_join}
           WHERE p.pred_lang = 'en' AND s.quality >= 0.5 AND s.n_tokens >= 5
             {margin_pred} {full_pred}
         ),
         canon AS (
           SELECT md5(text) AS digest, min(doc_id) AS doc_id
           FROM kept GROUP BY 1
-        )
-        SELECT k.doc_id, c.digest, k.n_tokens, k.quality{margin_out}{full_out}
-        FROM kept k JOIN canon c ON k.doc_id = c.doc_id
+        ){"," if web else ""}
+        {final}
     """
 
 
@@ -12178,6 +12314,7 @@ def oracle_sql() -> dict[str, str]:
               ON k.doc_id = c.doc_id AND k.digest = c.digest
         """,
         "curation_full": _curation_oracle(full=True),
+        "curation_full_web": _curation_oracle(full=True, web=True),
         "mixture_sampled_counts": f"""
             WITH {_url_domain_ctes()},
             per AS (

@@ -267,6 +267,7 @@ HEADLINE = [
     "multimodal_decode_png",
     "scorer_trained_sig",
     "scorer_sig_scores",
+    "curation_full_web",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

@@ -207,6 +207,32 @@ def test_sig_alg_is_transcendental_free_sigmoid():
         assert abs((s(z) - 0.5) + (s(-z) - 0.5)) < 1e-15
 
 
+def test_curation_full_web_gates_compose(spark):
+    """The web pipeline must be exactly curation_full further gated by
+    the blocklist and the domain cap: every web survivor is a
+    curation_full survivor, no survivor's domain is blocklisted, no
+    domain exceeds the cap, and the gates are non-vacuous (web keeps
+    strictly fewer docs)."""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    full = {r.doc_id for r in qs["curation_full"](spark, SF_DIR).collect()}
+    web = qs["curation_full_web"](spark, SF_DIR).collect()
+    web_ids = {r.doc_id for r in web}
+    assert web_ids < full
+    blocked = {
+        r.reg_domain
+        for r in qs["url_domain_extract"](spark, SF_DIR).collect()
+        if r.doc_id % 10 == 0
+    }
+    assert not {r.reg_domain for r in web} & blocked
+    from collections import Counter
+
+    per_dom = Counter(r.reg_domain for r in web)
+    assert max(per_dom.values()) <= 5
+    assert all(1 <= r.rk <= 5 for r in web)
+
+
 def test_lang_id_script_plan_zero_exchanges(spark):
     """Map-only contract: the multi-script classifier is a pure
     projection over the scan — no exchange anywhere in the plan."""

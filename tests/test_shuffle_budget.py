@@ -307,6 +307,10 @@ EXCHANGE_CEILING = {
     # PNG decode is two chained mapInPandas stages over the scan —
     # map-only like multimodal_decode
     "multimodal_decode_png": 0,
+    # one documents scan through blocklist anti-join + the full text
+    # stack; exchanges = blocklist dim distinct (tiny, filtered side)
+    # + its broadcast + digest dedup window + domain-cap window
+    "curation_full_web": 8,
     # DSIR scoring = literal-ratio margin fold over a projection; the
     # distribution tables are built BEFORE this plan exists (bounded
     # aggregates, codebook-sized collects)
