@@ -270,13 +270,35 @@ def charlm_attach_arrow(
     lowering and rounding happen IN SPARK, the mean fold is an
     ascending ``np.cumsum`` — parity with :func:`charlm_score_expr`
     pinned in pytest. Passthrough columns must be Arrow-simple
-    (ints/doubles/strings — what a curation gate carries)."""
-    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+    (ints/doubles/strings/booleans/binary — what a curation gate
+    carries); validated up front so a caller composing this onto a
+    frame still carrying a struct/array column (e.g. the ``rep``
+    struct before projection) gets a clear plan-time ValueError
+    instead of an opaque Arrow serialization failure at execution
+    time (ADVICE r14)."""
+    from pyspark.sql.types import (
+        AtomicType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
 
     tbl = [float(p) for p in table]
     src = df.withColumn("__lt", F.lower(F.col(text_col)))
     if drop_text:
         src = src.drop(text_col)
+    bad = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in src.schema.fields
+        if f.name != "__lt" and not isinstance(f.dataType, AtomicType)
+    ]
+    if bad:
+        raise ValueError(
+            "charlm_attach_arrow passthrough columns must be Arrow-"
+            "simple scalars; project away or flatten first: "
+            + ", ".join(bad)
+        )
     keep = [f for f in src.schema.fields if f.name != "__lt"]
     out_schema = StructType(
         list(keep)
