@@ -2025,6 +2025,31 @@ def _q_multimodal_decode_png(
     return decode_media_meta(synth_png_payloads(docs))
 
 
+def _q_multimodal_decode_jpeg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Baseline JPEG decode (round 15, second wave — the last
+    "compressed codecs need external libs" gap): synthesize one real
+    grayscale JPEG per doc (huffman-coded DC-diff entropy stream with
+    byte stuffing, tables declared in DHT, DC quant step 8 for an
+    integer-exact constant round trip) and decode it with the
+    stdlib+numpy codec in operators.multimodal — segment walk, huffman
+    tables BUILT FROM THE STREAM, entropy decode with unstuffing, DC
+    prediction, AC run-length/EOB, dequantization, zigzag, and a true
+    2-D IDCT. The oracle predicts width/height/channels and the pixel
+    mean arithmetically from doc_id; the decoder's AC/IDCT machinery
+    is pinned independently by a hand-computed non-constant fixture
+    in pytest. Same Arrow-batched mapInPandas shape as the other
+    decode queries."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.multimodal import (
+        decode_media_meta,
+        synth_jpeg_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media_meta(synth_jpeg_payloads(docs))
+
+
 def _q_user_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 (combineByKey→collect_list) re-expressed: per-user ordered
     distinct event types, emitted as a join-stable string."""
@@ -8028,6 +8053,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_decode_png": _q_multimodal_decode_png,
+        "multimodal_decode_jpeg": _q_multimodal_decode_jpeg,
         "streaming_occupancy": _q_streaming_occupancy,
         "user_event_type_profile": _q_user_event_type_profile,
         "type_occupancy": _q_type_occupancy,
@@ -11846,6 +11872,18 @@ def oracle_sql() -> dict[str, str]:
                              / (8000 + (doc_id % 5) * 1000)
                    END AS duration_ms,
                    CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_byte
+            FROM documents
+        """,
+        "multimodal_decode_jpeg": """
+            SELECT doc_id,
+                   'jpeg' AS kind,
+                   CAST(1 + doc_id % 23 AS INTEGER) AS width,
+                   CAST(1 + doc_id % 11 AS INTEGER) AS height,
+                   CAST(1 AS INTEGER) AS n_channels,
+                   CAST(NULL AS INTEGER) AS sample_rate,
+                   CAST(NULL AS BIGINT) AS n_samples,
+                   CAST(NULL AS DOUBLE) AS duration_ms,
+                   CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_byte
             FROM documents
         """,
         "multimodal_decode_png": """

@@ -26,6 +26,7 @@ whole Arrow batch and large blobs never go through per-row pickling.
 from __future__ import annotations
 
 import hashlib
+import math
 import struct
 from collections.abc import Iterator
 
@@ -226,6 +227,279 @@ def _decode_png(b: bytes) -> dict:
     }
 
 
+# ---- baseline JPEG (round 15, second wave) --------------------------------
+#
+# The last "compressed codecs still need external libs" gap: a real
+# baseline-JPEG pair with only the stdlib + numpy. The DECODER is
+# general for 8-bit baseline grayscale: segment walk, DQT, SOF0, DHT
+# (huffman tables built from the stream, not assumed), SOS entropy
+# decode with 0xFF00 byte unstuffing, DC prediction, AC run-length +
+# EOB, dequantization, zigzag, and a true 2-D IDCT (precomputed
+# orthonormal basis, numpy matmul), level shift, clamp, crop. The
+# ENCODER emits constant-fill images with DC quant step 8, which makes
+# the whole round trip integer-exact (DC = 8·(fill−128) quantizes to
+# fill−128 with NO rounding; the flat IDCT output is DCq exactly), so
+# the oracle predicts mean_byte = fill arithmetically — while the
+# decoder's huffman/IDCT/AC machinery is exercised independently by a
+# hand-computed non-constant fixture in pytest.
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: DC quant step 8 ⇒ quantized DC == fill − 128 exactly (no rounding
+#: anywhere in the constant-image round trip); AC steps realistic-ish
+_JPEG_QTABLE = [8] + [16] * 63
+
+
+def _huff_canonical(bits: list[int], vals: list[int]) -> dict[int, str]:
+    """value → canonical huffman code string from a DHT (BITS, VALS)
+    spec — the JPEG Annex-C code assignment."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = format(code, f"0{length}b")
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+# encoder-side tables: DC categories 0..11 and the lone AC symbol we
+# emit (EOB = 0x00); declared in DHT, so the decoder LEARNS them —
+# nothing about these tables is assumed on the decode side
+_ENC_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_ENC_DC_VALS = list(range(12))
+_ENC_AC_BITS = [0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_ENC_AC_VALS = [0x00]
+
+
+def encode_jpeg_gray(width: int, height: int, fill: int) -> bytes:
+    """Minimal valid baseline JFIF, 8-bit grayscale, every pixel =
+    ``fill``: one DC coefficient per 8×8 block (diff-coded), EOB for
+    the ACs, custom-but-declared huffman tables, 0xFF byte stuffing.
+    DC quant step 8 makes the quantized DC exactly fill − 128."""
+    dc_codes = _huff_canonical(_ENC_DC_BITS, _ENC_DC_VALS)
+    eob = _huff_canonical(_ENC_AC_BITS, _ENC_AC_VALS)[0x00]
+    mcux = (width + 7) // 8
+    mcuy = (height + 7) // 8
+    dcq = fill - 128
+    bitbuf = []
+    prev = 0
+    for _ in range(mcux * mcuy):
+        diff = dcq - prev
+        prev = dcq
+        mag = abs(diff)
+        cat = mag.bit_length()
+        bitbuf.append(dc_codes[cat])
+        if cat:
+            v = diff if diff >= 0 else diff + (1 << cat) - 1
+            bitbuf.append(format(v, f"0{cat}b"))
+        bitbuf.append(eob)
+    bits = "".join(bitbuf)
+    bits += "1" * (-len(bits) % 8)  # pad with 1s per spec
+    entropy = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = int(bits[i : i + 8], 2)
+        entropy.append(byte)
+        if byte == 0xFF:
+            entropy.append(0x00)  # byte stuffing
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    # DQT stores the 64 steps in zigzag-scan order; _JPEG_QTABLE is
+    # already scan-ordered (index 0 = DC)
+    dqt = seg(0xFFDB, bytes([0]) + bytes(_JPEG_QTABLE))
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
+    )
+    dht = seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS)
+        + bytes([0x10]) + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS),
+    )
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (
+        b"\xff\xd8" + dqt + sof + dht + sos + bytes(entropy) + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    """MSB-first bit reader over JPEG entropy data with 0xFF00
+    unstuffing."""
+
+    def __init__(self, data: bytes):
+        self.data, self.pos, self.bit = data, 0, 0
+
+    def read_bit(self) -> int:
+        b = self.data[self.pos]
+        if b == 0xFF and self.bit == 0:
+            nxt = self.data[self.pos + 1]
+            if nxt != 0x00:
+                raise ValueError("unexpected marker in entropy data")
+        v = (b >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1 + (1 if b == 0xFF else 0)  # skip stuffed 00
+        return v
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _huff_decode(reader: _BitReader, table: dict[str, int]) -> int:
+    code = ""
+    for _ in range(16):
+        code += str(reader.read_bit())
+        if code in table:
+            return table[code]
+    raise ValueError("invalid huffman code in entropy data")
+
+
+def _extend(v: int, cat: int) -> int:
+    """JPEG EXTEND: map ``cat`` received bits to the signed value."""
+    if cat == 0:
+        return 0
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def _idct_basis():
+    import numpy as np
+
+    b = np.zeros((64, 64))
+    for u in range(8):
+        for v in range(8):
+            cu = (1 / math.sqrt(2)) if u == 0 else 1.0
+            cv = (1 / math.sqrt(2)) if v == 0 else 1.0
+            for x in range(8):
+                for y in range(8):
+                    b[x * 8 + y, u * 8 + v] = (
+                        0.25 * cu * cv
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+    return b
+
+
+_IDCT_B = None
+
+
+def _decode_jpeg(b: bytes) -> dict:
+    """Baseline grayscale JPEG decode with only stdlib + numpy: every
+    table comes from the stream, every coefficient goes through the
+    real dequant → zigzag → 2-D IDCT → level-shift path. Single
+    component, no subsampling, no progressive, no restart markers."""
+    import numpy as np
+
+    global _IDCT_B
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("bad JPEG SOI")
+    i = 2
+    qtables: dict[int, list[int]] = {}
+    hufftabs: dict[tuple[int, int], dict[str, int]] = {}
+    width = height = None
+    qsel = 0
+    dc_sel = ac_sel = 0
+    entropy_start = None
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            raise ValueError("expected marker")
+        marker = (b[i] << 8) | b[i + 1]
+        if marker == 0xFFD9:
+            break
+        size = (b[i + 2] << 8) | b[i + 3]
+        body = b[i + 4 : i + 2 + size]
+        if marker == 0xFFDB:
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtables[tq] = list(body[j + 1 : j + 65])
+                j += 65
+        elif marker == 0xFFC0:
+            prec = body[0]
+            height = (body[1] << 8) | body[2]
+            width = (body[3] << 8) | body[4]
+            ncomp = body[5]
+            if prec != 8 or ncomp != 1:
+                raise ValueError("only 8-bit grayscale baseline JPEG")
+            qsel = body[8]
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
+            raise ValueError("only baseline (SOF0) JPEG supported")
+        elif marker == 0xFFC4:
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0xF
+                bits = list(body[j + 1 : j + 17])
+                nv = sum(bits)
+                vals = list(body[j + 17 : j + 17 + nv])
+                hufftabs[(tc, th)] = {
+                    code: val
+                    for val, code in _huff_canonical(bits, vals).items()
+                }
+                j += 17 + nv
+        elif marker == 0xFFDA:
+            # body = [ncomp, comp_id, Td<<4|Ta, Ss, Se, AhAl]
+            dc_sel, ac_sel = body[2] >> 4, body[2] & 0xF
+            entropy_start = i + 2 + size
+            break
+        i += 2 + size
+    if width is None or entropy_start is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    q = qtables[qsel]
+    dct, act = hufftabs[(0, dc_sel)], hufftabs[(1, ac_sel)]
+    if _IDCT_B is None:
+        _IDCT_B = _idct_basis()
+    reader = _BitReader(b[entropy_start:])
+    mcux, mcuy = (width + 7) // 8, (height + 7) // 8
+    img = np.zeros((mcuy * 8, mcux * 8))
+    pred = 0
+    for by in range(mcuy):
+        for bx in range(mcux):
+            coef = np.zeros(64)
+            cat = _huff_decode(reader, dct)
+            pred += _extend(reader.receive(cat), cat)
+            coef[0] = pred * q[0]
+            k = 1
+            while k < 64:
+                rs = _huff_decode(reader, act)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, size = rs >> 4, rs & 0xF
+                k += run
+                if k > 63:
+                    raise ValueError("AC coefficient overrun")
+                coef[_ZIGZAG[k]] = _extend(reader.receive(size), size) * q[k]
+                k += 1
+            block = (_IDCT_B @ coef).reshape(8, 8) + 128.0
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    pix = np.clip(np.rint(img[:height, :width]), 0, 255)
+    n = width * height
+    return {
+        "kind": "jpeg",
+        "width": width,
+        "height": height,
+        "n_channels": 1,
+        "sample_rate": None,
+        "n_samples": None,
+        "duration_ms": None,
+        "mean_byte": float(pix.sum() / n) if n else None,
+    }
+
+
 def _decode_bmp(b: bytes) -> dict:
     (pixel_offset,) = struct.unpack_from("<I", b, 10)
     _hdr_size, width, height = struct.unpack_from("<Iii", b, 14)
@@ -322,13 +596,17 @@ def decode_media(payload: bytes) -> dict:
     fail loudly in curation, not pass as zeros."""
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
-    raise ValueError("unknown media container (PNG/BMP/PPM/WAV supported)")
+    raise ValueError(
+        "unknown media container (JPEG/PNG/BMP/PPM/WAV supported)"
+    )
 
 
 def extract_media_meta(docs_with_payload: DataFrame) -> DataFrame:
@@ -408,6 +686,29 @@ def synth_png_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 d = int(doc_id)
                 payloads.append(
                     encode_png(1 + d % 29, 1 + d % 13, (d * 11) % 256)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        _synth, "doc_id long, payload binary"
+    )
+
+
+def synth_jpeg_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic baseline-JPEG payloads: one grayscale JPEG per
+    doc, width 1 + doc_id % 23, height 1 + doc_id % 11, constant fill
+    (doc_id · 13) % 256 — DC quant step 8 makes the constant-image
+    round trip integer-exact, so the oracle predicts mean_byte = fill
+    while the payload yields it only through huffman decode, dequant,
+    and a real IDCT."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payloads.append(
+                    encode_jpeg_gray(1 + d % 23, 1 + d % 11, (d * 13) % 256)
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 

@@ -265,6 +265,7 @@ HEADLINE = [
     "lang_id_script",
     "bpe_token_stats_applied",
     "multimodal_decode_png",
+    "multimodal_decode_jpeg",
     "scorer_trained_sig",
     "scorer_sig_scores",
     "curation_full_web",

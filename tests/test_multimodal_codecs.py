@@ -87,13 +87,17 @@ def test_wav_16bit_stereo_chunk_walk():
 
 
 def test_unknown_container_raises():
-    # JPEG is still external-codec territory; PNG (supported since
-    # round 15) now routes to the real decoder, where a truncated
-    # payload fails its own chunk parse instead of the dispatch
+    # GIF and MP4 are still external-codec territory; PNG and JPEG
+    # (supported since round 15) route to their real decoders, where a
+    # truncated payload fails its own parse instead of the dispatch
     with pytest.raises(ValueError, match="unknown media container"):
-        decode_media(b"\xff\xd8\xff\xe0....")
+        decode_media(b"GIF87a......")
+    with pytest.raises(ValueError, match="unknown media container"):
+        decode_media(b"\x00\x00\x00\x18ftypmp42....")
     with pytest.raises(ValueError):
         decode_media(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(ValueError):
+        decode_media(b"\xff\xd8\xff\xe0....")
 
 
 def test_synth_decode_spark_round_trip(spark):
@@ -229,3 +233,105 @@ def test_png_nonconstant_and_grayscale():
     m = _decode_png(png)
     assert (m["width"], m["height"], m["n_channels"]) == (4, 3, 1)
     assert m["mean_byte"] == sum(expected) / len(expected)
+
+
+def test_jpeg_roundtrip_and_spark_path(spark):
+    """Baseline JPEG (round 15, second wave): encode/decode round-trip
+    across sizes spanning partial MCUs and DC categories 0..8, plus
+    the Spark synth → decode path with doc_id-derived parameters."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.multimodal import (
+        _decode_jpeg,
+        decode_media,
+        decode_media_meta,
+        encode_jpeg_gray,
+        synth_jpeg_payloads,
+    )
+
+    for w, h, f in [(1, 1, 0), (8, 8, 128), (23, 11, 77), (24, 16, 255)]:
+        m = decode_media(encode_jpeg_gray(w, h, f))
+        assert (m["kind"], m["width"], m["height"], m["n_channels"]) == (
+            "jpeg", w, h, 1,
+        )
+        assert m["mean_byte"] == float(f)
+
+    docs = spark.createDataFrame([(i,) for i in (0, 7, 100)], "doc_id long")
+    rows = {
+        r.doc_id: r
+        for r in decode_media_meta(synth_jpeg_payloads(docs)).collect()
+    }
+    for d in (0, 7, 100):
+        r = rows[d]
+        assert (r.width, r.height, r.mean_byte) == (
+            1 + d % 23, 1 + d % 11, float((d * 13) % 256),
+        )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):  # progressive SOF2 rejected loudly
+        bad = bytearray(encode_jpeg_gray(8, 8, 10))
+        i = bytes(bad).find(b"\xff\xc0")
+        bad[i + 1] = 0xC2
+        _decode_jpeg(bytes(bad))
+
+
+def test_jpeg_ac_path_hand_fixture():
+    """The decoder's AC run-length + IDCT path, pinned against an
+    INDEPENDENT per-pixel cosine computation (math.cos, no numpy, no
+    decoder code): a hand-assembled 8x8 JPEG whose entropy stream
+    encodes DC=0 and a single AC coefficient at zigzag position 1
+    (u=0, v=1) of magnitude +1 -> dequantized 16. Any huffman, EXTEND,
+    zigzag, dequant, or IDCT slip moves the mean."""
+    import math
+    import struct
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.multimodal import (
+        _JPEG_QTABLE,
+        _decode_jpeg,
+        _huff_canonical,
+    )
+
+    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dc_vals = list(range(12))
+    # AC table with EOB (0x00) and run=0/size=1 (0x01)
+    ac_bits = [0, 2] + [0] * 14
+    ac_vals = [0x00, 0x01]
+    dc_codes = _huff_canonical(dc_bits, dc_vals)
+    ac_codes = _huff_canonical(ac_bits, ac_vals)
+    # DC cat 0, then AC (0,1) with value bit 1 (+1), then EOB
+    bits = dc_codes[0] + ac_codes[0x01] + "1" + ac_codes[0x00]
+    bits += "1" * (-len(bits) % 8)
+    entropy = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = int(bits[i : i + 8], 2)
+        entropy.append(byte)
+        if byte == 0xFF:
+            entropy.append(0x00)
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    payload = (
+        b"\xff\xd8"
+        + seg(0xFFDB, bytes([0]) + bytes(_JPEG_QTABLE))
+        + seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        + seg(
+            0xFFC4,
+            bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
+            + bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals),
+        )
+        + seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bytes(entropy)
+        + b"\xff\xd9"
+    )
+    # independent reference: pixel(x, y) = round(clamp(
+    #   0.25 * (1/sqrt(2)) * 16 * cos((2y+1)*pi/16) + 128))
+    ref = []
+    for x in range(8):
+        for y in range(8):
+            v = 0.25 * (1 / math.sqrt(2)) * 16.0 * math.cos(
+                (2 * y + 1) * math.pi / 16
+            ) + 128.0
+            ref.append(min(255, max(0, round(v))))
+    m = _decode_jpeg(payload)
+    assert (m["width"], m["height"], m["n_channels"]) == (8, 8, 1)
+    assert m["mean_byte"] == sum(ref) / 64.0

@@ -307,6 +307,7 @@ EXCHANGE_CEILING = {
     # PNG decode is two chained mapInPandas stages over the scan —
     # map-only like multimodal_decode
     "multimodal_decode_png": 0,
+    "multimodal_decode_jpeg": 0,
     # one documents scan through blocklist anti-join + the full text
     # stack; exchanges = blocklist dim distinct (tiny, filtered side)
     # + its broadcast + digest dedup window + domain-cap window

@@ -2329,8 +2329,136 @@ def probe_text_train(spark, sf_dir: str, n: int) -> dict:
     return results
 
 
+def probe_r15_ops(spark, sf_dir: str, n: int) -> dict:
+    """Round-15 surfaces at scale: multi-script language ID, apply-time
+    BPE segmentation, and the calibrated sigmoid fit on an
+    N×-replicated corpus (disjoint doc_id spaces in label-aligned
+    multiples; replica doc_ids keep doc_id % 32 and % 3 and % 4, so
+    the planted language, scorer label, and OOV word of every replica
+    match its original). Invariants recorded:
+
+    - lang_id_script accuracy stays EXACTLY 1.0 at every N (the
+      classifier is per-row; replication cannot move an argmax);
+    - applied-BPE per-doc stats are replication-invariant → the
+      global (n_words, n_subwords, n_chars) totals divide exactly
+      by N (merge table itself invariant — text_train's proof);
+    - the sigmoid fit's bias and top-weight fingerprint under
+      replication (decimal gradient sums scale by exactly N and the
+      /n normalizer cancels it up to one double conversion — recorded,
+      like scorer_fit, as a near-invariance measurement).
+
+    Costs: lang-ID and segmentation are map-only scans (expect
+    ~linear); the fit is epochs × (scan + 256-cell aggregate)."""
+    import hashlib
+
+    import __spark_entry__ as entry
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.bpe import (
+        bpe_token_stats_applied,
+        bpe_train,
+        vocab_with_freq,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.scorer import (
+        hashed_count_rows,
+        scorer_fit_sig,
+        scorer_predict_sig,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # 32 | 96, 3 | 96, 4 | 96 → every planted modulus stays aligned
+    step = 96 * 104_167  # ≈ 10M, divisible by 96
+    dcopies = docs.crossJoin(
+        spark.range(n).select(F.col("id").alias("rep"))
+    ).select((F.col("doc_id") + F.col("rep") * step).alias("doc_id"), "text")
+    dout = os.path.join(tempfile.gettempdir(), f"documents_r15_x{n}.parquet")
+    dcopies.write.mode("overwrite").parquet(dout)
+    sdocs = spark.read.parquet(dout)
+    results = {
+        "family": "r15_ops",
+        "replication": n,
+        "rows": sdocs.count(),
+    }
+
+    # 1) multi-script language ID over the planted corpus
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.langid import (
+        assemble_script_pred,
+        predict_lang_ngram,
+        script_profile_cols,
+    )
+
+    planted = entry._plant_multiscript(sdocs)
+    cols = script_profile_cols(F.col("text"))
+    staged = planted.select(
+        "doc_id",
+        "true_lang",
+        predict_lang_ngram(F.col("text")).alias("pl"),
+        cols["sb"].alias("sb"),
+        cols["cyr"].alias("cyr"),
+        cols["arb"].alias("arb"),
+    ).select(
+        "true_lang",
+        assemble_script_pred(
+            F.col("sb"), F.col("cyr"), F.col("arb"), F.col("pl")
+        ).alias("pred"),
+    )
+    t0 = time.perf_counter()
+    acc = staged.select(
+        (F.col("pred") == F.col("true_lang")).cast("int").alias("ok")
+    ).agg(F.avg("ok")).first()[0]
+    results["langid_s"] = round(time.perf_counter() - t0, 2)
+    results["langid_acc"] = float(acc)
+
+    # 2) apply-time BPE segmentation (merges trained on the replicated
+    # corpus — invariant per text_train; stats totals divide by N)
+    vocab = vocab_with_freq(sdocs, top_v=1024)
+    merge_rows, _segs = bpe_train(vocab, k_merges=8)
+    merges = [(a, b) for _s, a, b, _c in merge_rows]
+    oov = entry._plant_bpe_oov(sdocs)
+    t0 = time.perf_counter()
+    tot = (
+        bpe_token_stats_applied(oov, merges)
+        .agg(
+            F.sum("n_words").alias("w"),
+            F.sum("n_subwords").alias("s"),
+            F.sum("n_chars").alias("c"),
+        )
+        .first()
+    )
+    results["bpe_apply_s"] = round(time.perf_counter() - t0, 2)
+    results["bpe_totals_divisible"] = all(
+        int(v) % n == 0 for v in (tot.w, tot.s, tot.c)
+    )
+    results["bpe_totals_fp"] = hashlib.md5(
+        repr((int(tot.w) // n, int(tot.s) // n, int(tot.c) // n)).encode()
+    ).hexdigest()[:12]
+
+    # 3) calibrated sigmoid fit
+    planted_y = entry._plant_scored_docs(sdocs)
+    cv = hashed_count_rows(planted_y, F.col("y"), n_buckets=256).persist()
+    cv.count()
+    t0 = time.perf_counter()
+    w, bias = scorer_fit_sig(cv, n_buckets=256, epochs=8)
+    results["sig_fit8_s"] = round(time.perf_counter() - t0, 2)
+    results["sig_bias"] = bias
+    results["sig_top_buckets"] = sorted(
+        range(256), key=lambda b: -w[b]
+    )[:8]
+    ok = (
+        scorer_predict_sig(cv, w, bias)
+        .select((F.col("keep") == (F.col("y") == 1)).cast("int").alias("ok"))
+        .agg(F.avg("ok"))
+        .first()[0]
+    )
+    results["sig_train_acc"] = round(float(ok), 4)
+    cv.unpersist()
+    return results
+
+
 FAMILIES = {
     "graph": probe_graph,
+    "r15_ops": probe_r15_ops,
     "pq": probe_pq,
     "pq_residual": probe_pq_residual,
     "scorer_fit": probe_scorer_fit,
