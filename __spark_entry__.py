@@ -3495,6 +3495,240 @@ def _q_curation_full_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the training-mix language allowlist of the multiscript curation
+#: pipeline — a "top-8" target set spanning all routing families
+#: (Latin, Cyrillic, Arabic-script, Devanagari, CJK, Hangul, Thai).
+_MS_TARGETS = ("ar", "en", "hi", "ja", "ko", "ru", "th", "zh")
+
+
+def _plant_multiscript_mix(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The multiscript CURATION corpus: 3 of every 4 docs carry a
+    32-language snippet (language = floor((doc_id % 128) / 4), so each
+    language owns 4-id blocks) with a ``doc_id % 7`` digit suffix —
+    varying the digest so exact dedup stays non-trivial without
+    disturbing script routing (digits are letters of NO script) — and
+    every 4th doc keeps its ORIGINAL corpus text (true_lang
+    'corpus'), so the Latin path gates real text variance instead of
+    32 fixed outcomes.
+
+    The snippets arrive via a BROADCAST 32-row dim, NOT an
+    element_at(lit(array)) expression (the _plant_multiscript shape):
+    downstream FILTERS over the classifier push through this
+    projection by alias substitution, and the 800-odd trigram
+    references each inline a full copy of the planted expression —
+    with a 3 KB literal array that exploded the plan to 3.3 MB of
+    interpreted CASE trees (measured: 10.4 s for 500 docs). As a dim
+    column the substituted copy is a few tokens."""
+    langs, snippets = _multiscript_corpus()
+    dim = spark.createDataFrame(
+        [(i, langs[i], snippets[i]) for i in range(len(langs))],
+        "idx int, plang string, snip string",
+    )
+    use_orig = F.col("doc_id") % 4 == 3
+    idx = F.floor((F.col("doc_id") % 128) / F.lit(4.0)).cast("int")
+    joined = docs.select("doc_id", "text", idx.alias("_idx")).join(
+        F.broadcast(dim), F.col("_idx") == F.col("idx")
+    )
+    planted = F.concat(
+        F.col("snip"), F.lit(" "), (F.col("doc_id") % 7).cast("string")
+    )
+    return joined.select(
+        "doc_id",
+        F.when(use_orig, F.lit("corpus"))
+        .otherwise(F.col("plang"))
+        .alias("true_lang"),
+        F.when(use_orig, F.col("text")).otherwise(planted).alias("text"),
+    )
+
+
+def _q_script_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-aware vs whitespace quality stacks, side by side (round
+    15 second wave): over the 32-language planted corpus, per-language
+    doc counts, token sums and keep counts under BOTH stacks — the
+    dual-output divergence shape (lang_id_script's). The whitespace
+    stack (functions/text.py) reads a CJK/Thai document as ONE token
+    (floor-rejected) and counts every non-ASCII letter as punctuation
+    noise, so it keeps ~0 non-Latin docs however clean the prose; the
+    script stack (functions/scriptq.py) counts continua characters as
+    tokens and letter density of ANY script as prose-ness, keeping
+    them all. Pure map-side expressions + one 32-group aggregate;
+    min() over doubles (order-free) keeps the hash exact."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.scriptq import (
+        quality_score_script,
+        script_token_count,
+    )
+
+    docs = _plant_multiscript(load_table(spark, sf_dir, "documents"))
+    per = docs.select(
+        "true_lang",
+        tx.token_count(F.col("text")).alias("n_ws"),
+        script_token_count(F.col("text")).alias("n_sc"),
+        tx.quality_score(F.col("text")).alias("q_ws"),
+        quality_score_script(F.col("text")).alias("q_sc"),
+    )
+    kept_ws = (F.col("n_ws") >= 5) & (F.col("q_ws") >= 0.5)
+    kept_sc = (F.col("n_sc") >= 5) & (F.col("q_sc") >= 0.5)
+    return per.groupBy("true_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ws").cast("long").alias("sum_tokens_ws"),
+        F.sum("n_sc").cast("long").alias("sum_tokens_script"),
+        F.sum(kept_ws.cast("int")).cast("long").alias("n_kept_ws"),
+        F.sum(kept_sc.cast("int")).cast("long").alias("n_kept_script"),
+        F.min("q_ws").alias("min_q_ws"),
+        F.min("q_sc").alias("min_q_script"),
+    )
+
+
+def _q_curation_multiscript(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MULTILINGUAL curation pipeline (round 15 second wave) —
+    what curation_full becomes once the corpus stops being English:
+    one scan through the 32-language script-routed classifier
+    (lang_id_script's staged projections) gating on a top-8 training
+    mix, script-aware token floor and quality floor
+    (functions/scriptq.py), repetition ROUTED by script — continua
+    documents gate on the duplicate char-trigram fraction (word
+    shingles see one giant word), spaced documents on the Gopher word
+    shingles with multilingual thresholds (0.15/0.10/0.05; the
+    English-tuned 0.12 top-word bar rejects clean Arabic/Russian
+    prose, whose function words repeat more than English's) — then
+    exact dedup keeping the lowest doc_id per digest. charlm stays
+    out by design: the LM table is English-trained and would re-bias
+    the gate the pipeline just unbiased. Corpus: 3/4 planted
+    snippets across all 32 languages (digit-suffixed so dedup is
+    non-trivial), 1/4 original text exercising the Latin path on real
+    variance. Only the routed branch's metric is evaluated per row
+    (CaseWhen branches run conditionally in codegen); the single
+    exchange is the digest dedup window.
+
+    EXPRESSION-TREE DISCIPLINE (measured this round, the hard way):
+    classifier staging MUST be paired with a filter-pushdown fence.
+    Without one, PushPredicateThroughNonJoin substitutes the staged
+    aliases into every predicate (no cheapness guard, unlike
+    CollapseProject), the substitution compounds through the
+    Project/Filter chain, and the plan exploded to 3.9 MB of
+    interpreted CASE trees — 10 s of OPTIMIZER time + 8 s interpreted
+    eval for 500 docs. The fence is ``observe()``: Spark never pushes
+    predicates through a CollectMetrics node (doing so would change
+    the observed metrics), it costs nothing per row, and the metric
+    is one a curation run wants anyway (documents classified). A
+    non-deterministic sentinel column does NOT work — ColumnPruning
+    strips the unused column and the pushdown fires on the next
+    fixed-point pass (measured). With the fence: filters stay above,
+    every heavy column is computed once as an attribute, and the plan
+    drops to 66 KB / 1.3 s optimize / 2.1 s warm exec."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.langid import (
+        assemble_script_pred,
+        predict_lang_ngram,
+        script_profile_cols,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.scriptq import (
+        char_ngram_dup_frac,
+        is_continua,
+        quality_score_script,
+        script_token_count,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.text import (
+        repetition_stats,
+    )
+
+    docs = _plant_multiscript_mix(
+        spark, load_table(spark, sf_dir, "documents")
+    )
+    base = docs.select(
+        "doc_id",
+        "text",
+        F.lower(F.coalesce(F.col("text"), F.lit(""))).alias("s"),
+    )
+    cols = script_profile_cols(F.col("text"))
+    staged = base.select(
+        "doc_id",
+        "text",
+        "s",
+        predict_lang_ngram(F.col("text")).alias("_lat"),
+        cols["sb"].alias("_sb"),
+        cols["cyr"].alias("_cyr"),
+        cols["arb"].alias("_arb"),
+        script_token_count(F.col("text")).alias("n_tokens"),
+        quality_score_script(F.col("text")).alias("quality"),
+        is_continua(F.col("s")).cast("int").alias("cont"),
+    ).observe(
+        "curation_multiscript_classified",
+        F.count(F.lit(1)).alias("n_classified"),
+    )
+    scored = staged.select(
+        "doc_id",
+        "text",
+        "s",
+        "n_tokens",
+        "quality",
+        "cont",
+        assemble_script_pred(
+            F.col("_sb"), F.col("_cyr"), F.col("_arb"), F.col("_lat")
+        ).alias("pred"),
+    ).filter(
+        F.col("pred").isin(*_MS_TARGETS)
+        & (F.col("n_tokens") >= 5)
+        & (F.col("quality") >= 0.5)
+    )
+    rep = repetition_stats(F.col("text"))
+    survivors = scored.withColumn(
+        "rep_ok",
+        F.when(
+            F.col("cont") == 1, char_ngram_dup_frac(F.col("s"), 3) <= 0.20
+        ).otherwise(
+            (rep.getField("top_word_frac") <= 0.15)
+            & (rep.getField("dup_2gram_frac") <= 0.10)
+            & (rep.getField("dup_3gram_frac") <= 0.05)
+        ),
+    ).filter(F.col("rep_ok")).select(
+        "doc_id",
+        F.md5("text").alias("digest"),
+        "pred",
+        "n_tokens",
+        "quality",
+        "cont",
+    )
+    min_id = F.min("doc_id").over(Window.partitionBy("digest"))
+    return (
+        survivors.withColumn("min_id", min_id)
+        .filter(F.col("doc_id") == F.col("min_id"))
+        .select("doc_id", "digest", "pred", "n_tokens", "quality", "cont")
+    )
+
+
+def _q_sequence_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-aware sequence packing (round 15 second wave): the
+    two trained-artifact stages composed — per-doc REAL subword counts
+    under the in-engine-trained BPE merge table (apply-time
+    segmentation over every word, planted OOV included) feed the
+    shard-local prefix-sum packer, so bins are sized in the tokens a
+    training run actually pays, not whitespace words. Corpus cost:
+    ONE vocabulary-bounded trainer aggregate (cached) + one scan with
+    the 2·k-replace segmentation expression + the per-shard packing
+    windows (32 parallel windows, no global orderBy) + the final bin
+    rollup. The twin re-derives the merges with the unrolled trainer
+    CTEs, replays the identical replace chain, and packs with the
+    same running-sum window — integer-exact end to end."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.bpe import (
+        bpe_token_stats_applied,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.packing import (
+        pack_sequences,
+        pack_stats,
+    )
+
+    merge_rows, _segs = _bpe_cached(spark, sf_dir)
+    merges = [(a, b) for _step, a, b, _c in merge_rows]
+    docs = _plant_bpe_oov(load_table(spark, sf_dir, "documents"))
+    stats = bpe_token_stats_applied(docs, merges).select(
+        "doc_id", "n_subwords"
+    )
+    packed = pack_sequences(
+        stats, budget=512, shards=32, tokens_col="n_subwords"
+    )
+    return pack_stats(packed, tokens_col="n_subwords")
+
+
 def _domain_alpha_rates(doms: DataFrame) -> DataFrame:
     """Per-domain α=0.5 mixture table over a (doc_id, reg_domain)
     frame: (reg_domain, n_docs, share_raw, share_alpha, rate,
@@ -8275,6 +8509,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mixture_alpha": _q_domain_mixture_alpha,
         "curation_full": _q_curation_full,
         "curation_full_web": _q_curation_full_web,
+        "script_quality_stats": _q_script_quality_stats,
+        "curation_multiscript": _q_curation_multiscript,
+        "sequence_packing_bpe": _q_sequence_packing_bpe,
         "mixture_sampled_counts": _q_mixture_sampled_counts,
         "redacted_cleaned_text": _q_redacted_cleaned_text,
         "tf_cosine_pairs": _q_tf_cosine_pairs,
@@ -10024,14 +10261,14 @@ def _bpe_ctes(k: int = None, top_v: int = None) -> str:
     return ",".join(parts)
 
 
-def _bpe_applied_oracle() -> str:
-    """Twin of bpe_token_stats_applied: merges re-derived by the SAME
-    unrolled trainer CTEs (_bpe_ctes → best1..best{k}, on the UNPLANTED
-    corpus), the planted OOV word appended per doc, and the merge list
-    replayed over EVERY token as k rounds of the identical two-pass
-    padded replace (LEFT JOIN best{r} ON TRUE — the bws-round shape,
-    over the token table instead of the vocab). Integer counts only —
-    bit-exact by construction."""
+def _bpe_applied_prefix() -> str:
+    """WITH-clause prefix shared by the applied-BPE oracles: the
+    unrolled trainer CTEs (_bpe_ctes → best1..best{k}, on the
+    UNPLANTED corpus), the planted OOV word appended per doc, and the
+    merge list replayed over EVERY token as k rounds of the identical
+    two-pass padded replace (LEFT JOIN best{r} ON TRUE — the bws-round
+    shape, over the token table instead of the vocab). Ends at
+    ``aseg{_BPE_K}(doc_id, w, seg)``."""
     k = _BPE_K
     plant_arr = "['" + "', '".join(_BPE_PLANT_WORDS) + "']"
     np = len(_BPE_PLANT_WORDS)
@@ -10065,14 +10302,50 @@ def _bpe_applied_oracle() -> str:
                    || chr(1) AS seg
           FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS w FROM apdocs)
         ),
-        {",".join(rounds)}
+        {",".join(rounds)}"""
+
+
+def _bpe_applied_oracle() -> str:
+    """Twin of bpe_token_stats_applied: the shared applied-BPE prefix
+    (:func:`_bpe_applied_prefix`), rolled up per doc. Integer counts
+    only — bit-exact by construction."""
+    return f"""{_bpe_applied_prefix()}
         SELECT doc_id, CAST(count(*) AS INTEGER) AS n_words,
                CAST(sum(greatest(
                  length(seg) - length(replace(seg, chr(1), '')) - 1, 0))
                  AS BIGINT) AS n_subwords,
                CAST(sum(length(w)) AS BIGINT) AS n_chars
-        FROM aseg{k}
+        FROM aseg{_BPE_K}
         GROUP BY 1
+    """
+
+
+def _bpe_packing_oracle() -> str:
+    """Twin of sequence_packing_bpe: the shared applied-BPE prefix
+    rolled up to per-doc subword counts, then EXACTLY the
+    sequence_packing window — shard = doc_id % 32, bin =
+    floor(prefix-sum-before / 512) — and the per-bin fill rollup.
+    Integer-exact end to end."""
+    return f"""{_bpe_applied_prefix()},
+        pstats AS (
+          SELECT doc_id,
+                 CAST(sum(greatest(
+                   length(seg) - length(replace(seg, chr(1), '')) - 1, 0))
+                   AS BIGINT) AS n_subwords
+          FROM aseg{_BPE_K}
+          GROUP BY 1
+        ),
+        packed AS (
+          SELECT CAST(doc_id % 32 AS INTEGER) AS shard, n_subwords,
+                 CAST(floor(coalesce(sum(n_subwords) OVER (
+                     PARTITION BY doc_id % 32 ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) / 512) AS INTEGER) AS bin
+          FROM pstats
+        )
+        SELECT shard, bin, count(*) AS n_docs,
+               CAST(sum(n_subwords) AS BIGINT) AS total_tokens
+        FROM packed GROUP BY 1, 2
     """
 
 
@@ -10153,14 +10426,14 @@ def _dsir_ctes(nb: int = 256, salt: str = "qs") -> str:
         )"""
 
 
-def _repetition_ctes() -> str:
+def _repetition_ctes(src: str = "documents") -> str:
     """CTE block (without WITH) of the Gopher repetition signals —
     relational restatement of functions/text.py:repetition_stats
-    (same values; the Spark side is the map-only fold form). Ends at
-    ``repstats(doc_id, n_tokens, top_word_frac, dup_2gram_frac,
-    dup_3gram_frac, top_2gram_frac)``."""
+    (same values; the Spark side is the map-only fold form). Reads
+    (doc_id, text) from ``src``. Ends at ``repstats(doc_id, n_tokens,
+    top_word_frac, dup_2gram_frac, dup_3gram_frac, top_2gram_frac)``."""
     return f"""rtoks AS (SELECT doc_id, {_TOKENS_SQL} AS t
-                          FROM documents),
+                          FROM {src}),
             rw AS (
               SELECT doc_id, max(c) AS topw FROM (
                 SELECT doc_id, tok, count(*) AS c
@@ -10499,8 +10772,42 @@ def _lang_script_oracle() -> str:
     combining-mark scripts before adoption), the script argmax and all
     three profile argmaxes as integer-count row_number with the
     DESC-count, ASC-code order that mirrors array_min((−count, key)),
-    and the SAME routing CASE. Integer values only — bit-exact by
-    construction."""
+    and the SAME routing CASE (all via :func:`_script_pred_ctes`).
+    Integer values only — bit-exact by construction."""
+    langs, snippets = _multiscript_corpus()
+    nl = len(langs)
+    lang_arr = "['" + "', '".join(langs) + "']"
+    snip_arr = "['" + "', '".join(snippets) + "']"
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 ({lang_arr})[CAST(doc_id % {nl} AS INTEGER) + 1] AS true_lang,
+                 ({snip_arr})[CAST(doc_id % {nl} AS INTEGER) + 1] AS text
+          FROM documents
+        ),
+        base AS MATERIALIZED (
+          SELECT doc_id, true_lang, lower(coalesce(text, '')) AS s
+          FROM d
+        ),
+        {_script_pred_ctes()}
+        SELECT b.doc_id, b.true_lang, sp.pred,
+               lat.pred AS pred_latin_only
+        FROM base b
+        JOIN spred sp USING (doc_id)
+        JOIN lat USING (doc_id)
+    """
+
+
+def _script_pred_ctes() -> str:
+    """CTE chain (without WITH) of the 32-language script-routed
+    classifier: reads ``base(doc_id, s)`` (s pre-lowercased), ends at
+    ``spred(doc_id, pred)`` with the family argmaxes ``lat``/``cyr``/
+    ``arb`` still addressable (lang_id_script outputs lat.pred as its
+    Latin-only column). Script-block code-point counts by the SAME
+    length − length(regexp_replace(s, class, '', 'g')) arithmetic as
+    functions/langid.py, argmaxes as DESC-count/ASC-code row_number
+    mirroring array_min((−count, key)), and the same routing CASE —
+    integer values only, bit-exact by construction."""
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.langid import (
         ARABIC_PROFILES,
         CHAR_PROFILES,
@@ -10508,10 +10815,6 @@ def _lang_script_oracle() -> str:
         SCRIPT_CLASSES,
     )
 
-    langs, snippets = _multiscript_corpus()
-    nl = len(langs)
-    lang_arr = "['" + "', '".join(langs) + "']"
-    snip_arr = "['" + "', '".join(snippets) + "']"
     counts = ",\n                 ".join(
         f"length(s) - length(regexp_replace(s, '{cls}', '', 'g'))"
         f" AS c_{scr}"
@@ -10544,18 +10847,7 @@ def _lang_script_oracle() -> str:
             f") = 1\n        )"
         )
 
-    return f"""
-        WITH d AS (
-          SELECT doc_id,
-                 ({lang_arr})[CAST(doc_id % {nl} AS INTEGER) + 1] AS true_lang,
-                 ({snip_arr})[CAST(doc_id % {nl} AS INTEGER) + 1] AS text
-          FROM documents
-        ),
-        base AS MATERIALIZED (
-          SELECT doc_id, true_lang, lower(coalesce(text, '')) AS s
-          FROM d
-        ),
-        sc AS (
+    return f"""sc AS (
           SELECT doc_id,
                  {counts}
           FROM base
@@ -10570,27 +10862,201 @@ def _lang_script_oracle() -> str:
         ),
         {family_ctes('lat', CHAR_PROFILES)},
         {family_ctes('cyr', CYRILLIC_PROFILES)},
-        {family_ctes('arb', ARABIC_PROFILES)}
-        SELECT b.doc_id, b.true_lang,
-               CASE WHEN scp.h > sc.c_latin THEN
-                 CASE WHEN scp.scr = 'kana' THEN 'ja'
-                      WHEN scp.scr = 'han' THEN
-                        CASE WHEN sc.c_kana > 0 THEN 'ja' ELSE 'zh' END
-                      WHEN scp.scr = 'hangul' THEN 'ko'
-                      WHEN scp.scr = 'devanagari' THEN 'hi'
-                      WHEN scp.scr = 'thai' THEN 'th'
-                      WHEN scp.scr = 'greek' THEN 'el'
-                      WHEN scp.scr = 'hebrew' THEN 'he'
-                      WHEN scp.scr = 'cyrillic' THEN cyr.pred
-                      ELSE arb.pred END
-               ELSE lat.pred END AS pred,
-               lat.pred AS pred_latin_only
-        FROM base b
-        JOIN sc USING (doc_id)
-        JOIN scp USING (doc_id)
-        JOIN lat USING (doc_id)
-        JOIN cyr USING (doc_id)
-        JOIN arb USING (doc_id)
+        {family_ctes('arb', ARABIC_PROFILES)},
+        spred AS (
+          SELECT sc.doc_id,
+                 CASE WHEN scp.h > sc.c_latin THEN
+                   CASE WHEN scp.scr = 'kana' THEN 'ja'
+                        WHEN scp.scr = 'han' THEN
+                          CASE WHEN sc.c_kana > 0 THEN 'ja' ELSE 'zh' END
+                        WHEN scp.scr = 'hangul' THEN 'ko'
+                        WHEN scp.scr = 'devanagari' THEN 'hi'
+                        WHEN scp.scr = 'thai' THEN 'th'
+                        WHEN scp.scr = 'greek' THEN 'el'
+                        WHEN scp.scr = 'hebrew' THEN 'he'
+                        WHEN scp.scr = 'cyrillic' THEN cyr.pred
+                        ELSE arb.pred END
+                 ELSE lat.pred END AS pred
+          FROM sc
+          JOIN scp USING (doc_id)
+          JOIN lat USING (doc_id)
+          JOIN cyr USING (doc_id)
+          JOIN arb USING (doc_id)
+        )"""
+
+
+def _scriptq_sql_parts() -> dict[str, str]:
+    """SQL twins of the functions/scriptq.py expressions over a
+    pre-lowercased column ``s`` — identical regex-count and division
+    arithmetic (the char-trigram slice and the division chains probed
+    bit-equal across engines on CJK/Thai/Devanagari fixtures)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.scriptq import (
+        CLEAN_CLASS,
+        CONTINUA_CLASS,
+        LETTER_CLASS,
+    )
+
+    cont = (
+        f"(length(s) - length(regexp_replace(s, '{CONTINUA_CLASS}',"
+        f" '', 'g')))"
+    )
+    letters = (
+        f"(length(s) - length(regexp_replace(s, '{LETTER_CLASS}',"
+        f" '', 'g')))"
+    )
+    ws = (
+        "len(list_filter(string_split_regex(lower(trim("
+        f"regexp_replace(s, '{CONTINUA_CLASS}', ' ', 'g'))), '\\s+'),"
+        " x -> x <> ''))"
+    )
+    n_sc = f"CAST({cont} + {ws} AS INTEGER)"
+    letter_ratio = (
+        f"CASE WHEN length(s) > 0 THEN {letters} / length(s)"
+        f" ELSE 0.0 END"
+    )
+    noise_ratio = (
+        f"CASE WHEN length(s) > 0 THEN"
+        f" length(regexp_replace(s, '{CLEAN_CLASS}', '', 'g'))"
+        f" / length(s) ELSE 0.0 END"
+    )
+    q_sc = (
+        f"(least({n_sc} / 100.0, 1.0)"
+        f" + least(({letter_ratio}) * 1.25, 1.0)"
+        f" + (1.0 - ({noise_ratio}))) / 3.0"
+    )
+    char3 = (
+        "CASE WHEN length(s) >= 3 THEN"
+        " 1.0 - CAST(len(list_distinct(list_transform("
+        "range(1, length(s) - 1),"
+        " i -> substr(s, CAST(i AS INTEGER), 3)))) AS DOUBLE)"
+        " / (length(s) - 2) ELSE 0.0 END"
+    )
+    return {
+        "cont": cont,
+        "letters": letters,
+        "n_sc": n_sc,
+        "q_sc": q_sc,
+        "char3": char3,
+    }
+
+
+def _script_quality_oracle() -> str:
+    """Twin of script_quality_stats: the 32-language planted corpus,
+    the whitespace stack exactly as _curation_oracle states it (token
+    count / stopword quality / ASCII punct ratio) next to the
+    script-aware stack (:func:`_scriptq_sql_parts`), rolled up per
+    true_lang with integer sums and order-free double mins."""
+    langs, snippets = _multiscript_corpus()
+    nl = len(langs)
+    lang_arr = "['" + "', '".join(langs) + "']"
+    snip_arr = "['" + "', '".join(snippets) + "']"
+    p = _scriptq_sql_parts()
+    q_ws = f"""(least(len(toks) / 100.0, 1.0)
+                 + least((CASE WHEN len(toks) > 0
+                          THEN len(list_filter(toks, t -> list_contains({_STOPWORDS_SQL}, t))) / len(toks)
+                          ELSE 0.0 END) * 5.0, 1.0)
+                 + (1.0 - (CASE WHEN length(text) > 0
+                           THEN length(stripped) / length(text)
+                           ELSE 0.0 END))) / 3.0"""
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 ({lang_arr})[CAST(doc_id % {nl} AS INTEGER) + 1] AS true_lang,
+                 ({snip_arr})[CAST(doc_id % {nl} AS INTEGER) + 1] AS text
+          FROM documents
+        ),
+        t AS (
+          SELECT doc_id, true_lang, text,
+                 lower(coalesce(text, '')) AS s,
+                 {_TOKENS_SQL} AS toks,
+                 regexp_replace(lower(text), '[a-z0-9 ]', '', 'g') AS stripped
+          FROM d
+        ),
+        m AS (
+          SELECT true_lang,
+                 CAST(len(toks) AS INTEGER) AS n_ws,
+                 {q_ws} AS q_ws,
+                 {p['n_sc']} AS n_sc,
+                 {p['q_sc']} AS q_sc
+          FROM t
+        )
+        SELECT true_lang, count(*) AS n_docs,
+               CAST(sum(n_ws) AS BIGINT) AS sum_tokens_ws,
+               CAST(sum(n_sc) AS BIGINT) AS sum_tokens_script,
+               CAST(sum(CASE WHEN n_ws >= 5 AND q_ws >= 0.5
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_ws,
+               CAST(sum(CASE WHEN n_sc >= 5 AND q_sc >= 0.5
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_script,
+               min(q_ws) AS min_q_ws,
+               min(q_sc) AS min_q_script
+        FROM m GROUP BY 1
+    """
+
+
+def _curation_multiscript_oracle() -> str:
+    """Twin of curation_multiscript: the planted mixed corpus (3/4
+    digit-suffixed 32-language snippets, 1/4 original text), the
+    script-routed classifier chain (:func:`_script_pred_ctes`), the
+    script-aware floors (:func:`_scriptq_sql_parts`), repetition
+    ROUTED by the continua predicate — char-trigram duplicate fraction
+    for continua docs, the Gopher word shingles
+    (:func:`_repetition_ctes` over the cheap survivors) with
+    multilingual thresholds otherwise — then the exact-dedup
+    keep-min join."""
+    langs, snippets = _multiscript_corpus()
+    snip_arr = "['" + "', '".join(snippets) + "']"
+    p = _scriptq_sql_parts()
+    targets = "', '".join(_MS_TARGETS)
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 4 = 3 THEN text
+                      ELSE ({snip_arr})[CAST(floor((doc_id % 128) / 4.0)
+                                        AS INTEGER) + 1]
+                           || ' ' || CAST(doc_id % 7 AS VARCHAR) END AS text
+          FROM documents
+        ),
+        base AS MATERIALIZED (
+          SELECT doc_id, text, lower(coalesce(text, '')) AS s FROM d
+        ),
+        {_script_pred_ctes()},
+        met AS (
+          SELECT doc_id, text, s,
+                 {p['n_sc']} AS n_tokens,
+                 {p['q_sc']} AS quality,
+                 CASE WHEN {p['cont']} * 2 > {p['letters']}
+                      THEN 1 ELSE 0 END AS cont
+          FROM base
+        ),
+        cheap AS MATERIALIZED (
+          SELECT m.doc_id, m.text, m.s, m.n_tokens, m.quality, m.cont,
+                 sp.pred
+          FROM met m JOIN spred sp USING (doc_id)
+          WHERE sp.pred IN ('{targets}')
+            AND m.n_tokens >= 5 AND m.quality >= 0.5
+        ),
+        {_repetition_ctes(src='cheap')},
+        c3 AS (
+          SELECT doc_id, {p['char3']} AS dupc FROM cheap
+        ),
+        surv AS (
+          SELECT ch.doc_id, ch.text, ch.pred, ch.n_tokens, ch.quality,
+                 ch.cont
+          FROM cheap ch
+          JOIN repstats r USING (doc_id)
+          JOIN c3 USING (doc_id)
+          WHERE CASE WHEN ch.cont = 1 THEN c3.dupc <= 0.20
+                     ELSE r.top_word_frac <= 0.15
+                          AND r.dup_2gram_frac <= 0.10
+                          AND r.dup_3gram_frac <= 0.05 END
+        ),
+        canon AS (
+          SELECT md5(text) AS digest, min(doc_id) AS doc_id
+          FROM surv GROUP BY 1
+        )
+        SELECT s2.doc_id, c.digest, s2.pred, s2.n_tokens, s2.quality,
+               s2.cont
+        FROM surv s2 JOIN canon c ON s2.doc_id = c.doc_id
     """
 
 
@@ -12353,6 +12819,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "curation_full": _curation_oracle(full=True),
         "curation_full_web": _curation_oracle(full=True, web=True),
+        "script_quality_stats": _script_quality_oracle(),
+        "curation_multiscript": _curation_multiscript_oracle(),
+        "sequence_packing_bpe": _bpe_packing_oracle(),
         "mixture_sampled_counts": f"""
             WITH {_url_domain_ctes()},
             per AS (

@@ -269,6 +269,10 @@ HEADLINE = [
     "scorer_trained_sig",
     "scorer_sig_scores",
     "curation_full_web",
+    # round-15 second wave: script-aware quality + composed pipelines
+    "script_quality_stats",
+    "curation_multiscript",
+    "sequence_packing_bpe",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

@@ -1,0 +1,204 @@
+"""Script-aware quality gates (round 15 second wave) — unit and
+property tests for functions/scriptq.py plus the composed
+script_quality_stats / curation_multiscript / sequence_packing_bpe
+pipeline contracts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.scriptq import (
+    CLEAN_CLASS,
+    CONTINUA_CLASS,
+    CONTINUA_SCRIPTS,
+    LETTER_CLASS,
+    char_ngram_dup_frac,
+    continua_char_count,
+    is_continua,
+    letter_count,
+    letter_ratio,
+    quality_score_script,
+    script_token_count,
+)
+from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.text import (
+    quality_score,
+    token_count,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+ZH = "在上海这个城市里很多人每天早上都会去公园散步然后喝茶聊天看看风景"
+JA = "東京の街では多くの人が朝早く起きて公園を散歩してお茶を飲みながら話をしています"
+TH = "ในกรุงเทพผู้คนเดินไปตลาดเพื่อซื้ออาหารและพูดคุยกับเพื่อนในตอนเช้า"
+RU = "в москве сегодня хорошая погода и многие люди гуляют в парке"
+EN = "the quick brown fox jumps over the lazy dog and runs to the park"
+HI = "भारत में लोग सुबह उठकर बाजार जाते हैं"
+
+
+def _one(spark, text, expr):
+    df = spark.createDataFrame([(text,)], "text string")
+    s = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    return df.select(expr(F.col("text"), s).alias("v")).first().v
+
+
+def test_script_token_count_equals_ws_on_ascii(spark):
+    """On pure spaced-script text the proxy IS the whitespace count."""
+    df = spark.createDataFrame([(EN,), (RU,), (HI,), ("",)], "text string")
+    rows = df.select(
+        script_token_count(F.col("text")).alias("sc"),
+        token_count(F.col("text")).alias("ws"),
+    ).collect()
+    for r in rows:
+        assert r.sc == r.ws
+
+
+def test_script_token_count_is_char_count_on_continua(spark):
+    """Pure CJK/Thai text counts one token per character."""
+    df = spark.createDataFrame([(ZH,), (JA,), (TH,)], "text string")
+    rows = df.select(
+        script_token_count(F.col("text")).alias("sc"),
+        F.length(F.col("text")).alias("n"),
+        token_count(F.col("text")).alias("ws"),
+    ).collect()
+    for r in rows:
+        assert r.sc == r.n
+        assert r.ws == 1  # the whitespace stack sees ONE giant token
+
+
+def test_script_token_count_mixed_adds(spark):
+    """Mixed text: continua chars + whitespace tokens of the rest
+    (continua chars replaced by spaces split the Latin runs)."""
+    v = _one(spark, "abc 在上海 def", lambda t, s: script_token_count(t))
+    assert v == 3 + 2  # 在上海 = 3 chars, abc/def = 2 ws tokens
+
+
+def test_is_continua_majority_routing(spark):
+    """Majority-of-letters, not presence: a Latin doc quoting one CJK
+    char keeps word metrics."""
+    cases = [
+        (ZH, True),
+        (JA, True),
+        (TH, True),
+        (RU, False),
+        (EN, False),
+        (HI, False),
+        (EN + " 在", False),  # quote, not majority
+        ("在上 a", True),  # 2 continua > 1 latin
+    ]
+    df = spark.createDataFrame([(t,) for t, _e in cases], "text string")
+    got = [
+        r.v
+        for r in df.select(
+            is_continua(F.lower(F.coalesce(F.col("text"), F.lit("")))).alias(
+                "v"
+            )
+        ).collect()
+    ]
+    assert got == [e for _t, e in cases]
+
+
+def test_char_ngram_dup_frac_values(spark):
+    """Hand-computed duplicate trigram fractions, including the
+    sub-length guard (sequence() would COUNT DOWN without it)."""
+    cases = [
+        ("aaaa", 0.5),  # [aaa, aaa] → 1 distinct of 2
+        ("ab", 0.0),  # shorter than n → guard
+        ("", 0.0),
+        ("abcdef", 0.0),  # all distinct
+        ("ababab", 0.5),  # [aba,bab,aba,bab] → 2 of 4
+    ]
+    df = spark.createDataFrame([(t,) for t, _e in cases], "s string")
+    got = [
+        r.v
+        for r in df.select(char_ngram_dup_frac(F.col("s"), 3).alias("v"))
+        .collect()
+    ]
+    for (t, e), g in zip(cases, got):
+        assert abs(g - e) < 1e-12, (t, e, g)
+
+
+def test_quality_divergence_ws_rejects_script_keeps(spark):
+    """THE defect this module fixes: clean non-Latin prose fails the
+    whitespace gates (token floor or English-centric quality) and
+    passes the script-aware gates."""
+    df = spark.createDataFrame(
+        [(ZH,), (JA,), (TH,), (RU,), (HI,)], "text string"
+    )
+    rows = df.select(
+        token_count(F.col("text")).alias("n_ws"),
+        quality_score(F.col("text")).alias("q_ws"),
+        script_token_count(F.col("text")).alias("n_sc"),
+        quality_score_script(F.col("text")).alias("q_sc"),
+    ).collect()
+    for r in rows:
+        assert not (r.n_ws >= 5 and r.q_ws >= 0.5), r
+        assert r.n_sc >= 5 and r.q_sc >= 0.5, r
+
+
+def test_quality_score_script_bounds_and_empty(spark):
+    df = spark.createDataFrame(
+        [(EN,), (ZH,), ("",), ("!!!???",), (None,)], "text string"
+    )
+    rows = df.select(quality_score_script(F.col("text")).alias("q")).collect()
+    for r in rows:
+        assert 0.0 <= r.q <= 1.0
+    # pure noise scores the floor terms only: no letters, no tokens
+    noise_q = rows[3].q
+    assert noise_q < 0.5
+
+
+def test_letter_classes_cover_all_scripts(spark):
+    """Every scripted snippet is ~all letters under LETTER_CLASS; the
+    continua class covers exactly the 3 continua scripts."""
+    assert set(CONTINUA_SCRIPTS) == {"han", "kana", "thai"}
+    df = spark.createDataFrame(
+        [(ZH,), (RU,), (HI,), (EN,)], "text string"
+    )
+    rows = df.select(letter_ratio(F.col("text")).alias("lr")).collect()
+    for r in rows:
+        assert r.lr > 0.75
+    for cls in (CONTINUA_CLASS, LETTER_CLASS, CLEAN_CLASS):
+        assert cls.startswith("[") and cls.endswith("]")
+
+
+def test_curation_multiscript_contracts(spark):
+    """Survivor contracts of the composed pipeline: every survivor is
+    in the target mix, over both floors, unique per digest; continua
+    survivors exist (the pipeline keeps CJK/Thai) and would have been
+    rejected wholesale by the whitespace stack."""
+    import __spark_entry__ as em
+
+    out = em.queries()["curation_multiscript"](spark, SF_DIR).collect()
+    assert len(out) > 0
+    targets = set(em._MS_TARGETS)
+    digests = [r.digest for r in out]
+    assert len(digests) == len(set(digests))
+    conts = 0
+    for r in out:
+        assert r.pred in targets
+        assert r.n_tokens >= 5 and r.quality >= 0.5
+        conts += r.cont
+    assert conts > 0
+
+
+def test_sequence_packing_bpe_fill_contract(spark):
+    """The prefix-sum packing rule, stated exactly: within a shard,
+    the cumulative token total through bin b reaches at least
+    512 × (next present bin index) — a doc lands in bin b only while
+    the running sum is still under 512 × (b + 1), so the sum must
+    cross that line before a later bin can open. (Individual non-last
+    bins can legitimately hold < 512: a large doc straddles.)"""
+    import __spark_entry__ as em
+
+    rows = em.queries()["sequence_packing_bpe"](spark, SF_DIR).collect()
+    assert rows and all(r.total_tokens > 0 for r in rows)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, bins in by_shard.items():
+        bins.sort(key=lambda r: r.bin)
+        cum = 0
+        for r, nxt in zip(bins, bins[1:]):
+            cum += r.total_tokens
+            assert cum >= 512 * nxt.bin, (shard, r.bin, cum)

@@ -345,6 +345,17 @@ EXCHANGE_CEILING = {
     "sq8_codes": 0,
     # broadcast query side + the final rank window
     "sq8_topk": 4,
+    # round 15 second wave: both quality stacks are map-side
+    # expressions; the only exchange is the 32-group rollup
+    "script_quality_stats": 2,
+    # the whole multiscript gate stack (script-routed classifier,
+    # script-aware floors, routed repetition) rides the scan; the one
+    # exchange is the digest dedup window
+    "curation_multiscript": 2,
+    # apply-time segmentation is a pure expression; exchanges = the
+    # doc-keyed subword aggregate + the shard packing window (the bin
+    # rollup reuses the shard partitioning)
+    "sequence_packing_bpe": 4,
 }
 
 
