@@ -2456,9 +2456,110 @@ def probe_r15_ops(spark, sf_dir: str, n: int) -> dict:
     return results
 
 
+def probe_r15b_ops(spark, sf_dir: str, n: int) -> dict:
+    """Round-15 second wave at scale: script-aware quality stacks,
+    the multiscript curation pipeline, and BPE-aware packing on an
+    N×-replicated corpus. Step is a multiple of lcm(128, 7, 4, 32) =
+    896, so every replica keeps its original's planted language
+    (doc_id % 128), digit suffix (% 7), corpus/planted role (% 4),
+    packing shard (% 32) and OOV word (% 4). Invariants:
+
+    - script_quality_stats keep counts per language scale by EXACTLY
+      N and the order-free min-quality doubles are bit-identical
+      (fingerprint over (lang, kept_ws/N, kept_sc/N, mins));
+    - curation_multiscript output is BIT-IDENTICAL at every N: every
+      replica's text equals its original's, so its digest collides
+      and the keep-min dedup discards it — replication feeds the
+      dedup stage the exact worst case and the survivor set must not
+      move (row-set fingerprint);
+    - sequence_packing_bpe global token totals divide exactly by N
+      (merge table replication-invariant per text_train; replicas
+      land after their originals within each shard, so base-row bins
+      are untouched and each replica block re-runs the same counts).
+
+    Costs: all three are scans plus bounded exchanges — expect
+    ~linear."""
+    import hashlib
+
+    import __spark_entry__ as entry
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    step = 896 * 11_161  # ≈ 10M, multiple of 896
+    dcopies = docs.crossJoin(
+        spark.range(n).select(F.col("id").alias("rep"))
+    ).select((F.col("doc_id") + F.col("rep") * step).alias("doc_id"), "text")
+    dout = os.path.join(tempfile.gettempdir(), f"documents_r15b_x{n}.parquet")
+    dcopies.write.mode("overwrite").parquet(dout)
+    tmp_sf = os.path.join(tempfile.gettempdir(), f"r15b_sf_x{n}")
+    os.makedirs(tmp_sf, exist_ok=True)
+    tgt = os.path.join(tmp_sf, "documents.parquet")
+    if os.path.islink(tgt) or os.path.exists(tgt):
+        try:
+            os.remove(tgt)
+        except IsADirectoryError:
+            import shutil
+
+            shutil.rmtree(tgt)
+    os.symlink(dout, tgt)
+    results = {
+        "family": "r15b_ops",
+        "replication": n,
+        "rows": spark.read.parquet(dout).count(),
+    }
+
+    qs = entry.queries()
+
+    t0 = time.perf_counter()
+    sq = qs["script_quality_stats"](spark, tmp_sf).collect()
+    results["sq_s"] = round(time.perf_counter() - t0, 2)
+    results["sq_counts_divisible"] = all(
+        r.n_docs % n == 0
+        and r.n_kept_ws % n == 0
+        and r.n_kept_script % n == 0
+        for r in sq
+    )
+    results["sq_fp"] = hashlib.md5(
+        repr(
+            sorted(
+                (
+                    r.true_lang,
+                    r.n_docs // n,
+                    r.n_kept_ws // n,
+                    r.n_kept_script // n,
+                    r.min_q_ws,
+                    r.min_q_script,
+                )
+                for r in sq
+            )
+        ).encode()
+    ).hexdigest()[:12]
+
+    t0 = time.perf_counter()
+    cm = qs["curation_multiscript"](spark, tmp_sf).collect()
+    results["cm_s"] = round(time.perf_counter() - t0, 2)
+    results["cm_rows"] = len(cm)
+    results["cm_fp"] = hashlib.md5(
+        repr(sorted(tuple(r) for r in cm)).encode()
+    ).hexdigest()[:12]
+
+    t0 = time.perf_counter()
+    pk = qs["sequence_packing_bpe"](spark, tmp_sf).collect()
+    results["pk_s"] = round(time.perf_counter() - t0, 2)
+    tot = sum(int(r.total_tokens) for r in pk)
+    results["pk_total_divisible"] = tot % n == 0
+    results["pk_total_fp"] = hashlib.md5(
+        repr(tot // n).encode()
+    ).hexdigest()[:12]
+    return results
+
+
 FAMILIES = {
     "graph": probe_graph,
     "r15_ops": probe_r15_ops,
+    "r15b_ops": probe_r15b_ops,
     "pq": probe_pq,
     "pq_residual": probe_pq_residual,
     "scorer_fit": probe_scorer_fit,
