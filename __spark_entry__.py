@@ -3729,6 +3729,66 @@ def _q_sequence_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_stats(packed, tokens_col="n_subwords")
 
 
+def _q_near_dup_pairs_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-routed near-dup detection (round 15 second wave): the
+    MinHash-LSH pipeline whose shingle universe routes by script —
+    char 6-grams for continua-majority documents, word 3-grams
+    otherwise (operators/dedup.py:script_doc_shingles). The
+    word-shingle path is structurally BLIND to CJK/Thai: one
+    whitespace token → zero 3-gram shingles → no signature → no
+    bands, so near-dup Chinese pages never pair. Over the planted mix
+    corpus (digit-suffixed snippets = within-language near-dups,
+    plus real corpus text): exact-digest pre-collapse first (the
+    production order — identical texts would clique the band join),
+    then script-routed LSH pairs, labeled per language with a
+    ``word_visible`` flag (both endpoints have ≥3 word tokens, i.e.
+    the word path could even SEE them) and rolled up. The divergence
+    rows are the (lang, word_visible=0) groups — every continua
+    language's pairs — which the word pipeline reports as zero.
+    Exchanges: canon window + shingle distinct + signature agg + the
+    band self-join + rollup, all narrow (digests/ids)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+        minhash_lsh_pairs_script,
+    )
+
+    docs = _plant_multiscript_mix(
+        spark, load_table(spark, sf_dir, "documents")
+    )
+    min_id = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    canon = (
+        docs.withColumn("min_id", min_id)
+        .filter(F.col("doc_id") == F.col("min_id"))
+        .select("doc_id", "true_lang", "text")
+        .persist()  # narrow (id, lang, text); feeds 3 consumers below
+    )
+    pairs = minhash_lsh_pairs_script(canon, k=8, bands=4, n_word=3, n_char=6)
+    meta = canon.select(
+        "doc_id",
+        "true_lang",
+        (tx.token_count(F.col("text")) >= 3).cast("int").alias("wv"),
+    )
+    labeled = (
+        pairs.join(
+            meta.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("true_lang").alias("lang_a"),
+                F.col("wv").alias("wv_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            meta.select(
+                F.col("doc_id").alias("doc_b"), F.col("wv").alias("wv_b")
+            ),
+            "doc_b",
+        )
+    )
+    return labeled.groupBy(
+        F.col("lang_a").alias("true_lang"),
+        (F.col("wv_a") * F.col("wv_b")).alias("word_visible"),
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
 def _domain_alpha_rates(doms: DataFrame) -> DataFrame:
     """Per-domain α=0.5 mixture table over a (doc_id, reg_domain)
     frame: (reg_domain, n_docs, share_raw, share_alpha, rate,
@@ -8512,6 +8572,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_quality_stats": _q_script_quality_stats,
         "curation_multiscript": _q_curation_multiscript,
         "sequence_packing_bpe": _q_sequence_packing_bpe,
+        "near_dup_pairs_script": _q_near_dup_pairs_script,
         "mixture_sampled_counts": _q_mixture_sampled_counts,
         "redacted_cleaned_text": _q_redacted_cleaned_text,
         "tf_cosine_pairs": _q_tf_cosine_pairs,
@@ -11060,6 +11121,99 @@ def _curation_multiscript_oracle() -> str:
     """
 
 
+def _near_dup_pairs_script_oracle(k: int = 8, bands: int = 4) -> str:
+    """Twin of near_dup_pairs_script: the planted mix corpus, the
+    exact-digest pre-collapse, SCRIPT-ROUTED shingles (char 6-grams
+    where continua letters hold the majority — the same
+    _scriptq_sql_parts routing arithmetic — word 3-grams otherwise),
+    then the standard min-md5 signature / band-hash / equi-self-join
+    LSH chain of _doc_lsh_oracle_params and the per-language
+    word-visibility rollup. Deterministic md5 arithmetic end to end."""
+    langs, snippets = _multiscript_corpus()
+    snip_arr = "['" + "', '".join(snippets) + "']"
+    p = _scriptq_sql_parts()
+    r = k // bands
+    mh_cols = ",\n                 ".join(
+        f"min(md5('{i}:' || shingle)) AS mh_{i}" for i in range(k)
+    )
+    band_selects = "\n          UNION ALL\n          ".join(
+        "SELECT doc_id, {b} AS band, md5({expr}) AS band_hash "
+        "FROM sig WHERE mh_0 IS NOT NULL".format(
+            b=b,
+            expr=" || '|' || ".join(
+                f"mh_{i}" for i in range(b * r, (b + 1) * r)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+        WITH dd AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 4 = 3 THEN 'corpus'
+                      ELSE ({"['" + "', '".join(langs) + "']"})[CAST(floor((doc_id % 128) / 4.0)
+                                        AS INTEGER) + 1] END AS true_lang,
+                 CASE WHEN doc_id % 4 = 3 THEN text
+                      ELSE ({snip_arr})[CAST(floor((doc_id % 128) / 4.0)
+                                        AS INTEGER) + 1]
+                           || ' ' || CAST(doc_id % 7 AS VARCHAR) END AS text
+          FROM documents
+        ),
+        ckeep AS (
+          SELECT md5(text) AS digest, min(doc_id) AS doc_id
+          FROM dd GROUP BY 1
+        ),
+        canon AS MATERIALIZED (
+          SELECT d2.doc_id, d2.true_lang, d2.text,
+                 lower(coalesce(d2.text, '')) AS s,
+                 {_TOKENS_SQL.replace("text", "d2.text")} AS toks
+          FROM dd d2 JOIN ckeep ck ON d2.doc_id = ck.doc_id
+        ),
+        rt AS MATERIALIZED (
+          SELECT doc_id, true_lang, s, toks,
+                 ({p['cont']}) * 2 > ({p['letters']}) AS cont,
+                 CASE WHEN len(toks) >= 3 THEN 1 ELSE 0 END AS wv
+          FROM canon
+        ),
+        wsh AS (
+          SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(toks) - 2),
+                          i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+            FROM rt WHERE NOT cont)
+        ),
+        csh AS (
+          SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id, substr(s, CAST(i AS INTEGER), 6) AS shingle
+            FROM (SELECT doc_id, s, unnest(range(1, length(s) - 4)) AS i
+                  FROM rt WHERE cont AND length(s) >= 6))
+        ),
+        sh AS (
+          SELECT * FROM wsh UNION ALL SELECT * FROM csh
+        ),
+        sig AS (
+          SELECT doc_id,
+                 {mh_cols}
+          FROM sh GROUP BY doc_id
+        ),
+        bandt AS (
+          {band_selects}
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bandt a
+          JOIN bandt b ON a.band = b.band
+                      AND a.band_hash = b.band_hash
+                      AND a.doc_id < b.doc_id
+        )
+        SELECT ra.true_lang, ra.wv * rb.wv AS word_visible,
+               count(*) AS n_pairs
+        FROM cand c
+        JOIN rt ra ON ra.doc_id = c.doc_a
+        JOIN rt rb ON rb.doc_id = c.doc_b
+        GROUP BY 1, 2
+    """
+
+
 def _triangles_oracle() -> str:
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.triangles import (
         TRIANGLE_ORACLE_TEMPLATE,
@@ -12822,6 +12976,7 @@ def oracle_sql() -> dict[str, str]:
         "script_quality_stats": _script_quality_oracle(),
         "curation_multiscript": _curation_multiscript_oracle(),
         "sequence_packing_bpe": _bpe_packing_oracle(),
+        "near_dup_pairs_script": _near_dup_pairs_script_oracle(),
         "mixture_sampled_counts": f"""
             WITH {_url_domain_ctes()},
             per AS (

@@ -273,18 +273,79 @@ def ngram_jaccard_pairs(
     )
 
 
+def script_doc_shingles(
+    docs: DataFrame,
+    n_word: int = 3,
+    n_char: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, shingle) ROUTED BY SCRIPT — the near-dup feature set
+    that survives scriptio continua. Word shingles are BLIND to
+    CJK/Thai text: a Chinese document is one whitespace token, so it
+    has ZERO 3-gram word shingles, an all-NULL MinHash signature, and
+    is invisible to the entire LSH family — near-dup Chinese crawl
+    pages simply never deduplicate. Continua-majority documents
+    (functions/scriptq.py:is_continua, the same routing predicate the
+    quality gates use) therefore emit sliding CHAR ``n_char``-gram
+    shingles of the lowered text, everything else the standard
+    ``n_word``-gram word shingles of :func:`doc_shingles`.
+
+    Two filtered branches over the source (each fully codegen'd — the
+    word side keeps doc_shingles' posexplode+window formulation, the
+    char side is explode(sequence)+substring) unioned; the routing
+    predicate is two regex counts, cheap to evaluate twice. Char
+    shingle space is position-free (distinct), so the MinHash/Jaccard
+    semantics downstream are unchanged — only the feature universe is
+    per-route."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.scriptq import (
+        is_continua,
+    )
+
+    s = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    word_side = doc_shingles(
+        docs.filter(~is_continua(s)), n_word, id_col, text_col
+    )
+    char_side = (
+        docs.filter(is_continua(s) & (F.length(s) >= n_char))
+        .select(F.col(id_col).alias("doc_id"), s.alias("s"))
+        .select(
+            "doc_id",
+            "s",
+            F.explode(
+                F.sequence(F.lit(1), F.length("s") - (n_char - 1))
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.substring(F.col("s"), F.col("i"), n_char).alias("shingle"),
+        )
+        .distinct()
+    )
+    return word_side.unionByName(char_side)
+
+
 def minhash_signatures(
     docs: DataFrame,
     k: int = 8,
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """k-permutation MinHash signature per doc: hash function i is
     md5(i ':' shingle); the signature component is the lexicographic
     min digest. One groupBy over the shingle table computes all k
-    components (k min-aggregates, map-side combined)."""
-    sh = doc_shingles(docs, n, id_col, text_col)
+    components (k min-aggregates, map-side combined). ``shingles``
+    substitutes a pre-built (doc_id, shingle) table — the
+    script-routed feature set of :func:`script_doc_shingles` — for
+    the default word shingling; everything downstream (bands, pairs,
+    components) is feature-set agnostic."""
+    sh = (
+        shingles
+        if shingles is not None
+        else doc_shingles(docs, n, id_col, text_col)
+    )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
         for i in range(k)
@@ -365,6 +426,7 @@ def minhash_bands(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, band, band_hash) band table — the linear-size LSH
     index over a document set. Factored out of
@@ -372,10 +434,12 @@ def minhash_bands(
     (streaming/incremental.py:incremental_band_index_stream) and the
     batch candidate join share one definition: a doc's band rows are a
     pure function of its text, which is what makes the index
-    incrementally maintainable (append-only per doc)."""
+    incrementally maintainable (append-only per doc). ``shingles``
+    forwards to :func:`minhash_signatures` (script-routed feature
+    sets)."""
     assert k % bands == 0, "k must divide evenly into bands"
     r = k // bands
-    sig = minhash_signatures(docs, k, n, id_col, text_col)
+    sig = minhash_signatures(docs, k, n, id_col, text_col, shingles=shingles)
     # One generator expression instead of a bands-way union: a union of
     # N selects over sig re-runs the whole signature computation N
     # times (N scans of the corpus); explode(array(...)) computes the
@@ -593,6 +657,30 @@ def minhash_lsh_pairs(
     # Persist: the band table feeds both sides of the candidate
     # self-join; it is k×32B per doc — tiny relative to the corpus.
     bands_df = minhash_bands(docs, k, bands, n, id_col, text_col).persist()
+    return lsh_pairs_from_bands(bands_df, hot_bucket_cap=hot_bucket_cap)
+
+
+def minhash_lsh_pairs_script(
+    docs: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    n_word: int = 3,
+    n_char: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hot_bucket_cap: int | None = None,
+) -> DataFrame:
+    """:func:`minhash_lsh_pairs` over the SCRIPT-ROUTED feature set
+    (:func:`script_doc_shingles`) — candidate pairs that still exist
+    for CJK/Thai documents, which the word-shingle path drops
+    entirely (zero shingles → no signature → no bands). Identical
+    plan shape: signatures, bands, (band, band_hash) equi self-join;
+    the persist/cap mechanics are unchanged because everything below
+    the shingle table is feature-set agnostic."""
+    sh = script_doc_shingles(docs, n_word, n_char, id_col, text_col)
+    bands_df = minhash_bands(
+        docs, k, bands, n_word, id_col, text_col, shingles=sh
+    ).persist()
     return lsh_pairs_from_bands(bands_df, hot_bucket_cap=hot_bucket_cap)
 
 

@@ -273,6 +273,7 @@ HEADLINE = [
     "script_quality_stats",
     "curation_multiscript",
     "sequence_packing_bpe",
+    "near_dup_pairs_script",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

@@ -202,3 +202,52 @@ def test_sequence_packing_bpe_fill_contract(spark):
         for r, nxt in zip(bins, bins[1:]):
             cum += r.total_tokens
             assert cum >= 512 * nxt.bin, (shard, r.bin, cum)
+
+
+def test_script_shingles_route(spark):
+    """Continua docs emit char 6-grams (word path: ZERO shingles);
+    spaced docs keep word 3-grams."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+        doc_shingles,
+        script_doc_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ZH), (2, EN), (3, TH)], "doc_id long, text string"
+    )
+    word = {
+        (r.doc_id, r.shingle) for r in doc_shingles(df, 3).collect()
+    }
+    routed = script_doc_shingles(df, 3, 6).collect()
+    by_doc = {}
+    for r in routed:
+        by_doc.setdefault(r.doc_id, set()).add(r.shingle)
+    # the word path is BLIND to the continua docs
+    assert not {d for d, _s in word} & {1, 3}
+    # the routed path sees them, as sliding char 6-grams
+    assert len(by_doc[1]) == len(ZH) - 5  # all distinct in this text
+    assert all(len(s) == 6 for s in by_doc[1])
+    assert ZH[:6] in by_doc[1]
+    # spaced docs: routed == word shingles exactly
+    assert by_doc[2] == {s for d, s in word if d == 2}
+    assert 3 in by_doc
+
+
+def test_near_dup_pairs_script_contract(spark):
+    """Every language's 7 suffix variants pair up (C(7,2) = 21 per
+    language once exact dups are pre-collapsed), and the continua
+    languages carry word_visible = 0 — the word pipeline reports zero
+    pairs for them."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["near_dup_pairs_script"](spark, SF_DIR).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.true_lang, []).append(r)
+    for lang in ("ja", "th", "zh"):
+        assert lang in by_lang
+        for r in by_lang[lang]:
+            assert r.word_visible == 0
+        assert sum(r.n_pairs for r in by_lang[lang]) == 21
+    for lang in ("en", "ru", "hi"):
+        assert all(r.word_visible == 1 for r in by_lang[lang])

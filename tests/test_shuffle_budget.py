@@ -356,6 +356,11 @@ EXCHANGE_CEILING = {
     # doc-keyed subword aggregate + the shard packing window (the bin
     # rollup reuses the shard partitioning)
     "sequence_packing_bpe": 4,
+    # script-routed LSH over the pre-collapsed planted mix: canon
+    # window + the two shingle-branch distincts + signature agg +
+    # band self-join + two label joins + rollup — static count; the
+    # canon persist dedups the branch re-derivations at runtime
+    "near_dup_pairs_script": 32,
 }
 
 
