@@ -3729,6 +3729,54 @@ def _q_sequence_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_stats(packed, tokens_col="n_subwords")
 
 
+def _q_kmv_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketches with sketch-algebra merge (round 15
+    second wave) — the approx-distinct tier whose ESTIMATE the oracle
+    value-hashes exactly (the HLL tier has been rows-only since round
+    1: engine-specific hashing; KMV is pure md5 rank arithmetic, see
+    operators/kmv.py). Per (event_type, day): the 256 smallest
+    distinct user-hash digests — the fixed-size artifact a 100 TB
+    pipeline persists. Per event_type: the daily sketches MERGED
+    (distinct + re-rank — exact KMV semantics) and the classic
+    (k−1)/U(k) estimate, reported against the true countDistinct with
+    the realized relative error, so the oracle pins the sketch build,
+    the merge algebra, and the estimator — and the output documents
+    the accuracy the sketch actually delivers. Build tier: one
+    distinct + one (type, day) rank window; merge tier touches only
+    sketch rows (≤ k per group)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.kmv import (
+        kmv_estimate,
+        kmv_hash,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.weekofyear("ts").cast("int").alias("week"),
+        F.to_date("ts").alias("day"),
+        kmv_hash(F.col("user_id")).alias("hx"),
+    )
+    daily = kmv_sketch(keyed, ["week", "day"])
+    merged = kmv_merge(daily, ["week"])
+    est = kmv_estimate(merged, ["week"])
+    exact = (
+        ev.select(F.weekofyear("ts").cast("int").alias("week"), "user_id")
+        .distinct()
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return est.join(exact, "week").select(
+        "week",
+        "n_exact",
+        "sketch_size",
+        "n_est",
+        F.round(
+            F.abs(F.col("n_est") - F.col("n_exact")) / F.col("n_exact"), 6
+        ).alias("rel_err"),
+    )
+
+
 def _q_near_dup_pairs_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Script-routed near-dup detection (round 15 second wave): the
     MinHash-LSH pipeline whose shingle universe routes by script —
@@ -8573,6 +8621,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_multiscript": _q_curation_multiscript,
         "sequence_packing_bpe": _q_sequence_packing_bpe,
         "near_dup_pairs_script": _q_near_dup_pairs_script,
+        "kmv_distinct_merge": _q_kmv_distinct_merge,
         "mixture_sampled_counts": _q_mixture_sampled_counts,
         "redacted_cleaned_text": _q_redacted_cleaned_text,
         "tf_cosine_pairs": _q_tf_cosine_pairs,
@@ -12977,6 +13026,50 @@ def oracle_sql() -> dict[str, str]:
         "curation_multiscript": _curation_multiscript_oracle(),
         "sequence_packing_bpe": _bpe_packing_oracle(),
         "near_dup_pairs_script": _near_dup_pairs_script_oracle(),
+        "kmv_distinct_merge": f"""
+            WITH keyed AS (
+              SELECT DISTINCT CAST(weekofyear(ts) AS INTEGER) AS week,
+                     CAST(ts AS DATE) AS day,
+                     md5('kmv:' || CAST(user_id AS VARCHAR)) AS hx
+              FROM events
+            ),
+            daily AS (
+              SELECT week, day, hx FROM (
+                SELECT week, day, hx,
+                       row_number() OVER (
+                         PARTITION BY week, day ORDER BY hx) AS rk
+                FROM keyed) WHERE rk <= 256
+            ),
+            mg AS (
+              SELECT week, hx,
+                     row_number() OVER (
+                       PARTITION BY week ORDER BY hx) AS rk
+              FROM (SELECT DISTINCT week, hx FROM daily)
+            ),
+            merged AS (SELECT * FROM mg WHERE rk <= 256),
+            est AS (
+              SELECT week, count(*) AS sketch_size,
+                     max(CASE WHEN rk = 256
+                         THEN ({_HEX8_SQL}) / 4294967296.0 END) AS uk
+              FROM merged GROUP BY 1
+            ),
+            exact AS (
+              SELECT week, count(*) AS n_exact
+              FROM (SELECT DISTINCT CAST(weekofyear(ts) AS INTEGER)
+                             AS week, user_id
+                    FROM events) base0
+              GROUP BY 1
+            )
+            SELECT e.week, x.n_exact, e.sketch_size,
+                   CASE WHEN e.sketch_size < 256
+                        THEN CAST(e.sketch_size AS DOUBLE)
+                        ELSE 255.0 / e.uk END AS n_est,
+                   round(abs((CASE WHEN e.sketch_size < 256
+                              THEN CAST(e.sketch_size AS DOUBLE)
+                              ELSE 255.0 / e.uk END) - x.n_exact)
+                         / x.n_exact, 6) AS rel_err
+            FROM est e JOIN exact x USING (week)
+        """,
         "mixture_sampled_counts": f"""
             WITH {_url_domain_ctes()},
             per AS (

@@ -274,6 +274,7 @@ HEADLINE = [
     "curation_multiscript",
     "sequence_packing_bpe",
     "near_dup_pairs_script",
+    "kmv_distinct_merge",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

@@ -251,3 +251,67 @@ def test_near_dup_pairs_script_contract(spark):
         assert sum(r.n_pairs for r in by_lang[lang]) == 21
     for lang in ("en", "ru", "hi"):
         assert all(r.word_visible == 1 for r in by_lang[lang])
+
+
+def test_kmv_merge_equals_direct(spark):
+    """The KMV merge guarantee, on a controlled key set: merging
+    per-day sketches equals the sketch built directly on the union —
+    a hash among the global k smallest is in every containing day's
+    k-min."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.kmv import (
+        kmv_hash,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    rows = [(1, d, u) for d in range(5) for u in range(d * 40, d * 40 + 60)]
+    df = spark.createDataFrame(rows, "g int, day int, uid long")
+    keyed = df.select("g", "day", kmv_hash(F.col("uid")).alias("hx"))
+    daily = kmv_sketch(keyed, ["g", "day"], k=16)
+    merged = {
+        r.hx for r in kmv_merge(daily, ["g"], k=16).collect()
+    }
+    direct = {
+        r.hx
+        for r in kmv_sketch(
+            df.select("g", kmv_hash(F.col("uid")).alias("hx")), ["g"], k=16
+        ).collect()
+    }
+    assert merged == direct and len(merged) == 16
+
+
+def test_kmv_estimator_branches(spark):
+    """Below saturation the estimate IS the exact count; at
+    saturation it lands within the KMV error envelope (~4/√k is a
+    very safe bound for one sketch)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.kmv import (
+        kmv_estimate,
+        kmv_hash,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    rows = [(0, 0, u) for u in range(50)] + [
+        (1, 0, u) for u in range(20_000)
+    ]
+    df = spark.createDataFrame(rows, "g int, day int, uid long")
+    keyed = df.select("g", "day", kmv_hash(F.col("uid")).alias("hx"))
+    sk = kmv_merge(kmv_sketch(keyed, ["g", "day"]), ["g"])
+    out = {r.g: r for r in kmv_estimate(sk, ["g"]).collect()}
+    assert out[0].sketch_size == 50 and out[0].n_est == 50.0
+    assert out[1].sketch_size == 256
+    assert abs(out[1].n_est - 20_000) / 20_000 < 4 / (256 ** 0.5)
+
+
+def test_kmv_query_accuracy_contract(spark):
+    """The registered query's realized error stays inside the
+    envelope, and unsaturated groups report exactly."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["kmv_distinct_merge"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.sketch_size <= 256
+        if r.sketch_size < 256:
+            assert r.n_est == float(r.sketch_size) == float(r.n_exact)
+        assert r.rel_err < 4 / (256 ** 0.5)

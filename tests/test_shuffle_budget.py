@@ -361,6 +361,10 @@ EXCHANGE_CEILING = {
     # band self-join + two label joins + rollup — static count; the
     # canon persist dedups the branch re-derivations at runtime
     "near_dup_pairs_script": 32,
+    # KMV: build-tier distinct + (week, day) rank window, merge-tier
+    # distinct + week rank window over SKETCH rows only, estimator
+    # agg + the exact-count comparison join
+    "kmv_distinct_merge": 12,
 }
 
 
