@@ -3777,6 +3777,80 @@ def _q_kmv_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kmv_jaccard_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA (round 15 second wave): pairwise overlap of
+    the five event types' (user, day) activity sets estimated purely
+    from their 256-minima KMV sketches — the theta-sketch
+    intersection trick (operators/kmv.py:kmv_set_ops): hashes below
+    θ = min(θ_A, θ_B) are retained by both sketches iff in both sets,
+    so |A∩B| ≈ shared-below-θ / θ, union by inclusion-exclusion,
+    Jaccard from the two. Reported against the EXACT pair overlap
+    (the (user, day) equi-self-join) with realized error — the oracle
+    value-hashes the estimator arithmetic itself, which no
+    engine-native approx sketch allows. Sketch side never touches the
+    raw sets after the build: the pair join is over ≤ k rows per
+    group."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.kmv import (
+        kmv_hash,
+        kmv_merge,
+        kmv_set_ops,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    key = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit("|"),
+        F.to_date("ts").cast("string"),
+    )
+    keyed = ev.select("event_type", kmv_hash(key).alias("hx"))
+    sk = kmv_merge(keyed, ["event_type"])
+    est = kmv_set_ops(sk, "event_type")
+    s = ev.select(
+        "event_type", "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    sizes = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        s.select(
+            F.col("event_type").alias("ga"), "user_id", "day"
+        )
+        .join(
+            s.select(F.col("event_type").alias("gb"), "user_id", "day"),
+            ["user_id", "day"],
+        )
+        .filter(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    exact = (
+        inter.join(
+            sizes.select(F.col("event_type").alias("ga"), F.col("n").alias("n_a")),
+            "ga",
+        )
+        .join(
+            sizes.select(F.col("event_type").alias("gb"), F.col("n").alias("n_b")),
+            "gb",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+    )
+    return exact.join(est, ["ga", "gb"]).select(
+        "ga",
+        "gb",
+        "n_a",
+        "n_b",
+        "n_inter",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("est_inter", 3).alias("est_inter"),
+        F.round("est_jaccard", 6).alias("est_jaccard"),
+        F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6).alias(
+            "jaccard_abs_err"
+        ),
+    )
+
+
 def _q_near_dup_pairs_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Script-routed near-dup detection (round 15 second wave): the
     MinHash-LSH pipeline whose shingle universe routes by script —
@@ -8622,6 +8696,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing_bpe": _q_sequence_packing_bpe,
         "near_dup_pairs_script": _q_near_dup_pairs_script,
         "kmv_distinct_merge": _q_kmv_distinct_merge,
+        "kmv_jaccard_types": _q_kmv_jaccard_types,
         "mixture_sampled_counts": _q_mixture_sampled_counts,
         "redacted_cleaned_text": _q_redacted_cleaned_text,
         "tf_cosine_pairs": _q_tf_cosine_pairs,
@@ -13026,6 +13101,85 @@ def oracle_sql() -> dict[str, str]:
         "curation_multiscript": _curation_multiscript_oracle(),
         "sequence_packing_bpe": _bpe_packing_oracle(),
         "near_dup_pairs_script": _near_dup_pairs_script_oracle(),
+        "kmv_jaccard_types": f"""
+            WITH s AS (
+              SELECT DISTINCT event_type, user_id,
+                     CAST(ts AS DATE) AS day
+              FROM events
+            ),
+            keyed AS (
+              SELECT event_type,
+                     md5('kmv:' || (CAST(user_id AS VARCHAR) || '|' ||
+                         CAST(CAST(ts AS DATE) AS VARCHAR))) AS hx
+              FROM events
+            ),
+            sk AS (
+              SELECT event_type, hx, rk FROM (
+                SELECT event_type, hx,
+                       row_number() OVER (
+                         PARTITION BY event_type ORDER BY hx) AS rk
+                FROM (SELECT DISTINCT event_type, hx FROM keyed))
+              WHERE rk <= 256
+            ),
+            stats AS (
+              SELECT event_type AS g, count(*) AS sz,
+                     coalesce(max(CASE WHEN rk = 256
+                       THEN ({_HEX8_SQL}) / 4294967296.0 END), 1.0) AS theta
+              FROM sk GROUP BY 1
+            ),
+            gt AS (
+              SELECT g, theta,
+                     CASE WHEN sz < 256 THEN CAST(sz AS DOUBLE)
+                          ELSE 255.0 / theta END AS est
+              FROM stats
+            ),
+            shared AS (
+              SELECT a.event_type AS ga, b.et2 AS gb,
+                     ({_HEX8_SQL}) / 4294967296.0 AS u
+              FROM (SELECT event_type, hx FROM sk) a
+              JOIN (SELECT event_type AS et2, hx AS hx2 FROM sk) b
+                ON a.hx = b.hx2 AND a.event_type < b.et2
+            ),
+            prs AS (
+              SELECT sh.ga, sh.gb, g1.theta AS ta, g2.theta AS tb,
+                     g1.est AS est_a, g2.est AS est_b,
+                     sum(CASE WHEN sh.u < least(g1.theta, g2.theta)
+                         THEN 1 ELSE 0 END) AS n_below
+              FROM shared sh
+              JOIN gt g1 ON g1.g = sh.ga
+              JOIN gt g2 ON g2.g = sh.gb
+              GROUP BY 1, 2, 3, 4, 5, 6
+            ),
+            sizes AS (
+              SELECT event_type, count(*) AS n FROM s GROUP BY 1
+            ),
+            inter AS (
+              SELECT a.event_type AS ga, b.event_type AS gb,
+                     count(*) AS n_inter
+              FROM s a
+              JOIN s b ON a.user_id = b.user_id AND a.day = b.day
+                      AND a.event_type < b.event_type
+              GROUP BY 1, 2
+            )
+            SELECT i.ga, i.gb, sa.n AS n_a, sb.n AS n_b,
+                   i.n_inter,
+                   round(i.n_inter / (sa.n + sb.n - i.n_inter), 6)
+                     AS jaccard,
+                   round(p.n_below / least(p.ta, p.tb), 3) AS est_inter,
+                   round((p.n_below / least(p.ta, p.tb))
+                         / (p.est_a + p.est_b
+                            - p.n_below / least(p.ta, p.tb)), 6)
+                     AS est_jaccard,
+                   round(abs((p.n_below / least(p.ta, p.tb))
+                             / (p.est_a + p.est_b
+                                - p.n_below / least(p.ta, p.tb))
+                             - i.n_inter / (sa.n + sb.n - i.n_inter)), 6)
+                     AS jaccard_abs_err
+            FROM inter i
+            JOIN sizes sa ON sa.event_type = i.ga
+            JOIN sizes sb ON sb.event_type = i.gb
+            JOIN prs p ON p.ga = i.ga AND p.gb = i.gb
+        """,
         "kmv_distinct_merge": f"""
             WITH keyed AS (
               SELECT DISTINCT CAST(weekofyear(ts) AS INTEGER) AS week,

@@ -95,3 +95,76 @@ def kmv_estimate(
         F.col("sketch_size") < k, F.col("sketch_size").cast("double")
     ).otherwise(F.lit(float(k - 1)) / F.col("uk"))
     return agg.select(*group_cols, "sketch_size", est.alias("n_est"))
+
+
+def kmv_u32(hx: Column) -> Column:
+    """The digest's leading-8-hex value mapped to (0, 1) — the
+    uniform variate the estimators divide by."""
+    return F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") / F.lit(
+        4294967296.0
+    )
+
+
+def kmv_set_ops(
+    sketches: DataFrame, group_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Pairwise SET-ALGEBRA estimates from per-group sketches — the
+    theta-sketch intersection trick (Dasgupta et al., the DataSketches
+    lineage): for groups A, B with sketch thresholds θ_A, θ_B (the
+    k-th minimum as a (0,1) variate; 1.0 when unsaturated, i.e. the
+    sketch IS the complete set), every hash below θ = min(θ_A, θ_B)
+    is retained by BOTH sketches iff it is in both underlying sets,
+    so |A∩B| ≈ |skA ∩ skB ∩ {u < θ}| / θ. Per-group cardinalities
+    come from the sketches' own (k−1)/θ estimates and the union via
+    inclusion-exclusion, giving a Jaccard estimate that never touches
+    the raw sets. Input: (group_col, hx, rk) sketch rows
+    (:func:`kmv_merge` output or :func:`kmv_sketch` + a rank).
+    Output: one row per unordered group pair (ga < gb) with est_a,
+    est_b, est_inter, est_jaccard — everything deterministic md5
+    arithmetic, sketch-sized joins only."""
+    stats = sketches.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.coalesce(
+            F.max(F.when(F.col("rk") == k, kmv_u32(F.col("hx")))),
+            F.lit(1.0),
+        ).alias("theta"),
+    )
+    est_g = F.when(
+        F.col("sz") < k, F.col("sz").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.col("theta"))
+    g = stats.select(
+        F.col(group_col).alias("g"), est_g.alias("est"), "theta"
+    )
+    a = sketches.select(
+        F.col(group_col).alias("ga"), "hx"
+    )
+    b = sketches.select(F.col(group_col).alias("gb"), "hx")
+    shared = (
+        a.join(b, "hx")
+        .filter(F.col("ga") < F.col("gb"))
+        .join(
+            g.select(F.col("g").alias("ga"), F.col("theta").alias("ta"),
+                     F.col("est").alias("est_a")),
+            "ga",
+        )
+        .join(
+            g.select(F.col("g").alias("gb"), F.col("theta").alias("tb"),
+                     F.col("est").alias("est_b")),
+            "gb",
+        )
+    )
+    theta = F.least(F.col("ta"), F.col("tb"))
+    below = (kmv_u32(F.col("hx")) < theta).cast("int")
+    pairs = shared.groupBy(
+        "ga", "gb", "ta", "tb", "est_a", "est_b"
+    ).agg(F.sum(below).alias("n_below"))
+    est_inter = F.col("n_below") / F.least(F.col("ta"), F.col("tb"))
+    est_union = F.col("est_a") + F.col("est_b") - est_inter
+    return pairs.select(
+        "ga",
+        "gb",
+        "est_a",
+        "est_b",
+        est_inter.alias("est_inter"),
+        (est_inter / est_union).alias("est_jaccard"),
+    )

@@ -275,6 +275,7 @@ HEADLINE = [
     "sequence_packing_bpe",
     "near_dup_pairs_script",
     "kmv_distinct_merge",
+    "kmv_jaccard_types",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

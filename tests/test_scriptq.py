@@ -315,3 +315,58 @@ def test_kmv_query_accuracy_contract(spark):
         if r.sketch_size < 256:
             assert r.n_est == float(r.sketch_size) == float(r.n_exact)
         assert r.rel_err < 4 / (256 ** 0.5)
+
+
+def test_kmv_set_ops_exact_when_unsaturated(spark):
+    """Below saturation both sketches are complete sets, θ = 1, and
+    the intersection/Jaccard estimates are EXACT."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.kmv import (
+        kmv_hash,
+        kmv_merge,
+        kmv_set_ops,
+    )
+
+    rows = [("a", u) for u in range(100)] + [("b", u) for u in range(50, 130)]
+    df = spark.createDataFrame(rows, "g string, uid long")
+    sk = kmv_merge(
+        df.select("g", kmv_hash(F.col("uid")).alias("hx")), ["g"]
+    )
+    out = kmv_set_ops(sk, "g").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.est_inter == 50.0  # |{50..99}|
+    assert abs(r.est_jaccard - 50 / 130) < 1e-12
+
+
+def test_kmv_set_ops_saturated_accuracy(spark):
+    """Saturated sketches: planted 50% overlap of two 8k sets lands
+    within the theta-sketch error envelope."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.kmv import (
+        kmv_hash,
+        kmv_merge,
+        kmv_set_ops,
+    )
+
+    rows = [("a", u) for u in range(8000)] + [
+        ("b", u) for u in range(4000, 12000)
+    ]
+    df = spark.createDataFrame(rows, "g string, uid long")
+    sk = kmv_merge(
+        df.select("g", kmv_hash(F.col("uid")).alias("hx")), ["g"]
+    )
+    r = kmv_set_ops(sk, "g").collect()[0]
+    true_j = 4000 / 12000
+    assert abs(r.est_jaccard - true_j) < 0.08
+    assert abs(r.est_inter - 4000) / 4000 < 0.3
+
+
+def test_kmv_jaccard_query_contract(spark):
+    """The registered query: all 10 type pairs present, estimates
+    inside the envelope realized by the sketch size."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["kmv_jaccard_types"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.ga < r.gb
+        assert r.jaccard_abs_err < 0.1

@@ -365,6 +365,10 @@ EXCHANGE_CEILING = {
     # distinct + week rank window over SKETCH rows only, estimator
     # agg + the exact-count comparison join
     "kmv_distinct_merge": 12,
+    # sketch build (distinct + rank) feeding stats, both sides of the
+    # sketch-pair join, and the exact-side distinct/self-join/size
+    # aggregates it is reported against — all narrow or sketch-sized
+    "kmv_jaccard_types": 32,
 }
 
 
