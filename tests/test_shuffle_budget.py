@@ -369,6 +369,10 @@ EXCHANGE_CEILING = {
     # sketch-pair join, and the exact-side distinct/self-join/size
     # aggregates it is reported against — all narrow or sketch-sized
     "kmv_jaccard_types": 32,
+    # two windowed rank passes (full + 1/16 sample) over one scan +
+    # the comparison join — the full side exists only as the
+    # oracle-checkable truth; production runs the sampled tier alone
+    "sampled_percentiles": 4,
 }
 
 
