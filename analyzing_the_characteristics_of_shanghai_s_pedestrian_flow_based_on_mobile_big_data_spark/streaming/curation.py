@@ -214,3 +214,64 @@ def dsir_select_stream(
     return dsir_select(
         doc_stream, ratios, min_score, max_score, salt=salt
     )
+
+
+def multiscript_gate_stream(
+    doc_stream: DataFrame,
+    targets: tuple = ("ar", "en", "hi", "ja", "ko", "ru", "th", "zh"),
+    min_quality: float = 0.5,
+    min_tokens: int = 5,
+    max_char3_dup: float = 0.20,
+    max_top_word_frac: float = 0.15,
+    max_dup_2gram_frac: float = 0.10,
+    max_dup_3gram_frac: float = 0.05,
+) -> DataFrame:
+    """The MULTILINGUAL gate set (batch `curation_multiscript` minus
+    its cross-batch dedup window) as a stateless micro-batch
+    transformation: 32-language script-routed classification against
+    a target mix, script-aware token and quality floors, and
+    repetition routed by script — char-trigram duplicate fraction for
+    continua-majority docs, multilingual Gopher word shingles
+    otherwise. Every gate is a map-side expression over the streamed
+    scan: no state store, no watermark, no join; a doc's verdict is a
+    pure function of its text, so any split into micro-batches is
+    invisible (batch/stream parity is the test contract, the
+    full_gate_stream/dsir_select_stream shape). Cross-batch exact
+    dedup stays the digest index path (incremental.py)."""
+    from ..functions.langid import predict_lang_script
+    from ..functions.scriptq import (
+        char_ngram_dup_frac,
+        is_continua,
+        quality_score_script,
+        script_token_count,
+    )
+    from ..functions.text import repetition_stats
+
+    s = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    scored = doc_stream.select(
+        "doc_id",
+        "text",
+        s.alias("s"),
+        predict_lang_script(F.col("text")).alias("pred"),
+        script_token_count(F.col("text")).alias("n_tokens"),
+        quality_score_script(F.col("text")).alias("quality"),
+        is_continua(s).cast("int").alias("cont"),
+    ).filter(
+        F.col("pred").isin(*targets)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("quality") >= min_quality)
+    )
+    rep = repetition_stats(F.col("text"))
+    return scored.withColumn(
+        "rep_ok",
+        F.when(
+            F.col("cont") == 1,
+            char_ngram_dup_frac(F.col("s"), 3) <= max_char3_dup,
+        ).otherwise(
+            (rep.getField("top_word_frac") <= max_top_word_frac)
+            & (rep.getField("dup_2gram_frac") <= max_dup_2gram_frac)
+            & (rep.getField("dup_3gram_frac") <= max_dup_3gram_frac)
+        ),
+    ).filter(F.col("rep_ok")).select(
+        "doc_id", "pred", "n_tokens", "quality", "cont"
+    )

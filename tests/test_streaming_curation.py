@@ -242,3 +242,60 @@ def test_dsir_select_stream_batch_parity(spark, tmp_path):
     finally:
         q.stop()
     assert got == batch
+
+
+def test_multiscript_gate_stream_parity(spark, tmp_path):
+    """Round 15: the multilingual gate set on a stream — CJK/Thai docs
+    survive (the whitespace gates would floor-reject them), off-mix
+    languages drop, and any micro-batch split is invisible."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.curation import (
+        multiscript_gate_stream,
+    )
+
+    ZH = "在上海这个城市里很多人每天早上都会去公园散步然后喝茶聊天看看风景"
+    RU = ("в москве сегодня хорошая погода и многие люди гуляют в парке "
+          "чтобы посмотреть на осенние листья и это приятно")
+    EL = "στην αθήνα οι άνθρωποι περπατούν στους δρόμους και μιλούν για τον καιρό"
+    # no word repeats 3x: the multilingual top-word gate is 0.15
+    EN = "a quick brown fox jumped over one lazy dog and then ran to that park happily"
+    b1 = [(1, ZH), (2, RU)]
+    b2 = [(3, EL), (4, EN), (5, "tiny")]
+    src = str(tmp_path / "msdocs")
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    batch_out = {
+        r.doc_id: r
+        for r in multiscript_gate_stream(spark.read.parquet(src)).collect()
+    }
+
+    got = {}
+
+    def sink(df, epoch_id):
+        for r in df.collect():
+            got[r.doc_id] = r
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        multiscript_gate_stream(stream)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "msckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # zh survives (continua routing), ru survives (cyrillic in mix),
+    # el is off-mix, 'tiny' under the token floor
+    assert set(got) == set(batch_out) == {1, 2, 4}
+    for k in got:
+        assert tuple(got[k]) == tuple(batch_out[k])
+    assert got[1].pred == "zh" and got[1].cont == 1
+    assert got[2].pred == "ru" and got[2].cont == 0
+    assert got[4].pred == "en"
