@@ -3777,6 +3777,51 @@ def _q_kmv_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_benchmark_decontam_script(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Script-routed benchmark decontamination (round 15 second
+    wave): the GPT-3-style n-gram-collision check with the gram
+    universe routed by script — word 8-grams are BLIND to CJK/Thai
+    (a continua benchmark snippet is 1-2 whitespace "words", zero
+    8-grams, so verbatim contamination passes untouched); continua
+    docs use sliding char 12-grams (operators/decontam.py:
+    script_ngrams). Over the planted mix corpus with every 50th doc
+    as the held-out benchmark, BOTH pipelines run and roll up per
+    language: the (ja/th/zh, n_eval_word=0, n_contam_script>0) rows
+    are the divergence — contaminated CJK documents the word check
+    cannot even evaluate. Both overlap joins broadcast the benchmark
+    gram set; the corpus side never shuffles for them."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.decontam import (
+        decontaminate,
+        script_ngrams,
+    )
+
+    docs = _plant_multiscript_mix(
+        spark, load_table(spark, sf_dir, "documents")
+    )
+    bench = F.pmod(F.col("doc_id"), F.lit(4)) == 1
+    word_out = decontaminate(docs, bench, n=8).select(
+        "doc_id", F.col("contaminated").cast("int").alias("cw")
+    )
+    script_out = decontaminate(
+        docs, bench, ngrams=script_ngrams(F.col("text"))
+    ).select("doc_id", F.col("contaminated").cast("int").alias("cs"))
+    base = docs.filter(~bench).select("doc_id", "true_lang")
+    per = base.join(word_out, "doc_id", "left").join(
+        script_out, "doc_id", "left"
+    )
+    return per.groupBy("true_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("cw").alias("n_eval_word"),
+        F.coalesce(F.sum("cw"), F.lit(0)).cast("long").alias("n_contam_word"),
+        F.count("cs").alias("n_eval_script"),
+        F.coalesce(F.sum("cs"), F.lit(0))
+        .cast("long")
+        .alias("n_contam_script"),
+    )
+
+
 def _q_sampled_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-sampled percentile estimation (round 15 second wave) —
     the deterministic approx-quantile tier, closing the same gap for
@@ -8764,6 +8809,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_merge": _q_kmv_distinct_merge,
         "kmv_jaccard_types": _q_kmv_jaccard_types,
         "sampled_percentiles": _q_sampled_percentiles,
+        "benchmark_decontam_script": _q_benchmark_decontam_script,
         "mixture_sampled_counts": _q_mixture_sampled_counts,
         "redacted_cleaned_text": _q_redacted_cleaned_text,
         "tf_cosine_pairs": _q_tf_cosine_pairs,
@@ -11312,6 +11358,92 @@ def _curation_multiscript_oracle() -> str:
     """
 
 
+def _benchmark_decontam_script_oracle() -> str:
+    """Twin of benchmark_decontam_script: the planted mix corpus, the
+    word-8-gram pipeline exactly as the benchmark_decontam oracle
+    states it, the script-routed pipeline (char 12-grams where
+    continua letters hold the majority — _scriptq_sql_parts routing —
+    word 8-grams otherwise), and the per-language dual rollup."""
+    langs, snippets = _multiscript_corpus()
+    lang_arr = "['" + "', '".join(langs) + "']"
+    snip_arr = "['" + "', '".join(snippets) + "']"
+    p = _scriptq_sql_parts()
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 4 = 3 THEN 'corpus'
+                      ELSE ({lang_arr})[CAST(floor((doc_id % 128) / 4.0)
+                                        AS INTEGER) + 1] END AS true_lang,
+                 CASE WHEN doc_id % 4 = 3 THEN text
+                      ELSE ({snip_arr})[CAST(floor((doc_id % 128) / 4.0)
+                                        AS INTEGER) + 1]
+                           || ' ' || CAST(doc_id % 7 AS VARCHAR) END AS text
+          FROM documents
+        ),
+        words AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM d
+        ),
+        wgrams AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(generate_series(1, len(w) - 7),
+                        i -> array_to_string(w[i:i+7], ' '))) AS gram
+          FROM words WHERE len(w) >= 8
+        ),
+        wbench AS (
+          SELECT DISTINCT gram FROM wgrams WHERE doc_id % 4 = 1
+        ),
+        wout AS (
+          SELECT c.doc_id,
+                 CAST(count(b.gram) * 10 >= count(*) * 1 AS INTEGER)
+                   AS cw
+          FROM wgrams c LEFT JOIN wbench b USING (gram)
+          WHERE c.doc_id % 4 <> 1
+          GROUP BY 1
+        ),
+        rt AS MATERIALIZED (
+          SELECT doc_id, true_lang, lower(coalesce(text, '')) AS s
+          FROM d
+        ),
+        rts AS (
+          SELECT doc_id,
+                 ({p['cont']}) * 2 > ({p['letters']}) AS cont, s
+          FROM rt
+        ),
+        sgrams AS (
+          SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id, substr(s, CAST(i AS INTEGER), 12) AS gram
+            FROM (SELECT doc_id, s, unnest(range(1, length(s) - 10)) AS i
+                  FROM rts WHERE cont AND length(s) >= 12)
+            UNION ALL
+            SELECT g.doc_id, g.gram
+            FROM wgrams g JOIN rts r ON r.doc_id = g.doc_id
+            WHERE NOT r.cont
+          )
+        ),
+        sbench AS (
+          SELECT DISTINCT gram FROM sgrams WHERE doc_id % 4 = 1
+        ),
+        sout AS (
+          SELECT c.doc_id,
+                 CAST(count(b.gram) * 10 >= count(*) * 1 AS INTEGER)
+                   AS cs
+          FROM sgrams c LEFT JOIN sbench b USING (gram)
+          WHERE c.doc_id % 4 <> 1
+          GROUP BY 1
+        )
+        SELECT r.true_lang, count(*) AS n_docs,
+               count(w.cw) AS n_eval_word,
+               CAST(coalesce(sum(w.cw), 0) AS BIGINT) AS n_contam_word,
+               count(s2.cs) AS n_eval_script,
+               CAST(coalesce(sum(s2.cs), 0) AS BIGINT) AS n_contam_script
+        FROM rt r
+        LEFT JOIN wout w USING (doc_id)
+        LEFT JOIN sout s2 USING (doc_id)
+        WHERE r.doc_id % 4 <> 1
+        GROUP BY 1
+    """
+
+
 def _near_dup_pairs_script_oracle(k: int = 8, bands: int = 4) -> str:
     """Twin of near_dup_pairs_script: the planted mix corpus, the
     exact-digest pre-collapse, SCRIPT-ROUTED shingles (char 6-grams
@@ -13168,6 +13300,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_multiscript": _curation_multiscript_oracle(),
         "sequence_packing_bpe": _bpe_packing_oracle(),
         "near_dup_pairs_script": _near_dup_pairs_script_oracle(),
+        "benchmark_decontam_script": _benchmark_decontam_script_oracle(),
         "sampled_percentiles": f"""
             WITH hx8 AS (
               SELECT event_type, value, event_id,

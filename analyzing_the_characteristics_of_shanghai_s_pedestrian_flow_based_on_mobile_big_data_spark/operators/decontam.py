@@ -41,6 +41,39 @@ def word_ngrams(text: Column, n: int, sep: str = " ") -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def char_ngrams(s: Column, n: int) -> Column:
+    """Array of sliding char ``n``-grams of a (pre-lowered) string
+    column; empty array below ``n`` characters (guarded — sequence()
+    counts DOWN otherwise). Pure Column expression, code-point
+    slicing (cross-engine parity probed in functions/scriptq.py)."""
+    idx = F.sequence(F.lit(1), F.length(s) - F.lit(n - 1))
+    return F.when(
+        F.length(s) >= n,
+        F.transform(idx, lambda i: F.substring(s, i, n)),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def script_ngrams(
+    text: Column, n_word: int = 8, n_char: int = 12
+) -> Column:
+    """Decontamination gram universe ROUTED BY SCRIPT: word 8-grams
+    are BLIND to scriptio continua (a CJK/Thai benchmark snippet is
+    1-2 whitespace "words" — zero 8-grams — so verbatim contamination
+    passes the GPT-3-style check untouched). Continua-majority
+    documents (the quality/dedup routing predicate,
+    functions/scriptq.py:is_continua) emit sliding char
+    ``n_char``-grams of the lowered text; everything else the
+    standard word ``n_word``-grams. 12 chars ≈ the information
+    content of ~6-8 CJK tokens — the same collision-resistance class
+    as 8 English words."""
+    from ..functions.scriptq import is_continua
+
+    s = F.lower(F.coalesce(text, F.lit("")))
+    return F.when(is_continua(s), char_ngrams(s, n_char)).otherwise(
+        word_ngrams(text, n_word)
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     is_benchmark: Column,
@@ -49,6 +82,7 @@ def decontaminate(
     text_col: str = "text",
     flag_num: int = 1,
     flag_den: int = 10,
+    ngrams: Column | None = None,
 ) -> DataFrame:
     """Per-corpus-document benchmark-overlap stats.
 
@@ -57,15 +91,21 @@ def decontaminate(
     ``n_hit`` counts the document's distinct ``n``-grams that appear in
     ANY benchmark document and ``contaminated`` flags
     ``n_hit/n_grams >= flag_num/flag_den`` (integer cross-multiply —
-    exact, no float threshold).
+    exact, no float threshold). ``ngrams`` substitutes a custom gram
+    array expression (the script-routed universe of
+    :func:`script_ngrams`) for the default word grams — both sides of
+    the overlap, benchmark and corpus, use the same universe.
     """
+    gram_arr = (
+        ngrams if ngrams is not None else word_ngrams(F.col(text_col), n)
+    )
     # per-doc DISTINCT happens map-side (array_distinct before the
     # explode) — a gram repeats only within one document's array, so no
     # corpus-wide exchange is needed to dedupe it
     grams = docs.withColumn("__bench", is_benchmark).select(
         F.col(id_col),
         F.col("__bench"),
-        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram"),
+        F.explode(F.array_distinct(gram_arr)).alias("gram"),
     )
     bench_grams = (
         grams.filter(F.col("__bench")).select("gram").distinct()

@@ -277,6 +277,7 @@ HEADLINE = [
     "kmv_distinct_merge",
     "kmv_jaccard_types",
     "sampled_percentiles",
+    "benchmark_decontam_script",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

@@ -387,3 +387,50 @@ def test_sampled_percentiles_contract(spark):
         assert r.n_sample < r.n_full * 3 / 16 + 10
         assert r.p50_full <= r.p95_full
         assert r.p50_sample <= r.p95_sample
+
+
+def test_script_ngrams_routing(spark):
+    """Continua docs emit char 12-grams; a CJK doc has ZERO word
+    8-grams (the blindness the routing fixes); spaced docs keep word
+    grams."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.decontam import (
+        script_ngrams,
+        word_ngrams,
+    )
+
+    df = spark.createDataFrame([(1, ZH), (2, EN)], "doc_id long, text string")
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            F.size(word_ngrams(F.col("text"), 8)).alias("nw"),
+            F.size(script_ngrams(F.col("text"))).alias("ns"),
+        ).collect()
+    }
+    assert rows[1].nw == 0  # word path: blind
+    assert rows[1].ns == len(ZH) - 11  # char 12-grams
+    assert rows[2].nw == rows[2].ns > 0  # spaced: routed == word
+
+
+def test_decontam_script_divergence(spark):
+    """The registered query: continua languages are contaminated
+    under the script check and INVISIBLE to the word check; spaced
+    languages flag under both; untouched corpus text flags under
+    neither."""
+    import __spark_entry__ as em
+
+    rows = {
+        r.true_lang: r
+        for r in em.queries()["benchmark_decontam_script"](
+            spark, SF_DIR
+        ).collect()
+    }
+    for lang in ("ja", "th", "zh"):
+        r = rows[lang]
+        assert r.n_eval_word == 0 and r.n_contam_word == 0
+        assert r.n_contam_script == r.n_docs > 0
+    for lang in ("en", "ru", "hi"):
+        r = rows[lang]
+        assert r.n_contam_word == r.n_docs > 0
+        assert r.n_contam_script == r.n_docs
+    assert rows["corpus"].n_contam_script == 0

@@ -373,6 +373,11 @@ EXCHANGE_CEILING = {
     # the comparison join — the full side exists only as the
     # oracle-checkable truth; production runs the sampled tier alone
     "sampled_percentiles": 4,
+    # both decontam pipelines over one planted scan: per-pipeline
+    # benchmark-gram distinct + broadcast + doc rollup, then the
+    # per-language dual rollup — the corpus side never shuffles for
+    # the overlap joins
+    "benchmark_decontam_script": 12,
 }
 
 
