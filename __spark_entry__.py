@@ -3777,6 +3777,85 @@ def _q_kmv_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MRL_DIMS = (8, 16, 32)
+
+
+def _q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval eval (round 15 second wave) —
+    the measurement behind MRL-style embedding serving (Kusupati et
+    al. 2022): how much of the exact 64-dim top-10 survives when the
+    index stores only the first 8/16/32 dimensions. Per (query, dim):
+    the truncated-prefix brute-force top-10 intersected with the
+    full-dimension truth, reported as n_common/recall — the
+    bytes-vs-recall curve that decides a truncation tier, next to the
+    PQ/SQ8 tiers already measured (operators/pq.py). Same
+    deterministic machinery as cosine_topk (fixed fold order, rounded
+    cosine, vec_id tie-break), so the whole eval value-hashes in the
+    oracle. Corpus side: one scan per tier with a broadcast query
+    probe — never shuffles for the join.
+
+    Measured answer on THIS corpus (the residual-PQ honesty
+    standard): the synthetic gaussian embeddings have NO matryoshka
+    structure — no training concentrated information in early
+    dimensions — so prefix recall is near-chance and climbs slowly
+    (sf0.1: ~0.0 @8, ~0.08 @16, ~0.22 @32). The eval exists to
+    MEASURE that before anyone serves a truncated index; on
+    MRL-trained embeddings the same query reads the real curve."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.vectors import (
+        as_double_array,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    def trunc(df: DataFrame, d: int) -> DataFrame:
+        return df.select(
+            "vec_id",
+            F.slice(as_double_array(F.col("embedding")), 1, d).alias(
+                "embedding"
+            ),
+        )
+
+    fullsel = brute_force_topk(emb, queries, k=10).select(
+        "query_id", "vec_id"
+    )
+    nfull = fullsel.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_full")
+    )
+    outs = []
+    for d in _MRL_DIMS:
+        td = brute_force_topk(trunc(emb, d), trunc(queries, d), k=10).select(
+            "query_id", "vec_id"
+        )
+        match = (
+            fullsel.join(td, ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        outs.append(
+            nfull.join(match, "query_id", "left").select(
+                "query_id",
+                F.lit(d).alias("dim"),
+                "n_full",
+                F.coalesce(F.col("n_common"), F.lit(0))
+                .cast("long")
+                .alias("n_common"),
+                F.round(
+                    F.coalesce(F.col("n_common"), F.lit(0))
+                    / F.col("n_full"),
+                    6,
+                ).alias("recall"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def _q_benchmark_decontam_script(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -8810,6 +8889,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_jaccard_types": _q_kmv_jaccard_types,
         "sampled_percentiles": _q_sampled_percentiles,
         "benchmark_decontam_script": _q_benchmark_decontam_script,
+        "matryoshka_recall": _q_matryoshka_recall,
         "mixture_sampled_counts": _q_mixture_sampled_counts,
         "redacted_cleaned_text": _q_redacted_cleaned_text,
         "tf_cosine_pairs": _q_tf_cosine_pairs,
@@ -11358,6 +11438,73 @@ def _curation_multiscript_oracle() -> str:
     """
 
 
+def _matryoshka_oracle() -> str:
+    """Twin of matryoshka_recall: the cosine_topk fold/round/tie-break
+    machinery over the full vectors and each sliced prefix, top-10
+    intersections against the full-dimension truth, one UNION ALL arm
+    per tier."""
+    fold_sq = "list_reduce(list_transform({v}, x -> x * x), (a, b) -> a + b)"
+    dot = (
+        "list_reduce(list_transform(generate_series(1, len(q_emb)), "
+        "i -> q_emb[i] * c_emb[i]), (a, b) -> a + b)"
+    )
+    cos = (
+        f"round({dot} / (sqrt({fold_sq.format(v='q_emb')}) * "
+        f"sqrt({fold_sq.format(v='c_emb')})), 6)"
+    )
+    tiers = []
+    recs = []
+    for d in _MRL_DIMS:
+        tiers.append(
+            f"""p{d} AS (
+          SELECT query_id, vec_id, {cos} AS cos_r FROM (
+            SELECT q.query_id, c.vec_id,
+                   q.qemb0[1:{d}] AS q_emb, c.emb0[1:{d}] AS c_emb
+            FROM e c, q WHERE c.vec_id <> q.query_id)
+        ),
+        t{d} AS (
+          SELECT query_id, vec_id FROM p{d}
+          QUALIFY row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_r DESC, vec_id ASC) <= 10
+        ),
+        m{d} AS (
+          SELECT query_id, count(*) AS n_common
+          FROM t64 f JOIN t{d} t USING (query_id, vec_id)
+          GROUP BY 1
+        )"""
+        )
+        recs.append(
+            f"""SELECT nf.query_id, CAST({d} AS INTEGER) AS dim,
+                 nf.n_full,
+                 CAST(coalesce(m{d}.n_common, 0) AS BIGINT) AS n_common,
+                 round(coalesce(m{d}.n_common, 0) / nf.n_full, 6)
+                   AS recall
+          FROM nf LEFT JOIN m{d} USING (query_id)"""
+        )
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb0
+          FROM embeddings
+        ),
+        q AS (
+          SELECT vec_id AS query_id, emb0 AS qemb0 FROM e WHERE vec_id < 5
+        ),
+        p64 AS (
+          SELECT query_id, vec_id, {cos} AS cos_r FROM (
+            SELECT q.query_id, c.vec_id, q.qemb0 AS q_emb, c.emb0 AS c_emb
+            FROM e c, q WHERE c.vec_id <> q.query_id)
+        ),
+        t64 AS (
+          SELECT query_id, vec_id FROM p64
+          QUALIFY row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_r DESC, vec_id ASC) <= 10
+        ),
+        nf AS (SELECT query_id, count(*) AS n_full FROM t64 GROUP BY 1),
+        {','.join(tiers)}
+        {' UNION ALL '.join(recs)}
+    """
+
+
 def _benchmark_decontam_script_oracle() -> str:
     """Twin of benchmark_decontam_script: the planted mix corpus, the
     word-8-gram pipeline exactly as the benchmark_decontam oracle
@@ -13301,6 +13448,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_packing_bpe": _bpe_packing_oracle(),
         "near_dup_pairs_script": _near_dup_pairs_script_oracle(),
         "benchmark_decontam_script": _benchmark_decontam_script_oracle(),
+        "matryoshka_recall": _matryoshka_oracle(),
         "sampled_percentiles": f"""
             WITH hx8 AS (
               SELECT event_type, value, event_id,

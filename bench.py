@@ -278,6 +278,7 @@ HEADLINE = [
     "kmv_jaccard_types",
     "sampled_percentiles",
     "benchmark_decontam_script",
+    "matryoshka_recall",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

@@ -434,3 +434,20 @@ def test_decontam_script_divergence(spark):
         assert r.n_contam_word == r.n_docs > 0
         assert r.n_contam_script == r.n_docs
     assert rows["corpus"].n_contam_script == 0
+
+
+def test_matryoshka_recall_contract(spark):
+    """Shape and sanity of the truncation eval: every (query, dim)
+    present, n_common ≤ n_full, and recall does not DECREASE in total
+    as the prefix widens (wider prefixes only add information)."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["matryoshka_recall"](spark, SF_DIR).collect()
+    dims = sorted({r.dim for r in rows})
+    assert dims == [8, 16, 32]
+    by_dim = {d: 0 for d in dims}
+    for r in rows:
+        assert 0 <= r.n_common <= r.n_full
+        assert abs(r.recall - r.n_common / r.n_full) < 1e-9
+        by_dim[r.dim] += r.n_common
+    assert by_dim[8] <= by_dim[32]

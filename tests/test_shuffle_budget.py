@@ -378,6 +378,11 @@ EXCHANGE_CEILING = {
     # per-language dual rollup — the corpus side never shuffles for
     # the overlap joins
     "benchmark_decontam_script": 12,
+    # four brute-force tiers (full + 3 prefixes), each scan +
+    # broadcast probe + per-query rank window, then three
+    # intersection joins and the per-query rollups — static count;
+    # tiers share the embeddings scan at runtime under AQE
+    "matryoshka_recall": 36,
 }
 
 
