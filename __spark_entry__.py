@@ -3777,6 +3777,76 @@ def _q_kmv_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-language sampling rates of the multilingual mixture — the
+#: "keep English, downsample the head, floor the tail" recipe a
+#: multilingual pretraining mix realizes (shared by the Spark query
+#: and its twin so the two can never drift)
+_LANG_MIX_RATES = {
+    "en": 1.0,
+    "zh": 0.8,
+    "ja": 0.8,
+    "ru": 0.6,
+    "ar": 0.6,
+    "hi": 0.6,
+    "ko": 0.4,
+    "th": 0.4,
+}
+_LANG_MIX_DEFAULT = 0.2
+
+
+def _q_language_mix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture realization (round 15 second wave): the
+    domain_mix_counts mechanism keyed by PREDICTED language — the
+    composition that makes it a multilingual pretraining tool: the
+    32-language script-routed classifier assigns each document its
+    mixture bucket, the stable md5 coin realizes the per-language
+    rate, and the report counts BOTH documents and script-aware
+    tokens (the budget a training run actually spends — a kept zh doc
+    contributes its character count, not '1 word'). No filter over
+    the classifier anywhere: the keep decision is a map-side CASE
+    inside the aggregate (the domain_mix_counts shape), so the plan
+    is one projection + one 32-group rollup — no pushdown fence
+    needed."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.langid import (
+        predict_lang_script,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.sampling import (
+        hash_fraction,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.scriptq import (
+        script_token_count,
+    )
+
+    docs = _plant_multiscript_mix(
+        spark, load_table(spark, sf_dir, "documents")
+    )
+    rate = F.lit(_LANG_MIX_DEFAULT)
+    for lang, r in sorted(_LANG_MIX_RATES.items()):
+        rate = F.when(F.col("pred") == lang, F.lit(r)).otherwise(rate)
+    per = docs.select(
+        "doc_id",
+        predict_lang_script(F.col("text")).alias("pred"),
+        script_token_count(F.col("text")).alias("n_tokens"),
+    ).select(
+        "pred",
+        "n_tokens",
+        (hash_fraction(F.col("doc_id"), "lmix") < rate)
+        .cast("int")
+        .alias("keep"),
+    )
+    return per.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("keep").cast("long").alias("n_kept"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.sum(F.col("keep") * F.col("n_tokens"))
+        .cast("long")
+        .alias("kept_tokens"),
+        F.round(
+            F.sum("keep").cast("double") / F.count(F.lit(1)), 6
+        ).alias("achieved_rate"),
+    )
+
+
 _MRL_DIMS = (8, 16, 32)
 
 
@@ -8890,6 +8960,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_percentiles": _q_sampled_percentiles,
         "benchmark_decontam_script": _q_benchmark_decontam_script,
         "matryoshka_recall": _q_matryoshka_recall,
+        "language_mix_counts": _q_language_mix_counts,
         "mixture_sampled_counts": _q_mixture_sampled_counts,
         "redacted_cleaned_text": _q_redacted_cleaned_text,
         "tf_cosine_pairs": _q_tf_cosine_pairs,
@@ -11438,6 +11509,60 @@ def _curation_multiscript_oracle() -> str:
     """
 
 
+def _language_mix_oracle() -> str:
+    """Twin of language_mix_counts: the planted mix, the script-routed
+    classifier chain (:func:`_script_pred_ctes`), the script token
+    twin, the same rate CASE and md5 coin, one rollup."""
+    langs, snippets = _multiscript_corpus()
+    lang_arr = "['" + "', '".join(langs) + "']"
+    snip_arr = "['" + "', '".join(snippets) + "']"
+    p = _scriptq_sql_parts()
+    rate = f"{_LANG_MIX_DEFAULT!r}"
+    for lang, r in sorted(_LANG_MIX_RATES.items()):
+        rate = f"CASE WHEN sp.pred = '{lang}' THEN {r!r} ELSE {rate} END"
+    hex8 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hx, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 4 = 3 THEN 'corpus'
+                      ELSE ({lang_arr})[CAST(floor((doc_id % 128) / 4.0)
+                                        AS INTEGER) + 1] END AS true_lang,
+                 CASE WHEN doc_id % 4 = 3 THEN text
+                      ELSE ({snip_arr})[CAST(floor((doc_id % 128) / 4.0)
+                                        AS INTEGER) + 1]
+                           || ' ' || CAST(doc_id % 7 AS VARCHAR) END AS text
+          FROM documents
+        ),
+        base AS MATERIALIZED (
+          SELECT doc_id, text, lower(coalesce(text, '')) AS s FROM d
+        ),
+        {_script_pred_ctes()},
+        per AS (
+          SELECT sp.pred,
+                 {p['n_sc']} AS n_tokens,
+                 CASE WHEN
+                   CAST(({hex8}) AS DOUBLE) / 4294967296.0 < ({rate})
+                 THEN 1 ELSE 0 END AS keep
+          FROM base b
+          JOIN spred sp USING (doc_id)
+          JOIN (SELECT doc_id,
+                       md5('lmix' || CAST(doc_id AS VARCHAR)) AS hx
+                FROM d) h USING (doc_id)
+        )
+        SELECT pred, count(*) AS n_docs,
+               CAST(sum(keep) AS BIGINT) AS n_kept,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(sum(keep * n_tokens) AS BIGINT) AS kept_tokens,
+               round(CAST(sum(keep) AS DOUBLE) / count(*), 6)
+                 AS achieved_rate
+        FROM per GROUP BY 1
+    """
+
+
 def _matryoshka_oracle() -> str:
     """Twin of matryoshka_recall: the cosine_topk fold/round/tie-break
     machinery over the full vectors and each sliced prefix, top-10
@@ -13449,6 +13574,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_pairs_script": _near_dup_pairs_script_oracle(),
         "benchmark_decontam_script": _benchmark_decontam_script_oracle(),
         "matryoshka_recall": _matryoshka_oracle(),
+        "language_mix_counts": _language_mix_oracle(),
         "sampled_percentiles": f"""
             WITH hx8 AS (
               SELECT event_type, value, event_id,

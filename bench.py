@@ -279,6 +279,7 @@ HEADLINE = [
     "sampled_percentiles",
     "benchmark_decontam_script",
     "matryoshka_recall",
+    "language_mix_counts",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

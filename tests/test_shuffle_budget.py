@@ -383,6 +383,10 @@ EXCHANGE_CEILING = {
     # intersection joins and the per-query rollups — static count;
     # tiers share the embeddings scan at runtime under AQE
     "matryoshka_recall": 36,
+    # classifier + token proxy + coin are one projection (keep is a
+    # CASE inside the aggregate — no filter, no fence needed); the
+    # one exchange is the 32-group rollup
+    "language_mix_counts": 2,
 }
 
 
