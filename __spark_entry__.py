@@ -3847,6 +3847,69 @@ def _q_language_mix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality calibration (round 15 second wave): a
+    single global quality floor is miscalibrated across languages —
+    the score's length/letter/noise terms sit at different baselines
+    per script, so one number over-prunes some languages and
+    under-prunes others. Production multilingual curation (the
+    CCNet percentile convention) keeps the TOP fraction PER language
+    instead: here, per predicted language, the p40 quality value by
+    the engine's exact-rank definition (row_number at ceil(0.4·n),
+    doc_id tie-break — an actual score from the data) becomes that
+    language's threshold, and the report shows threshold, keep count
+    and realized keep rate side by side. Thresholds vary across
+    languages on this corpus — the evidence a global floor can't be
+    right. No filter touches the classifier (windows and aggregates
+    only), so no pushdown fence is needed; exchanges are the per-pred
+    rank window + the rollup."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.langid import (
+        predict_lang_script,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.scriptq import (
+        quality_score_script,
+    )
+
+    docs = _plant_multiscript_mix(
+        spark, load_table(spark, sf_dir, "documents")
+    )
+    per = docs.select(
+        "doc_id",
+        predict_lang_script(F.col("text")).alias("pred"),
+        quality_score_script(F.col("text")).alias("quality"),
+    )
+    wo = Window.partitionBy("pred").orderBy("quality", "doc_id")
+    wp = Window.partitionBy("pred")
+    r = per.withColumn("rn", F.row_number().over(wo)).withColumn(
+        "n", F.count(F.lit(1)).over(wp)
+    )
+    rank = F.greatest(F.lit(1), F.ceil(F.lit(0.4) * F.col("n")))
+    thr = r.groupBy("pred").agg(
+        F.max(F.when(F.col("rn") == rank, F.col("quality"))).alias(
+            "threshold"
+        )
+    )
+    return (
+        r.join(thr, "pred")
+        .groupBy("pred", "threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("quality") >= F.col("threshold")).cast("int"))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .select(
+            "pred",
+            "n_docs",
+            F.round("threshold", 9).alias("q40_threshold"),
+            "n_kept",
+            F.round(
+                F.col("n_kept").cast("double") / F.col("n_docs"), 6
+            ).alias("kept_rate"),
+        )
+    )
+
+
 _MRL_DIMS = (8, 16, 32)
 
 
@@ -8961,6 +9024,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_decontam_script": _q_benchmark_decontam_script,
         "matryoshka_recall": _q_matryoshka_recall,
         "language_mix_counts": _q_language_mix_counts,
+        "quality_calibrated": _q_quality_calibrated,
         "mixture_sampled_counts": _q_mixture_sampled_counts,
         "redacted_cleaned_text": _q_redacted_cleaned_text,
         "tf_cosine_pairs": _q_tf_cosine_pairs,
@@ -11509,6 +11573,60 @@ def _curation_multiscript_oracle() -> str:
     """
 
 
+def _quality_calibrated_oracle() -> str:
+    """Twin of quality_calibrated: planted mix, classifier chain,
+    script quality twin, the same exact-rank p40 window and the
+    threshold rollup."""
+    langs, snippets = _multiscript_corpus()
+    lang_arr = "['" + "', '".join(langs) + "']"
+    snip_arr = "['" + "', '".join(snippets) + "']"
+    p = _scriptq_sql_parts()
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 4 = 3 THEN 'corpus'
+                      ELSE ({lang_arr})[CAST(floor((doc_id % 128) / 4.0)
+                                        AS INTEGER) + 1] END AS true_lang,
+                 CASE WHEN doc_id % 4 = 3 THEN text
+                      ELSE ({snip_arr})[CAST(floor((doc_id % 128) / 4.0)
+                                        AS INTEGER) + 1]
+                           || ' ' || CAST(doc_id % 7 AS VARCHAR) END AS text
+          FROM documents
+        ),
+        base AS MATERIALIZED (
+          SELECT doc_id, text, lower(coalesce(text, '')) AS s FROM d
+        ),
+        {_script_pred_ctes()},
+        per AS (
+          SELECT b.doc_id, sp.pred, {p['q_sc']} AS quality
+          FROM base b JOIN spred sp USING (doc_id)
+        ),
+        ranked AS (
+          SELECT pred, doc_id, quality,
+                 row_number() OVER (
+                   PARTITION BY pred ORDER BY quality, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY pred) AS n
+          FROM per
+        ),
+        thr AS (
+          SELECT pred,
+                 max(CASE WHEN rn = greatest(1,
+                   CAST(ceil(0.4 * n) AS BIGINT)) THEN quality END)
+                   AS threshold
+          FROM ranked GROUP BY 1
+        )
+        SELECT r.pred, count(*) AS n_docs,
+               round(t.threshold, 9) AS q40_threshold,
+               CAST(sum(CASE WHEN r.quality >= t.threshold
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               round(CAST(sum(CASE WHEN r.quality >= t.threshold
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS kept_rate
+        FROM ranked r JOIN thr t USING (pred)
+        GROUP BY 1, t.threshold
+    """
+
+
 def _language_mix_oracle() -> str:
     """Twin of language_mix_counts: the planted mix, the script-routed
     classifier chain (:func:`_script_pred_ctes`), the script token
@@ -13575,6 +13693,7 @@ def oracle_sql() -> dict[str, str]:
         "benchmark_decontam_script": _benchmark_decontam_script_oracle(),
         "matryoshka_recall": _matryoshka_oracle(),
         "language_mix_counts": _language_mix_oracle(),
+        "quality_calibrated": _quality_calibrated_oracle(),
         "sampled_percentiles": f"""
             WITH hx8 AS (
               SELECT event_type, value, event_id,

@@ -280,6 +280,7 @@ HEADLINE = [
     "benchmark_decontam_script",
     "matryoshka_recall",
     "language_mix_counts",
+    "quality_calibrated",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

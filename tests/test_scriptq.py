@@ -472,3 +472,21 @@ def test_language_mix_counts_contract(spark):
     # on ~a dozen docs)
     tail = [r for lg, r in rows.items() if lg not in em._LANG_MIX_RATES]
     assert tail and all(r.n_kept <= r.n_docs for r in tail)
+
+
+def test_quality_calibrated_contract(spark):
+    """Per-language thresholds genuinely differ (the evidence a global
+    floor is miscalibrated), every threshold is an actual quality
+    value of its language, and keep rates are sane."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["quality_calibrated"](spark, SF_DIR).collect()
+    assert len(rows) >= 30
+    thrs = {r.pred: r.q40_threshold for r in rows}
+    assert len(set(thrs.values())) > 5  # not one global number
+    for r in rows:
+        assert 0.0 <= r.q40_threshold <= 1.0
+        assert 0 < r.n_kept <= r.n_docs
+        assert abs(r.kept_rate - r.n_kept / r.n_docs) < 1e-6
+        # keeping the top ~60% can only over-keep through ties
+        assert r.kept_rate >= 0.5

@@ -387,6 +387,10 @@ EXCHANGE_CEILING = {
     # CASE inside the aggregate — no filter, no fence needed); the
     # one exchange is the 32-group rollup
     "language_mix_counts": 2,
+    # classifier + quality in one projection; per-pred rank window +
+    # the threshold/rollup aggregates (windows never substitute the
+    # classifier the way filters do — no fence needed)
+    "quality_calibrated": 4,
 }
 
 
