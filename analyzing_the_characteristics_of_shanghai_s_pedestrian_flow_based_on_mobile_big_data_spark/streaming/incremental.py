@@ -2203,3 +2203,60 @@ def incremental_block_index_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def incremental_kmv_stream(
+    spark: SparkSession,
+    events_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    group_col: str = "event_type",
+    k: int = 256,
+    schema: str = (
+        "event_id long, ts timestamp, user_id long, event_type string"
+    ),
+):
+    """Stream event files → per-group KMV distinct sketch via
+    foreachBatch — the streaming half of the round-15 sketch tier
+    (operators/kmv.py). KMV union-merge is associative, commutative
+    and IDEMPOTENT (union the hash rows, re-take the k minima), so
+    any batch boundaries AND epoch replays land on the batch-built
+    sketch bit-for-bit — the first_seen MIN argument applied to a set
+    of minima, which is why no generation chain is needed here. The
+    maintained artifact is sketch-sized (≤ k rows per group); each
+    upsert unions the batch's own sketch with the stored one,
+    re-takes the minima and rewrites through the driver — the driver
+    traffic IS the artifact, the bounded-state class every
+    incremental index in this module lives in. Estimation stays a
+    read-time fold (kmv_estimate). Parity is pytest-pinned against
+    the batch-built sketch AND estimate."""
+    from ..operators.kmv import kmv_hash, kmv_merge, kmv_sketch
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        keyed = batch_df.select(
+            group_col, kmv_hash(F.col("user_id")).alias("hx")
+        )
+        delta = kmv_sketch(keyed, [group_col], k=k)
+        try:
+            cur = spark.read.parquet(table_path).select(group_col, "hx")
+            uni = delta.select(group_col, "hx").unionByName(cur)
+        except Exception:
+            uni = delta.select(group_col, "hx")
+        merged = kmv_merge(uni, [group_col], k=k).select(group_col, "hx")
+        # materialize BEFORE the overwrite (the read above points at
+        # the same path) — sketch-sized by construction
+        rows = merged.collect()
+        spark.createDataFrame(rows, merged.schema).write.mode(
+            "overwrite"
+        ).parquet(table_path)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(events_dir)
+    )
+    return (
+        src.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -6,6 +6,7 @@ pipeline contracts."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.scriptq import (
@@ -490,3 +491,59 @@ def test_quality_calibrated_contract(spark):
         assert abs(r.kept_rate - r.n_kept / r.n_docs) < 1e-6
         # keeping the top ~60% can only over-keep through ties
         assert r.kept_rate >= 0.5
+
+
+def test_incremental_kmv_stream_parity(spark, tmp_path):
+    """The streamed sketch equals the batch-built sketch bit-for-bit
+    under file-at-a-time batching (KMV union-merge is idempotent, so
+    no generation chain) and yields the identical estimate."""
+    import datetime
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.kmv import (
+        kmv_estimate,
+        kmv_hash,
+        kmv_merge,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.streaming.incremental import (
+        incremental_kmv_stream,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    ts = datetime.datetime(2024, 1, 1)
+    b1 = [(i, ts, i % 400, "click") for i in range(600)]
+    b2 = [(1000 + i, ts, 300 + i % 500, "click") for i in range(700)] + [
+        (5000 + i, ts, i, "view") for i in range(40)
+    ]
+    src = str(tmp_path / "ev")
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    table = str(tmp_path / "kmv_table")
+    q = incremental_kmv_stream(
+        spark, src, table, str(tmp_path / "kck"), k=64
+    )
+    q.awaitTermination(180)
+
+    streamed = spark.read.parquet(table)
+    batch = kmv_merge(
+        spark.read.parquet(src).select(
+            "event_type", kmv_hash(F.col("user_id")).alias("hx")
+        ),
+        ["event_type"],
+        k=64,
+    ).select("event_type", "hx")
+    s_set = {(r.event_type, r.hx) for r in streamed.collect()}
+    b_set = {(r.event_type, r.hx) for r in batch.collect()}
+    assert s_set == b_set and len(s_set) > 0
+    # estimates off the maintained artifact == off the batch sketch
+    wo = Window.partitionBy("event_type").orderBy("hx")
+    ranked = streamed.withColumn("rk", F.row_number().over(wo))
+    est = {
+        r.event_type: r.n_est
+        for r in kmv_estimate(ranked, ["event_type"], k=64).collect()
+    }
+    # view: 40 distinct users < k -> exact; click: saturated estimate
+    assert est["view"] == 40.0
+    assert abs(est["click"] - 800) / 800 < 4 / (64 ** 0.5)
