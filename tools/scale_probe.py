@@ -2556,10 +2556,111 @@ def probe_r15b_ops(spark, sf_dir: str, n: int) -> dict:
     return results
 
 
+def probe_r15c_ops(spark, sf_dir: str, n: int) -> dict:
+    """Round-15 third wave at scale: script-routed decontamination,
+    language-mixture realization, and per-language quality
+    calibration on the 896-aligned N×-replicated corpus (the r15b
+    design — every replica keeps its original's planted language,
+    suffix, corpus/bench role). Invariants:
+
+    - benchmark_decontam_script per-language counts (docs, evaluable,
+      contaminated, both pipelines) divide EXACTLY by N — gram
+      universes replicate verbatim, so every verdict does;
+    - quality_calibrated thresholds and kept_rates are BIT-IDENTICAL
+      at every N (the p40 rank scales with the group and lands on the
+      same repeated value; ties scale with it) while doc counts
+      divide exactly;
+    - language_mix_counts doc/token totals divide exactly; kept
+      counts do NOT (the md5 coin keys on the shifted replica
+      doc_ids — by design: replicas are new documents to the
+      sampler), so the probe records achieved-rate drift instead."""
+    import hashlib
+
+    import __spark_entry__ as entry
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    step = 896 * 11_161
+    dcopies = docs.crossJoin(
+        spark.range(n).select(F.col("id").alias("rep"))
+    ).select((F.col("doc_id") + F.col("rep") * step).alias("doc_id"), "text")
+    dout = os.path.join(tempfile.gettempdir(), f"documents_r15c_x{n}.parquet")
+    dcopies.write.mode("overwrite").parquet(dout)
+    tmp_sf = os.path.join(tempfile.gettempdir(), f"r15c_sf_x{n}")
+    os.makedirs(tmp_sf, exist_ok=True)
+    tgt = os.path.join(tmp_sf, "documents.parquet")
+    if os.path.islink(tgt):
+        os.remove(tgt)
+    os.symlink(dout, tgt)
+    results = {
+        "family": "r15c_ops",
+        "replication": n,
+        "rows": spark.read.parquet(dout).count(),
+    }
+    qs = entry.queries()
+
+    t0 = time.perf_counter()
+    dc = qs["benchmark_decontam_script"](spark, tmp_sf).collect()
+    results["decontam_s"] = round(time.perf_counter() - t0, 2)
+    results["decontam_divisible"] = all(
+        r.n_docs % n == 0
+        and r.n_eval_word % n == 0
+        and r.n_contam_word % n == 0
+        and r.n_eval_script % n == 0
+        and r.n_contam_script % n == 0
+        for r in dc
+    )
+    results["decontam_fp"] = hashlib.md5(
+        repr(
+            sorted(
+                (r.true_lang, r.n_docs // n, r.n_contam_word // n,
+                 r.n_contam_script // n)
+                for r in dc
+            )
+        ).encode()
+    ).hexdigest()[:12]
+
+    t0 = time.perf_counter()
+    qc = qs["quality_calibrated"](spark, tmp_sf).collect()
+    results["calib_s"] = round(time.perf_counter() - t0, 2)
+    results["calib_divisible"] = all(
+        r.n_docs % n == 0 and r.n_kept % n == 0 for r in qc
+    )
+    results["calib_fp"] = hashlib.md5(
+        repr(
+            sorted(
+                (r.pred, r.q40_threshold, r.kept_rate, r.n_docs // n)
+                for r in qc
+            )
+        ).encode()
+    ).hexdigest()[:12]
+
+    t0 = time.perf_counter()
+    lm = qs["language_mix_counts"](spark, tmp_sf).collect()
+    results["mix_s"] = round(time.perf_counter() - t0, 2)
+    results["mix_docs_divisible"] = all(
+        r.n_docs % n == 0 and r.sum_tokens % n == 0 for r in lm
+    )
+    results["mix_rate_drift_max"] = round(
+        max(
+            abs(
+                r.achieved_rate
+                - entry._LANG_MIX_RATES.get(r.pred, entry._LANG_MIX_DEFAULT)
+            )
+            for r in lm
+        ),
+        4,
+    )
+    return results
+
+
 FAMILIES = {
     "graph": probe_graph,
     "r15_ops": probe_r15_ops,
     "r15b_ops": probe_r15b_ops,
+    "r15c_ops": probe_r15c_ops,
     "pq": probe_pq,
     "pq_residual": probe_pq_residual,
     "scorer_fit": probe_scorer_fit,
