@@ -3729,6 +3729,54 @@ def _q_sequence_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_stats(packed, tokens_col="n_subwords")
 
 
+def _q_dedup_survivors_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-routed near-dup SURVIVORSHIP (round 15 second wave) —
+    the end of the dedup story the routed shingles opened: the
+    script-routed LSH pairs feed pointer-jump connected components,
+    and each cluster keeps its minimum doc_id (the CC label IS the
+    cluster minimum, so survivor = doc whose label equals itself;
+    singletons survive trivially). Per language: canonical docs in,
+    survivors out, dropped count — every planted language's 7 suffix
+    near-variants collapse to ONE survivor, INCLUDING ja/th/zh, which
+    the word-shingle pipeline cannot deduplicate at all (zero
+    shingles → no pairs → all 7 "survive" as false uniques). Exact
+    dedup runs first (the canon window), so CC sees Θ(variants), not
+    Θ(copies²). Oracle: the shared script-pair CTEs + recursive-CTE
+    closure."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.components import (
+        connected_components,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.dedup import (
+        minhash_lsh_pairs_script,
+    )
+
+    docs = _plant_multiscript_mix(
+        spark, load_table(spark, sf_dir, "documents")
+    )
+    min_id = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    canon = (
+        docs.withColumn("min_id", min_id)
+        .filter(F.col("doc_id") == F.col("min_id"))
+        .select("doc_id", "true_lang", "text")
+        .persist()
+    )
+    pairs = minhash_lsh_pairs_script(canon, k=8, bands=4, n_word=3, n_char=6)
+    comp = connected_components(pairs)
+    labeled = canon.join(
+        comp, canon["doc_id"] == comp["node"], "left"
+    ).select(
+        "true_lang",
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster"),
+    )
+    surv = (F.col("doc_id") == F.col("cluster")).cast("int")
+    return labeled.groupBy("true_lang").agg(
+        F.count(F.lit(1)).alias("n_canon"),
+        F.sum(surv).cast("long").alias("n_survivors"),
+        F.sum(1 - surv).cast("long").alias("n_dropped"),
+    )
+
+
 def _q_kmv_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct sketches with sketch-algebra merge (round 15
     second wave) — the approx-distinct tier whose ESTIMATE the oracle
@@ -9018,6 +9066,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_multiscript": _q_curation_multiscript,
         "sequence_packing_bpe": _q_sequence_packing_bpe,
         "near_dup_pairs_script": _q_near_dup_pairs_script,
+        "dedup_survivors_script": _q_dedup_survivors_script,
         "kmv_distinct_merge": _q_kmv_distinct_merge,
         "kmv_jaccard_types": _q_kmv_jaccard_types,
         "sampled_percentiles": _q_sampled_percentiles,
@@ -11834,14 +11883,14 @@ def _benchmark_decontam_script_oracle() -> str:
     """
 
 
-def _near_dup_pairs_script_oracle(k: int = 8, bands: int = 4) -> str:
-    """Twin of near_dup_pairs_script: the planted mix corpus, the
-    exact-digest pre-collapse, SCRIPT-ROUTED shingles (char 6-grams
-    where continua letters hold the majority — the same
-    _scriptq_sql_parts routing arithmetic — word 3-grams otherwise),
-    then the standard min-md5 signature / band-hash / equi-self-join
-    LSH chain of _doc_lsh_oracle_params and the per-language
-    word-visibility rollup. Deterministic md5 arithmetic end to end."""
+def _script_pairs_oracle_parts(
+    k: int = 8, bands: int = 4
+) -> tuple[str, str]:
+    """(CTE block without WITH, candidate-pair select) for the
+    script-routed LSH pipeline — the _minhash_oracle_parts convention,
+    so downstream oracles (survivorship closure) compose structurally.
+    The block ends with ``rt`` (canonical docs + routing + labels)
+    and ``bandt`` addressable."""
     langs, snippets = _multiscript_corpus()
     snip_arr = "['" + "', '".join(snippets) + "']"
     p = _scriptq_sql_parts()
@@ -11859,8 +11908,7 @@ def _near_dup_pairs_script_oracle(k: int = 8, bands: int = 4) -> str:
         )
         for b in range(bands)
     )
-    return f"""
-        WITH dd AS (
+    ctes = f"""dd AS (
           SELECT doc_id,
                  CASE WHEN doc_id % 4 = 3 THEN 'corpus'
                       ELSE ({"['" + "', '".join(langs) + "']"})[CAST(floor((doc_id % 128) / 4.0)
@@ -11910,13 +11958,28 @@ def _near_dup_pairs_script_oracle(k: int = 8, bands: int = 4) -> str:
         ),
         bandt AS (
           {band_selects}
-        ),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        )"""
+    cand = """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM bandt a
           JOIN bandt b ON a.band = b.band
                       AND a.band_hash = b.band_hash
-                      AND a.doc_id < b.doc_id
+                      AND a.doc_id < b.doc_id"""
+    return ctes, cand
+
+
+def _near_dup_pairs_script_oracle(k: int = 8, bands: int = 4) -> str:
+    """Twin of near_dup_pairs_script: the planted mix corpus, the
+    exact-digest pre-collapse, SCRIPT-ROUTED shingles (char 6-grams
+    where continua letters hold the majority — the same
+    _scriptq_sql_parts routing arithmetic — word 3-grams otherwise),
+    then the standard min-md5 signature / band-hash / equi-self-join
+    LSH chain of _doc_lsh_oracle_params and the per-language
+    word-visibility rollup. Deterministic md5 arithmetic end to end."""
+    ctes, cand = _script_pairs_oracle_parts(k, bands)
+    return f"""
+        WITH {ctes},
+        cand AS (
+          {cand}
         )
         SELECT ra.true_lang, ra.wv * rb.wv AS word_visible,
                count(*) AS n_pairs
@@ -11924,6 +11987,44 @@ def _near_dup_pairs_script_oracle(k: int = 8, bands: int = 4) -> str:
         JOIN rt ra ON ra.doc_id = c.doc_a
         JOIN rt rb ON rb.doc_id = c.doc_b
         GROUP BY 1, 2
+    """
+
+
+def _dedup_survivors_script_oracle(k: int = 8, bands: int = 4) -> str:
+    """Twin of dedup_survivors_script: the script-routed pair chain,
+    transitive closure via recursive CTE (min reachable id = the
+    label the Spark pointer-jump CC converges to), survivors = docs
+    that ARE their cluster minimum (singletons trivially so), rolled
+    up per language."""
+    ctes, cand = _script_pairs_oracle_parts(k, bands)
+    return f"""
+        WITH RECURSIVE {ctes},
+        pairs AS (
+          {cand}
+        ),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs
+        ),
+        cnodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(src, node) AS (
+          SELECT node, node FROM cnodes
+          UNION
+          SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+        ),
+        comp AS (
+          SELECT src, min(node) AS cluster FROM reach GROUP BY 1
+        )
+        SELECT rt.true_lang, count(*) AS n_canon,
+               CAST(sum(CASE WHEN coalesce(c.cluster, rt.doc_id)
+                                  = rt.doc_id
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+               CAST(sum(CASE WHEN coalesce(c.cluster, rt.doc_id)
+                                  <> rt.doc_id
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        FROM rt LEFT JOIN comp c ON c.src = rt.doc_id
+        GROUP BY 1
     """
 
 
@@ -13690,6 +13791,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_multiscript": _curation_multiscript_oracle(),
         "sequence_packing_bpe": _bpe_packing_oracle(),
         "near_dup_pairs_script": _near_dup_pairs_script_oracle(),
+        "dedup_survivors_script": _dedup_survivors_script_oracle(),
         "benchmark_decontam_script": _benchmark_decontam_script_oracle(),
         "matryoshka_recall": _matryoshka_oracle(),
         "language_mix_counts": _language_mix_oracle(),

@@ -281,6 +281,7 @@ HEADLINE = [
     "matryoshka_recall",
     "language_mix_counts",
     "quality_calibrated",
+    "dedup_survivors_script",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

@@ -547,3 +547,22 @@ def test_incremental_kmv_stream_parity(spark, tmp_path):
     # view: 40 distinct users < k -> exact; click: saturated estimate
     assert est["view"] == 40.0
     assert abs(est["click"] - 800) / 800 < 4 / (64 ** 0.5)
+
+
+def test_dedup_survivors_script_contract(spark):
+    """Every planted language — continua included — collapses its 7
+    suffix near-variants to exactly ONE survivor; the word pipeline
+    would have left all 7 CJK variants as false uniques."""
+    import __spark_entry__ as em
+
+    rows = {
+        r.true_lang: r
+        for r in em.queries()["dedup_survivors_script"](
+            spark, SF_DIR
+        ).collect()
+    }
+    for lang in ("zh", "ja", "th", "ru", "en"):
+        r = rows[lang]
+        assert r.n_canon == 7  # the suffix variants (sf0.001)
+        assert r.n_survivors == 1 and r.n_dropped == 6
+    assert rows["corpus"].n_canon > 50

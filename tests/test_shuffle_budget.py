@@ -391,6 +391,9 @@ EXCHANGE_CEILING = {
     # the threshold/rollup aggregates (windows never substitute the
     # classifier the way filters do — no fence needed)
     "quality_calibrated": 4,
+    # final-stage plan only (the CC rounds truncate lineage behind
+    # per-round checkpoints): the canon/labeling joins + the rollup
+    "dedup_survivors_script": 10,
 }
 
 
