@@ -3729,6 +3729,59 @@ def _q_sequence_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_stats(packed, tokens_col="n_subwords")
 
 
+def _plant_html_docs(docs: DataFrame) -> DataFrame:
+    """Each doc's text wrapped in a deterministic HTML scaffold that
+    exercises every extraction rule: title + style (content must
+    drop), a script with entity-laden code (must drop WITH content),
+    a doc-id-bearing comment, planted entities (&amp;/&lt;/&gt;/
+    &quot;/&nbsp;), and attribute-carrying tags around the body
+    text."""
+    did = F.col("doc_id").cast("string")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>doc "),
+            did,
+            F.lit(
+                "</title><style>p { color: red; }</style></head>"
+                "<body><script type=\"text/javascript\">var x = 1 "
+                "&amp;&amp; 2;</script><h1>Q&amp;A &lt;notes&gt;</h1>"
+                "<!-- trace "
+            ),
+            did,
+            F.lit(' --><p class="main">'),
+            F.col("text"),
+            F.lit("</p><div>&nbsp;&quot;end&quot;</div></body></html>"),
+        ).alias("html"),
+    )
+
+
+def _q_html_extracted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (round 15 second wave) — the stage a
+    crawl pipeline runs before ANY gate sees text
+    (functions/html.py:html_to_text: script/style-with-content drop →
+    comment/tag strip → one-pass entity decode → whitespace squeeze,
+    all compiled-regex codegen on the scan). Over the corpus wrapped
+    in a deterministic scaffold exercising every rule: per doc, the
+    raw vs extracted whitespace token counts and the md5 of the
+    extracted text — the hash gate pins the EXACT extracted string,
+    so any drift in rule order (entities before tags, double-decode)
+    fails loudly. The twin applies the identical chain, built from
+    the same step tables."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.html import (
+        html_to_text,
+    )
+
+    docs = _plant_html_docs(load_table(spark, sf_dir, "documents"))
+    ext = html_to_text(F.col("html"))
+    return docs.select(
+        "doc_id",
+        tx.token_count(F.col("html")).alias("n_tokens_raw"),
+        tx.token_count(ext).alias("n_tokens_text"),
+        F.md5(ext).alias("digest"),
+    )
+
+
 def _q_dedup_survivors_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Script-routed near-dup SURVIVORSHIP (round 15 second wave) —
     the end of the dedup story the routed shingles opened: the
@@ -9067,6 +9120,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing_bpe": _q_sequence_packing_bpe,
         "near_dup_pairs_script": _q_near_dup_pairs_script,
         "dedup_survivors_script": _q_dedup_survivors_script,
+        "html_extracted_stats": _q_html_extracted_stats,
         "kmv_distinct_merge": _q_kmv_distinct_merge,
         "kmv_jaccard_types": _q_kmv_jaccard_types,
         "sampled_percentiles": _q_sampled_percentiles,
@@ -11990,6 +12044,39 @@ def _near_dup_pairs_script_oracle(k: int = 8, bands: int = 4) -> str:
     """
 
 
+def _html_extracted_oracle() -> str:
+    """Twin of html_extracted_stats: the same scaffold concat, the
+    extraction chain rendered by functions/html.py:html_to_text_sql
+    (built from the SAME step tables as the Spark expression), same
+    token counts and md5."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.html import (
+        html_to_text_sql,
+    )
+
+    scaffold = (
+        "'<html><head><title>doc ' || CAST(doc_id AS VARCHAR) || "
+        "'</title><style>p { color: red; }</style></head>"
+        "<body><script type=\"text/javascript\">var x = 1 "
+        "&amp;&amp; 2;</script><h1>Q&amp;A &lt;notes&gt;</h1>"
+        "<!-- trace ' || CAST(doc_id AS VARCHAR) || "
+        "' --><p class=\"main\">' || text || "
+        "'</p><div>&nbsp;&quot;end&quot;</div></body></html>'"
+    )
+    ext = html_to_text_sql("html")
+    toks_html = _TOKENS_SQL.replace("(text)", "(html)")
+    toks_ext = _TOKENS_SQL.replace("(text)", f"(({ext}))")
+    return f"""
+        WITH h AS (
+          SELECT doc_id, {scaffold} AS html FROM documents
+        )
+        SELECT doc_id,
+               CAST(len({toks_html}) AS INTEGER) AS n_tokens_raw,
+               CAST(len({toks_ext}) AS INTEGER) AS n_tokens_text,
+               md5({ext}) AS digest
+        FROM h
+    """
+
+
 def _dedup_survivors_script_oracle(k: int = 8, bands: int = 4) -> str:
     """Twin of dedup_survivors_script: the script-routed pair chain,
     transitive closure via recursive CTE (min reachable id = the
@@ -13792,6 +13879,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_packing_bpe": _bpe_packing_oracle(),
         "near_dup_pairs_script": _near_dup_pairs_script_oracle(),
         "dedup_survivors_script": _dedup_survivors_script_oracle(),
+        "html_extracted_stats": _html_extracted_oracle(),
         "benchmark_decontam_script": _benchmark_decontam_script_oracle(),
         "matryoshka_recall": _matryoshka_oracle(),
         "language_mix_counts": _language_mix_oracle(),

@@ -282,6 +282,7 @@ HEADLINE = [
     "language_mix_counts",
     "quality_calibrated",
     "dedup_survivors_script",
+    "html_extracted_stats",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

@@ -566,3 +566,60 @@ def test_dedup_survivors_script_contract(spark):
         assert r.n_canon == 7  # the suffix variants (sf0.001)
         assert r.n_survivors == 1 and r.n_dropped == 6
     assert rows["corpus"].n_canon > 50
+
+
+def test_html_to_text_rules(spark):
+    """The extraction contract, rule by rule: script/style drop WITH
+    content, comments drop, tags drop, entities decode exactly once
+    (so &amp;lt; becomes the literal string '&lt;'), whitespace
+    squeezes."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.html import (
+        html_to_text,
+    )
+
+    cases = [
+        ("<p>hello <b>world</b></p>", "hello world"),
+        ("<script>var x = 'gone';</script>kept", "kept"),
+        ("<style>p{}</style>kept", "kept"),
+        ("<!-- secret -->visible", "visible"),
+        ("a&amp;b &lt;tag&gt; &quot;q&quot; &nbsp;", 'a&b <tag> "q"'),
+        ("&amp;lt;", "&lt;"),  # one decode pass, no double-decode
+        ("  spaced\n\tout  ", "spaced out"),
+        ("<SCRIPT>UP</SCRIPT>low", "low"),  # case-insensitive elements
+        (None, ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _e) in enumerate(cases)], "i long, h string"
+    )
+    got = {
+        r.i: r.v
+        for r in df.select("i", html_to_text(F.col("h")).alias("v")).collect()
+    }
+    for i, (_t, e) in enumerate(cases):
+        assert got[i] == e, (i, _t, e, got[i])
+
+
+def test_html_extracted_stats_contract(spark):
+    """Extraction strictly shrinks the scaffolded docs and keeps the
+    body text: extracted tokens = body tokens + the 5 planted
+    decoded words (Q&A <notes> "end")."""
+    import __spark_entry__ as em
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources.tables import (
+        load_table,
+    )
+
+    out = {
+        r.doc_id: r
+        for r in em.queries()["html_extracted_stats"](spark, SF_DIR).collect()
+    }
+    base = {
+        r.doc_id: r.n
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", token_count(F.col("text")).alias("n"))
+        .collect()
+    }
+    for i, r in out.items():
+        assert r.n_tokens_raw > r.n_tokens_text
+        # 'doc' '<id>' (title text survives — only script/style drop
+        # content) + 'Q&A' '<notes>' + '"end"'
+        assert r.n_tokens_text == base[i] + 5

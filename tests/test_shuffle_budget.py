@@ -394,6 +394,8 @@ EXCHANGE_CEILING = {
     # final-stage plan only (the CC rounds truncate lineage behind
     # per-round checkpoints): the canon/labeling joins + the rollup
     "dedup_survivors_script": 10,
+    # extraction is a pure regex/replace projection on the scan
+    "html_extracted_stats": 0,
 }
 
 
