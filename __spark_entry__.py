@@ -3782,6 +3782,50 @@ def _q_html_extracted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_compression_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer fairness measurement (round 15 second wave): the
+    chars-per-subword compression the English-corpus-trained BPE
+    delivers PER LANGUAGE over the 32-language planted corpus —
+    the inequity number behind 'multilingual users pay more tokens
+    for the same text' (Petrov et al. 2023, *Language Model
+    Tokenizers Introduce Unfairness Between Languages*). The merge
+    table is the in-engine-trained one (vocabulary from THIS
+    corpus's English-like text); apply-time segmentation replays it
+    over every planted word, so English text compresses while
+    non-Latin scripts fall back to ~1 char/subword — measured, per
+    language, with the ratio value-hash-exact in the twin (trainer
+    CTEs + replay over the planted corpus). One bounded trainer
+    aggregate (cached) + one scan + one 32-group rollup."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.bpe import (
+        subword_count_expr,
+    )
+
+    merge_rows, _segs = _bpe_cached(spark, sf_dir)
+    merges = [(a, b) for _step, a, b, _c in merge_rows]
+    docs = _plant_multiscript(load_table(spark, sf_dir, "documents"))
+    ex = docs.select(
+        "true_lang", F.explode(tx.tokens(F.col("text"))).alias("w")
+    )
+    agg = ex.groupBy("true_lang").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.length("w")).cast("long").alias("n_chars"),
+        F.sum(subword_count_expr(F.col("w"), merges))
+        .cast("long")
+        .alias("n_subwords"),
+    )
+    return agg.select(
+        "true_lang",
+        "n_words",
+        "n_chars",
+        "n_subwords",
+        F.round(
+            F.col("n_chars").cast("double") / F.col("n_subwords"), 6
+        ).alias("chars_per_subword"),
+    )
+
+
 def _q_dedup_survivors_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Script-routed near-dup SURVIVORSHIP (round 15 second wave) —
     the end of the dedup story the routed shingles opened: the
@@ -9121,6 +9165,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_pairs_script": _q_near_dup_pairs_script,
         "dedup_survivors_script": _q_dedup_survivors_script,
         "html_extracted_stats": _q_html_extracted_stats,
+        "bpe_compression_by_lang": _q_bpe_compression_by_lang,
         "kmv_distinct_merge": _q_kmv_distinct_merge,
         "kmv_jaccard_types": _q_kmv_jaccard_types,
         "sampled_percentiles": _q_sampled_percentiles,
@@ -10877,14 +10922,16 @@ def _bpe_ctes(k: int = None, top_v: int = None) -> str:
     return ",".join(parts)
 
 
-def _bpe_applied_prefix() -> str:
+def _bpe_applied_prefix(apdocs_body: str | None = None) -> str:
     """WITH-clause prefix shared by the applied-BPE oracles: the
     unrolled trainer CTEs (_bpe_ctes → best1..best{k}, on the
-    UNPLANTED corpus), the planted OOV word appended per doc, and the
-    merge list replayed over EVERY token as k rounds of the identical
-    two-pass padded replace (LEFT JOIN best{r} ON TRUE — the bws-round
-    shape, over the token table instead of the vocab). Ends at
-    ``aseg{_BPE_K}(doc_id, w, seg)``."""
+    UNPLANTED corpus), an ``apdocs`` document source (default: the
+    planted-OOV append; pass ``apdocs_body`` for another corpus —
+    extra columns like true_lang ride along for the final join), and
+    the merge list replayed over EVERY token as k rounds of the
+    identical two-pass padded replace (LEFT JOIN best{r} ON TRUE —
+    the bws-round shape, over the token table instead of the vocab).
+    Ends at ``aseg{_BPE_K}(doc_id, w, seg)``."""
     k = _BPE_K
     plant_arr = "['" + "', '".join(_BPE_PLANT_WORDS) + "']"
     np = len(_BPE_PLANT_WORDS)
@@ -10904,13 +10951,15 @@ def _bpe_applied_prefix() -> str:
           FROM aseg{p} s LEFT JOIN best{r} b ON TRUE
         )"""
         )
+    if apdocs_body is None:
+        apdocs_body = f"""SELECT doc_id,
+                 text || ' ' ||
+                 ({plant_arr})[CAST(doc_id % {np} AS INTEGER) + 1] AS text
+          FROM documents"""
     return f"""
         WITH {_bpe_ctes()},
         apdocs AS (
-          SELECT doc_id,
-                 text || ' ' ||
-                 ({plant_arr})[CAST(doc_id % {np} AS INTEGER) + 1] AS text
-          FROM documents
+          {apdocs_body}
         ),
         aseg0 AS MATERIALIZED (
           SELECT doc_id, w,
@@ -12041,6 +12090,37 @@ def _near_dup_pairs_script_oracle(k: int = 8, bands: int = 4) -> str:
         JOIN rt ra ON ra.doc_id = c.doc_a
         JOIN rt rb ON rb.doc_id = c.doc_b
         GROUP BY 1, 2
+    """
+
+
+def _bpe_compression_oracle() -> str:
+    """Twin of bpe_compression_by_lang: the shared applied-BPE prefix
+    with the 32-language planted corpus as the apdocs source (extra
+    true_lang column rides along), rolled up per language."""
+    langs, snippets = _multiscript_corpus()
+    nl = len(langs)
+    lang_arr = "['" + "', '".join(langs) + "']"
+    snip_arr = "['" + "', '".join(snippets) + "']"
+    body = f"""SELECT doc_id,
+                 ({lang_arr})[CAST(doc_id % {nl} AS INTEGER) + 1]
+                   AS true_lang,
+                 ({snip_arr})[CAST(doc_id % {nl} AS INTEGER) + 1]
+                   AS text
+          FROM documents"""
+    return f"""{_bpe_applied_prefix(apdocs_body=body)}
+        SELECT p.true_lang,
+               count(*) AS n_words,
+               CAST(sum(length(s.w)) AS BIGINT) AS n_chars,
+               CAST(sum(greatest(
+                 length(s.seg) - length(replace(s.seg, chr(1), '')) - 1,
+                 0)) AS BIGINT) AS n_subwords,
+               round(CAST(sum(length(s.w)) AS DOUBLE)
+                     / sum(greatest(
+                         length(s.seg)
+                         - length(replace(s.seg, chr(1), '')) - 1, 0)), 6)
+                 AS chars_per_subword
+        FROM aseg{_BPE_K} s JOIN apdocs p USING (doc_id)
+        GROUP BY 1
     """
 
 
@@ -13880,6 +13960,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_pairs_script": _near_dup_pairs_script_oracle(),
         "dedup_survivors_script": _dedup_survivors_script_oracle(),
         "html_extracted_stats": _html_extracted_oracle(),
+        "bpe_compression_by_lang": _bpe_compression_oracle(),
         "benchmark_decontam_script": _benchmark_decontam_script_oracle(),
         "matryoshka_recall": _matryoshka_oracle(),
         "language_mix_counts": _language_mix_oracle(),

@@ -283,6 +283,7 @@ HEADLINE = [
     "quality_calibrated",
     "dedup_survivors_script",
     "html_extracted_stats",
+    "bpe_compression_by_lang",
 ]
 
 # The 14 queries benched since round 1 — their median subtotal is the

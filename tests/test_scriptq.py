@@ -623,3 +623,22 @@ def test_html_extracted_stats_contract(spark):
         # 'doc' '<id>' (title text survives — only script/style drop
         # content) + 'Q&A' '<notes>' + '"end"'
         assert r.n_tokens_text == base[i] + 5
+
+
+def test_bpe_compression_fairness_gap(spark):
+    """The measured inequity: the English-trained merges compress en
+    (ratio > 1) and leave every non-Latin script at exactly 1.0
+    chars/subword (no merge applies — each char stays a subword)."""
+    import __spark_entry__ as em
+
+    rows = {
+        r.true_lang: r
+        for r in em.queries()["bpe_compression_by_lang"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert rows["en"].chars_per_subword > 1.0
+    for lang in ("zh", "ja", "th", "ru", "ar", "he", "el", "hi"):
+        r = rows[lang]
+        assert r.chars_per_subword == 1.0
+        assert r.n_subwords == r.n_chars

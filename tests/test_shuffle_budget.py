@@ -396,6 +396,10 @@ EXCHANGE_CEILING = {
     "dedup_survivors_script": 10,
     # extraction is a pure regex/replace projection on the scan
     "html_extracted_stats": 0,
+    # segmentation is a pure expression over the exploded tokens; the
+    # one exchange is the 32-group rollup (trainer aggregate cached
+    # before this plan exists)
+    "bpe_compression_by_lang": 2,
 }
 
 
