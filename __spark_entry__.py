@@ -3951,9 +3951,15 @@ def _q_language_mix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classifier anywhere: the keep decision is a map-side CASE
     inside the aggregate (the domain_mix_counts shape), so the plan
     is one projection + one 32-group rollup — no pushdown fence
-    needed."""
+    needed. The classifier runs as the STAGED codegen projections
+    (script_profile_cols/assemble — safe here because nothing filters
+    over it; measured: the self-contained bound-lambda form is
+    interpreted and cost ~0.4 ms/row, 22 s at sf0.1 vs ~3 s
+    staged)."""
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.langid import (
-        predict_lang_script,
+        assemble_script_pred,
+        predict_lang_ngram,
+        script_profile_cols,
     )
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.sampling import (
         hash_fraction,
@@ -3968,10 +3974,21 @@ def _q_language_mix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate = F.lit(_LANG_MIX_DEFAULT)
     for lang, r in sorted(_LANG_MIX_RATES.items()):
         rate = F.when(F.col("pred") == lang, F.lit(r)).otherwise(rate)
-    per = docs.select(
+    cols = script_profile_cols(F.col("text"))
+    staged = docs.select(
         "doc_id",
-        predict_lang_script(F.col("text")).alias("pred"),
+        predict_lang_ngram(F.col("text")).alias("_lat"),
+        cols["sb"].alias("_sb"),
+        cols["cyr"].alias("_cyr"),
+        cols["arb"].alias("_arb"),
         script_token_count(F.col("text")).alias("n_tokens"),
+    )
+    per = staged.select(
+        "doc_id",
+        assemble_script_pred(
+            F.col("_sb"), F.col("_cyr"), F.col("_arb"), F.col("_lat")
+        ).alias("pred"),
+        "n_tokens",
     ).select(
         "pred",
         "n_tokens",
@@ -4006,10 +4023,14 @@ def _q_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     and realized keep rate side by side. Thresholds vary across
     languages on this corpus — the evidence a global floor can't be
     right. No filter touches the classifier (windows and aggregates
-    only), so no pushdown fence is needed; exchanges are the per-pred
-    rank window + the rollup."""
+    only), so no pushdown fence is needed and it runs as the STAGED
+    codegen projections (measured: the bound-lambda form is
+    interpreted, ~44 s at sf0.1 vs ~4 s staged); exchanges are the
+    per-pred rank window + the rollup."""
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.langid import (
-        predict_lang_script,
+        assemble_script_pred,
+        predict_lang_ngram,
+        script_profile_cols,
     )
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.scriptq import (
         quality_score_script,
@@ -4018,10 +4039,21 @@ def _q_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _plant_multiscript_mix(
         spark, load_table(spark, sf_dir, "documents")
     )
-    per = docs.select(
+    cols = script_profile_cols(F.col("text"))
+    staged = docs.select(
         "doc_id",
-        predict_lang_script(F.col("text")).alias("pred"),
+        predict_lang_ngram(F.col("text")).alias("_lat"),
+        cols["sb"].alias("_sb"),
+        cols["cyr"].alias("_cyr"),
+        cols["arb"].alias("_arb"),
         quality_score_script(F.col("text")).alias("quality"),
+    )
+    per = staged.select(
+        "doc_id",
+        assemble_script_pred(
+            F.col("_sb"), F.col("_cyr"), F.col("_arb"), F.col("_lat")
+        ).alias("pred"),
+        "quality",
     )
     wo = Window.partitionBy("pred").orderBy("quality", "doc_id")
     wp = Window.partitionBy("pred")
@@ -4029,13 +4061,13 @@ def _q_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n", F.count(F.lit(1)).over(wp)
     )
     rank = F.greatest(F.lit(1), F.ceil(F.lit(0.4) * F.col("n")))
-    thr = r.groupBy("pred").agg(
-        F.max(F.when(F.col("rn") == rank, F.col("quality"))).alias(
-            "threshold"
-        )
-    )
+    # threshold as a SECOND window over the same partitioning, not a
+    # groupBy + self-join: the join re-derived the whole classifier
+    # lineage on the build side (482 KB plan, 2 scans); the window
+    # shares the one sorted partition (56 KB, 1 scan)
+    thr = F.max(F.when(F.col("rn") == rank, F.col("quality"))).over(wp)
     return (
-        r.join(thr, "pred")
+        r.withColumn("threshold", thr)
         .groupBy("pred", "threshold")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -11761,21 +11793,21 @@ def _quality_calibrated_oracle() -> str:
           FROM per
         ),
         thr AS (
-          SELECT pred,
+          SELECT pred, quality,
                  max(CASE WHEN rn = greatest(1,
                    CAST(ceil(0.4 * n) AS BIGINT)) THEN quality END)
-                   AS threshold
-          FROM ranked GROUP BY 1
+                   OVER (PARTITION BY pred) AS threshold
+          FROM ranked
         )
-        SELECT r.pred, count(*) AS n_docs,
-               round(t.threshold, 9) AS q40_threshold,
-               CAST(sum(CASE WHEN r.quality >= t.threshold
+        SELECT pred, count(*) AS n_docs,
+               round(threshold, 9) AS q40_threshold,
+               CAST(sum(CASE WHEN quality >= threshold
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-               round(CAST(sum(CASE WHEN r.quality >= t.threshold
+               round(CAST(sum(CASE WHEN quality >= threshold
                               THEN 1 ELSE 0 END) AS DOUBLE)
                      / count(*), 6) AS kept_rate
-        FROM ranked r JOIN thr t USING (pred)
-        GROUP BY 1, t.threshold
+        FROM thr
+        GROUP BY 1, threshold
     """
 
 

@@ -387,10 +387,11 @@ EXCHANGE_CEILING = {
     # CASE inside the aggregate — no filter, no fence needed); the
     # one exchange is the 32-group rollup
     "language_mix_counts": 2,
-    # classifier + quality in one projection; per-pred rank window +
-    # the threshold/rollup aggregates (windows never substitute the
-    # classifier the way filters do — no fence needed)
-    "quality_calibrated": 4,
+    # classifier + quality in one STAGED projection; the rank and
+    # threshold windows share one per-pred partitioning and the
+    # rollup reuses it — one exchange total (the groupBy+self-join
+    # form re-derived the classifier lineage; banked the window form)
+    "quality_calibrated": 2,
     # final-stage plan only (the CC rounds truncate lineage behind
     # per-round checkpoints): the canon/labeling joins + the rollup
     "dedup_survivors_script": 10,
