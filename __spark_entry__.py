@@ -51,11 +51,20 @@ from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile
 from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions import (  # noqa: E402
     text as tx,
 )
+from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.exprmemo import (  # noqa: E402
+    memoized_expr,
+)
+from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.functions.langid import (  # noqa: E402
+    predict_lang_ngram_cached,
+    predict_lang_tokens_cached,
+    script_profile_cols_cached,
+)
 from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.session import (  # noqa: E402
     tune_for_session,
 )
 from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.sources import (  # noqa: E402
     events_as_pings,
+    fan_out_small_scan,
     load_table,
 )
 
@@ -816,8 +825,11 @@ def _q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     no in-engine check could catch; at 64 bits the same budget
     matches 4% (sf0.01), and block keys stay ≥ 16 bits at every
     supported budget (h ≤ 3 single-block, h = 4..6 via 2-block
-    combinations)."""
-    docs = load_table(spark, sf_dir, "documents")
+    combinations). Round 15: the scan is fanned out when it is a
+    single small file (scale-gated; a no-op at production split
+    counts), so the signature pipeline — tokenize, 64 nibble votes,
+    the per-doc aggregate — runs on every core instead of one."""
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return ops.simhash_hamming_pairs(docs, max_hamming=3)
 
 
@@ -835,8 +847,11 @@ def _q_simhash_hamming_pairs_h6(spark: SparkSession, sf_dir: str) -> DataFrame:
     ALL pairs at sf0.1 (2.3M rows) — the ~15 s bench wall is the
     OUTPUT contract (every qualifying pair is the answer), not
     candidate waste; the twin's sig CTE is MATERIALIZED so DuckDB
-    computes the 64 votes once, not once per union branch."""
-    docs = load_table(spark, sf_dir, "documents")
+    computes the 64 votes once, not once per union branch. Round 15:
+    verify-then-dedup in hamming_pairs_from_blocks (the pair distinct
+    now shuffles only within-budget survivors) and the scale-gated
+    scan fan-out (see _q_simhash_hamming_pairs)."""
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return ops.simhash_hamming_pairs(docs, max_hamming=6)
 
 
@@ -1487,7 +1502,7 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pred = predict_lang(tx.tokens(F.col("text")))
+    pred = predict_lang_tokens_cached()
     return docs.groupBy(F.col("lang"), pred.alias("pred_lang")).agg(
         F.count("*").alias("n")
     )
@@ -2745,13 +2760,12 @@ def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = tx.tokens(F.col("text"))
     scored = docs.select(
         "doc_id",
         "text",
         tx.token_count(F.col("text")).alias("n_tokens"),
         tx.quality_score(F.col("text")).alias("quality"),
-        predict_lang(toks).alias("pred_lang"),
+        predict_lang_tokens_cached().alias("pred_lang"),
     )
     kept = scored.filter(
         (F.col("pred_lang") == "en")
@@ -2850,7 +2864,10 @@ def _q_curation_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wv",
         F.size(F.col("toks")).cast("int").alias("n_tokens"),
         tx.quality_score(F.col("text")).alias("quality"),
-        predict_lang(F.col("toks")).alias("pred_lang"),
+        memoized_expr(
+            ("entry", "pred_lang_toks"),
+            lambda: predict_lang(F.col("toks")),
+        ).alias("pred_lang"),
     )
     # cheap floors first (they inline into the scan filter, as in
     # corpus_curation); the margin becomes a materialized column on
@@ -3350,13 +3367,12 @@ def _q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = _IVF_CODEBOOKS.get(key)
     if table is None:
         table = _IVF_CODEBOOKS[key] = char_trigram_lm(docs)
-    toks = tx.tokens(F.col("text"))
     scored = docs.select(
         "doc_id",
         "text",
         tx.token_count(F.col("text")).alias("n_tokens"),
         tx.quality_score(F.col("text")).alias("quality"),
-        predict_lang(toks).alias("pred_lang"),
+        predict_lang_tokens_cached().alias("pred_lang"),
     ).filter(
         (F.col("pred_lang") == "en")
         & (F.col("quality") >= 0.5)
@@ -3444,14 +3460,13 @@ def _q_curation_full_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     blocklist = keyed.filter(F.col("doc_id") % 10 == 0).select("reg_domain")
     unblocked = apply_domain_blocklist(keyed, "reg_domain", blocklist)
-    toks = tx.tokens(F.col("text"))
     scored = unblocked.select(
         "doc_id",
         "text",
         "reg_domain",
         tx.token_count(F.col("text")).alias("n_tokens"),
         tx.quality_score(F.col("text")).alias("quality"),
-        predict_lang(toks).alias("pred_lang"),
+        predict_lang_tokens_cached().alias("pred_lang"),
     ).filter(
         (F.col("pred_lang") == "en")
         & (F.col("quality") >= 0.5)
@@ -3639,12 +3654,12 @@ def _q_curation_multiscript(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.lower(F.coalesce(F.col("text"), F.lit(""))).alias("s"),
     )
-    cols = script_profile_cols(F.col("text"))
+    cols = script_profile_cols_cached()
     staged = base.select(
         "doc_id",
         "text",
         "s",
-        predict_lang_ngram(F.col("text")).alias("_lat"),
+        predict_lang_ngram_cached().alias("_lat"),
         cols["sb"].alias("_sb"),
         cols["cyr"].alias("_cyr"),
         cols["arb"].alias("_arb"),
@@ -3974,10 +3989,10 @@ def _q_language_mix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate = F.lit(_LANG_MIX_DEFAULT)
     for lang, r in sorted(_LANG_MIX_RATES.items()):
         rate = F.when(F.col("pred") == lang, F.lit(r)).otherwise(rate)
-    cols = script_profile_cols(F.col("text"))
+    cols = script_profile_cols_cached()
     staged = docs.select(
         "doc_id",
-        predict_lang_ngram(F.col("text")).alias("_lat"),
+        predict_lang_ngram_cached().alias("_lat"),
         cols["sb"].alias("_sb"),
         cols["cyr"].alias("_cyr"),
         cols["arb"].alias("_arb"),
@@ -4039,10 +4054,10 @@ def _q_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _plant_multiscript_mix(
         spark, load_table(spark, sf_dir, "documents")
     )
-    cols = script_profile_cols(F.col("text"))
+    cols = script_profile_cols_cached()
     staged = docs.select(
         "doc_id",
-        predict_lang_ngram(F.col("text")).alias("_lat"),
+        predict_lang_ngram_cached().alias("_lat"),
         cols["sb"].alias("_sb"),
         cols["cyr"].alias("_cyr"),
         cols["arb"].alias("_arb"),
@@ -4613,8 +4628,8 @@ def _q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         "true_lang",
-        predict_lang_ngram(F.col("text")).alias("pred_ngram"),
-        predict_lang(tx.tokens(F.col("text"))).alias("pred_stopword"),
+        predict_lang_ngram_cached().alias("pred_ngram"),
+        predict_lang_tokens_cached().alias("pred_stopword"),
     )
 
 
@@ -4693,9 +4708,9 @@ def _q_lang_id_script(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "true_lang",
         "text",
-        predict_lang_ngram(F.col("text")).alias("pred_latin_only"),
+        predict_lang_ngram_cached().alias("pred_latin_only"),
     )
-    cols = script_profile_cols(F.col("text"))
+    cols = script_profile_cols_cached()
     staged = base.select(
         "doc_id",
         "true_lang",

@@ -504,3 +504,50 @@ def assemble_script_pred(
     return F.when(
         -sb.getField("nh") > sb.getField("latin"), script_pred
     ).otherwise(latin_fallback)
+
+
+# Construction-memoized canonical builders (round 15) --------------------
+#
+# Building the classifier Columns is itself expensive: the 20-profile
+# Latin argmax alone is ~4,000 py4j round-trips (~5 s measured warm),
+# re-paid by every query construction — which the bench does on every
+# timed pass. The trees are pure functions of literals and a column
+# NAME, so the canonical by-name forms are built once per JVM and
+# shared (functions/exprmemo.py — gateway-guarded, expressions only,
+# never data). Callers with a differently-named or computed input
+# column keep using the uncached builders above.
+
+
+def predict_lang_ngram_cached(name: str = "text") -> Column:
+    """:func:`predict_lang_ngram` over ``F.col(name)``, built once per
+    JVM."""
+    from .exprmemo import memoized_expr
+
+    return memoized_expr(
+        ("langid", "pred_ngram", name),
+        lambda: predict_lang_ngram(F.col(name)),
+    )
+
+
+def script_profile_cols_cached(name: str = "text") -> dict[str, Column]:
+    """:func:`script_profile_cols` over ``F.col(name)``, built once per
+    JVM (the dict and its Columns are immutable — share freely)."""
+    from .exprmemo import memoized_expr
+
+    return memoized_expr(
+        ("langid", "script_cols", name),
+        lambda: script_profile_cols(F.col(name)),
+    )
+
+
+def predict_lang_tokens_cached(name: str = "text") -> Column:
+    """:func:`predict_lang` over ``tokens(F.col(name))`` — the legacy
+    stopword path's canonical form, built once per JVM."""
+    from .exprmemo import memoized_expr
+
+    def _build() -> Column:
+        from .text import tokens
+
+        return predict_lang(tokens(F.col(name)))
+
+    return memoized_expr(("langid", "pred_stopword", name), _build)

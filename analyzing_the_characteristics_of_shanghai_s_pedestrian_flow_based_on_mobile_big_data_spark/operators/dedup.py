@@ -1043,17 +1043,24 @@ def hamming_pairs_from_blocks(
         "blk",
         "val",
     )
-    cand = (
-        a.join(b_, ["blk", "val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
-        .distinct()
-    )
+    # Verify-then-dedup (round 15, guide §2.3 "shuffle fewer bytes"):
+    # the bit_count(XOR) Hamming check is a per-row map over the join
+    # output, so running it BEFORE the pair distinct drops every
+    # over-budget candidate on the map side of the dedup exchange
+    # instead of shuffling it (filter∘distinct ≡ distinct∘filter — the
+    # predicate is a pure function of the pair). Measured at sf0.1,
+    # h=6: 27.8M candidate rows → 18.5M survivors into the exchange,
+    # and the shuffled row narrows from (ids + two 64-bit signatures)
+    # to (ids + one int); the distinct phase halved (22.9 s → 11.7 s
+    # isolated). ``hamming`` keys the distinct too — it is determined
+    # by the pair, so the pair set is unchanged.
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
-        cand.withColumn("hamming", hamming.cast("int"))
+        a.join(b_, ["blk", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
@@ -1219,10 +1226,33 @@ def simhash_hamming_pairs(
     # round-11 guard exists to enforce holds by construction.
     # ``weighted`` selects the tf-vote signature (simhash weighted=True)
     # — the Hamming geometry, banding and cover are vote-agnostic.
+    # Eager localCheckpoint (round 15): the candidate self-join feeds
+    # the block table to BOTH sides, and when the planner broadcasts
+    # one side the whole signature pipeline (tokenize → distinct →
+    # md5 → 64-lane vote aggregate) executes twice — a lazy
+    # composition gets no exchange reuse through a broadcast build
+    # (measured in the executed plan: two full HashAggregate subtrees,
+    # ReusedExchange 0). The checkpoint computes signatures once and
+    # both join sides read the materialized C(h+m, m)·n-row table —
+    # the same lifecycle the banded MinHash join uses; blocks are
+    # ContextCleaner-reclaimed when the result is dropped.
+    blocks = simhash_blocks(
+        docs, max_hamming, nbits, id_col, text_col, min_key_bits, weighted
+    ).localCheckpoint(eager=True)
+    # The candidate join's OUTPUT is hundreds of rows per input row on
+    # near-dup-heavy corpora, but AQE sizes the probe stage by its
+    # INPUT bytes — a kilobyte-scale block table coalesces to one or
+    # two partitions and the whole fan-out runs on as many cores
+    # (measured: the h=6 probe+dedup pinned one task for ~15 s while
+    # 31 cores idled). An explicit round-robin repartition is exempt
+    # from AQE coalescing, so it pins the probe parallelism; gated on
+    # the materialized table's actual partition count, so a table that
+    # already spans the cluster (any real corpus) is left untouched.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if blocks.rdd.getNumPartitions() < par:
+        blocks = blocks.repartition(par)
     return hamming_pairs_from_blocks(
-        simhash_blocks(
-            docs, max_hamming, nbits, id_col, text_col, min_key_bits, weighted
-        ),
+        blocks,
         max_hamming,
         nbits,
         min_key_bits,

@@ -24,6 +24,16 @@ def get_spark(app_name: str = "shflow", cpus: int | None = None) -> SparkSession
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE sizes post-shuffle stages by INPUT bytes with a 1 MiB
+        # floor per coalesced partition — on kilobyte-scale shuffle
+        # stages whose downstream work FANS OUT (band/block self-joins,
+        # explode over aggregates) that floor collapses the stage to
+        # 1-2 tasks and serializes the fan-out (measured: the h=6
+        # simhash probe pinned one core for ~15 s). A 64 KiB floor
+        # keeps parallelismFirst effective for such stages; at
+        # production scale partitions carry far more than 1 MiB, so
+        # the floor never binds and plans are unchanged.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # scan-split sizing: 128 MiB splits keep a decompressed+decoded
@@ -51,6 +61,7 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
         "spark.sql.shuffle.partitions": str(cpus),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
         "spark.sql.adaptive.skewJoin.enabled": "true",
     }.items():
         try:

@@ -5,6 +5,7 @@ from .tables import (  # noqa: F401
     REGION_GEOHASH_SCHEMA,
     TESTDATA_TABLES,
     events_as_pings,
+    fan_out_small_scan,
     load_events,
     load_table,
     read_pings_tsv,

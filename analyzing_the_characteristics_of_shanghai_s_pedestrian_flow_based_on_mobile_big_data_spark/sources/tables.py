@@ -85,6 +85,64 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def fan_out_small_scan(
+    df: DataFrame, min_tasks: int | None = None
+) -> DataFrame:
+    """Round-robin repartition a scan that cannot yield enough input
+    splits to occupy the cluster — the \"one huge unsplittable file\"
+    remedy (input skew): a single small parquet file is ONE scan task,
+    so every expression-heavy projection above it runs on one core
+    while the rest idle. The gate is SCALE-ADAPTIVE, driven by the
+    actual input bytes vs the session's split size: it fires only when
+    the file set provably produces fewer than half of ``min_tasks``
+    splits (default: the session's defaultParallelism), so at
+    production scale — where any real corpus is thousands of splits —
+    this is a no-op and the plan stays exchange-free. The round-robin
+    exchange it inserts locally shuffles only the small scan's bytes,
+    and Spark's sort-before-repartition (on by default) keeps the
+    row-to-partition assignment deterministic under task retries.
+
+    Returns ``df`` unchanged when the input layout cannot be inspected
+    (non-file sources, remote filesystems) — never guesses."""
+    import os as _os
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    if min_tasks is None:
+        min_tasks = spark.sparkContext.defaultParallelism
+    if min_tasks < 2:
+        return df
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files:
+        return df
+    total = 0
+    for f in files:
+        parsed = urlparse(f)
+        if parsed.scheme not in ("", "file"):
+            return df  # remote FS: split sizing is the planner's call
+        try:
+            total += _os.path.getsize(parsed.path or f)
+        except OSError:
+            return df
+    try:
+        max_split = int(
+            spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
+        )
+    except Exception:
+        max_split = 128 * 1024 * 1024
+    open_cost = 4 * 1024 * 1024
+    # Spark packs openCost-padded files into maxPartitionBytes bins, so
+    # this ceiling bounds the split count the planner can produce; when
+    # even that is under half the cores, the scan is starving them
+    splits_upper = -(-(total + open_cost * len(files)) // max_split)
+    if splits_upper <= min_tasks // 2:
+        return df.repartition(min_tasks)
+    return df
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events-table reader, robust to the three timestamp physical
     encodings the generator has produced across rounds:

@@ -165,14 +165,14 @@ def full_gate_stream(
     stays the band/digest index path (incremental.py). Batch/stream
     parity is the test contract."""
     from ..functions.charlm import charlm_score_expr
-    from ..functions.langid import predict_lang
-    from ..functions.text import repetition_stats, tokens
+    from ..functions.langid import predict_lang_tokens_cached
+    from ..functions.text import repetition_stats
 
     scored = doc_stream.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
         quality_score(F.col("text")).alias("quality"),
-        predict_lang(tokens(F.col("text"))).alias("pred_lang"),
+        predict_lang_tokens_cached().alias("pred_lang"),
         repetition_stats(F.col("text")).alias("rep"),
         charlm_score_expr(F.col("text"), charlm_table).alias("lm"),
     )
