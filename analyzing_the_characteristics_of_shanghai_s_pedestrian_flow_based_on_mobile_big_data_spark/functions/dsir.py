@@ -102,7 +102,9 @@ def dsir_score(feats: Column, ratios: list[float], salt: str = "qs") -> Column:
     rounding; feature-less docs score 0.0) — the scorer margin fold
     with the ratio table as the literal weight vector. Stage ``feats``
     as a materialized column (the doc_features HOF rules)."""
-    return margin_from_weights(bucket_weights(feats, ratios, salt))
+    return margin_from_weights(
+        bucket_weights(feats, ratios, salt), n=F.size(feats)
+    )
 
 
 def dsir_select(

@@ -112,13 +112,28 @@ def bucket_weights(
     )
 
 
-def margin_from_weights(wvals: Column, bias: float = 0.0) -> Column:
+def margin_from_weights(
+    wvals: Column, bias: float = 0.0, n: Column | None = None
+) -> Column:
     """Margin from a MATERIALIZED per-feature weight-value column: the
     0.0-seeded feature-order sum fold / count + bias, floor-rounded to
     6 dp; empty rows score ``bias``. Identical association order to
-    the one-expression form, so the value is bit-identical."""
+    the one-expression form, so the value is bit-identical.
+
+    ``n`` (round 15, guide §1/§4 "don't compute things you throw
+    away"): the feature COUNT as its own Column. When ``wvals`` is an
+    inline :func:`bucket_weights` expression rather than a staged
+    column, this Column tree references it THREE times (the empty
+    guard, the divisor, the sum) and each reference re-runs the
+    md5-per-feature transform — measured 3× the hashing cost of the
+    whole scoring stage in the dsir_scores physical plan. ``transform``
+    is 1:1, so ``size(bucket_weights(feats, …)) == size(feats)``
+    element-for-element; passing ``n = F.size(feats)`` leaves exactly
+    one reference to the expensive transform with bit-identical
+    arithmetic (same integer count, same casts, same fold)."""
     wsum = F.aggregate(wvals, F.lit(0.0), lambda acc, w: acc + w)
-    n = F.size(wvals)
+    if n is None:
+        n = F.size(wvals)
     raw = F.when(
         n > 0, wsum / n.cast("double") + F.lit(float(bias))
     ).otherwise(F.lit(float(bias)))
@@ -135,8 +150,12 @@ def margin_from_features(
     score ``bias``. One-expression composition of
     :func:`bucket_weights` ∘ :func:`margin_from_weights` — hot paths
     that both FILTER on and EMIT the margin should stage
-    ``bucket_weights`` as a column first."""
-    return margin_from_weights(bucket_weights(feats, weights, salt), bias)
+    ``bucket_weights`` as a column first. The count comes from
+    ``feats`` (1:1 transform), so the md5 transform appears once in
+    the tree, not three times (see :func:`margin_from_weights`)."""
+    return margin_from_weights(
+        bucket_weights(feats, weights, salt), bias, n=F.size(feats)
+    )
 
 
 def linear_quality_margin(
