@@ -378,7 +378,7 @@ def _q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     toks = tx.tokens(F.col("text"))
     return docs.select(
         "doc_id",
@@ -389,7 +389,7 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 5)
     return ops.brute_force_topk(emb, queries, k=3, dim=64)
 
@@ -791,7 +791,7 @@ def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return ops.simhash(docs)
 
 
@@ -803,7 +803,7 @@ def _q_simhash_docs_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     _simhash_oracle only by dropping the DISTINCT before the vote,
     exactly as the engine drops its distinct()
     (operators/dedup.py:simhash weighted=True)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return ops.simhash(docs, weighted=True)
 
 
@@ -869,7 +869,7 @@ def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     one persisted augmented index (the ngram_jaccard pattern — one
     corpus scan, no array payloads replicated per candidate).
     Threshold rides in integer form; one IEEE division at the edge."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return ops.containment_pairs(docs, n=3, threshold_num=4, threshold_den=5)
 
 
@@ -886,7 +886,7 @@ def _q_tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus's ~30-word vocabulary makes unigram APSS inherently
     near-quadratic (measured 37 s at sf0.1 — the dense regime), while
     the 3-gram frequency tail restores the rare-term prefix bite."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return ops.tf_cosine_pairs(docs, threshold_num=9, threshold_den=10, n=3)
 
 
@@ -913,7 +913,7 @@ def _q_tf_cosine_pairs_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     still raises with measured stats instead of silently running the
     Ω(U²) plan — pytest-pinned
     (operators/dedup.py:tf_cosine_pairs_auto)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return ops.tf_cosine_pairs_auto(
         docs, threshold_num=9, threshold_den=10, n=3,
         on_dense="escalate", max_n=5,
@@ -928,7 +928,7 @@ def _q_subsumption_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor. Same prefix-filtered candidate machinery as
     containment_pairs; the greedy-chain caveat is documented on the
     operator."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return ops.subsumption_prune(docs, n=3, threshold_num=4, threshold_den=5)
 
 
@@ -949,7 +949,7 @@ def _q_subsumption_prune_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame
     equality is deliberately NOT used as an oracle, because a corpus
     regeneration that introduces a partial chain would make it wrong
     rather than fail it."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return ops.subsumption_prune_fixpoint(
         docs, n=3, threshold_num=4, threshold_den=5
     )
@@ -968,7 +968,7 @@ def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrors gram fingerprinting, document-frequency filter, and the
     gaps-and-islands merge, so engine agreement pins every span
     boundary."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return ops.duplicate_spans(docs, window_words=10, min_docs=2)
 
 
@@ -981,7 +981,7 @@ def _q_span_cleaned_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin pins token-level agreement of the whole composition:
     gram fingerprints → df filter → island merge → positional
     anti-join → ordered rebuild."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return ops.span_cleaned_stats(docs, window_words=10, min_docs=2)
 
 
@@ -993,7 +993,7 @@ def _q_span_cleaned_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     this DataFrame is the curated-corpus write path; the oracle twin
     is span_cleaned_stats' with the string un-hashed, so the VALUE
     compare pins the actual characters, not just their digest."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return ops.span_cleaned_text(docs, window_words=10, min_docs=2)
 
 
@@ -1063,7 +1063,7 @@ def _q_pii_pattern_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (posexplode + CASE rlike in codegen, no shuffle, no Python); the
     twin mirrors tokenization, the first-match-wins CASE, and the RE2/
     Java-portable patterns (operators/dedup.py:pattern_spans)."""
-    docs = _plant_pii(load_table(spark, sf_dir, "documents"))
+    docs = _plant_pii(fan_out_small_scan(load_table(spark, sf_dir, "documents")))
     return ops.pattern_spans(docs)
 
 
@@ -1073,7 +1073,7 @@ def _q_pii_redacted_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_redacted, redacted_text) — the VALUE compare pins the masked
     characters themselves. Zero-shuffle: one transform/filter over the
     split array (operators/dedup.py:redacted_text)."""
-    docs = _plant_pii(load_table(spark, sf_dir, "documents"))
+    docs = _plant_pii(fan_out_small_scan(load_table(spark, sf_dir, "documents")))
     return ops.redacted_text(docs)
 
 
@@ -1085,7 +1085,7 @@ def _q_pii_cut_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks the un-hard-wired rebuild end to end: any (doc_id,
     span_start, span_end) table cuts
     (operators/dedup.py:apply_span_cut)."""
-    docs = _plant_pii(load_table(spark, sf_dir, "documents"))
+    docs = _plant_pii(fan_out_small_scan(load_table(spark, sf_dir, "documents")))
     return ops.apply_span_cut(docs, ops.pattern_spans(docs))
 
 
@@ -1097,7 +1097,7 @@ def _q_redacted_cleaned_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens only (PII inside a removed span is gone, not masked);
     equality with redacted_text∘span_cleaned_text is pytest-pinned
     (operators/dedup.py:redact_and_clean_text)."""
-    docs = _plant_pii(load_table(spark, sf_dir, "documents"))
+    docs = _plant_pii(fan_out_small_scan(load_table(spark, sf_dir, "documents")))
     return ops.redact_and_clean_text(docs, window_words=10, min_docs=2)
 
 
@@ -1172,7 +1172,7 @@ def _q_url_domain_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_registered_domain,
     )
 
-    docs = _plant_urls(load_table(spark, sf_dir, "documents"))
+    docs = _plant_urls(fan_out_small_scan(load_table(spark, sf_dir, "documents")))
     host = url_host(F.col("url"))
     return docs.select(
         "doc_id",
@@ -1196,7 +1196,7 @@ def _q_per_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_registered_domain,
     )
 
-    docs = _plant_urls(load_table(spark, sf_dir, "documents"))
+    docs = _plant_urls(fan_out_small_scan(load_table(spark, sf_dir, "documents")))
     keyed = docs.select(
         "doc_id",
         url_registered_domain(url_host(F.col("url"))).alias("reg_domain"),
@@ -1222,7 +1222,7 @@ def _q_url_suffix_mix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_suffix,
     )
 
-    docs = _plant_urls(load_table(spark, sf_dir, "documents"))
+    docs = _plant_urls(fan_out_small_scan(load_table(spark, sf_dir, "documents")))
     suffix = url_suffix(url_registered_domain(url_host(F.col("url"))))
     keep = domain_mix_keep(
         F.col("doc_id"), suffix, _URL_MIX_RATES, salt="urlmix"
@@ -1327,7 +1327,7 @@ def _q_url_canonicalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_canonicalize,
     )
 
-    docs = _plant_messy_urls(load_table(spark, sf_dir, "documents"))
+    docs = _plant_messy_urls(fan_out_small_scan(load_table(spark, sf_dir, "documents")))
     return docs.select(
         "doc_id", "url", url_canonicalize(F.col("url")).alias("canon_url")
     )
@@ -1343,7 +1343,7 @@ def _q_canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_canonicalize,
     )
 
-    docs = _plant_messy_urls(load_table(spark, sf_dir, "documents"))
+    docs = _plant_messy_urls(fan_out_small_scan(load_table(spark, sf_dir, "documents")))
     keyed = docs.select(
         "doc_id", url_canonicalize(F.col("url")).alias("canon_url")
     )
@@ -1375,7 +1375,7 @@ def _q_per_domain_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_registered_domain,
     )
 
-    docs = _plant_urls(load_table(spark, sf_dir, "documents"))
+    docs = _plant_urls(fan_out_small_scan(load_table(spark, sf_dir, "documents")))
     base = docs.select(
         "doc_id",
         url_registered_domain(url_host(F.col("url"))).alias("reg_domain"),
@@ -1416,7 +1416,7 @@ def _q_domain_blocklist_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_registered_domain,
     )
 
-    docs = _plant_urls(load_table(spark, sf_dir, "documents"))
+    docs = _plant_urls(fan_out_small_scan(load_table(spark, sf_dir, "documents")))
     keyed = docs.select(
         "doc_id",
         url_registered_domain(url_host(F.col("url"))).alias("reg_domain"),
@@ -1444,7 +1444,7 @@ def _q_near_dup_pairs_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs) and hands off to LSH — which is the design, not drift: the
     bench number tracks the path a 100 TB corpus would take
     (operators/dedup.py:near_dup_pairs_auto)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return ops.near_dup_pairs_auto(docs, n=3, threshold_num=1, threshold_den=2)
 
 
@@ -1469,7 +1469,7 @@ def _q_near_dup_pairs_t90(spark: SparkSession, sf_dir: str) -> DataFrame:
     the round-8 gap where the only registered contract query was the
     user-covisit one (reference dedup loops: cal_user_trace.py's
     all-pairs comparisons, re-expressed sub-quadratically)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return ops.near_dup_pairs_auto(
         docs,
         n=3,
@@ -1488,7 +1488,7 @@ def _q_near_dup_pairs_t90(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return (
         docs.select("doc_id", tx.doc_fingerprint(F.col("text")).alias("fp"))
         .groupBy("fp")
@@ -1501,7 +1501,7 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         predict_lang,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     pred = predict_lang_tokens_cached()
     return docs.groupBy(F.col("lang"), pred.alias("pred_lang")).agg(
         F.count("*").alias("n")
@@ -1509,7 +1509,7 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     n_tok = tx.token_count(F.col("text"))
     return docs.groupBy("source").agg(
         F.sum(n_tok).alias("total_tokens"),
@@ -1524,7 +1524,7 @@ def _q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2_norm,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     return emb.select(
         "vec_id",
         F.round(l2_norm(as_double_array(F.col("embedding"))), 6).alias("norm_r"),
@@ -1574,7 +1574,7 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid vectors (no shuffle to index the corpus); the probe join
     broadcasts the query side. The data-adaptive complement to the
     sign-bucket LSH family (`ann_bucketed`/`ann_banded`)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     # the codebook is an index artifact of the (static) dataset: built
     # once per dataset STATE (parquet fingerprint) and reused across
     # invocations, the way any IVF index is built once and served many
@@ -1600,7 +1600,7 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     would be vacuously all-kept. The twin recomputes centroid choice,
     assignment tie-breaks, and the pairwise prune in SQL
     (operators/similarity.py:semantic_dedup)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     cent = _coarse_centroids_cached(spark, sf_dir)
     return ops.semantic_dedup(emb, threshold=0.35, dim=64, centroids=cent)
 
@@ -1621,7 +1621,7 @@ def _q_ivf_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_health_report_df,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     cent = _coarse_centroids_cached(spark, sf_dir)
     return ivf_health_report_df(emb, centroids=cent)
 
@@ -1641,7 +1641,7 @@ def _q_ivf_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     any IVF index artifact. Oracle: the unrolled Lloyd CTE chain
     (kmeans_oracle_ctes) feeding the same probe/rank SQL as
     ivf_topk's twin."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     cent = _kmeans_centroids_cached(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 5)
     return ops.ivf_topk(
@@ -1661,7 +1661,7 @@ def _q_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     not just recall but COST: the prune is Σ_c C(n_c,2), so the
     max-list share the IVF health report watches is exactly this
     query's skew bound."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     cent = _kmeans_centroids_cached(spark, sf_dir)
     return ops.semantic_dedup(emb, threshold=0.35, dim=64, centroids=cent)
 
@@ -1677,7 +1677,7 @@ def _q_ann_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         banded_ann_topk,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     queries_df = emb.filter(F.col("vec_id") < 5)
     return banded_ann_topk(emb, queries_df, k=3, n_tables=4, dim=64)
 
@@ -1688,7 +1688,7 @@ def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean token length. Token-table formulation (posexplode + lead) —
     one doc-keyed exchange feeds the window, the bigram count, and the
     token stats; everything stays in whole-stage codegen."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.posexplode(tx.tokens(F.col("text"))).alias("pos", "tok")
     )
@@ -1741,7 +1741,7 @@ def _q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return sample_frames(attach_binary_payload(docs))
 
 
@@ -1862,7 +1862,7 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both engines compile them identically). The oracle compares the
     md5 of the redacted text — the transformation is verified
     byte-for-byte, not just the counts."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     email = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+"
     digits = r"[0-9][0-9][0-9]+"
     low = F.lower(F.col("text"))
@@ -1890,7 +1890,7 @@ def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         label_centroids,
     )
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     return label_centroids(e, ordered=True)
 
 
@@ -1964,7 +1964,7 @@ def _q_doc_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         deterministic_sample,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return deterministic_sample(docs, "doc_id", 0.1).select(
         "doc_id", "source", "lang"
     )
@@ -1979,7 +1979,7 @@ def _q_corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_assign,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     split = split_assign(
         F.col("doc_id"), [("train", 0.9), ("val", 0.05), ("test", 0.05)]
     )
@@ -1994,7 +1994,7 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_media_meta,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return extract_media_meta(attach_binary_payload(docs))
 
 
@@ -2014,7 +2014,7 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_media_payloads,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return decode_media_meta(synth_media_payloads(docs))
 
 
@@ -2036,7 +2036,7 @@ def _q_multimodal_decode_png(
         synth_png_payloads,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return decode_media_meta(synth_png_payloads(docs))
 
 
@@ -2061,7 +2061,7 @@ def _q_multimodal_decode_jpeg(
         synth_jpeg_payloads,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return decode_media_meta(synth_jpeg_payloads(docs))
 
 
@@ -2129,7 +2129,7 @@ def _q_signup_error_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_top_docs_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return (
         docs.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
         .select("doc_id", "n_chars", "source")
@@ -2176,7 +2176,7 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedding_near_dup_pairs,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     return embedding_near_dup_pairs(emb, threshold=0.44)
 
 
@@ -2416,7 +2416,7 @@ def _q_hourly_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rabin-Karp rolling-hash document fingerprint (north star:
     'document fingerprinting (rolling hash)')."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return (
         docs.select("doc_id", tx.rolling_hash(F.col("text")).alias("rh"))
         .groupBy("rh")
@@ -2428,7 +2428,7 @@ def _q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting both ways (north star): whitespace tokens and a
     BPE-ish regex segmentation (letter runs / digit runs / symbol runs
     as separate tokens)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     bpe_pat = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
     return docs.select(
         "doc_id",
@@ -2451,7 +2451,7 @@ def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         near_dup_components,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return near_dup_components(docs, k=8, bands=4, n=3).select(
         "doc_id", F.col("component").alias("cluster_id")
     )
@@ -2496,7 +2496,7 @@ def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         near_dup_components,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     comp = near_dup_components(docs, k=8, bands=4, n=3)
     agg = _survivor_table(docs, comp)
     return agg.select(
@@ -2518,7 +2518,7 @@ def _q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         near_dup_components,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     comp = near_dup_components(docs, k=8, bands=4, n=3)
     sizes = comp.groupBy("component").agg(F.count("*").alias("size"))
     return sizes.groupBy("size").agg(F.count("*").alias("n_clusters"))
@@ -2541,7 +2541,7 @@ def _q_deduped_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         near_dup_components,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     comp = near_dup_components(docs, k=8, bands=4, n=3)
     surv = _survivor_table(docs, comp).select(
         (-F.col("top.nd")).alias("doc_id")
@@ -2558,7 +2558,7 @@ def _q_deduped_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF keyword scoring: top-10 documents for a fixed query term
     set, scored sum(tf * ln(N/df)) with deterministic math order."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     terms = ["merge", "spark", "window"]  # fixed (sorted) fold order
     toks = docs.select(
         "doc_id", F.explode(tx.tokens(F.col("text"))).alias("tok")
@@ -2759,7 +2759,7 @@ def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         predict_lang,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     scored = docs.select(
         "doc_id",
         "text",
@@ -2800,7 +2800,7 @@ def _q_linear_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         margin_from_weights,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     # staged pipeline: tokens -> features -> bucket weights -> margin.
     # Each expensive array expression is its own column so HOF lambdas
     # only ever reference attributes (an inline tokenizer would re-run
@@ -2842,7 +2842,7 @@ def _q_curation_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         margin_from_weights,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     # token array staged once (HOF-lambda re-evaluation, see
     # _q_linear_quality_scores); the md5 bucket transform staged as
     # its own column so the pushed-down margin predicate duplicates
@@ -2910,7 +2910,7 @@ def _q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         decontaminate,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     out = decontaminate(docs, F.pmod(F.col("doc_id"), F.lit(50)) == 0, n=8)
     return out.select("doc_id", "n_grams", "n_hit", "hit_frac", "contaminated")
 
@@ -2929,7 +2929,7 @@ def _q_dup_passage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         duplicated_block_stats,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return duplicated_block_stats(docs, block_words=10)
 
 
@@ -2943,7 +2943,7 @@ def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack_stats,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     with_tok = docs.select(
         "doc_id", tx.token_count(F.col("text")).alias("n_tokens")
     )
@@ -2959,7 +2959,7 @@ def _q_domain_mix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         domain_mix_keep,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     keep = domain_mix_keep(F.col("doc_id"), F.col("source"), _MIX_RATES)
     return (
         docs.groupBy("source")
@@ -3018,7 +3018,7 @@ def _q_rare_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≪ corpus), so AQE picks a broadcast for the join-back; the doc
     count rides a 1-row crossJoin; integer sums + one final division
     keep the oracle exact."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     n_docs = docs.agg(F.count("*").alias("__nd"))
     types = docs.select(
         "doc_id",
@@ -3088,7 +3088,7 @@ def _q_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         int8_quantize,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         int8_quantize(as_double_array(F.col("embedding"))).alias("q8"),
     )
@@ -3126,7 +3126,7 @@ def _coarse_centroids_cached(spark: SparkSession, sf_dir: str):
     cent = _IVF_CODEBOOKS.get(key)
     if cent is None:
         cent = _IVF_CODEBOOKS[key] = ivf_centroid_rows(
-            load_table(spark, sf_dir, "embeddings"), 16
+            fan_out_small_scan(load_table(spark, sf_dir, "embeddings")), 16
         )
     return cent
 
@@ -3145,7 +3145,7 @@ def _kmeans_centroids_cached(spark: SparkSession, sf_dir: str):
     key = _dataset_fingerprint(sf_dir, "embeddings") + ("kmeans16x3",)
     cent = _IVF_CODEBOOKS.get(key)
     if cent is None:
-        vec = load_table(spark, sf_dir, "embeddings").select(
+        vec = fan_out_small_scan(load_table(spark, sf_dir, "embeddings")).select(
             "vec_id", as_double_array(F.col("embedding")).alias("vec")
         )
         cents, _ = kmeans_fit(vec, k=16, iterations=3)
@@ -3166,7 +3166,7 @@ def _pq_codebooks_cached(spark: SparkSession, sf_dir: str):
     key = _dataset_fingerprint(sf_dir, "embeddings") + ("pq8x16",)
     cbs = _IVF_CODEBOOKS.get(key)
     if cbs is None:
-        emb = load_table(spark, sf_dir, "embeddings")
+        emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
         cbs = _IVF_CODEBOOKS[key] = pq_codebooks(emb, m=8, ksub=16, dim=64)
     return cbs
 
@@ -3186,7 +3186,7 @@ def _q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_topk,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     cbs = _pq_codebooks_cached(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 5)
     return pq_topk(emb, queries_df, k=3, codebooks=cbs)
@@ -3205,7 +3205,7 @@ def _q_pq_topk_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_topk,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     cbs = _pq_codebooks_cached(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 5)
     short = pq_topk(emb, queries_df, k=16, codebooks=cbs)
@@ -3225,7 +3225,7 @@ def _q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_pq_topk,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     coarse = _coarse_centroids_cached(spark, sf_dir)
     cbs = _pq_codebooks_cached(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 5)
@@ -3294,7 +3294,7 @@ def _q_psl_registered_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_registered_domain_psl,
     )
 
-    docs = _plant_psl_hosts(load_table(spark, sf_dir, "documents"))
+    docs = _plant_psl_hosts(fan_out_small_scan(load_table(spark, sf_dir, "documents")))
     rules = psl_rules_dim(spark, _PSL_RULES)
     out = url_registered_domain_psl(docs, rules, out_col="reg_psl")
     return out.select(
@@ -3321,7 +3321,7 @@ def _q_pq_codes_production(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_encode_arrow,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     key = _dataset_fingerprint(sf_dir, "embeddings") + ("pq8x256",)
     cbs = _IVF_CODEBOOKS.get(key)
     if cbs is None:
@@ -3362,7 +3362,7 @@ def _q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         repetition_stats,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     key = _dataset_fingerprint(sf_dir, "documents") + ("charlm3",)
     table = _IVF_CODEBOOKS.get(key)
     if table is None:
@@ -3446,12 +3446,12 @@ def _q_curation_full_web(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_registered_domain,
     )
 
-    docs = _plant_urls(load_table(spark, sf_dir, "documents"))
+    docs = _plant_urls(fan_out_small_scan(load_table(spark, sf_dir, "documents")))
     key = _dataset_fingerprint(sf_dir, "documents") + ("charlm3",)
     table = _IVF_CODEBOOKS.get(key)
     if table is None:
         table = _IVF_CODEBOOKS[key] = char_trigram_lm(
-            load_table(spark, sf_dir, "documents")
+            fan_out_small_scan(load_table(spark, sf_dir, "documents"))
         )
     keyed = docs.select(
         "doc_id",
@@ -3573,7 +3573,7 @@ def _q_script_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         script_token_count,
     )
 
-    docs = _plant_multiscript(load_table(spark, sf_dir, "documents"))
+    docs = _plant_multiscript(fan_out_small_scan(load_table(spark, sf_dir, "documents")))
     per = docs.select(
         "true_lang",
         tx.token_count(F.col("text")).alias("n_ws"),
@@ -3647,7 +3647,7 @@ def _q_curation_multiscript(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _plant_multiscript_mix(
-        spark, load_table(spark, sf_dir, "documents")
+        spark, fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     )
     base = docs.select(
         "doc_id",
@@ -3734,7 +3734,7 @@ def _q_sequence_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     merge_rows, _segs = _bpe_cached(spark, sf_dir)
     merges = [(a, b) for _step, a, b, _c in merge_rows]
-    docs = _plant_bpe_oov(load_table(spark, sf_dir, "documents"))
+    docs = _plant_bpe_oov(fan_out_small_scan(load_table(spark, sf_dir, "documents")))
     stats = bpe_token_stats_applied(docs, merges).select(
         "doc_id", "n_subwords"
     )
@@ -3787,7 +3787,7 @@ def _q_html_extracted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         html_to_text,
     )
 
-    docs = _plant_html_docs(load_table(spark, sf_dir, "documents"))
+    docs = _plant_html_docs(fan_out_small_scan(load_table(spark, sf_dir, "documents")))
     ext = html_to_text(F.col("html"))
     return docs.select(
         "doc_id",
@@ -3819,7 +3819,7 @@ def _q_bpe_compression_by_lang(
 
     merge_rows, _segs = _bpe_cached(spark, sf_dir)
     merges = [(a, b) for _step, a, b, _c in merge_rows]
-    docs = _plant_multiscript(load_table(spark, sf_dir, "documents"))
+    docs = _plant_multiscript(fan_out_small_scan(load_table(spark, sf_dir, "documents")))
     ex = docs.select(
         "true_lang", F.explode(tx.tokens(F.col("text"))).alias("w")
     )
@@ -3863,7 +3863,7 @@ def _q_dedup_survivors_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _plant_multiscript_mix(
-        spark, load_table(spark, sf_dir, "documents")
+        spark, fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     )
     min_id = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
     canon = (
@@ -3984,7 +3984,7 @@ def _q_language_mix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _plant_multiscript_mix(
-        spark, load_table(spark, sf_dir, "documents")
+        spark, fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     )
     rate = F.lit(_LANG_MIX_DEFAULT)
     for lang, r in sorted(_LANG_MIX_RATES.items()):
@@ -4052,7 +4052,7 @@ def _q_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _plant_multiscript_mix(
-        spark, load_table(spark, sf_dir, "documents")
+        spark, fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     )
     cols = script_profile_cols_cached()
     staged = docs.select(
@@ -4133,7 +4133,7 @@ def _q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         brute_force_topk,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 5)
 
     def trunc(df: DataFrame, d: int) -> DataFrame:
@@ -4202,7 +4202,7 @@ def _q_benchmark_decontam_script(
     )
 
     docs = _plant_multiscript_mix(
-        spark, load_table(spark, sf_dir, "documents")
+        spark, fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     )
     bench = F.pmod(F.col("doc_id"), F.lit(4)) == 1
     word_out = decontaminate(docs, bench, n=8).select(
@@ -4389,7 +4389,7 @@ def _q_near_dup_pairs_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _plant_multiscript_mix(
-        spark, load_table(spark, sf_dir, "documents")
+        spark, fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     )
     min_id = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
     canon = (
@@ -4474,7 +4474,7 @@ def _planted_doms(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_registered_domain,
     )
 
-    docs = _plant_urls(load_table(spark, sf_dir, "documents"))
+    docs = _plant_urls(fan_out_small_scan(load_table(spark, sf_dir, "documents")))
     return docs.select(
         "doc_id",
         url_registered_domain(url_host(F.col("url"))).alias("reg_domain"),
@@ -4552,7 +4552,7 @@ def _q_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         charlm_scores_arrow,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     key = _dataset_fingerprint(sf_dir, "documents") + ("charlm3",)
     table = _IVF_CODEBOOKS.get(key)
     if table is None:
@@ -4624,7 +4624,7 @@ def _q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         predict_lang_ngram,
     )
 
-    docs = _plant_multilingual(load_table(spark, sf_dir, "documents"))
+    docs = _plant_multilingual(fan_out_small_scan(load_table(spark, sf_dir, "documents")))
     return docs.select(
         "doc_id",
         "true_lang",
@@ -4703,7 +4703,7 @@ def _q_lang_id_script(spark: SparkSession, sf_dir: str) -> DataFrame:
         script_profile_cols,
     )
 
-    docs = _plant_multiscript(load_table(spark, sf_dir, "documents"))
+    docs = _plant_multiscript(fan_out_small_scan(load_table(spark, sf_dir, "documents")))
     base = docs.select(
         "doc_id",
         "true_lang",
@@ -4774,7 +4774,7 @@ def _scorer_fit_cached(spark: SparkSession, sf_dir: str):
     )
     fit = _IVF_CODEBOOKS.get(key)
     if fit is None:
-        docs = _plant_scored_docs(load_table(spark, sf_dir, "documents"))
+        docs = _plant_scored_docs(fan_out_small_scan(load_table(spark, sf_dir, "documents")))
         # the CHECKPOINTED feature frame rides the cache next to the
         # parameters (the S11 hot-DF pattern): three queries consume
         # it, and rebuilding the tokenize→hash→densify pipeline per
@@ -4921,7 +4921,7 @@ def _q_curation_scored_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     w, bias, _n, cv = _scorer_fit_cached(spark, sf_dir)
-    docs = _plant_scored_docs(load_table(spark, sf_dir, "documents"))
+    docs = _plant_scored_docs(fan_out_small_scan(load_table(spark, sf_dir, "documents")))
     scored = docs.select(
         "doc_id",
         "text",
@@ -4963,7 +4963,7 @@ def _dsir_ratios_cached(spark: SparkSession, sf_dir: str) -> list[float]:
     key = _dataset_fingerprint(sf_dir, "documents") + ("dsir256",)
     tab = _IVF_CODEBOOKS.get(key)
     if tab is None:
-        docs = _plant_scored_docs(load_table(spark, sf_dir, "documents"))
+        docs = _plant_scored_docs(fan_out_small_scan(load_table(spark, sf_dir, "documents")))
         ct, tt = hashed_bucket_counts(docs.filter(F.col("y") == 1))
         cr, tr = hashed_bucket_counts(docs)
         tab = _IVF_CODEBOOKS[key] = dsir_ratio_table(ct, tt, cr, tr)
@@ -4989,7 +4989,7 @@ def _q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ratios = _dsir_ratios_cached(spark, sf_dir)
-    docs = _plant_scored_docs(load_table(spark, sf_dir, "documents"))
+    docs = _plant_scored_docs(fan_out_small_scan(load_table(spark, sf_dir, "documents")))
     toks = docs.select("doc_id", "y", tx.tokens(F.col("text")).alias("toks"))
     feats = toks.select(
         "doc_id", "y", doc_features(F.col("toks")).alias("feats")
@@ -5066,7 +5066,7 @@ def _bpe_cached(spark: SparkSession, sf_dir: str):
     )
     out = _IVF_CODEBOOKS.get(key)
     if out is None:
-        docs = load_table(spark, sf_dir, "documents")
+        docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
         vocab = vocab_with_freq(docs, top_v=_BPE_TOPV)
         out = _IVF_CODEBOOKS[key] = bpe_train(vocab, k_merges=_BPE_K)
     return out
@@ -5102,7 +5102,7 @@ def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _merges, segs = _bpe_cached(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return bpe_token_stats(docs, subword_count_dim(spark, segs))
 
 
@@ -5145,7 +5145,7 @@ def _q_bpe_token_stats_applied(
 
     merge_rows, _segs = _bpe_cached(spark, sf_dir)
     merges = [(a, b) for _step, a, b, _c in merge_rows]
-    docs = _plant_bpe_oov(load_table(spark, sf_dir, "documents"))
+    docs = _plant_bpe_oov(fan_out_small_scan(load_table(spark, sf_dir, "documents")))
     return bpe_token_stats_applied(docs, merges)
 
 
@@ -5157,7 +5157,7 @@ def _sq8_cached(spark: SparkSession, sf_dir: str):
     key = _dataset_fingerprint(sf_dir, "embeddings") + ("sq8",)
     out = _IVF_CODEBOOKS.get(key)
     if out is None:
-        emb = load_table(spark, sf_dir, "embeddings")
+        emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
         out = _IVF_CODEBOOKS[key] = sq8_train(emb, dim=64)
     return out
 
@@ -5176,7 +5176,7 @@ def _q_sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     mins, scales = _sq8_cached(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     return sq8_encode(emb, mins, scales).select(
         "vec_id",
         F.array_join("codes", ",").alias("codes_s"),
@@ -5197,7 +5197,7 @@ def _q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     mins, scales = _sq8_cached(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     queries_df = emb.filter(F.col("vec_id") < 5)
     return sq8_topk(
         emb, queries_df, k=3, mins=mins, scales=scales, dim=64
@@ -5220,7 +5220,7 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         repetition_stats,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     st = docs.select(
         "doc_id", repetition_stats(F.col("text")).alias("s")
     ).select("doc_id", "s.*")
@@ -5247,7 +5247,7 @@ def _q_pq_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_topk,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     key = _dataset_fingerprint(sf_dir, "embeddings") + ("pqtrain2x4",)
     cbs = _IVF_CODEBOOKS.get(key)
     if cbs is None:
@@ -5272,7 +5272,7 @@ def _q_ivf_pq_topk_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_pq_topk_refined,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     coarse = _coarse_centroids_cached(spark, sf_dir)
     cbs = _pq_codebooks_cached(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 5)
@@ -5344,7 +5344,7 @@ def _q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         weighted_keep,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     rate = F.least(
         F.lit(1.0), F.col("n_chars").cast("double") / F.lit(400.0)
     )
@@ -5434,7 +5434,7 @@ def _q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_fit,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", as_double_array(F.col("embedding")).alias("vec")
     )
     cents, assigned = kmeans_fit(emb, k=8, iterations=3)
@@ -5606,7 +5606,7 @@ def _q_embedding_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     — no rounding needed anywhere. Output restricted to vec_id < 20
     long-form to keep the driver collect bounded; the scaled column
     itself stays distributed."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("vec"),
     )
@@ -5637,7 +5637,7 @@ def _q_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     hard-coded one (the inverse leg of rare_token_stats' TF-IDF
     shuffle shape; the df table is vocabulary-sized, the top-k is a
     global sort of that Zipf-small table)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     n_docs = docs.agg(F.count("*").alias("__nd"))
     types = docs.select(
         "doc_id",
@@ -5719,7 +5719,7 @@ def _q_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_wav_ramp,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return audio_window_energy(synth_wav_ramp(docs))
 
 
@@ -5945,7 +5945,7 @@ def _q_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arrays_zip over the in-order token array (no shuffle until
     the count); unigram totals join back broadcast (vocabulary-sized,
     Zipf ≪ corpus); min support 5 kills noise pairs."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     toks = docs.select(tx.tokens(F.col("text")).alias("t"))
     # guard size ≥ 2 BEFORE the slices (mirrors the oracle's
     # WHERE len(t) >= 2): an empty/one-token doc would otherwise hand
@@ -6007,7 +6007,7 @@ def _q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         mint_dense_ids,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     h = F.md5(F.concat(F.lit("epoch0"), F.col("doc_id").cast("string")))
     keyed = docs.select("doc_id", h.alias("__h"))
     ranked = mint_dense_ids(
@@ -6034,7 +6034,7 @@ def _q_split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_assign,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     pairs = ops.minhash_lsh_pairs(docs, k=8, bands=4, n=3)
     splits = docs.select(
         "doc_id",
@@ -6485,7 +6485,7 @@ def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm divides by the floor-rounded 6-dp average length, and the
     final score rounds to 6 (the tfidf_search libm contract). One
     tokenize pass feeds dl and the term postings."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     terms = ["merge", "spark", "window"]
     k1, b = 1.2, 0.75
     toks = docs.select(
@@ -6711,7 +6711,7 @@ def _q_quantile_normalize_embeddings(
     division; no interpolation semantics to disagree on). posexplode →
     64 dimension partitions; output bounded to the first 8 dimensions
     to keep the hash-compare surface proportionate."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     cells = emb.select(
         "vec_id",
         F.posexplode(F.col("embedding").cast("array<double>")).alias(
@@ -6902,7 +6902,7 @@ def _q_stratified_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs them exact). Integer cuts, md5 rank with doc_id tiebreak —
     reproducible on any engine. One stratum-keyed window + one
     aggregate."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     w = Window.partitionBy("source").orderBy(
         F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))),
         "doc_id",
@@ -7035,7 +7035,7 @@ def _q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurrence within the window is counted exactly once per
     direction. One final count exchange; top-30 by (count desc, pair
     asc) keeps the hash surface bounded."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     toks = docs.select(tx.tokens(F.col("text")).alias("t")).filter(
         F.size("t") >= 2
     )
@@ -7076,7 +7076,7 @@ def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     reports its id, token span, and boundary tokens so the oracle
     pins slicing off-by-ones exactly. Short tails (< 50) are kept —
     dropping them silently loses corpus tail text."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", tx.tokens(F.col("text")).alias("t")
     ).filter(F.size("t") >= 1)
@@ -7107,7 +7107,7 @@ def _q_kwic_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass behind data-quality review UIs. Positions via posexplode,
     context via one array slice per hit with exact boundary clamps
     (the slice math is the off-by-one the oracle pins)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", tx.tokens(F.col("text")).alias("t"))
     hits = toks.select(
         "doc_id",
@@ -7131,7 +7131,7 @@ def _q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline scores. Sentences = period-split segments with ≥ 1
     token (both engines: regex split on '\\.', trim, drop empties);
     the mean divides two exact BIGINTs once."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     sents = docs.select(
         "doc_id",
         F.filter(
@@ -7216,7 +7216,7 @@ def _q_span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle until the (bounded) output projection; 0-exchange map
     plan. n_masked pins the coin; the two strings pin the span
     merging and ordering."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", tx.tokens(F.col("text")).alias("t")
     ).filter(F.size("t") >= 1)
@@ -7338,7 +7338,7 @@ def _q_embedding_principal_component(
         power_iteration_top_pc,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     vec = emb.select(
         "vec_id", as_double_array(F.col("embedding")).alias("vec")
     )
@@ -7445,7 +7445,7 @@ def _q_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ad > bc), support a ≥ 5, top-5 per source (ties: a desc, token
     asc). Joins: per-token global counts joined on the Zipf-bounded
     vocabulary; per-source totals broadcast (sources are enum-sized)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "source", F.explode(tx.tokens(F.col("text"))).alias("w")
     )
@@ -7500,7 +7500,7 @@ def _q_zipf_token_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     through orderBy+limit (TakeOrderedAndProject — per-partition
     top-k then a 50-row merge, never a single-partition sort); the
     row_number window then runs on 50 rows."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     counts = (
         docs.select(F.explode(tx.tokens(F.col("text"))).alias("w"))
         .groupBy("w")
@@ -7525,7 +7525,7 @@ def _q_bigram_next_token(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-order arrays_zip (no shuffle before the count); the argmax
     window partitions by head over vocabulary-bounded groups; the
     probability is one IEEE division of exact BIGINTs."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     toks = docs.select(tx.tokens(F.col("text")).alias("t")).filter(
         F.size("t") >= 2
     )
@@ -7564,7 +7564,7 @@ def _q_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     total tokens — the quality-scoring companion that separates
     template-generated sources from natural ones. One exploded token
     scan, exact BIGINT counts, one IEEE division."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "source", F.explode(tx.tokens(F.col("text"))).alias("w")
     )
@@ -8685,7 +8685,7 @@ def _q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort at 100 TB, and the growth curve only needs a deterministic
     monotone slicing. A type's slice of first appearance is one
     min() aggregate; the cumulative sums run on ten rows."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     span = docs.agg(
         F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
     )

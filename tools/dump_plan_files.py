@@ -28,7 +28,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r15",
+        "r16",
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("shflow-plandump")
