@@ -886,7 +886,7 @@ def _q_tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus's ~30-word vocabulary makes unigram APSS inherently
     near-quadratic (measured 37 s at sf0.1 — the dense regime), while
     the 3-gram frequency tail restores the rare-term prefix bite."""
-    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     return ops.tf_cosine_pairs(docs, threshold_num=9, threshold_den=10, n=3)
 
 
@@ -913,7 +913,7 @@ def _q_tf_cosine_pairs_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     still raises with measured stats instead of silently running the
     Ω(U²) plan — pytest-pinned
     (operators/dedup.py:tf_cosine_pairs_auto)."""
-    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     return ops.tf_cosine_pairs_auto(
         docs, threshold_num=9, threshold_den=10, n=3,
         on_dense="escalate", max_n=5,
@@ -2451,7 +2451,7 @@ def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         near_dup_components,
     )
 
-    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     return near_dup_components(docs, k=8, bands=4, n=3).select(
         "doc_id", F.col("component").alias("cluster_id")
     )
@@ -2496,7 +2496,7 @@ def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         near_dup_components,
     )
 
-    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     comp = near_dup_components(docs, k=8, bands=4, n=3)
     agg = _survivor_table(docs, comp)
     return agg.select(
@@ -2518,7 +2518,7 @@ def _q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         near_dup_components,
     )
 
-    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     comp = near_dup_components(docs, k=8, bands=4, n=3)
     sizes = comp.groupBy("component").agg(F.count("*").alias("size"))
     return sizes.groupBy("size").agg(F.count("*").alias("n_clusters"))
@@ -2541,7 +2541,7 @@ def _q_deduped_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         near_dup_components,
     )
 
-    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     comp = near_dup_components(docs, k=8, bands=4, n=3)
     surv = _survivor_table(docs, comp).select(
         (-F.col("top.nd")).alias("doc_id")
@@ -4202,7 +4202,7 @@ def _q_benchmark_decontam_script(
     )
 
     docs = _plant_multiscript_mix(
-        spark, fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+        spark, load_table(spark, sf_dir, "documents")
     )
     bench = F.pmod(F.col("doc_id"), F.lit(4)) == 1
     word_out = decontaminate(docs, bench, n=8).select(
@@ -4389,7 +4389,7 @@ def _q_near_dup_pairs_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _plant_multiscript_mix(
-        spark, fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+        spark, load_table(spark, sf_dir, "documents")
     )
     min_id = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
     canon = (
@@ -4474,7 +4474,7 @@ def _planted_doms(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_registered_domain,
     )
 
-    docs = _plant_urls(fan_out_small_scan(load_table(spark, sf_dir, "documents")))
+    docs = _plant_urls(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         url_registered_domain(url_host(F.col("url"))).alias("reg_domain"),
@@ -5945,7 +5945,7 @@ def _q_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arrays_zip over the in-order token array (no shuffle until
     the count); unigram totals join back broadcast (vocabulary-sized,
     Zipf ≪ corpus); min support 5 kills noise pairs."""
-    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(tx.tokens(F.col("text")).alias("t"))
     # guard size ≥ 2 BEFORE the slices (mirrors the oracle's
     # WHERE len(t) >= 2): an empty/one-token doc would otherwise hand
@@ -6485,7 +6485,7 @@ def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm divides by the floor-rounded 6-dp average length, and the
     final score rounds to 6 (the tfidf_search libm contract). One
     tokenize pass feeds dl and the term postings."""
-    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     terms = ["merge", "spark", "window"]
     k1, b = 1.2, 0.75
     toks = docs.select(
@@ -7035,7 +7035,7 @@ def _q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurrence within the window is counted exactly once per
     direction. One final count exchange; top-30 by (count desc, pair
     asc) keeps the hash surface bounded."""
-    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(tx.tokens(F.col("text")).alias("t")).filter(
         F.size("t") >= 2
     )
@@ -7445,7 +7445,7 @@ def _q_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ad > bc), support a ≥ 5, top-5 per source (ties: a desc, token
     asc). Joins: per-token global counts joined on the Zipf-bounded
     vocabulary; per-source totals broadcast (sources are enum-sized)."""
-    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "source", F.explode(tx.tokens(F.col("text"))).alias("w")
     )

@@ -1293,24 +1293,52 @@ def containment_pairs(
     ``containment`` is one exact IEEE division at the edge. Output:
     (doc_a, doc_b, containment) = A-contained-in-B, BOTH orientations
     emitted when both qualify (a ≠ b always)."""
-    from pyspark.sql import Window
-
     num, den = int(threshold_num), int(threshold_den)
     if not 1 <= num <= den:
         raise ValueError(f"containment threshold must be in (0,1]: {num}/{den}")
+    aug = _containment_index(docs, n, id_col, text_col)
+    return _containment_sized_pairs(aug, num, den).select(
+        "doc_a", "doc_b", "containment"
+    )
+
+
+def _containment_index(
+    docs: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """The persisted augmented shingle index under the containment
+    family — (doc_id, shingle, df, sz, rk): document frequency via a
+    shingle-partition window, per-doc size and df-ascending rarity
+    rank sharing the doc_id exchange. ONE corpus scan / tokenization
+    feeds the prefix filter, the container side, both verification
+    joins, AND (round 16) the per-doc size table the subsumption
+    consumers report — which previously re-tokenized the corpus in a
+    second doc_shingles pass (guide §2.4: remove the duplicated
+    subtree)."""
+    from pyspark.sql import Window
+
     # df-ranked global rarity order (ties broken by shingle text so
     # both engines rank identically), each doc's prefix = the
     # ⌊(1−t)·sz⌋+1 rarest shingles, all in one augmented index
     w_sh = Window.partitionBy("shingle")
     w_doc = Window.partitionBy("doc_id")
     w_rk = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    aug = (
+    return (
         doc_shingles(docs, n, id_col, text_col)
         .withColumn("df", F.count(F.lit(1)).over(w_sh))
         .withColumn("sz", F.count(F.lit(1)).over(w_doc))
         .withColumn("rk", F.row_number().over(w_rk))
         .persist()
     )
+
+
+def _containment_sized_pairs(
+    aug: DataFrame, num: int, den: int
+) -> DataFrame:
+    """Qualifying ordered containment pairs WITH both endpoint sizes:
+    (doc_a, doc_b, containment, sz_a, sz_b). sz_b rides the
+    container-side verification join (every index row of B carries
+    B's size), so the dominance consumers need no extra size joins —
+    round 16; public `containment_pairs` projects the sizes away."""
     pref = aug.filter(
         F.lit(den) * (F.col("rk") - 1) <= F.lit(den - num) * F.col("sz")
     )
@@ -1326,16 +1354,22 @@ def containment_pairs(
         .distinct()
     )
     # exact |A∩B| per candidate: expand by A's shingles, keep those
-    # present in B — both joins against the same persisted index
+    # present in B — both joins against the same persisted index.
+    # sz_b is functionally dependent on doc_b, so carrying it as a
+    # group key changes no cardinality.
     inter = (
         cand.join(
             aug.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
         )
         .join(
-            aug.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            aug.select(
+                F.col("doc_id").alias("doc_b"),
+                "shingle",
+                F.col("sz").alias("sz_b"),
+            ),
             ["doc_b", "shingle"],
         )
-        .groupBy("doc_a", "doc_b", "sz_a")
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     return (
@@ -1348,6 +1382,8 @@ def containment_pairs(
             (F.col("n_shared") / F.col("sz_a").cast("double")).alias(
                 "containment"
             ),
+            "sz_a",
+            "sz_b",
         )
     )
 
@@ -1378,23 +1414,21 @@ def _containment_dominance(
     :func:`subsumption_prune_fixpoint` (kernel). Both variants derive
     their verdicts from THIS table and :func:`_dominates`, so a
     change to the evidence or the order applies to both or neither
-    (the greedy/fixpoint parity tests rely on that)."""
-    pairs = containment_pairs(
-        docs, n, threshold_num, threshold_den, id_col, text_col
-    )
-    sizes = doc_shingles(docs, n, id_col, text_col).groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("sz")
-    )
-    with_sz = (
-        pairs.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
-            "doc_b",
-        )
-    )
+    (the greedy/fixpoint parity tests rely on that).
+
+    Round 16: both tables now come off `_containment_index`'s ONE
+    persisted augmented index — `sizes` is a distinct projection of
+    its windowed per-doc count (bit-identical to the old
+    doc_shingles→groupBy count, which re-ran the whole tokenize
+    pipeline), and the endpoint sizes ride the verification joins
+    inside `_containment_sized_pairs` instead of two extra joins
+    here (guide §2.4)."""
+    num, den = int(threshold_num), int(threshold_den)
+    if not 1 <= num <= den:
+        raise ValueError(f"containment threshold must be in (0,1]: {num}/{den}")
+    aug = _containment_index(docs, n, id_col, text_col)
+    with_sz = _containment_sized_pairs(aug, num, den)
+    sizes = aug.select("doc_id", "sz").distinct()
     return sizes, with_sz
 
 
