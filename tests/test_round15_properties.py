@@ -235,11 +235,19 @@ def test_curation_full_web_gates_compose(spark):
 
 def test_lang_id_script_plan_zero_exchanges(spark):
     """Map-only contract: the multi-script classifier is a pure
-    projection over the scan — no exchange anywhere in the plan."""
+    projection over the scan — no DATA-DEPENDENT exchange anywhere in
+    the plan. The scale-gated small-scan fan-out (round 16,
+    sources.fan_out_small_scan) may insert one round-robin exchange
+    under the scan on the single-file local fixture; it provably
+    no-ops at production split counts, so the contract tracks
+    hash/range partitionings only — the same convention as
+    tests/test_shuffle_budget.py."""
     plan = (
         _planted(spark)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert plan.count("Exchange") == 0
+    n = plan.count("Exchange")
+    n -= plan.count("Exchange RoundRobinPartitioning")
+    assert n == 0
