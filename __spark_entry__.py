@@ -3367,22 +3367,36 @@ def _q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = _IVF_CODEBOOKS.get(key)
     if table is None:
         table = _IVF_CODEBOOKS[key] = char_trigram_lm(docs)
+    # Pushdown fences (round 16, the curation_multiscript lesson
+    # applied to THIS pipeline — measured: without them
+    # PushPredicateThroughNonJoin substitutes the heavy aliases into
+    # every predicate, the tokenize/fold expressions appear 66× in
+    # the executed plan, and the repetition stage alone costs +2.6 s
+    # at sf0.1): observe() is a CollectMetrics node Spark never
+    # pushes predicates through, costs one count per row, and the
+    # metric is one a curation run wants anyway. Values unchanged —
+    # the gates still run as filters over once-computed attributes.
     scored = docs.select(
         "doc_id",
         "text",
         tx.token_count(F.col("text")).alias("n_tokens"),
         tx.quality_score(F.col("text")).alias("quality"),
         predict_lang_tokens_cached().alias("pred_lang"),
+    ).observe(
+        "curation_full_classified",
+        F.count(F.lit(1)).alias("n_classified"),
     ).filter(
         (F.col("pred_lang") == "en")
         & (F.col("quality") >= 0.5)
         & (F.col("n_tokens") >= 5)
     )
     # repetition folds are the most expensive surviving expression —
-    # computed only for cheap-gate survivors (the rep filter references
-    # the projected struct, so Catalyst keeps it above this project)
+    # computed only for cheap-gate survivors, once per row (fenced)
     survivors = scored.withColumn(
         "rep", repetition_stats(F.col("text"))
+    ).observe(
+        "curation_full_rep",
+        F.count(F.lit(1)).alias("n_rep_scored"),
     ).filter(
         (F.col("rep.top_word_frac") <= 0.12)
         & (F.col("rep.dup_2gram_frac") <= 0.05)
@@ -3460,6 +3474,10 @@ def _q_curation_full_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     blocklist = keyed.filter(F.col("doc_id") % 10 == 0).select("reg_domain")
     unblocked = apply_domain_blocklist(keyed, "reg_domain", blocklist)
+    # pushdown fences — the curation_full/multiscript lesson (round
+    # 16): without them the gate predicates inline the heavy fold
+    # expressions per conjunct (66 split() copies measured in the
+    # unfenced curation_full plan)
     scored = unblocked.select(
         "doc_id",
         "text",
@@ -3467,6 +3485,9 @@ def _q_curation_full_web(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.token_count(F.col("text")).alias("n_tokens"),
         tx.quality_score(F.col("text")).alias("quality"),
         predict_lang_tokens_cached().alias("pred_lang"),
+    ).observe(
+        "curation_full_web_classified",
+        F.count(F.lit(1)).alias("n_classified"),
     ).filter(
         (F.col("pred_lang") == "en")
         & (F.col("quality") >= 0.5)
@@ -3474,6 +3495,10 @@ def _q_curation_full_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     survivors = (
         scored.withColumn("rep", repetition_stats(F.col("text")))
+        .observe(
+            "curation_full_web_rep",
+            F.count(F.lit(1)).alias("n_rep_scored"),
+        )
         .filter(
             (F.col("rep.top_word_frac") <= 0.12)
             & (F.col("rep.dup_2gram_frac") <= 0.05)
@@ -5290,10 +5315,22 @@ def _q_region_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan chain, so it carries a full DuckDB twin (unrolled CTEs) under
     the value-hash gate. Decimal-exact contribution sums + per-round
     9-dp rounding keep both engines bit-identical (see
-    operators/pagerank.py)."""
+    operators/pagerank.py).
+
+    Round 16 (guide §8, the kmeans bounded-driver-fetch budget
+    class): the region graph has ≤ N_REGIONS+1 nodes BY CONSTRUCTION (region ids 1..N plus the gap-fill sentinel 0),
+    so after the data-scale OD aggregation + weight normalization
+    (Spark) the ≤ N² edge rows are metadata — the 10 power rounds
+    fold on the driver (operators/graph_bounded.py:pagerank_fold,
+    arithmetic mirrored step for step; the unchanged DuckDB twin
+    verifies bit-identity every run) instead of paying 10
+    distributed join+agg rounds over a ≤400-row table."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.graph_bounded import (
+        collect_edges_bounded,
+        pagerank_fold,
+    )
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.pagerank import (
         normalized_edges,
-        pagerank,
     )
 
     pos = ops.hourly_positions(events_as_pings(spark, sf_dir, N_REGIONS))
@@ -5303,7 +5340,13 @@ def _q_region_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("orig").alias("src"), F.col("dest").alias("dst"), "cnt"
         )
     )
-    return pagerank(edges, iterations=10)
+    rows = collect_edges_bounded(
+        edges, (N_REGIONS + 1) * (N_REGIONS + 1), "src", "dst", "w"
+    )
+    ranks = pagerank_fold(
+        [(r["src"], r["dst"], r["w"]) for r in rows], iterations=10
+    )
+    return spark.createDataFrame(ranks, "node int, rank double")
 
 
 def _q_data_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5401,22 +5444,36 @@ def _q_region_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous weighted label propagation on the OD region graph
     (batch 4): mesoscale community structure beyond components /
     PageRank / triangles. 4 fixed rounds, deterministic (score desc,
-    label asc) tie-break, per-round lineage truncation; full unrolled
-    DuckDB twin (operators/labelprop.py)."""
+    label asc) tie-break; full unrolled DuckDB twin
+    (operators/labelprop.py). Round 16 (guide §8): the hour-keyed OD
+    multigraph collapses to ≤ C(N_REGIONS,2) undirected weighted
+    edges in Spark (the data-scale aggregate), then the 4 synchronous
+    rounds fold on the driver (graph_bounded.label_propagation_fold —
+    integer scores, identical tie-break)."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.graph_bounded import (
+        collect_edges_bounded,
+        label_propagation_fold,
+    )
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.labelprop import (
-        label_propagation,
+        undirected_weighted_edges,
     )
 
     pos = ops.hourly_positions(events_as_pings(spark, sf_dir, N_REGIONS))
     od = ops.od_matrix(ops.gap_fill_edges(pos))
-    return label_propagation(
+    und = undirected_weighted_edges(
         od.select(
             F.col("orig").alias("src"),
             F.col("dest").alias("dst"),
             F.col("cnt").alias("w"),
-        ),
-        rounds=4,
+        )
     )
+    rows = collect_edges_bounded(
+        und, (N_REGIONS + 1) * (N_REGIONS + 1), "u", "v", "w"
+    )
+    out = label_propagation_fold(
+        [(r["u"], r["v"], r["w"]) for r in rows], rounds=4
+    )
+    return spark.createDataFrame(out, "node int, community int")
 
 
 def _q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5727,12 +5784,18 @@ def _q_region_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-round BFS hop distances from region 1 over the
     deterministically sparsified OD graph (top-3 out-edges per node —
     the k-NN-graph construction; the raw OD graph is near-complete and
-    every distance would be 0/1). 6 relax rounds, each one hash join +
-    one min() aggregate, dist lineage-truncated per round; full
-    unrolled DuckDB twin (operators/bfs.py)."""
+    every distance would be 0/1). 6 relax rounds; full unrolled
+    DuckDB twin (operators/bfs.py). Round 16 (guide §8): the relax
+    loop folds on the driver over the ≤ N_REGIONS² collected edge
+    rows (integer arithmetic — trivially exact;
+    operators/graph_bounded.py:bfs_hops_fold); the data-scale OD
+    aggregation and the top-3 sparsification window stay in Spark."""
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.bfs import (
-        bfs_hops,
         topk_out_edges,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.graph_bounded import (
+        bfs_hops_fold,
+        collect_edges_bounded,
     )
 
     pos = ops.hourly_positions(events_as_pings(spark, sf_dir, N_REGIONS))
@@ -5748,7 +5811,13 @@ def _q_region_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         k=3,
     )
-    return bfs_hops(g, source=1, max_hops=6)
+    rows = collect_edges_bounded(
+        g, (N_REGIONS + 1) * (N_REGIONS + 1), "src", "dst"
+    )
+    dist = bfs_hops_fold(
+        [(r["src"], r["dst"]) for r in rows], source=1, max_hops=6
+    )
+    return spark.createDataFrame(dist, "node int, hops int")
 
 
 def _q_user_covisit_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6303,12 +6372,19 @@ def _q_region_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw OD graph is near-complete and every node would trivially
     survive). 6 fixed peel rounds (converged for this graph: peeling
     is monotone and 6 exceeds the longest peel chain, pytest-pinned);
-    full unrolled DuckDB twin (operators/kcore.py)."""
+    full unrolled DuckDB twin (operators/kcore.py). Round 16 (guide
+    §8): the 6 peel rounds fold on the driver over the ≤ 2·N_REGIONS²
+    collected symmetrized edge rows (integer arithmetic;
+    graph_bounded.k_core_fold); the OD aggregation, top-3 window and
+    symmetrize stay in Spark."""
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.bfs import (
         topk_out_edges,
     )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.graph_bounded import (
+        collect_edges_bounded,
+        k_core_fold,
+    )
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.kcore import (
-        k_core,
         symmetrize,
     )
 
@@ -6321,7 +6397,11 @@ def _q_region_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         k=3,
     )
-    return k_core(symmetrize(g), k=4, rounds=6)
+    rows = collect_edges_bounded(
+        symmetrize(g), 2 * (N_REGIONS + 1) * (N_REGIONS + 1), "src", "dst"
+    )
+    out = k_core_fold([(r["src"], r["dst"]) for r in rows], k=4, rounds=6)
+    return spark.createDataFrame(out, "node int, deg bigint")
 
 
 def _q_event_stay_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6938,9 +7018,20 @@ def _q_dense_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 offsets on the dense side only), exactly how DBSCAN scales to
     100 TB (grid first, merge second). Isolated dense cells keep
     their own key as cluster id. Oracle: recursive-CTE closure, the
-    near_dup_clusters pattern."""
+    near_dup_clusters pattern.
+
+    Round 16 (guide §8 "decide with small rows"): the merge is a
+    BOUNDED-DOMAIN closure — the grid is 60×60 by construction, so
+    the adjacency table is ≤ 3600·8/2 rows REGARDLESS of data
+    volume. Its min-label closure runs as driver-side union-find
+    (components.connected_components_bounded, codebook-sized
+    collect) instead of O(log d) full shuffle rounds with a driver
+    barrier each (the sf0.1 grid is 2640/3600 dense → giant
+    components → ~7 pointer-jump rounds for what is metadata).
+    Labels identical (pinned in pytest); at any scale the only
+    data-sized work is the density aggregate."""
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.components import (
-        connected_components,
+        connected_components_bounded,
     )
 
     ev = load_table(spark, sf_dir, "events")
@@ -6986,9 +7077,13 @@ def _q_dense_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = probe.join(
         dense.select(F.col("cell").alias("cell_b")), "cell_b"
     ).filter(F.col("cell_a") < F.col("cell_b")).select("cell_a", "cell_b")
-    cc = connected_components(pairs, a_col="cell_a", b_col="cell_b")
+    # domain bound: g*g cells x 8 neighbors / 2 (unordered) — the
+    # grid's geometry, not the data, caps the pair table
+    cc = connected_components_bounded(
+        pairs, bound=g * g * 4, a_col="cell_a", b_col="cell_b"
+    )
     labeled = dense.join(
-        cc.withColumnRenamed("node", "cell"), "cell", "left"
+        F.broadcast(cc.withColumnRenamed("node", "cell")), "cell", "left"
     ).select(
         "cx",
         "cy",
@@ -7353,9 +7448,15 @@ def _q_region_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     regions flows converge INTO, hubs the origins that feed strong
     authorities. 5 fixed alternations, max-normalized DECIMAL sums,
     9-dp floor rounding per half-round; full unrolled DuckDB twin
-    (operators/hits.py)."""
-    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.hits import (
-        hits,
+    (operators/hits.py). Round 16 (guide §8): the 3 alternations
+    fold on the driver over the ≤ N_REGIONS² collected edge rows
+    (graph_bounded.hits_fold — the same shortest-repr decimal
+    quantization, exact sums, max-norm and floor-round epilogue, so
+    the unchanged twin verifies bit-identity); the OD aggregation
+    stays in Spark."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.graph_bounded import (
+        collect_edges_bounded,
+        hits_fold,
     )
 
     pos = ops.hourly_positions(events_as_pings(spark, sf_dir, N_REGIONS))
@@ -7363,9 +7464,10 @@ def _q_region_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = od.groupBy("orig", "dest").agg(F.count("*").alias("__n")).select(
         F.col("orig").alias("src"), F.col("dest").alias("dst")
     )
-    out = hits(g, iterations=3)
-    return out.select(
-        F.col("node").cast("int").alias("node"), "hub", "authority"
+    rows = collect_edges_bounded(g, (N_REGIONS + 1) * (N_REGIONS + 1), "src", "dst")
+    out = hits_fold([(r["src"], r["dst"]) for r in rows], iterations=3)
+    return spark.createDataFrame(
+        out, "node int, hub double, authority double"
     )
 
 
@@ -7800,10 +7902,16 @@ def _q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     traversals), then H(v) = Σ 1/d as exact integer twelfths
     (12 = lcm(1..4)) with a single closing division
     (operators/bfs.py:multi_source_hops/harmonic_centrality). Full
-    unrolled DuckDB twin."""
+    unrolled DuckDB twin. Round 16 (guide §8): the 4 relax rounds
+    fold on the driver over the ≤ N_REGIONS² collected edge rows
+    (integer arithmetic; graph_bounded.harmonic_fold); the OD
+    aggregation and top-3 window stay in Spark."""
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.bfs import (
-        harmonic_centrality,
         topk_out_edges,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.graph_bounded import (
+        collect_edges_bounded,
+        harmonic_fold,
     )
 
     pos = ops.hourly_positions(events_as_pings(spark, sf_dir, N_REGIONS))
@@ -7817,7 +7925,13 @@ def _q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         k=3,
     )
-    return harmonic_centrality(g, max_hops=4)
+    rows = collect_edges_bounded(
+        g, (N_REGIONS + 1) * (N_REGIONS + 1), "src", "dst"
+    )
+    out = harmonic_fold([(r["src"], r["dst"]) for r in rows], max_hops=4)
+    return spark.createDataFrame(
+        out, "node int, n_reached bigint, harmonic double"
+    )
 
 
 def _q_region_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7826,10 +7940,16 @@ def _q_region_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     centrality, different epilogue — C(v) = n_reached / Σd with both
     counts exact BIGINTs and the division the only float op
     (operators/bfs.py:closeness_centrality). Full unrolled DuckDB
-    twin."""
+    twin. Round 16 (guide §8): the 4 relax rounds fold on the driver
+    over the ≤ N_REGIONS² collected edge rows (integer arithmetic;
+    graph_bounded.closeness_fold); the OD aggregation and top-3
+    window stay in Spark."""
     from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.bfs import (
-        closeness_centrality,
         topk_out_edges,
+    )
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.graph_bounded import (
+        closeness_fold,
+        collect_edges_bounded,
     )
 
     pos = ops.hourly_positions(events_as_pings(spark, sf_dir, N_REGIONS))
@@ -7843,7 +7963,14 @@ def _q_region_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         k=3,
     )
-    return closeness_centrality(g, max_hops=4)
+    rows = collect_edges_bounded(
+        g, (N_REGIONS + 1) * (N_REGIONS + 1), "src", "dst"
+    )
+    out = closeness_fold([(r["src"], r["dst"]) for r in rows], max_hops=4)
+    return spark.createDataFrame(
+        out,
+        "node int, n_reached bigint, total_hops bigint, closeness double",
+    )
 
 
 def _q_exploration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -19,13 +19,15 @@ Scale hardening (100 TB):
   lineage left to accumulate; ~1 s with truncation). The checkpoint
   also supersedes persist: exactly one materialized generation lives
   in executor storage at a time;
-- convergence is detected from the label-sum delta (labels are
-  monotonically non-increasing integers, so an unchanged sum ⟺ no
-  change). The lazy checkpoint skips the per-checkpoint count job;
-  note that under AQE the checkpointed plan's shuffle stages still
-  execute at checkpoint construction regardless of eager, so the
-  saving is exactly that one skipped job per round, not a deferral
-  of the round's work into the sum collect;
+- convergence is detected from a per-round changed flag computed IN
+  the round (labels are monotonically non-increasing, so "no label
+  changed" is exact convergence; round 16 — the former up-front
+  label-sum job cost one extra full-scan barrier per CC call). The
+  lazy checkpoint skips the per-checkpoint count job; note that
+  under AQE the checkpointed plan's shuffle stages still execute at
+  checkpoint construction regardless of eager, so the saving is
+  exactly that one skipped job per round, not a deferral of the
+  round's work into the flag collect;
 - a loop that exits without converging raises (or returns flagged via
   ``strict=False``) instead of silently returning truncated labels.
 """
@@ -101,13 +103,17 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=False)
     )
-    # Decimal sum: overflow-safe for arbitrary long ids at any count.
-    sum_expr = F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-    prev_sum = labels.agg(sum_expr).collect()[0]["s"]
-    converged = prev_sum is None  # empty input is trivially converged
+    # Convergence detection (round 16): labels are monotonically
+    # non-increasing, so "no label changed this round" ⟺ the old
+    # sum-delta criterion — but the changed flag is computed IN the
+    # round (old label carried through the step+jump projections),
+    # so the round's one collect returns it directly and the former
+    # up-front full-scan sum job (one extra global barrier per CC
+    # call, paid before round 1 could start) is gone. Termination is
+    # unchanged round-for-round: both schemes run until the first
+    # no-change round, and the per-round label tables are identical.
+    converged = False
     for _ in range(max_iterations):
-        if converged:
-            break
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
             .groupBy(F.col("a").alias("node"))
@@ -115,6 +121,7 @@ def connected_components(
         )
         stepped = labels.join(neighbor_min, "node", "left").select(
             "node",
+            F.col("component").alias("old_component"),
             F.least(
                 F.col("component"),
                 F.coalesce("nbr_component", F.col("component")),
@@ -126,27 +133,30 @@ def connected_components(
         jump = stepped.select(
             F.col("node").alias("j_node"), F.col("component").alias("j_comp")
         )
+        jumped = F.least(
+            F.col("component"), F.coalesce("j_comp", F.col("component"))
+        )
         # Per-round checkpoint: the self-join above doubles the
         # plan tree, so carrying lineage across rounds makes Catalyst
         # re-analysis exponential — truncate to a LogicalRDD now.
-        # Lazy: the convergence-sum collect right below is the
+        # Lazy: the changed-flag collect right below is the
         # materializing action (one fused job per round).
-        new_labels = (
+        new_full = (
             stepped.join(jump, stepped.component == jump.j_node, "left")
             .select(
                 "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce("j_comp", F.col("component")),
-                ).alias("component"),
+                jumped.alias("component"),
+                (jumped < F.col("old_component")).alias("changed"),
             )
             .localCheckpoint(eager=False)
         )
-        new_sum = new_labels.agg(sum_expr).collect()[0]["s"]
-        labels = new_labels
-        if new_sum == prev_sum:
+        any_changed = new_full.agg(
+            F.max(F.col("changed")).alias("c")
+        ).collect()[0]["c"]
+        labels = new_full.select("node", "component")
+        if not any_changed:  # None ⇒ empty input, trivially converged
             converged = True
-        prev_sum = new_sum
+            break
     edges.unpersist()
     if not converged:
         if strict:
@@ -429,4 +439,77 @@ def near_dup_components(
         )
         .filter(F.col("component").isNotNull())
         .select("doc_id", "component")
+    )
+
+
+def connected_components_bounded(
+    pairs: DataFrame,
+    bound: int,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """(node, component) closure for a pair table whose node domain is
+    BOUNDED BY CONSTRUCTION — a fixed grid, a codebook, a label
+    alphabet — independent of the data volume that produced it (round
+    16, guide §8 "decide with small rows"): the pairs are collected
+    (≤ ``bound`` rows, enforced — the collect is codebook-sized, the
+    same driver-state class as the 256-bucket/top-1024 folds), the
+    min-label closure runs as driver-side union-find in O(E·α), and
+    the labels return as one tiny DataFrame for a broadcast join.
+    Versus the iterative pointer-jump propagation this removes
+    O(log d) full shuffle rounds *and* their per-round driver
+    barriers — on a bounded domain the closure is metadata, and at
+    100 TB the only data-scale work remains whatever aggregate
+    produced ``pairs``.
+
+    Labels are IDENTICAL to :func:`connected_components`: component =
+    smallest node id reachable (union-find tracks per-root minima),
+    and only nodes that appear in ``pairs`` are labeled.
+
+    Raises when more than ``bound`` pair rows arrive — the caller's
+    domain-size argument was wrong, and silently collecting an
+    unbounded table is exactly the driver-OOM class this repo bans.
+    """
+    spark = pairs.sparkSession
+    rows = (
+        pairs.select(
+            F.col(a_col).cast("long").alias("a"),
+            F.col(b_col).cast("long").alias("b"),
+        )
+        .limit(int(bound) + 1)
+        .collect()
+    )
+    if len(rows) > bound:
+        raise ValueError(
+            f"connected_components_bounded: pair table exceeds the "
+            f"declared domain bound ({bound} rows) — the domain is not "
+            "bounded; use connected_components"
+        )
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r["a"], r["b"]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id: the root IS the running component min,
+            # so the final root of every node is its component label
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    out = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(
+        out, "node bigint, component bigint"
     )

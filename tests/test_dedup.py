@@ -1742,3 +1742,47 @@ def test_portable_pattern_guard_rejects_re2_named_groups():
     # non-capturing groups and inline flags stay portable
     assert _portability_violation(r"(?:ab)+c") is None
     assert _portability_violation(r"(?i)abc") is None
+
+
+def test_connected_components_bounded_matches_iterative(spark):
+    """Round 16: the bounded-domain driver-side closure must produce
+    labels IDENTICAL to the iterative pointer-jump propagation —
+    chains, cliques, singleton-pair components, and an empty input."""
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.components import (
+        connected_components,
+        connected_components_bounded,
+    )
+
+    edges = (
+        [(i, i + 1) for i in range(1, 40)]  # 40-node path
+        + [(100 + a, 100 + b) for a in range(6) for b in range(a + 1, 6)]
+        + [(500, 501)]
+        # out-of-order unions: min label arrives through a later edge
+        + [(900, 901), (800, 900), (700, 800)]
+    )
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    want = {
+        r.node: r.component for r in connected_components(pairs).collect()
+    }
+    got = {
+        r.node: r.component
+        for r in connected_components_bounded(pairs, bound=1000).collect()
+    }
+    assert got == want
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components_bounded(empty, bound=10).count() == 0
+
+
+def test_connected_components_bounded_enforces_bound(spark):
+    import pytest
+
+    from analyzing_the_characteristics_of_shanghai_s_pedestrian_flow_based_on_mobile_big_data_spark.operators.components import (
+        connected_components_bounded,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 20)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(ValueError, match="domain bound"):
+        connected_components_bounded(pairs, bound=5)
